@@ -1,0 +1,387 @@
+"""Deterministic synthetic corpus generator (FIXTURES.md §1-2).
+
+Generates the Common-Crawl-style ``pages`` input table
+(url, warc_ts, html:binary, text, lang) and the ``golden`` fixture table
+(url, expected_text, expected_pages, expected_spans) from a fixed seed.
+
+The generator computes goldens **by construction** — it knows what main
+content it embedded and applies the frozen channel-assembly rules
+(blocks joined "\n\n", table rows pipe-joined, lines "\n") independently of
+the kernels, so golden tests actually validate the kernels.
+
+Payload families (FIXTURES.md §1): article, table page, list/heading page,
+boilerplate-heavy, multilingual, degenerate HTML; and PDF families simple,
+multi-page, out-of-order runs, FlateDecode, degenerate. URL host distribution
+is skewed (a few hosts own ~30% of rows) so salted repartitioning is
+exercised (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+import datetime as dt
+import random
+import zlib
+from dataclasses import dataclass, field
+
+from pdf_extractor_spark.kernels.lang import detect_lang
+
+WORDS = {
+    "en": ("the data engine reads every page and keeps the main content while "
+           "it drops the navigation noise for a clean corpus that we can use "
+           "to train a model on text from the web").split(),
+    "de": ("der motor liest die seite und behält den inhalt aber nicht das "
+           "menü damit wir einen sauberen korpus für das training mit text "
+           "aus dem netz haben und die qualität der daten gut ist").split(),
+    "fr": ("le moteur lit la page et garde le contenu mais pas le menu pour "
+           "un corpus propre que nous pouvons utiliser avec du texte du web "
+           "et la qualité des données est bien").split(),
+    "es": ("el motor lee la página y guarda el contenido pero no el menú "
+           "para un corpus limpio que podemos usar con texto de la web y la "
+           "calidad de los datos es muy buena").split(),
+}
+
+NAV_LINKS = ["Home", "About", "Products", "Pricing", "Contact", "Blog", "Careers", "Login"]
+HOSTS_HOT = ["bighost-a.example.com", "bighost-b.example.com"]
+HOSTS_COLD = [f"site-{i:03d}.example.org" for i in range(40)]
+
+EPOCH = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    ws = WORDS[lang]
+    return " ".join(rng.choice(ws) for _ in range(n_words))
+
+
+def _paragraph(rng: random.Random, lang: str) -> str:
+    return " ".join(
+        _sentence(rng, lang, rng.randint(6, 14)).capitalize() + "."
+        for _ in range(rng.randint(2, 4))
+    )
+
+
+@dataclass
+class Doc:
+    url: str
+    warc_ts: dt.datetime
+    html: bytes | None
+    text: str | None
+    lang: str | None
+    family: str
+    expected_text: str  # expected `text` channel (blocks joined "\n\n")
+    expected_table: str = ""
+    expected_combined: str = ""
+    expected_markdown: str = ""
+    expected_pages: list[tuple[int, str]] = field(default_factory=list)
+    expected_spans: list[tuple[int, int, str]] = field(default_factory=list)
+    expected_ok: bool = True
+
+
+def _nav_html(rng: random.Random) -> str:
+    links = "".join(f'<a href="/{w.lower()}">{w}</a> ' for w in NAV_LINKS)
+    return f"<nav><ul>{''.join(f'<li><a href=#>{w}</a></li>' for w in NAV_LINKS)}</ul></nav><header><h1>{links}</h1></header>"
+
+
+def _sidebar_html(rng: random.Random) -> str:
+    items = "".join(
+        f'<li><a href="/r/{i}">Related story number {i} read more</a></li>' for i in range(8)
+    )
+    return f'<div class="sidebar"><ul>{items}</ul></div>'
+
+
+def _footer_html() -> str:
+    return "<footer><p>Copyright 2024 Example Corp. All rights reserved. Terms Privacy Cookies</p></footer>"
+
+
+def _wrap(body: str) -> bytes:
+    return f"<!DOCTYPE html><html><head><title>t</title><style>p{{x}}</style></head><body>{body}</body></html>".encode()
+
+
+def _spans_for(paras: list[str]) -> list[tuple[int, int, str]]:
+    spans = []
+    pos = 0
+    for p in paras:
+        spans.append((pos, pos + len(p), detect_lang(p)))
+        pos += len(p) + 2
+    return spans
+
+
+def gen_article(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lang = rng.choice(["en", "en", "en", "de", "fr", "es"])
+    paras = [_paragraph(rng, lang) for _ in range(rng.randint(2, 5))]
+    body = (
+        _nav_html(rng)
+        + "<article>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+        + _sidebar_html(rng)
+        + _footer_html()
+    )
+    expected = "\n\n".join(paras)
+    return Doc(url, ts, _wrap(body), None, lang, "article", expected,
+               expected_combined=expected, expected_markdown=expected,
+               expected_spans=_spans_for(paras))
+
+
+def gen_table_page(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lang = "en"
+    intro = _paragraph(rng, lang)
+    rows = [[f"r{r}c{c}" for c in range(3)] for r in range(rng.randint(2, 4))]
+    table_html = "<table>" + "".join(
+        "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in rows
+    ) + "</table>"
+    outro = _paragraph(rng, lang)
+    body = _nav_html(rng) + f"<article><p>{intro}</p>{table_html}<p>{outro}</p></article>" + _footer_html()
+    table_txt = "\n".join(" | ".join(r) for r in rows)
+    expected_text = intro + "\n\n" + outro
+    combined = intro + "\n\n" + table_txt + "\n\n" + outro
+    return Doc(url, ts, _wrap(body), None, lang, "table", expected_text,
+               expected_table=table_txt, expected_combined=combined,
+               expected_markdown=combined,
+               expected_spans=_spans_for([intro, outro]))
+
+
+def gen_list_page(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lang = "en"
+    h1 = _sentence(rng, lang, 4).capitalize()
+    h2 = _sentence(rng, lang, 5).capitalize()
+    items = [_sentence(rng, lang, rng.randint(4, 8)).capitalize() for _ in range(rng.randint(3, 5))]
+    para = _paragraph(rng, lang)
+    body = (
+        _nav_html(rng)
+        + f"<main><h1>{h1}</h1><p>{para}</p><h2>{h2}</h2><ul>"
+        + "".join(f"<li>{i}</li>" for i in items)
+        + "</ul></main>"
+        + _footer_html()
+    )
+    parts = [h1, para, h2] + items
+    expected = "\n\n".join(parts)
+    md = "\n\n".join(["# " + h1, para, "## " + h2] + ["- " + i for i in items])
+    return Doc(url, ts, _wrap(body), None, lang, "list", expected,
+               expected_combined=expected, expected_markdown=md,
+               expected_spans=_spans_for(parts))
+
+
+def gen_boilerplate_heavy(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lang = "en"
+    main = _sentence(rng, lang, rng.randint(8, 12)).capitalize() + "."
+    banners = "".join(
+        f'<div><a href="/x{i}">{" ".join(rng.choice(NAV_LINKS) for _ in range(6))}</a></div>'
+        for i in range(10)
+    )
+    cookie = '<div id="cookie"><a href="#">Accept all cookies</a><a href="#">Reject</a></div>'
+    body = _nav_html(rng) + banners + cookie + f"<div><p>{main}</p></div>" + _sidebar_html(rng) + _footer_html()
+    return Doc(url, ts, _wrap(body), None, lang, "boilerplate", main,
+               expected_combined=main, expected_markdown=main,
+               expected_spans=_spans_for([main]))
+
+
+def gen_multilingual(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    langs = rng.sample(["en", "de", "fr", "es"], k=3)
+    paras = [_paragraph(rng, lg) for lg in langs]
+    body = _nav_html(rng) + "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>" + _footer_html()
+    expected = "\n\n".join(paras)
+    return Doc(url, ts, _wrap(body), None, langs[0], "multilingual", expected,
+               expected_combined=expected, expected_markdown=expected,
+               expected_spans=_spans_for(paras))
+
+
+def gen_degenerate_html(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    kind = rng.choice(["empty_body", "empty_bytes", "malformed", "entities"])
+    if kind == "empty_bytes":
+        return Doc(url, ts, b"", None, None, "degenerate", "", expected_ok=False)
+    if kind == "empty_body":
+        return Doc(url, ts, _wrap(""), None, None, "degenerate", "", expected_ok=False)
+    if kind == "malformed":
+        txt = "Broken but readable text survives."
+        body = f"<div><p>{txt}<div><span>"
+        return Doc(url, ts, _wrap(body), None, "en", "degenerate", txt,
+                   expected_combined=txt, expected_markdown=txt,
+                   expected_spans=_spans_for([txt]))
+    txt_raw = "Fish &amp; chips &lt;cost&gt; 5&#8364; &quot;cheap&quot;"
+    txt = 'Fish & chips <cost> 5€ "cheap"'
+    return Doc(url, ts, _wrap(f"<p>{txt_raw}</p>"), None, "en", "degenerate", txt,
+               expected_combined=txt, expected_markdown=txt,
+               expected_spans=_spans_for([txt]))
+
+
+# ---------------------------------------------------------------------------
+# PDF builders (operator subset matches pdf_kernel: BT/Tf/Td/TD/Tm/T*/Tj/TJ)
+# ---------------------------------------------------------------------------
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def build_pdf(page_runs: list[list[tuple[float, float, str]]], compress: bool = False) -> bytes:
+    """Minimal single-font PDF with one content stream per page.
+
+    page_runs: per page, list of (x, y, text) runs emitted in the given
+    order (callers may scramble the order; coordinates define reading order).
+    """
+    objs: list[bytes] = []
+    n_pages = len(page_runs)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, runs in enumerate(page_runs):
+        content_ref = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents {content_ref} 0 R >>".encode()
+        )
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_pdf_escape(text)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        if compress:
+            comp = zlib.compress(stream)
+            objs.append(
+                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
+                + comp + b"\nendstream"
+            )
+        else:
+            objs.append(
+                b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
+                + stream + b"\nendstream"
+            )
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def _pdf_lines(rng: random.Random, n_lines: int) -> list[str]:
+    return [
+        _sentence(rng, "en", rng.randint(4, 8)).capitalize() + "."
+        for _ in range(n_lines)
+    ]
+
+
+def gen_pdf_simple(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lines = _pdf_lines(rng, rng.randint(2, 4))
+    runs = [(72.0, 720.0 - 14 * i, ln) for i, ln in enumerate(lines)]
+    text = "\n".join(lines)
+    return Doc(url, ts, build_pdf([runs]), None, "en", "pdf_simple", text,
+               expected_combined=text, expected_pages=[(1, text)])
+
+
+def gen_pdf_multipage(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    n_pages = rng.randint(2, 4)
+    pages, texts = [], []
+    for _ in range(n_pages):
+        lines = _pdf_lines(rng, rng.randint(2, 3))
+        pages.append([(72.0, 720.0 - 14 * i, ln) for i, ln in enumerate(lines)])
+        texts.append("\n".join(lines))
+    joined = "\n\n".join(texts)
+    return Doc(url, ts, build_pdf(pages), None, "en", "pdf_multipage", joined,
+               expected_combined=joined,
+               expected_pages=[(i + 1, t) for i, t in enumerate(texts)])
+
+
+def gen_pdf_scrambled(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lines = _pdf_lines(rng, rng.randint(3, 5))
+    runs = [(72.0, 720.0 - 14 * i, ln) for i, ln in enumerate(lines)]
+    shuffled = runs[:]
+    rng.shuffle(shuffled)
+    text = "\n".join(lines)  # reading order, not emission order
+    return Doc(url, ts, build_pdf([shuffled]), None, "en", "pdf_scrambled", text,
+               expected_combined=text, expected_pages=[(1, text)])
+
+
+def gen_pdf_flate(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    lines = _pdf_lines(rng, rng.randint(2, 4))
+    runs = [(72.0, 720.0 - 14 * i, ln) for i, ln in enumerate(lines)]
+    text = "\n".join(lines)
+    return Doc(url, ts, build_pdf([runs], compress=True), None, "en", "pdf_flate",
+               text, expected_combined=text, expected_pages=[(1, text)])
+
+
+def gen_pdf_degenerate(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
+    payload = b"%PDF-1.4\ngarbage" + bytes(rng.randrange(256) for _ in range(64))
+    return Doc(url, ts, payload, None, None, "pdf_degenerate", "", expected_ok=False)
+
+
+FAMILIES = [
+    (gen_article, 30),
+    (gen_table_page, 10),
+    (gen_list_page, 10),
+    (gen_boilerplate_heavy, 10),
+    (gen_multilingual, 8),
+    (gen_degenerate_html, 5),
+    (gen_pdf_simple, 10),
+    (gen_pdf_multipage, 7),
+    (gen_pdf_scrambled, 5),
+    (gen_pdf_flate, 3),
+    (gen_pdf_degenerate, 2),
+]
+_TOTAL_W = sum(w for _, w in FAMILIES)
+
+
+def generate(n: int, seed: int = 42) -> list[Doc]:
+    """Generate n documents; deterministic in (n, seed).
+
+    Host skew: ~30% of urls land on 2 hot hosts (FIXTURES.md §1).
+    """
+    rng = random.Random(seed)
+    docs: list[Doc] = []
+    gens = [g for g, w in FAMILIES for _ in range(w)]
+    for i in range(n):
+        if rng.random() < 0.30:
+            host = rng.choice(HOSTS_HOT)
+        else:
+            host = rng.choice(HOSTS_COLD)
+        url = f"https://{host}/p/{seed}-{i:07d}"
+        ts = EPOCH + dt.timedelta(seconds=rng.randint(0, 365 * 24 * 3600))
+        gen = rng.choice(gens)
+        d = gen(rng, url, ts)
+        # `text` column: raw pre-existing text hint (may be null); `lang` may
+        # be wrong for some rows (FIXTURES.md: hint, not truth).
+        if rng.random() < 0.3:
+            d.text = d.expected_text[:100] or None
+        if d.lang and rng.random() < 0.1:
+            d.lang = rng.choice(["xx", "en", "zz"])
+        docs.append(d)
+    return docs
+
+
+def to_pandas(docs: list[Doc]):
+    """(pages_df, golden_df) as pandas DataFrames matching FIXTURES.md §1-2."""
+    import pandas as pd
+
+    pages = pd.DataFrame(
+        {
+            "url": [d.url for d in docs],
+            "warc_ts": [d.warc_ts for d in docs],
+            "html": [d.html for d in docs],
+            "text": [d.text for d in docs],
+            "lang": [d.lang for d in docs],
+        }
+    )
+    golden = pd.DataFrame(
+        {
+            "url": [d.url for d in docs],
+            "family": [d.family for d in docs],
+            "expected_text": [d.expected_text for d in docs],
+            "expected_table": [d.expected_table for d in docs],
+            "expected_combined": [d.expected_combined for d in docs],
+            "expected_markdown": [d.expected_markdown for d in docs],
+            "expected_pages": [
+                [{"page": p, "text": t} for p, t in d.expected_pages] for d in docs
+            ],
+            "expected_spans": [
+                [{"start": s, "end": e, "lang": lg} for s, e, lg in d.expected_spans]
+                for d in docs
+            ],
+            "expected_ok": [d.expected_ok for d in docs],
+        }
+    )
+    return pages, golden

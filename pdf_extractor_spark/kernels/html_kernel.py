@@ -1,0 +1,301 @@
+"""From-scratch HTML main-content extraction kernel.
+
+Boilerpipe/readability-style block scoring over a DOM block stream built with
+the stdlib ``html.parser`` tokenizer (no lxml/bs4 in the environment, and the
+north rule demands a from-scratch kernel anyway).
+
+Reference parity (see /root/reference, ASHUTOSH2224/PDF-Extractor):
+  - channel model TEXT / COMBINED / TABLE / MARKDOWN mirrors the extractor
+    channel dict (pdfplumber_extractor.py:43-47, markitdown_extractor.py:40-45)
+  - table rendering: cells joined " | ", rows joined "\n", tables joined
+    "\n\n" (pdfplumber_extractor.py:33-41)
+  - block-type classification (heading/list/text/table/boilerplate) mirrors
+    Unstructured's element classification (unstructured_extractor.py:61-72)
+  - error contract: never raise; degrade to empty channels + error metadata
+    (pypdf2_extractor.py:41-48)
+
+The kernel is pure Python and operates on one byte payload; the Spark layer
+vectorizes it over Arrow record batches (pdf_extractor_spark/operators/extract.py).
+All whitespace discipline is fixed here and mirrored by the corpus generator:
+  - within a block: all runs of whitespace collapse to a single space, strip
+  - blocks joined by "\n\n" in document order
+"""
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+_WS_RE = re.compile(r"\s+")
+
+# Containers whose entire subtree is boilerplate (never main content).
+BOILERPLATE_CONTAINERS = frozenset(
+    {
+        "nav", "header", "footer", "aside", "script", "style", "noscript",
+        "form", "button", "svg", "template", "iframe", "select", "option",
+        "head", "menu", "dialog",
+    }
+)
+
+# Tags that terminate/emit a text block.
+BLOCK_TAGS = frozenset(
+    {
+        "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre", "blockquote",
+        "figcaption", "caption", "dt", "dd", "div", "section", "article",
+        "main", "body", "br", "tr", "td", "th", "table", "ul", "ol", "title",
+    }
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# A block whose link density exceeds this is boilerplate unless it is long
+# prose (readability/boilerpipe heuristic).
+LINK_DENSITY_MAX = 0.49
+# Minimum words for a high-link-density block to still count as content.
+LONG_PROSE_WORDS = 40
+
+
+def _norm(s: str) -> str:
+    return _WS_RE.sub(" ", s).strip()
+
+
+@dataclass
+class Block:
+    """One classified DOM text block."""
+
+    kind: str  # 'text' | 'heading' | 'list' | 'table'
+    text: str  # normalized text ('' for tables; tables carry rows)
+    level: int = 0  # heading level for kind='heading'
+    rows: list[list[str]] = field(default_factory=list)  # for kind='table'
+    link_chars: int = 0
+    total_chars: int = 0
+    boiler_depth: int = 0  # >0 → inside a boilerplate container
+
+    @property
+    def link_density(self) -> float:
+        return self.link_chars / self.total_chars if self.total_chars else 0.0
+
+    @property
+    def words(self) -> int:
+        return len(self.text.split()) if self.text else 0
+
+    def is_content(self) -> bool:
+        if self.boiler_depth > 0:
+            return False
+        if self.kind == "table":
+            return bool(self.rows)
+        if not self.text:
+            return False
+        if self.link_density > LINK_DENSITY_MAX and self.words < LONG_PROSE_WORDS:
+            return False
+        return True
+
+
+class _BlockParser(HTMLParser):
+    """Streams the tag soup into a flat list of classified Blocks."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._buf: list[str] = []
+        self._buf_link = 0
+        self._buf_total = 0
+        self._boiler = 0
+        self._a_depth = 0
+        self._li_depth = 0
+        self._pending_kind = "text"
+        self._pending_level = 0
+        # table state
+        self._table_depth = 0
+        self._tables_stack: list[Block] = []
+        self._row: list[str] | None = None
+        self._cell: list[str] | None = None
+
+    # -- block buffer handling -------------------------------------------
+    def _flush(self, kind: str | None = None, level: int | None = None) -> None:
+        text = _norm("".join(self._buf))
+        if text:
+            self.blocks.append(
+                Block(
+                    kind=kind if kind is not None else self._pending_kind,
+                    text=text,
+                    level=level if level is not None else self._pending_level,
+                    link_chars=self._buf_link,
+                    total_chars=self._buf_total,
+                    boiler_depth=self._boiler,
+                )
+            )
+        self._buf = []
+        self._buf_link = 0
+        self._buf_total = 0
+        self._pending_kind = "text"
+        self._pending_level = 0
+
+    # -- HTMLParser hooks --------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
+        if tag in BOILERPLATE_CONTAINERS:
+            self._flush()
+            self._boiler += 1
+            return
+        if tag == "a":
+            self._a_depth += 1
+            return
+        if tag == "table":
+            self._flush()
+            self._table_depth += 1
+            self._tables_stack.append(Block(kind="table", text="", boiler_depth=self._boiler))
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._row = []
+            elif tag in ("td", "th"):
+                self._cell = []
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+            if tag in HEADING_TAGS:
+                self._pending_kind = "heading"
+                self._pending_level = int(tag[1])
+            elif tag == "li":
+                self._li_depth += 1
+                self._pending_kind = "list"
+            else:
+                self._pending_kind = "list" if self._li_depth else "text"
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in BOILERPLATE_CONTAINERS:
+            self._flush()
+            if self._boiler:
+                self._boiler -= 1
+            return
+        if tag == "a":
+            if self._a_depth:
+                self._a_depth -= 1
+            return
+        if tag == "table":
+            self._flush()
+            if self._table_depth:
+                self._table_depth -= 1
+                tbl = self._tables_stack.pop()
+                if tbl.rows:
+                    self.blocks.append(tbl)
+            return
+        if self._table_depth:
+            if tag in ("td", "th") and self._cell is not None:
+                cell = _norm("".join(self._cell))
+                if self._row is not None:
+                    self._row.append(cell)
+                self._cell = None
+            elif tag == "tr" and self._row is not None:
+                if any(c for c in self._row):
+                    self._tables_stack[-1].rows.append(self._row)
+                self._row = None
+            return
+        if tag in BLOCK_TAGS:
+            if tag in HEADING_TAGS:
+                self._flush(kind="heading", level=int(tag[1]))
+            elif tag == "li":
+                self._flush(kind="list")
+                if self._li_depth:
+                    self._li_depth -= 1
+            else:
+                self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._table_depth:
+            if self._cell is not None:
+                self._cell.append(data)
+            return
+        self._buf.append(data)
+        n = len(_norm(data))
+        self._buf_total += n
+        if self._a_depth:
+            self._buf_link += n
+
+    def close(self) -> None:  # flush trailing text
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: str) -> list[Block]:
+    """Parse HTML into classified blocks (content and boilerplate alike)."""
+    p = _BlockParser()
+    p.feed(html)
+    p.close()
+    return p.blocks
+
+
+def render_table(rows: list[list[str]]) -> str:
+    """Pipe format per reference pdfplumber_extractor.py:33-41."""
+    return "\n".join(" | ".join(c for c in row) for row in rows)
+
+
+def assemble_channels(blocks: list[Block]) -> dict[str, str]:
+    """Assemble the reference's content channels from classified blocks.
+
+    TEXT     — content prose blocks (headings/paragraphs/lists) joined "\n\n"
+    TABLE    — pipe-rendered tables joined "\n\n"
+    COMBINED — TEXT + "\n\n" + TABLE-interleaved-in-order (reference
+               pdfplumber emits text then tables per page; here document order)
+    MARKDOWN — headings '#'-prefixed, list items '- ', tables pipe rows,
+               joined "\n\n" (markitdown_extractor.py:40-45 analogue)
+    TITLES   — heading blocks joined "\n" (unstructured_extractor.py:92-97)
+    """
+    content = [b for b in blocks if b.is_content()]
+    text_parts: list[str] = []
+    table_parts: list[str] = []
+    combined_parts: list[str] = []
+    md_parts: list[str] = []
+    titles: list[str] = []
+    for b in content:
+        if b.kind == "table":
+            t = render_table(b.rows)
+            table_parts.append(t)
+            combined_parts.append(t)
+            md_parts.append(t)
+        else:
+            text_parts.append(b.text)
+            combined_parts.append(b.text)
+            if b.kind == "heading":
+                md_parts.append("#" * b.level + " " + b.text)
+                titles.append(b.text)
+            elif b.kind == "list":
+                md_parts.append("- " + b.text)
+            else:
+                md_parts.append(b.text)
+    return {
+        "text": "\n\n".join(text_parts),
+        "table": "\n\n".join(table_parts),
+        "combined": "\n\n".join(combined_parts),
+        "markdown": "\n\n".join(md_parts),
+        "titles": "\n".join(titles),
+    }
+
+
+def extract_html(payload: bytes) -> dict:
+    """Extract main content from one HTML payload.
+
+    Returns {'channels': {...}, 'meta': {...}}; never raises (reference
+    error contract pypdf2_extractor.py:41-48). The 'meaningful content'
+    gate (tasks.py:228-249) is applied by the caller via meta['ok'].
+    """
+    meta: dict[str, str] = {}
+    empty = {"text": "", "table": "", "combined": "", "markdown": "", "titles": ""}
+    if not payload:
+        meta["error"] = "empty payload"
+        meta["ok"] = "false"
+        return {"channels": empty, "meta": meta}
+    try:
+        html = payload.decode("utf-8", errors="replace")
+        blocks = parse_blocks(html)
+        channels = assemble_channels(blocks)
+        ok = bool(channels["combined"] or channels["text"])
+        meta["ok"] = "true" if ok else "false"
+        if not ok:
+            meta["error"] = "no meaningful content"
+        meta["n_blocks"] = str(len(blocks))
+        return {"channels": channels, "meta": meta}
+    except Exception as exc:  # pragma: no cover - defensive
+        meta["error"] = f"{type(exc).__name__}: {exc}"
+        meta["ok"] = "false"
+        return {"channels": empty, "meta": meta}

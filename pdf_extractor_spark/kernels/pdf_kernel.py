@@ -1,0 +1,350 @@
+"""From-scratch minimal PDF text-extraction kernel.
+
+Parses PDF object structure (obj/endobj scan — tolerant of broken xref),
+FlateDecode via stdlib zlib, and the text-showing subset of the content
+stream operator language: BT/ET, Tf, Td/TD/TL/Tm/T*, Tj/TJ/'/".
+
+Reading order is reconstructed by coordinate-sorted line merging: text runs
+grouped into lines by y (descending — PDF origin is bottom-left), runs within
+a line sorted by x, lines joined "\n". This is the same primitive as the
+reference's Textract LINE reconstruction (_blocks_to_pages,
+textract_extractor.py:88-97) and Mathpix line sort
+(mathpix_extractor.py:121-131).
+
+Per-page result shape mirrors the reference plugin contract
+(interface.py:15-21, pypdf2_extractor.py:25-40): 1-based integer page keys,
+each with a TEXT channel; failures degrade to an error row instead of raising
+(pypdf2_extractor.py:41-48).
+"""
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+_NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+
+# y-coordinates within this distance belong to the same line
+_LINE_TOL = 2.0
+
+
+def _parse_objects(data: bytes) -> dict[int, bytes]:
+    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+
+
+def _dict_of(body: bytes) -> bytes:
+    """The first << ... >> dictionary in an object body (balanced)."""
+    start = body.find(b"<<")
+    if start < 0:
+        return b""
+    depth = 0
+    i = start
+    while i < len(body) - 1:
+        if body[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif body[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return body[start:i]
+        else:
+            i += 1
+    return body[start:]
+
+
+def _content_refs(page_body: bytes) -> list[int]:
+    d = _dict_of(page_body)
+    m = re.search(rb"/Contents\s*(\[[^\]]*\]|\d+\s+\d+\s+R)", d)
+    if not m:
+        return []
+    return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+
+
+def _kids(pages_body: bytes) -> list[int]:
+    d = _dict_of(pages_body)
+    m = re.search(rb"/Kids\s*\[([^\]]*)\]", d)
+    if not m:
+        return []
+    return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+
+
+def _stream_bytes(body: bytes) -> bytes:
+    m = _STREAM_RE.search(body)
+    if not m:
+        return b""
+    raw = m.group(1)
+    if b"/FlateDecode" in _dict_of(body):
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error:
+            return b""
+    return raw
+
+
+def _unescape_literal(s: bytes) -> str:
+    """PDF literal string escapes: \\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd."""
+    out = bytearray()
+    i = 0
+    esc = {
+        ord("n"): 10, ord("r"): 13, ord("t"): 9, ord("b"): 8, ord("f"): 12,
+        ord("("): 40, ord(")"): 41, ord("\\"): 92,
+    }
+    while i < len(s):
+        c = s[i]
+        if c == 0x5C and i + 1 < len(s):  # backslash
+            n = s[i + 1]
+            if n in esc:
+                out.append(esc[n])
+                i += 2
+                continue
+            if 0x30 <= n <= 0x37:  # octal
+                j = i + 1
+                oct_digits = b""
+                while j < len(s) and len(oct_digits) < 3 and 0x30 <= s[j] <= 0x37:
+                    oct_digits += bytes([s[j]])
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(c)
+        i += 1
+    return out.decode("latin-1")
+
+
+def _tokenize(stream: bytes):
+    """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list)."""
+    i = 0
+    n = len(stream)
+    while i < n:
+        c = stream[i : i + 1]
+        if c in b" \t\r\n\x00":
+            i += 1
+        elif c == b"(":
+            depth = 1
+            j = i + 1
+            buf = bytearray()
+            while j < n and depth:
+                ch = stream[j]
+                if ch == 0x5C and j + 1 < n:
+                    buf += stream[j : j + 2]
+                    j += 2
+                    continue
+                if ch == 0x28:
+                    depth += 1
+                elif ch == 0x29:
+                    depth -= 1
+                    if depth == 0:
+                        j += 1
+                        break
+                buf.append(ch)
+                j += 1
+            yield ("str", _unescape_literal(bytes(buf)))
+            i = j
+        elif c == b"<" and stream[i : i + 2] != b"<<":
+            j = stream.find(b">", i)
+            if j < 0:
+                break
+            hexs = re.sub(rb"\s", b"", stream[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += b"0"
+            try:
+                yield ("str", bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+            except ValueError:
+                pass
+            i = j + 1
+        elif c == b"[":
+            # array: tokenize inner region recursively (strings + numbers)
+            depth = 1
+            j = i + 1
+            while j < n and depth:
+                if stream[j] == 0x5B:
+                    depth += 1
+                elif stream[j] == 0x5D:
+                    depth -= 1
+                elif stream[j] == 0x5C:
+                    j += 1
+                elif stream[j] == 0x28:  # skip over literal strings
+                    d2 = 1
+                    j += 1
+                    while j < n and d2:
+                        if stream[j] == 0x5C:
+                            j += 1
+                        elif stream[j] == 0x28:
+                            d2 += 1
+                        elif stream[j] == 0x29:
+                            d2 -= 1
+                        j += 1
+                    continue
+                j += 1
+            yield ("arr", list(_tokenize(stream[i + 1 : j - 1])))
+            i = j
+        elif c == b"<":  # '<<' dict — skip to matching '>>'
+            depth = 0
+            j = i
+            while j < n - 1:
+                if stream[j : j + 2] == b"<<":
+                    depth += 1
+                    j += 2
+                elif stream[j : j + 2] == b">>":
+                    depth -= 1
+                    j += 2
+                    if depth == 0:
+                        break
+                else:
+                    j += 1
+            i = j
+        elif c == b"/":
+            j = i + 1
+            while j < n and stream[j : j + 1] not in b" \t\r\n()<>[]/%":
+                j += 1
+            i = j
+        elif c == b"%":
+            j = stream.find(b"\n", i)
+            i = n if j < 0 else j + 1
+        else:
+            m = _NUM_RE.match(stream, i)
+            if m and m.start() == i:
+                yield ("num", float(m.group(0)))
+                i = m.end()
+            else:
+                j = i
+                while j < n and stream[j : j + 1] not in b" \t\r\n()<>[]/%":
+                    j += 1
+                if j > i:
+                    yield ("op", stream[i:j].decode("latin-1", "replace"))
+                i = max(j, i + 1)
+
+
+def _runs_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
+    """Execute the text-positioning subset; return (x, y, text) runs."""
+    runs: list[tuple[float, float, str]] = []
+    x = y = 0.0
+    lx = ly = 0.0  # line start (Td/TD/Tm set; T* and '/" return here)
+    leading = 0.0
+    stack: list = []
+    for kind, val in _tokenize(stream):
+        if kind in ("str", "num", "arr"):
+            stack.append((kind, val))
+            continue
+        op = val
+        if op == "BT":
+            x = y = lx = ly = 0.0
+            stack.clear()
+        elif op == "ET":
+            stack.clear()
+        elif op == "Td" and len(stack) >= 2:
+            ty = stack[-1][1]
+            tx = stack[-2][1]
+            lx += tx
+            ly += ty
+            x, y = lx, ly
+            stack.clear()
+        elif op == "TD" and len(stack) >= 2:
+            ty = stack[-1][1]
+            tx = stack[-2][1]
+            leading = -ty
+            lx += tx
+            ly += ty
+            x, y = lx, ly
+            stack.clear()
+        elif op == "TL" and stack:
+            leading = stack[-1][1]
+            stack.clear()
+        elif op == "Tm" and len(stack) >= 6:
+            lx, ly = stack[-2][1], stack[-1][1]
+            x, y = lx, ly
+            stack.clear()
+        elif op == "T*":
+            ly -= leading
+            x, y = lx, ly
+            stack.clear()
+        elif op == "Tj" and stack and stack[-1][0] == "str":
+            runs.append((x, y, stack[-1][1]))
+            stack.clear()
+        elif op in ("'", '"'):
+            ly -= leading
+            x, y = lx, ly
+            s = next((v for k, v in reversed(stack) if k == "str"), None)
+            if s is not None:
+                runs.append((x, y, s))
+            stack.clear()
+        elif op == "TJ" and stack and stack[-1][0] == "arr":
+            text = "".join(v for k, v in stack[-1][1] if k == "str")
+            if text:
+                runs.append((x, y, text))
+            stack.clear()
+        else:
+            stack.clear()
+    return runs
+
+
+def merge_lines(runs: list[tuple[float, float, str]]) -> str:
+    """Coordinate-sorted line merge (reference textract_extractor.py:88-97).
+
+    Runs are grouped into lines by y within _LINE_TOL, lines ordered top-down
+    (descending y), runs within a line ordered by x and concatenated, lines
+    joined by "\n".
+    """
+    if not runs:
+        return ""
+    by_y = sorted(runs, key=lambda r: (-r[1], r[0]))
+    lines: list[list[tuple[float, float, str]]] = []
+    cur_y: float | None = None
+    for r in by_y:
+        if cur_y is None or abs(r[1] - cur_y) > _LINE_TOL:
+            lines.append([r])
+            cur_y = r[1]
+        else:
+            lines[-1].append(r)
+    out = []
+    for line in lines:
+        line.sort(key=lambda r: r[0])
+        out.append("".join(r[2] for r in line))
+    return "\n".join(out)
+
+
+def extract_pdf(payload: bytes) -> dict:
+    """Extract per-page text from one PDF payload.
+
+    Returns {'pages': [(page_no_1based, text), ...], 'meta': {...}};
+    never raises. Page order follows /Kids when present, else ascending
+    object number of /Type /Page objects.
+    """
+    meta: dict[str, str] = {}
+    if not payload or not payload.startswith(b"%PDF"):
+        meta["error"] = "not a PDF payload"
+        meta["ok"] = "false"
+        return {"pages": [], "meta": meta}
+    try:
+        objs = _parse_objects(payload)
+        page_ids = [num for num, body in sorted(objs.items())
+                    if re.search(rb"/Type\s*/Page\b", _dict_of(body))]
+        # honor /Kids ordering if a /Type /Pages node exists
+        for num, body in sorted(objs.items()):
+            if re.search(rb"/Type\s*/Pages\b", _dict_of(body)):
+                kids = [k for k in _kids(body) if k in objs]
+                if kids:
+                    page_ids = kids
+                break
+        pages: list[tuple[int, str]] = []
+        for i, pid in enumerate(page_ids, start=1):
+            text_parts = []
+            for cref in _content_refs(objs[pid]):
+                if cref in objs:
+                    text_parts.append(merge_lines(_runs_from_stream(_stream_bytes(objs[cref]))))
+            pages.append((i, "\n".join(p for p in text_parts if p)))
+        ok = any(t for _, t in pages)
+        meta["ok"] = "true" if ok else "false"
+        if not ok:
+            meta["error"] = "no meaningful content"
+        meta["page_count"] = str(len(pages))
+        return {"pages": pages, "meta": meta}
+    except Exception as exc:
+        meta["error"] = f"{type(exc).__name__}: {exc}"
+        meta["ok"] = "false"
+        return {"pages": [], "meta": meta}

@@ -1,0 +1,127 @@
+"""Text-analysis kernels for the training-data pipeline operators.
+
+All functions are deterministic and SQL-mirrorable (each has an exact ANSI-SQL
+equivalent used as the DuckDB oracle in __spark_entry__.oracle_sql), so the
+driver's value-hash correctness gate applies to them. Spark-side equivalents
+live in pdf_extractor_spark/operators/text_analysis.py and are expressed with
+built-in pyspark.sql.functions (JVM-side, no Python in the hot path); these
+pure-Python twins exist for unit tests and the corpus generator.
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+
+_WS_RE = re.compile(r"\s+")
+_PUNCT_RE = re.compile(r"[^\w\s]")
+# BPE-ish word/number/punctuation segmentation (mirrors the regex used in the
+# Spark operator and the DuckDB oracle — keep the three in sync).
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+EN_STOPWORDS_SMALL = (
+    "the of and to in a is that it for on with as are was be this by an at "
+    "from or have has not but they you we".split()
+)
+
+
+def normalize(text: str) -> str:
+    """Canonical form for hashing/dedup: lowercase, whitespace collapsed."""
+    return _WS_RE.sub(" ", text.lower()).strip()
+
+
+def ws_token_count(text: str) -> int:
+    """Whitespace token count."""
+    return len(text.split())
+
+
+def bpe_ish_token_count(text: str) -> int:
+    """Count of TOKEN_RE matches (letters runs / digit runs / single punct)."""
+    return len(re.findall(TOKEN_RE, text))
+
+
+def punct_ratio(text: str) -> float:
+    """Punctuation chars / total non-space chars."""
+    squeezed = _WS_RE.sub("", text)
+    if not squeezed:
+        return 0.0
+    return len(_PUNCT_RE.findall(squeezed)) / len(squeezed)
+
+
+def stopword_ratio(text: str) -> float:
+    toks = normalize(text).split()
+    if not toks:
+        return 0.0
+    sw = set(EN_STOPWORDS_SMALL)
+    return sum(1 for t in toks if t in sw) / len(toks)
+
+
+def quality_score(text: str) -> float:
+    """Composite document-quality heuristic in [0,1].
+
+    0.5*length_term + 0.3*(1-punct_ratio) + 0.2*stopword_presence, where
+    length_term = min(n_ws_tokens, 100)/100. Mirrored exactly in SQL.
+    """
+    length_term = min(ws_token_count(text), 100) / 100.0
+    return 0.5 * length_term + 0.3 * (1.0 - punct_ratio(text)) + 0.2 * min(
+        stopword_ratio(text) * 5.0, 1.0
+    )
+
+
+def fingerprint(text: str) -> str:
+    """Document fingerprint: md5 hex of the normalized text (exact-dedup key)."""
+    return hashlib.md5(normalize(text).encode("utf-8")).hexdigest()
+
+
+def shingles(text: str, n: int = 3) -> set[str]:
+    """Distinct word n-gram shingles of the normalized text."""
+    toks = normalize(text).split()
+    if len(toks) < n:
+        return {" ".join(toks)} if toks else set()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def minhash_value(shingle: str, seed: int) -> int:
+    """Deterministic 32-bit hash of a shingle under a seed (md5-based so the
+    DuckDB oracle can reproduce it exactly)."""
+    h = hashlib.md5(f"{seed}:{shingle}".encode("utf-8")).hexdigest()
+    return int(h[:8], 16)
+
+
+def minhash_signature(text: str, num_perm: int = 64, n: int = 3) -> list[int]:
+    sh = shingles(text, n)
+    if not sh:
+        return [0] * num_perm
+    return [min(minhash_value(s, seed) for s in sh) for seed in range(num_perm)]
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens of the normalized text."""
+    toks = normalize(text).split()
+    if not toks:
+        return 0
+    acc = [0] * 64
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+        for b in range(64):
+            acc[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if acc[b] > 0:
+            out |= 1 << b
+    return out
+
+
+def rolling_hashes(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> list[int]:
+    """Rabin-Karp rolling hashes over characters of the normalized text."""
+    s = normalize(text)
+    if len(s) < window:
+        return []
+    h = 0
+    power = pow(base, window - 1, mod)
+    out = []
+    for i, ch in enumerate(s):
+        h = (h * base + ord(ch)) % mod
+        if i >= window - 1:
+            out.append(h)
+            h = (h - ord(s[i - window + 1]) * power) % mod
+    return out

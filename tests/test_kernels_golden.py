@@ -1,0 +1,88 @@
+"""M1 golden gate: kernels must reproduce generator-known content
+byte-identically per url (BASELINE.json north_rule; reference golden-structure
+tests backend/tests/test_existing_extractors.py:23-58)."""
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark import corpus
+from pdf_extractor_spark.kernels.html_kernel import extract_html
+from pdf_extractor_spark.kernels.lang import detect_lang, lang_spans
+from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+DOCS = corpus.generate(400, seed=42)
+
+
+def _is_pdf(d: corpus.Doc) -> bool:
+    return bool(d.html) and d.html.startswith(b"%PDF")
+
+
+@pytest.mark.parametrize("doc", [d for d in DOCS if not _is_pdf(d)], ids=lambda d: d.url[-20:])
+def test_html_text_byte_identical(doc: corpus.Doc):
+    res = extract_html(doc.html or b"")
+    assert res["channels"]["text"] == doc.expected_text
+    assert res["channels"]["table"] == doc.expected_table
+    assert res["channels"]["combined"] == doc.expected_combined
+    assert res["channels"]["markdown"] == doc.expected_markdown
+    assert (res["meta"]["ok"] == "true") == doc.expected_ok
+
+
+@pytest.mark.parametrize("doc", [d for d in DOCS if _is_pdf(d)], ids=lambda d: d.url[-20:])
+def test_pdf_pages_byte_identical(doc: corpus.Doc):
+    res = extract_pdf(doc.html)
+    assert res["pages"] == doc.expected_pages
+    assert (res["meta"]["ok"] == "true") == doc.expected_ok
+
+
+@pytest.mark.parametrize("doc", [d for d in DOCS if d.expected_spans], ids=lambda d: d.url[-20:])
+def test_lang_spans(doc: corpus.Doc):
+    spans = lang_spans(doc.expected_text)
+    assert spans == doc.expected_spans
+    # offsets index into the text
+    for s, e, _ in spans:
+        assert 0 <= s <= e <= len(doc.expected_text)
+
+
+def test_multilingual_spans_have_multiple_langs():
+    multi = [d for d in DOCS if d.family == "multilingual"]
+    assert multi
+    for d in multi:
+        langs = {lg for _, _, lg in d.expected_spans}
+        assert len(langs) >= 2, d.url
+
+
+def test_detect_lang_basics():
+    assert detect_lang("the of and to in a is that it for") == "en"
+    assert detect_lang("der die das und ist in den von") == "de"
+    assert detect_lang("") == "und"
+    assert detect_lang("zzz qqq xxx") == "und"
+
+
+def test_error_contract_never_raises():
+    for payload in [b"", b"\x00\xff\xfe", b"%PDF-1.4 truncated", b"<html><p>", None]:
+        h = extract_html(payload or b"")
+        assert "ok" in h["meta"]
+        p = extract_pdf(payload or b"")
+        assert "ok" in p["meta"]
+
+
+def test_degenerate_rows_flagged_not_raised():
+    for d in DOCS:
+        if d.family in ("degenerate", "pdf_degenerate") and not d.expected_ok:
+            if _is_pdf(d):
+                assert extract_pdf(d.html)["meta"]["ok"] == "false"
+            else:
+                assert extract_html(d.html or b"")["meta"]["ok"] == "false"
+
+
+def test_generator_deterministic():
+    a = corpus.generate(50, seed=7)
+    b = corpus.generate(50, seed=7)
+    assert [(d.url, d.html, d.expected_text) for d in a] == [
+        (d.url, d.html, d.expected_text) for d in b
+    ]
+
+
+def test_host_skew_present():
+    hot = sum(1 for d in DOCS if "bighost" in d.url)
+    assert 0.2 < hot / len(DOCS) < 0.45
