@@ -1,0 +1,198 @@
+"""Distributed extraction operator: Arrow-batched kernels over the pages table.
+
+The whole extraction stage is ONE narrow ``mapInArrow`` pass after an explicit
+salted hash-repartition on ``url`` (north_rule: explicit partitioning, no
+per-row Python at the DataFrame level). Payload kind is dispatched per row on
+the %PDF magic like the reference upload validation (main.py:394).
+
+At 100 TB scale this plan is: parquet scan (pruned to the 3 needed columns) →
+shuffle on pmod(hash(url)+salt, n) → per-partition Arrow batches through the
+Python workers → columnar write. No joins, no second shuffle; throughput is
+bounded by kernel CPU, which is why the kernels avoid any per-row Spark
+round-trips and the Arrow batch size is capped (multi-MB payloads,
+SURVEY.md §7 hard parts).
+"""
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType, TimestampType,
+)
+
+from pdf_extractor_spark.kernels.html_kernel import extract_html
+from pdf_extractor_spark.kernels.lang import lang_spans
+from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start", IntegerType()),
+            StructField("end", IntegerType()),
+            StructField("lang", StringType()),
+        ]
+    )
+)
+
+# FIXTURES.md §3 `extracted` contract.
+EXTRACTED_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("warc_ts", TimestampType(), True),
+        StructField("partition_id", IntegerType(), True),
+        StructField("page_number", IntegerType(), True),
+        StructField("text", StringType(), True),
+        StructField("combined", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("markdown", StringType(), True),
+        StructField("titles", StringType(), True),
+        StructField("spans", SPAN_TYPE, True),
+        StructField("meta", MapType(StringType(), StringType()), True),
+        StructField("payload_bytes", LongType(), True),
+        StructField("elapsed_us", LongType(), True),
+    ]
+)
+
+_ARROW_OUT = pa.schema(
+    [
+        pa.field("url", pa.string()),
+        pa.field("warc_ts", pa.timestamp("us", tz="UTC")),
+        pa.field("partition_id", pa.int32()),
+        pa.field("page_number", pa.int32()),
+        pa.field("text", pa.string()),
+        pa.field("combined", pa.string()),
+        pa.field("table", pa.string()),
+        pa.field("markdown", pa.string()),
+        pa.field("titles", pa.string()),
+        pa.field(
+            "spans",
+            pa.list_(
+                pa.struct(
+                    [
+                        pa.field("start", pa.int32()),
+                        pa.field("end", pa.int32()),
+                        pa.field("lang", pa.string()),
+                    ]
+                )
+            ),
+        ),
+        pa.field("meta", pa.map_(pa.string(), pa.string())),
+        pa.field("payload_bytes", pa.int64()),
+        pa.field("elapsed_us", pa.int64()),
+    ]
+)
+
+
+def extract_document(payload: bytes | None) -> list[dict]:
+    """One document → one output row per page (HTML: single page 1).
+
+    Pure Python, shared by the Arrow batch path and unit tests. Follows the
+    reference per-page result invariants (SURVEY.md §2a): 1-based pages,
+    error rows degrade instead of raising (pypdf2_extractor.py:41-48).
+    """
+    if payload and payload.startswith(b"%PDF"):
+        res = extract_pdf(payload)
+        rows = []
+        for page_no, text in res["pages"] or [(1, "")]:
+            rows.append(
+                {
+                    "page_number": page_no,
+                    "text": text,
+                    "combined": text,
+                    "table": "",
+                    "markdown": text,
+                    "titles": "",
+                    "spans": lang_spans(text),
+                    "meta": res["meta"],
+                }
+            )
+        if not rows:
+            rows = [
+                {
+                    "page_number": 1, "text": "", "combined": "", "table": "",
+                    "markdown": "", "titles": "", "spans": [], "meta": res["meta"],
+                }
+            ]
+        return rows
+    res = extract_html(payload or b"")
+    ch = res["channels"]
+    return [
+        {
+            "page_number": 1,
+            "text": ch["text"],
+            "combined": ch["combined"],
+            "table": ch["table"],
+            "markdown": ch["markdown"],
+            "titles": ch["titles"],
+            "spans": lang_spans(ch["text"]),
+            "meta": res["meta"],
+        }
+    ]
+
+
+def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    """mapInArrow kernel: input batches of (url, warc_ts, html, partition_id)."""
+    for batch in batches:
+        t0 = time.perf_counter_ns()
+        urls = batch.column("url").to_pylist()
+        tss = batch.column("warc_ts").to_pylist()
+        payloads = batch.column("html").to_pylist()
+        pids = batch.column("partition_id").to_pylist()
+        out: dict[str, list] = {name: [] for name in _ARROW_OUT.names}
+        for url, ts, payload, pid in zip(urls, tss, payloads, pids):
+            nbytes = len(payload) if payload else 0
+            d0 = time.perf_counter_ns()
+            for row in extract_document(payload):
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["partition_id"].append(pid)
+                out["page_number"].append(row["page_number"])
+                out["text"].append(row["text"])
+                out["combined"].append(row["combined"])
+                out["table"].append(row["table"])
+                out["markdown"].append(row["markdown"])
+                out["titles"].append(row["titles"])
+                out["spans"].append(
+                    [{"start": s, "end": e, "lang": lg} for s, e, lg in row["spans"]]
+                )
+                out["meta"].append(list(row["meta"].items()))
+                out["payload_bytes"].append(nbytes)
+                out["elapsed_us"].append((time.perf_counter_ns() - d0) // 1000)
+        _ = t0
+        yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:
+    """Explicit hash partitioning on url with a salt to defuse host-level
+    skew (north_rule; SURVEY.md §4 skew row).
+
+    Partitions directly on ``hash(url) + salt`` (fine-grained key) rather
+    than on a pre-quantized bucket value: quantizing to num_partitions
+    values first and re-hashing those leaves ~1/e of partitions empty and
+    doubles up others (verified empirically). Logical lineage buckets are a
+    separate column (pipeline.py) so physical layout and checkpoint
+    granularity stay decoupled.
+    """
+    return df.repartition(num_partitions, F.hash(F.col("url")) + F.lit(salt))
+
+
+def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
+                size_cap_bytes: int = 20 * 1024 * 1024) -> DataFrame:
+    """pages(url, warc_ts, html, ...) → extracted DataFrame (one row/page).
+
+    - column pruning: only url/warc_ts/html reach the scan
+    - size cap mirrors the reference 20 MB upload cap (main.py:386-392);
+      oversized rows are dropped here and should be routed to a dedicated
+      pass at scale (SURVEY.md §4 size-based binning)
+    """
+    src = pages.select("url", "warc_ts", "html").where(
+        F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
+    )
+    src = salted_repartition(src, num_partitions, salt)
+    src = src.withColumn("partition_id", F.spark_partition_id())
+    return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)

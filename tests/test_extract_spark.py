@@ -1,0 +1,100 @@
+"""M2 integration: Spark extraction pass matches golden fixtures per url
+through the full mapInArrow path (SURVEY.md §7 M2)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import run_extract
+from pdf_extractor_spark.session import golden_df, pages_df
+
+N = 250
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = run_extract(pages_df(spark, N, SEED), num_partitions=8, salt=3)
+    df.cache()
+    yield df
+    df.unpersist()
+
+
+def test_row_per_page(spark, extracted):
+    golden = golden_df(spark, N, SEED)
+    exp_rows = golden.select(
+        F.when(F.size("expected_pages") > 0, F.size("expected_pages"))
+        .otherwise(F.lit(1))
+        .alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert extracted.count() == exp_rows
+
+
+def test_html_channels_match_golden(spark, extracted):
+    golden = golden_df(spark, N, SEED)
+    html_docs = extracted.filter(F.col("page_number") == 1).join(
+        golden.filter(F.size("expected_pages") == 0), "url"
+    )
+    bad = html_docs.filter(
+        (F.col("text") != F.col("expected_text"))
+        | (F.col("combined") != F.col("expected_combined"))
+        | (F.col("table") != F.col("expected_table"))
+        | (F.col("markdown") != F.col("expected_markdown"))
+    )
+    assert bad.count() == 0, bad.select("url", "text", "expected_text").first()
+    assert html_docs.count() > 0
+
+
+def test_pdf_pages_match_golden(spark, extracted):
+    golden = golden_df(spark, N, SEED)
+    exp = golden.filter(F.size("expected_pages") > 0).select(
+        "url", F.explode("expected_pages").alias("p")
+    ).select("url", F.col("p.page").alias("page_number"), F.col("p.text").alias("expected"))
+    got = extracted.join(exp, ["url", "page_number"], "inner")
+    assert got.count() == exp.count()
+    assert got.filter(F.col("text") != F.col("expected")).count() == 0
+
+
+def test_spans_match_golden(spark, extracted):
+    golden = golden_df(spark, N, SEED)
+    joined = extracted.filter(F.col("page_number") == 1).join(
+        golden.filter((F.size("expected_spans") > 0) & (F.size("expected_pages") == 0)),
+        "url",
+        "inner",
+    )
+    norm = F.transform(
+        "expected_spans",
+        lambda x: F.struct(
+            x["start"].cast("int").alias("start"),
+            x["end"].cast("int").alias("end"),
+            x["lang"].alias("lang"),
+        ),
+    )
+    bad = joined.filter(F.to_json(F.col("spans")) != F.to_json(norm))
+    assert bad.count() == 0, bad.select("url", "spans", "expected_spans").first()
+
+
+def test_meaningful_content_gate(spark, extracted):
+    """Degenerate rows degrade with ok=false, never raise (tasks.py:228-249)."""
+    golden = golden_df(spark, N, SEED)
+    joined = extracted.filter(F.col("page_number") == 1).join(golden, "url")
+    mismatch = joined.filter(
+        (F.col("meta")["ok"] == "true") != F.col("expected_ok")
+    )
+    assert mismatch.count() == 0
+    assert joined.filter(F.col("meta")["ok"] == "false").count() > 0
+
+
+def test_partitioning_is_salted_hash(spark):
+    """Same salt → same bucket per url; different salt → different layout."""
+    from pdf_extractor_spark.operators.extract import salted_repartition
+
+    df = pages_df(spark, 100, SEED).select("url", "warc_ts", "html")
+    a = salted_repartition(df, 8, 0).withColumn("p", F.spark_partition_id())
+    b = salted_repartition(df, 8, 1).withColumn("p", F.spark_partition_id())
+    pa_ = {r["url"]: r["p"] for r in a.select("url", "p").collect()}
+    pb = {r["url"]: r["p"] for r in b.select("url", "p").collect()}
+    assert pa_ != pb  # salt actually changes the layout
+    # all partitions non-empty-ish (skew defused at this scale)
+    sizes = a.groupBy("p").count().collect()
+    assert len(sizes) >= 6
