@@ -1,0 +1,122 @@
+"""Text-analysis operators over the `documents` table (training-data pipeline).
+
+Every operator is expressed with built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen; no Python in the hot path) and has an exact ANSI-SQL
+twin in __spark_entry__.oracle_sql, so the driver's DuckDB value-hash gate
+applies. Pure-Python reference implementations live in kernels/textstats.py.
+
+Scale: all of these are narrow per-row projections over the scan — no
+shuffle at all except the final aggregates, which do map-side partial
+aggregation. They pipeline over 100 TB with zero exchange for the per-doc
+variants.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.kernels.lang import STOPWORDS
+from pdf_extractor_spark.kernels.textstats import EN_STOPWORDS_SMALL, TOKEN_RE
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _norm(col):
+    """lower + collapse whitespace (kernels/textstats.normalize twin)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    norm = _norm(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(norm == "", 0)
+        .otherwise(F.size(F.split(norm, " ")))
+        .alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("chars"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Composite quality heuristic, mirrored in SQL (textstats.quality_score).
+
+    0.5*min(ws_tokens,100)/100 + 0.3*(1-punct_ratio) + 0.2*min(stop_ratio*5,1)
+    """
+    norm = _norm(F.col("text"))
+    ws_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
+    squeezed = F.regexp_replace(F.col("text"), r"\s+", "")
+    punct = F.length(F.regexp_replace(squeezed, r"[\w]", ""))
+    punct_ratio = F.when(F.length(squeezed) > 0, punct / F.length(squeezed)).otherwise(0.0)
+    toks = F.split(norm, " ")
+    sw = F.array([F.lit(w) for w in EN_STOPWORDS_SMALL])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    stop_ratio = F.when(ws_tokens > 0, stop_hits / ws_tokens).otherwise(0.0)
+    length_term = F.least(ws_tokens, F.lit(100)) / 100.0
+    score = (
+        0.5 * length_term
+        + 0.3 * (1.0 - punct_ratio)
+        + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.alias("ws_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """md5-of-normalized-text document fingerprint (exact-dedup key)."""
+    return docs.select("doc_id", F.md5(_norm(F.col("text"))).alias("fp"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-profile language ID, JVM-side (kernels/lang.detect_lang twin).
+
+    Scores each language by stopword-hit fraction over whitespace tokens of
+    the normalized text; ties break to the lexicographically smallest
+    language; no hits → 'und'.
+    """
+    toks = F.split(_norm(F.col("text")), " ")
+    ntok = F.size(toks)
+    scores = []
+    for lg in sorted(STOPWORDS):
+        sw = F.array([F.lit(w) for w in sorted(STOPWORDS[lg])])
+        hits = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, t)))
+        scores.append(F.struct((hits / ntok).alias("score"), F.lit(lg).alias("lang")))
+    arr = F.array(*scores)
+    # max by (score, then lexicographically-smaller lang wins on tie):
+    # array_max on struct compares fields in order, so negate-lang trick is
+    # avoided by reversing: pick max score, then min lang among maxima.
+    best_score = F.array_max(F.transform(arr, lambda s: s["score"]))
+    best_lang = F.array_min(
+        F.transform(F.filter(arr, lambda s: s["score"] == best_score), lambda s: s["lang"])
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.when((ntok > 0) & (best_score > 0.0), best_lang)
+        .otherwise(F.lit("und"))
+        .alias("detected_lang"),
+    )
+
+
+def language_agreement(docs: DataFrame) -> DataFrame:
+    """Rate at which detected language agrees with the table's lang hint."""
+    d = lang_id(docs)
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum(F.when(F.col("detected_lang") == F.col("lang"), 1).otherwise(0)).alias(
+                "agree"
+            ),
+        )
+        .withColumn("agree_rate", F.round(F.col("agree") / F.col("docs"), 6))
+        .orderBy("lang")
+    )

@@ -1,0 +1,212 @@
+"""End-to-end extraction job: lineage, metrics, quarantine, idempotent resume.
+
+Maps the reference's orchestration semantics (SURVEY.md §2b) onto Spark:
+
+  - fan-out / worker task (tasks.py:154-289)  → one mapInArrow pass per wave
+  - completion tracking (file_coordinator.py) → bucket list recorded in the
+    snapshot manifest of the output table (single source of truth) + a
+    lineage table for observability
+  - idempotent retry endpoint (main.py:1695-1786 soft-delete + re-enqueue)
+    → resume = anti-join of buckets against manifest-recorded done buckets;
+    a bucket is only visible once committed, so re-runs cannot duplicate
+  - circuit breaker (tasks.py:126-151, ≥5 consecutive failures)
+    → per-wave failure-rate gate between waves
+  - cost/latency accounting (tasks.py:265-282) → per-partition metrics rows
+
+Scale notes (100 TB / 1000 executors): buckets are the checkpoint granule —
+set n_buckets so one wave ≈ one cluster-full of work (e.g. 4096 buckets,
+wave_size 64). Each wave is scan(pruned) → shuffle(hash(url)+salt) → kernel →
+columnar write; no other shuffle. The SnapshotTable binds 1:1 to Iceberg
+(append/overwritePartitions) when jars are present.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators.extract import run_extract
+from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+LINEAGE_DDL = (
+    "bucket int, stage string, status string, started_at timestamp, "
+    "finished_at timestamp, docs long, bytes long, failures long, attempt int"
+)
+METRICS_DDL = (
+    "bucket int, partition_id int, docs long, pages long, bytes long, "
+    "elapsed_ms long, docs_per_sec double, bytes_per_sec double, failure_count long"
+)
+
+
+class ExtractionAborted(RuntimeError):
+    """Raised when the failure-rate circuit breaker opens (tasks.py:126-151)."""
+
+
+class ExtractionJob:
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_root: str,
+        n_buckets: int = 32,
+        partitions: int = 32,
+        salt: int = 0,
+        wave_size: int = 8,
+        failure_rate_abort: float = 0.5,
+    ) -> None:
+        self.spark = spark
+        self.out_root = out_root
+        self.n_buckets = n_buckets
+        self.partitions = partitions
+        self.salt = salt
+        self.wave_size = wave_size
+        self.failure_rate_abort = failure_rate_abort
+        self.extracted = SnapshotTable(os.path.join(out_root, "extracted"))
+        self.lineage = SnapshotTable(os.path.join(out_root, "lineage"))
+        self.metrics = SnapshotTable(os.path.join(out_root, "metrics"))
+        self.quarantine = SnapshotTable(os.path.join(out_root, "quarantine"))
+
+    # -- checkpoint state ----------------------------------------------------
+    def done_buckets(self) -> set[int]:
+        """Buckets already committed, from the output table's manifest chain
+        (authoritative — a bucket is visible iff its data committed)."""
+        m = self.extracted.current_manifest()
+        if m is None:
+            return set()
+        live = set(m["data_dirs"])
+        done: set[int] = set()
+        for snap in self.extracted.snapshots():
+            own_dir = snap["data_dirs"][-1] if snap["data_dirs"] else None
+            if own_dir in live:  # this commit's data is reachable from CURRENT
+                done.update(snap.get("summary", {}).get("buckets", []))
+        return done
+
+    def _with_bucket(self, pages: DataFrame) -> DataFrame:
+        return pages.withColumn(
+            "bucket", F.pmod(F.hash(F.col("url")), F.lit(self.n_buckets))
+        )
+
+    # -- main entry ------------------------------------------------------------
+    def run(self, pages: DataFrame, max_waves: int | None = None) -> dict:
+        """Process all pending buckets in waves; resumable and idempotent."""
+        pages_b = self._with_bucket(pages)
+        done = self.done_buckets()
+        pending = [b for b in range(self.n_buckets) if b not in done]
+        waves = [
+            pending[i : i + self.wave_size]
+            for i in range(0, len(pending), self.wave_size)
+        ]
+        if max_waves is not None:
+            waves = waves[:max_waves]
+        total = {"docs": 0, "failures": 0, "waves": 0, "buckets": 0}
+        for wave in waves:
+            stats = self._run_wave(pages_b, wave)
+            total["docs"] += stats["docs"]
+            total["failures"] += stats["failures"]
+            total["waves"] += 1
+            total["buckets"] += len(wave)
+            if stats["docs"] > 0 and (
+                stats["failures"] / stats["docs"] > self.failure_rate_abort
+            ):
+                raise ExtractionAborted(
+                    f"failure rate {stats['failures']}/{stats['docs']} exceeds "
+                    f"{self.failure_rate_abort} — circuit breaker open"
+                )
+        return total
+
+    def _run_wave(self, pages_b: DataFrame, wave: list[int]) -> dict:
+        t0 = time.time()
+        started_at = F.current_timestamp()
+        src = pages_b.where(F.col("bucket").isin(wave))
+        out = run_extract(
+            src.select("url", "warc_ts", "html"),
+            num_partitions=self.partitions,
+            salt=self.salt,
+        )
+        out = out.withColumn(
+            "bucket", F.pmod(F.hash(F.col("url")), F.lit(self.n_buckets))
+        )
+        out.cache()
+        try:
+            # per-(bucket, partition) metrics — tasks.py:265-282 analogue
+            met = (
+                out.groupBy("bucket", "partition_id")
+                .agg(
+                    F.count_distinct("url").alias("docs"),
+                    F.count("*").alias("pages"),
+                    F.sum(
+                        F.when(F.col("page_number") == 1, F.col("payload_bytes")).otherwise(0)
+                    ).alias("bytes"),
+                    (F.sum("elapsed_us") / 1000).cast("long").alias("elapsed_ms"),
+                    F.sum(
+                        F.when(
+                            (F.col("meta")["ok"] == "false") & (F.col("page_number") == 1), 1
+                        ).otherwise(0)
+                    ).alias("failure_count"),
+                )
+                .withColumn(
+                    "docs_per_sec",
+                    F.when(F.col("elapsed_ms") > 0, F.col("docs") / (F.col("elapsed_ms") / 1000.0)),
+                )
+                .withColumn(
+                    "bytes_per_sec",
+                    F.when(F.col("elapsed_ms") > 0, F.col("bytes") / (F.col("elapsed_ms") / 1000.0)),
+                )
+                .select(
+                    "bucket", "partition_id", "docs", "pages", "bytes", "elapsed_ms",
+                    "docs_per_sec", "bytes_per_sec", "failure_count",
+                )
+            )
+            mrows = met.collect()
+            docs = sum(r["docs"] for r in mrows)
+            failures = sum(r["failure_count"] for r in mrows)
+            nbytes = sum(r["bytes"] for r in mrows)
+
+            # quarantine rows (row-level error contract, tasks.py:112-123)
+            quar = (
+                out.where((F.col("meta")["ok"] == "false") & (F.col("page_number") == 1))
+                .select(
+                    "url",
+                    F.lit("extract").alias("stage"),
+                    F.coalesce(F.col("meta")["error"], F.lit("unknown")).alias("error"),
+                )
+            )
+
+            # commit order: data first (manifest records the buckets — the
+            # checkpoint), then metrics/lineage/quarantine (observability).
+            self.extracted.append(
+                out, summary={"buckets": wave, "docs": docs, "failures": failures}
+            )
+            self.metrics.append(self.spark.createDataFrame(mrows, METRICS_DDL))
+            self.quarantine.append(quar)
+            lineage_rows = (
+                self.spark.createDataFrame(
+                    [(b,) for b in wave], "bucket int"
+                )
+                .withColumn("stage", F.lit("extract"))
+                .withColumn("status", F.lit("success"))
+                .withColumn("started_at", started_at)
+                .withColumn("finished_at", F.current_timestamp())
+                .withColumn("docs", F.lit(docs).cast("long"))
+                .withColumn("bytes", F.lit(nbytes).cast("long"))
+                .withColumn("failures", F.lit(failures).cast("long"))
+                .withColumn("attempt", F.lit(1))
+            )
+            self.lineage.append(lineage_rows)
+            return {"docs": docs, "failures": failures, "elapsed_s": time.time() - t0}
+        finally:
+            out.unpersist()
+
+    # -- reads -----------------------------------------------------------------
+    def read_extracted(self) -> DataFrame | None:
+        return self.extracted.read(self.spark)
+
+    def read_metrics(self) -> DataFrame | None:
+        return self.metrics.read(self.spark)
+
+    def read_lineage(self) -> DataFrame | None:
+        return self.lineage.read(self.spark)
+
+    def read_quarantine(self) -> DataFrame | None:
+        return self.quarantine.read(self.spark)

@@ -1,0 +1,117 @@
+"""M3+M4: lineage-table checkpointing, idempotent resume, metrics shape,
+quarantine, circuit breaker (SURVEY.md §7 M3/M4; FIXTURES.md §3 contracts)."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.pipeline import ExtractionAborted, ExtractionJob
+from pdf_extractor_spark.session import pages_df
+
+N = 150
+SEED = 11
+
+
+def _job(spark, tmp, **kw):
+    kw.setdefault("n_buckets", 8)
+    kw.setdefault("partitions", 8)
+    kw.setdefault("wave_size", 3)
+    return ExtractionJob(spark, str(tmp), **kw)
+
+
+def test_kill_and_resume_identical_no_duplicates(spark, tmp_path):
+    pages = pages_df(spark, N, SEED)
+
+    clean = _job(spark, tmp_path / "clean")
+    clean.run(pages)
+    expected = clean.read_extracted()
+
+    # "kill after wave 1": run only one wave, then resume to completion
+    job = _job(spark, tmp_path / "resumed")
+    job.run(pages, max_waves=1)
+    partial = job.read_extracted().count()
+    assert 0 < partial < expected.count()
+    done_before = job.done_buckets()
+    assert 0 < len(done_before) < 8
+
+    job2 = _job(spark, tmp_path / "resumed")  # fresh handle, same root
+    job2.run(pages)
+    final = job2.read_extracted()
+
+    assert final.count() == expected.count()
+    # no duplicate (url, page_number)
+    dups = final.groupBy("url", "page_number").count().where("count > 1").count()
+    assert dups == 0
+    # identical content to the clean one-shot run
+    key = ["url", "page_number"]
+    diff = (
+        final.select(*key, "text", "combined")
+        .exceptAll(expected.select(*key, "text", "combined"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_resume_is_noop_when_complete(spark, tmp_path):
+    pages = pages_df(spark, 60, SEED)
+    job = _job(spark, tmp_path)
+    job.run(pages)
+    n1 = job.read_extracted().count()
+    res = ExtractionJob(spark, str(tmp_path), n_buckets=8, partitions=8, wave_size=3).run(pages)
+    assert res["waves"] == 0
+    assert job.read_extracted().count() == n1
+
+
+def test_metrics_and_lineage_shape(spark, tmp_path):
+    pages = pages_df(spark, 80, SEED)
+    job = _job(spark, tmp_path)
+    job.run(pages)
+
+    met = job.read_metrics()
+    assert set(met.columns) == {
+        "bucket", "partition_id", "docs", "pages", "bytes", "elapsed_ms",
+        "docs_per_sec", "bytes_per_sec", "failure_count",
+    }
+    agg = met.agg(F.sum("docs").alias("d"), F.sum("bytes").alias("b")).first()
+    assert agg["d"] == 80
+    assert agg["b"] > 0
+
+    lin = job.read_lineage()
+    assert lin.where("status = 'success' and stage = 'extract'").count() == 8
+    assert lin.where("finished_at < started_at").count() == 0
+
+
+def test_quarantine_captures_degenerate_rows(spark, tmp_path):
+    pages = pages_df(spark, 200, SEED)
+    job = _job(spark, tmp_path)
+    job.run(pages)
+    quar = job.read_quarantine()
+    assert set(quar.columns) == {"url", "stage", "error"}
+    assert quar.count() > 0  # corpus contains degenerate rows
+    # every quarantined url is flagged not-ok in the output, not missing
+    ext = job.read_extracted()
+    joined = quar.join(ext.where("page_number = 1"), "url", "inner")
+    assert joined.count() == quar.count()
+    assert joined.where(F.col("meta")["ok"] == "true").count() == 0
+
+
+def test_circuit_breaker_opens_on_failure_storm(spark, tmp_path):
+    # all-degenerate input → failure rate 1.0 → abort (tasks.py:126-151)
+    rows = [(f"https://x.example.com/{i}", None, b"", None, None) for i in range(40)]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    job = _job(spark, tmp_path, failure_rate_abort=0.5)
+    with pytest.raises(ExtractionAborted):
+        job.run(pages)
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    pages = pages_df(spark, 60, SEED)
+    job = _job(spark, tmp_path)
+    job.run(pages, max_waves=1)
+    first = job.extracted.current_manifest()["snapshot_id"]
+    n_first = job.read_extracted().count()
+    job.run(pages)
+    assert job.read_extracted().count() > n_first
+    assert job.extracted.read_snapshot(spark, first).count() == n_first
