@@ -1,38 +1,525 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship extraction pipeline on sf0.001 (pages synthesized
+               deterministically from the documents table; kernels run for
+               real through mapInArrow).
+queries()    — one entry per implemented operator (SURVEY.md §2 + the
+               training-data ops: dedup / similarity / text analysis /
+               multimodal / streaming).
+oracle_sql() — exact DuckDB twins. Hash-sensitive operators use md5-based
+               hashes (portable across engines); floats are rounded
+               identically on both sides. Approximate operators (IVF ANN,
+               LSH-bucketed cosine) and Python-RNG-dependent ones
+               (multimodal fake decode) intentionally have no oracle →
+               driver rows-only check.
 """
-
 from __future__ import annotations
 
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from pdf_extractor_spark.kernels.lang import STOPWORDS
+from pdf_extractor_spark.kernels.textstats import EN_STOPWORDS_SMALL, TOKEN_RE
+from pdf_extractor_spark.operators import dedup, relational, similarity, text_analysis
+from pdf_extractor_spark.operators.extract import run_extract
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic dup-injected documents table (same construction in SQL twin)
+# ---------------------------------------------------------------------------
+
+def _docs_with_dups(docs: DataFrame) -> DataFrame:
+    """documents ∪ exact copies (doc_id+100000, doc_id%7==0) ∪ near copies
+    with one appended token (doc_id+200000, doc_id%11==0)."""
+    exact = (
+        docs.where(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 100000)
+    )
+    near = (
+        docs.where(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 200000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" extra near duplicate token")))
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+_DOCS_DUPS_SQL = """
+    SELECT * FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' extra near duplicate token' AS text,
+           lang, source, n_chars
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"string_split({_NORM_SQL.format(c='text')}, ' ')"
+
+
+# ---------------------------------------------------------------------------
+# extraction round-trips: synthesize payloads from documents, run kernels
+# ---------------------------------------------------------------------------
+
+_HTML_TEMPLATE_PRE = (
+    "<!DOCTYPE html><html><head><title>t</title></head><body>"
+    "<nav><ul><li><a href=#>Home</a></li><li><a href=#>About</a></li></ul></nav>"
+    "<article><p>"
+)
+_HTML_TEMPLATE_POST = (
+    "</p></article>"
+    '<div class="sidebar"><ul><li><a href="/r/1">Related one</a></li>'
+    '<li><a href="/r/2">Related two</a></li></ul></div>'
+    "<footer><p>Copyright 2024</p></footer></body></html>"
+)
+
+
+def _pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap each document's text in a boilerplate-laden HTML page (FIXTURES
+    input_hint shape). The kernel must strip nav/sidebar/footer and return
+    exactly the normalized document text."""
+    html = F.encode(
+        F.concat(F.lit(_HTML_TEMPLATE_PRE), F.col("text"), F.lit(_HTML_TEMPLATE_POST)),
+        "utf-8",
+    )
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+        F.col("text").alias("text"),
+        F.col("lang").alias("lang"),
+        F.col("doc_id"),
+    )
+
+
+def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    pages = _pages_from_documents(docs)
+    out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=8, salt=1)
+    return (
+        out.where(F.col("page_number") == 1)
+        .select(
+            F.regexp_replace(F.col("url"), "doc://", "").cast("long").alias("doc_id"),
+            F.col("text").alias("extracted_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a 1-page PDF per document (first 80 chars as the single text
+    run) with the corpus PDF builder, then parse it back with the from-scratch
+    PDF kernel through the full Spark path."""
+    import pandas as pd
+
+    from pdf_extractor_spark.corpus import build_pdf
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def make_pdf(it):
+        for pdf in it:
+            payloads = [
+                build_pdf([[(72.0, 720.0, str(t)[:80])]]) for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "url": ["doc://" + str(d) for d in pdf["doc_id"]],
+                    "warc_ts": pd.Timestamp("2024-01-01", tz="UTC"),
+                    "html": payloads,
+                }
+            )
+
+    pages = docs.select("doc_id", "text").mapInPandas(
+        make_pdf, "url string, warc_ts timestamp, html binary"
+    )
+    out = run_extract(pages, num_partitions=8, salt=2)
+    return out.select(
+        F.regexp_replace(F.col("url"), "doc://", "").cast("long").alias("doc_id"),
+        F.col("page_number"),
+        F.col("text").alias("page_text"),
+    ).orderBy("doc_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.operators.multimodal import extract_features, fake_media_table
+
+    docs = _t(spark, sf_dir, "documents")
+    media = fake_media_table(spark, docs)
+    return (
+        extract_features(media)
+        .select("media_id", "kind", "width", "height", "channels",
+                F.round("mean_intensity", 4).alias("mean_intensity"))
+        .orderBy("media_id")
+    )
+
+
+def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, windowed_counts_stream,
+    )
+
+    stream = windowed_counts_stream(read_events_stream(spark, sf_dir))
+    res = run_stream_to_memory(spark, stream, "windowed_counts_oracle_q")
+    return res.orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline over Common-Crawl-style pages
+    synthesized from sf0.001 documents (driver checks rows ≥ 0)."""
+    return q_extract_html_roundtrip(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    # -- relational operator parity (SURVEY.md §2c) -------------------------
+    q["q01_pricing_summary"] = lambda s, d: relational.pricing_summary(_t(s, d, "lineitem"))
+    q["q02_revenue_by_region"] = lambda s, d: relational.revenue_by_region(
+        _t(s, d, "lineitem"), _t(s, d, "orders"), _t(s, d, "customer"),
+        _t(s, d, "nation"), _t(s, d, "region"))
+    q["q03_user_event_rollup"] = lambda s, d: relational.job_quality_rollup(_t(s, d, "events"))
+    q["q04_latest_per_user"] = lambda s, d: relational.latest_per_user(_t(s, d, "events"))
+    q["q05_disjunctive_like"] = lambda s, d: relational.disjunctive_like(
+        _t(s, d, "documents"), "spark")
+    q["q06_paginated_orders"] = lambda s, d: relational.paginated_orders(_t(s, d, "orders"))
+    q["q07_customer_order_rollup"] = lambda s, d: relational.customer_order_rollup(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
+    q["q08_customers_without_orders"] = lambda s, d: relational.customers_without_orders(
+        _t(s, d, "customer"), _t(s, d, "orders"))
+    q["q09_customers_high_value"] = lambda s, d: relational.customers_with_high_value_orders(
+        _t(s, d, "customer"), _t(s, d, "orders"))
+    q["q10_scalar_avg_point"] = lambda s, d: relational.scalar_avg_with_point_lookup(
+        _t(s, d, "events"), user_id=7)
+    q["q11_windowed_event_counts"] = lambda s, d: relational.event_type_windowed_counts(
+        _t(s, d, "events"))
+
+    # -- text analysis ------------------------------------------------------
+    q["q12_token_counts"] = lambda s, d: text_analysis.token_counts(
+        _t(s, d, "documents")).orderBy("doc_id")
+    q["q13_quality_scores"] = lambda s, d: text_analysis.quality_scores(
+        _t(s, d, "documents")).orderBy("doc_id")
+    q["q14_fingerprints"] = lambda s, d: text_analysis.fingerprints(
+        _t(s, d, "documents")).orderBy("doc_id")
+    q["q15_lang_id"] = lambda s, d: text_analysis.lang_id(
+        _t(s, d, "documents")).orderBy("doc_id")
+    q["q16_language_agreement"] = lambda s, d: text_analysis.language_agreement(
+        _t(s, d, "documents"))
+
+    # -- dedup ---------------------------------------------------------------
+    q["q17_exact_dup_groups"] = lambda s, d: _exact_dup_groups(
+        _docs_with_dups(_t(s, d, "documents")))
+    q["q18_minhash_lsh_pairs"] = lambda s, d: dedup.minhash_lsh_pairs(
+        _docs_with_dups(_t(s, d, "documents")), num_perm=64, bands=32,
+        jaccard_threshold=0.5)
+    q["q19_ngram_jaccard_pairs"] = lambda s, d: dedup.ngram_jaccard_pairs(
+        _docs_with_dups(_t(s, d, "documents")), threshold=0.5)
+    q["q20_simhash_dup_groups"] = lambda s, d: _simhash_groups_flat(
+        _docs_with_dups(_t(s, d, "documents")))
+    # threshold 0.40: the synthetic embeddings' max pairwise cosine is ~0.51,
+    # so 0.40 yields a real (non-empty) near-dup set to verify
+    q["q21_embedding_neardup"] = lambda s, d: dedup.embedding_neardup_pairs(
+        _t(s, d, "embeddings"), threshold=0.40)
+
+    # -- similarity search ---------------------------------------------------
+    q["q22_ann_brute_topk"] = lambda s, d: similarity.brute_force_topk(
+        _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
+    q["q23_ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
+        _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)  # approx: no oracle
+    q["q24_lsh_cosine_pairs"] = lambda s, d: similarity.lsh_neardup_pairs(
+        _t(s, d, "embeddings"), threshold=0.35)  # approx: no oracle
+
+    # -- extraction round-trips (real kernels through mapInArrow) ------------
+    q["q25_extract_html"] = q_extract_html_roundtrip
+    q["q26_extract_pdf"] = q_extract_pdf_roundtrip
+
+    # -- multimodal + streaming ----------------------------------------------
+    q["q27_multimodal_features"] = q_multimodal_features  # stub decode: no oracle
+    q["q28_streaming_windowed_counts"] = q_streaming_windowed_counts
+    return q
+
+
+def _exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """(group_id=min doc_id of the identical-text group, doc_id) for groups
+    with >1 member — flat ints so the oracle hash is engine-portable."""
+    from pyspark.sql.window import Window
+
+    fp = docs.select(
+        "doc_id", F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))).alias("fp")
+    )
+    w = Window.partitionBy("fp")
+    return (
+        fp.withColumn("group_id", F.min("doc_id").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .where(F.col("n") > 1)
+        .select("group_id", "doc_id")
+        .orderBy("group_id", "doc_id")
+    )
+
+
+def _simhash_groups_flat(docs: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    s = dedup.simhash_signatures(docs)
+    w = Window.partitionBy("simhash")
+    return (
+        s.withColumn("group_id", F.min("doc_id").over(w))
+        .withColumn("n", F.count("*").over(w))
+        .where(F.col("n") > 1)
+        .select("group_id", "doc_id")
+        .orderBy("group_id", "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lg in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
+        score_cols.append(
+            f"CASE WHEN len(toks)=0 THEN 0.0 ELSE "
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))::DOUBLE/len(toks) "
+            f"END AS s_{lg}"
+        )
+    langs = sorted(STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pick = "CASE " + " ".join(
+        f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+        WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+        s AS (SELECT doc_id, lang, toks, {", ".join(score_cols)} FROM t),
+        m AS (SELECT doc_id, lang, {best} AS m, * FROM s)
+        SELECT doc_id, lang,
+               CASE WHEN len(toks)=0 OR m<=0.0 THEN 'und' ELSE {pick} END AS detected_lang
+        FROM m ORDER BY doc_id
     """
-    return {}
+
+
+def _lang_agreement_sql() -> str:
+    inner = _lang_id_sql().replace("ORDER BY doc_id", "")
+    return f"""
+        SELECT lang, count(*) AS docs,
+               sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END) AS agree,
+               round(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS agree_rate
+        FROM ({inner}) GROUP BY lang ORDER BY lang
+    """
+
+
+_SHINGLES_SQL = f"""
+        SELECT doc_id,
+               CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        for i in range(1, len(toks) - 1)])
+               END AS sh
+        FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM docs_dups)
+"""
+
+_JACCARD_PAIRS_SQL = f"""
+    WITH docs_dups AS ({_DOCS_DUPS_SQL}),
+    sh AS ({_SHINGLES_SQL}),
+    pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    )
+    SELECT a, b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5 ORDER BY a, b
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+    o["q01_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+    o["q02_revenue_by_region"] = """
+        SELECT r_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS line_count
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+    """
+    o["q03_user_event_rollup"] = """
+        SELECT user_id, count(*) AS total_events,
+               count(DISTINCT CAST(ts AS DATE)) AS active_days,
+               floor(avg(value) * 100 + 0.5 + 1e-9) / 100 AS avg_value
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+    o["q04_latest_per_user"] = """
+        SELECT user_id, event_id, ts, event_type, round(value, 6) AS value
+        FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1 ORDER BY user_id
+    """
+    o["q05_disjunctive_like"] = """
+        SELECT doc_id, source, lang, n_chars FROM documents
+        WHERE lower(text) LIKE '%spark%' OR lower(source) LIKE '%spark%'
+        ORDER BY doc_id
+    """
+    o["q06_paginated_orders"] = """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 10 OFFSET 20
+    """
+    o["q07_customer_order_rollup"] = """
+        SELECT n_name, c_mktsegment, count(*) AS orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment
+    """
+    o["q08_customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """
+    o["q09_customers_high_value"] = """
+        SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice >= 400000.0)
+        ORDER BY c_custkey
+    """
+    o["q10_scalar_avg_point"] = """
+        SELECT round(avg(value), 6) AS avg_value,
+               round(max(CASE WHEN user_id = 7 THEN value END), 6) AS user_max_value,
+               count(*) AS n
+        FROM events
+    """
+    o["q11_windowed_event_counts"] = """
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """
+    norm = _NORM_SQL.format(c="text")
+    o["q12_token_counts"] = f"""
+        SELECT doc_id,
+               CASE WHEN {norm} = '' THEN 0
+                    ELSE len(string_split({norm}, ' ')) END AS ws_tokens,
+               len(regexp_extract_all(text, '{TOKEN_RE}')) AS bpe_tokens,
+               len(text) AS chars
+        FROM documents ORDER BY doc_id
+    """
+    sw_small = ", ".join(f"'{w}'" for w in EN_STOPWORDS_SMALL)
+    o["q13_quality_scores"] = f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CASE WHEN {norm} = '' THEN 0
+                        ELSE len(string_split({norm}, ' ')) END AS ws_tokens,
+                   regexp_replace(text, '\\s+', '', 'g') AS squeezed,
+                   string_split({norm}, ' ') AS toks
+            FROM documents),
+        r AS (
+            SELECT doc_id, ws_tokens,
+                   CASE WHEN len(squeezed) > 0
+                        THEN len(regexp_replace(squeezed, '[\\w]', '', 'g'))::DOUBLE
+                             / len(squeezed) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN ws_tokens > 0
+                        THEN len(list_filter(toks, x -> list_contains([{sw_small}], x)))::DOUBLE
+                             / ws_tokens ELSE 0.0 END AS stop_ratio
+            FROM t)
+        SELECT doc_id, ws_tokens, round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(0.5 * least(ws_tokens, 100) / 100.0
+                     + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+        FROM r ORDER BY doc_id
+    """
+    o["q14_fingerprints"] = f"""
+        SELECT doc_id, md5({norm}) AS fp FROM documents ORDER BY doc_id
+    """
+    o["q15_lang_id"] = _lang_id_sql()
+    o["q16_language_agreement"] = _lang_agreement_sql()
+    o["q17_exact_dup_groups"] = f"""
+        WITH docs_dups AS ({_DOCS_DUPS_SQL}),
+        fp AS (SELECT doc_id, md5({norm}) AS fp FROM docs_dups),
+        g AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS group_id,
+                     count(*) OVER (PARTITION BY fp) AS n FROM fp)
+        SELECT group_id, doc_id FROM g WHERE n > 1 ORDER BY group_id, doc_id
+    """
+    # LSH with 32 bands × 2 rows has ~1-1e-4 recall at J≥0.5 and exact
+    # verification, so it equals the exact all-pairs oracle on this data
+    # (validated empirically at sf0.01).
+    o["q18_minhash_lsh_pairs"] = _JACCARD_PAIRS_SQL
+    o["q19_ngram_jaccard_pairs"] = _JACCARD_PAIRS_SQL
+    # full SimHash twin: DuckDB parses the md5 prefix with ('0x'||hex)::BIGINT
+    # and replicates the 60-bit sign-sum exactly (see dedup.simhash_signatures)
+    o["q20_simhash_dup_groups"] = f"""
+        WITH docs_dups AS ({_DOCS_DUPS_SQL}),
+        t AS (SELECT doc_id, {norm} AS norm FROM docs_dups),
+        h AS (SELECT doc_id, norm,
+                     list_transform(string_split(norm, ' '),
+                                    s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
+              FROM t),
+        sig AS (SELECT doc_id,
+                       CASE WHEN norm = '' THEN 0 ELSE
+                       CAST(list_sum([CASE WHEN list_sum(list_transform(hs,
+                                x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                            THEN (1::BIGINT << b) ELSE 0 END
+                            for b in range(0, 60)]) AS BIGINT) END AS simhash
+                FROM h),
+        g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS group_id,
+                     count(*) OVER (PARTITION BY simhash) AS n
+              FROM sig)
+        SELECT group_id, doc_id FROM g WHERE n > 1 ORDER BY group_id, doc_id
+    """
+    o["q21_embedding_neardup"] = """
+        SELECT a.vec_id AS a, b.vec_id AS b,
+               round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                           b.embedding::DOUBLE[]), 6) >= 0.40
+        ORDER BY a, b
+    """
+    o["q22_ann_brute_topk"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 6) AS cos
+            FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                                ORDER BY cos DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT query_id, neighbor_id, cos, rank FROM ranked
+        WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    o["q25_extract_html"] = f"""
+        SELECT doc_id, {norm} AS extracted_text FROM documents ORDER BY doc_id
+    """
+    o["q26_extract_pdf"] = """
+        SELECT doc_id, 1 AS page_number, substr(text, 1, 80) AS page_text
+        FROM documents ORDER BY doc_id
+    """
+    o["q28_streaming_windowed_counts"] = o["q11_windowed_event_counts"].replace(
+        "AS window_start", "AS window_start"
+    )
+    return o

@@ -1,0 +1,97 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "extraction": {"docs": N, "docs_per_sec": X, "bytes_per_sec": Y}}
+
+Each query is forced end-to-end with the noop sink (full materialization —
+count() alone could let Catalyst skip work). Extraction throughput runs the
+flagship pipeline over an executor-generated Common-Crawl-style corpus.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    bench_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+    import __spark_entry__ as entry
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.operators.extract import run_extract
+    from pdf_extractor_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=cpus, shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qfns = entry.queries()
+    headline = [
+        "q01_pricing_summary",      # scan + group-by
+        "q02_revenue_by_region",    # multi-join chain
+        "q04_latest_per_user",      # window
+        "q11_windowed_event_counts",  # time bucketing
+        "q13_quality_scores",       # text scoring, JVM-side
+        "q15_lang_id",              # stopword-profile lang ID
+        "q18_minhash_lsh_pairs",    # minhash + LSH + verify
+        "q20_simhash_dup_groups",   # simhash
+        "q21_embedding_neardup",    # vector pairs
+        "q22_ann_brute_topk",       # ANN brute force
+        "q25_extract_html",         # HTML kernel through mapInArrow
+        "q26_extract_pdf",          # PDF kernel through mapInArrow
+    ]
+    times: dict[str, float] = {}
+    for name in headline:
+        t0 = time.time()
+        force(qfns[name](spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    # flagship extraction throughput over an executor-generated corpus
+    pages = corpus.pages_df_distributed(spark, bench_docs, seed=42, partitions=cpus)
+    pages = pages.cache()
+    n_docs = pages.count()  # materialize generation outside the timed window
+    total_bytes = (
+        pages.selectExpr("sum(length(html)) b").collect()[0]["b"] or 0
+    )
+    t0 = time.time()
+    force(run_extract(pages.select("url", "warc_ts", "html"), num_partitions=2 * cpus, salt=1))
+    ext_s = time.time() - t0
+    pages.unpersist()
+    times["extract_corpus"] = round(ext_s, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_dir,
+                "cpus": cpus,
+                "extraction": {
+                    "docs": n_docs,
+                    "bytes": int(total_bytes),
+                    "docs_per_sec": round(n_docs / ext_s, 1),
+                    "bytes_per_sec": round(total_bytes / ext_s, 1),
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

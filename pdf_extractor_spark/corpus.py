@@ -353,6 +353,36 @@ def generate(n: int, seed: int = 42) -> list[Doc]:
     return docs
 
 
+def generate_chunk(chunk_id: int, n: int, seed: int = 42) -> list[Doc]:
+    """Deterministic chunk for distributed generation: chunk seeds are
+    derived so urls are globally unique (the url embeds the derived seed)."""
+    return generate(n, seed=seed * 100003 + chunk_id + 1)
+
+
+def pages_df_distributed(spark, n_docs: int, seed: int = 42, partitions: int = 32):
+    """Generate the pages table ON THE EXECUTORS (driver never holds the
+    corpus): one generator chunk per partition. Deterministic in
+    (n_docs, seed, partitions)."""
+    import pandas as pd
+
+    from pdf_extractor_spark.session import PAGES_DDL
+
+    per = n_docs // partitions
+    sizes = [per + (1 if i < n_docs % partitions else 0) for i in range(partitions)]
+    chunks = spark.createDataFrame(
+        [(i, sizes[i]) for i in range(partitions)], "chunk_id int, n int"
+    ).repartition(partitions, "chunk_id")
+
+    def gen(it):
+        for pdf in it:
+            for cid, cn in zip(pdf["chunk_id"], pdf["n"]):
+                docs = generate_chunk(int(cid), int(cn), seed)
+                pages, _ = to_pandas(docs)
+                yield pages
+
+    return chunks.mapInPandas(gen, PAGES_DDL)
+
+
 def to_pandas(docs: list[Doc]):
     """(pages_df, golden_df) as pandas DataFrames matching FIXTURES.md §1-2."""
     import pandas as pd

@@ -94,18 +94,25 @@ def minhash_signature(text: str, num_perm: int = 64, n: int = 3) -> list[int]:
     return [min(minhash_value(s, seed) for s in sh) for seed in range(num_perm)]
 
 
-def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens of the normalized text."""
+SIMHASH_BITS = 60  # fits exact signed-64 integer math in Spark AND DuckDB
+
+
+def simhash(text: str, bits: int = SIMHASH_BITS) -> int:
+    """SimHash over whitespace tokens of the normalized text.
+
+    Token hash = first bits/4 md5 hex chars as int. 60 bits (not 64) so the
+    Spark/DuckDB twins can use exact signed-64 integer arithmetic.
+    """
     toks = normalize(text).split()
     if not toks:
         return 0
-    acc = [0] * 64
+    acc = [0] * bits
     for t in toks:
-        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
-        for b in range(64):
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[: bits // 4], 16)
+        for b in range(bits):
             acc[b] += 1 if (h >> b) & 1 else -1
     out = 0
-    for b in range(64):
+    for b in range(bits):
         if acc[b] > 0:
             out |= 1 << b
     return out

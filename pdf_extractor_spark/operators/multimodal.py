@@ -1,0 +1,147 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio/video libraries, so the decode step is
+STUBBED (clearly marked) behind a deterministic fake, while everything
+Spark-side — schema, Arrow batch shape, partitioning, mapInPandas signature —
+is real and tested. On a cluster with codecs installed, only `_decode_image`
+/ `_sample_frames` change.
+
+Payload container format (deterministic fake, self-describing):
+    b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload
+so header parsing, feature extraction shape, and batching are exercised
+end-to-end without a codec.
+"""
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_DDL = (
+    "media_id long, kind string, payload binary, meta map<string,string>"
+)
+FEATURES_DDL = (
+    "media_id long, kind string, width int, height int, channels int, "
+    "mean_intensity double, feature array<float>, error string"
+)
+
+MAGIC = b"IMG1"
+
+
+def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3) -> bytes:
+    """Deterministic fake 'image': header + seeded byte payload."""
+    rng = np.random.default_rng(media_id)
+    body = rng.integers(0, 256, size=width * height * channels, dtype=np.uint8).tobytes()
+    return MAGIC + struct.pack("<HHB", width, height, channels) + body
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """STUB decode. Real implementation would call PIL/libjpeg — not in this
+    container. Parses the deterministic fake container instead; raises
+    NotImplementedError for real image formats so misuse is loud."""
+    if payload[:4] != MAGIC:
+        if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "real JPEG/PNG decode requires an image codec (not installed); "
+                "swap _decode_image for a PIL-based decoder on a real cluster"
+            )
+        raise ValueError("unknown media container")
+    w, h, c = struct.unpack("<HHB", payload[4:9])
+    arr = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)
+    return arr.reshape(h, w, c)
+
+
+def extract_features(media: DataFrame, feat_dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction over binary media columns.
+
+    Real Spark plumbing: Arrow-batched, one output row per input row, errors
+    degrade to an error column (reference error contract,
+    pypdf2_extractor.py:41-48). The 'feature' is a deterministic downsample
+    (per-stripe mean) standing in for a real embedding.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "channels": [], "mean_intensity": [], "feature": [], "error": [],
+            }
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                try:
+                    arr = _decode_image(bytes(payload))
+                    h, w, c = arr.shape
+                    flat = arr.reshape(-1).astype(np.float64)
+                    stripes = np.array_split(flat, feat_dim)
+                    feat = [float(s.mean()) for s in stripes]
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["channels"].append(c)
+                    out["mean_intensity"].append(float(flat.mean()))
+                    out["feature"].append(feat)
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["media_id"].append(mid)
+                    out["kind"].append(kind)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["mean_intensity"].append(None)
+                    out["feature"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FEATURES_DDL)
+
+
+def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing: identical schema out, payload replaced by a
+    deterministic re-encode at the new dims (nearest-neighbor over the fake
+    container; a real cluster swaps in a codec)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = _decode_image(bytes(payload))
+                    ys = (np.arange(height) * arr.shape[0] // height).clip(0, arr.shape[0] - 1)
+                    xs = (np.arange(width) * arr.shape[1] // width).clip(0, arr.shape[1] - 1)
+                    resized = arr[ys][:, xs]
+                    payloads.append(
+                        MAGIC
+                        + struct.pack("<HHB", width, height, arr.shape[2])
+                        + resized.tobytes()
+                    )
+                except Exception:
+                    payloads.append(None)
+            pdf = pdf.copy()
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media.mapInPandas(batches, media.schema)
+
+
+def fake_media_table(spark, documents: DataFrame) -> DataFrame:
+    """Derive a deterministic media table from documents (no external data):
+    each doc_id becomes one fake image sized by its n_chars."""
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {
+                "media_id": [], "kind": [], "payload": [], "meta": [],
+            }
+            for did, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 8 + int(n_chars) % 24
+                h = 8 + (int(n_chars) // 7) % 24
+                rows["media_id"].append(int(did))
+                rows["kind"].append("image")
+                rows["payload"].append(encode_fake_image(int(did), w, h))
+                rows["meta"].append({"w": str(w), "h": str(h)})
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_DDL)

@@ -1,0 +1,195 @@
+"""Approximate-nearest-neighbor search over the `embeddings` table.
+
+Baseline: brute-force cosine top-k (exact; broadcast the query set — it is
+small — so the big side never shuffles). Scale path: random-hyperplane LSH
+bucketing (sign-sketch) so candidate generation touches only same-bucket
+pairs, plus an IVF-style coarse-quantizer variant built from deterministic
+seed centroids.
+
+All float math is done in double with a deterministic left-fold order
+(F.aggregate over zip_with), so results are reproducible and the DuckDB
+oracle (list_cosine_similarity on double lists) matches after rounding.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pdf_extractor_spark.operators.dedup import cosine
+
+
+def brute_force_topk(embs: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
+    """Exact cosine top-k neighbors for each query vector.
+
+    Plan: broadcast(queries) × scan → per-row cosine (JVM-side fold) →
+    window top-k per query. The only shuffle is the window's partition on
+    query_id — that's |queries|·|corpus| rows reduced map-side by rank
+    pushdown at scale you'd pre-aggregate per partition; at bench scale the
+    window is fine.
+    Ties broken by neighbor id so results are total-ordered and
+    oracle-stable.
+    """
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = e.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(embs: DataFrame, n_planes: int = 12, seed: int = 7) -> DataFrame:
+    """Sign-sketch bucket per vector: bit i = (v · h_i) > 0 for deterministic
+    pseudo-random hyperplanes derived from md5(seed, plane, dim).
+
+    Hyperplane component in [-0.5, 0.5): (md5_int(seed:plane:dim) % 1000)/1000 - 0.5.
+    Everything JVM-side; one scan, no shuffle.
+    """
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dim = 64  # embeddings table is 64-dim (TESTDATA)
+
+    def plane(i: int):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"{seed}:{i}:{d}")), 1, 8), 16, 10
+                    ).cast("long")
+                    % 1000
+                )
+                / 1000.0
+                - 0.5
+                for d in range(dim)
+            ]
+        )
+
+    bucket = sum(
+        (
+            F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), plane(i), lambda x, h: x * h),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+                > 0,
+                F.lit(2 ** i),
+            ).otherwise(F.lit(0))
+            for i in range(n_planes)
+        ),
+        start=F.lit(0),
+    )
+    return e.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+
+
+def lsh_neardup_pairs(embs: DataFrame, threshold: float = 0.9, n_planes: int = 8,
+                      seed: int = 7) -> DataFrame:
+    """Candidate pairs from shared LSH bucket, verified with exact cosine.
+
+    At 100 TB: shuffle on bucket (narrow — vec + 1 int), within-bucket
+    self-join, exact verify. Bucket count 2^n_planes tunes the
+    candidate-set size / recall trade-off.
+    """
+    b = hyperplane_lsh_buckets(embs, n_planes, seed)
+    l, r = b.alias("l"), b.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(
+            F.col("l.vec_id").alias("a"),
+            F.col("r.vec_id").alias("b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .orderBy("a", "b")
+    )
+
+
+def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8,
+             n_probe: int = 2, seed: int = 3) -> DataFrame:
+    """IVF-style ANN: assign vectors to their nearest of n_cells seed
+    centroids (deterministic pseudo-random), search only the n_probe closest
+    cells per query.
+
+    Approximate by construction; tests assert recall vs brute force rather
+    than equality. Scale shape: centroid table is tiny (broadcast); corpus
+    partitioned by cell; each query probes n_probe/n_cells of the data.
+    """
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    dim = 64
+
+    def centroid(c: int):
+        return F.array(
+            *[
+                (
+                    F.conv(
+                        F.substring(F.md5(F.lit(f"ivf:{seed}:{c}:{d}")), 1, 8), 16, 10
+                    ).cast("long")
+                    % 1000
+                )
+                / 1000.0
+                - 0.5
+                for d in range(dim)
+            ]
+        )
+
+    cents = F.array(*[centroid(c) for c in range(n_cells)])
+    sims = F.transform(cents, lambda cv: cosine(F.col("v"), cv))
+    best_cell = F.array_position(sims, F.array_max(sims)) - 1
+    assigned = e.select("vec_id", "v", best_cell.cast("int").alias("cell"))
+
+    # per-query probe cells: the n_probe cells with highest centroid sim
+    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    qcells = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.zip_with(
+                            sims_q := F.transform(cents, lambda cv: cosine(F.col("qv"), cv)),
+                            F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                            lambda s, i: F.struct(s.alias("sim"), i.alias("cell")),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            )
+        ).alias("probe"),
+    ).select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
+
+    scored = (
+        F.broadcast(qcells)
+        .join(assigned, ["cell"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_id", "rank")
+    )

@@ -84,10 +84,16 @@ def lang_id(docs: DataFrame) -> DataFrame:
     """
     toks = F.split(_norm(F.col("text")), " ")
     ntok = F.size(toks)
+
+    def _contains(sw_col):
+        # factory, not a default-arg lambda: Spark interprets a 2-param
+        # lambda in F.filter as (element, index)
+        return lambda t: F.array_contains(sw_col, t)
+
     scores = []
     for lg in sorted(STOPWORDS):
         sw = F.array([F.lit(w) for w in sorted(STOPWORDS[lg])])
-        hits = F.size(F.filter(toks, lambda t, sw=sw: F.array_contains(sw, t)))
+        hits = F.size(F.filter(toks, _contains(sw)))
         scores.append(F.struct((hits / ntok).alias("score"), F.lit(lg).alias("lang")))
     arr = F.array(*scores)
     # max by (score, then lexicographically-smaller lang wins on tie):

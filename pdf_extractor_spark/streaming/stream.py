@@ -1,0 +1,92 @@
+"""Structured Streaming operators over the events table.
+
+The reference has no streaming surface (work arrives via HTTP+queue,
+SURVEY.md §2 scope note); these operators are the Spark-native replacement
+for its queue-drain loop: a file-source stream with watermarked tumbling
+windows and a stateful per-user session operator via applyInPandasWithState.
+
+Tests run with trigger(availableNow=True) against the parquet events table,
+asserting batch-equivalence to operators/relational.event_type_windowed_counts.
+"""
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the file stream source needs a directory; select the events table via
+    # a glob filter over the sf dir
+    return (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def windowed_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked tumbling-window counts per event type — late rows beyond
+    the watermark are dropped; with availableNow the result equals the batch
+    twin (relational.event_type_windowed_counts)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+SESSION_DDL = "user_id long, n_events long, total_value double, max_ts timestamp"
+
+
+def _session_fn(key, pdfs, state: GroupState):
+    """Stateful per-user running aggregate (custom stateful operator shape;
+    replaces the reference's Redis per-doc task-set counters,
+    file_coordinator.py:18-35)."""
+    (user_id,) = key
+    n, total, max_ts = state.get if state.exists else (0, 0.0, None)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        m = pdf["ts"].max()
+        max_ts = m if max_ts is None else max(max_ts, m)
+    state.update((n, total, max_ts))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total], "max_ts": [max_ts]}
+    )
+
+
+def user_session_totals_stream(events: DataFrame) -> DataFrame:
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_DDL,
+            stateStructType="n_events long, total_value double, max_ts timestamp",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str,
+                         output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion with availableNow and return the
+    materialized result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,126 @@
+"""Text-analysis twins, multimodal plumbing, streaming batch-equivalence."""
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.kernels import textstats
+from pdf_extractor_spark.kernels.lang import detect_lang
+from pdf_extractor_spark.operators import text_analysis
+from pdf_extractor_spark.operators.multimodal import (
+    encode_fake_image, extract_features, fake_media_table, resize_stub,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_counts_match_python(spark, docs):
+    got = text_analysis.token_counts(docs).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        assert r["ws_tokens"] == textstats.ws_token_count(raw[r["doc_id"]])
+        assert r["bpe_tokens"] == textstats.bpe_ish_token_count(raw[r["doc_id"]])
+
+
+def test_quality_scores_match_python(spark, docs):
+    got = text_analysis.quality_scores(docs).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        assert abs(r["quality"] - textstats.quality_score(raw[r["doc_id"]])) < 1e-5
+
+
+def test_fingerprints_match_python(spark, docs):
+    got = text_analysis.fingerprints(docs).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        assert r["fp"] == textstats.fingerprint(raw[r["doc_id"]])
+
+
+def test_lang_id_matches_python(spark, docs):
+    got = text_analysis.lang_id(docs).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in got:
+        assert r["detected_lang"] == detect_lang(raw[r["doc_id"]]), r["doc_id"]
+
+
+# -- multimodal --------------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark, docs):
+    media = fake_media_table(spark, docs)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == docs.count()
+    ok = [r for r in rows if r["error"] is None]
+    assert len(ok) == len(rows)
+    for r in ok[:20]:
+        assert len(r["feature"]) == 8
+        assert 0 <= r["mean_intensity"] <= 255
+        assert r["width"] > 0 and r["height"] > 0 and r["channels"] == 3
+
+
+def test_multimodal_error_contract(spark):
+    rows = [(1, "image", b"\xff\xd8fakejpeg", {}), (2, "image", b"junk", {})]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert "NotImplementedError" in out[1]["error"]  # real JPEG → loud stub
+    assert "ValueError" in out[2]["error"]
+    assert out[1]["width"] is None
+
+
+def test_multimodal_resize(spark):
+    rows = [(1, "image", encode_fake_image(1, 16, 12), {})]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary, meta map<string,string>"
+    )
+    resized = resize_stub(media, 4, 4)
+    feats = {r["media_id"]: r for r in extract_features(resized).collect()}
+    assert feats[1]["width"] == 4 and feats[1]["height"] == 4
+
+
+# -- streaming ---------------------------------------------------------------
+
+def test_streaming_equals_batch(spark):
+    from pdf_extractor_spark.operators.relational import event_type_windowed_counts
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, windowed_counts_stream,
+    )
+
+    stream = windowed_counts_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(spark, stream, "stream_batch_eq_test")
+    batch = event_type_windowed_counts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+
+
+def test_stateful_session_totals(spark):
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, user_session_totals_stream,
+    )
+
+    stream = user_session_totals_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(spark, stream, "session_totals_test", output_mode="update")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    expected = events.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("value").alias("total_value")
+    )
+    # keep the last update per user (stream emits one row per user per batch)
+    from pyspark.sql.window import Window
+
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    joined = final.join(expected.withColumnRenamed("n_events", "exp_n")
+                        .withColumnRenamed("total_value", "exp_v"), "user_id")
+    bad = joined.where(
+        (F.col("n_events") != F.col("exp_n"))
+        | (F.abs(F.col("total_value") - F.col("exp_v")) > 1e-6)
+    )
+    assert bad.count() == 0
+    assert final.count() == expected.count()
