@@ -80,18 +80,37 @@ def shingles(text: str, n: int = 3) -> set[str]:
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
 
 
-def minhash_value(shingle: str, seed: int) -> int:
-    """Deterministic 32-bit hash of a shingle under a seed (md5-based so the
-    DuckDB oracle can reproduce it exactly)."""
-    h = hashlib.md5(f"{seed}:{shingle}".encode("utf-8")).hexdigest()
-    return int(h[:8], 16)
+MINHASH_P = (1 << 31) - 1  # Mersenne prime: a*h+b stays < 2^59 (exact in int64)
+
+
+def shingle_hash(shingle: str) -> int:
+    """Deterministic 60-bit base hash of a shingle (first 15 md5 hex chars).
+
+    One md5 per shingle; the num_perm permutations are cheap universal
+    hashes over this value (vs. the naive one-md5-per-(seed, shingle),
+    which costs num_perm× the digest work for identical LSH recall).
+    """
+    return int(hashlib.md5(shingle.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def minhash_perm_params(num_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) universal-hash parameters per permutation:
+    a = odd 28-bit md5-derived multiplier, b = 28-bit md5-derived offset."""
+    params = []
+    for i in range(num_perm):
+        a = int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:7], 16)
+        params.append((a, b))
+    return params
 
 
 def minhash_signature(text: str, num_perm: int = 64, n: int = 3) -> list[int]:
-    sh = shingles(text, n)
-    if not sh:
-        return [0] * num_perm
-    return [min(minhash_value(s, seed) for s in sh) for seed in range(num_perm)]
+    sh = shingles(text, n) or {""}  # empty text → hash of "" (Spark twin)
+    hms = [shingle_hash(s) % MINHASH_P for s in sh]
+    return [
+        min((a * h + b) % MINHASH_P for h in hms)
+        for a, b in minhash_perm_params(num_perm)
+    ]
 
 
 SIMHASH_BITS = 60  # fits exact signed-64 integer math in Spark AND DuckDB

@@ -1,7 +1,9 @@
 """Deduplication operators for the training-data pipeline.
 
-All hash primitives are md5-based so the DuckDB oracle can reproduce results
-bit-exactly (Spark's murmur3 `hash()` is not portable across engines).
+All hash primitives are md5-based so results are portable across engines
+(Spark's murmur3 `hash()` is not): exact-dedup/SimHash oracles reproduce the
+hashes bit-exactly in DuckDB SQL; MinHash-LSH is verified against the exact
+all-pairs Jaccard oracle (recall ≈ 1 at the configured bands/rows).
 Pure-Python twins in kernels/textstats.py.
 
 Scale notes (100 TB):
@@ -54,6 +56,36 @@ def _shingles(col, n: int = 3):
 # exact dedup
 # ---------------------------------------------------------------------------
 
+def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh array<string>) — distinct word n-gram shingles, sorted.
+
+    Arrow-batched kernel twin of textstats.shingles and of the JVM
+    `_shingles` expression (which builds each shingle with an O(n) array
+    slice + concat per token position — measurably slower per scan). Sorted
+    so output is deterministic across workers.
+    """
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import normalize
+
+    def kernel(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = normalize(text).split()
+                if len(toks) < n:
+                    out.append([" ".join(toks)])
+                else:
+                    out.append(
+                        sorted({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sh": out})
+
+    return _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, sh array<string>"
+    )
+
+
 def exact_duplicates(docs: DataFrame) -> DataFrame:
     """Groups of byte-identical (normalized) documents: fingerprint groups
     with >1 member. One narrow shuffle on md5(text)."""
@@ -78,28 +110,100 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
-def _minhash_val(shingle_col, seed: int):
-    """32-bit md5-based hash: int of the first 8 hex chars of
-    md5('<seed>:<shingle>') (textstats.minhash_value twin; the DuckDB oracle
-    reproduces it with from_hex/strtol on the same md5 prefix)."""
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle_col)), 1, 8), 16, 10
-    ).cast("long")
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition a scan up to the session's default parallelism when the
+    source produced fewer partitions (small files), so Arrow kernel stages
+    use every core. No-op (no shuffle) when the input is already wide —
+    at 100 TB the scan is thousands of splits and this never fires."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def minhash_signatures(docs: DataFrame, num_perm: int = 64, n: int = 3) -> DataFrame:
-    """(doc_id, sig array<long>[num_perm]) — one scan, no shuffle."""
-    sh = _shingles(F.col("text"), n).alias("shingles")
-    base = docs.select("doc_id", sh)
-    def _mh(seed: int):
-        # factory, not a default-arg lambda: a 2-param lambda in F.transform
-        # is interpreted as (element, index)
-        return lambda s: _minhash_val(s, seed)
+    """(doc_id, sig array<long>[num_perm]) — one scan, no shuffle.
 
-    sig = F.array(
-        *[F.array_min(F.transform(F.col("shingles"), _mh(seed))) for seed in range(num_perm)]
+    One md5 per shingle (60-bit base hash), then num_perm cheap universal
+    hashes (a*h+b mod 2^31-1) — the digest is the expensive part, so this is
+    ~num_perm× less hash work than one md5 per (seed, shingle) for the same
+    LSH recall. Arrow-batched numpy kernel: per doc, the num_perm minima are
+    one (shingles × num_perm) int64 broadcast-multiply + column-min; shingle
+    digests are memoised across the batch. Bit-identical to
+    textstats.minhash_signature.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import (
+        MINHASH_P, minhash_perm_params, normalize,
     )
-    return base.select("doc_id", sig.alias("sig"))
+
+    params = minhash_perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+
+        def shash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            sigs = []
+            for text in pdf["text"]:
+                toks = normalize(text).split()
+                if len(toks) < n:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
+                sigs.append(((hs[:, None] * A + B) % MINHASH_P).min(axis=0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, sig array<long>"
+    )
+
+
+def minhash_signatures_from_shingles(sh_df: DataFrame, num_perm: int = 64) -> DataFrame:
+    """minhash_signatures over a precomputed (doc_id, sh) shingle table —
+    lets one shingling pass feed both LSH signatures and exact verify."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import MINHASH_P, minhash_perm_params
+
+    params = minhash_perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+
+        def shash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            sigs = []
+            for sh in pdf["sh"]:
+                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
+                sigs.append(((hs[:, None] * A + B) % MINHASH_P).min(axis=0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return sh_df.mapInPandas(kernel, "doc_id long, sig array<long>")
 
 
 def minhash_lsh_pairs(
@@ -117,7 +221,14 @@ def minhash_lsh_pairs(
     exact-Jaccard verify via shingle join.
     """
     rows = num_perm // bands
-    sigs = minhash_signatures(docs, num_perm, n)
+    # One shingling pass feeds BOTH signature generation and the exact
+    # verify; both it and the banded signatures are persisted because each
+    # is consumed twice (self-join sides / a+b verify joins) and Arrow
+    # kernel stages are not exchange-reused by Catalyst. Narrow data
+    # (id + shingles / id + band hashes); at production scale these would
+    # be checkpointed to a lineage-tracked table instead of executor cache.
+    sh = shingle_arrays(docs, n).persist()
+    sigs = minhash_signatures_from_shingles(sh, num_perm)
     banded = sigs.select(
         "doc_id",
         F.posexplode(
@@ -128,7 +239,7 @@ def minhash_lsh_pairs(
                 )),
             )
         ).alias("band", "band_sig"),
-    )
+    ).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (
@@ -141,28 +252,45 @@ def minhash_lsh_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    return verify_jaccard(docs, cand, n=n, threshold=jaccard_threshold)
+    return verify_jaccard(docs, cand, n=n, threshold=jaccard_threshold, shingles_df=sh)
 
 
-def verify_jaccard(docs: DataFrame, pairs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (a,b) pairs."""
-    sh = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
-    j = (
-        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
-        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-        .select(
-            "a",
-            "b",
-            (
-                F.size(F.array_intersect("sha", "shb"))
-                / F.size(F.array_union("sha", "shb"))
-            ).alias("jaccard"),
-        )
+def verify_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    shingles_df: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for given candidate (a,b) pairs.
+
+    Set intersection runs in an Arrow kernel (Python set ops are ~2× the
+    speed of interpreted array_intersect over string arrays here); the
+    division result is bit-identical to the JVM's (same IEEE ints → double),
+    and rounding stays JVM-side (F.round) for exact oracle parity.
+    """
+    import pandas as pd
+
+    sh = shingles_df if shingles_df is not None else shingle_arrays(docs, n)
+    joined = pairs.join(
+        sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a"
+    ).join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+
+    def kernel(batches):
+        for pdf in batches:
+            jac = []
+            for sa, sb in zip(pdf["sha"], pdf["shb"]):
+                s = set(sa)
+                inter = sum(1 for x in sb if x in s)
+                jac.append(inter / (len(s) + len(sb) - inter))
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
+
+    return (
+        joined.mapInPandas(kernel, "a long, b long, jaccard double")
         .where(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
         .orderBy("a", "b")
     )
-    return j
 
 
 # ---------------------------------------------------------------------------
@@ -175,7 +303,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingle, pair within posting lists) — NOT a cross join. `max_df` drops
     stop-shingles with document frequency above the cap (the web-scale knob).
     """
-    sh = docs.select("doc_id", _shingles(F.col("text"), n).alias("sh"))
+    sh = shingle_arrays(docs, n).persist()  # feeds postings AND sizes
     sizes = sh.select("doc_id", F.size("sh").alias("sz"))
     posts = sh.select("doc_id", F.explode("sh").alias("s"))
     if max_df is not None:
@@ -215,31 +343,47 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash over whitespace tokens (textstats.simhash twin).
 
     Token hash = first 15 md5 hex chars as int; bit b of the signature is 1
-    iff sum over tokens of (bit set ? +1 : -1) > 0. Entirely JVM-side long
-    arithmetic (shiftright/%), one scan, no shuffle.
+    iff sum over tokens of (bit set ? +1 : -1) > 0.
+
+    Arrow-batched numpy kernel (mapInPandas): the 60-bit ±1 spreading is a
+    single (tokens × 60) bit-unpack + column sum per doc, and token digests
+    are memoised across the batch (web text repeats tokens heavily). This
+    replaced a JVM higher-order-function formulation that evaluated 60
+    interpreted folds per row — ~20× slower at bench scale. Values are
+    bit-identical to textstats.simhash, so the DuckDB oracle (which
+    replicates the md5 scheme in SQL) still matches exactly.
     """
-    toks = F.split(_norm(F.col("text")), " ")
-    tok_hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
-    )
+    import hashlib
 
-    def bit_sum(b: int):
-        def merge(acc, h):
-            return acc + F.when(F.shiftright(h, b) % 2 == 1, 1).otherwise(-1)
+    import numpy as np
+    import pandas as pd
 
-        return F.aggregate(tok_hashes, F.lit(0), merge)
+    from pdf_extractor_spark.kernels.textstats import normalize
 
-    sig = sum(
-        (
-            F.when(bit_sum(b) > 0, F.lit(2 ** b)).otherwise(F.lit(0)).cast("long")
-            for b in range(SIMHASH_BITS)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    empty = _norm(F.col("text")) == ""
-    return docs.select(
-        "doc_id",
-        F.when(empty, F.lit(0).cast("long")).otherwise(sig).alias("simhash"),
+    bits = SIMHASH_BITS
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+        shifts = np.arange(bits, dtype=np.int64)
+        for pdf in batches:
+            out = np.zeros(len(pdf), dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
+                toks = normalize(text).split()
+                if not toks:
+                    continue
+                hs = np.empty(len(toks), dtype=np.int64)
+                for j, tok in enumerate(toks):
+                    v = cache.get(tok)
+                    if v is None:
+                        v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                        cache[tok] = v
+                    hs[j] = v
+                acc = (2 * ((hs[:, None] >> shifts) & 1) - 1).sum(axis=0)
+                out[i] = ((acc > 0).astype(np.int64) << shifts).sum()
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": out})
+
+    return _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, simhash long"
     )
 
 
@@ -266,24 +410,78 @@ def cosine(a, b):
     return dot / (na * nb)
 
 
-def embedding_neardup_pairs(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """Pairs of embeddings with cosine ≥ threshold.
+def embedding_neardup_pairs(
+    embs: DataFrame, threshold: float = 0.95, num_blocks: int = 8
+) -> DataFrame:
+    """Pairs of embeddings with cosine ≥ threshold — blocked matrix product.
 
-    Small-scale path: self-join (fine at sf test sizes). Scale path: bucket
-    by random-hyperplane LSH first — see similarity.embedding_lsh_pairs.
-    Embeddings are cast to double before any arithmetic so results are
-    bit-stable and oracle-reproducible.
+    The corpus is split into `num_blocks` blocks by vec_id; every block-pair
+    (i ≤ j) becomes one group whose all-pairs cosine is ONE BLAS matmul
+    inside an Arrow-batched applyInPandas. Each vector is replicated to
+    exactly num_blocks groups (narrow rows: id + vector), so the shuffle is
+    O(n·num_blocks) rows while pair scoring is O(n²) *flops, not rows* —
+    this replaced a nested-loop self-join that materialised n²/2 rows with
+    an interpreted fold-cosine each (~70× slower at bench scale). At 100 TB
+    scale, raise num_blocks so each block fits executor memory (group size
+    ≈ 2·n/num_blocks vectors) and pre-filter candidates with
+    similarity.lsh_neardup_pairs when n² flops is itself too much.
+
+    Rounding is half-away-from-zero at 6 decimals, matching F.round/DuckDB.
     """
+    import numpy as np
+    import pandas as pd
+
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    a = e.alias("a")
-    b = e.alias("b")
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a"),
-            F.col("b.vec_id").alias("b"),
-            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos"),
+    blk = F.pmod(F.col("vec_id"), F.lit(num_blocks)).cast("int")
+    keys = F.array(
+        *[
+            F.struct(
+                F.least(blk, F.lit(o)).alias("bi"), F.greatest(blk, F.lit(o)).alias("bj")
+            )
+            for o in range(num_blocks)
+        ]
+    )
+    ex = (
+        e.withColumn("blk", blk)
+        .withColumn("k", F.explode(keys))
+        .select(F.col("k.bi").alias("bi"), F.col("k.bj").alias("bj"), "blk", "vec_id", "v")
+    )
+    thr = float(threshold)
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                              "b": pd.Series(dtype="int64"),
+                              "cos": pd.Series(dtype="float64")})
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if left.empty or right.empty:
+            return empty
+        vl = np.stack(left["v"].to_numpy())
+        vr = np.stack(right["v"].to_numpy())
+        sim = (vl @ vr.T) / np.outer(
+            np.linalg.norm(vl, axis=1), np.linalg.norm(vr, axis=1)
         )
-        .where(F.col("cos") >= threshold)
+        sim = np.sign(sim) * np.floor(np.abs(sim) * 1e6 + 0.5) / 1e6  # round half-up
+        ids_l = left["vec_id"].to_numpy()
+        ids_r = right["vec_id"].to_numpy()
+        if bi == bj:
+            # diagonal block: left == right, keep the upper triangle only
+            mask = (sim >= thr) & (ids_l[:, None] < ids_r[None, :])
+        else:
+            # off-diagonal: every cross pair is unique to this group; emit
+            # all of them with (a, b) ordered by id
+            mask = sim >= thr
+        li, ri = np.nonzero(mask)
+        if li.size == 0:
+            return empty
+        pa, pb = ids_l[li], ids_r[ri]
+        return pd.DataFrame(
+            {"a": np.minimum(pa, pb), "b": np.maximum(pa, pb), "cos": sim[li, ri]}
+        )
+
+    return (
+        ex.groupBy("bi", "bj")
+        .applyInPandas(block_pairs, "a long, b long, cos double")
         .orderBy("a", "b")
     )

@@ -108,6 +108,33 @@ def test_embedding_neardup(spark, embs):
     assert all(5 not in p for p in pairs)
 
 
+def test_embedding_neardup_blocked_matches_numpy_exact(spark):
+    """The blocked-matmul pair generator must equal an exact all-pairs
+    reference on random vectors — catches block-pair orientation bugs
+    (off-diagonal pairs where the lower-block member has the larger id)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(60, 8)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(60)]
+    embs = spark.createDataFrame(rows, EMB_DDL)
+    thr = 0.3
+    norms = np.linalg.norm(base, axis=1)
+    sim = (base @ base.T) / np.outer(norms, norms)
+    expected = {
+        (i, j)
+        for i in range(60)
+        for j in range(i + 1, 60)
+        if np.floor(abs(sim[i, j]) * 1e6 + 0.5) / 1e6 * np.sign(sim[i, j]) >= thr
+    }
+    for nb in (1, 3, 8):
+        got = {
+            (r["a"], r["b"])
+            for r in dedup.embedding_neardup_pairs(embs, thr, num_blocks=nb).collect()
+        }
+        assert got == expected, f"num_blocks={nb}"
+
+
 def test_brute_force_topk_exact(spark, embs):
     res = similarity.brute_force_topk(embs, [0], k=3).collect()
     assert [r["neighbor_id"] for r in res] == [1, 4, 2]
