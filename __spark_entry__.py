@@ -239,6 +239,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q24_lsh_cosine_pairs"] = lambda s, d: similarity.lsh_neardup_pairs(
         _t(s, d, "embeddings"), threshold=0.35)  # approx: no oracle
 
+    # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
+    q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))
+    q["q30_order_detail_gather"] = lambda s, d: relational.order_detail_gather(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "lineitem"))
+    q["q31_scalar_functions"] = lambda s, d: relational.scalar_functions_showcase(
+        _t(s, d, "documents"))
+    q["q32_revenue_rollup"] = lambda s, d: relational.revenue_rollup(
+        _t(s, d, "orders"), _t(s, d, "customer"), _t(s, d, "nation"))
+    q["q33_asof_order_events"] = lambda s, d: relational.orders_with_latest_event(
+        _t(s, d, "orders"), _t(s, d, "events"))
+    q["q34_char_minhash_fp"] = lambda s, d: text_analysis.char_minhash_fingerprints(
+        _t(s, d, "documents"))
+
     # -- extraction round-trips (real kernels through mapInArrow) ------------
     q["q25_extract_html"] = q_extract_html_roundtrip
     q["q26_extract_pdf"] = q_extract_pdf_roundtrip
@@ -511,6 +524,65 @@ def oracle_sql() -> dict[str, str]:
                    FROM scored)
         SELECT query_id, neighbor_id, cos, rank FROM ranked
         WHERE rank <= 5 ORDER BY query_id, rank
+    """
+    o["q29_merge_upsert"] = """
+        WITH upd AS (SELECT event_id, user_id, value + 100.0 AS value
+                     FROM events WHERE event_id % 10 = 0),
+        ups AS (SELECT * FROM upd
+                UNION ALL
+                SELECT event_id + 10000000 AS event_id, user_id, value FROM upd)
+        SELECT event_id, user_id, round(value, 6) AS value FROM (
+            SELECT e.event_id, e.user_id, e.value FROM events e
+            WHERE NOT EXISTS (SELECT 1 FROM ups u WHERE u.event_id = e.event_id)
+            UNION ALL SELECT * FROM ups
+        ) ORDER BY event_id
+    """
+    o["q30_order_detail_gather"] = """
+        SELECT l_orderkey, l_linenumber, l_quantity AS quantity,
+               round(l_extendedprice, 2) AS price, o_orderstatus, c_name
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber
+    """
+    o["q31_scalar_functions"] = f"""
+        SELECT doc_id, len(nrm) AS norm_len,
+               len(string_split(nrm, ' ')) AS n_tokens,
+               regexp_matches(nrm, 'data') AS mentions_data,
+               starts_with(nrm, 'the') AS starts_the,
+               concat_ws('|', lang, source) AS lang_source,
+               CAST(ceil(n_chars / 100.0) AS BIGINT) AS len_bucket,
+               round(n_chars / 7.0, 4) AS len_over_7,
+               to_base64(encode(substr(text, 1, 9))) AS head_b64
+        FROM (SELECT *, {norm} AS nrm FROM documents) ORDER BY doc_id
+    """
+    o["q32_revenue_rollup"] = """
+        SELECT coalesce(n_name, '(all)') AS n_name,
+               coalesce(c_mktsegment, '(all)') AS c_mktsegment,
+               count(*) AS orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY ROLLUP(n_name, c_mktsegment) ORDER BY 1, 2
+    """
+    o["q33_asof_order_events"] = """
+        WITH lo AS (SELECT o_orderkey, o_custkey % 150 AS user_id,
+                           TIMESTAMP '2024-01-01 00:00:00'
+                           + to_minutes((o_orderkey % 40000)::BIGINT) AS probe_ts
+                    FROM orders)
+        SELECT o_orderkey, user_id, round(value, 6) AS asof_value FROM (
+            SELECT lo.o_orderkey, lo.user_id, e.value,
+                   row_number() OVER (PARTITION BY lo.o_orderkey
+                                      ORDER BY e.ts DESC, e.value DESC) AS rn
+            FROM lo LEFT JOIN events e
+              ON e.user_id = lo.user_id AND e.ts <= lo.probe_ts
+        ) WHERE rn = 1 ORDER BY o_orderkey
+    """
+    o["q34_char_minhash_fp"] = f"""
+        SELECT doc_id,
+               list_min(list_transform(range(1, greatest(len(nrm) - 7, 1) + 1),
+                                       i -> md5(nrm[i:i+7]))) AS fp
+        FROM (SELECT doc_id, {norm} AS nrm FROM documents)
+        ORDER BY doc_id
     """
     o["q25_extract_html"] = f"""
         SELECT doc_id, {norm} AS extracted_text FROM documents ORDER BY doc_id

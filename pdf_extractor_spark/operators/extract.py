@@ -136,21 +136,28 @@ def extract_document(payload: bytes | None) -> list[dict]:
 
 
 def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    """mapInArrow kernel: input batches of (url, warc_ts, html, partition_id)."""
+    """mapInArrow kernel: input batches of (url, warc_ts, html, partition_id).
+
+    Pass-through columns (url, warc_ts, partition_id) never become Python
+    objects: output rows carry a source-row index and the columns are
+    gathered with pa.compute.take — timestamp<->datetime conversion per row
+    was a measurable share of the batch loop.
+    """
+    import pyarrow.compute as pc
+
     for batch in batches:
-        t0 = time.perf_counter_ns()
-        urls = batch.column("url").to_pylist()
-        tss = batch.column("warc_ts").to_pylist()
         payloads = batch.column("html").to_pylist()
-        pids = batch.column("partition_id").to_pylist()
-        out: dict[str, list] = {name: [] for name in _ARROW_OUT.names}
-        for url, ts, payload, pid in zip(urls, tss, payloads, pids):
+        idx: list[int] = []
+        out: dict[str, list] = {
+            name: []
+            for name in _ARROW_OUT.names
+            if name not in ("url", "warc_ts", "partition_id")
+        }
+        for i, payload in enumerate(payloads):
             nbytes = len(payload) if payload else 0
             d0 = time.perf_counter_ns()
             for row in extract_document(payload):
-                out["url"].append(url)
-                out["warc_ts"].append(ts)
-                out["partition_id"].append(pid)
+                idx.append(i)
                 out["page_number"].append(row["page_number"])
                 out["text"].append(row["text"])
                 out["combined"].append(row["combined"])
@@ -163,8 +170,17 @@ def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
                 out["meta"].append(list(row["meta"].items()))
                 out["payload_bytes"].append(nbytes)
                 out["elapsed_us"].append((time.perf_counter_ns() - d0) // 1000)
-        _ = t0
-        yield pa.RecordBatch.from_pydict(out, schema=_ARROW_OUT)
+        take = pa.array(idx, pa.int32())
+        arrays = [
+            pc.take(batch.column("url"), take).cast(pa.string()),
+            pc.take(batch.column("warc_ts"), take).cast(pa.timestamp("us", tz="UTC")),
+            pc.take(batch.column("partition_id"), take).cast(pa.int32()),
+        ] + [
+            pa.array(out[name], _ARROW_OUT.field(name).type)
+            for name in _ARROW_OUT.names
+            if name not in ("url", "warc_ts", "partition_id")
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, schema=_ARROW_OUT)
 
 
 def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> DataFrame:

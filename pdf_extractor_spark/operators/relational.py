@@ -183,3 +183,168 @@ def event_type_windowed_counts(events: DataFrame) -> DataFrame:
         )
         .orderBy("window_start", "event_type")
     )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """MERGE INTO emulation (reference feedback upsert, main.py:1124-1159:
+    update the row if the key exists, else insert).
+
+    Algebraically: (base ▷ updates) ∪ updates — one anti-join on the key.
+    On snapshot storage this is read-modify-overwrite of the matched
+    partitions only (sources/table_format.SnapshotTable.overwrite_partitions
+    gives the atomic-commit half); with real Iceberg it is MERGE INTO
+    verbatim. The anti-join broadcasts when updates are small — the common
+    upsert shape — so the base table never shuffles.
+    """
+    return base.join(updates, keys, "left_anti").unionByName(updates)
+
+
+def upserted_events(events: DataFrame) -> DataFrame:
+    """Deterministic upsert exercise over `events`: every event_id % 10 == 0
+    gets value += 100 (update arm); the same rows shifted by +10_000_000 are
+    brand-new keys (insert arm)."""
+    upd = events.where(F.col("event_id") % 10 == 0).withColumn(
+        "value", F.col("value") + 100.0
+    )
+    ins = upd.withColumn("event_id", F.col("event_id") + 10_000_000)
+    merged = merge_upsert(events, upd.unionByName(ins), ["event_id"])
+    return merged.select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
+
+
+def order_detail_gather(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame, max_orderkey: int = 40
+) -> DataFrame:
+    """EP3 multi-way per-page gather (main.py:1045-1098): point lookup of a
+    small key set joined across three tables in ONE pass — replaces the
+    reference's per-job N+1 loop. The filtered fact slice is tiny, so both
+    dimension joins broadcast; the predicate pushes to the scan."""
+    lines = lineitem.where(F.col("l_orderkey") <= max_orderkey)
+    return (
+        lines.join(F.broadcast(orders.where(F.col("o_orderkey") <= max_orderkey)),
+                   lines.l_orderkey == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.round("l_extendedprice", 2).alias("price"),
+            "o_orderstatus",
+            "c_name",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def scalar_functions_showcase(docs: DataFrame) -> DataFrame:
+    """Every scalar function family the reference uses (SURVEY.md §2 scalar
+    row: strip/join/split/ilike/lower/startswith/regex, round/ceil, base64)
+    in one JVM-side projection — zero shuffle, whole-stage codegen."""
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        norm.rlike("data").alias("mentions_data"),
+        norm.startswith("the").alias("starts_the"),
+        F.concat_ws("|", F.col("lang"), F.col("source")).alias("lang_source"),
+        F.ceil(F.col("n_chars") / 100.0).cast("long").alias("len_bucket"),
+        F.round(F.col("n_chars") / F.lit(7.0), 4).alias("len_over_7"),
+        F.base64(F.encode(F.substring("text", 1, 9), "utf-8")).alias("head_b64"),
+    ).orderBy("doc_id")
+
+
+def revenue_rollup(orders: DataFrame, customer: DataFrame, nation: DataFrame) -> DataFrame:
+    """ROLLUP(nation, segment) revenue — subtotals + grand total in one
+    pass (partial aggregation map-side; nation broadcast). Group keys are
+    coalesced to '(all)' so the oracle needs no NULL-ordering contortions."""
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(F.count("*").alias("orders"), F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("c_mktsegment"),
+            "orders",
+            "revenue",
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+def asof_join_latest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Generic as-of join: for every left row, the latest right row with
+    right_ts <= left_ts on the same key. Spark has no ASOF JOIN; the
+    range-join formulation explodes (|left|·|right| per key), so this uses
+    the union+window plan: tag both sides, sort within key by (ts, side),
+    and carry the right side's values forward with last(ignorenulls).
+    One shuffle on the key, linear work — survives 100× scale-up where the
+    naive theta-join does not.
+
+    Tie-break: a right row at exactly left_ts matches (right sorts before
+    left at equal ts); among right ties the one latest in `right_ts`,
+    then highest in the first value col, wins deterministically.
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols if c not in (key,)],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tagged = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in (key,)],
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col(f"_r_{value_cols[0]}").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tagged.unionByName(r_tagged).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in value_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in value_cols]
+    )
+
+
+def orders_with_latest_event(orders: DataFrame, events: DataFrame) -> DataFrame:
+    """As-of exercise: each order picks up the value of its pseudo-user's
+    (o_custkey % 150) latest event at or before the order's probe time.
+    Order dates (1995-2001) predate the events table (Jan 2024), so the
+    probe time is synthesized deterministically inside the events range:
+    2024-01-01 + (o_orderkey % 40000) minutes."""
+    lo = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 150).alias("user_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(mins=(F.col("o_orderkey") % 40000).cast("int"))
+        ).alias("probe_ts"),
+    )
+    re = events.select("user_id", "ts", "value")
+    out = asof_join_latest(lo, re, "user_id", "probe_ts", "ts", ["value"])
+    return out.select(
+        "o_orderkey",
+        F.col("_k").alias("user_id"),
+        F.round("asof_value", 6).alias("asof_value"),
+    ).orderBy("o_orderkey")

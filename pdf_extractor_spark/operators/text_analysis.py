@@ -121,3 +121,21 @@ def language_agreement(docs: DataFrame) -> DataFrame:
         .withColumn("agree_rate", F.round(F.col("agree") / F.col("docs"), 6))
         .orderBy("lang")
     )
+
+
+def char_minhash_fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Winnowing-style document fingerprint: the minimum md5 over ALL k-char
+    substrings of the normalized text (a 1-fingerprint degenerate winnowing;
+    kernels/textstats.rolling_hashes is the pure-Python rolling-hash twin).
+
+    Robust to edits outside the minimizing window — unlike the whole-text
+    md5 of `fingerprints` — while staying exactly SQL-expressible for the
+    oracle. JVM-side: transform over a position sequence + array_min; one
+    scan, no shuffle.
+    """
+    norm = _norm(F.col("text"))
+    npos = F.greatest(F.length(norm) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), npos), lambda i: F.md5(F.substr(norm, i, F.lit(k)))
+    )
+    return docs.select("doc_id", F.array_min(grams).alias("fp")).orderBy("doc_id")

@@ -10,3 +10,8 @@ def spark():
     s = get_spark(app_name="pdf-extractor-spark-tests", cores=8, shuffle_partitions=8)
     yield s
     s.stop()
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return "/root/testdata/sf0.001"

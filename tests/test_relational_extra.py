@@ -1,0 +1,105 @@
+"""MERGE/upsert, multi-way gather, rollup, as-of join, char-minhash
+fingerprints (SURVEY.md §2c additions + training-data fingerprinting)."""
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import relational, text_analysis
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, v string"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B"), (9, "Z")], "k long, v string"
+    )
+    got = {
+        (r["k"], r["v"])
+        for r in relational.merge_upsert(base, updates, ["k"]).collect()
+    }
+    assert got == {(1, "a"), (2, "B"), (3, "c"), (9, "Z")}
+
+
+def test_asof_join_latest_basic_and_ties(spark):
+    t = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, t(2024, 1, 5)),   # after two events -> latest (Jan 3)
+            (2, 10, t(2024, 1, 1)),   # exactly at first event -> matches it
+            (3, 10, t(2023, 12, 1)),  # before all events -> NULL
+            (4, 99, t(2024, 1, 5)),   # user with no events -> NULL
+        ],
+        "id long, user_id long, probe_ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, t(2024, 1, 1), 1.0),
+            (10, t(2024, 1, 3), 2.0),
+            (10, t(2024, 1, 3), 5.0),  # tie on ts -> max value wins
+            (10, t(2024, 1, 9), 9.0),  # later than every probe
+        ],
+        "user_id long, ts timestamp, value double",
+    )
+    out = relational.asof_join_latest(
+        left, right, "user_id", "probe_ts", "ts", ["value"]
+    )
+    got = {r["id"]: r["asof_value"] for r in out.collect()}
+    assert got == {1: 5.0, 2: 1.0, 3: None, 4: None}
+
+
+def test_revenue_rollup_totals_consistent(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rows = relational.revenue_rollup(orders, customer, nation).collect()
+    grand = [r for r in rows if r["n_name"] == "(all)" and r["c_mktsegment"] == "(all)"]
+    leaves = [
+        r for r in rows if r["n_name"] != "(all)" and r["c_mktsegment"] != "(all)"
+    ]
+    assert len(grand) == 1
+    assert grand[0]["orders"] == sum(r["orders"] for r in leaves)
+    subtotals = [
+        r for r in rows if r["n_name"] != "(all)" and r["c_mktsegment"] == "(all)"
+    ]
+    assert sum(r["orders"] for r in subtotals) == grand[0]["orders"]
+
+
+def test_order_detail_gather_matches_filter(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = relational.order_detail_gather(orders, customer, lineitem, max_orderkey=20)
+    expect = lineitem.where(F.col("l_orderkey") <= 20).count()
+    assert out.count() == expect
+    assert out.columns == [
+        "l_orderkey", "l_linenumber", "quantity", "price", "o_orderstatus", "c_name",
+    ]
+
+
+def test_char_minhash_matches_python_and_survives_tail_edit(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "The quick brown fox jumps over the lazy dog"),
+            (2, "The quick brown fox jumps over the lazy dog EXTRA TAIL"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["fp"] for r in text_analysis.char_minhash_fingerprints(docs).collect()}
+
+    def py_fp(text: str, k: int = 8) -> str:
+        norm = " ".join(text.lower().split())
+        grams = [norm[i : i + k] for i in range(max(len(norm) - k + 1, 1))]
+        return min(hashlib.md5(g.encode()).hexdigest() for g in grams)
+
+    for i, text in [(1, "The quick brown fox jumps over the lazy dog"), (3, "x"), (4, "")]:
+        assert got[i] == py_fp(text), i
+    # a pure tail append usually keeps the minimizing window -> robust fp
+    assert got[1] == got[2] or got[2] == py_fp(
+        "The quick brown fox jumps over the lazy dog EXTRA TAIL"
+    )
