@@ -170,6 +170,71 @@ def q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.orderBy("window_start", "event_type")
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate the event stream (self-union) then streaming-dedup on
+    event_id within the watermark → exactly the original rows."""
+    from pdf_extractor_spark.streaming.stream import (
+        dedup_events_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    s = read_events_stream(spark, sf_dir)
+    doubled = s.unionByName(s)
+    res = run_stream_to_memory(
+        spark, dedup_events_stream(doubled), "streaming_dedup_q", output_mode="append"
+    )
+    return res.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    ).orderBy("event_id")
+
+
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful per-user running totals via applyInPandasWithState."""
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, user_session_totals_stream,
+    )
+
+    stream = user_session_totals_stream(read_events_stream(spark, sf_dir))
+    res = run_stream_to_memory(
+        spark, stream, "streaming_sessions_q", output_mode="update"
+    )
+    return res.select(
+        "user_id", "n_events", F.round("total_value", 6).alias("total_value"), "max_ts"
+    ).orderBy("user_id")
+
+
+def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ExtractionJob (waves, lineage, metrics, quarantine, snapshot
+    commits) over pages synthesized from the documents table; returns the
+    run's metrics rolled up to deterministic totals so a SQL oracle can gate
+    it (per-partition timings are real but nondeterministic, so they are
+    aggregated away)."""
+    import tempfile
+
+    from pdf_extractor_spark.pipeline import ExtractionJob
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _pages_from_documents(docs).select("url", "warc_ts", "html")
+    job = ExtractionJob(
+        spark, tempfile.mkdtemp(prefix="pdfx_q37_"), n_buckets=16,
+        partitions=16, salt=3, wave_size=8,
+    )
+    job.run(pages)
+    lineage = job.lineage.read(spark)
+    metrics = job.metrics.read(spark)
+    quarantined = job.quarantine.read(spark)
+    return (
+        metrics.agg(
+            F.countDistinct("bucket").alias("buckets_done"),
+            F.sum("docs").alias("total_docs"),
+            F.sum("pages").alias("total_pages"),
+            F.sum("failure_count").alias("total_failures"),
+        )
+        .crossJoin(lineage.where(F.col("status") == "success")
+                   .agg(F.countDistinct("bucket").alias("lineage_success_buckets")))
+        .crossJoin(quarantined.agg(F.count("*").alias("quarantined")))
+    )
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -259,6 +324,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # -- multimodal + streaming ----------------------------------------------
     q["q27_multimodal_features"] = q_multimodal_features  # stub decode: no oracle
     q["q28_streaming_windowed_counts"] = q_streaming_windowed_counts
+    q["q35_streaming_dedup"] = q_streaming_dedup
+    q["q36_streaming_sessions"] = q_streaming_sessions
+    q["q37_pipeline_metrics"] = q_pipeline_metrics
     return q
 
 
@@ -594,4 +662,21 @@ def oracle_sql() -> dict[str, str]:
     o["q28_streaming_windowed_counts"] = o["q11_windowed_event_counts"].replace(
         "AS window_start", "AS window_start"
     )
+    o["q35_streaming_dedup"] = """
+        SELECT event_id, user_id, event_type, round(value, 6) AS value
+        FROM events ORDER BY event_id
+    """
+    o["q36_streaming_sessions"] = """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 6) AS total_value, max(ts) AS max_ts
+        FROM events GROUP BY user_id ORDER BY user_id
+    """
+    # every doc is one successfully extracted single-page HTML payload and
+    # all 16 buckets commit; any failure/quarantine row breaks the hash
+    o["q37_pipeline_metrics"] = """
+        SELECT 16 AS buckets_done, count(*) AS total_docs,
+               count(*) AS total_pages, 0 AS total_failures,
+               16 AS lineage_success_buckets, 0 AS quarantined
+        FROM documents
+    """
     return o

@@ -44,28 +44,64 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     """Composite quality heuristic, mirrored in SQL (textstats.quality_score).
 
     0.5*min(ws_tokens,100)/100 + 0.3*(1-punct_ratio) + 0.2*min(stop_ratio*5,1)
+
+    Arrow-batched kernel (replaced an interpreted per-token×per-stopword
+    array_contains scan, ~2.5× slower at bench scale). Two parity details:
+    the punct regex is written as explicit ASCII [a-zA-Z0-9_] because Java's
+    \\w (Spark, oracle) is ASCII-only while Python's \\w is Unicode; and all
+    ratios leave the kernel unrounded — the divisions are IEEE-identical to
+    the JVM's, and F.round applies JVM-side so the oracle hash matches
+    exactly.
     """
-    norm = _norm(F.col("text"))
-    ws_tokens = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
-    squeezed = F.regexp_replace(F.col("text"), r"\s+", "")
-    punct = F.length(F.regexp_replace(squeezed, r"[\w]", ""))
-    punct_ratio = F.when(F.length(squeezed) > 0, punct / F.length(squeezed)).otherwise(0.0)
-    toks = F.split(norm, " ")
-    sw = F.array([F.lit(w) for w in EN_STOPWORDS_SMALL])
-    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-    stop_ratio = F.when(ws_tokens > 0, stop_hits / ws_tokens).otherwise(0.0)
-    length_term = F.least(ws_tokens, F.lit(100)) / 100.0
-    score = (
-        0.5 * length_term
-        + 0.3 * (1.0 - punct_ratio)
-        + 0.2 * F.least(stop_ratio * 5.0, F.lit(1.0))
+    import re
+
+    import pandas as pd
+
+    ws_re = re.compile(r"\s+")
+    word_re = re.compile(r"[a-zA-Z0-9_]")
+    sw = frozenset(EN_STOPWORDS_SMALL)
+
+    def kernel(batches):
+        for pdf in batches:
+            ws_tokens, punct_ratio, stop_ratio, quality = [], [], [], []
+            for text in pdf["text"]:
+                norm = ws_re.sub(" ", text.lower()).strip()
+                toks = norm.split(" ") if norm else []
+                nt = len(toks)
+                squeezed = ws_re.sub("", text)
+                pr = (
+                    (len(squeezed) - len(word_re.findall(squeezed))) / len(squeezed)
+                    if squeezed
+                    else 0.0
+                )
+                sr = sum(1 for t in toks if t in sw) / nt if nt else 0.0
+                q = 0.5 * (min(nt, 100) / 100.0) + 0.3 * (1.0 - pr) + 0.2 * min(sr * 5.0, 1.0)
+                ws_tokens.append(nt)
+                punct_ratio.append(pr)
+                stop_ratio.append(sr)
+                quality.append(q)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "ws_tokens": ws_tokens,
+                    "punct_ratio": punct_ratio,
+                    "stop_ratio": stop_ratio,
+                    "quality": quality,
+                }
+            )
+
+    from pdf_extractor_spark.operators.dedup import _widen
+
+    raw = _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel,
+        "doc_id long, ws_tokens int, punct_ratio double, stop_ratio double, quality double",
     )
-    return docs.select(
+    return raw.select(
         "doc_id",
-        ws_tokens.alias("ws_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality"),
+        "ws_tokens",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stop_ratio", 6).alias("stop_ratio"),
+        F.round("quality", 6).alias("quality"),
     )
 
 

@@ -77,6 +77,17 @@ def user_session_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def dedup_events_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact-dedup on event_id with watermarked state expiry —
+    the streaming arm of the dedup family (operators/dedup.py): state for
+    ids older than the watermark is dropped, so state size is bounded by
+    the watermark horizon instead of the full stream history. Core shape of
+    a continuous training-data ingest dedup at web scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str,
                          output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with availableNow and return the

@@ -124,3 +124,26 @@ def test_stateful_session_totals(spark):
     )
     assert bad.count() == 0
     assert final.count() == expected.count()
+
+
+def test_streaming_dedup_drops_repeats(spark, tmp_path):
+    """A self-unioned stream deduped on event_id yields each row once."""
+    import datetime as dt
+
+    from pdf_extractor_spark.streaming.stream import (
+        EVENTS_DDL, dedup_events_stream, run_stream_to_memory,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12, 0, i), i % 3, "click", float(i), "{}")
+        for i in range(20)
+    ]
+    src = str(tmp_path / "events_src")
+    spark.createDataFrame(rows, EVENTS_DDL).write.parquet(src)
+    stream = spark.readStream.schema(EVENTS_DDL).parquet(src)
+    doubled = stream.unionByName(stream)
+    out = run_stream_to_memory(
+        spark, dedup_events_stream(doubled), "dedup_stream_t", output_mode="append"
+    )
+    got = sorted(r["event_id"] for r in out.collect())
+    assert got == list(range(20))
