@@ -202,6 +202,23 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize `PAGE n:`-marked content from each document (first 60
+    chars = page 1, rest = page 2) and split it back through the reference
+    llamaparse page-split chain (kernels/pagesplit.py)."""
+    from pdf_extractor_spark.operators.text_analysis import split_marked_pages
+
+    docs = _t(spark, sf_dir, "documents")
+    marked = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("PAGE 1:\n"), F.substring("text", 1, 60),
+            F.lit("\nPAGE 2:\n"), F.expr("substring(text, 61)"),
+        ).alias("content"),
+    )
+    return split_marked_pages(marked).orderBy("doc_id", "page_number")
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ExtractionJob (waves, lineage, metrics, quarantine, snapshot
     commits) over pages synthesized from the documents table; returns the
@@ -327,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q35_streaming_dedup"] = q_streaming_dedup
     q["q36_streaming_sessions"] = q_streaming_sessions
     q["q37_pipeline_metrics"] = q_pipeline_metrics
+    q["q38_page_split"] = q_page_split
     return q
 
 
@@ -678,5 +696,17 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS total_pages, 0 AS total_failures,
                16 AS lineage_success_buckets, 0 AS quarantined
         FROM documents
+    """
+    o["q38_page_split"] = """
+        SELECT doc_id, 1 AS page_number,
+               trim(substr(text, 1, 60), ' ' || chr(9) || chr(10) || chr(13))
+                   AS page_text
+        FROM documents
+        UNION ALL
+        SELECT doc_id, 2 AS page_number,
+               trim(substr(text, 61), ' ' || chr(9) || chr(10) || chr(13))
+                   AS page_text
+        FROM documents
+        ORDER BY doc_id, page_number
     """
     return o

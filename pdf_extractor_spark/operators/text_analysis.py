@@ -175,3 +175,35 @@ def char_minhash_fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
         F.sequence(F.lit(1), npos), lambda i: F.md5(F.substr(norm, i, F.lit(k)))
     )
     return docs.select("doc_id", F.array_min(grams).alias("fp")).orderBy("doc_id")
+
+
+def split_marked_pages(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Explode `PAGE n:`-marked content into per-page rows (kernel twin
+    kernels/pagesplit.split_pages — reference llamaparse.py:137-222 parity:
+    marker regex, then \\n---\\n fallback, then whole-text page 1).
+
+    Arrow kernel + flat output rows; narrow map, no shuffle.
+    """
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.pagesplit import split_pages
+
+    key_cols = [c for c in df.columns if c != content_col]
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = {c: [] for c in key_cols}
+            pn, pt = [], []
+            for i, content in enumerate(pdf[content_col]):
+                for num, text in split_pages(content if content is not None else ""):
+                    for c in key_cols:
+                        rows[c].append(pdf[c].iloc[i])
+                    pn.append(num)
+                    pt.append(text)
+            rows["page_number"] = pn
+            rows["page_text"] = pt
+            yield pd.DataFrame(rows)
+
+    key_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema
+                           if f.name != content_col)
+    return df.mapInPandas(kernel, f"{key_schema}, page_number int, page_text string")

@@ -86,3 +86,20 @@ def test_generator_deterministic():
 def test_host_skew_present():
     hot = sum(1 for d in DOCS if "bighost" in d.url)
     assert 0.2 < hot / len(DOCS) < 0.45
+
+
+def test_page_split_reference_chain():
+    """kernels/pagesplit parity with llamaparse.py:137-222."""
+    from pdf_extractor_spark.kernels.pagesplit import split_pages
+
+    marked = "PAGE 1:\nfirst page text\nPAGE 2:\nsecond\nwith lines\nPAGE 10:\nlast"
+    assert split_pages(marked) == [
+        (1, "first page text"), (2, "second\nwith lines"), (10, "last"),
+    ]
+    rule = "alpha\n---\nbeta\n---\ngamma"
+    assert split_pages(rule) == [(1, "alpha"), (2, "beta"), (3, "gamma")]
+    assert split_pages("  just one page  ") == [(1, "just one page")]
+    assert split_pages("") == [(1, "")]
+    # markers win over rules (reference priority)
+    both = "PAGE 1:\na\n---\nb"
+    assert split_pages(both) == [(1, "a\n---\nb")]
