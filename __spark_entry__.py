@@ -202,6 +202,24 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inject two boilerplate sentences (one on every doc, one on evens),
+    then CCNet-style line-frequency dedup must strip exactly those and
+    reproduce the original text byte-identically."""
+    docs = _t(spark, sf_dir, "documents")
+    polluted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Subscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(". All rights reserved")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return dedup.line_frequency_dedup(polluted, max_df=50).orderBy("doc_id")
+
+
 def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize `PAGE n:`-marked content from each document (first 60
     chars = page 1, rest = page 2) and split it back through the reference
@@ -345,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q36_streaming_sessions"] = q_streaming_sessions
     q["q37_pipeline_metrics"] = q_pipeline_metrics
     q["q38_page_split"] = q_page_split
+    q["q39_line_freq_dedup"] = q_line_freq_dedup
+    q["q40_term_doc_freq"] = lambda s, d: text_analysis.term_doc_freq(
+        _t(s, d, "documents"), min_df=10, top_n=50)
     return q
 
 
@@ -708,5 +729,19 @@ def oracle_sql() -> dict[str, str]:
                    AS page_text
         FROM documents
         ORDER BY doc_id, page_number
+    """
+    # the injected boilerplate (df 500/250 > 50) is stripped; every natural
+    # sentence is rare (max df 2), so the cleaned text IS the original
+    o["q39_line_freq_dedup"] = """
+        SELECT doc_id, text AS clean_text FROM documents ORDER BY doc_id
+    """
+    o["q40_term_doc_freq"] = f"""
+        SELECT token, count(DISTINCT doc_id) AS df FROM (
+            SELECT doc_id, unnest(list_distinct(string_split({_NORM_SQL.format(c='text')},
+                                                             ' '))) AS token
+            FROM documents)
+        WHERE token <> '' GROUP BY token
+        HAVING count(DISTINCT doc_id) >= 10
+        ORDER BY df DESC, token LIMIT 50
     """
     return o

@@ -485,3 +485,51 @@ def embedding_neardup_pairs(
         .applyInPandas(block_pairs, "a long, b long, cos double")
         .orderBy("a", "b")
     )
+
+
+# ---------------------------------------------------------------------------
+# line/paragraph-frequency dedup (CCNet/C4-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
+                         joiner: str = ". ") -> DataFrame:
+    """Remove sentences/paragraphs whose exact hash occurs in more than
+    `max_df` distinct documents (the CCNet/C4 boilerplate-line rule: a line
+    repeated across many pages is chrome, not content).
+
+    Plan: posexplode(split) → md5 per line → doc-frequency aggregate (one
+    narrow shuffle on the 16-byte hash) → broadcast-able anti-join of lines
+    against the boilerplate set → order-preserving reassembly
+    (sort_array(collect_list(struct(pos, line)))). At 100 TB the df table is
+    tiny relative to the corpus (boilerplate is heavy-tailed), so the
+    anti-join broadcasts; reassembly shuffles on doc_id once.
+    """
+    sents = docs.select(
+        "doc_id", F.posexplode(F.split("text", sep, -1)).alias("pos", "sent")
+    ).withColumn("h", F.md5("sent"))
+    boiler = (
+        sents.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > max_df)
+        .select("h")
+    )
+    kept = sents.join(boiler, "h", "left_anti")
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+            ).alias("clean_text")
+        )
+    )
+    # docs whose every line was boilerplate drop out of the groupBy — restore
+    # them as empty strings so the output is total over the input
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )

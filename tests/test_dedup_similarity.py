@@ -166,3 +166,23 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, embs):
     exact = {(r["a"], r["b"]) for r in dedup.embedding_neardup_pairs(embs, 0.9).collect()}
     lsh = {(r["a"], r["b"]) for r in similarity.lsh_neardup_pairs(embs, 0.9, n_planes=4).collect()}
     assert lsh.issubset(exact)
+
+
+def test_line_frequency_dedup_strips_only_boilerplate(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha. Buy now. unique beta"),
+            (2, "other gamma. Buy now. other delta"),
+            (3, "third epsilon. Buy now"),
+            (4, "Buy now"),  # only boilerplate -> empty result
+        ],
+        DOCS_DDL,
+    )
+    out = {r["doc_id"]: r["clean_text"]
+           for r in dedup.line_frequency_dedup(docs, max_df=2).collect()}
+    assert out == {
+        1: "unique alpha. unique beta",
+        2: "other gamma. other delta",
+        3: "third epsilon",
+        4: "",
+    }
