@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q37_pipeline_metrics"] = q_pipeline_metrics
     q["q38_page_split"] = q_page_split
     q["q39_line_freq_dedup"] = q_line_freq_dedup
+    q["q41_normalize_quantize"] = lambda s, d: similarity.normalize_quantize(
+        _t(s, d, "embeddings")).orderBy("vec_id")
     q["q40_term_doc_freq"] = lambda s, d: text_analysis.term_doc_freq(
         _t(s, d, "documents"), min_df=10, top_n=50)
     return q
@@ -743,5 +745,16 @@ def oracle_sql() -> dict[str, str]:
         WHERE token <> '' GROUP BY token
         HAVING count(DISTINCT doc_id) >= 10
         ORDER BY df DESC, token LIMIT 50
+    """
+    o["q41_normalize_quantize"] = """
+        SELECT vec_id,
+               CASE WHEN nrm > 0
+                    THEN list_transform(e, x -> CAST(round(x / nrm * 127, 0) AS INT))
+                    ELSE list_transform(e, x -> 0) END AS qvec,
+               round(nrm, 6) AS norm
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
+                     sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+              FROM embeddings)
+        ORDER BY vec_id
     """
     return o

@@ -193,3 +193,27 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def normalize_quantize(embs: DataFrame, bits: int = 8) -> DataFrame:
+    """L2-normalize vectors and symmetric-quantize to signed ints — the
+    standard pre-index compression step for an embedding store (int8 cuts
+    the ANN working set 4× vs float32 with ~no recall loss).
+
+    q_i = round(x_i / ||x|| * (2^(bits-1) - 1)); JVM-side fold for the norm
+    and transform for the quantization — one scan, no shuffle, exactly
+    SQL-mirrorable for the oracle.
+    """
+    scale = float((1 << (bits - 1)) - 1)
+    v = F.col("embedding").cast("array<double>")
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    quant = F.transform(v, lambda x: F.round(x / nrm * scale, 0).cast("int"))
+    return embs.select(
+        "vec_id",
+        F.when(nrm > 0, quant).otherwise(
+            F.transform(v, lambda x: F.lit(0))
+        ).alias("qvec"),
+        F.round(nrm, 6).alias("norm"),
+    )
