@@ -33,25 +33,6 @@ def _norm(col):
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
-def _shingles(col, n: int = 3):
-    """Distinct word n-gram shingles of the normalized text (array<string>).
-
-    Texts with fewer than n tokens yield their full token string as the one
-    shingle (textstats.shingles twin).
-    """
-    toks = F.split(_norm(col), " ")
-    return F.when(
-        F.size(toks) < n, F.array(F.concat_ws(" ", toks))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-            )
-        )
-    )
-
-
 # ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
