@@ -198,17 +198,39 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Dat
 
 
 def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
-                size_cap_bytes: int = 20 * 1024 * 1024) -> DataFrame:
+                size_cap_bytes: int = 20 * 1024 * 1024,
+                oversize_bytes: int | None = None) -> DataFrame:
     """pages(url, warc_ts, html, ...) → extracted DataFrame (one row/page).
 
     - column pruning: only url/warc_ts/html reach the scan
     - size cap mirrors the reference 20 MB upload cap (main.py:386-392);
-      oversized rows are dropped here and should be routed to a dedicated
-      pass at scale (SURVEY.md §4 size-based binning)
+      rows over the cap are excluded (the pipeline layer quarantines them)
+    - optional size-based binning (SURVEY.md §4 skew row): with
+      `oversize_bytes` set, payloads above it run in a dedicated pass
+      partitioned on the url alone, so a handful of huge documents cannot
+      stall the main wave's partitions. This costs a second scan of the
+      source (the two bins cannot be partition-pruned apart), so it is OFF
+      by default: at the reference's 20 MB cap the worst single document is
+      ~8 s of kernel time — noise in a 1000-executor wave — and the salted
+      hash already spreads big documents uniformly. Turn it on when the cap
+      is raised to the 100 MB-1 GB book/manual tier, where one payload is
+      minutes of work and the straggler dominates wave latency.
     """
     src = pages.select("url", "warc_ts", "html").where(
         F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
     )
-    src = salted_repartition(src, num_partitions, salt)
-    src = src.withColumn("partition_id", F.spark_partition_id())
-    return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
+    if oversize_bytes is None:
+        src = salted_repartition(src, num_partitions, salt)
+        src = src.withColumn("partition_id", F.spark_partition_id())
+        return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
+
+    is_big = F.length("html") > oversize_bytes
+    normal = src.where(F.col("html").isNull() | ~is_big)
+    normal = salted_repartition(normal, num_partitions, salt)
+    normal = normal.withColumn("partition_id", F.spark_partition_id())
+    out = normal.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
+
+    big = src.where(F.col("html").isNotNull() & is_big)
+    big = big.repartition(num_partitions, F.col("url"))  # ~1 doc per task
+    big = big.withColumn("partition_id", F.spark_partition_id())
+    return out.unionByName(big.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA))

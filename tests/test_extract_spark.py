@@ -98,3 +98,57 @@ def test_partitioning_is_salted_hash(spark):
     # all partitions non-empty-ish (skew defused at this scale)
     sizes = a.groupBy("p").count().collect()
     assert len(sizes) >= 6
+
+
+def test_salted_repartition_defuses_host_skew(spark):
+    """The corpus deliberately gives two hot hosts ~30% of rows. Partitioning
+    by host would bottleneck two tasks; the url-granular salted hash must
+    keep the max/mean partition ratio near 1."""
+    from pdf_extractor_spark.operators.extract import salted_repartition
+    from pdf_extractor_spark.session import pages_df
+
+    df = pages_df(spark, 2000, seed=11)
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    hot_share = (
+        df.groupBy(host.alias("h")).count().orderBy(F.col("count").desc()).limit(2)
+        .agg(F.sum("count")).collect()[0][0]
+    ) / 2000
+    assert hot_share > 0.2  # the skew actually exists in the corpus
+
+    by_host = df.repartition(16, host).groupBy(F.spark_partition_id()).count()
+    salted = salted_repartition(df, 16, salt=5).groupBy(F.spark_partition_id()).count()
+
+    def imbalance(rows):
+        counts = [r["count"] for r in rows.collect()]
+        return max(counts) / (sum(counts) / 16)
+
+    assert imbalance(salted) < 1.35           # near-uniform
+    assert imbalance(salted) < imbalance(by_host)  # strictly better than host keys
+
+
+def test_oversized_payloads_routed_not_dropped(spark):
+    """Payloads over oversize_bytes go through the dedicated big-bin pass and
+    still produce output; payloads over the 20 MB cap are excluded."""
+    import pandas as pd
+
+    from pdf_extractor_spark.corpus import _wrap  # noqa: F401  (html builder)
+    from pdf_extractor_spark.operators.extract import run_extract
+
+    big_body = ("<p>" + "big payload text. " * 50 + "</p>")
+    huge = b"<html><body>" + big_body.encode() * 80 + b"</body></html>"
+    rows = pd.DataFrame(
+        {
+            "url": ["u://small", "u://big", "u://overcap"],
+            "warc_ts": pd.Timestamp("2024-01-01", tz="UTC"),
+            "html": [
+                b"<html><body><p>small doc</p></body></html>",
+                huge,
+                b"x" * (len(huge) + 100),
+            ],
+        }
+    )
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = run_extract(df, num_partitions=4, oversize_bytes=1000,
+                      size_cap_bytes=len(huge) + 10)
+    urls = {r["url"] for r in out.select("url").collect()}
+    assert urls == {"u://small", "u://big"}  # big extracted, overcap excluded
