@@ -113,21 +113,22 @@ class _BlockParser(HTMLParser):
 
     # -- block buffer handling -------------------------------------------
     def _flush(self, kind: str | None = None, level: int | None = None) -> None:
-        text = _norm("".join(self._buf))
-        if text:
-            self.blocks.append(
-                Block(
-                    kind=kind if kind is not None else self._pending_kind,
-                    text=text,
-                    level=level if level is not None else self._pending_level,
-                    link_chars=self._buf_link,
-                    total_chars=self._buf_total,
-                    boiler_depth=self._boiler,
+        if self._buf:  # counts are only ever nonzero when the buffer is
+            text = _norm("".join(self._buf))
+            if text:
+                self.blocks.append(
+                    Block(
+                        kind=kind if kind is not None else self._pending_kind,
+                        text=text,
+                        level=level if level is not None else self._pending_level,
+                        link_chars=self._buf_link,
+                        total_chars=self._buf_total,
+                        boiler_depth=self._boiler,
+                    )
                 )
-            )
-        self._buf = []
-        self._buf_link = 0
-        self._buf_total = 0
+            self._buf = []
+            self._buf_link = 0
+            self._buf_total = 0
         self._pending_kind = "text"
         self._pending_level = 0
 
@@ -207,7 +208,7 @@ class _BlockParser(HTMLParser):
                 self._cell.append(data)
             return
         self._buf.append(data)
-        n = len(_norm(data))
+        n = 0 if data.isspace() else len(_norm(data))
         self._buf_total += n
         if self._a_depth:
             self._buf_link += n
@@ -217,10 +218,87 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# -- fast tokenizer ----------------------------------------------------------
+# The block builder consumes only three events (starttag name, endtag name,
+# text between tags — attributes are never read), so the stdlib HTMLParser's
+# full spec machinery (~80% of kernel CPU in profiling) is overkill for
+# well-formed pages. This scanner handles exactly the verified subset —
+# plain tags, self-closing tags, comments, doctype/PI, script/style rawtext,
+# entity-free text — and returns False on the FIRST construct outside it
+# (stray '<', charrefs, attribute soup), in which case the caller reruns the
+# whole document through HTMLParser. Event-for-event identical on the fast
+# path (verified differentially against HTMLParser over the entire corpus,
+# tests/test_kernels_golden.py), so extraction output is byte-identical.
+
+_FAST_TAG_RE = re.compile(
+    r"<(?:"
+    r"(?P<end>/)\s*(?P<ename>[a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)"
+    r"(?P<attrs>(?:\s+[^<>\"']*|\"[^\"]*\"|'[^']*')*)\s*(?P<selfclose>/?)>"
+    r"|!--(?P<comment>.*?)--\s*>"
+    r"|(?P<decl>![^>]*)>"
+    r"|(?P<pi>\?[^>]*)>"
+    r")",
+    re.S,
+)
+_RAWTEXT = ("script", "style")
+
+
+def _feed_fast(html: str, p: "_BlockParser") -> bool:
+    """Emit HTMLParser-identical events via regex scanning; False = bail."""
+    pos = 0
+    n = len(html)
+    find = html.find
+    match = _FAST_TAG_RE.match
+    while pos < n:
+        lt = find("<", pos)
+        if lt == -1:
+            text = html[pos:]
+            if text:
+                if "&" in text:
+                    return False
+                p.handle_data(text)
+            break
+        if lt > pos:
+            text = html[pos:lt]
+            if "&" in text:
+                return False
+            p.handle_data(text)
+        m = match(html, lt)
+        if m is None:
+            return False  # stray '<' — HTMLParser has subtle data rules here
+        _end, ename, name, _attrs, selfclose, _c, _d, _pi = m.groups()
+        if ename:
+            p.handle_endtag(ename.lower())
+        elif name:
+            tag = name.lower()
+            p.handle_starttag(tag, [])
+            if selfclose:
+                p.handle_endtag(tag)
+            elif tag in _RAWTEXT:
+                close = html.lower().find(f"</{tag}", m.end())
+                if close == -1:
+                    return False
+                gt = find(">", close)
+                if gt == -1:
+                    return False
+                raw = html[m.end():close]
+                if raw:
+                    p.handle_data(raw)  # rawtext: no charref conversion
+                p.handle_endtag(tag)
+                pos = gt + 1
+                continue
+        # comments / doctype / processing instructions: no builder events
+        pos = m.end()
+    return True
+
+
 def parse_blocks(html: str) -> list[Block]:
     """Parse HTML into classified blocks (content and boilerplate alike)."""
     p = _BlockParser()
-    p.feed(html)
+    if not _feed_fast(html, p):
+        p = _BlockParser()
+        p.feed(html)
     p.close()
     return p.blocks
 

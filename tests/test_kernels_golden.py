@@ -103,3 +103,43 @@ def test_page_split_reference_chain():
     # markers win over rules (reference priority)
     both = "PAGE 1:\na\n---\nb"
     assert split_pages(both) == [(1, "a\n---\nb")]
+
+
+def test_fast_tokenizer_event_parity_with_stdlib():
+    """The fast regex tokenizer must produce block-for-block identical output
+    to the stdlib HTMLParser on every corpus family it claims (it bails to
+    stdlib otherwise), including link/char counts and boiler depths."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    docs = corpus.generate_chunk(0, 1500, seed=42) + corpus.generate_chunk(
+        900000, 500, seed=7
+    )
+    n_fast = 0
+    for d in docs:
+        if d.html.startswith(b"%PDF"):
+            continue
+        html = d.html.decode("utf-8", errors="replace")
+        fast = hk._BlockParser()
+        used_fast = hk._feed_fast(html, fast)
+        fast.close()
+        std = hk._BlockParser()
+        std.feed(html)
+        std.close()
+        if used_fast:
+            n_fast += 1
+            key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                             b.total_chars, b.boiler_depth)
+            assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks], d.url
+    assert n_fast > 1000  # the fast path actually covers the corpus
+
+
+def test_fast_tokenizer_bails_on_entities_and_stray_lt():
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    for payload in ("<p>a &amp; b</p>", "<p>1 < 2</p>", "<p>tail &copy;"):
+        p = hk._BlockParser()
+        assert hk._feed_fast(payload, p) is False
+    # and parse_blocks still handles them via the stdlib fallback
+    blocks = hk.parse_blocks("<p>a &amp; b</p>")
+    assert [b.text for b in blocks] == ["a & b"]
