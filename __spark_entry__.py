@@ -237,6 +237,39 @@ def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_marked_pages(marked).orderBy("doc_id", "page_number")
 
 
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One fake video per document (n_frames = 4 + n_chars % 20, fps 10),
+    sampled every 5th frame. Frame indices/timestamps are pure arithmetic on
+    n_chars, so the SQL oracle checks the 1→N explode shape exactly; payload
+    bytes are validated separately in unit tests."""
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def gen(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"].astype("int64"),
+                    "kind": "video",
+                    "payload": [
+                        mm.encode_fake_video(int(d), 4 + int(n) % 20)
+                        for d, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                    "meta": [{} for _ in range(len(pdf))],
+                }
+            )
+
+    videos = docs.select("doc_id", "n_chars").mapInPandas(gen, mm.MEDIA_DDL)
+    return (
+        mm.sample_frames(videos, every_n=5)
+        .select("media_id", "frame_index", "frame_ts_ms")
+        .orderBy("media_id", "frame_index")
+    )
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ExtractionJob (waves, lineage, metrics, quarantine, snapshot
     commits) over pages synthesized from the documents table; returns the
@@ -366,6 +399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q39_line_freq_dedup"] = q_line_freq_dedup
     q["q41_normalize_quantize"] = lambda s, d: similarity.normalize_quantize(
         _t(s, d, "embeddings")).orderBy("vec_id")
+    q["q42_video_frame_sample"] = q_video_frame_sample
     q["q40_term_doc_freq"] = lambda s, d: text_analysis.term_doc_freq(
         _t(s, d, "documents"), min_df=10, top_n=50)
     return q
@@ -745,6 +779,12 @@ def oracle_sql() -> dict[str, str]:
         WHERE token <> '' GROUP BY token
         HAVING count(DISTINCT doc_id) >= 10
         ORDER BY df DESC, token LIMIT 50
+    """
+    o["q42_video_frame_sample"] = """
+        SELECT doc_id AS media_id, i AS frame_index, (i * 100)::BIGINT AS frame_ts_ms
+        FROM (SELECT doc_id, unnest(range(0, 4 + n_chars % 20))::INT AS i
+              FROM documents)
+        WHERE i % 5 = 0 ORDER BY media_id, frame_index
     """
     o["q41_normalize_quantize"] = """
         SELECT vec_id,

@@ -187,6 +187,50 @@ def minhash_signatures_from_shingles(sh_df: DataFrame, num_perm: int = 64) -> Da
     return sh_df.mapInPandas(kernel, "doc_id long, sig array<long>")
 
 
+def minhash_banded_from_shingles(
+    sh_df: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """(doc_id, band, band_sig) exploded LSH band rows, straight from the
+    kernel — fusing signature generation and banding avoids a second
+    interpreted pass (slice+concat per band per row) over the signatures."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import MINHASH_P, minhash_perm_params
+
+    rows = num_perm // bands
+    params = minhash_perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+
+        def shash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            doc_ids, band_ids, band_sigs = [], [], []
+            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
+                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
+                sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
+                for b in range(bands):
+                    doc_ids.append(doc_id)
+                    band_ids.append(b)
+                    band_sigs.append(",".join(map(str, sig[b * rows:(b + 1) * rows])))
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "band": band_ids, "band_sig": band_sigs}
+            )
+
+    return sh_df.mapInPandas(kernel, "doc_id long, band int, band_sig string")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 64,
@@ -197,11 +241,10 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard (so output is exact given candidate recall).
 
-    Plan: scan→signatures (no shuffle) → explode bands → shuffle on
-    (band, band_sig) → within-bucket self-join → distinct candidate pairs →
-    exact-Jaccard verify via shingle join.
+    Plan: scan→shingles (kernel) → fused signature+banding kernel →
+    shuffle on (band, band_sig) → within-bucket self-join → distinct
+    candidate pairs → exact-Jaccard verify via shingle join.
     """
-    rows = num_perm // bands
     # One shingling pass feeds BOTH signature generation and the exact
     # verify; both it and the banded signatures are persisted because each
     # is consumed twice (self-join sides / a+b verify joins) and Arrow
@@ -209,18 +252,7 @@ def minhash_lsh_pairs(
     # (id + shingles / id + band hashes); at production scale these would
     # be checkpointed to a lineage-tracked table instead of executor cache.
     sh = shingle_arrays(docs, n).persist()
-    sigs = minhash_signatures_from_shingles(sh, num_perm)
-    banded = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.concat_ws(",", F.transform(
-                    F.slice(F.col("sig"), b * rows + 1, rows), lambda x: x.cast("string")
-                )),
-            )
-        ).alias("band", "band_sig"),
-    ).persist()
+    banded = minhash_banded_from_shingles(sh, num_perm, bands).persist()
     left = banded.alias("l")
     right = banded.alias("r")
     cand = (

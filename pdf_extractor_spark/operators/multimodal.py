@@ -145,3 +145,109 @@ def fake_media_table(spark, documents: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return documents.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_DDL)
+
+
+# -- video / audio plumbing ---------------------------------------------------
+# Same stub discipline: self-describing fake containers exercise the real
+# Spark shapes (one row in → N frame rows out; waveform → fixed feature
+# vector); a real cluster swaps the parser for ffmpeg/soundfile.
+
+VID_MAGIC = b"VID1"
+AUD_MAGIC = b"AUD1"
+FRAMES_DDL = (
+    "media_id long, frame_index int, frame_ts_ms long, payload binary, error string"
+)
+AUDIO_FEATURES_DDL = (
+    "media_id long, n_samples int, sample_rate int, rms double, "
+    "zero_crossings int, error string"
+)
+
+
+def encode_fake_video(media_id: int, n_frames: int, width: int = 8, height: int = 8,
+                      fps: int = 10) -> bytes:
+    """header + n_frames fake image frames, each seeded by (media_id, idx)."""
+    frames = b"".join(
+        encode_fake_image(media_id * 1000 + i, width, height) for i in range(n_frames)
+    )
+    return VID_MAGIC + struct.pack("<HHB", n_frames, fps, 0) + frames
+
+
+def encode_fake_audio(media_id: int, n_samples: int, sample_rate: int = 16000) -> bytes:
+    rng = np.random.default_rng(media_id)
+    pcm = (rng.normal(0, 3000, size=n_samples)).astype(np.int16)
+    return AUD_MAGIC + struct.pack("<IH", n_samples, sample_rate) + pcm.tobytes()
+
+
+def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
+    """Video frame sampling: one input row → one output row per kept frame
+    (the 1→N explode shape a real frame sampler has). STUB decode: parses
+    the fake container; raises NotImplementedError for real containers."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "frame_index": [], "frame_ts_ms": [],
+                   "payload": [], "error": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != VID_MAGIC:
+                        raise NotImplementedError(
+                            "real video decode requires ffmpeg (not installed)"
+                        )
+                    n_frames, fps, _ = struct.unpack("<HHB", raw[4:9])
+                    pos = 9
+                    for i in range(n_frames):
+                        w, h, c = struct.unpack("<HHB", raw[pos + 4 : pos + 9])
+                        flen = 9 + w * h * c
+                        if i % every_n == 0:
+                            out["media_id"].append(mid)
+                            out["frame_index"].append(i)
+                            out["frame_ts_ms"].append(int(i * 1000 / fps))
+                            out["payload"].append(raw[pos : pos + flen])
+                            out["error"].append(None)
+                        pos += flen
+                except Exception as exc:
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(None)
+                    out["frame_ts_ms"].append(None)
+                    out["payload"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, FRAMES_DDL)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Waveform → fixed feature row (RMS + zero crossings). STUB decode of
+    the fake PCM container; numpy does the real math."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "n_samples": [], "sample_rate": [],
+                   "rms": [], "zero_crossings": [], "error": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    raw = bytes(payload)
+                    if raw[:4] != AUD_MAGIC:
+                        raise NotImplementedError(
+                            "real audio decode requires a codec (not installed)"
+                        )
+                    n, sr = struct.unpack("<IH", raw[4:10])
+                    pcm = np.frombuffer(raw[10 : 10 + 2 * n], dtype=np.int16)
+                    x = pcm.astype(np.float64)
+                    out["media_id"].append(mid)
+                    out["n_samples"].append(int(n))
+                    out["sample_rate"].append(int(sr))
+                    out["rms"].append(float(np.sqrt((x * x).mean())) if n else 0.0)
+                    out["zero_crossings"].append(int((np.diff(np.sign(x)) != 0).sum()))
+                    out["error"].append(None)
+                except Exception as exc:
+                    out["media_id"].append(mid)
+                    out["n_samples"].append(None)
+                    out["sample_rate"].append(None)
+                    out["rms"].append(None)
+                    out["zero_crossings"].append(None)
+                    out["error"].append(f"{type(exc).__name__}: {exc}")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, AUDIO_FEATURES_DDL)

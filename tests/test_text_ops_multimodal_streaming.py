@@ -147,3 +147,33 @@ def test_streaming_dedup_drops_repeats(spark, tmp_path):
     )
     got = sorted(r["event_id"] for r in out.collect())
     assert got == list(range(20))
+
+
+def test_video_frame_sampling_shape(spark):
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    rows = [(1, "video", mm.encode_fake_video(1, 12), {}),
+            (2, "video", b"\x00\x00\x00\x01ftyp", {})]  # real-ish mp4 -> error row
+    df = spark.createDataFrame(rows, mm.MEDIA_DDL)
+    out = mm.sample_frames(df, every_n=5).collect()
+    ok = [r for r in out if r["error"] is None]
+    assert [(r["media_id"], r["frame_index"], r["frame_ts_ms"]) for r in ok] == [
+        (1, 0, 0), (1, 5, 500), (1, 10, 1000),
+    ]
+    errs = [r for r in out if r["error"] is not None]
+    assert len(errs) == 1 and "NotImplementedError" in errs[0]["error"]
+    # sampled frames are themselves decodable images
+    from pdf_extractor_spark.operators.multimodal import _decode_image
+    assert _decode_image(bytes(ok[0]["payload"])).shape == (8, 8, 3)
+
+
+def test_audio_features_shape(spark):
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    rows = [(1, "audio", mm.encode_fake_audio(1, 4000), {}),
+            (2, "audio", b"RIFF....WAVE", {})]
+    df = spark.createDataFrame(rows, mm.MEDIA_DDL)
+    out = {r["media_id"]: r for r in mm.audio_features(df).collect()}
+    assert out[1]["n_samples"] == 4000 and out[1]["sample_rate"] == 16000
+    assert out[1]["rms"] > 0 and out[1]["zero_crossings"] > 0
+    assert out[2]["error"] is not None and "NotImplementedError" in out[2]["error"]
