@@ -371,6 +371,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)  # approx: no oracle
     q["q24_lsh_cosine_pairs"] = lambda s, d: similarity.lsh_neardup_pairs(
         _t(s, d, "embeddings"), threshold=0.35)  # approx: no oracle
+    q["q43_ann_ivf_trained"] = lambda s, d: similarity.ivf_topk_trained(
+        _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
+        train_iters=2)  # iterative k-means: rows-only by design
 
     # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
     q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))

@@ -186,3 +186,23 @@ def test_line_frequency_dedup_strips_only_boilerplate(spark):
         3: "third epsilon",
         4: "",
     }
+
+
+def test_kmeans_ivf_recall_not_worse_than_seed_ivf(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    # two tight clusters + noise: trained centroids should separate them
+    a = rng.normal(0, 0.05, size=(15, 16)) + np.array([1.0] + [0.0] * 15)
+    b = rng.normal(0, 0.05, size=(15, 16)) + np.array([0.0, 1.0] + [0.0] * 14)
+    c = rng.normal(size=(10, 16))
+    base = np.vstack([a, b, c])
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    embs = spark.createDataFrame(rows, EMB_DDL)
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.brute_force_topk(embs, [0, 15], k=5).collect()}
+    trained = {(r["query_id"], r["neighbor_id"])
+               for r in similarity.ivf_topk_trained(
+                   embs, [0, 15], k=5, n_cells=4, n_probe=1, train_iters=3).collect()}
+    recall = len(brute & trained) / len(brute)
+    assert recall >= 0.8  # single-probe with trained centroids on separable data
