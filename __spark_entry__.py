@@ -270,6 +270,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed C4-style cleaning pipeline over the dup-injected,
+    boilerplate-polluted corpus: line-frequency strip → quality/length gate
+    → exact dedup → per-language survivor counts."""
+    from pdf_extractor_spark.operators.text_analysis import c4_style_pipeline
+
+    docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
+    polluted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Subscribe to our newsletter today"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit(". All rights reserved")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+        "lang",
+    )
+    return c4_style_pipeline(polluted, min_tokens=20, min_quality=0.5)
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ExtractionJob (waves, lineage, metrics, quarantine, snapshot
     commits) over pages synthesized from the documents table; returns the
@@ -374,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q43_ann_ivf_trained"] = lambda s, d: similarity.ivf_topk_trained(
         _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
         train_iters=2)  # iterative k-means: rows-only by design
+    q["q44_stratified_split"] = lambda s, d: text_analysis.stratified_split(
+        _t(s, d, "documents")).select("doc_id", "lang", "split").orderBy("doc_id")
+    q["q45_c4_pipeline"] = q_c4_pipeline
 
     # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
     q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))
@@ -443,6 +467,34 @@ def _simhash_groups_flat(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _quality_sql(table: str) -> str:
+    """q13-style quality scoring over any table with (doc_id, text)."""
+    norm = _NORM_SQL.format(c="text")
+    sw_small = ", ".join(f"'{w}'" for w in EN_STOPWORDS_SMALL)
+    return f"""
+        SELECT doc_id, ws_tokens, round(punct_ratio, 6) AS punct_ratio,
+               round(stop_ratio, 6) AS stop_ratio,
+               round(0.5 * least(ws_tokens, 100) / 100.0
+                     + 0.3 * (1.0 - punct_ratio)
+                     + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
+        FROM (
+            SELECT doc_id, ws_tokens,
+                   CASE WHEN len(squeezed) > 0
+                        THEN len(regexp_replace(squeezed, '[\\w]', '', 'g'))::DOUBLE
+                             / len(squeezed) ELSE 0.0 END AS punct_ratio,
+                   CASE WHEN ws_tokens > 0
+                        THEN len(list_filter(toks, x -> list_contains([{sw_small}], x)))::DOUBLE
+                             / ws_tokens ELSE 0.0 END AS stop_ratio
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN {norm} = '' THEN 0
+                            ELSE len(string_split({norm}, ' ')) END AS ws_tokens,
+                       regexp_replace(text, '\\s+', '', 'g') AS squeezed,
+                       string_split({norm}, ' ') AS toks
+                FROM {table}))
+    """
+
 
 def _lang_id_sql() -> str:
     score_cols = []
@@ -586,31 +638,7 @@ def oracle_sql() -> dict[str, str]:
                len(text) AS chars
         FROM documents ORDER BY doc_id
     """
-    sw_small = ", ".join(f"'{w}'" for w in EN_STOPWORDS_SMALL)
-    o["q13_quality_scores"] = f"""
-        WITH t AS (
-            SELECT doc_id,
-                   CASE WHEN {norm} = '' THEN 0
-                        ELSE len(string_split({norm}, ' ')) END AS ws_tokens,
-                   regexp_replace(text, '\\s+', '', 'g') AS squeezed,
-                   string_split({norm}, ' ') AS toks
-            FROM documents),
-        r AS (
-            SELECT doc_id, ws_tokens,
-                   CASE WHEN len(squeezed) > 0
-                        THEN len(regexp_replace(squeezed, '[\\w]', '', 'g'))::DOUBLE
-                             / len(squeezed) ELSE 0.0 END AS punct_ratio,
-                   CASE WHEN ws_tokens > 0
-                        THEN len(list_filter(toks, x -> list_contains([{sw_small}], x)))::DOUBLE
-                             / ws_tokens ELSE 0.0 END AS stop_ratio
-            FROM t)
-        SELECT doc_id, ws_tokens, round(punct_ratio, 6) AS punct_ratio,
-               round(stop_ratio, 6) AS stop_ratio,
-               round(0.5 * least(ws_tokens, 100) / 100.0
-                     + 0.3 * (1.0 - punct_ratio)
-                     + 0.2 * least(stop_ratio * 5.0, 1.0), 6) AS quality
-        FROM r ORDER BY doc_id
-    """
+    o["q13_quality_scores"] = _quality_sql("documents") + " ORDER BY doc_id"
     o["q14_fingerprints"] = f"""
         SELECT doc_id, md5({norm}) AS fp FROM documents ORDER BY doc_id
     """
@@ -788,6 +816,28 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(range(0, 4 + n_chars % 20))::INT AS i
               FROM documents)
         WHERE i % 5 = 0 ORDER BY media_id, frame_index
+    """
+    o["q44_stratified_split"] = """
+        SELECT doc_id, lang,
+               CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents ORDER BY doc_id
+    """
+    # cleaned text == original (injected boilerplate df 1100/550 > 50 is
+    # stripped; every natural sentence has df <= 3 across the dup copies)
+    o["q45_c4_pipeline"] = f"""
+        WITH docs_dups AS ({_DOCS_DUPS_SQL}),
+        q AS ({_quality_sql("docs_dups")}),
+        gated AS (
+            SELECT d.doc_id, d.lang, d.text
+            FROM docs_dups d JOIN q ON d.doc_id = q.doc_id
+            WHERE q.ws_tokens >= 20 AND q.quality >= 0.5),
+        keep AS (
+            SELECT min(doc_id) AS doc_id FROM gated
+            GROUP BY md5({_NORM_SQL.format(c='text')}))
+        SELECT lang, count(*) AS survivors FROM gated
+        WHERE doc_id IN (SELECT doc_id FROM keep)
+        GROUP BY lang ORDER BY lang
     """
     o["q41_normalize_quantize"] = """
         SELECT vec_id,

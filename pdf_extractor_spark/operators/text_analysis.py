@@ -224,3 +224,49 @@ def term_doc_freq(docs: DataFrame, min_df: int = 10, top_n: int = 50) -> DataFra
         .orderBy(F.col("df").desc(), F.col("token"))
         .limit(top_n)
     )
+
+
+def stratified_split(docs: DataFrame, train_pct: int = 90) -> DataFrame:
+    """Deterministic train/val assignment by content-independent key hash:
+    split = 'train' iff md5(doc_id) mod 100 < train_pct. Hash-based (not
+    random) so the split is reproducible, stable under re-runs, and
+    consistent across tables keyed by the same id — the standard
+    training-data discipline. Narrow projection, no shuffle."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    return docs.withColumn(
+        "split", F.when(bucket < train_pct, "train").otherwise("val")
+    )
+
+
+def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float = 0.5,
+                      boiler_max_df: int = 50) -> DataFrame:
+    """The classic web-corpus cleaning pipeline in one composed plan:
+    line-frequency boilerplate removal → quality/length gate → exact dedup
+    (keep min doc_id per normalized-text group) → per-language survivor
+    counts. Each stage is one of this engine's operators; the composition
+    stays lazy so Catalyst pipelines the narrow stages between the three
+    unavoidable shuffles (line-df aggregate, dedup group, final rollup)."""
+    from pdf_extractor_spark.operators.dedup import line_frequency_dedup
+
+    cleaned = line_frequency_dedup(docs, max_df=boiler_max_df).withColumnRenamed(
+        "clean_text", "text"
+    )
+    cleaned = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    q = quality_scores(cleaned).select("doc_id", "ws_tokens", "quality")
+    gated = (
+        cleaned.join(q, "doc_id")
+        .where((F.col("ws_tokens") >= min_tokens) & (F.col("quality") >= min_quality))
+    )
+    fp = F.md5(_norm(F.col("text"))).alias("fp")
+    ranked = gated.select("doc_id", fp)
+    keep = ranked.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    survivors = gated.join(keep, "doc_id", "left_semi")
+    return (
+        survivors.groupBy("lang")
+        .agg(F.count("*").alias("survivors"))
+        .orderBy("lang")
+    )
