@@ -107,10 +107,11 @@ class SnapshotTable:
         return spark.read.parquet(*m["data_dirs"])
 
     def expire_orphans(self) -> int:
-        """Drop data dirs unreachable from the current snapshot chain."""
+        """Drop data dirs unreachable from ANY retained manifest (keeps
+        time travel working for every snapshot that still has a manifest;
+        run expire_snapshots first to shrink that set)."""
         live: set[str] = set()
-        m = self.current_manifest()
-        if m:
+        for m in self.snapshots():
             live.update(m["data_dirs"])
         removed = 0
         for name in os.listdir(self.data_dir):
@@ -118,4 +119,48 @@ class SnapshotTable:
             if p not in live:
                 shutil.rmtree(p, ignore_errors=True)
                 removed += 1
+        return removed
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
+        """Rewrite the current snapshot's data dirs into one (Iceberg
+        rewrite_data_files analogue): a long-running append-heavy table
+        accumulates one dir per commit; readers then open every dir's
+        footers. Compaction is itself a normal atomic commit, so concurrent
+        readers keep a consistent view and time travel to pre-compaction
+        snapshots still works until they are expired."""
+        m = self.current_manifest()
+        if m is None or len(m["data_dirs"]) <= 1:
+            return None
+        df = spark.read.parquet(*m["data_dirs"])
+        if target_partitions:
+            df = df.coalesce(target_partitions)
+        return self._commit(
+            df, "compact", {"compacted_dirs": len(m["data_dirs"])}
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop the oldest manifests beyond `keep_last` (the CURRENT one is
+        always retained), then remove newly-orphaned data dirs. Bounds
+        metadata + storage growth — the Iceberg expire_snapshots analogue."""
+        cur = self._current_id()
+        names = sorted(
+            n for n in os.listdir(self.snap_dir)
+            if n.endswith(".json") and n[:-5] != cur
+        )
+        # manifest filenames are uuid-random; age-order via parent chaining
+        chain: list[str] = []
+        by_id = {m["snapshot_id"]: m for m in self.snapshots()}
+        sid = cur
+        while sid is not None and sid in by_id:
+            chain.append(sid)
+            sid = by_id[sid].get("parent_id")
+        keep = set(chain[:max(keep_last, 1)])
+        removed = 0
+        for name in names:
+            sid = name[:-5]
+            if sid not in keep:
+                os.remove(os.path.join(self.snap_dir, name))
+                removed += 1
+        self.expire_orphans()
         return removed

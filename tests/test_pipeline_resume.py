@@ -115,3 +115,28 @@ def test_snapshot_time_travel(spark, tmp_path):
     job.run(pages)
     assert job.read_extracted().count() > n_first
     assert job.extracted.read_snapshot(spark, first).count() == n_first
+
+
+def test_compact_and_expire_snapshots(spark, tmp_path):
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    for i in range(4):
+        t.append(spark.range(i * 10, i * 10 + 10).toDF("id"))
+    m = t.current_manifest()
+    assert len(m["data_dirs"]) == 4
+
+    pre_compact_id = m["snapshot_id"]
+    sid = t.compact(spark, target_partitions=1)
+    assert sid is not None
+    m2 = t.current_manifest()
+    assert len(m2["data_dirs"]) == 1 and m2["op"] == "compact"
+    # table contents unchanged; time travel to pre-compaction still works
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(40))
+    assert t.read_snapshot(spark, pre_compact_id).count() == 40
+
+    removed = t.expire_snapshots(keep_last=1)
+    assert removed >= 4  # all pre-compaction manifests dropped
+    assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(40))
+    import os
+    assert len(os.listdir(t.data_dir)) == 1  # orphaned commit dirs removed
