@@ -270,6 +270,27 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference (doc × extractor) fan-out view: explode the single-pass
+    kernel's channels. On the wrapped article corpus the non-empty channels
+    are exactly text/combined/markdown, each equal to the normalized doc
+    text — closed-form for the oracle."""
+    from pdf_extractor_spark.operators.extract import fanout_channels, run_extract
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = _pages_from_documents(docs)
+    out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=8, salt=4)
+    return (
+        fanout_channels(out)
+        .select(
+            F.regexp_replace(F.col("url"), "doc://", "").cast("long").alias("doc_id"),
+            "channel",
+            "content",
+        )
+        .orderBy("doc_id", "channel")
+    )
+
+
 def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4-style cleaning pipeline over the dup-injected,
     boilerplate-polluted corpus: line-frequency strip → quality/length gate
@@ -395,6 +416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q43_ann_ivf_trained"] = lambda s, d: similarity.ivf_topk_trained(
         _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
         train_iters=2)  # iterative k-means: rows-only by design
+    q["q46_channel_fanout"] = q_channel_fanout
     q["q44_stratified_split"] = lambda s, d: text_analysis.stratified_split(
         _t(s, d, "documents")).select("doc_id", "lang", "split").orderBy("doc_id")
     q["q45_c4_pipeline"] = q_c4_pipeline
@@ -816,6 +838,11 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(range(0, 4 + n_chars % 20))::INT AS i
               FROM documents)
         WHERE i % 5 = 0 ORDER BY media_id, frame_index
+    """
+    o["q46_channel_fanout"] = f"""
+        SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,
+               {norm} AS content
+        FROM documents ORDER BY doc_id, channel
     """
     o["q44_stratified_split"] = """
         SELECT doc_id, lang,

@@ -234,3 +234,24 @@ def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
     big = big.repartition(num_partitions, F.col("url"))  # ~1 doc per task
     big = big.withColumn("partition_id", F.spark_partition_id())
     return out.unionByName(big.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA))
+
+
+def fanout_channels(extracted: DataFrame) -> DataFrame:
+    """Reference fan-out parity (one job row per doc × extractor,
+    main.py:110-137): every reference extractor's output is one channel of
+    the single-pass kernel (SURVEY.md §2a mapping), so the multi-extractor
+    view is a per-channel explode of the extracted table — no second
+    extraction pass. Empty channels are dropped (a reference job with no
+    meaningful content fails rather than persisting, tasks.py:228-249)."""
+    pairs = F.array(
+        *[
+            F.struct(F.lit(c).alias("channel"), F.col(c).alias("content"))
+            for c in ("text", "combined", "table", "markdown", "titles")
+        ]
+    )
+    return (
+        extracted.select("url", "page_number", F.explode(pairs).alias("x"))
+        .select("url", "page_number", F.col("x.channel").alias("channel"),
+                F.col("x.content").alias("content"))
+        .where(F.col("content") != "")
+    )
