@@ -35,24 +35,28 @@ def _parse_objects(data: bytes) -> dict[int, bytes]:
 
 
 def _dict_of(body: bytes) -> bytes:
-    """The first << ... >> dictionary in an object body (balanced)."""
+    """The first << ... >> dictionary in an object body (balanced).
+
+    Jumps between delimiter occurrences with bytes.find instead of stepping
+    bytes (C-speed scan between delimiters; same balanced semantics)."""
     start = body.find(b"<<")
     if start < 0:
         return b""
-    depth = 0
-    i = start
-    while i < len(body) - 1:
-        if body[i : i + 2] == b"<<":
+    depth = 1
+    i = start + 2
+    while True:
+        op = body.find(b"<<", i)
+        cl = body.find(b">>", i)
+        if cl < 0:
+            return body[start:]
+        if 0 <= op < cl:
             depth += 1
-            i += 2
-        elif body[i : i + 2] == b">>":
+            i = op + 2
+        else:
             depth -= 1
-            i += 2
+            i = cl + 2
             if depth == 0:
                 return body[start:i]
-        else:
-            i += 1
-    return body[start:]
 
 
 def _content_refs(page_body: bytes) -> list[int]:
