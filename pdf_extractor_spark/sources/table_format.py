@@ -121,6 +121,40 @@ class SnapshotTable:
                 removed += 1
         return removed
 
+    def read_incremental(self, spark: SparkSession, since_snapshot: str) -> DataFrame | None:
+        """Rows appended strictly AFTER `since_snapshot` (Iceberg
+        incremental-scan analogue): the data dirs on the parent chain from
+        CURRENT down to — excluding — the given snapshot. Drives downstream
+        incremental consumers (e.g. re-running dedup only over new docs)
+        without a full rescan. Raises if the chain was broken by an
+        overwrite/compact commit in between (incremental semantics are
+        append-only, same restriction as Iceberg)."""
+        cur = self.current_manifest()
+        if cur is None:
+            return None
+        if cur["snapshot_id"] == since_snapshot:
+            return spark.createDataFrame([], spark.read.parquet(cur["data_dirs"][0]).schema)
+        by_id = {m["snapshot_id"]: m for m in self.snapshots()}
+        new_dirs: list[str] = []
+        m = cur
+        while m is not None and m["snapshot_id"] != since_snapshot:
+            if m["op"] not in ("append",) and m["snapshot_id"] != cur["snapshot_id"]:
+                raise ValueError(
+                    f"non-append commit {m['snapshot_id']} ({m['op']}) between "
+                    f"{since_snapshot} and CURRENT — incremental read undefined"
+                )
+            if m["op"] == "append":
+                new_dirs.append(m["data_dirs"][-1])
+            elif m["snapshot_id"] == cur["snapshot_id"]:
+                raise ValueError(
+                    f"CURRENT is a {m['op']} commit — incremental read undefined"
+                )
+            parent = m.get("parent_id")
+            m = by_id.get(parent) if parent else None
+        if m is None:
+            raise ValueError(f"snapshot {since_snapshot} not on the CURRENT chain")
+        return spark.read.parquet(*new_dirs)
+
     # -- maintenance ---------------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
         """Rewrite the current snapshot's data dirs into one (Iceberg

@@ -140,3 +140,27 @@ def test_compact_and_expire_snapshots(spark, tmp_path):
     assert sorted(r["id"] for r in t.read(spark).collect()) == list(range(40))
     import os
     assert len(os.listdir(t.data_dir)) == 1  # orphaned commit dirs removed
+
+
+def test_incremental_read(spark, tmp_path):
+    import pytest as _pytest
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "inc"))
+    s1 = t.append(spark.range(0, 10).toDF("id"))
+    s2 = t.append(spark.range(10, 20).toDF("id"))
+    t.append(spark.range(20, 30).toDF("id"))
+
+    inc = t.read_incremental(spark, s1)
+    assert sorted(r["id"] for r in inc.collect()) == list(range(10, 30))
+    inc2 = t.read_incremental(spark, s2)
+    assert sorted(r["id"] for r in inc2.collect()) == list(range(20, 30))
+    # since CURRENT -> empty frame, same schema
+    cur = t.current_manifest()["snapshot_id"]
+    assert t.read_incremental(spark, cur).count() == 0
+
+    # an overwrite breaks incremental semantics
+    t.overwrite(spark.range(0, 5).toDF("id"))
+    with _pytest.raises(ValueError):
+        t.read_incremental(spark, s1)
