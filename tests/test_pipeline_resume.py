@@ -164,3 +164,21 @@ def test_incremental_read(spark, tmp_path):
     t.overwrite(spark.range(0, 5).toDF("id"))
     with _pytest.raises(ValueError):
         t.read_incremental(spark, s1)
+
+
+def test_job_entrypoint_runs_and_resumes(spark, tmp_path):
+    """python -m pdf_extractor_spark.job smoke: full run then no-op resume.
+    Reuses the session-scoped SparkSession by calling main() in-process
+    (getOrCreate returns the active session; --cores is then ignored)."""
+    from pdf_extractor_spark.job import main
+
+    out = str(tmp_path / "jobout")
+    assert main(["--generate", "300", "--output", out, "--n-buckets", "4"]) == 0
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    extracted = SnapshotTable(out + "/extracted").read(spark)
+    n1 = extracted.count()
+    assert n1 > 250
+    # second run: everything committed -> zero new work
+    assert main(["--generate", "300", "--output", out, "--n-buckets", "4"]) == 0
+    assert SnapshotTable(out + "/extracted").read(spark).count() == n1
