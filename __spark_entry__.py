@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q44_stratified_split"] = lambda s, d: text_analysis.stratified_split(
         _t(s, d, "documents")).select("doc_id", "lang", "split").orderBy("doc_id")
     q["q45_c4_pipeline"] = q_c4_pipeline
+    q["q47_chunk_documents"] = lambda s, d: text_analysis.chunk_documents(
+        _t(s, d, "documents"), chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_id")
 
     # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
     q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))
@@ -838,6 +840,18 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT doc_id, unnest(range(0, 4 + n_chars % 20))::INT AS i
               FROM documents)
         WHERE i % 5 = 0 ORDER BY media_id, frame_index
+    """
+    o["q47_chunk_documents"] = f"""
+        WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+        c AS (SELECT doc_id, toks,
+                     unnest(range(0, greatest(ceil((len(toks) - 8) / 56.0), 1)::BIGINT))::INT
+                         AS chunk_id
+              FROM t)
+        SELECT doc_id, chunk_id,
+               array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+                   AS chunk_text,
+               len(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS n_tokens
+        FROM c ORDER BY doc_id, chunk_id
     """
     o["q46_channel_fanout"] = f"""
         SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,

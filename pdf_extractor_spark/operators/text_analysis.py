@@ -270,3 +270,34 @@ def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float 
         .agg(F.count("*").alias("survivors"))
         .orderBy("lang")
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
+    """Token-window chunking with overlap — the LLM-training prep step that
+    turns cleaned documents into model-sized pieces. Stride = chunk - overlap;
+    the final window is emitted iff it starts inside the text (standard
+    sliding-window semantics). JVM-side: one split + one transform over a
+    stride sequence; zero shuffle, pipelines over any corpus size.
+    """
+    stride = chunk_tokens - overlap
+    toks = F.split(_norm(F.col("text")), " ")
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+        lambda i: F.struct(
+            i.alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, i * stride + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_id").alias("chunk_id"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.size(F.split(F.col("c.chunk_text"), " ")).alias("n_tokens"),
+        )
+    )

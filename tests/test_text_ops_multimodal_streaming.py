@@ -177,3 +177,21 @@ def test_audio_features_shape(spark):
     assert out[1]["n_samples"] == 4000 and out[1]["sample_rate"] == 16000
     assert out[1]["rms"] > 0 and out[1]["zero_crossings"] > 0
     assert out[2]["error"] is not None and "NotImplementedError" in out[2]["error"]
+
+
+def test_chunk_documents_windows(spark):
+    from pdf_extractor_spark.operators.text_analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(300))), (2, "short text"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, chunk_tokens=128, overlap=16).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"]) for r in rows}
+    assert got[(1, 0)][0].startswith("w0 ") and got[(1, 0)][1] == 128
+    assert got[(1, 1)][0].startswith("w112 ")  # stride = 128 - 16
+    assert got[(1, 2)][1] == 300 - 224  # tail window
+    assert got[(2, 0)] == ("short text", 2)
+    assert (3, 0) in got  # empty doc still yields one (empty) chunk
+    # consecutive chunks overlap by exactly `overlap` tokens
+    assert got[(1, 0)][0].split()[-16:] == got[(1, 1)][0].split()[:16]
