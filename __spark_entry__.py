@@ -422,6 +422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q45_c4_pipeline"] = q_c4_pipeline
     q["q47_chunk_documents"] = lambda s, d: text_analysis.chunk_documents(
         _t(s, d, "documents"), chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_id")
+    # rolling-hash recurrence is not SQL-expressible → rows-only; exactness
+    # pinned by the kernel-twin unit test
+    q["q48_winnowing_fp"] = lambda s, d: text_analysis.winnowing_fingerprints(
+        _t(s, d, "documents")).orderBy("doc_id")
 
     # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
     q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))

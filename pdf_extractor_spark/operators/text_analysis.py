@@ -301,3 +301,40 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16)
             F.size(F.split(F.col("c.chunk_text"), " ")).alias("n_tokens"),
         )
     )
+
+
+def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """True winnowing (Schleimer/Wilkerson/Aiken): Rabin-Karp rolling hashes
+    over k-char grams of the normalized text, then the minimum hash per
+    sliding window of `window` grams, deduplicated — the document's
+    fingerprint set for plagiarism-style local matching. Arrow kernel over
+    kernels/textstats.rolling_hashes (the twin the unit tests pin);
+    numpy sliding-window-min. Non-SQL-expressible (rolling recurrence) →
+    rows-only driver check; exactness is pinned by the kernel twin tests.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import normalize, rolling_hashes
+    from pdf_extractor_spark.operators.dedup import _widen
+
+    def kernel(batches):
+        for pdf in batches:
+            fps = []
+            for text in pdf["text"]:
+                hs = rolling_hashes(normalize(text), window=k)
+                if not hs:
+                    fps.append([])
+                    continue
+                a = np.array(hs, dtype=np.uint64)
+                if len(a) <= window:
+                    mins = np.array([a.min()], dtype=np.uint64)
+                else:
+                    w = np.lib.stride_tricks.sliding_window_view(a, window)
+                    mins = w.min(axis=1)
+                fps.append(sorted({int(x) for x in mins}))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fingerprints": fps})
+
+    return _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, fingerprints array<long>"
+    )

@@ -195,3 +195,29 @@ def test_chunk_documents_windows(spark):
     assert (3, 0) in got  # empty doc still yields one (empty) chunk
     # consecutive chunks overlap by exactly `overlap` tokens
     assert got[(1, 0)][0].split()[-16:] == got[(1, 1)][0].split()[:16]
+
+
+def test_winnowing_fingerprints_match_twin_and_localize(spark):
+    from pdf_extractor_spark.kernels.textstats import normalize, rolling_hashes
+    from pdf_extractor_spark.operators.text_analysis import winnowing_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " EXTRA TAIL CONTENT"), (3, "xy"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: list(r["fingerprints"])
+           for r in winnowing_fingerprints(docs, k=8, window=4).collect()}
+
+    def twin(text, k=8, window=4):
+        hs = rolling_hashes(normalize(text), window=k)
+        if not hs:
+            return []
+        mins = {min(hs[i:i + window]) for i in range(max(len(hs) - window + 1, 1))}
+        return sorted(mins)
+
+    for i, t in [(1, base), (3, "xy"), (4, "")]:
+        assert got[i] == twin(t), i
+    # local property: shared prefix -> large fingerprint overlap
+    s1, s2 = set(got[1]), set(got[2])
+    assert len(s1 & s2) / len(s1) > 0.8
