@@ -8,10 +8,12 @@ queries()    — one entry per implemented operator (SURVEY.md §2 + the
                multimodal / streaming).
 oracle_sql() — exact DuckDB twins. Hash-sensitive operators use md5-based
                hashes (portable across engines); floats are rounded
-               identically on both sides. Approximate operators (IVF ANN,
-               LSH-bucketed cosine) and Python-RNG-dependent ones
-               (multimodal fake decode) intentionally have no oracle →
-               driver rows-only check.
+               identically on both sides. Even the approximate ANN operators
+               (IVF seed centroids, LSH hyperplanes) are oracle-checked —
+               their md5-derived geometry enters the SQL as list literals,
+               so the approximation itself is deterministic and verified.
+               Rows-only by necessity: q27 (stub media decode), q43
+               (iterative k-means), q48 (rolling-hash recurrence).
 """
 from __future__ import annotations
 
@@ -410,9 +412,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q22_ann_brute_topk"] = lambda s, d: similarity.brute_force_topk(
         _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
     q["q23_ann_ivf_topk"] = lambda s, d: similarity.ivf_topk(
-        _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)  # approx: no oracle
+        _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5)
     q["q24_lsh_cosine_pairs"] = lambda s, d: similarity.lsh_neardup_pairs(
-        _t(s, d, "embeddings"), threshold=0.35)  # approx: no oracle
+        _t(s, d, "embeddings"), threshold=0.35)
     q["q43_ann_ivf_trained"] = lambda s, d: similarity.ivf_topk_trained(
         _t(s, d, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=5,
         train_iters=2)  # iterative k-means: rows-only by design
@@ -495,6 +497,74 @@ def _simhash_groups_flat(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _md5_component(prefix: str) -> float:
+    import hashlib
+
+    return (int(hashlib.md5(prefix.encode()).hexdigest()[:8], 16) % 1000) / 1000.0 - 0.5
+
+
+def _lsh_pairs_sql(threshold: float = 0.35, n_planes: int = 8, seed: int = 7,
+                   dim: int = 64) -> str:
+    """Exact SQL twin of similarity.lsh_neardup_pairs: the md5-derived
+    hyperplanes are deterministic, so they enter the oracle as list
+    literals (python float repr round-trips IEEE doubles exactly)."""
+    planes = ", ".join(
+        "[" + ",".join(repr(_md5_component(f"{seed}:{i}:{d}")) for d in range(dim)) + "]"
+        for i in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_inner_product(v, planes[{i + 1}]) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH p AS (SELECT [{planes}] AS planes),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e, p)
+        SELECT l.vec_id AS a, r.vec_id AS b,
+               round(list_cosine_similarity(l.v, r.v), 6) AS cos
+        FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
+        ORDER BY a, b
+    """
+
+
+def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2, seed: int = 3,
+                  dim: int = 64) -> str:
+    """Exact SQL twin of similarity.ivf_topk: seed centroids as literals;
+    argmax tie-break = first index (list_position), probe order = sim DESC
+    then cell DESC (Spark's reverse(array_sort(struct(sim, cell))))."""
+    cents = ", ".join(
+        "[" + ",".join(repr(_md5_component(f"ivf:{seed}:{c}:{d}")) for d in range(dim)) + "]"
+        for c in range(n_cells)
+    )
+    return f"""
+        WITH c AS (SELECT [{cents}] AS cents),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        a AS (SELECT vec_id, v, list_position(sims, list_max(sims)) - 1 AS cell
+              FROM (SELECT vec_id, v,
+                           list_transform(cents, cv -> list_cosine_similarity(v, cv)) AS sims
+                    FROM e, c)),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN (0,1,2,3,4)),
+        qc AS (SELECT query_id, qv, cell FROM (
+                 SELECT q.query_id, q.qv, i.cell,
+                        row_number() OVER (
+                            PARTITION BY q.query_id
+                            ORDER BY list_cosine_similarity(q.qv, cents[i.cell + 1]) DESC,
+                                     i.cell DESC) AS r
+                 FROM q, c, (SELECT unnest(range(0, {n_cells}))::INT AS cell) i)
+               WHERE r <= {n_probe}),
+        scored AS (SELECT qc.query_id, a.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(qc.qv, a.v), 6) AS cos
+                   FROM qc JOIN a ON a.cell = qc.cell
+                   WHERE a.vec_id <> qc.query_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
 
 def _quality_sql(table: str) -> str:
     """q13-style quality scoring over any table with (doc_id, text)."""
@@ -714,6 +784,10 @@ def oracle_sql() -> dict[str, str]:
                                            b.embedding::DOUBLE[]), 6) >= 0.40
         ORDER BY a, b
     """
+    # approximate by construction but fully DETERMINISTIC (md5-derived
+    # planes/centroids) -> the approximation itself is oracle-checkable
+    o["q23_ann_ivf_topk"] = _ivf_topk_sql()
+    o["q24_lsh_cosine_pairs"] = _lsh_pairs_sql()
     o["q22_ann_brute_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
