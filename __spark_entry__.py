@@ -428,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pinned by the kernel-twin unit test
     q["q48_winnowing_fp"] = lambda s, d: text_analysis.winnowing_fingerprints(
         _t(s, d, "documents")).orderBy("doc_id")
+    q["q49_sessionize"] = lambda s, d: relational.sessionize(_t(s, d, "events"))
 
     # -- MERGE / gather / scalar fns / rollup / as-of / winnowing ------------
     q["q29_merge_upsert"] = lambda s, d: relational.upserted_events(_t(s, d, "events"))
@@ -935,6 +936,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,
                {norm} AS content
         FROM documents ORDER BY doc_id, channel
+    """
+    o["q49_sessionize"] = """
+        WITH flagged AS (
+            SELECT user_id, event_id, ts, value,
+                   CASE WHEN floor(epoch(ts))::BIGINT
+                             - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id
+                                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+        SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events, round(sum(value), 6) AS total_value
+        FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """
     o["q44_stratified_split"] = """
         SELECT doc_id, lang,

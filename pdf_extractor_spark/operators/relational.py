@@ -348,3 +348,35 @@ def orders_with_latest_event(orders: DataFrame, events: DataFrame) -> DataFrame:
         F.col("_k").alias("user_id"),
         F.round("asof_value", 6).alias("asof_value"),
     ).orderBy("o_orderkey")
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds `gap_minutes`. The classic lag → gap-flag →
+    running-sum window composition; one shuffle on user_id, both windows
+    share the same partitioning so the second is shuffle-free. Emits one
+    row per session with bounds and totals."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id", "event_id", "ts", "value",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > gap_minutes * 60,
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "session_id", F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
