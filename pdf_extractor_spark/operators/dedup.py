@@ -231,6 +231,96 @@ def minhash_banded_from_shingles(
     return sh_df.mapInPandas(kernel, "doc_id long, band int, band_sig string")
 
 
+def shingle_hash_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shh array<long>) — sorted distinct 60-bit md5 shingle hashes.
+
+    The narrow twin of shingle_arrays: carrying int64 hashes instead of the
+    shingle strings makes every downstream shuffle (banding, verify joins)
+    a fraction of the width, and the md5 work happens exactly once (batch-
+    memoised) instead of once per consumer kernel. Jaccard over the hash
+    sets equals Jaccard over the string sets absent 60-bit collisions
+    (P ≈ 4e-11 for 10^4-shingle docs — and the LSH verify is the only
+    consumer, so a collision could only perturb a candidate's score, not
+    drop a document).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import normalize
+
+    def kernel(batches):
+        cache: dict[str, int] = {}
+
+        def shash(s: str) -> int:
+            v = cache.get(s)
+            if v is None:
+                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                cache[s] = v
+            return v
+
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = normalize(text).split()
+                if len(toks) < n:
+                    sh = {" ".join(toks)}
+                else:
+                    sh = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
+                hs = np.unique(hs)  # sorted; dedups the (negligible) collisions
+                out.append(hs)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "shh": out})
+
+    return _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel, "doc_id long, shh array<long>"
+    )
+
+
+def minhash_banded_from_hashes(
+    shh_df: DataFrame, num_perm: int = 64, bands: int = 16
+) -> DataFrame:
+    """(doc_id, band, band_sig long) LSH band rows from precomputed shingle
+    hashes — pure numpy (no hashing, no string assembly). The per-band
+    signature rows are folded into ONE int64 via a polynomial rolling
+    combine mod 2^61-1: equal row-vectors always fold equal (recall is
+    unaffected), a fold collision merely adds a candidate pair that exact
+    verify then rejects — so correctness is unchanged and the shuffle row
+    is (long, int, long) instead of (long, int, string)."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import MINHASH_P, minhash_perm_params
+
+    rows = num_perm // bands
+    params = minhash_perm_params(num_perm)
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    FOLD_P = (1 << 61) - 1
+    FOLD_X = 1_000_003
+
+    def kernel(batches):
+        for pdf in batches:
+            n_docs = len(pdf)
+            doc_ids = np.repeat(pdf["doc_id"].to_numpy(), bands)
+            band_ids = np.tile(np.arange(bands, dtype=np.int32), n_docs)
+            band_sigs = np.empty(n_docs * bands, dtype=np.int64)
+            for i, shh in enumerate(pdf["shh"]):
+                hs = np.asarray(shh, dtype=np.int64) % MINHASH_P
+                sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
+                folded = sig.reshape(bands, rows)
+                acc = np.zeros(bands, dtype=object)
+                for r in range(rows):
+                    acc = (acc * FOLD_X + folded[:, r]) % FOLD_P
+                band_sigs[i * bands : (i + 1) * bands] = acc.astype(np.int64)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "band": band_ids, "band_sig": band_sigs}
+            )
+
+    return shh_df.mapInPandas(kernel, "doc_id long, band int, band_sig long")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_perm: int = 64,
@@ -241,31 +331,72 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard (so output is exact given candidate recall).
 
-    Plan: scan→shingles (kernel) → fused signature+banding kernel →
-    shuffle on (band, band_sig) → within-bucket self-join → distinct
-    candidate pairs → exact-Jaccard verify via shingle join.
+    Plan: scan→shingle hashes (one md5 kernel pass, int64 arrays) →
+    numpy banding kernel → ONE shuffle on (band, band_sig) groupBy →
+    within-bucket pair explode → distinct candidate pairs → exact-Jaccard
+    verify via int64 shingle-hash joins. The bucket groupBy replaces the
+    earlier two-sided self-join (same logical candidates, half the
+    exchange volume); shingle hashes are persisted because both banding
+    and verify consume them and Arrow stages are not exchange-reused by
+    Catalyst. At production scale they would be checkpointed to a
+    lineage-tracked table instead of executor cache.
     """
-    # One shingling pass feeds BOTH signature generation and the exact
-    # verify; both it and the banded signatures are persisted because each
-    # is consumed twice (self-join sides / a+b verify joins) and Arrow
-    # kernel stages are not exchange-reused by Catalyst. Narrow data
-    # (id + shingles / id + band hashes); at production scale these would
-    # be checkpointed to a lineage-tracked table instead of executor cache.
-    sh = shingle_arrays(docs, n).persist()
-    banded = minhash_banded_from_shingles(sh, num_perm, bands).persist()
-    left = banded.alias("l")
-    right = banded.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+    shh = shingle_hash_arrays(docs, n).persist()
+    banded = minhash_banded_from_hashes(shh, num_perm, bands)
+    # bucket → sorted member list → all ordered pairs, JVM-side. Buckets are
+    # tiny (near-dup cliques), so the interpreted pair-comprehension HOF is
+    # negligible next to the shuffle it avoids.
+    ids = F.sort_array(F.collect_list("doc_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    cand = (
+        banded.groupBy("band", "band_sig")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
-    return verify_jaccard(docs, cand, n=n, threshold=jaccard_threshold, shingles_df=sh)
+    return verify_jaccard_hashed(cand, shh, threshold=jaccard_threshold)
+
+
+def verify_jaccard_hashed(
+    pairs: DataFrame, shh_df: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact Jaccard for candidate (a,b) pairs over sorted int64 shingle-hash
+    arrays: two narrow joins + an intersect1d kernel (assume_unique sorted
+    merge). Bit-identical scores to the string-set verify absent 60-bit
+    hash collisions."""
+    import numpy as np
+    import pandas as pd
+
+    joined = pairs.join(
+        shh_df.withColumnRenamed("doc_id", "a").withColumnRenamed("shh", "sha"), "a"
+    ).join(shh_df.withColumnRenamed("doc_id", "b").withColumnRenamed("shh", "shb"), "b")
+
+    def kernel(batches):
+        for pdf in batches:
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (sa, sb) in enumerate(zip(pdf["sha"], pdf["shb"])):
+                a = np.asarray(sa, dtype=np.int64)
+                b = np.asarray(sb, dtype=np.int64)
+                inter = np.intersect1d(a, b, assume_unique=True).size
+                jac[i] = inter / (a.size + b.size - inter)
+            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
+
+    return (
+        joined.mapInPandas(kernel, "a long, b long, jaccard double")
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+        .orderBy("a", "b")
+    )
 
 
 def verify_jaccard(
@@ -316,9 +447,12 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     shingle, pair within posting lists) — NOT a cross join. `max_df` drops
     stop-shingles with document frequency above the cap (the web-scale knob).
     """
-    sh = shingle_arrays(docs, n).persist()  # feeds postings AND sizes
-    sizes = sh.select("doc_id", F.size("sh").alias("sz"))
-    posts = sh.select("doc_id", F.explode("sh").alias("s"))
+    # int64 shingle hashes, not strings: the posting-list explode is the
+    # wide part of this plan, and 8-byte keys shuffle/join at a fraction of
+    # the cost of n-gram strings (same Jaccard absent 60-bit collisions)
+    sh = shingle_hash_arrays(docs, n).persist()  # feeds postings AND sizes
+    sizes = sh.select("doc_id", F.size("shh").alias("sz"))
+    posts = sh.select("doc_id", F.explode("shh").alias("s"))
     if max_df is not None:
         keep = posts.groupBy("s").count().where(F.col("count") <= max_df).select("s")
         posts = posts.join(keep, "s", "left_semi")
