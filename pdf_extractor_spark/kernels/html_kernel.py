@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 _WS_RE = re.compile(r"\s+")
@@ -224,8 +225,10 @@ class _BlockParser(HTMLParser):
 # full spec machinery (~80% of kernel CPU in profiling) is overkill for
 # well-formed pages. This scanner handles exactly the verified subset —
 # plain tags, self-closing tags, comments, doctype/PI, script/style rawtext,
-# entity-free text — and returns False on the FIRST construct outside it
-# (stray '<', charrefs, attribute soup), in which case the caller reruns the
+# text with charrefs (html.unescape — the exact call HTMLParser makes with
+# convert_charrefs=True; rawtext never unescaped, also matching) — and
+# returns False on the FIRST construct outside it
+# (stray '<', attribute soup), in which case the caller reruns the
 # whole document through HTMLParser. Event-for-event identical on the fast
 # path (verified differentially against HTMLParser over the entire corpus,
 # tests/test_kernels_golden.py), so extraction output is byte-identical.
@@ -256,13 +259,13 @@ def _feed_fast(html: str, p: "_BlockParser") -> bool:
             text = html[pos:]
             if text:
                 if "&" in text:
-                    return False
+                    text = _unescape(text)
                 p.handle_data(text)
             break
         if lt > pos:
             text = html[pos:lt]
             if "&" in text:
-                return False
+                text = _unescape(text)
             p.handle_data(text)
         m = match(html, lt)
         if m is None:

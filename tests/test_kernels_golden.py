@@ -134,12 +134,41 @@ def test_fast_tokenizer_event_parity_with_stdlib():
     assert n_fast > 1000  # the fast path actually covers the corpus
 
 
-def test_fast_tokenizer_bails_on_entities_and_stray_lt():
+def test_fast_tokenizer_bails_on_stray_lt():
     from pdf_extractor_spark.kernels import html_kernel as hk
 
-    for payload in ("<p>a &amp; b</p>", "<p>1 < 2</p>", "<p>tail &copy;"):
-        p = hk._BlockParser()
-        assert hk._feed_fast(payload, p) is False
-    # and parse_blocks still handles them via the stdlib fallback
-    blocks = hk.parse_blocks("<p>a &amp; b</p>")
-    assert [b.text for b in blocks] == ["a & b"]
+    p = hk._BlockParser()
+    assert hk._feed_fast("<p>1 < 2</p>", p) is False
+    # and parse_blocks still handles it via the stdlib fallback
+    blocks = hk.parse_blocks("<p>1 < 2</p>")
+    assert blocks and "1" in blocks[0].text
+
+
+def test_fast_tokenizer_charref_parity_with_stdlib():
+    """Charrefs no longer bail: the fast path applies html.unescape to text
+    chunks — the exact call HTMLParser makes with convert_charrefs=True —
+    and leaves script/style rawtext alone, also matching."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    payloads = [
+        "<p>a &amp; b</p>",
+        "<p>tail &copy;</p>",
+        "<p>no-semi &copy legacy</p>",
+        "<p>&#65;&#x42;c</p>",
+        "<p>bare & ampersand</p>",
+        "<p>&notarealentity; stays</p>",
+        "<p>&lt;tag&gt; &quot;q&quot; &nbsp;end</p>",
+        "<div><p>&amp;</p><script>a &amp; b</script><p>x</p></div>",
+        "<p>trailing &amp",
+    ]
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    for payload in payloads:
+        fast = hk._BlockParser()
+        assert hk._feed_fast(payload, fast) is True, payload
+        fast.close()
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks], payload
+    assert hk.parse_blocks("<p>a &amp; b</p>")[0].text == "a & b"
