@@ -47,9 +47,18 @@ STOPWORDS: dict[str, frozenset[str]] = {
 
 UNKNOWN = "und"
 
+# One combined lookup per token instead of one membership test per language:
+# token → tuple of indexes into _LANGS. Hit counts are identical to per-set
+# membership, so detect_lang's scores (and tie-breaks) are unchanged.
+_LANGS = sorted(STOPWORDS)  # sorted → deterministic tie-break
+_TOKEN_LANG_IDS: dict[str, tuple[int, ...]] = {}
+for _li, _lang in enumerate(_LANGS):
+    for _w in STOPWORDS[_lang]:
+        _TOKEN_LANG_IDS[_w] = _TOKEN_LANG_IDS.get(_w, ()) + (_li,)
+
 
 def _tokens(text: str) -> list[str]:
-    return [t for t in text.lower().split() if t]
+    return text.lower().split()  # argless split never yields empty strings
 
 
 def detect_lang(text: str) -> str:
@@ -57,10 +66,17 @@ def detect_lang(text: str) -> str:
     toks = _tokens(text)
     if not toks:
         return UNKNOWN
+    counts = [0] * len(_LANGS)
+    get = _TOKEN_LANG_IDS.get
+    for t in toks:
+        ids = get(t)
+        if ids:
+            for li in ids:
+                counts[li] += 1
     best_lang, best_score = UNKNOWN, 0.0
-    for lang in sorted(STOPWORDS):  # sorted → deterministic tie-break
-        hits = sum(1 for t in toks if t in STOPWORDS[lang])
-        score = hits / len(toks)
+    n = len(toks)
+    for li, lang in enumerate(_LANGS):
+        score = counts[li] / n
         if score > best_score:
             best_lang, best_score = lang, score
     return best_lang if best_score > 0.0 else UNKNOWN
