@@ -460,7 +460,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q42_video_frame_sample"] = q_video_frame_sample
     q["q40_term_doc_freq"] = lambda s, d: text_analysis.term_doc_freq(
         _t(s, d, "documents"), min_df=10, top_n=50)
+
+    # -- training-data hygiene / corpus stats (round-1 extension set) --------
+    q["q50_gopher_quality"] = lambda s, d: text_analysis.gopher_quality(
+        _t(s, d, "documents")).orderBy("doc_id")
+    q["q51_redact_pii"] = lambda s, d: text_analysis.redact_pii(
+        _docs_with_pii(_t(s, d, "documents"))).orderBy("doc_id")
+    q["q52_tfidf_topk"] = lambda s, d: text_analysis.tfidf_topk(
+        _t(s, d, "documents"), k=3)
+    q["q53_source_rollup"] = lambda s, d: text_analysis.source_rollup(
+        _t(s, d, "documents"))
+    q["q54_corpus_top_ngrams"] = lambda s, d: text_analysis.corpus_top_ngrams(
+        _t(s, d, "documents"), n=3, k=20)
     return q
+
+
+def _docs_with_pii(docs: DataFrame) -> DataFrame:
+    """Deterministically augment each document with synthetic PII (email,
+    IPv4, phone derived from doc_id) so the redaction operator has real
+    matches to scrub; the oracle applies the identical augmentation in SQL."""
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+        (F.floor(F.col("doc_id") / 256).cast("long") % 256).cast("string"),
+        F.lit(" tel +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return docs.withColumn("text", aug)
 
 
 def _exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -984,5 +1012,107 @@ def oracle_sql() -> dict[str, str]:
                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
               FROM embeddings)
         ORDER BY vec_id
+    """
+    o["q50_gopher_quality"] = f"""
+        WITH t0 AS (SELECT doc_id, {_TOKS_SQL} AS toks,
+                           length({_NORM_SQL.format(c='text')}) AS nchars
+                    FROM documents),
+        t AS (SELECT doc_id,
+                     CASE WHEN nchars = 0 THEN []::VARCHAR[] ELSE toks END AS toks,
+                     nchars
+              FROM t0),
+        base AS (SELECT doc_id, len(toks) AS n_words,
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE list_sum([length(x) for x in toks])::DOUBLE
+                                  / len(toks) END AS mwl,
+                        nchars
+                 FROM t),
+        bg AS (SELECT doc_id,
+                      unnest([array_to_string(toks[i:i+1], ' ')
+                              for i in range(1, len(toks))]) AS g
+               FROM t),
+        bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+        bgtop AS (SELECT doc_id, max(c * length(g)) AS topchars
+                  FROM bgc GROUP BY doc_id),
+        tg AS (SELECT doc_id,
+                      unnest([array_to_string(toks[i:i+2], ' ')
+                              for i in range(1, len(toks) - 1)]) AS g
+               FROM t),
+        tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY doc_id, g),
+        tgdup AS (SELECT doc_id,
+                         sum(CASE WHEN c > 1 THEN c * length(g) ELSE 0 END) AS dupchars
+                  FROM tgc GROUP BY doc_id),
+        m AS (SELECT b.doc_id, b.n_words, b.mwl,
+                     CASE WHEN b.nchars = 0 THEN 0.0
+                          ELSE least(1.0, coalesce(bt.topchars, 0)::DOUBLE / b.nchars)
+                     END AS topfrac,
+                     CASE WHEN b.nchars = 0 THEN 0.0
+                          ELSE least(1.0, coalesce(td.dupchars, 0)::DOUBLE / b.nchars)
+                     END AS dupfrac
+              FROM base b
+              LEFT JOIN bgtop bt USING (doc_id)
+              LEFT JOIN tgdup td USING (doc_id))
+        SELECT doc_id, n_words, round(mwl, 6) AS mean_word_len,
+               round(topfrac, 6) AS top_bigram_frac,
+               round(dupfrac, 6) AS dup_trigram_frac,
+               (n_words >= 50 AND mwl >= 3.0 AND mwl <= 10.0
+                AND topfrac <= 0.20 AND dupfrac <= 0.30) AS keep
+        FROM m ORDER BY doc_id
+    """
+    _pii_aug = (
+        "text || ' contact user' || doc_id || '@example.com ip 10.0.' "
+        "|| (doc_id % 256) || '.' || ((doc_id // 256) % 256) "
+        "|| ' tel +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    o["q51_redact_pii"] = (
+        "WITH aug AS (SELECT doc_id, " + _pii_aug + " AS t FROM documents) "
+        "SELECT doc_id, "
+        "regexp_replace(regexp_replace(regexp_replace(t, '"
+        + text_analysis.PII_EMAIL_RE + "', '[EMAIL]', 'g'), '"
+        + text_analysis.PII_IP_RE + "', '[IP]', 'g'), '"
+        + text_analysis.PII_PHONE_RE + "', '[PHONE]', 'g') AS clean_text, "
+        "len(regexp_extract_all(t, '" + text_analysis.PII_EMAIL_RE + "')) AS n_emails, "
+        "len(regexp_extract_all(t, '" + text_analysis.PII_PHONE_RE + "')) AS n_phones, "
+        "len(regexp_extract_all(t, '" + text_analysis.PII_IP_RE + "')) AS n_ips "
+        "FROM aug ORDER BY doc_id"
+    )
+    o["q52_tfidf_topk"] = f"""
+        WITH toks AS (SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS n FROM documents),
+        r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank
+              FROM tf JOIN dfx USING (term))
+        SELECT doc_id, term, tf, df, rank,
+               round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM r, n WHERE rank <= 3 ORDER BY doc_id, rank
+    """
+    o["q53_source_rollup"] = """
+        WITH bl AS (SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+                    FROM documents GROUP BY source, lang),
+        tot AS (SELECT source, sum(n) AS docs, sum(chars) AS total_chars
+                FROM bl GROUP BY source),
+        ranked AS (SELECT bl.*, t.docs, t.total_chars,
+                          bl.n::DOUBLE / t.docs AS p,
+                          row_number() OVER (PARTITION BY bl.source
+                              ORDER BY bl.n DESC, bl.lang ASC) AS rk
+                   FROM bl JOIN tot t USING (source))
+        SELECT source, any_value(docs) AS docs, any_value(total_chars) AS total_chars,
+               round(any_value(total_chars)::DOUBLE / any_value(docs), 6) AS avg_chars,
+               count(*) AS n_langs,
+               max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+               round(-sum(p * ln(p)), 6) AS lang_entropy
+        FROM ranked GROUP BY source ORDER BY source
+    """
+    o["q54_corpus_top_ngrams"] = f"""
+        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+        g AS (SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                             for i in range(1, len(toks) - 1)]) AS gram
+              FROM t)
+        SELECT gram, count(*) AS cnt FROM g WHERE gram <> ''
+        GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
     """
     return o

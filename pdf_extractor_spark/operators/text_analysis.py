@@ -338,3 +338,219 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     return _widen(docs.select("doc_id", "text")).mapInPandas(
         kernel, "doc_id long, fingerprints array<long>"
     )
+
+
+def gopher_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality signals per document (Rae et al. 2021,
+    "Scaling Language Models", §A1.1 repetition filters — public paper).
+
+    Per doc over normalized whitespace tokens:
+      n_words          token count
+      mean_word_len    mean characters per token
+      top_bigram_frac  chars covered by the most-repeated word 2-gram
+                       (max over bigrams of count*len(gram) / len(norm), ≤1)
+      dup_trigram_frac chars covered by word 3-grams occurring >1 time
+                       (sum of count*len(gram) / len(norm), capped at 1)
+      keep             the gate: 50 ≤ n_words, 3 ≤ mean_word_len ≤ 10,
+                       top_bigram_frac ≤ 0.20, dup_trigram_frac ≤ 0.30
+
+    Arrow-batched Counter kernel (per-token work is the slow path for
+    interpreted JVM HOFs); divisions leave the kernel unrounded so F.round
+    JVM-side matches the DuckDB oracle bit-exactly. Scale: narrow per-row
+    projection, no shuffle — pipelines over any corpus size.
+    """
+    from collections import Counter
+
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.textstats import normalize
+
+    def kernel(batches):
+        for pdf in batches:
+            n_words, mwl, topbg, duptg = [], [], [], []
+            for text in pdf["text"]:
+                norm = normalize(text)
+                toks = norm.split(" ") if norm else []
+                n = len(toks)
+                nchars = len(norm)
+                n_words.append(n)
+                mwl.append(sum(map(len, toks)) / n if n else 0.0)
+                if n >= 2 and nchars:
+                    bg = Counter(zip(toks, toks[1:]))
+                    top = max(c * (len(a) + len(b) + 1) for (a, b), c in bg.items())
+                    topbg.append(min(1.0, top / nchars))
+                else:
+                    topbg.append(0.0)
+                if n >= 3 and nchars:
+                    tg = Counter(zip(toks, toks[1:], toks[2:]))
+                    dup = sum(
+                        c * (len(a) + len(b) + len(g) + 2)
+                        for (a, b, g), c in tg.items()
+                        if c > 1
+                    )
+                    duptg.append(min(1.0, dup / nchars))
+                else:
+                    duptg.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_words": n_words,
+                    "mean_word_len": mwl,
+                    "top_bigram_frac": topbg,
+                    "dup_trigram_frac": duptg,
+                }
+            )
+
+    from pdf_extractor_spark.operators.dedup import _widen
+
+    raw = _widen(docs.select("doc_id", "text")).mapInPandas(
+        kernel,
+        "doc_id long, n_words int, mean_word_len double, "
+        "top_bigram_frac double, dup_trigram_frac double",
+    )
+    return raw.select(
+        "doc_id",
+        "n_words",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
+        F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
+        (
+            (F.col("n_words") >= 50)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("top_bigram_frac") <= 0.20)
+            & (F.col("dup_trigram_frac") <= 0.30)
+        ).alias("keep"),
+    )
+
+
+# PII patterns: restricted to syntax valid in BOTH Java regex (Spark) and
+# RE2 (DuckDB) — character classes, bounded repeats, \b word boundaries;
+# no lookaround, no backrefs.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Regex PII scrubbing (training-data hygiene pass): emails → [EMAIL],
+    phone numbers → [PHONE], IPv4 literals → [IP], with per-doc match counts
+    taken from the original text. Pure JVM regexp_replace/regexp_extract_all
+    — whole-stage codegen, zero shuffle, no Python in the hot path.
+
+    Order matters and is fixed: emails first (an email must not first lose
+    its host to the IP rule), then IPs, then phones.
+    """
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, PII_EMAIL_RE, "[EMAIL]")
+    clean = F.regexp_replace(clean, PII_IP_RE, "[IP]")
+    clean = F.regexp_replace(clean, PII_PHONE_RE, "[PHONE]")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_PHONE_RE), 0)).alias("n_phones"),
+        F.size(F.regexp_extract_all(t, F.lit(PII_IP_RE), 0)).alias("n_ips"),
+    )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    tf = term count within the doc (normalized whitespace tokens);
+    df = number of docs containing the term; score = tf * ln((N+1)/(df+1)).
+    Ranking is by (tf DESC, df ASC, term ASC) — an integer-only ordering
+    (monotone in the score for fixed doc) so the window ranking cannot be
+    perturbed by last-ulp log differences across engines; the rounded score
+    is reported alongside.
+
+    Plan: explode tokens → (doc, term) counts [shuffle 1] → term df
+    aggregate [shuffle 2, map-side partial] → broadcast-able df join →
+    per-doc window top-k. At 100 TB the df table is vocabulary-sized
+    (tiny vs corpus) and broadcasts.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # one cheap count job; a literal in the plan
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            F.round(
+                F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "rank")
+    )
+
+
+def source_rollup(docs: DataFrame) -> DataFrame:
+    """Per-source corpus rollup (the Common-Crawl host-level stats table):
+    doc count, char volume, language diversity, dominant language
+    (deterministic: max count, ties to the lexicographically first lang),
+    and language-distribution entropy (nats). Two narrow shuffles —
+    (source, lang) counts, then per-source aggregate; both do map-side
+    partial aggregation and the result is host-cardinality (tiny).
+    """
+    from pyspark.sql import Window
+
+    by_lang = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n"), F.sum("n_chars").alias("chars")
+    )
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("source"))
+    by_lang = by_lang.withColumn("p", p)
+    return (
+        by_lang.groupBy("source")
+        .agg(
+            F.sum("n").alias("docs"),
+            F.sum("chars").alias("total_chars"),
+            F.round(F.sum("chars") / F.sum("n"), 6).alias("avg_chars"),
+            F.count("*").alias("n_langs"),
+            F.min(F.struct((-F.col("n")).alias("negn"), F.col("lang").alias("lang")))[
+                "lang"
+            ].alias("top_lang"),
+            F.round(-F.sum(F.col("p") * F.log(F.col("p"))), 6).alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )
+
+
+def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Corpus-wide top-k word n-grams with multiplicity (the n-gram count
+    table of a Common-Crawl-style corpus). The gram build is one JVM
+    transform over a stride sequence (no Python, no shuffle); the count is
+    one shuffle with map-side partial aggregation; the global top-k runs as
+    TakeOrderedAndProject (per-partition heaps, no full sort). Deterministic
+    order: count DESC, gram ASC."""
+    toks = F.split(_norm(F.col("text")), " ")
+    n_grams = F.size(toks) - (n - 1)
+    # guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .where(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("gram"))
+        .limit(k)
+    )

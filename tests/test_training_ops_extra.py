@@ -1,0 +1,180 @@
+"""Unit tests for the round-1 extension training-data operators:
+Gopher-style repetition quality, PII redaction, TF-IDF top-k,
+per-source rollup, corpus n-gram counts."""
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from pdf_extractor_spark.kernels.textstats import normalize
+from pdf_extractor_spark.operators import text_analysis
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+# -- gopher_quality ----------------------------------------------------------
+
+def _gopher_ref(text: str) -> tuple[int, float, float, float]:
+    norm = normalize(text)
+    toks = norm.split(" ") if norm else []
+    n, nchars = len(toks), len(norm)
+    mwl = sum(map(len, toks)) / n if n else 0.0
+    topbg = 0.0
+    if n >= 2 and nchars:
+        bg = Counter(zip(toks, toks[1:]))
+        topbg = min(1.0, max(c * (len(a) + len(b) + 1) for (a, b), c in bg.items()) / nchars)
+    duptg = 0.0
+    if n >= 3 and nchars:
+        tg = Counter(zip(toks, toks[1:], toks[2:]))
+        dup = sum(c * (len(a) + len(b) + len(g) + 2) for (a, b, g), c in tg.items() if c > 1)
+        duptg = min(1.0, dup / nchars)
+    return n, mwl, topbg, duptg
+
+
+def test_gopher_quality_matches_python(spark, docs):
+    got = text_analysis.gopher_quality(docs).collect()
+    raw = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == len(raw)
+    for r in got:
+        n, mwl, topbg, duptg = _gopher_ref(raw[r["doc_id"]])
+        assert r["n_words"] == n
+        assert abs(r["mean_word_len"] - mwl) < 1e-5
+        assert abs(r["top_bigram_frac"] - topbg) < 1e-5
+        assert abs(r["dup_trigram_frac"] - duptg) < 1e-5
+        keep = (n >= 50 and 3.0 <= mwl <= 10.0 and topbg <= 0.20 and duptg <= 0.30)
+        assert r["keep"] == keep
+
+
+def test_gopher_quality_edges(spark):
+    rows = [
+        (1, ""),                       # empty
+        (2, "word"),                   # single token: no bigrams
+        (3, "a b"),                    # one bigram occurring once
+        (4, "spam spam spam spam spam spam"),  # heavy repetition -> reject
+        (5, " ".join(["alpha beta gamma"] * 20)),  # dup trigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text_analysis.gopher_quality(df).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["keep"] is False
+    assert got[2]["top_bigram_frac"] == 0.0
+    # "a b": one bigram, count 1, len 3, norm len 3 -> frac 1.0 (capped)
+    assert got[3]["top_bigram_frac"] == 1.0
+    assert got[4]["top_bigram_frac"] > 0.2 and got[4]["keep"] is False
+    assert got[5]["dup_trigram_frac"] > 0.3 and got[5]["keep"] is False
+
+
+# -- redact_pii --------------------------------------------------------------
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "reach me at alice.smith+work@corp.example.org today"),
+        (2, "server 192.168.001.1 and backup 10.0.0.254 are up"),
+        (3, "call +1-555-0147 or +44-123-4567 now"),
+        (4, "no pii here at all"),
+        (5, "combo bob@x.io on 172.16.2.9 tel +1-555-9999"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text_analysis.redact_pii(df).collect()}
+    assert got[1]["clean_text"] == "reach me at [EMAIL] today"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (1, 0, 0)
+    assert got[2]["clean_text"] == "server [IP] and backup [IP] are up"
+    assert got[2]["n_ips"] == 2
+    assert got[3]["clean_text"] == "call [PHONE] or [PHONE] now"
+    assert got[3]["n_phones"] == 2
+    assert got[4]["clean_text"] == "no pii here at all"
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ips"]) == (0, 0, 0)
+    assert got[5]["clean_text"] == "combo [EMAIL] on [IP] tel [PHONE]"
+
+
+# -- tfidf_topk --------------------------------------------------------------
+
+def test_tfidf_topk_small(spark):
+    rows = [
+        (1, "apple apple banana cherry"),
+        (2, "banana banana banana cherry"),
+        (3, "cherry date date apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = text_analysis.tfidf_topk(df, k=2).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: apple tf=2 (df=2) ranks above banana/cherry tf=1
+    assert by_doc[1][0]["term"] == "apple" and by_doc[1][0]["tf"] == 2
+    # doc 2: banana tf=3; second is cherry (tf=1, df=3)
+    assert by_doc[2][0]["term"] == "banana" and by_doc[2][0]["tf"] == 3
+    # doc 3: date tf=2 df=1 -> top; score = 2*ln(4/2)
+    assert by_doc[3][0]["term"] == "date"
+    assert abs(by_doc[3][0]["tfidf"] - round(2 * math.log(4 / 2), 6)) < 1e-9
+    for rows_ in by_doc.values():
+        assert [r["rank"] for r in rows_] == [1, 2]
+
+
+def test_tfidf_rank_is_deterministic_on_ties(spark):
+    # equal tf and df -> lexicographic term order breaks the tie
+    df = spark.createDataFrame([(1, "zeta alpha"), (2, "zeta alpha")],
+                               ["doc_id", "text"])
+    got = text_analysis.tfidf_topk(df, k=2).collect()
+    for doc in (1, 2):
+        terms = [r["term"] for r in got if r["doc_id"] == doc]
+        assert terms == ["alpha", "zeta"]
+
+
+# -- source_rollup -----------------------------------------------------------
+
+def test_source_rollup_matches_python(spark, docs):
+    got = {r["source"]: r for r in text_analysis.source_rollup(docs).collect()}
+    rows = docs.collect()
+    per: dict[str, list] = {}
+    for r in rows:
+        per.setdefault(r["source"], []).append(r)
+    assert set(got) == set(per)
+    for src, rs in per.items():
+        g = got[src]
+        assert g["docs"] == len(rs)
+        assert g["total_chars"] == sum(r["n_chars"] for r in rs)
+        langs = Counter(r["lang"] for r in rs)
+        assert g["n_langs"] == len(langs)
+        top = max(langs.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+        # deterministic: max count, lexicographically first among ties
+        best_n = max(langs.values())
+        expected_top = min(l for l, c in langs.items() if c == best_n)
+        assert g["top_lang"] == expected_top, (src, top)
+        n = len(rs)
+        ent = -sum((c / n) * math.log(c / n) for c in langs.values())
+        assert abs(g["lang_entropy"] - ent) < 1e-5
+
+
+# -- corpus_top_ngrams -------------------------------------------------------
+
+def test_corpus_top_ngrams_small(spark):
+    rows = [
+        (1, "the quick brown fox"),
+        (2, "the quick brown cat"),
+        (3, "a b"),          # shorter than n=3: contributes nothing
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [(r["gram"], r["cnt"]) for r in
+           text_analysis.corpus_top_ngrams(df, n=3, k=10).collect()]
+    assert got[0] == ("the quick brown", 2)
+    assert ("quick brown fox", 1) in got and ("quick brown cat", 1) in got
+    assert all(" b" not in g or g.count(" ") == 2 for g, _ in got)
+
+
+def test_corpus_top_ngrams_respects_k_and_order(spark, docs):
+    got = text_analysis.corpus_top_ngrams(docs, n=3, k=15).collect()
+    assert len(got) == 15
+    counts = [r["cnt"] for r in got]
+    assert counts == sorted(counts, reverse=True)
+    # within equal counts, grams ascend
+    for a, b in zip(got, got[1:]):
+        if a["cnt"] == b["cnt"]:
+            assert a["gram"] < b["gram"]
