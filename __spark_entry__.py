@@ -472,6 +472,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"))
     q["q54_corpus_top_ngrams"] = lambda s, d: text_analysis.corpus_top_ngrams(
         _t(s, d, "documents"), n=3, k=20)
+    q["q55_decontaminate"] = lambda s, d: dedup.decontaminate(
+        _t(s, d, "documents"),
+        _t(s, d, "documents").where(F.col("doc_id") % 97 == 0),
+        n=8, min_overlap=1).orderBy("doc_id")
+    # inject within-doc repeats so the dedup has real work: the operator must
+    # keep first occurrences in order and strip the repeated sentence
+    q["q56_sentence_self_dedup"] = lambda s, d: dedup.sentence_self_dedup(
+        _t(s, d, "documents").select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(". Repeat me. Repeat me. Unique "),
+                     F.col("doc_id").cast("string"),
+                     F.lit(". Repeat me")).alias("text"))
+    ).orderBy("doc_id")
+    q["q57_stratified_sample"] = lambda s, d: text_analysis.stratified_sample(
+        _t(s, d, "documents")).orderBy("doc_id")
     return q
 
 
@@ -1114,5 +1129,50 @@ def oracle_sql() -> dict[str, str]:
               FROM t)
         SELECT gram, count(*) AS cnt FROM g WHERE gram <> ''
         GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+    """
+    o["q55_decontaminate"] = f"""
+        WITH sh AS (SELECT doc_id,
+                           CASE WHEN len(toks) < 8
+                                THEN [array_to_string(toks, ' ')]
+                                ELSE list_distinct([array_to_string(toks[i:i+7], ' ')
+                                                    for i in range(1, len(toks) - 6)])
+                           END AS sh
+                    FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)),
+        bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+        dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+        ov AS (SELECT dg.doc_id, count(*) AS overlap_ngrams
+               FROM dg JOIN bg USING (g) GROUP BY dg.doc_id)
+        SELECT d.doc_id, coalesce(ov.overlap_ngrams, 0) AS overlap_ngrams,
+               coalesce(ov.overlap_ngrams, 0) >= 1 AS contaminated
+        FROM documents d LEFT JOIN ov USING (doc_id) ORDER BY doc_id
+    """
+    o["q56_sentence_self_dedup"] = r"""
+        WITH s AS (SELECT doc_id, parts,
+                          unnest(range(1, len(parts) + 1))::INT AS i
+                   FROM (SELECT doc_id,
+                                string_split_regex(
+                                    text || '. Repeat me. Repeat me. Unique '
+                                         || doc_id || '. Repeat me',
+                                    '\. ') AS parts
+                         FROM documents)),
+        sent AS (SELECT doc_id, i - 1 AS pos, parts[i] AS sent FROM s),
+        first AS (SELECT doc_id, sent, min(pos) AS pos
+                  FROM sent GROUP BY doc_id, sent),
+        rebuilt AS (SELECT doc_id,
+                           string_agg(sent, '. ' ORDER BY pos) AS clean_text
+                    FROM first GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN rebuilt r USING (doc_id) ORDER BY doc_id
+    """
+    o["q57_stratified_sample"] = """
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket,
+               CASE WHEN lang = 'en' THEN 100
+                    WHEN lang = 'zh' THEN 25 ELSE 50 END AS rate
+        FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+              < CASE WHEN lang = 'en' THEN 100
+                     WHEN lang = 'zh' THEN 25 ELSE 50 END
+        ORDER BY doc_id
     """
     return o

@@ -680,3 +680,83 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
         .join(rebuilt, "doc_id", "left")
         .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  min_overlap: int = 1) -> DataFrame:
+    """Flag training documents sharing ≥ min_overlap word n-grams with any
+    benchmark document (the standard eval-decontamination pass, e.g.
+    GPT-3 appendix C / PaLM §6.2 — public papers).
+
+    Plan: benchmark n-gram set (distinct, exploded) is aggregated once —
+    at 100 TB the benchmark side is eval-suite-sized (tiny), so the join
+    against training grams is a broadcast hash join; the per-doc overlap
+    count is one aggregation keyed by doc_id. Output is total over input
+    docs: (doc_id, overlap_ngrams, contaminated).
+    """
+    doc_grams = shingle_arrays(docs, n).select(
+        "doc_id", F.explode("sh").alias("g")
+    )
+    bench_grams = (
+        shingle_arrays(benchmark, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    overlap = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# within-document sentence self-dedup (repetition removal)
+# ---------------------------------------------------------------------------
+
+def sentence_self_dedup(docs: DataFrame, sep: str = r"\. ",
+                        joiner: str = ". ") -> DataFrame:
+    """Remove repeated sentences WITHIN each document, keeping the first
+    occurrence in order (the within-page half of C4's repetition rule —
+    line_frequency_dedup handles the cross-document half).
+
+    Plan: posexplode(split) → first-occurrence filter via min(pos) per
+    (doc_id, sentence) [one shuffle, keyed by doc+hash so it scales with
+    the corpus] → order-preserving reassembly grouped by doc_id. Output is
+    total over input docs (all-duplicate docs keep their first sentence).
+    """
+    sents = docs.select(
+        "doc_id", F.posexplode(F.split("text", sep, -1)).alias("pos", "sent")
+    )
+    first = sents.groupBy("doc_id", F.md5("sent").alias("h")).agg(
+        F.min("pos").alias("pos")
+    )
+    kept = sents.join(first.select("doc_id", "pos"), ["doc_id", "pos"], "left_semi")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                    lambda s: s["sent"],
+                ),
+            ).alias("clean_text")
+        )
+        .join(docs.select("doc_id"), "doc_id", "right")
+        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )

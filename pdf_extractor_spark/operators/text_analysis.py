@@ -554,3 +554,24 @@ def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("gram"))
         .limit(k)
     )
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,
+                      default_rate: int = 50) -> DataFrame:
+    """Deterministic per-stratum downsampling (the data-mixture step of a
+    training pipeline: keep X% of each language/quality stratum). Assignment
+    is by content-independent key hash — md5(doc_id) mod 100 < rate — so the
+    sample is reproducible, stable under re-runs, and consistent with
+    stratified_split's bucketing. Narrow projection, zero shuffle.
+    """
+    rates = rates if rates is not None else {"en": 100, "zh": 25}
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    rate = F.lit(default_rate)
+    for lang, r in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, r).otherwise(rate)
+    return docs.select("doc_id", "lang", bucket.alias("bucket"),
+                       rate.alias("rate")).where(F.col("bucket") < F.col("rate"))

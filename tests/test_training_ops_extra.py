@@ -178,3 +178,65 @@ def test_corpus_top_ngrams_respects_k_and_order(spark, docs):
     for a, b in zip(got, got[1:]):
         if a["cnt"] == b["cnt"]:
             assert a["gram"] < b["gram"]
+
+
+# -- decontaminate -----------------------------------------------------------
+
+def test_decontaminate_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog every day"),
+            (2, "completely unrelated words about cooking pasta and sauce here"),
+            (3, "the quick brown fox jumps over the lazy dog again today"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "we note the quick brown fox jumps over the lazy dog indeed")],
+        ["doc_id", "text"],
+    )
+    from pdf_extractor_spark.operators import dedup
+
+    got = {r["doc_id"]: r for r in dedup.decontaminate(train, bench, n=8).collect()}
+    assert got[1]["contaminated"] is True    # shares the 8-gram span
+    assert got[2]["contaminated"] is False
+    assert got[2]["overlap_ngrams"] == 0
+    assert got[3]["contaminated"] is True
+    assert len(got) == 3                      # total over input
+
+
+# -- sentence_self_dedup -----------------------------------------------------
+
+def test_sentence_self_dedup(spark):
+    from pdf_extractor_spark.operators import dedup
+
+    rows = [
+        (1, "alpha one. beta two. alpha one. gamma three. beta two"),
+        (2, "no repeats here"),
+        (3, "same. same. same. same"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup.sentence_self_dedup(df).collect()}
+    assert got[1] == "alpha one. beta two. gamma three"
+    assert got[2] == "no repeats here"
+    assert got[3] == "same"
+    assert len(got) == 3
+
+
+# -- stratified_sample -------------------------------------------------------
+
+def test_stratified_sample_rates_and_determinism(spark, docs):
+    got1 = text_analysis.stratified_sample(docs).collect()
+    got2 = text_analysis.stratified_sample(docs).collect()
+    assert sorted(r["doc_id"] for r in got1) == sorted(r["doc_id"] for r in got2)
+    for r in got1:
+        assert r["bucket"] < r["rate"]
+        expected_rate = {"en": 100, "zh": 25}.get(r["lang"], 50)
+        assert r["rate"] == expected_rate
+    # every en doc survives (rate 100)
+    n_en = docs.where("lang = 'en'").count()
+    assert sum(1 for r in got1 if r["lang"] == "en") == n_en
+    # non-en strata are genuinely downsampled
+    n_rest = docs.where("lang <> 'en'").count()
+    assert sum(1 for r in got1 if r["lang"] != "en") < n_rest
