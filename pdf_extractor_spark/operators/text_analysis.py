@@ -474,7 +474,12 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
     ).where(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # persist tf: both the ranking side and the document-frequency aggregate
+    # consume it, and without this Catalyst re-scans and re-explodes the
+    # whole corpus for the df branch (verified in the formatted plan) —
+    # at 100 TB that doubles the tokenize work. (doc_id, term, tf) rows are
+    # narrow; production would checkpoint them to a table instead.
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # one cheap count job; a literal in the plan
     w = Window.partitionBy("doc_id").orderBy(

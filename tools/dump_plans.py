@@ -23,8 +23,20 @@ PICKS = {
         "(url, warc_ts, html)."
     ),
     "q18_minhash_lsh_pairs": (
-        "Kernel shingling (persisted, reused ×3) → banded explode → one exchange "
-        "on (band, band_sig) → bucket self-join → verify; no cross join anywhere."
+        "One md5 pass → int64 shingle hashes (persisted, feeds banding AND "
+        "verify) → numpy banding → ONE exchange into the (band, band_sig) "
+        "groupBy → in-bucket pair explode → exact verify over int64 arrays; "
+        "no cross join, no string shuffles anywhere."
+    ),
+    "q52_tfidf_topk": (
+        "Tokenize+tf once (persisted — without it Catalyst re-explodes the "
+        "corpus for the df branch); vocabulary-sized df aggregate broadcasts "
+        "back; WindowGroupLimit prunes to top-k before the final window sort."
+    ),
+    "q55_decontaminate": (
+        "Benchmark gram set is eval-suite-sized → broadcast into the training "
+        "gram stream; per-doc overlap agg; final left join back to docs also "
+        "broadcast (overlap table ≈ contaminated docs only)."
     ),
     "q21_embedding_neardup": (
         "Explode to block pairs (narrow) → one exchange on (bi,bj) → BLAS matmul "
