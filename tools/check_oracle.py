@@ -44,54 +44,67 @@ def rows_key(cols, rows):
     return sorted(tuple(canon(r[i]) for i in order) for r in rows)
 
 
+def check_one(spark, oracles, name, fn):
+    """Returns (name, ok: bool, message). Spark is thread-safe for concurrent
+    job submission; each thread opens its own DuckDB connection."""
+    try:
+        sdf = fn(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:
+        return name, False, f"spark error: {exc}"
+    if name not in oracles:
+        return name, True, f"rows-only ({len(srows)} rows, no oracle)"
+    try:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        con.close()
+    except Exception as exc:
+        return name, False, f"oracle error: {exc}"
+    problems = []
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+    if len(srows) != len(orows):
+        problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+    if not problems:
+        sk, ok_ = rows_key(scols, srows), rows_key(ocols, orows)
+        if sk != ok_:
+            ndiff = sum(1 for a, b in zip(sk, ok_) if a != b)
+            first = next(((a, b) for a, b in zip(sk, ok_) if a != b), None)
+            problems.append(f"values differ in {ndiff} rows; first: {first}")
+    if problems:
+        return name, False, "; ".join(problems)
+    return name, True, f"{len(srows)} rows match"
+
+
 def main():
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     only = set(sys.argv[1:])
     spark = get_spark(app_name="oracle-check", cores=16, shuffle_partitions=16)
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    spark.sparkContext.setLogLevel("ERROR")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    todo = [(n, f) for n, f in queries.items() if not only or n in only]
+    workers = int(os.environ.get("ORACLE_WORKERS", "14"))
     failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        try:
-            sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as exc:
-            print(f"FAIL  {name}: spark error: {exc}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"OK?   {name}: rows-only ({len(srows)} rows, no oracle)")
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
-        except Exception as exc:
-            print(f"FAIL  {name}: oracle error: {exc}")
-            failures.append(name)
-            continue
-        problems = []
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if not problems:
-            sk, ok_ = rows_key(scols, srows), rows_key(ocols, orows)
-            if sk != ok_:
-                ndiff = sum(1 for a, b in zip(sk, ok_) if a != b)
-                first = next(((a, b) for a, b in zip(sk, ok_) if a != b), None)
-                problems.append(f"values differ in {ndiff} rows; first: {first}")
-        if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems))
-            failures.append(name)
-        else:
-            print(f"OK    {name}: {len(srows)} rows match")
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        futs = [pool.submit(check_one, spark, oracles, n, f) for n, f in todo]
+        for fut in futs:
+            name, ok, msg = fut.result()
+            if not ok:
+                print(f"FAIL  {name}: {msg}")
+                failures.append(name)
+            elif "rows-only" in msg:
+                print(f"OK?   {name}: {msg}")
+            else:
+                print(f"OK    {name}: {msg}")
     spark.stop()
     if failures:
         print(f"\n{len(failures)} FAILURES: {failures}")
