@@ -487,7 +487,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).orderBy("doc_id")
     q["q57_stratified_sample"] = lambda s, d: text_analysis.stratified_sample(
         _t(s, d, "documents")).orderBy("doc_id")
+    q["q58_customer_year_cohorts"] = lambda s, d: relational.customer_year_cohorts(
+        _t(s, d, "orders"))
+    q["q59_revenue_cube"] = lambda s, d: relational.revenue_cube(_t(s, d, "orders"))
+    q["q60_streaming_sliding_counts"] = q_streaming_sliding_counts
     return q
+
+
+def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, sliding_counts_stream,
+    )
+
+    stream = sliding_counts_stream(read_events_stream(spark, sf_dir))
+    res = run_stream_to_memory(spark, stream, "sliding_counts_oracle_q")
+    return res.orderBy("window_start", "event_type")
 
 
 def _docs_with_pii(docs: DataFrame) -> DataFrame:
@@ -1174,5 +1188,42 @@ def oracle_sql() -> dict[str, str]:
               < CASE WHEN lang = 'en' THEN 100
                      WHEN lang = 'zh' THEN 25 ELSE 50 END
         ORDER BY doc_id
+    """
+    o["q58_customer_year_cohorts"] = """
+        WITH c1 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE year(o_orderdate) = 1995),
+        c2 AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE year(o_orderdate) = 1996)
+        SELECT o_custkey, 'both' AS cohort
+        FROM (SELECT o_custkey FROM c1 INTERSECT SELECT o_custkey FROM c2)
+        UNION ALL
+        SELECT o_custkey, 'only_1995' AS cohort
+        FROM (SELECT o_custkey FROM c1 EXCEPT SELECT o_custkey FROM c2)
+        UNION ALL
+        SELECT o_custkey, 'only_1996' AS cohort
+        FROM (SELECT o_custkey FROM c2 EXCEPT SELECT o_custkey FROM c1)
+        ORDER BY o_custkey, cohort
+    """
+    o["q59_revenue_cube"] = """
+        SELECT o_orderpriority, year(o_orderdate)::INT AS yr,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders,
+               grouping(o_orderpriority, year(o_orderdate)::INT) AS gid
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, year(o_orderdate)::INT)
+        ORDER BY gid, o_orderpriority, yr
+    """
+    # sliding 2-day/1-day windows: every event lands in the window starting
+    # at its truncated day and the one starting a day earlier
+    o["q60_streaming_sliding_counts"] = """
+        WITH w AS (SELECT unnest([date_trunc('day', ts),
+                                  date_trunc('day', ts) - INTERVAL 1 DAY])
+                              AS window_start,
+                          event_type, value
+                   FROM events)
+        SELECT window_start, event_type, count(*) AS n,
+               round(sum(value), 4) AS sum_value
+        FROM w GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
     """
     return o

@@ -380,3 +380,40 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+def customer_year_cohorts(orders: DataFrame, y1: int = 1995, y2: int = 1996) -> DataFrame:
+    """Set-operation parity (UNION/INTERSECT/EXCEPT — beyond-reference §2
+    scope note): customers who ordered in both years, only the first, only
+    the second. Distinct custkey sets are narrow (one column), so the
+    intersect/except hash shuffles stay minimal-width; the three cohorts
+    union into one tagged output.
+    """
+    c1 = (
+        orders.where(F.year("o_orderdate") == y1).select("o_custkey").distinct()
+    )
+    c2 = (
+        orders.where(F.year("o_orderdate") == y2).select("o_custkey").distinct()
+    )
+    both = c1.intersect(c2).select("o_custkey", F.lit("both").alias("cohort"))
+    only1 = c1.subtract(c2).select("o_custkey", F.lit(f"only_{y1}").alias("cohort"))
+    only2 = c2.subtract(c1).select("o_custkey", F.lit(f"only_{y2}").alias("cohort"))
+    return both.unionByName(only1).unionByName(only2).orderBy("o_custkey", "cohort")
+
+
+def revenue_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (order priority, order year) with grouping_id — the full
+    grouping-sets lattice (ROLLUP's big sibling, q32). One shuffle; Spark
+    expands the lattice map-side with partial aggregation per grouping set.
+    """
+    yr = F.year("o_orderdate").alias("yr")
+    return (
+        orders.select("o_orderpriority", yr, "o_totalprice")
+        .cube("o_orderpriority", "yr")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .orderBy("gid", "o_orderpriority", "yr")
+    )

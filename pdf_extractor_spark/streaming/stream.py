@@ -101,3 +101,16 @@ def run_stream_to_memory(spark: SparkSession, stream_df: DataFrame, name: str,
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Watermarked SLIDING-window counts (2-day windows advancing 1 day):
+    each event contributes to exactly two overlapping windows. The sliding
+    variant of windowed_counts_stream — the shape used for rolling ingest
+    dashboards over a continuous training-data feed."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 days", "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )

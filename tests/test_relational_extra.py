@@ -103,3 +103,42 @@ def test_char_minhash_matches_python_and_survives_tail_edit(spark):
     assert got[1] == got[2] or got[2] == py_fp(
         "The quick brown fox jumps over the lazy dog EXTRA TAIL"
     )
+
+
+def test_customer_year_cohorts_partition(spark):
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators import relational
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = relational.customer_year_cohorts(orders).collect()
+    cohorts = {}
+    for r in got:
+        cohorts.setdefault(r["cohort"], set()).add(r["o_custkey"])
+    c95 = {r["o_custkey"] for r in orders.where(F.year("o_orderdate") == 1995)
+           .select("o_custkey").distinct().collect()}
+    c96 = {r["o_custkey"] for r in orders.where(F.year("o_orderdate") == 1996)
+           .select("o_custkey").distinct().collect()}
+    assert cohorts.get("both", set()) == c95 & c96
+    assert cohorts.get("only_1995", set()) == c95 - c96
+    assert cohorts.get("only_1996", set()) == c96 - c95
+    # cohorts partition the union: no custkey appears twice
+    all_rows = [r["o_custkey"] for r in got]
+    assert len(all_rows) == len(set(all_rows))
+
+
+def test_revenue_cube_lattice(spark):
+    from pdf_extractor_spark.operators import relational
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = relational.revenue_cube(orders).collect()
+    total = [r for r in got if r["gid"] == 3]
+    assert len(total) == 1  # grand total row
+    assert total[0]["n_orders"] == orders.count()
+    # per-priority subtotals (gid=1: yr aggregated) sum to the grand total
+    by_prio = [r for r in got if r["gid"] == 1]
+    assert sum(r["n_orders"] for r in by_prio) == orders.count()
+    by_yr = [r for r in got if r["gid"] == 2]
+    assert sum(r["n_orders"] for r in by_yr) == orders.count()
+    fine = [r for r in got if r["gid"] == 0]
+    assert sum(r["n_orders"] for r in fine) == orders.count()

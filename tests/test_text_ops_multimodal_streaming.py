@@ -221,3 +221,32 @@ def test_winnowing_fingerprints_match_twin_and_localize(spark):
     # local property: shared prefix -> large fingerprint overlap
     s1, s2 = set(got[1]), set(got[2])
     assert len(s1 & s2) / len(s1) > 0.8
+
+
+def test_sliding_counts_stream_equals_batch(spark):
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, sliding_counts_stream,
+    )
+
+    stream = sliding_counts_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(spark, stream, "sliding_counts_test").collect()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = (
+        events.select(
+            F.explode(
+                F.array(
+                    F.date_trunc("day", F.col("ts")),
+                    F.date_trunc("day", F.col("ts")) - F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("window_start"),
+            "event_type",
+            "value",
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])
+    gmap = {key(r): (r["n"], r["sum_value"]) for r in got}
+    bmap = {key(r): (r["n"], r["sum_value"]) for r in batch}
+    assert gmap == bmap and len(gmap) > 0
