@@ -153,84 +153,6 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, n: int = 3) -> DataF
     )
 
 
-def minhash_signatures_from_shingles(sh_df: DataFrame, num_perm: int = 64) -> DataFrame:
-    """minhash_signatures over a precomputed (doc_id, sh) shingle table —
-    lets one shingling pass feed both LSH signatures and exact verify."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    from pdf_extractor_spark.kernels.textstats import MINHASH_P, minhash_perm_params
-
-    params = minhash_perm_params(num_perm)
-    A = np.array([a for a, _ in params], dtype=np.int64)
-    B = np.array([b for _, b in params], dtype=np.int64)
-
-    def kernel(batches):
-        cache: dict[str, int] = {}
-
-        def shash(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
-                cache[s] = v
-            return v
-
-        for pdf in batches:
-            sigs = []
-            for sh in pdf["sh"]:
-                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
-                sigs.append(((hs[:, None] * A + B) % MINHASH_P).min(axis=0))
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
-
-    return sh_df.mapInPandas(kernel, "doc_id long, sig array<long>")
-
-
-def minhash_banded_from_shingles(
-    sh_df: DataFrame, num_perm: int = 64, bands: int = 16
-) -> DataFrame:
-    """(doc_id, band, band_sig) exploded LSH band rows, straight from the
-    kernel — fusing signature generation and banding avoids a second
-    interpreted pass (slice+concat per band per row) over the signatures."""
-    import hashlib
-
-    import numpy as np
-    import pandas as pd
-
-    from pdf_extractor_spark.kernels.textstats import MINHASH_P, minhash_perm_params
-
-    rows = num_perm // bands
-    params = minhash_perm_params(num_perm)
-    A = np.array([a for a, _ in params], dtype=np.int64)
-    B = np.array([b for _, b in params], dtype=np.int64)
-
-    def kernel(batches):
-        cache: dict[str, int] = {}
-
-        def shash(s: str) -> int:
-            v = cache.get(s)
-            if v is None:
-                v = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16) % MINHASH_P
-                cache[s] = v
-            return v
-
-        for pdf in batches:
-            doc_ids, band_ids, band_sigs = [], [], []
-            for doc_id, sh in zip(pdf["doc_id"], pdf["sh"]):
-                hs = np.fromiter((shash(s) for s in sh), dtype=np.int64, count=len(sh))
-                sig = ((hs[:, None] * A + B) % MINHASH_P).min(axis=0)
-                for b in range(bands):
-                    doc_ids.append(doc_id)
-                    band_ids.append(b)
-                    band_sigs.append(",".join(map(str, sig[b * rows:(b + 1) * rows])))
-            yield pd.DataFrame(
-                {"doc_id": doc_ids, "band": band_ids, "band_sig": band_sigs}
-            )
-
-    return sh_df.mapInPandas(kernel, "doc_id long, band int, band_sig string")
-
-
 def shingle_hash_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shh array<long>) — sorted distinct 60-bit md5 shingle hashes.
 
@@ -389,44 +311,6 @@ def verify_jaccard_hashed(
                 b = np.asarray(sb, dtype=np.int64)
                 inter = np.intersect1d(a, b, assume_unique=True).size
                 jac[i] = inter / (a.size + b.size - inter)
-            yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
-
-    return (
-        joined.mapInPandas(kernel, "a long, b long, jaccard double")
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
-        .orderBy("a", "b")
-    )
-
-
-def verify_jaccard(
-    docs: DataFrame,
-    pairs: DataFrame,
-    n: int = 3,
-    threshold: float = 0.5,
-    shingles_df: DataFrame | None = None,
-) -> DataFrame:
-    """Exact n-gram Jaccard for given candidate (a,b) pairs.
-
-    Set intersection runs in an Arrow kernel (Python set ops are ~2× the
-    speed of interpreted array_intersect over string arrays here); the
-    division result is bit-identical to the JVM's (same IEEE ints → double),
-    and rounding stays JVM-side (F.round) for exact oracle parity.
-    """
-    import pandas as pd
-
-    sh = shingles_df if shingles_df is not None else shingle_arrays(docs, n)
-    joined = pairs.join(
-        sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a"
-    ).join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
-
-    def kernel(batches):
-        for pdf in batches:
-            jac = []
-            for sa, sb in zip(pdf["sha"], pdf["shb"]):
-                s = set(sa)
-                inter = sum(1 for x in sb if x in s)
-                jac.append(inter / (len(s) + len(sb) - inter))
             yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
 
     return (
