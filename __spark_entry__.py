@@ -491,7 +491,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders"))
     q["q59_revenue_cube"] = lambda s, d: relational.revenue_cube(_t(s, d, "orders"))
     q["q60_streaming_sliding_counts"] = q_streaming_sliding_counts
+    q["q61_streaming_enriched_events"] = q_streaming_enriched_events
     return q
+
+
+def q_streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.streaming.stream import (
+        enriched_events_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    stream = enriched_events_stream(
+        read_events_stream(spark, sf_dir), _t(spark, sf_dir, "customer"))
+    res = run_stream_to_memory(spark, stream, "enriched_events_oracle_q",
+                               output_mode="append")
+    return res.orderBy("event_id")
 
 
 def q_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1225,5 +1238,11 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS sum_value
         FROM w GROUP BY window_start, event_type
         ORDER BY window_start, event_type
+    """
+    o["q61_streaming_enriched_events"] = """
+        SELECT event_id, user_id, event_type, round(value, 4) AS value,
+               c_name, c_nationkey, c_mktsegment
+        FROM events JOIN customer ON user_id = c_custkey
+        ORDER BY event_id
     """
     return o

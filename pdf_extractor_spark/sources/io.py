@@ -3,7 +3,7 @@
 The reference ingests payloads from S3 or a local uploads volume and
 catalogs them in Postgres (main.py:401-431); our engine's equivalents are
 schema-explicit readers/writers over the lake formats available in the
-sandbox: Parquet (canonical), JSON-lines and CSV (interchange). Binary
+sandbox: Parquet (canonical), ORC (columnar alternate), JSON-lines and CSV (interchange). Binary
 payloads can't live in text formats, so JSON/CSV round-trip them through
 base64 — the same encoding the reference uses for vision payloads
 (openai_vision_extractor.py:134).
@@ -44,8 +44,9 @@ _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Read the Common-Crawl-style pages table (input_hint schema) from
     parquet/json/csv. Text formats decode html from base64."""
-    if fmt == "parquet":
-        return spark.read.schema(PAGES_SCHEMA).parquet(path)
+    if fmt in ("parquet", "orc"):
+        # columnar formats carry binary natively (no base64 detour)
+        return spark.read.schema(PAGES_SCHEMA).format(fmt).load(path)
     if fmt in ("json", "csv"):
         reader = spark.read.schema(_PAGES_TEXT_SCHEMA).option("timestampFormat", _TS_FMT)
         raw = (
@@ -70,8 +71,8 @@ def read_pages(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFram
 
 def write_pages(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite") -> None:
     """Write the pages table. Text formats encode html as base64."""
-    if fmt == "parquet":
-        df.select([f.name for f in PAGES_SCHEMA]).write.mode(mode).parquet(path)
+    if fmt in ("parquet", "orc"):
+        df.select([f.name for f in PAGES_SCHEMA]).write.mode(mode).format(fmt).save(path)
         return
     if fmt in ("json", "csv"):
         out = df.select(
@@ -103,8 +104,8 @@ def write_extracted(
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
-    if fmt == "parquet":
-        w.parquet(path)
+    if fmt in ("parquet", "orc"):
+        w.format(fmt).save(path)
     elif fmt == "json":
         w.json(path)
     else:
@@ -114,8 +115,8 @@ def write_extracted(
 def read_extracted(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     from pdf_extractor_spark.operators.extract import EXTRACTED_SCHEMA
 
-    if fmt == "parquet":
-        return spark.read.schema(EXTRACTED_SCHEMA).parquet(path)
+    if fmt in ("parquet", "orc"):
+        return spark.read.schema(EXTRACTED_SCHEMA).format(fmt).load(path)
     if fmt == "json":
         return spark.read.schema(EXTRACTED_SCHEMA).json(path)
     raise ValueError(f"unsupported extracted format: {fmt}")

@@ -114,3 +114,19 @@ def sliding_counts_stream(events: DataFrame, watermark: str = "1 day") -> DataFr
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
     )
+
+
+def enriched_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static equi-join: enrich the event stream with the customer
+    dimension (user_id = c_custkey). The static side is read fresh per
+    micro-batch and broadcast (dimension-sized) — the canonical pattern for
+    joining a continuous ingest feed against slowly-changing reference data
+    without restarting the query."""
+    dim = F.broadcast(
+        customer.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+    )
+    return events.join(dim, events["user_id"] == dim["c_custkey"], "inner").select(
+        "event_id", "user_id", "event_type",
+        F.round("value", 4).alias("value"),
+        "c_name", "c_nationkey", "c_mktsegment",
+    )

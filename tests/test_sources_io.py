@@ -1,5 +1,5 @@
-"""Source/sink round-trips: pages table through parquet/json/csv (binary
-payloads base64 in text formats), extracted table through parquet/json."""
+"""Source/sink round-trips: pages table through parquet/orc/json/csv (binary
+payloads base64 in text formats), extracted table through parquet/orc/json."""
 from __future__ import annotations
 
 import pytest
@@ -22,7 +22,7 @@ def _rows(df):
     )
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json", "csv"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
 def test_pages_roundtrip(spark, pages, tmp_path, fmt):
     path = str(tmp_path / f"pages_{fmt}")
     pio.write_pages(pages, path, fmt=fmt)
@@ -30,7 +30,7 @@ def test_pages_roundtrip(spark, pages, tmp_path, fmt):
     assert _rows(back) == _rows(pages)
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json"])
 def test_extracted_roundtrip(spark, pages, tmp_path, fmt):
     extracted = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=4)
     path = str(tmp_path / f"ext_{fmt}")

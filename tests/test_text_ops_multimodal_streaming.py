@@ -250,3 +250,23 @@ def test_sliding_counts_stream_equals_batch(spark):
     gmap = {key(r): (r["n"], r["sum_value"]) for r in got}
     bmap = {key(r): (r["n"], r["sum_value"]) for r in batch}
     assert gmap == bmap and len(gmap) > 0
+
+
+def test_enriched_events_stream_equals_batch_join(spark):
+    from pdf_extractor_spark.streaming.stream import (
+        enriched_events_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    customer = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    stream = enriched_events_stream(read_events_stream(spark, SF_DIR), customer)
+    got = run_stream_to_memory(spark, stream, "enriched_events_test",
+                               output_mode="append").collect()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = (
+        events.join(customer, events["user_id"] == customer["c_custkey"])
+        .select("event_id", "c_name", "c_mktsegment")
+        .collect()
+    )
+    gmap = {r["event_id"]: (r["c_name"], r["c_mktsegment"]) for r in got}
+    bmap = {r["event_id"]: (r["c_name"], r["c_mktsegment"]) for r in batch}
+    assert gmap == bmap and len(gmap) == events.count()
