@@ -492,6 +492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q59_revenue_cube"] = lambda s, d: relational.revenue_cube(_t(s, d, "orders"))
     q["q60_streaming_sliding_counts"] = q_streaming_sliding_counts
     q["q61_streaming_enriched_events"] = q_streaming_enriched_events
+    q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
+        _t(s, d, "documents"))
     return q
 
 
@@ -1055,7 +1057,7 @@ def oracle_sql() -> dict[str, str]:
               FROM embeddings)
         ORDER BY vec_id
     """
-    o["q50_gopher_quality"] = f"""
+    _gopher_sql = f"""
         WITH t0 AS (SELECT doc_id, {_TOKS_SQL} AS toks,
                            length({_NORM_SQL.format(c='text')}) AS nchars
                     FROM documents),
@@ -1101,6 +1103,7 @@ def oracle_sql() -> dict[str, str]:
                 AND topfrac <= 0.20 AND dupfrac <= 0.30) AS keep
         FROM m ORDER BY doc_id
     """
+    o["q50_gopher_quality"] = _gopher_sql
     _pii_aug = (
         "text || ' contact user' || doc_id || '@example.com ip 10.0.' "
         "|| (doc_id % 256) || '.' || ((doc_id // 256) % 256) "
@@ -1244,5 +1247,17 @@ def oracle_sql() -> dict[str, str]:
                c_name, c_nationkey, c_mktsegment
         FROM events JOIN customer ON user_id = c_custkey
         ORDER BY event_id
+    """
+    o["q62_training_mix"] = f"""
+        WITH g AS ({_gopher_sql}),
+        sampled AS (
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
+                  < CASE WHEN lang = 'en' THEN 100
+                         WHEN lang = 'zh' THEN 25 ELSE 50 END)
+        SELECT s.lang, count(*) AS survivors,
+               round(avg(g.n_words), 6) AS avg_words
+        FROM sampled s JOIN g ON s.doc_id = g.doc_id AND g.keep
+        GROUP BY s.lang ORDER BY s.lang
     """
     return o

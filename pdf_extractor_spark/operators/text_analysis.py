@@ -580,3 +580,24 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,
         rate = F.when(F.col("lang") == lang, r).otherwise(rate)
     return docs.select("doc_id", "lang", bucket.alias("bucket"),
                        rate.alias("rate")).where(F.col("bucket") < F.col("rate"))
+
+
+def training_mix_pipeline(docs: DataFrame) -> DataFrame:
+    """End-to-end training-data mixture prep, composing this engine's
+    hygiene operators in one lazy plan: Gopher repetition/quality gate →
+    deterministic per-language stratified downsampling → per-language
+    mixture rollup (survivors + mean length). Catalyst pipelines the narrow
+    stages; the only shuffles are the per-doc gopher kernel's none, the
+    sample's none, and the final rollup aggregation — the whole mixture
+    pass is one scan + one aggregate at any corpus size."""
+    gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
+    sampled = stratified_sample(docs).select("doc_id", "lang")
+    kept = sampled.join(gate, "doc_id")
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("survivors"),
+            F.round(F.avg("n_words"), 6).alias("avg_words"),
+        )
+        .orderBy("lang")
+    )

@@ -240,3 +240,22 @@ def test_stratified_sample_rates_and_determinism(spark, docs):
     # non-en strata are genuinely downsampled
     n_rest = docs.where("lang <> 'en'").count()
     assert sum(1 for r in got1 if r["lang"] != "en") < n_rest
+
+
+# -- training_mix_pipeline ----------------------------------------------------
+
+def test_training_mix_pipeline_consistency(spark, docs):
+    got = {r["lang"]: r for r in
+           text_analysis.training_mix_pipeline(docs).collect()}
+    gate = {r["doc_id"]: r["n_words"] for r in
+            text_analysis.gopher_quality(docs).where("keep").collect()}
+    sampled = {(r["doc_id"], r["lang"]) for r in
+               text_analysis.stratified_sample(docs).collect()}
+    per: dict[str, list] = {}
+    for doc_id, lang in sampled:
+        if doc_id in gate:
+            per.setdefault(lang, []).append(gate[doc_id])
+    assert set(got) == set(per)
+    for lang, words in per.items():
+        assert got[lang]["survivors"] == len(words)
+        assert abs(got[lang]["avg_words"] - sum(words) / len(words)) < 1e-5
