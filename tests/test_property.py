@@ -96,3 +96,61 @@ def test_lang_functions_total(text):
 def test_page_split_covers_content(text):
     pages = split_pages(text)
     assert pages and all(isinstance(p, int) and p >= 1 for p, _ in pages)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(max_size=512))
+def test_norm_split_join_equals_regex(s):
+    """The _norm fast path claims " ".join(split()) == \\s+ regex sub+strip
+    for every unicode string (SRE's UNI_SPACE is str.isspace)."""
+    import re
+
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    assert hk._norm(s) == re.sub(r"\s+", " ", s).strip()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(max_size=512))
+def test_detect_lang_single_pass_equals_reference(text):
+    """One-pass token->lang-indices scoring must equal the per-language
+    membership formulation exactly (hits, scores, tie-breaks)."""
+    from pdf_extractor_spark.kernels import lang as L
+
+    toks = text.lower().split()
+    if not toks:
+        expected = L.UNKNOWN
+    else:
+        best_lang, best_score = L.UNKNOWN, 0.0
+        for lang in sorted(L.STOPWORDS):
+            hits = sum(1 for t in toks if t in L.STOPWORDS[lang])
+            score = hits / len(toks)
+            if score > best_score:
+                best_lang, best_score = lang, score
+        expected = best_lang if best_score > 0.0 else L.UNKNOWN
+    assert L.detect_lang(text) == expected
+
+
+_ENTITY_ALPHABET = st.sampled_from(
+    ["&amp;", "&lt;", "&gt;", "&copy;", "&copy", "&#65;", "&#x41;", "&",
+     "&bogus;", " ", "a", "b", "<p>", "</p>", "<div>", "</div>", "<br/>"]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_ENTITY_ALPHABET, max_size=30).map("".join))
+def test_fast_path_charref_parity_fuzz(html):
+    """Entity-dense inputs: fast path (html.unescape) must equal stdlib
+    whenever it claims the input."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    fast = hk._BlockParser()
+    if not hk._feed_fast(html, fast):
+        return
+    fast.close()
+    std = hk._BlockParser()
+    std.feed(html)
+    std.close()
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks]
