@@ -90,6 +90,8 @@ def _stream_bytes(body: bytes) -> bytes:
 
 def _unescape_literal(s: bytes) -> str:
     """PDF literal string escapes: \\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd."""
+    if 0x5C not in s:  # escape-free literal (the common case): no byte loop
+        return s.decode("latin-1")
     out = bytearray()
     i = 0
     esc = {
