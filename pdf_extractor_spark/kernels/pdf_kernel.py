@@ -135,6 +135,12 @@ _SIMPLE_TOK_RE = re.compile(
 )
 
 
+# delimiter jump tables for the array scanner (C-speed skips between
+# structurally relevant bytes)
+_ARR_DELIM_RE = re.compile(rb"[\[\]\\(]")
+_STR_DELIM_RE = re.compile(rb"[()\\]")
+
+
 def _tokenize(stream: bytes):
     """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list)."""
     i = 0
@@ -154,6 +160,15 @@ def _tokenize(stream: bytes):
                 yield ("op", m.group().decode("latin-1", "replace"))
             i = m.end()
         elif c == b"(":
+            # fast path: escape-free, non-nested literal (the common case) —
+            # one find + slice instead of the byte loop
+            j_close = stream.find(b")", i + 1)
+            if j_close != -1:
+                seg = stream[i + 1 : j_close]
+                if b"\\" not in seg and b"(" not in seg:
+                    yield ("str", seg.decode("latin-1"))
+                    i = j_close + 1
+                    continue
             depth = 1
             j = i + 1
             buf = bytearray()
@@ -187,29 +202,47 @@ def _tokenize(stream: bytes):
                 pass
             i = j + 1
         elif c == b"[":
-            # array: tokenize inner region recursively (strings + numbers)
+            # array: find the matching ']' (skipping literal strings), then
+            # tokenize the inner region recursively. Jumps between delimiter
+            # occurrences with regex search instead of stepping bytes —
+            # string contents cross at C speed (they were the bulk of the
+            # walked bytes; they get byte-scanned again by the recursive
+            # tokenize, so this halves the Python-loop work per array).
             depth = 1
             j = i + 1
             while j < n and depth:
-                if stream[j] == 0x5B:
+                m2 = _ARR_DELIM_RE.search(stream, j)
+                if m2 is None:
+                    j = n
+                    break
+                j = m2.start()
+                ch = stream[j]
+                if ch == 0x5B:
                     depth += 1
-                elif stream[j] == 0x5D:
-                    depth -= 1
-                elif stream[j] == 0x5C:
                     j += 1
-                elif stream[j] == 0x28:  # skip over literal strings
+                elif ch == 0x5D:
+                    depth -= 1
+                    j += 1
+                elif ch == 0x5C:
+                    j += 2
+                else:  # '(' — skip the literal string (balanced, escapes)
                     d2 = 1
                     j += 1
                     while j < n and d2:
-                        if stream[j] == 0x5C:
-                            j += 1
-                        elif stream[j] == 0x28:
+                        m3 = _STR_DELIM_RE.search(stream, j)
+                        if m3 is None:
+                            j = n
+                            break
+                        j = m3.start()
+                        c2 = stream[j]
+                        if c2 == 0x5C:
+                            j += 2
+                        elif c2 == 0x28:
                             d2 += 1
-                        elif stream[j] == 0x29:
+                            j += 1
+                        else:
                             d2 -= 1
-                        j += 1
-                    continue
-                j += 1
+                            j += 1
             yield ("arr", list(_tokenize(stream[i + 1 : j - 1])))
             i = j
         elif c == b"<":  # '<<' dict — skip to matching '>>'
