@@ -494,6 +494,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q61_streaming_enriched_events"] = q_streaming_enriched_events
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
         _t(s, d, "documents"))
+    q["q63_embedding_covariance"] = lambda s, d: similarity.embedding_covariance(
+        _t(s, d, "embeddings"))
     return q
 
 
@@ -1259,5 +1261,17 @@ def oracle_sql() -> dict[str, str]:
                round(avg(g.n_words), 6) AS avg_words
         FROM sampled s JOIN g ON s.doc_id = g.doc_id AND g.keep
         GROUP BY s.lang ORDER BY s.lang
+    """
+    # i/j are 0-based in Spark; DuckDB arrays are 1-based → i-1/j-1
+    o["q63_embedding_covariance"] = """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        dims AS (SELECT unnest(range(1, 65))::INT AS i),
+        x AS (SELECT vec_id, i, v[i] AS xi FROM e, dims)
+        SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+               round((sum(a.xi * b.xi)
+                      - sum(a.xi) * sum(b.xi) / count(*))
+                     / (count(*) - 1), 6) + 0.0 AS cov
+        FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i ORDER BY i, j
     """
     return o

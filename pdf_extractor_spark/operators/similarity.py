@@ -306,3 +306,54 @@ def ivf_topk_trained(embs: DataFrame, query_ids: list[int], k: int = 5,
         .where(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def embedding_covariance(embs: DataFrame) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding columns — the
+    map-side-partial first step of distributed PCA (the d×d matrix is tiny;
+    eigendecomposition is a driver-side numpy call on the collected result).
+
+    Each partition contributes ONE d×d outer-product matmul plus a
+    d-vector sum (Arrow kernel, BLAS); partials land as (i, j, sxy) rows
+    and one narrow aggregate reduces them — shuffled rows are
+    O(partitions · d²), independent of corpus size. cov(i,j) =
+    (Σxy − n·mean_i·mean_j) / (n−1), with +0.0 to normalize IEEE −0.0 so
+    the value hash is engine-portable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            s = m.T @ m            # d×d
+            sv = m.sum(axis=0)     # d
+            d = s.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": iu.astype("int32"),
+                    "j": ju.astype("int32"),
+                    "sxy": s[iu, ju],
+                    "sx": sv[iu],
+                    "sy": sv[ju],
+                    "cnt": np.full(iu.shape, len(pdf), dtype="int64"),
+                }
+            )
+
+    e = embs.select(F.col("embedding").cast("array<double>").alias("v"))
+    parts = e.mapInPandas(
+        partial, "i int, j int, sxy double, sx double, sy double, cnt long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("cnt").alias("n"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
+    return agg.select(
+        "i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
+    ).orderBy("i", "j")

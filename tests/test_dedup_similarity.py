@@ -206,3 +206,19 @@ def test_kmeans_ivf_recall_not_worse_than_seed_ivf(spark):
                    embs, [0, 15], k=5, n_cells=4, n_probe=1, train_iters=3).collect()}
     recall = len(brute & trained) / len(brute)
     assert recall >= 0.8  # single-probe with trained centroids on separable data
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.embedding_covariance(embs).collect()
+    m = np.stack([np.array(r["embedding"], dtype=np.float64)
+                  for r in embs.orderBy("vec_id").collect()])
+    ref = np.cov(m, rowvar=False)  # (d, d), ddof=1
+    d = m.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for r in got:
+        assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-5, (r["i"], r["j"])
