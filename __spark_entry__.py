@@ -496,6 +496,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"))
     q["q63_embedding_covariance"] = lambda s, d: similarity.embedding_covariance(
         _t(s, d, "embeddings"))
+    q["q64_dedup_groups"] = lambda s, d: dedup.connected_components(
+        dedup.minhash_lsh_pairs(_docs_with_dups(_t(s, d, "documents")),
+                                num_perm=64, bands=32, jaccard_threshold=0.5)
+        .select("a", "b"))
     return q
 
 
@@ -1273,5 +1277,20 @@ def oracle_sql() -> dict[str, str]:
                      / (count(*) - 1), 6) + 0.0 AS cov
         FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
         GROUP BY a.i, b.i ORDER BY i, j
+    """
+    # connected components over the exact-Jaccard pair graph: recursive
+    # label-walk enumerates reachable labels, min per node = component min
+    o["q64_dedup_groups"] = f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_PAIRS_SQL.replace("ORDER BY a, b", "")}),
+        edges AS (SELECT a AS src, b AS dst FROM pairs
+                  UNION SELECT b, a FROM pairs),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        walk(node, label) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
+        )
+        SELECT node AS doc_id, min(label) AS group_id
+        FROM walk GROUP BY node ORDER BY doc_id
     """
     return o

@@ -644,3 +644,57 @@ def sentence_self_dedup(docs: DataFrame, sep: str = r"\. ",
         .join(docs.select("doc_id"), "doc_id", "right")
         .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup pairs → dedup groups (connected components)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(node, group_id) for every node in the pair graph, group_id = the
+    smallest node id reachable from it — the step that turns near-duplicate
+    PAIRS (q18/q19/q21 output) into dedup GROUPS with one canonical
+    representative each.
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own label and its neighbors' labels; converges in ≤ graph
+    diameter rounds (near-dup cliques are shallow, typically 2-3). The
+    driver loop materializes each round (localCheckpoint cuts the lineage
+    chain, the standard iterative-algorithm discipline at scale) and stops
+    on a fixpoint. Each round is one shuffle join + one aggregate on
+    (node, label) — both narrow.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), "label")
+        )
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") < F.col("old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("group_id")).orderBy("doc_id")

@@ -222,3 +222,26 @@ def test_embedding_covariance_matches_numpy(spark):
     assert len(got) == d * (d + 1) // 2
     for r in got:
         assert abs(r["cov"] - ref[r["i"], r["j"]]) < 1e-5, (r["i"], r["j"])
+
+
+def test_connected_components_chains_and_cliques(spark):
+    from pdf_extractor_spark.operators import dedup
+
+    # chain 1-2-3-4, clique 10-11-12, isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["a", "b"],
+    )
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from pdf_extractor_spark.operators import dedup
+
+    n = 12  # diameter > typical near-dup cliques; exercises the fixpoint loop
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n)], ["a", "b"])
+    got = {r["doc_id"]: r["group_id"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n + 1)}
