@@ -500,6 +500,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dedup.minhash_lsh_pairs(_docs_with_dups(_t(s, d, "documents")),
                                 num_perm=64, bands=32, jaccard_threshold=0.5)
         .select("a", "b"))
+    q["q65_random_projection"] = lambda s, d: similarity.random_projection(
+        _t(s, d, "embeddings"), k=8, seed=7)
+    # eigendecomposition not SQL-expressible → rows-only; numpy-pinned test
+    q["q66_pca_project"] = lambda s, d: similarity.pca_project(
+        _t(s, d, "embeddings"), k=4)
     return q
 
 
@@ -1292,5 +1297,18 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS doc_id, min(label) AS group_id
         FROM walk GROUP BY node ORDER BY doc_id
+    """
+    # seed-derived ±1 projection matrix enters the SQL as literals (the
+    # q23/q24 pattern: data-independent md5 geometry, engine-portable)
+    _R = similarity.rp_matrix(64, 8, 7)
+    _pc_exprs = ", ".join(
+        "round((" + " + ".join(f"({_R[i][j]})*v[{i + 1}]" for i in range(64))
+        + f") / sqrt(8.0), 6) AS pc{j + 1}"
+        for j in range(8)
+    )
+    o["q65_random_projection"] = f"""
+        SELECT vec_id, {_pc_exprs}
+        FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        ORDER BY vec_id
     """
     return o

@@ -357,3 +357,108 @@ def embedding_covariance(embs: DataFrame) -> DataFrame:
     return agg.select(
         "i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov")
     ).orderBy("i", "j")
+
+
+def rp_matrix(dim: int = 64, k: int = 8, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 random-projection matrix (Achlioptas-style signs from
+    md5(seed:i:j) parity) — data-independent, so both Spark and the DuckDB
+    oracle reproduce it exactly from the seed."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"rp:{seed}:{i}:{j}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1
+            for j in range(k)
+        ]
+        for i in range(dim)
+    ]
+
+
+def random_projection(embs: DataFrame, k: int = 8, seed: int = 7) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project embeddings
+    onto k md5-seeded ±1 directions, scaled by 1/sqrt(k). The projection
+    matrix is seed-derived (no data dependence, no fit step) so the
+    operator is a pure narrow map — one Arrow-batched BLAS matmul per
+    batch, zero shuffle, pipelines over any corpus size. Output columns
+    pc1..pck (rounded 6) for the engine-portable value hash.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        R = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            if R is None:
+                R = np.array(rp_matrix(m.shape[1], k, seed), dtype=np.float64)
+            proj = (m @ R) / np.sqrt(k)
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(k):
+                out[f"pc{j + 1}"] = proj[:, j]
+            yield pd.DataFrame(out)
+
+    cols = ", ".join(f"pc{j + 1} double" for j in range(k))
+    raw = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).mapInPandas(kernel, f"vec_id long, {cols}")
+    return raw.select(
+        "vec_id", *[F.round(f"pc{j + 1}", 6).alias(f"pc{j + 1}") for j in range(k)]
+    ).orderBy("vec_id")
+
+
+def pca_project(embs: DataFrame, k: int = 4) -> DataFrame:
+    """PCA projection onto the top-k principal components, built on the
+    distributed covariance (embedding_covariance): the d×d matrix collects
+    to the driver (d² doubles — tiny at any corpus size), numpy eigh
+    decomposes it, and the projection runs as one narrow Arrow matmul over
+    the scan. Deterministic sign convention: each eigenvector's
+    largest-|component| entry is made positive. Iterative/eigen step is not
+    SQL-expressible → rows-only driver check; exactness is pinned by the
+    numpy-reference unit test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cov_rows = embedding_covariance(embs).collect()
+    d = max(r["j"] for r in cov_rows) + 1
+    C = np.zeros((d, d))
+    for r in cov_rows:
+        C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
+    mean = np.array(
+        embs.select(
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
+        )
+        .groupBy("i")
+        .agg(F.avg("x").alias("m"))
+        .orderBy("i")
+        .select("m")
+        .toPandas()["m"]
+    )
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for j in range(W.shape[1]):  # deterministic sign
+        if W[np.abs(W[:, j]).argmax(), j] < 0:
+            W[:, j] = -W[:, j]
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            proj = (m - mean) @ W
+            out = {"vec_id": pdf["vec_id"]}
+            for j in range(k):
+                out[f"pc{j + 1}"] = proj[:, j]
+            yield pd.DataFrame(out)
+
+    cols = ", ".join(f"pc{j + 1} double" for j in range(k))
+    raw = embs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).mapInPandas(kernel, f"vec_id long, {cols}")
+    return raw.select(
+        "vec_id", *[F.round(f"pc{j + 1}", 6).alias(f"pc{j + 1}") for j in range(k)]
+    ).orderBy("vec_id")

@@ -245,3 +245,48 @@ def test_connected_components_long_chain_converges(spark):
     got = {r["doc_id"]: r["group_id"]
            for r in dedup.connected_components(pairs).collect()}
     assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.random_projection(embs, k=8, seed=7).collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in embs.collect()}
+    R = np.array(similarity.rp_matrix(64, 8, 7), dtype=np.float64)
+    for r in got[:50]:
+        ref = vecs[r["vec_id"]] @ R / np.sqrt(8)
+        for j in range(8):
+            assert abs(r[f"pc{j + 1}"] - ref[j]) < 1e-5
+
+
+def test_pca_project_matches_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.pca_project(embs, k=4).collect()
+    m = np.stack([np.array(r["embedding"], dtype=np.float64)
+                  for r in embs.orderBy("vec_id").collect()])
+    C = np.cov(m, rowvar=False)
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:4]
+    W = vecs[:, order]
+    for j in range(4):
+        if W[np.abs(W[:, j]).argmax(), j] < 0:
+            W[:, j] = -W[:, j]
+    ref = (m - m.mean(axis=0)) @ W
+    ids = [r["vec_id"] for r in embs.orderBy("vec_id").collect()]
+    ref_map = {vid: ref[idx] for idx, vid in enumerate(ids)}
+    for r in got[:50]:
+        for j in range(4):
+            # covariance rounding (6dp) perturbs eigvecs slightly -> 1e-3
+            assert abs(r[f"pc{j + 1}"] - ref_map[r["vec_id"]][j]) < 1e-3
+    # projection onto PC1 must carry the most variance
+    pc1 = np.array([r["pc1"] for r in got])
+    pc4 = np.array([r["pc4"] for r in got])
+    assert pc1.var() > pc4.var()
