@@ -57,6 +57,7 @@ def main() -> None:
         "q20_simhash_dup_groups",   # simhash
         "q21_embedding_neardup",    # vector pairs
         "q22_ann_brute_topk",       # ANN brute force
+        "q50_gopher_quality",       # Gopher repetition gate (Counter kernel)
         "q25_extract_html",         # HTML kernel through mapInArrow
         "q26_extract_pdf",          # PDF kernel through mapInArrow
     ]
