@@ -120,25 +120,22 @@ def test_fast_tokenizer_event_parity_with_stdlib():
         if d.html.startswith(b"%PDF"):
             continue
         html = d.html.decode("utf-8", errors="replace")
-        fast = hk._BlockParser()
-        used_fast = hk._feed_fast(html, fast)
-        fast.close()
+        fast_blocks = hk._parse_fast(html)
         std = hk._BlockParser()
         std.feed(html)
         std.close()
-        if used_fast:
+        if fast_blocks is not None:
             n_fast += 1
             key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
                              b.total_chars, b.boiler_depth)
-            assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks], d.url
+            assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks], d.url
     assert n_fast > 1000  # the fast path actually covers the corpus
 
 
 def test_fast_tokenizer_bails_on_stray_lt():
     from pdf_extractor_spark.kernels import html_kernel as hk
 
-    p = hk._BlockParser()
-    assert hk._feed_fast("<p>1 < 2</p>", p) is False
+    assert hk._parse_fast("<p>1 < 2</p>") is None
     # and parse_blocks still handles it via the stdlib fallback
     blocks = hk.parse_blocks("<p>1 < 2</p>")
     assert blocks and "1" in blocks[0].text
@@ -164,11 +161,10 @@ def test_fast_tokenizer_charref_parity_with_stdlib():
     key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
                      b.total_chars, b.boiler_depth)
     for payload in payloads:
-        fast = hk._BlockParser()
-        assert hk._feed_fast(payload, fast) is True, payload
-        fast.close()
+        fast_blocks = hk._parse_fast(payload)
+        assert fast_blocks is not None, payload
         std = hk._BlockParser()
         std.feed(payload)
         std.close()
-        assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks], payload
+        assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks], payload
     assert hk.parse_blocks("<p>a &amp; b</p>")[0].text == "a & b"

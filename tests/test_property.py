@@ -44,16 +44,15 @@ def test_fast_and_stdlib_paths_agree_when_fast_claims(html):
     """Whenever the fast tokenizer accepts an input, it must equal stdlib."""
     from pdf_extractor_spark.kernels import html_kernel as hk
 
-    fast = hk._BlockParser()
-    if not hk._feed_fast(html, fast):
+    fast_blocks = hk._parse_fast(html)
+    if fast_blocks is None:
         return  # bailed — stdlib handles it
-    fast.close()
     std = hk._BlockParser()
     std.feed(html)
     std.close()
     key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
                      b.total_chars, b.boiler_depth)
-    assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks]
+    assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks]
 
 
 @settings(max_examples=300, deadline=None)
@@ -144,13 +143,12 @@ def test_fast_path_charref_parity_fuzz(html):
     whenever it claims the input."""
     from pdf_extractor_spark.kernels import html_kernel as hk
 
-    fast = hk._BlockParser()
-    if not hk._feed_fast(html, fast):
-        return
-    fast.close()
+    fast_blocks = hk._parse_fast(html)
+    if fast_blocks is None:
+        return  # bailed — stdlib handles it
     std = hk._BlockParser()
     std.feed(html)
     std.close()
     key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
                      b.total_chars, b.boiler_depth)
-    assert [key(b) for b in fast.blocks] == [key(b) for b in std.blocks]
+    assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks]
