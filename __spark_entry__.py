@@ -505,7 +505,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # eigendecomposition not SQL-expressible → rows-only; numpy-pinned test
     q["q66_pca_project"] = lambda s, d: similarity.pca_project(
         _t(s, d, "embeddings"), k=4)
+    q["q67_streaming_session_windows"] = q_streaming_session_windows
     return q
+
+
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, session_window_stream,
+    )
+
+    stream = session_window_stream(read_events_stream(spark, sf_dir))
+    res = run_stream_to_memory(spark, stream, "session_windows_oracle_q")
+    return res.orderBy("user_id", "session_start")
 
 
 def q_streaming_enriched_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1310,5 +1321,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, {_pc_exprs}
         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         ORDER BY vec_id
+    """
+    # session_window semantics: a new session starts when the inactivity
+    # gap is >= 30 min (windows are [start, last+gap), end-exclusive);
+    # exact microsecond arithmetic on both sides
+    o["q67_streaming_session_windows"] = """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800000000 THEN 1 ELSE 0 END AS new_session
+            FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                  ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM flagged)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
     """
     return o

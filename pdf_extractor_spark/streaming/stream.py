@@ -130,3 +130,19 @@ def enriched_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
         F.round("value", 4).alias("value"),
         "c_name", "c_nationkey", "c_mktsegment",
     )
+
+
+def session_window_stream(events: DataFrame, gap: str = "30 minutes",
+                          watermark: str = "1 day") -> DataFrame:
+    """Native session windows (Spark's session_window): per-user sessions
+    that close after `gap` of inactivity — the built-in complement to the
+    custom applyInPandasWithState operator (user_session_totals_stream) and
+    the batch sessionize (q49). State is bounded by the watermark horizon."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "sum_value")
+    )

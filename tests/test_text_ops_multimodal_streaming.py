@@ -270,3 +270,25 @@ def test_enriched_events_stream_equals_batch_join(spark):
     gmap = {r["event_id"]: (r["c_name"], r["c_mktsegment"]) for r in got}
     bmap = {r["event_id"]: (r["c_name"], r["c_mktsegment"]) for r in batch}
     assert gmap == bmap and len(gmap) == events.count()
+
+
+def test_session_window_stream_equals_batch(spark):
+    from pdf_extractor_spark.streaming.stream import (
+        read_events_stream, run_stream_to_memory, session_window_stream,
+    )
+
+    stream = session_window_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(spark, stream, "session_windows_test").collect()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    batch = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+        .select("user_id", F.col("w.start").alias("session_start"),
+                "n_events", "sum_value")
+        .collect()
+    )
+    key = lambda r: (r["user_id"], r["session_start"])
+    gmap = {key(r): (r["n_events"], r["sum_value"]) for r in got}
+    bmap = {key(r): (r["n_events"], r["sum_value"]) for r in batch}
+    assert gmap == bmap and len(gmap) > 0
