@@ -506,6 +506,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q66_pca_project"] = lambda s, d: similarity.pca_project(
         _t(s, d, "embeddings"), k=4)
     q["q67_streaming_session_windows"] = q_streaming_session_windows
+    q["q68_order_percentiles"] = lambda s, d: relational.order_value_percentiles(
+        _t(s, d, "orders"))
     return q
 
 
@@ -1338,5 +1340,13 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 4) AS sum_value
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
+    """
+    o["q68_order_percentiles"] = """
+        SELECT o_orderpriority,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """
     return o

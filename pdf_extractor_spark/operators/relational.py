@@ -417,3 +417,20 @@ def revenue_cube(orders: DataFrame) -> DataFrame:
         )
         .orderBy("gid", "o_orderpriority", "yr")
     )
+
+
+def order_value_percentiles(orders: DataFrame) -> DataFrame:
+    """Exact percentiles (linear interpolation) of order value per priority
+    — p50/p90/p99 analytics over the catalog. Spark's `percentile` is the
+    exact (sort-based) aggregate, semantics identical to SQL quantile_cont;
+    one shuffle keyed by the 5-value priority column."""
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -142,3 +142,22 @@ def test_revenue_cube_lattice(spark):
     assert sum(r["n_orders"] for r in by_yr) == orders.count()
     fine = [r for r in got if r["gid"] == 0]
     assert sum(r["n_orders"] for r in fine) == orders.count()
+
+
+def test_order_percentiles_match_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import relational
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = {r["o_orderpriority"]: r
+           for r in relational.order_value_percentiles(orders).collect()}
+    rows = orders.select("o_orderpriority", "o_totalprice").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["o_orderpriority"], []).append(r["o_totalprice"])
+    for prio, vals in per.items():
+        a = np.array(vals)
+        assert got[prio]["n_orders"] == len(vals)
+        for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            assert abs(got[prio][col] - np.quantile(a, q)) < 1e-3, (prio, col)
