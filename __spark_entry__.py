@@ -508,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q67_streaming_session_windows"] = q_streaming_session_windows
     q["q68_order_percentiles"] = lambda s, d: relational.order_value_percentiles(
         _t(s, d, "orders"))
+    q["q69_lineitem_stats"] = lambda s, d: relational.lineitem_stats(
+        _t(s, d, "lineitem"))
     return q
 
 
@@ -1348,5 +1350,13 @@ def oracle_sql() -> dict[str, str]:
                round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+    o["q69_lineitem_stats"] = """
+        SELECT l_returnflag,
+               round(stddev_samp(l_quantity), 6) AS sd_qty,
+               round(var_samp(l_extendedprice), 4) AS var_price,
+               round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
     return o

@@ -434,3 +434,19 @@ def order_value_percentiles(orders: DataFrame) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def lineitem_stats(lineitem: DataFrame) -> DataFrame:
+    """Statistical aggregate parity per return flag: sample stddev/variance
+    and Pearson correlation (quantity vs extended price) — the standard
+    profiling pass over a fact table. One shuffle, map-side partials."""
+    return (
+        lineitem.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.variance("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -161,3 +161,22 @@ def test_order_percentiles_match_numpy(spark):
         assert got[prio]["n_orders"] == len(vals)
         for q, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
             assert abs(got[prio][col] - np.quantile(a, q)) < 1e-3, (prio, col)
+
+
+def test_lineitem_stats_match_numpy(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import relational
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = {r["l_returnflag"]: r for r in relational.lineitem_stats(li).collect()}
+    rows = li.select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["l_returnflag"], []).append((r["l_quantity"], r["l_extendedprice"]))
+    for flag, vals in per.items():
+        q = np.array([v[0] for v in vals], dtype=np.float64)
+        p = np.array([v[1] for v in vals], dtype=np.float64)
+        assert got[flag]["n"] == len(vals)
+        assert abs(got[flag]["sd_qty"] - q.std(ddof=1)) < 1e-4
+        assert abs(got[flag]["corr_qty_price"] - np.corrcoef(q, p)[0, 1]) < 1e-4
