@@ -510,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders"))
     q["q69_lineitem_stats"] = lambda s, d: relational.lineitem_stats(
         _t(s, d, "lineitem"))
+    q["q70_event_time_heatmap"] = lambda s, d: relational.event_time_heatmap(
+        _t(s, d, "events"))
     return q
 
 
@@ -1358,5 +1360,11 @@ def oracle_sql() -> dict[str, str]:
                round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
                count(*) AS n
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    # DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 -> +1
+    o["q70_event_time_heatmap"] = """
+        SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
+               count(*) AS n, round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2 ORDER BY dow, hour
     """
     return o

@@ -450,3 +450,17 @@ def lineitem_stats(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def event_time_heatmap(events: DataFrame) -> DataFrame:
+    """Date-dimension rollup: events per (day-of-week, hour) — the
+    activity-heatmap query, covering the date/time scalar family
+    (dayofweek/hour). One shuffle onto a 7×24-key grid (tiny)."""
+    return (
+        events.groupBy(
+            F.dayofweek("ts").alias("dow"),  # 1=Sunday..7=Saturday
+            F.hour("ts").alias("hour"),
+        )
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("dow", "hour")
+    )

@@ -180,3 +180,13 @@ def test_lineitem_stats_match_numpy(spark):
         assert got[flag]["n"] == len(vals)
         assert abs(got[flag]["sd_qty"] - q.std(ddof=1)) < 1e-4
         assert abs(got[flag]["corr_qty_price"] - np.corrcoef(q, p)[0, 1]) < 1e-4
+
+
+def test_event_time_heatmap_total_and_grid(spark):
+    from pdf_extractor_spark.operators import relational
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = relational.event_time_heatmap(events).collect()
+    assert sum(r["n"] for r in got) == events.count()
+    for r in got:
+        assert 1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
