@@ -512,6 +512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "lineitem"))
     q["q70_event_time_heatmap"] = lambda s, d: relational.event_time_heatmap(
         _t(s, d, "events"))
+    q["q71_user_event_pivot"] = lambda s, d: relational.user_event_pivot(
+        _t(s, d, "events"))
     return q
 
 
@@ -1366,5 +1368,14 @@ def oracle_sql() -> dict[str, str]:
         SELECT (dayofweek(ts) + 1)::INT AS dow, hour(ts)::INT AS hour,
                count(*) AS n, round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2 ORDER BY dow, hour
+    """
+    o["q71_user_event_pivot"] = """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events GROUP BY user_id ORDER BY user_id
     """
     return o

@@ -464,3 +464,20 @@ def event_time_heatmap(events: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value"))
         .orderBy("dow", "hour")
     )
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def user_event_pivot(events: DataFrame) -> DataFrame:
+    """PIVOT parity: per-user event counts fanned into one column per event
+    type. The pivot values are DECLARED (not discovered) — at scale an
+    undeclared pivot triggers an extra distinct-scan job; declaring them
+    keeps it one shuffle with map-side partials."""
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+        .orderBy("user_id")
+    )

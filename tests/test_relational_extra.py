@@ -190,3 +190,17 @@ def test_event_time_heatmap_total_and_grid(spark):
     assert sum(r["n"] for r in got) == events.count()
     for r in got:
         assert 1 <= r["dow"] <= 7 and 0 <= r["hour"] <= 23
+
+
+def test_user_event_pivot_row_sums(spark):
+    from pdf_extractor_spark.operators import relational
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = relational.user_event_pivot(events).collect()
+    per_user = {r["user_id"]: r["cnt"] for r in
+                events.groupBy("user_id").count()
+                .withColumnRenamed("count", "cnt").collect()}
+    assert len(got) == len(per_user)
+    for r in got:
+        total = sum(r[c] for c in relational.EVENT_TYPES)
+        assert total == per_user[r["user_id"]]
