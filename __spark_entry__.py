@@ -514,6 +514,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"))
     q["q71_user_event_pivot"] = lambda s, d: relational.user_event_pivot(
         _t(s, d, "events"))
+    q["q72_order_unpivot"] = lambda s, d: relational.order_flags_unpivot(
+        _t(s, d, "orders"))
     return q
 
 
@@ -1377,5 +1379,13 @@ def oracle_sql() -> dict[str, str]:
                sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
                sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
         FROM events GROUP BY user_id ORDER BY user_id
+    """
+    o["q72_order_unpivot"] = """
+        SELECT o_orderkey, 'custkey' AS metric, o_custkey::DOUBLE AS value
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
+        FROM orders
+        ORDER BY o_orderkey, metric
     """
     return o

@@ -481,3 +481,15 @@ def user_event_pivot(events: DataFrame) -> DataFrame:
         .na.fill(0, EVENT_TYPES)
         .orderBy("user_id")
     )
+
+
+def order_flags_unpivot(orders: DataFrame) -> DataFrame:
+    """UNPIVOT/melt parity: wide per-order numeric columns fanned into
+    (o_orderkey, metric, value) long form — the inverse of q71's pivot.
+    Narrow 1→N row explode, no shuffle (the orderBy is for the oracle)."""
+    return (
+        orders.select("o_orderkey", F.col("o_totalprice").alias("totalprice"),
+                      F.col("o_custkey").cast("double").alias("custkey"))
+        .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
+        .orderBy("o_orderkey", "metric")
+    )

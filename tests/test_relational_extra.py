@@ -204,3 +204,14 @@ def test_user_event_pivot_row_sums(spark):
     for r in got:
         total = sum(r[c] for c in relational.EVENT_TYPES)
         assert total == per_user[r["user_id"]]
+
+
+def test_order_unpivot_shape(spark):
+    from pdf_extractor_spark.operators import relational
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = relational.order_flags_unpivot(orders).collect()
+    n = orders.count()
+    assert len(got) == 2 * n
+    metrics = {r["metric"] for r in got}
+    assert metrics == {"totalprice", "custkey"}
