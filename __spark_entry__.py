@@ -516,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"))
     q["q72_order_unpivot"] = lambda s, d: relational.order_flags_unpivot(
         _t(s, d, "orders"))
+    q["q73_user_moving_avg"] = lambda s, d: relational.user_value_moving_avg(
+        _t(s, d, "events"))
     return q
 
 
@@ -1387,5 +1389,13 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS value
         FROM orders
         ORDER BY o_orderkey, metric
+    """
+    o["q73_user_moving_avg"] = """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING), 4) AS running_total
+        FROM events ORDER BY user_id, event_id
     """
     return o

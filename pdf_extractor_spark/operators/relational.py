@@ -493,3 +493,19 @@ def order_flags_unpivot(orders: DataFrame) -> DataFrame:
         .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
         .orderBy("o_orderkey", "metric")
     )
+
+
+def user_value_moving_avg(events: DataFrame) -> DataFrame:
+    """Bounded window-frame parity: 4-event moving average (ROWS 3 PRECEDING
+    TO CURRENT) and running total per user over event time. One shuffle on
+    user_id; the frame is bounded so state per row is O(4)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 6).alias("mavg4"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_total"),
+    ).orderBy("user_id", "event_id")

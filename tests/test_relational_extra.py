@@ -215,3 +215,25 @@ def test_order_unpivot_shape(spark):
     assert len(got) == 2 * n
     metrics = {r["metric"] for r in got}
     assert metrics == {"totalprice", "custkey"}
+
+
+def test_user_moving_avg_matches_python(spark):
+    from pdf_extractor_spark.operators import relational
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = relational.user_value_moving_avg(events).collect()
+    rows = events.select("user_id", "event_id", "ts", "value").collect()
+    per = {}
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["ts"], r["event_id"])):
+        per.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for uid, rs in per.items():
+        run = 0.0
+        for i, r in enumerate(rs):
+            run += r["value"]
+            window = [x["value"] for x in rs[max(0, i - 3): i + 1]]
+            expect[(uid, r["event_id"])] = (sum(window) / len(window), run)
+    for r in got[:500]:
+        m, t = expect[(r["user_id"], r["event_id"])]
+        assert abs(r["mavg4"] - m) < 1e-4
+        assert abs(r["running_total"] - t) < 1e-2
