@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "orders"))
     q["q73_user_moving_avg"] = lambda s, d: relational.user_value_moving_avg(
         _t(s, d, "events"))
+    q["q74_order_quartiles"] = lambda s, d: relational.order_value_quartiles(
+        _t(s, d, "orders"))
     return q
 
 
@@ -1397,5 +1399,13 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                      ROWS UNBOUNDED PRECEDING), 4) AS running_total
         FROM events ORDER BY user_id, event_id
+    """
+    o["q74_order_quartiles"] = """
+        SELECT o_orderkey, o_orderpriority,
+               ntile(4) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+               dense_rank() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        FROM orders ORDER BY o_orderkey
     """
     return o

@@ -509,3 +509,17 @@ def user_value_moving_avg(events: DataFrame) -> DataFrame:
         F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
         .alias("running_total"),
     ).orderBy("user_id", "event_id")
+
+
+def order_value_quartiles(orders: DataFrame) -> DataFrame:
+    """Ranking-window parity: ntile(4) value quartile and dense_rank within
+    each priority. One shuffle on the priority key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("rnk"),
+    ).orderBy("o_orderkey")

@@ -237,3 +237,19 @@ def test_user_moving_avg_matches_python(spark):
         m, t = expect[(r["user_id"], r["event_id"])]
         assert abs(r["mavg4"] - m) < 1e-4
         assert abs(r["running_total"] - t) < 1e-2
+
+
+def test_order_quartiles_balanced(spark):
+    from collections import Counter
+
+    from pdf_extractor_spark.operators import relational
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    got = relational.order_value_quartiles(orders).collect()
+    per = {}
+    for r in got:
+        per.setdefault(r["o_orderpriority"], Counter())[r["quartile"]] += 1
+    for prio, counts in per.items():
+        assert set(counts) <= {1, 2, 3, 4}
+        # ntile balance: sizes differ by at most 1
+        assert max(counts.values()) - min(counts.values()) <= 1, (prio, counts)
