@@ -732,8 +732,8 @@ def _lang_agreement_sql() -> str:
     return f"""
         SELECT lang, count(*) AS docs,
                sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END) AS agree,
-               round(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)::DOUBLE
-                     / count(*), 6) AS agree_rate
+               CAST(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)::DOUBLE
+                    / count(*) AS DECIMAL(18,6)) AS agree_rate
         FROM ({inner}) GROUP BY lang ORDER BY lang
     """
 
@@ -1057,7 +1057,8 @@ def oracle_sql() -> dict[str, str]:
                                                ROWS UNBOUNDED PRECEDING) AS session_id
               FROM flagged)
         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
-               count(*) AS n_events, round(sum(value), 6) AS total_value
+               count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,6))) AS total_value
         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """
     o["q44_stratified_split"] = """
@@ -1084,10 +1085,11 @@ def oracle_sql() -> dict[str, str]:
     """
     o["q41_normalize_quantize"] = """
         SELECT vec_id,
-               CASE WHEN nrm > 0
-                    THEN list_transform(e, x -> CAST(round(x / nrm * 127, 0) AS INT))
-                    ELSE list_transform(e, x -> 0) END AS qvec,
-               round(nrm, 6) AS norm
+               array_to_string(
+                   CASE WHEN nrm > 0
+                        THEN list_transform(e, x -> CAST(round(x / nrm * 127, 0) AS INT))
+                        ELSE list_transform(e, x -> 0) END, ',') AS qvec,
+               CAST(nrm AS DECIMAL(18,6)) AS norm
         FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
               FROM embeddings)

@@ -376,7 +376,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 6).alias("total_value"),
+            # decimal sum: double summation order is nondeterministic across
+            # engines/partitionings; decimal addition is exact and therefore
+            # order-independent, so the driver's value hash is stable
+            # (CORRECTNESS_r01 q49 was a last-ulp hash mismatch).
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )

