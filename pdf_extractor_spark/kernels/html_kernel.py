@@ -251,6 +251,24 @@ _FAST_TAG_RE = re.compile(
     re.S,
 )
 _RAWTEXT = ("script", "style")
+# rawtext close-tag scanners, searched on the ORIGINAL string (never on a
+# lowered copy: str.lower can change string length — 'İ' → 'i̇' — which
+# desyncs slice indices; and re-lowercasing the document per script tag is
+# quadratic on script-heavy pages). Per tag:
+#   prefix — the exact stdlib HTMLParser `interesting` pattern for cdata
+#            mode (`</\s*tag`, re.I): where the stdlib parser would stop.
+#   close  — a clean end tag (`</\s*tag\s*>`) with ASCII-exact letters
+#            (explicit [sS] classes, not re.I, so 'ſ' cannot match 's').
+# The fast path proceeds only when the first stdlib-visible candidate IS a
+# clean close; anything else ('</scriptfoo', '</script x>', unclosed to
+# EOF) bails to the stdlib parser, which owns the subtle cases.
+_RAWTEXT_RES = {
+    t: (
+        re.compile(rf"</\s*{t}", re.I),
+        re.compile("</\\s*" + "".join(f"[{c}{c.upper()}]" for c in t) + "\\s*>"),
+    )
+    for t in _RAWTEXT
+}
 
 
 def _parse_fast(html: str) -> list[Block] | None:
@@ -546,12 +564,14 @@ def _parse_fast(html: str) -> list[Block] | None:
                             pending_kind = "text"
                             pending_level = 0
             if rawtext:
-                close = html.lower().find(f"</{tag}", m.end())
-                if close == -1:
-                    return None
-                gt = find(">", close)
-                if gt == -1:
-                    return None
+                prefix_re, close_re = _RAWTEXT_RES[tag]
+                pm = prefix_re.search(html, m.end())
+                if pm is None:
+                    return None  # unclosed rawtext → stdlib owns EOF rules
+                cm = close_re.match(html, pm.start())
+                if cm is None:
+                    return None  # '</scriptfoo' / '</script x>' → stdlib
+                close, gt = pm.start(), cm.end() - 1
                 raw = html[m.end():close]
                 if raw:
                     # handle_data, rawtext: no charref conversion; script/

@@ -57,8 +57,17 @@ for _li, _lang in enumerate(_LANGS):
         _TOKEN_LANG_IDS[_w] = _TOKEN_LANG_IDS.get(_w, ()) + (_li,)
 
 
+import re as _re
+
+# ASCII whitespace collapse (re.ASCII): the DuckDB oracle tokenizes with
+# RE2's ASCII \s, and Java \s is ASCII too — Python's Unicode split() would
+# additionally split on NBSP/U+2028 and silently diverge on non-ASCII docs.
+_WS_RE = _re.compile(r"\s+", _re.ASCII)
+
+
 def _tokens(text: str) -> list[str]:
-    return text.lower().split()  # argless split never yields empty strings
+    norm = _WS_RE.sub(" ", text.lower()).strip()
+    return norm.split(" ") if norm else []
 
 
 def detect_lang(text: str) -> str:

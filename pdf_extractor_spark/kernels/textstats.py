@@ -12,11 +12,17 @@ from __future__ import annotations
 import hashlib
 import re
 
-_WS_RE = re.compile(r"\s+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
+# re.ASCII: the Spark twins run Java regex (\s = ASCII [ \t\n\x0B\f\r]) and
+# the DuckDB oracles run RE2 (\s = ASCII) — Python's default Unicode \s also
+# matches NBSP/U+2028 etc. and would silently diverge on non-ASCII
+# whitespace. Same for \w. (Unicode LOWERCASE is kept: Python and the JVM
+# agree on accented letters, which the multilingual corpus needs.)
+_WS_RE = re.compile(r"\s+", re.ASCII)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
 # BPE-ish word/number/punctuation segmentation (mirrors the regex used in the
 # Spark operator and the DuckDB oracle — keep the three in sync).
 TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_TOKEN_RE_C = re.compile(TOKEN_RE, re.ASCII)
 
 EN_STOPWORDS_SMALL = (
     "the of and to in a is that it for on with as are was be this by an at "
@@ -30,13 +36,15 @@ def normalize(text: str) -> str:
 
 
 def ws_token_count(text: str) -> int:
-    """Whitespace token count."""
-    return len(text.split())
+    """Whitespace token count (ASCII-whitespace, matching the Spark twin's
+    split of the normalized text on ' ')."""
+    norm = normalize(text)
+    return len(norm.split(" ")) if norm else 0
 
 
 def bpe_ish_token_count(text: str) -> int:
     """Count of TOKEN_RE matches (letters runs / digit runs / single punct)."""
-    return len(re.findall(TOKEN_RE, text))
+    return len(_TOKEN_RE_C.findall(text))
 
 
 def punct_ratio(text: str) -> float:
@@ -48,7 +56,7 @@ def punct_ratio(text: str) -> float:
 
 
 def stopword_ratio(text: str) -> float:
-    toks = normalize(text).split()
+    toks = normalize(text).split(" ") if normalize(text) else []
     if not toks:
         return 0.0
     sw = set(EN_STOPWORDS_SMALL)
@@ -74,7 +82,8 @@ def fingerprint(text: str) -> str:
 
 def shingles(text: str, n: int = 3) -> set[str]:
     """Distinct word n-gram shingles of the normalized text."""
-    toks = normalize(text).split()
+    norm = normalize(text)
+    toks = norm.split(" ") if norm else []
     if len(toks) < n:
         return {" ".join(toks)} if toks else set()
     return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
@@ -122,7 +131,8 @@ def simhash(text: str, bits: int = SIMHASH_BITS) -> int:
     Token hash = first bits/4 md5 hex chars as int. 60 bits (not 64) so the
     Spark/DuckDB twins can use exact signed-64 integer arithmetic.
     """
-    toks = normalize(text).split()
+    norm = normalize(text)
+    toks = norm.split(" ") if norm else []
     if not toks:
         return 0
     acc = [0] * bits

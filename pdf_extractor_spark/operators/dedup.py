@@ -53,7 +53,8 @@ def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         for pdf in batches:
             out = []
             for text in pdf["text"]:
-                toks = normalize(text).split()
+                nrm = normalize(text)
+                toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
                     out.append([" ".join(toks)])
                 else:
@@ -139,7 +140,8 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, n: int = 3) -> DataF
         for pdf in batches:
             sigs = []
             for text in pdf["text"]:
-                toks = normalize(text).split()
+                nrm = normalize(text)
+                toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
                     sh = {" ".join(toks)}
                 else:
@@ -185,7 +187,8 @@ def shingle_hash_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         for pdf in batches:
             out = []
             for text in pdf["text"]:
-                toks = normalize(text).split()
+                nrm = normalize(text)
+                toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
                     sh = {" ".join(toks)}
                 else:
@@ -399,7 +402,8 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf["text"]):
-                toks = normalize(text).split()
+                nrm = normalize(text)
+                toks = nrm.split(" ") if nrm else []
                 if not toks:
                     continue
                 hs = np.empty(len(toks), dtype=np.int64)
@@ -434,11 +438,15 @@ def simhash_duplicates(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def cosine(a, b):
-    """Cosine similarity of two array<float/double> columns, JVM-side."""
+    """Cosine similarity of two array<float/double> columns, JVM-side.
+
+    try_divide: a zero-norm vector yields NULL (matching DuckDB's NULL)
+    instead of an ANSI divide-by-zero error — callers decide whether NULL
+    means 'filter out' (pair ops) or 'park in cell 0' (k-means)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
     na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
     nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
-    return dot / (na * nb)
+    return F.try_divide(dot, na * nb)
 
 
 def embedding_neardup_pairs(
@@ -650,51 +658,86 @@ def sentence_self_dedup(docs: DataFrame, sep: str = r"\. ",
 # near-dup pairs → dedup groups (connected components)
 # ---------------------------------------------------------------------------
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): per node u with m = min(Γ(u) ∪ {u}), rewire every strictly
+    larger neighbor to m. Input/output: directed (u, v) edges, symmetric
+    closure applied here."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("u"), F.col("mn")).alias("m")
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: canonicalize each edge to (hi, lo); per hi with
+    mn = min of its smaller neighbors, rewire hi and all its smaller
+    neighbors to mn."""
+    canon = edges.select(
+        F.greatest("u", "v").alias("hi"), F.least("u", "v").alias("lo")
+    ).where(F.col("hi") != F.col("lo"))
+    mins = canon.groupBy("hi").agg(F.min("lo").alias("mn"))
+    rewired = canon.join(mins, "hi").select(F.col("lo").alias("u"),
+                                            F.col("mn").alias("v"))
+    self_edges = mins.select(F.col("hi").alias("u"), F.col("mn").alias("v"))
+    return (
+        rewired.unionByName(self_edges)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
-    """(node, group_id) for every node in the pair graph, group_id = the
+    """(doc_id, group_id) for every node in the pair graph, group_id = the
     smallest node id reachable from it — the step that turns near-duplicate
     PAIRS (q18/q19/q21 output) into dedup GROUPS with one canonical
     representative each.
 
-    Iterative min-label propagation: each round, every node takes the min
-    of its own label and its neighbors' labels; converges in ≤ graph
-    diameter rounds (near-dup cliques are shallow, typically 2-3). The
-    driver loop materializes each round (localCheckpoint cuts the lineage
-    chain, the standard iterative-algorithm discipline at scale) and stops
-    on a fixpoint. Each round is one shuffle join + one aggregate on
-    (node, label) — both narrow.
+    Large-star/small-star alternation (Kiveris et al. 2014, public paper):
+    converges in O(log n) rounds regardless of component diameter — unlike
+    plain min-label propagation, whose round count equals the graph
+    diameter and silently mislabels chain-shaped near-dup graphs when
+    capped. Each round is two narrow shuffles (groupBy min + join);
+    localCheckpoint cuts the lineage chain per round (the standard
+    iterative-algorithm discipline at scale). Raises on non-convergence
+    instead of returning wrong groups.
     """
     edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    if not edges.head(1):
+        return edges.select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+    converged = False
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .select(edges["src"].alias("node"), "label")
-        )
-        new = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
+        new = _small_star(_large_star(edges)).localCheckpoint()
         changed = (
-            new.join(labels.withColumnRenamed("label", "old"), "node")
-            .where(F.col("label") < F.col("old"))
-            .count()
+            new.exceptAll(edges).count() + edges.exceptAll(new).count()
         )
-        labels = new
+        edges = new
         if changed == 0:
+            converged = True
             break
-    edges.unpersist()
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("label").alias("group_id")).orderBy("doc_id")
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "large-star/small-star rounds — raise max_iter"
+        )
+    # fixpoint is a star forest: every non-root points at its component min
+    roots = edges.select(F.col("v").alias("u"), F.col("v"))
+    return (
+        edges.unionByName(roots)
+        .distinct()
+        .select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
+        .orderBy("doc_id")
+    )

@@ -235,7 +235,8 @@ def kmeans_centroids(embs: DataFrame, k: int = 8, iters: int = 5,
     ivf_topk), fixed iteration count.
     """
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dim = len(e.first()["v"])
+    first = e.first()
+    dim = len(first["v"]) if first is not None else 64
 
     def _seed_centroid(c: int) -> list[float]:
         import hashlib
@@ -247,10 +248,16 @@ def kmeans_centroids(embs: DataFrame, k: int = 8, iters: int = 5,
         ]
 
     cents = [_seed_centroid(c) for c in range(k)]
+    if first is None:
+        return cents  # empty input: keep seed centroids
     for _ in range(iters):
         carr = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in cents])
         sims = F.transform(carr, lambda cv: cosine(F.col("v"), cv))
-        cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+        # zero-norm vectors make every cosine NULL → NULL cell; park them in
+        # cell 0 instead of crashing the driver-side centroid update
+        cell = F.coalesce(
+            (F.array_position(sims, F.array_max(sims)) - 1).cast("int"), F.lit(0)
+        )
         assigned = e.select(cell.alias("cell"), F.posexplode("v").alias("dim", "x"))
         means = (
             assigned.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
@@ -258,7 +265,8 @@ def kmeans_centroids(embs: DataFrame, k: int = 8, iters: int = 5,
         )
         new = [list(cv) for cv in cents]
         for r in means:
-            new[r["cell"]][r["dim"]] = r["m"]
+            if r["cell"] is not None and r["m"] is not None:
+                new[r["cell"]][r["dim"]] = r["m"]
         cents = new
     return cents
 

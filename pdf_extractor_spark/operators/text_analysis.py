@@ -57,7 +57,9 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
     import pandas as pd
 
-    ws_re = re.compile(r"\s+")
+    # re.ASCII: Java/RE2 \s is ASCII-only; Python's Unicode \s would also
+    # match NBSP/U+2028 and diverge from the JVM twin on non-ASCII docs
+    ws_re = re.compile(r"\s+", re.ASCII)
     word_re = re.compile(r"[a-zA-Z0-9_]")
     sw = frozenset(EN_STOPWORDS_SMALL)
 

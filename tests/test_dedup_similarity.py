@@ -247,6 +247,26 @@ def test_connected_components_long_chain_converges(spark):
     assert got == {i: 0 for i in range(n + 1)}
 
 
+def test_connected_components_path_1000_logarithmic_rounds(spark):
+    """Adversarial chain: a 1000-node path has diameter 999, which min-label
+    propagation cannot close in 15 rounds — large-star/small-star must
+    converge in O(log n) (≤ 15) rounds and label every node with the min."""
+    from pdf_extractor_spark.operators import dedup
+
+    n = 1000
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    out = dedup.connected_components(pairs, max_iter=15).collect()
+    assert len(out) == n
+    assert all(r["group_id"] == 0 for r in out)
+
+
+def test_connected_components_empty(spark):
+    from pdf_extractor_spark.operators import dedup
+
+    pairs = spark.createDataFrame([], "a long, b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
 def test_random_projection_matches_numpy(spark):
     import numpy as np
 
@@ -290,3 +310,18 @@ def test_pca_project_matches_numpy(spark):
     pc1 = np.array([r["pc1"] for r in got])
     pc4 = np.array([r["pc4"] for r in got])
     assert pc1.var() > pc4.var()
+
+
+def test_kmeans_guards_empty_and_zero_norm(spark):
+    from pdf_extractor_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    cents = similarity.kmeans_centroids(empty, k=2, iters=1)
+    assert len(cents) == 2 and len(cents[0]) == 64  # seed centroids survive
+
+    mixed = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = similarity.kmeans_centroids(mixed, k=2, iters=2)  # must not raise
+    assert len(cents) == 2 and all(len(c) == 4 for c in cents)

@@ -168,3 +168,35 @@ def test_fast_tokenizer_charref_parity_with_stdlib():
         std.close()
         assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks], payload
     assert hk.parse_blocks("<p>a &amp; b</p>")[0].text == "a & b"
+
+
+def test_fast_tokenizer_rawtext_close_parity():
+    """Rawtext close-tag scanning must not use a lowered copy of the document
+    (length-changing lowercase like 'İ' desyncs indices) and must bail to
+    stdlib on non-clean closes ('</scriptfoo', '</script x>', unclosed)."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    clean = [
+        # 'İ'.lower() is 2 chars — the old lowered-copy find() sliced wrong
+        "<p>İstanbul pages</p><script>var x=1;</script><p>tail</p>",
+        "<p>İİİ</p><style>b{}</style><p>t</p><script>var y=2;</script>",
+        "<div><SCRIPT>a</SCRIPT><p>x</p></div>",
+        "<p>a</p><script>s</ScRiPt ><p>b</p>",
+    ]
+    for payload in clean:
+        fast = hk._parse_fast(payload)
+        assert fast is not None, payload
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+    # ambiguous closes bail to the stdlib parser instead of guessing
+    for payload in [
+        "<p>a</p><script>x</scriptfoo></script><p>b</p>",
+        "<p>a</p><script>x</script junk><p>b</p>",
+        "<p>a</p><script>never closed",
+    ]:
+        assert hk._parse_fast(payload) is None, payload
+        hk.parse_blocks(payload)  # stdlib fallback must not raise
