@@ -62,6 +62,30 @@ _DOCS_DUPS_SQL = """
     FROM documents WHERE doc_id % 11 = 0
 """
 
+def _embs_with_neardups(embs: DataFrame) -> DataFrame:
+    """embeddings ∪ perturbed copies (vec_id+100000, vec_id%5==0, first
+    component +0.05 → cos ≈ 0.998 to the original). All math in double on
+    both engines (cast first, then perturb) so the oracle twin is exact."""
+    v = F.col("embedding").cast("array<double>")
+    base = embs.select("vec_id", v.alias("embedding"))
+    near = embs.where(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) + F.lit(0.05)), F.slice(v, 2, 63)
+        ).alias("embedding"),
+    )
+    return base.unionByName(near)
+
+
+_EMBS_DUPS_SQL = """
+    SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000 AS vec_id,
+           list_concat([e[1] + 0.05], e[2:]) AS embedding
+    FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+    WHERE vec_id % 5 = 0
+"""
+
 _NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
 _TOKS_SQL = f"string_split({_NORM_SQL.format(c='text')}, ' ')"
 
@@ -403,10 +427,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_dups(_t(s, d, "documents")), threshold=0.5)
     q["q20_simhash_dup_groups"] = lambda s, d: _simhash_groups_flat(
         _docs_with_dups(_t(s, d, "documents")))
-    # threshold 0.40: the synthetic embeddings' max pairwise cosine is ~0.51,
-    # so 0.40 yields a real (non-empty) near-dup set to verify
-    q["q21_embedding_neardup"] = lambda s, d: dedup.embedding_neardup_pairs(
-        _t(s, d, "embeddings"), threshold=0.40)
+    # dup-injected embeddings (natural max pairwise cosine is ~0.51, so real
+    # near-dups are synthesized at cos≈0.998) + banded-LSH candidates with
+    # exact cosine verify — no O(n²) stage; oracle = exact all-pairs
+    q["q21_embedding_neardup"] = lambda s, d: dedup.embedding_neardup_pairs_lsh(
+        _embs_with_neardups(_t(s, d, "embeddings")), threshold=0.95)
 
     # -- similarity search ---------------------------------------------------
     q["q22_ann_brute_topk"] = lambda s, d: similarity.brute_force_topk(
@@ -884,13 +909,12 @@ def oracle_sql() -> dict[str, str]:
               FROM sig)
         SELECT group_id, doc_id FROM g WHERE n > 1 ORDER BY group_id, doc_id
     """
-    o["q21_embedding_neardup"] = """
+    o["q21_embedding_neardup"] = f"""
+        WITH embdups AS ({_EMBS_DUPS_SQL})
         SELECT a.vec_id AS a, b.vec_id AS b,
-               round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                            b.embedding::DOUBLE[]), 6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
-                                           b.embedding::DOUBLE[]), 6) >= 0.40
+               round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+        FROM embdups a JOIN embdups b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95
         ORDER BY a, b
     """
     # approximate by construction but fully DETERMINISTIC (md5-derived

