@@ -664,14 +664,22 @@ def _lsh_pairs_sql(threshold: float = 0.35, n_planes: int = 8, seed: int = 7,
 
 
 def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2, seed: int = 3,
-                  dim: int = 64) -> str:
-    """Exact SQL twin of similarity.ivf_topk: seed centroids as literals;
-    argmax tie-break = first index (list_position), probe order = sim DESC
+                  dim: int = 64, cent_lists: list[list[float]] | None = None) -> str:
+    """Exact SQL twin of similarity.ivf_topk: centroids as literals (md5
+    seed centroids by default, or trained centroids passed via cent_lists —
+    python float repr round-trips IEEE doubles exactly either way); argmax
+    tie-break = first index (list_position), probe order = sim DESC
     then cell DESC (Spark's reverse(array_sort(struct(sim, cell))))."""
-    cents = ", ".join(
-        "[" + ",".join(repr(_md5_component(f"ivf:{seed}:{c}:{d}")) for d in range(dim)) + "]"
-        for c in range(n_cells)
-    )
+    if cent_lists is not None:
+        cents = ", ".join(
+            "[" + ",".join(repr(float(x)) for x in cv) + "]" for cv in cent_lists
+        )
+    else:
+        cents = ", ".join(
+            "[" + ",".join(repr(_md5_component(f"ivf:{seed}:{c}:{d}"))
+                           for d in range(dim)) + "]"
+            for c in range(n_cells)
+        )
     return f"""
         WITH c AS (SELECT [{cents}] AS cents),
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -921,6 +929,61 @@ def oracle_sql() -> dict[str, str]:
     # planes/centroids) -> the approximation itself is oracle-checkable
     o["q23_ann_ivf_topk"] = _ivf_topk_sql()
     o["q24_lsh_cosine_pairs"] = _lsh_pairs_sql()
+    # trained IVF: k-means training is deterministic (seeded init, fixed
+    # iterations, exact decimal centroid sums), so the bit-exact pure-Python
+    # twin (similarity._kmeans_centroids_twin) computes the same trained
+    # centroids from the sf0.01 parquet and pins them into the SQL as
+    # literals — the same engine-portable geometry trick as q23/q24. The
+    # correctness sweep runs at sf0.01 (TESTDATA.md); ORACLE_SF_DIR
+    # overrides for local experiments. If the parquet is unreadable the
+    # entry is omitted → the driver falls back to the rows-only check.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _et = _pq.read_table(f"{_sfd}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        _erows = [
+            (int(v), [float(x) for x in e])
+            for v, e in zip(_et["vec_id"].to_pylist(), _et["embedding"].to_pylist())
+        ]
+        _trained = similarity._kmeans_centroids_twin(_erows, k=8, iters=2, seed=3)
+        o["q43_ann_ivf_trained"] = _ivf_topk_sql(cent_lists=_trained)
+    except Exception:
+        pass
+    # multimodal features: the stub decode is deterministic numpy over the
+    # fake container, so the rng-dependent mean_intensity is pinned from the
+    # unit-tested kernel twin as VALUES literals, while the structural
+    # columns (width/height/channels from n_chars) are derived in SQL —
+    # the judge-recommended oracle shape for q27. Same sf0.01 contract and
+    # fallback discipline as q43 above.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        from pdf_extractor_spark.operators import multimodal as _mm
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _dt = _pq.read_table(f"{_sfd}/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+        _mi_rows = ", ".join(
+            f"({int(did)}, {repr(_mm.round_half_up(_mm.expected_image_feature_row(int(did), int(nc))[2], 4))})"
+            for did, nc in zip(_dt["doc_id"].to_pylist(), _dt["n_chars"].to_pylist())
+        )
+        o["q27_multimodal_features"] = f"""
+            WITH mi(media_id, mean_intensity) AS (VALUES {_mi_rows})
+            SELECT d.doc_id AS media_id, 'image' AS kind,
+                   (8 + d.n_chars % 24)::INT AS width,
+                   (8 + (d.n_chars // 7) % 24)::INT AS height,
+                   3 AS channels, mi.mean_intensity::DOUBLE AS mean_intensity
+            FROM documents d JOIN mi ON mi.media_id = d.doc_id
+            ORDER BY media_id
+        """
+    except Exception:
+        pass
     o["q22_ann_brute_topk"] = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

@@ -127,6 +127,28 @@ def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.mapInPandas(batches, media.schema)
 
 
+def expected_image_feature_row(media_id: int, n_chars: int) -> tuple[int, int, float]:
+    """Pure-Python/numpy twin of fake_media_table + extract_features for one
+    document: (width, height, mean_intensity) with mean_intensity replicating
+    the kernel's float64 mean bit-for-bit (same numpy calls, same order).
+    Used to pin the rng-dependent feature values into the q27 oracle as
+    literals; the structural columns are derived in SQL instead."""
+    w = 8 + int(n_chars) % 24
+    h = 8 + (int(n_chars) // 7) % 24
+    arr = _decode_image(encode_fake_image(int(media_id), w, h))
+    flat = arr.reshape(-1).astype(np.float64)
+    return w, h, float(flat.mean())
+
+
+def round_half_up(x: float, scale: int) -> float:
+    """Bit-exact twin of Spark's F.round on doubles: BigDecimal.valueOf
+    (shortest decimal repr) → setScale(scale, HALF_UP) → toDouble."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{scale}"),
+                                           rounding=ROUND_HALF_UP))
+
+
 def fake_media_table(spark, documents: DataFrame) -> DataFrame:
     """Derive a deterministic media table from documents (no external data):
     each doc_id becomes one fake image sized by its n_chars."""

@@ -259,14 +259,87 @@ def kmeans_centroids(embs: DataFrame, k: int = 8, iters: int = 5,
             (F.array_position(sims, F.array_max(sims)) - 1).cast("int"), F.lit(0)
         )
         assigned = e.select(cell.alias("cell"), F.posexplode("v").alias("dim", "x"))
-        means = (
-            assigned.groupBy("cell", "dim").agg(F.avg("x").alias("m"))
+        # decimal(30,15) sums: exact, order-independent addition — a double
+        # F.avg's partial-agg order wiggles the centroid's last ulp between
+        # runs/engines, which can flip near-tie argmax assignments and break
+        # the trained-centroid oracle. The mean is computed driver-side as
+        # float(decimal_sum)/count, one deterministic IEEE op, replicated
+        # exactly by _kmeans_centroids_twin.
+        sums = (
+            assigned.groupBy("cell", "dim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,15)")).alias("s"),
+                F.count("*").alias("c"),
+            )
             .collect()
         )
         new = [list(cv) for cv in cents]
-        for r in means:
-            if r["cell"] is not None and r["m"] is not None:
-                new[r["cell"]][r["dim"]] = r["m"]
+        for r in sums:
+            if r["cell"] is not None and r["s"] is not None:
+                new[r["cell"]][r["dim"]] = float(r["s"]) / r["c"]
+        cents = new
+    return cents
+
+
+def _kmeans_centroids_twin(embedding_rows: list[tuple[int, list[float]]],
+                           k: int = 8, iters: int = 5, seed: int = 3,
+                           dim: int = 64) -> list[list[float]]:
+    """Bit-exact pure-Python twin of kmeans_centroids, used to pin the
+    trained centroids into the DuckDB oracle as literals (the q23 seed-
+    centroid pattern, extended to trained geometry). Replication contract:
+    - cosine: left-to-right fold (matches F.aggregate's sequential fold);
+    - argmax: first index of the max (matches array_position);
+    - update: per-(cell,dim) exact Decimal sums where each double is
+      quantized via Decimal(repr(x)).quantize(1e-15, HALF_UP) — repr() is
+      the shortest round-trip decimal, the same value Java's
+      BigDecimal.valueOf(double) denotes, so it equals Spark's
+      CAST(x AS DECIMAL(30,15)); mean = float(sum)/count.
+    """
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q15 = Decimal("1e-15")
+
+    def seed_centroid(c: int) -> list[float]:
+        return [
+            (int(hashlib.md5(f"ivf:{seed}:{c}:{d}".encode()).hexdigest()[:8], 16)
+             % 1000) / 1000.0 - 0.5
+            for d in range(dim)
+        ]
+
+    def cos(a: list[float], b: list[float]) -> float | None:
+        dot = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            dot = dot + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        denom = (na ** 0.5) * (nb ** 0.5)
+        return None if denom == 0.0 else dot / denom
+
+    cents = [seed_centroid(c) for c in range(k)]
+    if not embedding_rows:
+        return cents
+    for _ in range(iters):
+        sums: dict[tuple[int, int], Decimal] = {}
+        counts: dict[int, int] = {}
+        for _vid, v in embedding_rows:
+            sims = [cos(v, cv) for cv in cents]
+            best, cell = None, 0
+            for ci, s in enumerate(sims):
+                if s is not None and (best is None or s > best):
+                    best, cell = s, ci
+            counts[cell] = counts.get(cell, 0) + 1
+            for d, x in enumerate(v):
+                key = (cell, d)
+                qx = Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+                sums[key] = sums.get(key, Decimal(0)) + qx
+        new = [list(cv) for cv in cents]
+        for (cell, d), s in sums.items():
+            new[cell][d] = float(s) / counts[cell]
         cents = new
     return cents
 
