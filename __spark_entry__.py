@@ -338,6 +338,76 @@ def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c4_style_pipeline(polluted, min_tokens=20, min_quality=0.5)
 
 
+def q_annotation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation selections × extracted language spans (reference
+    database.py:92-104): wrap each document as a TWO-paragraph article
+    (chars 1-100 / 101-end), extract through the real kernel (spans are
+    per-paragraph with offsets into the text channel), then intersect with
+    deterministic per-doc selections [doc_id%80, doc_id%80+40)."""
+    from pdf_extractor_spark.operators.extract import (
+        annotation_span_intersections, run_extract,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.encode(
+        F.concat(
+            F.lit(_HTML_TEMPLATE_PRE), F.substring("text", 1, 100),
+            F.lit("</p><p>"), F.expr("substring(text, 101)"),
+            F.lit(_HTML_TEMPLATE_POST),
+        ),
+        "utf-8",
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+    )
+    out = run_extract(pages, num_partitions=8, salt=5)
+    ann = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("doc_id").alias("ann_id"),
+        (F.col("doc_id") % 80).cast("int").alias("selection_start"),
+        (F.col("doc_id") % 80 + 40).cast("int").alias("selection_end"),
+    )
+    res = annotation_span_intersections(out, F.broadcast(ann))
+    return res.select(
+        F.col("ann_id").alias("doc_id"), "span_start", "span_end", "span_lang",
+        "overlap_chars",
+    ).orderBy("doc_id", "span_start")
+
+
+_ANNOTATION_SPANS_SQL_TEMPLATE = """
+    WITH paras AS (
+        SELECT doc_id,
+               trim(substr(text, 1, 100), ' ') AS p1,
+               trim(substr(text, 101), ' ') AS p2
+        FROM documents),
+    spans0 AS (
+        SELECT doc_id, 0 AS span_start, len(p1) AS span_end, p1 AS ptext
+        FROM paras WHERE p1 <> ''
+        UNION ALL
+        SELECT doc_id, len(p1) + 2, len(p1) + 2 + len(p2), p2
+        FROM paras WHERE p1 <> '' AND p2 <> ''),
+    tok AS (SELECT *, string_split(ptext, ' ') AS toks FROM spans0),
+    s AS (SELECT *, {score_cols} FROM tok),
+    m AS (SELECT *, {best} AS m FROM s),
+    lang AS (SELECT doc_id, span_start, span_end,
+                    CASE WHEN len(toks)=0 OR m<=0.0 THEN 'und' ELSE {pick} END
+                        AS span_lang
+             FROM m),
+    ann AS (SELECT doc_id, (doc_id % 80)::INT AS sel_s,
+                   (doc_id % 80 + 40)::INT AS sel_e
+            FROM documents)
+    SELECT l.doc_id, span_start::INT AS span_start, span_end::INT AS span_end,
+           span_lang,
+           greatest(0, least(span_end, ann.sel_e)
+                       - greatest(span_start, ann.sel_s))::INT AS overlap_chars
+    FROM lang l JOIN ann ON ann.doc_id = l.doc_id
+    WHERE least(span_end, ann.sel_e) - greatest(span_start, ann.sel_s) > 0
+    ORDER BY l.doc_id, span_start
+"""
+
+
 def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ExtractionJob (waves, lineage, metrics, quarantine, snapshot
     commits) over pages synthesized from the documents table; returns the
@@ -545,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"))
     q["q74_order_quartiles"] = lambda s, d: relational.order_value_quartiles(
         _t(s, d, "orders"))
+    q["q75_annotation_spans"] = q_annotation_spans
     return q
 
 
@@ -736,7 +807,10 @@ def _quality_sql(table: str) -> str:
     """
 
 
-def _lang_id_sql() -> str:
+def _lang_score_fragments() -> tuple[str, str, str]:
+    """(score_cols, best, pick) SQL fragments for stopword language scoring
+    over a `toks` column — shared by the lang-id oracle and the annotation
+    span oracle."""
     score_cols = []
     for lg in sorted(STOPWORDS):
         words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
@@ -750,6 +824,12 @@ def _lang_id_sql() -> str:
     pick = "CASE " + " ".join(
         f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs
     ) + " END"
+    return ", ".join(score_cols), best, pick
+
+
+def _lang_id_sql() -> str:
+    score_cols_joined, best, pick = _lang_score_fragments()
+    score_cols = [score_cols_joined]
     return f"""
         WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
         s AS (SELECT doc_id, lang, toks, {", ".join(score_cols)} FROM t),
@@ -1489,6 +1569,10 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING), 4) AS running_total
         FROM events ORDER BY user_id, event_id
     """
+    _sc, _best, _pick = _lang_score_fragments()
+    o["q75_annotation_spans"] = _ANNOTATION_SPANS_SQL_TEMPLATE.format(
+        score_cols=_sc, best=_best, pick=_pick
+    )
     o["q74_order_quartiles"] = """
         SELECT o_orderkey, o_orderpriority,
                ntile(4) OVER (PARTITION BY o_orderpriority

@@ -88,13 +88,53 @@ _ARROW_OUT = pa.schema(
 )
 
 
+def detect_image_format(payload: bytes) -> str | None:
+    """Magic-byte sniff for the reference's image-capable file types
+    (models/enums.py:25-31: png/jpg/tiff/bmp/gif + webp). BMP's 2-byte
+    magic is too weak alone, so the BMP branch also requires the reserved
+    header fields to be zero (mandatory per the format)."""
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
+    if payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return "png"
+    if payload.startswith((b"GIF87a", b"GIF89a")):
+        return "gif"
+    if payload.startswith((b"II*\x00", b"MM\x00*")):
+        return "tiff"
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return "webp"
+    if payload.startswith(b"BM") and len(payload) > 10 and payload[6:10] == b"\x00\x00\x00\x00":
+        return "bmp"
+    return None
+
+
 def extract_document(payload: bytes | None) -> list[dict]:
     """One document → one output row per page (HTML: single page 1).
 
     Pure Python, shared by the Arrow batch path and unit tests. Follows the
     reference per-page result invariants (SURVEY.md §2a): 1-based pages,
     error rows degrade instead of raising (pypdf2_extractor.py:41-48).
+    Image payloads (scanned-document tier, reference enums.py:25-31) have
+    no OCR stack in this environment: they dispatch to a loud needs-OCR
+    quarantine row (meta ok=false) instead of silently extracting as empty
+    text — preserving the reference's file_type semantics.
     """
+    if payload:
+        img = detect_image_format(payload)
+        if img is not None:
+            return [
+                {
+                    "page_number": 1, "text": "", "combined": "", "table": "",
+                    "markdown": "", "titles": "", "spans": [],
+                    "meta": {
+                        "ok": "false",
+                        "error": f"needs_ocr: {img} payload (no OCR stack in "
+                                 "this environment)",
+                        "file_type": img,
+                        "needs_ocr": "true",
+                    },
+                }
+            ]
     if payload and payload.startswith(b"%PDF"):
         res = extract_pdf(payload)
         rows = []
@@ -234,6 +274,40 @@ def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
     big = big.repartition(num_partitions, F.col("url"))  # ~1 doc per task
     big = big.withColumn("partition_id", F.spark_partition_id())
     return out.unionByName(big.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA))
+
+
+def annotation_span_intersections(extracted: DataFrame,
+                                  annotations: DataFrame) -> DataFrame:
+    """Intersect user annotation selections with the extracted language
+    spans (reference models/database.py:92-104: annotations carry
+    selection_start/selection_end character offsets into the extracted
+    text; the repo emits per-paragraph language spans in the same offset
+    space, extract.py spans column).
+
+    annotations(url, ann_id, selection_start, selection_end) × explode(spans)
+    → one row per (annotation, overlapping span) with the overlap width.
+    Plan: narrow explode + one hash join on url (broadcast-able when the
+    annotation table is small, which it is — human annotations); no other
+    shuffle.
+    """
+    sp = extracted.select("url", "page_number", F.explode("spans").alias("s"))
+    j = sp.join(annotations, "url")
+    ov = F.greatest(
+        F.lit(0),
+        F.least(F.col("s.end"), F.col("selection_end"))
+        - F.greatest(F.col("s.start"), F.col("selection_start")),
+    )
+    return (
+        j.withColumn("overlap_chars", ov)
+        .where(F.col("overlap_chars") > 0)
+        .select(
+            "url", "ann_id", "page_number",
+            F.col("s.start").alias("span_start"),
+            F.col("s.end").alias("span_end"),
+            F.col("s.lang").alias("span_lang"),
+            "overlap_chars",
+        )
+    )
 
 
 def fanout_channels(extracted: DataFrame) -> DataFrame:

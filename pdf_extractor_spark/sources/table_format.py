@@ -94,11 +94,57 @@ class SnapshotTable:
         return self._commit(df, "overwrite", summary)
 
     # -- read ---------------------------------------------------------------
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(self, spark: SparkSession, include_deleted: bool = False) -> DataFrame | None:
+        """Current-snapshot scan. Tombstone discipline (reference
+        main.py:609,626-631: every read filters `deleted_at IS NULL`): when
+        the table carries a `deleted_at` column, soft-deleted rows are
+        excluded unless include_deleted=True. The filter is a plain column
+        predicate, so it reaches the parquet scan as a pushed filter."""
         m = self.current_manifest()
         if m is None or not m["data_dirs"]:
             return None
-        return spark.read.parquet(*m["data_dirs"])
+        df = spark.read.parquet(*m["data_dirs"])
+        if not include_deleted and "deleted_at" in df.columns:
+            df = df.where(df["deleted_at"].isNull())
+        return df
+
+    # -- soft delete (reference main.py:1751-1776 retry endpoint) -----------
+    def soft_delete(self, spark: SparkSession, condition: str) -> str | None:
+        """Mark rows matching the SQL condition with deleted_at=now (rows
+        already tombstoned keep their original tombstone time). Readers see
+        them vanish atomically at the commit; include_deleted=True restores
+        visibility for audit/undelete."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, include_deleted=True)
+        if df is None:
+            return None
+        if "deleted_at" not in df.columns:
+            df = df.withColumn("deleted_at", F.lit(None).cast("timestamp"))
+        upd = df.withColumn(
+            "deleted_at",
+            F.when(
+                F.expr(condition) & F.col("deleted_at").isNull(),
+                F.current_timestamp(),
+            ).otherwise(F.col("deleted_at")),
+        )
+        return self.overwrite(upd, summary={"soft_delete": condition})
+
+    def undelete(self, spark: SparkSession, condition: str) -> str | None:
+        """Clear tombstones on matching rows (the reference retry endpoint's
+        soft-delete-then-requeue counterpart)."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, include_deleted=True)
+        if df is None or "deleted_at" not in df.columns:
+            return None
+        upd = df.withColumn(
+            "deleted_at",
+            F.when(F.expr(condition), F.lit(None).cast("timestamp")).otherwise(
+                F.col("deleted_at")
+            ),
+        )
+        return self.overwrite(upd, summary={"undelete": condition})
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         """Time travel: read the table as of a given snapshot."""

@@ -152,3 +152,54 @@ def test_oversized_payloads_routed_not_dropped(spark):
                       size_cap_bytes=len(huge) + 10)
     urls = {r["url"] for r in out.select("url").collect()}
     assert urls == {"u://small", "u://big"}  # big extracted, overcap excluded
+
+
+def test_image_payload_dispatch_needs_ocr():
+    """Image payloads (reference enums.py image-capable types) must route to
+    a loud needs-OCR quarantine row, not silently-empty text."""
+    from pdf_extractor_spark.operators.extract import (
+        detect_image_format, extract_document,
+    )
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    jpg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    gif = b"GIF89a" + b"\x00" * 16
+    tiff = b"II*\x00" + b"\x00" * 16
+    webp = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
+    bmp = b"BM\x46\x00\x00\x00\x00\x00\x00\x00\x36\x00\x00\x00"
+    for payload, fmt in [(png, "png"), (jpg, "jpeg"), (gif, "gif"),
+                         (tiff, "tiff"), (webp, "webp"), (bmp, "bmp")]:
+        assert detect_image_format(payload) == fmt
+        rows = extract_document(payload)
+        assert len(rows) == 1
+        assert rows[0]["meta"]["ok"] == "false"
+        assert rows[0]["meta"]["needs_ocr"] == "true"
+        assert rows[0]["meta"]["file_type"] == fmt
+        assert "needs_ocr" in rows[0]["meta"]["error"]
+    # text that merely starts with 'BM' or binary junk is NOT an image
+    assert detect_image_format(b"BMW cars are great " * 3) is None
+    assert extract_document(b"<p>BMW cars</p>")[0]["meta"].get("ok") != "false"
+
+
+def test_image_payloads_quarantined_by_pipeline(spark, tmp_path):
+    from pdf_extractor_spark.pipeline import ExtractionJob
+    from pdf_extractor_spark.session import pages_df
+
+    pages = pages_df(spark, 40, seed=3)
+    # overwrite every 8th payload with a PNG header -> 5 needs-OCR docs
+    from pyspark.sql import functions as F
+
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    pages = pages.withColumn(
+        "html",
+        F.when(
+            F.crc32(F.col("url")) % 8 == 0, F.lit(bytes(png))
+        ).otherwise(F.col("html")),
+    )
+    n_img = pages.where(F.crc32(F.col("url")) % 8 == 0).count()
+    job = ExtractionJob(spark, str(tmp_path / "imgq"), n_buckets=4,
+                        partitions=4, wave_size=4, failure_rate_abort=0.9)
+    job.run(pages)
+    quar = job.quarantine.read(spark)
+    needs = quar.where(quar["error"].contains("needs_ocr")).count()
+    assert needs == n_img and n_img > 0

@@ -52,3 +52,21 @@ def test_partitioned_extracted_sink_prunes(spark, pages, tmp_path):
     explained = one._jdf.queryExecution().executedPlan().toString()
     assert one.count() == extracted.where("partition_id = 0").count()
     assert "PartitionFilters" in explained or one.count() >= 0
+
+
+def test_soft_delete_read_discipline(spark, tmp_path):
+    """Reference main.py:609,626-631 parity: every read filters tombstones;
+    soft-deleted rows never surface after subsequent commits; undelete
+    restores them."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "sd"))
+    t.append(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id long, v string"))
+    t.soft_delete(spark, "id = 2")
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 3}
+    assert {r["id"] for r in t.read(spark, include_deleted=True).collect()} == {1, 2, 3}
+    # a later append must not resurrect the tombstoned row
+    t.append(spark.createDataFrame([(4, "d")], "id long, v string"))
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 3, 4}
+    t.undelete(spark, "id = 2")
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
