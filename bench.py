@@ -43,22 +43,27 @@ def main() -> None:
     # the first Arrow stage pays one-time Python-worker spawn (32 procs);
     # neither exists in a long-running job, so spend one tiny query on each
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    force(qfns["q14_fingerprints"](spark, sf_dir).limit(500))
-    force(qfns["q15_lang_id"](spark, sf_dir).limit(500))
+    force(qfns["q14_fingerprint_suite"](spark, sf_dir).limit(500))
+    force(qfns["q47_chunk_documents"](spark, sf_dir).limit(500))
 
+    # NOTE (round 2): several headline entries became SUITES in the 75→50
+    # consolidation, so they do strictly more work than their round-1
+    # namesakes — q01 adds stddev/var/corr, q03 bundles the old q03+q04+q10,
+    # q12 bundles q12/q13/q15/q50/q44/q57, q17 bundles q17+q20, q18 bundles
+    # q18+q19, q21 bundles q21+q24, q22 bundles q22+q23+q43, q46 carries the
+    # old q25 extraction inside it. Compare per-query times across rounds
+    # with that mapping in mind (BENCH.md).
     headline = [
-        "q01_pricing_summary",      # scan + group-by
+        "q01_pricing_summary",      # scan + group-by + stats profile
         "q02_revenue_by_region",    # multi-join chain
-        "q04_latest_per_user",      # window
-        "q11_windowed_event_counts",  # time bucketing
-        "q13_quality_scores",       # text scoring, JVM-side
-        "q15_lang_id",              # stopword-profile lang ID
-        "q18_minhash_lsh_pairs",    # minhash + LSH + verify
-        "q20_simhash_dup_groups",   # simhash
-        "q21_embedding_neardup",    # vector pairs
-        "q22_ann_brute_topk",       # ANN brute force
-        "q50_gopher_quality",       # Gopher repetition gate (Counter kernel)
-        "q25_extract_html",         # HTML kernel through mapInArrow
+        "q03_user_event_profile",   # window + rollup + scalar agg
+        "q70_event_time_heatmap",   # time bucketing
+        "q12_doc_metrics",          # text scoring suite (4 Arrow kernels)
+        "q17_dup_groups",           # exact-md5 + simhash dup groups
+        "q18_neardup_pairs",        # minhash-LSH + exact n-gram verify
+        "q21_embedding_neardup",    # banded-LSH vector pairs + bucket LSH
+        "q22_ann_topk",             # ANN brute + IVF seed + IVF trained
+        "q46_channel_fanout",       # HTML kernel through mapInArrow + fanout
         "q26_extract_pdf",          # PDF kernel through mapInArrow
     ]
     times: dict[str, float] = {}

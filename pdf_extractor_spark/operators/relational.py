@@ -23,7 +23,9 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def pricing_summary(lineitem: DataFrame) -> DataFrame:
     """TPC-H Q1-shaped scan+group-by (maps the reference's status-rollup
-    read pattern, main.py:925-968, to a columnar aggregate)."""
+    read pattern, main.py:925-968, to a columnar aggregate), extended with
+    the statistical-profile aggregates (stddev/variance/corr — the former
+    standalone q69) so one pass covers both operator families."""
     return (
         lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -35,6 +37,9 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
             ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.stddev("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.variance("l_extendedprice"), 4).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -120,7 +125,7 @@ def customers_without_orders(customer: DataFrame, orders: DataFrame) -> DataFram
     """Existence check inverted → anti join (main.py:904-913 semantics)."""
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"))
         .orderBy("c_custkey")
     )
 
@@ -199,15 +204,27 @@ def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFr
     return base.join(updates, keys, "left_anti").unionByName(updates)
 
 
-def upserted_events(events: DataFrame) -> DataFrame:
+def upserted_events(events: DataFrame, soft_delete_mod: int | None = 17) -> DataFrame:
     """Deterministic upsert exercise over `events`: every event_id % 10 == 0
     gets value += 100 (update arm); the same rows shifted by +10_000_000 are
-    brand-new keys (insert arm)."""
+    brand-new keys (insert arm). With soft_delete_mod set, rows with
+    event_id % mod == 3 are then tombstoned (deleted_at) and the read-side
+    scan filters `deleted_at IS NULL` — the reference's soft-delete read
+    discipline (main.py:609,626-631) as an oracle-gated query; the storage
+    half lives in sources/table_format.SnapshotTable.soft_delete."""
     upd = events.where(F.col("event_id") % 10 == 0).withColumn(
         "value", F.col("value") + 100.0
     )
     ins = upd.withColumn("event_id", F.col("event_id") + 10_000_000)
     merged = merge_upsert(events, upd.unionByName(ins), ["event_id"])
+    if soft_delete_mod is not None:
+        merged = merged.withColumn(
+            "deleted_at",
+            F.when(
+                F.col("event_id") % soft_delete_mod == 3,
+                F.to_timestamp(F.lit("2024-06-01 00:00:00")),
+            ),
+        ).where(F.col("deleted_at").isNull())
     return merged.select(
         "event_id", "user_id", F.round("value", 6).alias("value")
     ).orderBy("event_id")
@@ -237,13 +254,15 @@ def order_detail_gather(
     )
 
 
-def scalar_functions_showcase(docs: DataFrame) -> DataFrame:
+def scalar_functions_showcase(docs: DataFrame, carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Every scalar function family the reference uses (SURVEY.md §2 scalar
     row: strip/join/split/ilike/lower/startswith/regex, round/ceil, base64)
-    in one JVM-side projection — zero shuffle, whole-stage codegen."""
+    in one JVM-side projection — zero shuffle, whole-stage codegen.
+    carry_cols: pass-through input columns appended to the projection."""
     norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
     return docs.select(
         "doc_id",
+        *carry_cols,
         F.length(norm).alias("norm_len"),
         F.size(F.split(norm, " ")).alias("n_tokens"),
         norm.rlike("data").alias("mentions_data"),
@@ -497,6 +516,38 @@ def order_flags_unpivot(orders: DataFrame) -> DataFrame:
         .unpivot("o_orderkey", ["totalprice", "custkey"], "metric", "value")
         .orderBy("o_orderkey", "metric")
     )
+
+
+def pivot_roundtrip(events: DataFrame) -> DataFrame:
+    """Declared-value PIVOT then UNPIVOT back to long form in one plan —
+    both reshape operators in a single oracle-gated query (the former
+    q71+q72). The unpivot of the filled pivot also materializes explicit
+    zero rows for absent (user, type) combinations, which the long-form
+    oracle reproduces with a cross join + coalesce."""
+    wide = user_event_pivot(events)
+    return (
+        wide.unpivot("user_id", EVENT_TYPES, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    )
+
+
+def user_event_windows(events: DataFrame) -> DataFrame:
+    """Window-function suite per user over event time: bounded-frame moving
+    average + running total (ROWS frames) and ntile(4)/dense_rank ranking by
+    value — the former q73+q74 in one shuffle-shared pass (all windows
+    partition on user_id, so Spark plans a single exchange)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w.rowsBetween(-3, 0)), 6).alias("mavg4"),
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 4)
+        .alias("running_total"),
+        F.ntile(4).over(wr).alias("value_quartile"),
+        F.dense_rank().over(wr).alias("value_rank"),
+    ).orderBy("user_id", "event_id")
 
 
 def user_value_moving_avg(events: DataFrame) -> DataFrame:

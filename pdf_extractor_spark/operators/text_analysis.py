@@ -601,6 +601,41 @@ def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,
                        rate.alias("rate")).where(F.col("bucket") < F.col("rate"))
 
 
+def doc_metrics(docs: DataFrame) -> DataFrame:
+    """Per-document feature suite in one oracle-gated result: token counts,
+    quality scores, language ID, Gopher repetition gates, plus the
+    deterministic train/val split and stratified-sample assignment — the
+    former q12/q13/q15/q50/q44/q57 joined on doc_id (all per-doc grain).
+    Each constituent stays an independent operator; the join keys are
+    co-partitioned so Catalyst plans one exchange per side and the suite
+    pipelines at any corpus size."""
+    tc = token_counts(docs)
+    q = quality_scores(docs).select("doc_id", "punct_ratio", "stop_ratio", "quality")
+    lid = lang_id(docs)
+    g = gopher_quality(docs).select(
+        "doc_id", "mean_word_len", "top_bigram_frac", "dup_trigram_frac", "keep"
+    )
+    split = stratified_split(docs).select("doc_id", "split")
+    samp = stratified_sample(docs).select("doc_id", "bucket", "rate")
+    return (
+        tc.join(q, "doc_id")
+        .join(lid, "doc_id")
+        .join(g, "doc_id")
+        .join(split, "doc_id")
+        .join(samp, "doc_id", "left")
+        .withColumn("sampled", F.col("rate").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+def fingerprint_suite(docs: DataFrame) -> DataFrame:
+    """Whole-text md5 fingerprint + winnowing-style char-minhash fingerprint
+    per document (former q14+q34), one narrow join on doc_id."""
+    fp = fingerprints(docs)
+    cm = char_minhash_fingerprints(docs).withColumnRenamed("fp", "char_fp")
+    return fp.join(cm, "doc_id").orderBy("doc_id")
+
+
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     """End-to-end training-data mixture prep, composing this engine's
     hygiene operators in one lazy plan: Gopher repetition/quality gate →

@@ -103,7 +103,11 @@ class SnapshotTable:
         m = self.current_manifest()
         if m is None or not m["data_dirs"]:
             return None
-        df = spark.read.parquet(*m["data_dirs"])
+        # mergeSchema: commits may add columns over time (e.g. deleted_at
+        # appears with the first soft delete); without it the union schema
+        # comes from one arbitrary dir and a tombstone column can vanish,
+        # silently resurrecting deleted rows
+        df = spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
         if not include_deleted and "deleted_at" in df.columns:
             df = df.where(df["deleted_at"].isNull())
         return df

@@ -116,7 +116,12 @@ def test_detect_lang_single_pass_equals_reference(text):
     membership formulation exactly (hits, scores, tie-breaks)."""
     from pdf_extractor_spark.kernels import lang as L
 
-    toks = text.lower().split()
+    # tokenize with the kernel's own ASCII-whitespace tokenizer: the test
+    # pins the one-pass SCORING against the per-language formulation, and
+    # the tokenization itself is pinned to Java/RE2 \s semantics by the
+    # DuckDB oracle (python str.split() also splits on \x1c-\x1f, which
+    # neither engine's \s does)
+    toks = L._tokens(text)
     if not toks:
         expected = L.UNKNOWN
     else:

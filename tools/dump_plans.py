@@ -17,16 +17,17 @@ PICKS = {
         "Fact-fact join shuffles on o_orderkey via AQE; all three dimensions "
         "broadcast — the lineitem side is the only large shuffle."
     ),
-    "q25_extract_html": (
+    "q46_channel_fanout": (
         "Exactly ONE exchange: the mandated salted hash-repartition on url; "
-        "extraction is a narrow mapInArrow after it; column pruning to "
-        "(url, warc_ts, html)."
+        "extraction is a narrow mapInArrow after it (column pruning to "
+        "url/warc_ts/html); the per-channel fanout is a narrow explode."
     ),
-    "q18_minhash_lsh_pairs": (
-        "One md5 pass → int64 shingle hashes (persisted, feeds banding AND "
-        "verify) → numpy banding → ONE exchange into the (band, band_sig) "
-        "groupBy → in-bucket pair explode → exact verify over int64 arrays; "
-        "no cross join, no string shuffles anywhere."
+    "q18_neardup_pairs": (
+        "MinHash arm: one md5 pass → int64 shingle hashes (persisted, feeds "
+        "banding AND verify) → numpy banding → ONE exchange into the "
+        "(band, band_sig) groupBy → in-bucket pair explode → exact verify "
+        "over int64 arrays; no cross join, no string shuffles anywhere. "
+        "The exact n-gram arm is the small-side ground-truth union branch."
     ),
     "q52_tfidf_topk": (
         "Tokenize+tf once (persisted — without it Catalyst re-explodes the "
@@ -39,8 +40,11 @@ PICKS = {
         "broadcast (overlap table ≈ contaminated docs only)."
     ),
     "q21_embedding_neardup": (
-        "Explode to block pairs (narrow) → one exchange on (bi,bj) → BLAS matmul "
-        "per group; O(n·num_blocks) shuffled rows for O(n²) scored pairs."
+        "Banded arm: one Arrow sign-sketch pass → ONE exchange into the "
+        "(band, band_sig) groupBy → in-bucket pair explode → two narrow "
+        "joins fetch vectors → exact JVM-fold cosine on candidates only. "
+        "No O(n²) stage anywhere (the blocked all-pairs matmul is now "
+        "test-only ground truth)."
     ),
     "q33_asof_order_events": (
         "Tagged union → single exchange on user_id → window carry-forward; linear "
