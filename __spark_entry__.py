@@ -62,6 +62,19 @@ _DOCS_DUPS_SQL = """
     FROM documents WHERE doc_id % 11 = 0
 """
 
+def _shingle_store_path(sf_dir: str) -> str:
+    """Deterministic per-sf shingle-table location under the repo's ignored
+    spark-warehouse dir (VERDICT r1 item 6: persisted shingle table instead
+    of a multi-GB executor-cache dependency; steady-state q18 skips the
+    hashing pass)."""
+    import hashlib
+    import os
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "spark-warehouse", f"q18_shingles_{h}")
+
+
 def _embs_with_neardups(embs: DataFrame) -> DataFrame:
     """embeddings ∪ perturbed copies (vec_id+100000, vec_id%5==0, first
     component +0.05 → cos ≈ 0.998 to the original). All math in double on
@@ -544,7 +557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).orderBy("doc_id")
     q["q64_dedup_groups"] = lambda s, d: dedup.connected_components(
         dedup.minhash_lsh_pairs(_docs_with_dups(_t(s, d, "documents")),
-                                num_perm=64, bands=32, jaccard_threshold=0.5)
+                                num_perm=64, bands=32, jaccard_threshold=0.5,
+                                shingle_store=_shingle_store_path(d))
         .select("a", "b"))
 
     # -- similarity search ---------------------------------------------------
@@ -734,7 +748,9 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (old q19), method-tagged — both equal the exact-Jaccard oracle."""
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
     mh = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=32,
-                                 jaccard_threshold=0.5).withColumn(
+                                 jaccard_threshold=0.5,
+                                 shingle_store=_shingle_store_path(sf_dir)
+                                 ).withColumn(
         "method", F.lit("minhash_lsh"))
     ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5).withColumn(
         "method", F.lit("ngram_exact"))

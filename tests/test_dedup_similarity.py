@@ -346,3 +346,24 @@ def test_embedding_lsh_pairs_equal_exact_on_neardups(spark):
     lsh = {(r["a"], r["b"], r["cos"])
            for r in dedup.embedding_neardup_pairs_lsh(embs, 0.95).collect()}
     assert lsh == exact and len(exact) == 20
+
+
+def test_shingle_table_reuse_and_invalidation(spark, docs, tmp_path):
+    import os
+
+    store = str(tmp_path / "shingles")
+    p1 = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        docs, num_perm=16, bands=8, shingle_store=store).collect()}
+    snap1 = sorted(os.listdir(os.path.join(store, "_snapshots")))
+    # second run reuses the committed snapshot (no new commit)
+    p2 = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        docs, num_perm=16, bands=8, shingle_store=store).collect()}
+    snap2 = sorted(os.listdir(os.path.join(store, "_snapshots")))
+    assert p1 == p2 and snap1 == snap2
+    # different corpus (row count changes) invalidates and rebuilds
+    more = docs.unionByName(docs.limit(1).withColumn(
+        "doc_id", docs["doc_id"] + 1000))
+    dedup.minhash_lsh_pairs(more, num_perm=16, bands=8,
+                            shingle_store=store).collect()
+    snap3 = sorted(os.listdir(os.path.join(store, "_snapshots")))
+    assert snap3 != snap2
