@@ -6,9 +6,10 @@ bucketing (sign-sketch) so candidate generation touches only same-bucket
 pairs, plus an IVF-style coarse-quantizer variant built from deterministic
 seed centroids.
 
-All float math is done in double with a deterministic left-fold order
-(F.aggregate over zip_with), so results are reproducible and the DuckDB
-oracle (list_cosine_similarity on double lists) matches after rounding.
+All float math is float64 Arrow/BLAS kernels (the interpreted JVM
+higher-order fold was the measured hot spot once candidate sets grow);
+values are rounded half-away-from-zero at 6 dp, where BLAS and the DuckDB
+oracle's list_cosine_similarity agree (~1 ulp apart, far inside tolerance).
 """
 from __future__ import annotations
 
@@ -16,7 +17,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pdf_extractor_spark.operators.dedup import cosine
+from pdf_extractor_spark.operators.dedup import assign_cells, cosine_pairs_arrow
+
+
+def _md5_unit(prefix: str) -> float:
+    """(md5_int(prefix) % 1000)/1000 − 0.5 — the deterministic pseudo-random
+    component scheme shared by the JVM expressions, the DuckDB oracles and
+    these Python twins (integer ops + one division: bit-identical across
+    all three)."""
+    import hashlib
+
+    return (int(hashlib.md5(prefix.encode()).hexdigest()[:8], 16) % 1000) / 1000.0 - 0.5
 
 
 def brute_force_topk(embs: DataFrame, query_ids: list[int], k: int = 5) -> DataFrame:
@@ -34,15 +45,12 @@ def brute_force_topk(embs: DataFrame, query_ids: list[int], k: int = 5) -> DataF
     q = e.where(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = (
+    joined = (
         F.broadcast(q)
         .join(e, F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
     )
+    scored = cosine_pairs_arrow(joined, "qv", "v")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -51,71 +59,66 @@ def brute_force_topk(embs: DataFrame, query_ids: list[int], k: int = 5) -> DataF
     )
 
 
-def hyperplane_lsh_buckets(embs: DataFrame, n_planes: int = 12, seed: int = 7) -> DataFrame:
+def hyperplane_lsh_buckets(embs: DataFrame, n_planes: int = 12, seed: int = 7,
+                           dim: int = 64) -> DataFrame:
     """Sign-sketch bucket per vector: bit i = (v · h_i) > 0 for deterministic
     pseudo-random hyperplanes derived from md5(seed, plane, dim).
 
-    Hyperplane component in [-0.5, 0.5): (md5_int(seed:plane:dim) % 1000)/1000 - 0.5.
-    Everything JVM-side; one scan, no shuffle.
+    Hyperplane component in [-0.5, 0.5): (md5_int(seed:plane:dim) % 1000)/1000 - 0.5,
+    computed once in Python (bit-identical integer ops + one division) and
+    applied as ONE n×planes BLAS matmul per Arrow batch — the former
+    interpreted fold evaluated the md5 plane arrays per ROW and was the
+    measured hot spot of the bucket pass. Sign decisions agree with the
+    oracle's list_inner_product to ~1 ulp of the dot product, far from the
+    sign boundary for any non-degenerate vector (validated against the
+    oracle at both test scales). One scan, no shuffle.
     """
-    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dim = 64  # embeddings table is 64-dim (TESTDATA)
+    import numpy as np
+    import pandas as pd
 
-    def plane(i: int):
-        return F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"{seed}:{i}:{d}")), 1, 8), 16, 10
-                    ).cast("long")
-                    % 1000
-                )
-                / 1000.0
-                - 0.5
-                for d in range(dim)
-            ]
-        )
-
-    bucket = sum(
-        (
-            F.when(
-                F.aggregate(
-                    F.zip_with(F.col("v"), plane(i), lambda x, h: x * h),
-                    F.lit(0.0),
-                    lambda s, x: s + x,
-                )
-                > 0,
-                F.lit(2 ** i),
-            ).otherwise(F.lit(0))
-            for i in range(n_planes)
-        ),
-        start=F.lit(0),
+    H = np.array(
+        [[_md5_unit(f"{seed}:{i}:{d}") for d in range(dim)] for i in range(n_planes)],
+        dtype=np.float64,
     )
-    return e.select("vec_id", "v", bucket.cast("int").alias("bucket"))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy())
+            bits = (M @ H.T) > 0
+            buckets = (bits @ weights).astype("int32")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "bucket": buckets}
+            )
+
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return e.mapInPandas(kern, "vec_id long, v array<double>, bucket int")
 
 
 def lsh_neardup_pairs(embs: DataFrame, threshold: float = 0.9, n_planes: int = 8,
-                      seed: int = 7) -> DataFrame:
+                      seed: int = 7, dim: int | None = None) -> DataFrame:
     """Candidate pairs from shared LSH bucket, verified with exact cosine.
 
     At 100 TB: shuffle on bucket (narrow — vec + 1 int), within-bucket
-    self-join, exact verify. Bucket count 2^n_planes tunes the
-    candidate-set size / recall trade-off.
+    self-join, exact Arrow-kernel cosine verify. Bucket count 2^n_planes
+    tunes the candidate-set size / recall trade-off.
     """
-    b = hyperplane_lsh_buckets(embs, n_planes, seed)
-    l, r = b.alias("l"), b.alias("r")
+    row = embs.select(F.size("embedding")).first()
+    d = dim if dim is not None else (row[0] if row is not None else 64)
+    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=d)
+    l = b.select("bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    r = b.select("bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    joined = (
+        l.join(r, ["bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
-        )
-        .select(
-            F.col("l.vec_id").alias("a"),
-            F.col("r.vec_id").alias("b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 6).alias("cos"),
-        )
+        cosine_pairs_arrow(joined, "va", "vb")
         .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
         .orderBy("a", "b")
     )
 
@@ -132,61 +135,49 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8
     """
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     dim = 64
+    cent_lists = [
+        [_md5_unit(f"ivf:{seed}:{c}:{d}") for d in range(dim)]
+        for c in range(n_cells)
+    ]
+    return _ivf_probe_plan(e, cent_lists, query_ids, k, n_probe, dim)
 
-    def centroid(c: int):
-        return F.array(
-            *[
-                (
-                    F.conv(
-                        F.substring(F.md5(F.lit(f"ivf:{seed}:{c}:{d}")), 1, 8), 16, 10
-                    ).cast("long")
-                    % 1000
-                )
-                / 1000.0
-                - 0.5
-                for d in range(dim)
-            ]
-        )
 
-    cents = F.array(*[centroid(c) for c in range(n_cells)])
-    sims = F.transform(cents, lambda cv: cosine(F.col("v"), cv))
-    best_cell = F.array_position(sims, F.array_max(sims)) - 1
-    assigned = e.select("vec_id", "v", best_cell.cast("int").alias("cell"))
+def _ivf_probe_plan(e: DataFrame, cent_lists: list[list[float]],
+                    query_ids: list[int], k: int, n_probe: int,
+                    dim: int) -> DataFrame:
+    """Shared IVF probe plan over literal centroids (seed-derived or
+    trained): one Arrow BLAS assignment pass, per-query probe of the
+    n_probe closest cells (the query set is tiny by contract — computed
+    driver-side like the centroids themselves), exact Arrow-kernel cosine
+    re-rank within probed cells. Assignment argmax = first index of the
+    max (array_position/list_position semantics); probe order = sim DESC
+    then cell DESC (reverse(array_sort(struct(sim, cell))) semantics)."""
+    import numpy as np
 
-    # per-query probe cells: the n_probe cells with highest centroid sim
-    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    spark = e.sparkSession
+    assigned = assign_cells(e, cent_lists)
+    C = np.array(cent_lists, dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+    qrows = e.where(F.col("vec_id").isin(query_ids)).collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.array(r["v"], dtype=np.float64)
+        sims = (C @ qv) / (Cn * np.linalg.norm(qv))
+        order = sorted(
+            ((float(sims[c]), c) for c in range(len(cent_lists))), reverse=True
+        )[:n_probe]
+        probe_rows += [(int(r["vec_id"]), list(r["v"]), int(c)) for _, c in order]
+    qcells = spark.createDataFrame(
+        probe_rows, "query_id long, qv array<double>, cell int"
     )
-    qcells = q.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.slice(
-                F.reverse(
-                    F.array_sort(
-                        F.zip_with(
-                            sims_q := F.transform(cents, lambda cv: cosine(F.col("qv"), cv)),
-                            F.sequence(F.lit(0), F.lit(n_cells - 1)),
-                            lambda s, i: F.struct(s.alias("sim"), i.alias("cell")),
-                        )
-                    )
-                ),
-                1,
-                n_probe,
-            )
-        ).alias("probe"),
-    ).select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
 
-    scored = (
+    joined = (
         F.broadcast(qcells)
         .join(assigned, ["cell"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v")
     )
+    scored = cosine_pairs_arrow(joined, "qv", "v")
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -251,14 +242,13 @@ def kmeans_centroids(embs: DataFrame, k: int = 8, iters: int = 5,
     if first is None:
         return cents  # empty input: keep seed centroids
     for _ in range(iters):
-        carr = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in cents])
-        sims = F.transform(carr, lambda cv: cosine(F.col("v"), cv))
-        # zero-norm vectors make every cosine NULL → NULL cell; park them in
-        # cell 0 instead of crashing the driver-side centroid update
-        cell = F.coalesce(
-            (F.array_position(sims, F.array_max(sims)) - 1).cast("int"), F.lit(0)
+        # Arrow BLAS assignment (zero-norm vectors park in cell 0, matching
+        # the twin); cell decisions are ulp-robust argmaxes, and the update
+        # below is exact decimal arithmetic, so trained centroids stay
+        # bit-identical to _kmeans_centroids_twin
+        assigned = assign_cells(e, cents).select(
+            "cell", F.posexplode("v").alias("dim", "x")
         )
-        assigned = e.select(cell.alias("cell"), F.posexplode("v").alias("dim", "x"))
         # decimal(30,15) sums: exact, order-independent addition — a double
         # F.avg's partial-agg order wiggles the centroid's last ulp between
         # runs/engines, which can flip near-tie argmax assignments and break
@@ -353,43 +343,8 @@ def ivf_topk_trained(embs: DataFrame, query_ids: list[int], k: int = 5,
     (broadcast by construction)."""
     cents = kmeans_centroids(embs, k=n_cells, iters=train_iters, seed=seed)
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    carr = F.array(*[F.array(*[F.lit(x) for x in cv]) for cv in cents])
-    sims = F.transform(carr, lambda cv: cosine(F.col("v"), cv))
-    best_cell = (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
-    assigned = e.select("vec_id", "v", best_cell.alias("cell"))
-
-    q = assigned.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    qsims = F.transform(carr, lambda cv: cosine(F.col("qv"), cv))
-    qcells = q.select(
-        "query_id", "qv",
-        F.explode(
-            F.slice(
-                F.reverse(F.array_sort(F.zip_with(
-                    qsims, F.sequence(F.lit(0), F.lit(n_cells - 1)),
-                    lambda s, i: F.struct(s.alias("sim"), i.alias("cell")),
-                ))),
-                1, n_probe,
-            )
-        ).alias("probe"),
-    ).select("query_id", "qv", F.col("probe.cell").cast("int").alias("cell"))
-
-    scored = (
-        F.broadcast(qcells)
-        .join(assigned, ["cell"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .orderBy("query_id", "rank")
-    )
+    dim = len(cents[0])
+    return _ivf_probe_plan(e, cents, query_ids, k, n_probe, dim)
 
 
 def embedding_covariance(embs: DataFrame) -> DataFrame:
