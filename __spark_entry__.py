@@ -752,7 +752,9 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  shingle_store=_shingle_store_path(sf_dir)
                                  ).withColumn(
         "method", F.lit("minhash_lsh"))
-    ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5).withColumn(
+    ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                   shingle_store=_shingle_store_path(sf_dir)
+                                   ).withColumn(
         "method", F.lit("ngram_exact"))
     return mh.unionByName(ng).orderBy("method", "a", "b")
 

@@ -354,15 +354,21 @@ def verify_jaccard_hashed(
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = None,
+                        shingle_store: str | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted index (explode on
     shingle, pair within posting lists) — NOT a cross join. `max_df` drops
     stop-shingles with document frequency above the cap (the web-scale knob).
     """
     # int64 shingle hashes, not strings: the posting-list explode is the
     # wide part of this plan, and 8-byte keys shuffle/join at a fraction of
-    # the cost of n-gram strings (same Jaccard absent 60-bit collisions)
-    sh = shingle_hash_arrays(docs, n).persist()  # feeds postings AND sizes
+    # the cost of n-gram strings (same Jaccard absent 60-bit collisions).
+    # shingle_store (when given) reuses the committed shingle table shared
+    # with the MinHash arm instead of re-hashing the corpus.
+    if shingle_store is not None:
+        sh = shingle_table(docs, n, shingle_store)
+    else:
+        sh = shingle_hash_arrays(docs, n).persist()  # feeds postings AND sizes
     sizes = sh.select("doc_id", F.size("shh").alias("sz"))
     posts = sh.select("doc_id", F.explode("shh").alias("s"))
     if max_df is not None:
