@@ -29,6 +29,18 @@ PICKS = {
         "over int64 arrays; no cross join, no string shuffles anywhere. "
         "The exact n-gram arm is the small-side ground-truth union branch."
     ),
+    "q12_doc_metrics": (
+        "ONE fused Arrow kernel emits every per-doc text metric from a single "
+        "normalize/tokenize pass; split/sample assignment are JVM projections "
+        "on the same rows — one scan, zero joins (the naive 6-way join "
+        "composition measured 2.3× slower)."
+    ),
+    "q22_ann_topk": (
+        "Three ANN variants share one embeddings scan pattern: assignment is "
+        "one n×k BLAS matmul per Arrow batch, probe cells broadcast (query "
+        "set is tiny by contract), exact re-rank only within probed cells. "
+        "Union is a barrier-free unionByName of three independent subplans."
+    ),
     "q52_tfidf_topk": (
         "Tokenize+tf once (persisted — without it Catalyst re-explodes the "
         "corpus for the df branch); vocabulary-sized df aggregate broadcasts "
