@@ -367,3 +367,36 @@ def test_shingle_table_reuse_and_invalidation(spark, docs, tmp_path):
                             shingle_store=store).collect()
     snap3 = sorted(os.listdir(os.path.join(store, "_snapshots")))
     assert snap3 != snap2
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """large-star/small-star must agree with a pure-Python union-find on
+    random graphs (multiple densities)."""
+    import random
+
+    def uf_groups(edges, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in nodes}
+
+    rng = random.Random(7)
+    for n_nodes, n_edges in [(30, 15), (40, 60), (25, 5)]:
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        })
+        nodes = sorted({x for e in edges for x in e})
+        expected = uf_groups(edges, nodes)
+        pairs = spark.createDataFrame(edges, ["a", "b"])
+        got = {r["doc_id"]: r["group_id"]
+               for r in dedup.connected_components(pairs).collect()}
+        assert got == expected, (n_nodes, n_edges)

@@ -253,3 +253,66 @@ def test_order_quartiles_balanced(spark):
         assert set(counts) <= {1, 2, 3, 4}
         # ntile balance: sizes differ by at most 1
         assert max(counts.values()) - min(counts.values()) <= 1, (prio, counts)
+
+
+def test_pivot_roundtrip_inverse(spark):
+    """unpivot(pivot(events)) must reproduce the long-form counts, with
+    explicit zero rows for absent (user, type) combos."""
+    from pdf_extractor_spark.operators import relational
+
+    rows = [(1, "2024-01-01 00:00:00", 10, "click", 1.0, ""),
+            (2, "2024-01-01 00:01:00", 10, "click", 1.0, ""),
+            (3, "2024-01-01 00:02:00", 10, "view", 1.0, ""),
+            (4, "2024-01-01 00:03:00", 20, "error", 1.0, "")]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    got = {(r["user_id"], r["event_type"]): r["n"]
+           for r in relational.pivot_roundtrip(ev).collect()}
+    assert got[(10, "click")] == 2 and got[(10, "view")] == 1
+    assert got[(10, "error")] == 0 and got[(20, "error")] == 1
+    assert len(got) == 2 * 5  # 2 users x 5 declared event types
+
+
+def test_user_event_windows_frames_and_ranks(spark):
+    from pdf_extractor_spark.operators import relational
+
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, "click", float(i), "")
+            for i in range(1, 6)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+              "value double, props string").withColumn("ts", F.to_timestamp("ts"))
+    out = {r["event_id"]: r for r in relational.user_event_windows(ev).collect()}
+    # running total over time order
+    assert out[5]["running_total"] == 15.0
+    # bounded 4-row frame at event 5: mean(2,3,4,5)
+    assert out[5]["mavg4"] == 3.5
+    # ranking by value desc: event 5 (value 5.0) is rank 1 / quartile 1
+    assert out[5]["value_rank"] == 1 and out[5]["value_quartile"] == 1
+    assert out[1]["value_rank"] == 5
+
+
+def test_upserted_events_soft_delete_filter(spark, sf_dir):
+    from pdf_extractor_spark.operators import relational
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    visible = relational.upserted_events(ev)
+    assert visible.where(F.col("event_id") % 17 == 3).count() == 0
+    no_tombstones = relational.upserted_events(ev, soft_delete_mod=None)
+    assert no_tombstones.count() > visible.count()
+
+
+def test_annotation_span_intersections_offsets(spark):
+    from pdf_extractor_spark.operators.extract import annotation_span_intersections
+
+    extracted = spark.createDataFrame(
+        [("u1", 1, [(0, 10, "en"), (12, 30, "de")])],
+        "url string, page_number int, "
+        "spans array<struct<start:int,end:int,lang:string>>")
+    ann = spark.createDataFrame(
+        [("u1", 100, 5, 20),   # overlaps both spans
+         ("u1", 101, 30, 40)],  # overlaps nothing (span end-exclusive)
+        "url string, ann_id long, selection_start int, selection_end int")
+    got = {(r["ann_id"], r["span_start"]): r["overlap_chars"]
+           for r in annotation_span_intersections(extracted, ann).collect()}
+    assert got == {(100, 0): 5, (100, 12): 8}
