@@ -426,13 +426,23 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits) over pages synthesized from the documents table; returns the
     run's metrics rolled up to deterministic totals so a SQL oracle can gate
     it (per-partition timings are real but nondeterministic, so they are
-    aggregated away)."""
+    aggregated away). Every doc_id % 50 == 0 page becomes a PNG payload so
+    the needs-OCR image dispatch branch (extract.detect_image_format) is
+    exercised and DRIVER-GATED: those docs must surface as failures AND as
+    quarantine rows with the needs_ocr error — the oracle counts them from
+    the documents table."""
     import tempfile
 
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
-    pages = _pages_from_documents(docs).select("url", "warc_ts", "html")
+    pages = _pages_from_documents(docs)
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    pages = pages.select(
+        "url", "warc_ts",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(png))
+        .otherwise(F.col("html")).alias("html"),
+    )
     job = ExtractionJob(
         spark, tempfile.mkdtemp(prefix="pdfx_q37_"), n_buckets=16,
         partitions=16, salt=3, wave_size=8,
@@ -450,7 +460,11 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(lineage.where(F.col("status") == "success")
                    .agg(F.countDistinct("bucket").alias("lineage_success_buckets")))
-        .crossJoin(quarantined.agg(F.count("*").alias("quarantined")))
+        .crossJoin(quarantined.agg(
+            F.count("*").alias("quarantined"),
+            F.sum(F.when(F.col("error").contains("needs_ocr"), 1).otherwise(0))
+            .alias("needs_ocr_quarantined"),
+        ))
     )
 
 
@@ -1319,12 +1333,18 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS total_value, max(ts) AS max_ts
         FROM events GROUP BY user_id ORDER BY user_id
     """
-    # every doc is one successfully extracted single-page HTML payload and
-    # all 16 buckets commit; any failure/quarantine row breaks the hash
+    # every doc_id % 50 == 0 page is a PNG payload → exactly those docs must
+    # fail loudly through the needs-OCR dispatch and land in quarantine; all
+    # other docs extract cleanly and all 16 buckets commit. Any silent-empty
+    # image doc, spurious failure, or missed quarantine row breaks the hash.
     o["q37_pipeline_metrics"] = """
         SELECT 16 AS buckets_done, count(*) AS total_docs,
-               count(*) AS total_pages, 0 AS total_failures,
-               16 AS lineage_success_buckets, 0 AS quarantined
+               count(*) AS total_pages,
+               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS total_failures,
+               16 AS lineage_success_buckets,
+               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS quarantined,
+               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                   AS needs_ocr_quarantined
         FROM documents
     """
     o["q38_page_split"] = """
