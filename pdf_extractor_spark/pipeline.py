@@ -40,6 +40,26 @@ METRICS_DDL = (
 )
 
 
+# Per-page cost model (reference tasks.py:88-104): local library extractors
+# are free; hosted services bill per page. The engine's kernels are all
+# 'local', so job cost is 0.0 — the model exists for parity and for pricing
+# a hypothetical hosted-OCR branch of the needs-OCR quarantine.
+PAGE_COST_USD = {
+    "local": 0.0,
+    "textract": 0.0015,
+    "gpt-4o-mini": 0.005,
+    "gpt-4o": 0.010,
+    "gpt-4-turbo": 0.015,
+    "unknown": 0.001,
+}
+
+
+def job_cost_usd(pages: int, extractor: str = "local") -> float:
+    """Reference cost accounting: per-page rate × page count
+    (tasks.py:88-104; unknown extractors bill at the 'unknown' rate)."""
+    return PAGE_COST_USD.get(extractor, PAGE_COST_USD["unknown"]) * pages
+
+
 class ExtractionAborted(RuntimeError):
     """Raised when the failure-rate circuit breaker opens (tasks.py:126-151)."""
 

@@ -182,3 +182,43 @@ def test_job_entrypoint_runs_and_resumes(spark, tmp_path):
     # second run: everything committed -> zero new work
     assert main(["--generate", "300", "--output", out, "--n-buckets", "4"]) == 0
     assert SnapshotTable(out + "/extracted").read(spark).count() == n1
+
+
+def test_job_cost_model_reference_rates():
+    """Reference tasks.py:88-104 parity: per-page rates, unknown fallback."""
+    from pdf_extractor_spark.pipeline import PAGE_COST_USD, job_cost_usd
+
+    assert job_cost_usd(1000, "local") == 0.0
+    assert job_cost_usd(1000, "textract") == 1.5
+    assert job_cost_usd(100, "gpt-4o") == 1.0
+    assert job_cost_usd(10, "never-heard-of-it") == 10 * PAGE_COST_USD["unknown"]
+
+
+def test_incremental_scan_feeds_dedup_on_new_docs_only(spark, tmp_path):
+    """Iceberg-style incremental consumption: after an append, dedup work
+    runs over ONLY the newly appended documents (read_incremental), and the
+    incremental fingerprints anti-joined against the old ones find exactly
+    the new docs that duplicate existing content — without rescanning or
+    re-hashing the base corpus."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "docs"))
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "totally different content here")],
+        "doc_id long, text string")
+    snap1 = t.append(base)
+    new = spark.createDataFrame(
+        [(3, "alpha beta gamma delta"),   # dup of doc 1
+         (4, "fresh unseen text entirely")],
+        "doc_id long, text string")
+    t.append(new)
+
+    inc = t.read_incremental(spark, snap1)
+    assert {r["doc_id"] for r in inc.collect()} == {3, 4}
+
+    from pdf_extractor_spark.operators.text_analysis import fingerprints
+
+    old_fp = fingerprints(t.read_snapshot(spark, snap1))
+    new_fp = fingerprints(inc)
+    dup_new = new_fp.join(old_fp.select("fp"), "fp", "left_semi")
+    assert {r["doc_id"] for r in dup_new.collect()} == {3}
