@@ -543,7 +543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q51_redact_pii"] = lambda s, d: text_analysis.redact_pii(
         _docs_with_pii(_t(s, d, "documents"))).orderBy("doc_id")
     q["q52_tfidf_topk"] = lambda s, d: text_analysis.tfidf_topk(
-        _t(s, d, "documents"), k=3)
+        _t(s, d, "documents"), k=3,
+        tf_store=_shingle_store_path(d).replace("q18_shingles", "q52_tf"))
     q["q53_source_rollup"] = lambda s, d: text_analysis.source_rollup(
         _t(s, d, "documents"))
     q["q54_corpus_top_ngrams"] = lambda s, d: text_analysis.corpus_top_ngrams(

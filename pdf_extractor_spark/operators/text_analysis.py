@@ -473,7 +473,28 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
+def tf_table(docs: DataFrame, store_root: str) -> DataFrame:
+    """Materialized (doc_id, term, tf) table (SnapshotTable) keyed by corpus
+    size: the tokenize+count pass is the expensive shared input of both the
+    ranking side and the document-frequency aggregate, and at 100 TB an
+    executor-cache persist of it is a multi-TB residency dependency — the
+    same discipline as dedup.shingle_table."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(store_root)
+    key = {"n_docs": docs.count()}
+    m = t.current_manifest()
+    if m is not None and m.get("summary", {}).get("key") == key:
+        return t.read(docs.sparkSession)
+    toks = docs.select(
+        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    t.overwrite(tf, summary={"key": key})
+    return t.read(docs.sparkSession)
+
+
+def tfidf_topk(docs: DataFrame, k: int = 3, tf_store: str | None = None) -> DataFrame:
     """Top-k characteristic terms per document by TF-IDF.
 
     tf = term count within the doc (normalized whitespace tokens);
@@ -490,15 +511,19 @@ def tfidf_topk(docs: DataFrame, k: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
-        "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
-    ).where(F.col("term") != "")
-    # persist tf: both the ranking side and the document-frequency aggregate
-    # consume it, and without this Catalyst re-scans and re-explodes the
-    # whole corpus for the df branch (verified in the formatted plan) —
-    # at 100 TB that doubles the tokenize work. (doc_id, term, tf) rows are
-    # narrow; production would checkpoint them to a table instead.
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # share the tf aggregate: both the ranking side and the document-
+    # frequency aggregate consume it, and without sharing Catalyst re-scans
+    # and re-explodes the whole corpus for the df branch (verified in the
+    # formatted plan) — at 100 TB that doubles the tokenize work. Sharing is
+    # either executor cache (.persist(), default) or — the scale path — a
+    # committed SnapshotTable reused across runs (tf_store, see tf_table).
+    if tf_store is not None:
+        tf = tf_table(docs, tf_store)
+    else:
+        toks = docs.select(
+            "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+        ).where(F.col("term") != "")
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # one cheap count job; a literal in the plan
     w = Window.partitionBy("doc_id").orderBy(

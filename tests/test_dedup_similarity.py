@@ -400,3 +400,17 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         got = {r["doc_id"]: r["group_id"]
                for r in dedup.connected_components(pairs).collect()}
         assert got == expected, (n_nodes, n_edges)
+
+
+def test_embedding_lsh_plan_has_no_quadratic_stage(spark):
+    """Regression guard for the round-1 scale-killer: the embedding
+    near-dup plan must contain no cartesian product or nested-loop join."""
+    import numpy as np
+
+    rng = np.random.default_rng(2)
+    rows = [(i, [float(x) for x in rng.normal(0, 0.12, 64)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = dedup.embedding_neardup_pairs_lsh(embs, threshold=0.95)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

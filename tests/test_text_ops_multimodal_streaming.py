@@ -293,3 +293,20 @@ def test_session_window_stream_equals_batch(spark):
     gmap = {key(r): (r["n_events"], r["sum_value"]) for r in got}
     bmap = {key(r): (r["n_events"], r["sum_value"]) for r in batch}
     assert gmap == bmap and len(gmap) > 0
+
+
+def test_tf_table_reuse_matches_persist_path(spark, tmp_path):
+    from pdf_extractor_spark.operators.text_analysis import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma"), (2, "beta beta delta"),
+         (3, "alpha delta delta delta")],
+        "doc_id long, text string")
+    store = str(tmp_path / "tf")
+    base = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+            for r in tfidf_topk(docs, k=2).collect()}
+    stored = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+              for r in tfidf_topk(docs, k=2, tf_store=store).collect()}
+    again = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
+             for r in tfidf_topk(docs, k=2, tf_store=store).collect()}
+    assert base == stored == again
