@@ -157,3 +157,45 @@ def test_fast_path_charref_parity_fuzz(html):
     key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
                      b.total_chars, b.boiler_depth)
     assert [key(b) for b in fast_blocks] == [key(b) for b in std.blocks]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=10, max_value=500, allow_nan=False),
+                st.floats(min_value=10, max_value=700, allow_nan=False),
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=40,
+                ),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_pdf_build_extract_roundtrip_fuzz(pages):
+    """build_pdf → extract_pdf must round-trip arbitrary printable runs:
+    per page, the extracted text contains every run's text (after the
+    kernel's whitespace normalization), pages are 1-based and in order."""
+    from pdf_extractor_spark.corpus import build_pdf
+
+    payload = build_pdf(pages)
+    res = extract_pdf(payload)
+    has_content = any(" ".join(r[2].split()) for runs in pages for r in runs)
+    if has_content:
+        # whitespace-only corpora legitimately degrade to ok=false
+        # ("no meaningful content" gate, reference tasks.py:228-249)
+        assert res["meta"].get("ok") == "true"
+    got = dict(res["pages"])
+    assert sorted(got) == list(range(1, len(pages) + 1))
+    for pno, runs in enumerate(pages, start=1):
+        text = got[pno]
+        for _x, _y, run in runs:
+            norm = " ".join(run.split())
+            if norm:
+                assert norm in text, (pno, run, text)
