@@ -987,9 +987,10 @@ def _lang_agreement_sql() -> str:
     inner = _lang_id_sql().replace("ORDER BY doc_id", "")
     return f"""
         SELECT lang, count(*) AS docs,
-               sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END) AS agree,
-               CAST(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)::DOUBLE
-                    / count(*) AS DECIMAL(18,6)) AS agree_rate
+               CAST(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS agree,
+               CAST(CAST(sum(CASE WHEN detected_lang = lang THEN 1 ELSE 0 END)::DOUBLE
+                         / count(*) AS DECIMAL(18,6)) AS DOUBLE) AS agree_rate
         FROM ({inner}) GROUP BY lang ORDER BY lang
     """
 
@@ -1339,13 +1340,15 @@ def oracle_sql() -> dict[str, str]:
     # other docs extract cleanly and all 16 buckets commit. Any silent-empty
     # image doc, spurious failure, or missed quarantine row breaks the hash.
     o["q37_pipeline_metrics"] = """
-        SELECT 16 AS buckets_done, count(*) AS total_docs,
+        SELECT 16::BIGINT AS buckets_done, count(*) AS total_docs,
                count(*) AS total_pages,
-               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS total_failures,
-               16 AS lineage_success_buckets,
-               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END) AS quarantined,
-               sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
-                   AS needs_ocr_quarantined
+               CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS total_failures,
+               16::BIGINT AS lineage_success_buckets,
+               CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS quarantined,
+               CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS needs_ocr_quarantined
         FROM documents
     """
     o["q38_page_split"] = """
@@ -1395,13 +1398,14 @@ def oracle_sql() -> dict[str, str]:
                              - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
                         THEN 1 ELSE 0 END AS new_session
             FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        s AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
-                                               ORDER BY ts, event_id
-                                               ROWS UNBOUNDED PRECEDING) AS session_id
+        s AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id
+                                                    ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS session_id
               FROM flagged)
         SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
                count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,6))) AS total_value
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
         FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
     """
     # cleaned text == original (injected boilerplate df 1100/550 > 50 is
@@ -1426,7 +1430,7 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN nrm > 0
                         THEN list_transform(e, x -> CAST(round(x / nrm * 127, 0) AS INT))
                         ELSE list_transform(e, x -> 0) END, ',') AS qvec,
-               CAST(nrm AS DECIMAL(18,6)) AS norm
+               CAST(CAST(nrm AS DECIMAL(18,6)) AS DOUBLE) AS norm
         FROM (SELECT vec_id, embedding::DOUBLE[] AS e,
                      sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
               FROM embeddings)
@@ -1562,7 +1566,8 @@ def oracle_sql() -> dict[str, str]:
                           row_number() OVER (PARTITION BY bl.source
                               ORDER BY bl.n DESC, bl.lang ASC) AS rk
                    FROM bl JOIN tot t USING (source))
-        SELECT source, any_value(docs) AS docs, any_value(total_chars) AS total_chars,
+        SELECT source, CAST(any_value(docs) AS BIGINT) AS docs,
+               CAST(any_value(total_chars) AS BIGINT) AS total_chars,
                round(any_value(total_chars)::DOUBLE / any_value(docs), 6) AS avg_chars,
                count(*) AS n_langs,
                max(CASE WHEN rk = 1 THEN lang END) AS top_lang,

@@ -398,8 +398,12 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             # decimal sum: double summation order is nondeterministic across
             # engines/partitionings; decimal addition is exact and therefore
             # order-independent, so the driver's value hash is stable
-            # (CORRECTNESS_r01 q49 was a last-ulp hash mismatch).
-            F.sum(F.col("value").cast("decimal(18,6)")).alias("total_value"),
+            # (CORRECTNESS_r01 q49 was a last-ulp hash mismatch). The final
+            # double cast keeps the client dtype float64 on both engines
+            # (DuckDB's pandas bridge renders DECIMAL as float64; Spark's
+            # renders it as Decimal objects) — decimal→double is one
+            # deterministic round-to-nearest, so the value stays bit-stable.
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
         .orderBy("user_id", "session_id")
     )

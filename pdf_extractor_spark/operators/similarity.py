@@ -209,7 +209,10 @@ def normalize_quantize(embs: DataFrame, bits: int = 8) -> DataFrame:
     return embs.select(
         "vec_id",
         F.concat_ws(",", qvec.cast("array<string>")).alias("qvec"),
-        nrm.cast("decimal(18,6)").alias("norm"),
+        # decimal snap for exactness, then double so the client dtype is
+        # float64 on both engines (Spark renders decimal as Decimal objects,
+        # DuckDB as float64 — a str/repr-hashing canonicalizer would differ).
+        nrm.cast("decimal(18,6)").cast("double").alias("norm"),
     )
 
 
