@@ -49,6 +49,23 @@ BLOCK_TAGS = frozenset(
 
 HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
 
+# Single-probe action codes for the fast parser's dispatch ladder (one
+# dict.get replaces up to three frozenset membership tests per tag).
+# 1=boilerplate container, 2=<a>, 3=<table>, 4=heading, 5=<li>,
+# 6=other block tag, 7=<td>/<th>, 8=<tr>; absent=inline (no builder event).
+_TAG_ACT: dict[str, int] = {t: 1 for t in BOILERPLATE_CONTAINERS}
+_TAG_ACT["a"] = 2
+for _t in BLOCK_TAGS:
+    _TAG_ACT[_t] = (
+        3 if _t == "table"
+        else 4 if _t in HEADING_TAGS
+        else 5 if _t == "li"
+        else 7 if _t in ("td", "th")
+        else 8 if _t == "tr"
+        else 6
+    )
+del _t
+
 # A block whose link density exceeds this is boilerplate unless it is long
 # prose (readability/boilerpipe heuristic).
 LINK_DENSITY_MAX = 0.49
@@ -301,9 +318,7 @@ def _parse_fast(html: str) -> list[Block] | None:
     # match() would fail — now lands in the data segment and is caught by
     # the '<' in data check below, preserving exact bail semantics.
     search = _FAST_TAG_RE.search
-    in_block = BLOCK_TAGS.__contains__
-    in_boiler = BOILERPLATE_CONTAINERS.__contains__
-    in_heading = HEADING_TAGS.__contains__
+    tag_act = _TAG_ACT.get
 
     while pos < n:
         m = search(html, pos)
@@ -328,11 +343,12 @@ def _parse_fast(html: str) -> list[Block] | None:
                         buf_link += dn
         if m is None:
             break
-        _end, ename, name, _attrs, selfclose, _c, _d, _pi = m.groups()
-        if ename:
+        lg = m.lastgroup
+        if lg == "ename":
             # ---- handle_endtag ------------------------------------------
-            tag = ename.lower()
-            if in_boiler(tag):
+            tag = m["ename"].lower()
+            act = tag_act(tag, 0)
+            if act == 1:
                 if buf:
                     text = " ".join("".join(buf).split())
                     if text:
@@ -345,10 +361,10 @@ def _parse_fast(html: str) -> list[Block] | None:
                 pending_level = 0
                 if boiler:
                     boiler -= 1
-            elif tag == "a":
+            elif act == 2:
                 if a_depth:
                     a_depth -= 1
-            elif tag == "table":
+            elif act == 3:
                 if buf:
                     text = " ".join("".join(buf).split())
                     if text:
@@ -365,17 +381,17 @@ def _parse_fast(html: str) -> list[Block] | None:
                     if tbl.rows:
                         blocks.append(tbl)
             elif table_depth:
-                if tag in ("td", "th") and cell is not None:
+                if act == 7 and cell is not None:
                     ctext = " ".join("".join(cell).split())
                     if row is not None:
                         row.append(ctext)
                     cell = None
-                elif tag == "tr" and row is not None:
+                elif act == 8 and row is not None:
                     if any(c for c in row):
                         tables_stack[-1].rows.append(row)
                     row = None
-            elif in_block(tag):
-                if in_heading(tag):
+            elif act:
+                if act == 4:
                     if buf:
                         text = " ".join("".join(buf).split())
                         if text:
@@ -386,7 +402,7 @@ def _parse_fast(html: str) -> list[Block] | None:
                         buf_total = 0
                     pending_kind = "text"
                     pending_level = 0
-                elif tag == "li":
+                elif act == 5:
                     if buf:
                         text = " ".join("".join(buf).split())
                         if text:
@@ -412,14 +428,16 @@ def _parse_fast(html: str) -> list[Block] | None:
                     pending_level = 0
             pos = m.end()
             continue
-        if name:
-            tag = name.lower()
-            rawtext = tag in _RAWTEXT and not selfclose
+        if lg == "selfclose":
+            tag = m["name"].lower()
+            selfclose = m["selfclose"]
+            act = tag_act(tag, 0)
+            rawtext = not selfclose and tag in _RAWTEXT
             # ---- handle_starttag (+ immediate endtag when self-closing) --
             for _rep in range(2 if selfclose else 1):
                 # first pass = starttag semantics; second = endtag semantics
                 if _rep == 0:
-                    if in_boiler(tag):
+                    if act == 1:
                         if buf:
                             text = " ".join("".join(buf).split())
                             if text:
@@ -432,9 +450,9 @@ def _parse_fast(html: str) -> list[Block] | None:
                         pending_kind = "text"
                         pending_level = 0
                         boiler += 1
-                    elif tag == "a":
+                    elif act == 2:
                         a_depth += 1
-                    elif tag == "table":
+                    elif act == 3:
                         if buf:
                             text = " ".join("".join(buf).split())
                             if text:
@@ -450,11 +468,11 @@ def _parse_fast(html: str) -> list[Block] | None:
                         tables_stack.append(
                             Block("table", "", 0, [], 0, 0, boiler))
                     elif table_depth:
-                        if tag == "tr":
+                        if act == 8:
                             row = []
-                        elif tag in ("td", "th"):
+                        elif act == 7:
                             cell = []
-                    elif in_block(tag):
+                    elif act:
                         if buf:
                             text = " ".join("".join(buf).split())
                             if text:
@@ -464,10 +482,10 @@ def _parse_fast(html: str) -> list[Block] | None:
                             buf.clear()
                             buf_link = 0
                             buf_total = 0
-                        if in_heading(tag):
+                        if act == 4:
                             pending_kind = "heading"
                             pending_level = int(tag[1])
-                        elif tag == "li":
+                        elif act == 5:
                             li_depth += 1
                             pending_kind = "list"
                             pending_level = 0
@@ -479,7 +497,7 @@ def _parse_fast(html: str) -> list[Block] | None:
                     # the endtag branch above; self-closing tags are never
                     # headings/li in practice but parity demands the full
                     # state machine)
-                    if in_boiler(tag):
+                    if act == 1:
                         if buf:
                             text = " ".join("".join(buf).split())
                             if text:
@@ -493,10 +511,10 @@ def _parse_fast(html: str) -> list[Block] | None:
                         pending_level = 0
                         if boiler:
                             boiler -= 1
-                    elif tag == "a":
+                    elif act == 2:
                         if a_depth:
                             a_depth -= 1
-                    elif tag == "table":
+                    elif act == 3:
                         if buf:
                             text = " ".join("".join(buf).split())
                             if text:
@@ -514,17 +532,17 @@ def _parse_fast(html: str) -> list[Block] | None:
                             if tbl.rows:
                                 blocks.append(tbl)
                     elif table_depth:
-                        if tag in ("td", "th") and cell is not None:
+                        if act == 7 and cell is not None:
                             ctext = " ".join("".join(cell).split())
                             if row is not None:
                                 row.append(ctext)
                             cell = None
-                        elif tag == "tr" and row is not None:
+                        elif act == 8 and row is not None:
                             if any(c for c in row):
                                 tables_stack[-1].rows.append(row)
                             row = None
-                    elif in_block(tag):
-                        if in_heading(tag):
+                    elif act:
+                        if act == 4:
                             if buf:
                                 text = " ".join("".join(buf).split())
                                 if text:
@@ -537,7 +555,7 @@ def _parse_fast(html: str) -> list[Block] | None:
                                 buf_total = 0
                             pending_kind = "text"
                             pending_level = 0
-                        elif tag == "li":
+                        elif act == 5:
                             if buf:
                                 text = " ".join("".join(buf).split())
                                 if text:
