@@ -431,6 +431,24 @@ def _parse_fast(html: str) -> list[Block] | None:
         if lg == "selfclose":
             tag = m["name"].lower()
             selfclose = m["selfclose"]
+            if not selfclose:
+                # The attrs group can swallow a trailing '/' (e.g.
+                # '<img src="x" />' puts ' /' in attrs), hiding an XHTML
+                # self-close. Replicate HTMLParser's attrfind_tolerant
+                # outcome from the last attrs token: '=' means the slash is
+                # the tail of an unquoted value (plain start tag,
+                # '<a href=http://x/>'); a lone '/' or a bare attribute name
+                # ('<input checked/>') leaves the slash standalone before
+                # '>' (startendtag); slash pileups ('x//>') are stdlib's.
+                attrs = m["attrs"]
+                if attrs and attrs[-1] == "/":
+                    t = attrs.split()[-1]
+                    if "=" in t:
+                        pass
+                    elif t.endswith("//"):
+                        return None
+                    else:
+                        selfclose = "/"
             act = tag_act(tag, 0)
             rawtext = not selfclose and tag in _RAWTEXT
             # ---- handle_starttag (+ immediate endtag when self-closing) --

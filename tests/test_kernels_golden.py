@@ -200,3 +200,42 @@ def test_fast_tokenizer_rawtext_close_parity():
     ]:
         assert hk._parse_fast(payload) is None, payload
         hk.parse_blocks(payload)  # stdlib fallback must not raise
+
+
+def test_fast_tokenizer_selfclose_with_attrs_parity():
+    """A trailing '/' swallowed by the attrs group ('<img src="x" />',
+    '<input checked/>') must still produce stdlib's startendtag semantics —
+    regression for a boiler/li depth leak on XHTML-style void tags — while
+    an unquoted-value tail slash ('<a href=http://x/>') stays a plain start
+    tag and slash pileups bail to the stdlib parser."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    cases = [
+        "<nav foo=1 /><p>y</p>",          # startend: boiler must not leak
+        "<li style=\"a\" />text",          # startend: li depth must not leak
+        "<div><hr class=\"x\" /><p>t</p></div>",
+        "<p>a<img src=x />b</p>",
+        "<input checked />x",
+        "<input checked/>x",               # bare attr + '/': startend
+        "<p  />x",
+        "<a href=http://x/>t</a>",         # value-tail slash: plain start
+        "<img src=x/>",                    # value-tail slash: plain start
+        "<p a=1/b=2>x</p>",
+        "<div a=//x//>y",                  # '=' token: slashes are value chars
+        "<p class=\"a\"/>x",
+        "<script src=x /><p>k</p>",        # self-closed script: no rawtext
+        "<table><tr><td>x<br /></td></tr></table>",
+    ]
+    for payload in cases:
+        fast = hk._parse_fast(payload)
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert fast is not None, payload
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+    # ambiguous slash pileups are the stdlib parser's problem
+    for payload in ["<li checked//>x", "<p checked //>y"]:
+        assert hk._parse_fast(payload) is None, payload
+        hk.parse_blocks(payload)  # fallback must not raise
