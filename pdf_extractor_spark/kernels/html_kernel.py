@@ -262,7 +262,8 @@ _FAST_TAG_RE = re.compile(
     r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)"
     r"(?P<attrs>(?:\s+[^<>\"']*|\"[^\"]*\"|'[^']*')*)\s*(?P<selfclose>/?)>"
     r"|!--(?P<comment>.*?)--\s*>"
-    r"|(?P<decl>![^>]*)>"
+    r"|(?P<marked>!\[)"
+    r"|(?P<decl>!(?!--|\[)[^>]*)>"
     r"|(?P<pi>\?[^>]*)>"
     r")",
     re.S,
@@ -286,6 +287,16 @@ _RAWTEXT_RES = {
     )
     for t in _RAWTEXT
 }
+
+# Marked sections '<![...' — the exact _markupbase.parse_marked_section
+# rules: a declname, then a keyword-dependent close (']]>' for CDATA-class
+# sections, ']>' for MS conditionals); unknown keywords make the stdlib
+# parser raise, so the fast path bails there (error-row parity).
+_DECLNAME_RE = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
+_MARKED_CLOSE_RE = re.compile(r"]\s*]\s*>")  # _markupbase._markedsectionclose
+_MS_MARKED_CLOSE_RE = re.compile(r"]\s*>")  # _markupbase._msmarkedsectionclose
+_MARKED_CDATA_KEYWORDS = frozenset({"temp", "cdata", "ignore", "include", "rcdata"})
+_MARKED_MS_KEYWORDS = frozenset({"if", "else", "endif"})
 
 
 def _parse_fast(html: str) -> list[Block] | None:
@@ -641,6 +652,23 @@ def _parse_fast(html: str) -> list[Block] | None:
                     boiler -= 1
                 pos = gt + 1
                 continue
+        if lg == "marked":
+            # '<![' marked section: skip to the keyword's close exactly as
+            # _markupbase.parse_marked_section does; no builder events.
+            dm = _DECLNAME_RE.match(html, m.end())
+            if dm is None:
+                return None  # stdlib raises 'expected name token'
+            sect = dm.group().strip().lower()
+            if sect in _MARKED_CDATA_KEYWORDS:
+                cm = _MARKED_CLOSE_RE.search(html, m.end())
+            elif sect in _MARKED_MS_KEYWORDS:
+                cm = _MS_MARKED_CLOSE_RE.search(html, m.end())
+            else:
+                return None  # stdlib raises 'unknown status keyword'
+            if cm is None:
+                return None  # unclosed section → stdlib EOF rules
+            pos = cm.end()
+            continue
         # comments / doctype / processing instructions: no builder events
         pos = m.end()
 

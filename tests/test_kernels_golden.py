@@ -239,3 +239,38 @@ def test_fast_tokenizer_selfclose_with_attrs_parity():
     for payload in ["<li checked//>x", "<p checked //>y"]:
         assert hk._parse_fast(payload) is None, payload
         hk.parse_blocks(payload)  # fallback must not raise
+
+
+def test_fast_tokenizer_marked_sections_and_broken_comments():
+    """Marked sections follow _markupbase's exact close rules (']]>' for
+    CDATA-class, ']>' for MS conditionals; no builder events); unknown
+    keywords and truncated comments bail so the stdlib path reproduces its
+    own raise/data semantics."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    identical = [
+        "<![CDATA[ a>b ]]><p>x</p>",   # '>' inside CDATA must not leak text
+        "<![CDATA[ z ]]><p>x</p>",
+        "<![if !IE]><p>x</p><![endif]>",
+        "<![if gte IE 7]><p>x</p><![endif]>",
+        "<!DOCTYPE html><p>x</p>",
+        "<!DOCTYPE html [ <!ENTITY x \"y\"> ]><p>x</p>",
+        "<!X><p>x</p>",
+        "<!-- a -- b --><p>x</p>",
+        "<!-- a ---><p>x</p>",
+        "<!----><p>x</p>",
+    ]
+    for payload in identical:
+        fast = hk._parse_fast(payload)
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert fast is not None, payload
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+    # stdlib emits truncated comments as DATA and raises on unknown marked
+    # sections — the fast path must hand both to the stdlib owner
+    for payload in ["<!--><p>x</p>", "<!---><p>x</p>", "<![foo]><p>x</p>",
+                    "<![unclosed", "<![CDATA[ never closed"]:
+        assert hk._parse_fast(payload) is None, payload
