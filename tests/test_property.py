@@ -199,3 +199,47 @@ def test_pdf_build_extract_roundtrip_fuzz(pages):
             norm = " ".join(run.split())
             if norm:
                 assert norm in text, (pno, run, text)
+
+
+def test_fast_path_structured_fragment_fuzz():
+    """Seeded random compositions of adversarial HTML fragments — attribute
+    soup, XHTML self-closes, marked sections, broken comments, rawtext —
+    must be block-identical to stdlib whenever the fast path claims them."""
+    import random
+
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    frags = [
+        "<p>", "</p>", "<P>", "</P>", "<div>", "</div>", "<li>", "</li>",
+        "<ul>", "</ul>", "<table>", "</table>", "<tr>", "</tr>", "<td>",
+        "</td>", "<th>", "</th>", "<h1>", "</h1>", "<nav>", "</nav>",
+        "<a href=\"/x\">", "</a>", "text one ", "two & three ", "&amp; ",
+        "&copy ", "&#65; ", "<!-- c -->", "<!-- a -- b -->", "<!-- a --->",
+        "<!-->", "<!---->", "<!--->", "<!DOCTYPE html>",
+        "<!DOCTYPE html [ <!ENTITY x \"y\"> ]>", "<![CDATA[ z ]]>",
+        "<![CDATA[ a>b ]]>", "<![if !IE]>", "<![endif]>", "<?pi?>",
+        "<?pi with > inside?>", "<script>v=1;</script>", "<style>p{}</style>",
+        "<p title=\"a>b\">", "<p title=a>", "<br/>", "<br />",
+        "<img src=x />", "<img src=x/>", "<input checked/>",
+        "<meta charset=\"utf-8\" />", "<a href=http://x/>", "<p  >", "</ p>",
+        "<p\n class=\"m\">", "<foo:bar>", "</foo:bar>", "<-notatag", "<3>",
+    ]
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    rng = random.Random(20260817)
+    n_fast = 0
+    for _ in range(3000):
+        payload = "".join(rng.choices(frags, k=rng.randint(1, 40)))
+        fast = hk._parse_fast(payload)
+        if fast is None:
+            # the stdlib fallback owns bailed inputs (none of these frags
+            # make HTMLParser raise; unknown marked keywords, which do, are
+            # covered by the golden marked-section test)
+            hk.parse_blocks(payload)
+            continue
+        n_fast += 1
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+    assert n_fast > 1000  # the fast path still claims most of the soup
