@@ -1,0 +1,82 @@
+"""Physical-plan regression guards for the scale-critical paths.
+
+Each assertion pins a plan property that PLANS.md documents as the reason a
+query survives a 100x scale-up: extraction does exactly one exchange (the
+mandated salted repartition) with a pruned scan, dimension joins broadcast
+instead of shuffling the fact table, and the near-dup candidate generators
+contain no quadratic stage. A Catalyst or operator-code change that silently
+reintroduces a shuffle/cartesian shows up here, not at 100 TB.
+"""
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark.operators import dedup, extract, relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def test_extraction_plan_single_exchange_pruned_scan(spark):
+    """The extract pipeline is scan -> one salted Exchange -> mapInArrow;
+    a second exchange would double the shuffle bill at 100 TB (PLANS.md
+    q25/q26)."""
+    import datetime as dt
+
+    from pdf_extractor_spark import corpus
+
+    docs = corpus.generate(50, seed=5)
+    ts = dt.datetime(2024, 1, 1)
+    rows = [(d.url, ts, d.html) for d in docs if d.html]
+    pages = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = extract.run_extract(pages, num_partitions=8)
+    plan = _plan(out)
+    assert plan.count("Exchange") == 1, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_dim_joins_broadcast_not_shuffled(spark, sf_dir):
+    """Revenue-by-region joins the dims (customer/nation/region) to the
+    fact chain: every dimension must broadcast — only fact-fact joins may
+    exchange (PLANS.md q02)."""
+    df = relational.revenue_by_region(
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_lsh_plan_no_self_join_no_cartesian(spark):
+    """LSH candidates come from a (band, band_sig) groupBy pair-explode —
+    never a two-sided self-join of the banded table and never a cartesian
+    product (PLANS.md q18)."""
+    rows = [(i, ("alpha beta gamma delta epsilon zeta " * 4) + str(i % 7))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = dedup.minhash_lsh_pairs(docs, num_perm=16, bands=8,
+                                 jaccard_threshold=0.5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_ngram_jaccard_plan_no_cartesian(spark):
+    """Exact n-gram Jaccard pairs use an inverted shingle index (explode ->
+    join on shingle hash), not an all-pairs comparison."""
+    rows = [(i, ("lorem ipsum dolor sit amet " * 5) + str(i % 5))
+            for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
