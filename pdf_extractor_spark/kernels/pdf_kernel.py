@@ -21,8 +21,7 @@ from __future__ import annotations
 import re
 import zlib
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 
@@ -31,7 +30,29 @@ _LINE_TOL = 2.0
 
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
-    return {int(m.group(1)): m.group(3) for m in _OBJ_RE.finditer(data)}
+    """obj/endobj pairing, linear-time.
+
+    Semantics match the old lazy regex r'(\\d+)\\s+(\\d+)\\s+obj\\b(.*?)endobj':
+    each header's body runs to the FIRST 'endobj' after it, scanning resumes
+    past that 'endobj', and duplicate ids keep the last occurrence. The lazy
+    regex was O(headers x bytes) on a malformed payload with 'obj' tokens
+    but no 'endobj' (quadratic: 0.25 s at 22 KB, days at the 20 MB cap —
+    one truncated PDF would stall an executor core); this scan is O(bytes).
+    """
+    objs: dict[int, bytes] = {}
+    pos = 0
+    search = _OBJ_HDR_RE.search
+    find = data.find
+    while True:
+        m = search(data, pos)
+        if m is None:
+            break
+        end = find(b"endobj", m.end())
+        if end < 0:
+            break
+        objs[int(m.group(1))] = data[m.end():end]
+        pos = end + 6
+    return objs
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -76,10 +97,33 @@ def _kids(pages_body: bytes) -> list[int]:
 
 
 def _stream_bytes(body: bytes) -> bytes:
-    m = _STREAM_RE.search(body)
-    if not m:
+    """stream...endstream extraction, linear-time.
+
+    Semantics match the old lazy regex rb'stream\\r?\\n(.*?)\\r?\\nendstream':
+    the first 'stream' token followed by \\r\\n or \\n opens the stream, the
+    first '\\r?\\nendstream' after it closes it. The lazy regex backtracked
+    across every 'stream' candidate when no close exists (quadratic on a
+    truncated object); here a failed close search ends the scan outright —
+    a close missing after candidate k is missing after k+1 too.
+    """
+    i = body.find(b"stream")
+    raw = None
+    while i >= 0:
+        j = i + 6
+        if body[j:j + 2] == b"\r\n":
+            start = j + 2
+        elif body[j:j + 1] == b"\n":
+            start = j + 1
+        else:
+            i = body.find(b"stream", i + 1)
+            continue
+        close = body.find(b"\nendstream", start)
+        if close < 0:
+            break
+        raw = body[start:close - 1 if body[close - 1:close] == b"\r" else close]
+        break
+    if raw is None:
         return b""
-    raw = m.group(1)
     if b"/FlateDecode" in _dict_of(body):
         try:
             raw = zlib.decompress(raw)

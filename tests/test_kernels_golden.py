@@ -295,3 +295,21 @@ def test_fast_tokenizer_linear_on_unclosed_attr_soup():
     hk.parse_blocks(payload)
     assert time.perf_counter() - t0 < 2.0
     assert result is None  # stray-'<' discipline: stdlib owns the tail
+
+
+def test_pdf_object_scan_linear_on_truncated_payloads():
+    """Regression for quadratic obj/endobj and stream/endstream scans: a
+    truncated payload full of open tokens must parse in linear time (the
+    old lazy regexes re-scanned to EOF per candidate — days of CPU at the
+    20 MB upload cap)."""
+    import time
+
+    from pdf_extractor_spark.kernels import pdf_kernel as pk
+
+    t0 = time.perf_counter()
+    res = pk.extract_pdf(b"%PDF-1.4\n" + b"1 0 obj << >> " * 100000)
+    assert time.perf_counter() - t0 < 1.0
+    assert res["meta"]["ok"] == "false"  # degrades, never stalls
+    t0 = time.perf_counter()
+    assert pk._stream_bytes(b"stream\n" * 100000) == b""
+    assert time.perf_counter() - t0 < 1.0
