@@ -28,6 +28,9 @@ _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
 # y-coordinates within this distance belong to the same line
 _LINE_TOL = 2.0
 
+# nested-array recursion cap in _tokenize (TJ arrays are flat in practice)
+_MAX_ARR_DEPTH = 16
+
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     """obj/endobj pairing, linear-time.
@@ -185,8 +188,14 @@ _ARR_DELIM_RE = re.compile(rb"[\[\]\\(]")
 _STR_DELIM_RE = re.compile(rb"[()\\]")
 
 
-def _tokenize(stream: bytes):
-    """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list)."""
+def _tokenize(stream: bytes, _depth: int = 0):
+    """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list).
+
+    Array nesting beyond _MAX_ARR_DEPTH yields an empty array instead of
+    recursing: real TJ arrays are flat, and unbounded recursion on a
+    crafted '[[[[...' payload costs a slice + delimiter scan per level
+    until RecursionError (~30 s at the 20 MB cap) — the cap keeps the
+    adversarial case linear while leaving every sane PDF untouched."""
     i = 0
     n = len(stream)
     simple = _SIMPLE_TOK_RE.match
@@ -287,7 +296,9 @@ def _tokenize(stream: bytes):
                         else:
                             d2 -= 1
                             j += 1
-            yield ("arr", list(_tokenize(stream[i + 1 : j - 1])))
+            yield ("arr",
+                   list(_tokenize(stream[i + 1 : j - 1], _depth + 1))
+                   if _depth < _MAX_ARR_DEPTH else [])
             i = j
         elif c == b"<":  # '<<' dict — skip to matching '>>'
             depth = 0

@@ -313,3 +313,8 @@ def test_pdf_object_scan_linear_on_truncated_payloads():
     t0 = time.perf_counter()
     assert pk._stream_bytes(b"stream\n" * 100000) == b""
     assert time.perf_counter() - t0 < 1.0
+    # deep array nesting hits the recursion cap instead of RecursionError
+    t0 = time.perf_counter()
+    deep = b"[" * 50000 + b"(x)" + b"]" * 50000 + b" TJ"
+    assert pk._runs_from_stream(deep) == []
+    assert time.perf_counter() - t0 < 3.0
