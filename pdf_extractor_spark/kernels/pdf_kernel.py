@@ -31,6 +31,12 @@ _LINE_TOL = 2.0
 # nested-array recursion cap in _tokenize (TJ arrays are flat in practice)
 _MAX_ARR_DEPTH = 16
 
+# FlateDecode output cap per stream: a crafted 190 KB deflate stream expands
+# to 200 MB (1050:1) — unbounded zlib.decompress would OOM an executor on
+# one bomb payload. Real page content streams are KBs; 64 MB is far above
+# any sane stream and bombs degrade to the error-row path instead.
+_MAX_STREAM_BYTES = 64 * 1024 * 1024
+
 
 def _parse_objects(data: bytes) -> dict[int, bytes]:
     """obj/endobj pairing, linear-time.
@@ -129,7 +135,12 @@ def _stream_bytes(body: bytes) -> bytes:
         return b""
     if b"/FlateDecode" in _dict_of(body):
         try:
-            raw = zlib.decompress(raw)
+            d = zlib.decompressobj()
+            raw = d.decompress(raw, _MAX_STREAM_BYTES + 1)
+            if len(raw) > _MAX_STREAM_BYTES:
+                return b""  # decompression bomb — degrade, don't OOM
+            if not d.eof:
+                return b""  # truncated stream: zlib.decompress raised here
         except zlib.error:
             return b""
     return raw

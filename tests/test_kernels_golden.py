@@ -318,3 +318,21 @@ def test_pdf_object_scan_linear_on_truncated_payloads():
     deep = b"[" * 50000 + b"(x)" + b"]" * 50000 + b" TJ"
     assert pk._runs_from_stream(deep) == []
     assert time.perf_counter() - t0 < 3.0
+
+
+def test_pdf_flate_bomb_degrades_not_ooms():
+    """A 1050:1 deflate bomb in a content stream must yield an error row,
+    not a 200 MB allocation per payload; truncated streams keep the old
+    zlib.decompress raise semantics (empty bytes -> error path)."""
+    import zlib
+
+    from pdf_extractor_spark.kernels import pdf_kernel as pk
+
+    bomb = zlib.compress(b"\x00" * 200_000_000, 9)
+    body = b"<< /FlateDecode >>\nstream\n" + bomb + b"\nendstream"
+    assert pk._stream_bytes(body) == b""
+    good = zlib.compress(b"BT (ok) Tj ET")
+    body = b"<< /FlateDecode >>\nstream\n" + good + b"\nendstream"
+    assert pk._stream_bytes(body) == b"BT (ok) Tj ET"
+    trunc = b"<< /FlateDecode >>\nstream\n" + good[:-4] + b"\nendstream"
+    assert pk._stream_bytes(trunc) == b""
