@@ -12,8 +12,10 @@ oracle_sql() — exact DuckDB twins. Hash-sensitive operators use md5-based
                (IVF seed centroids, LSH hyperplanes) are oracle-checked —
                their md5-derived geometry enters the SQL as list literals,
                so the approximation itself is deterministic and verified.
-               Rows-only by necessity: q27 (stub media decode), q43
-               (iterative k-means), q48 (rolling-hash recurrence).
+               Even the non-SQL recurrences are value-hash gated via
+               kernel-twin literals (q27 stub decode, q43 trained k-means,
+               q48 winnowing); only q66 PCA stays rows-only (its double-avg
+               mean is not run-deterministic at the ulp).
 """
 from __future__ import annotations
 
@@ -536,8 +538,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q38_page_split"] = q_page_split
     q["q47_chunk_documents"] = lambda s, d: text_analysis.chunk_documents(
         _t(s, d, "documents"), chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_id")
-    # rolling-hash recurrence is not SQL-expressible → rows-only; exactness
-    # pinned by the kernel-twin unit test
+    # rolling-hash recurrence is not SQL-expressible, but it is exact
+    # integer arithmetic — the oracle pins the kernel twin's fingerprints
+    # as VALUES literals (see oracle_sql), so q48 is value-hash gated
     q["q48_winnowing_fp"] = lambda s, d: text_analysis.winnowing_fingerprints(
         _t(s, d, "documents")).orderBy("doc_id")
     q["q51_redact_pii"] = lambda s, d: text_analysis.redact_pii(
@@ -1214,6 +1217,53 @@ def oracle_sql() -> dict[str, str]:
                    3 AS channels, mi.mean_intensity::DOUBLE AS mean_intensity
             FROM documents d JOIN mi ON mi.media_id = d.doc_id
             ORDER BY media_id
+        """
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: literal-oracle build skipped: {_exc!r}", file=_sys.stderr)
+    # winnowing fingerprints: the Rabin-Karp recurrence is not expressible
+    # in SQL, but it is EXACT integer arithmetic — fully deterministic — so
+    # the unit-tested kernel twin (textstats.rolling_hashes + the same
+    # sliding-window min) recomputes every fingerprint set from the sf0.01
+    # parquet and pins them as VALUES literals, upgrading q48 from the
+    # rows-only fallback to the full value-hash gate. (q66 PCA stays
+    # rows-only: its mean uses a double avg whose partial-agg order is not
+    # run-deterministic, so a literal oracle could flicker at round-ties.)
+    try:
+        import os
+
+        import numpy as _np
+        import pyarrow.parquet as _pq
+
+        from pdf_extractor_spark.kernels.textstats import (
+            normalize as _tw_norm,
+            rolling_hashes as _tw_rh,
+        )
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _dt = _pq.read_table(f"{_sfd}/documents.parquet",
+                             columns=["doc_id", "text"])
+        _fp_rows = []
+        for _did, _text in zip(_dt["doc_id"].to_pylist(),
+                               _dt["text"].to_pylist()):
+            _hs = _tw_rh(_tw_norm(_text or ""), window=8)
+            if not _hs:
+                _fp_rows.append(f"({int(_did)}, '', 0)")
+                continue
+            _a = _np.array(_hs, dtype=_np.uint64)
+            if len(_a) <= 4:
+                _mins = [_a.min()]
+            else:
+                _mins = _np.lib.stride_tricks.sliding_window_view(
+                    _a, 4).min(axis=1)
+            _sel = sorted({int(_x) for _x in _mins})
+            _fp_rows.append(
+                f"({int(_did)}, '{','.join(map(str, _sel))}', {len(_sel)})")
+        o["q48_winnowing_fp"] = f"""
+            SELECT doc_id::BIGINT AS doc_id, fingerprints, n_fp::INT AS n_fp
+            FROM (VALUES {', '.join(_fp_rows)}) AS fp(doc_id, fingerprints, n_fp)
+            ORDER BY doc_id
         """
     except Exception as _exc:  # pragma: no cover - driver fallback
         import sys as _sys
