@@ -294,6 +294,22 @@ _RAWTEXT_RES = {
     for t in _RAWTEXT
 }
 
+# Strict well-formed-attributes validator, applied only when the captured
+# attrs contain a quote: the tag-regex's quoted chunks may open at ANY chunk
+# boundary, but HTMLParser only treats quotes as delimiters in value
+# position (after '='). A stray quote elsewhere ('<a href=/home">',
+# "<ht'ml>") makes the fast regex's quoted chunk span the '>' stdlib stops
+# at — silently swallowing markup. Quoted attrs that fullmatch this strict
+# shape (name, optional ='value'/"value"/bare) end the tag at the same '>'
+# as stdlib; anything else bails to the stdlib parser. Possessive
+# throughout (no backtracking blowup on adversarial soup).
+_STRICT_ATTRS_RE = re.compile(
+    r"(?:\s++[^\s/>\"'=]++"           # attribute name
+    r"(?:\s*+=\s*+"                   # = value
+    r"(?:\"[^\"]*+\"|'[^']*+'|[^\s<>\"']++))?+"
+    r")*+\s*+/?+\s*+"                 # trailing whitespace / lone slash
+)
+
 # Marked sections '<![...' — the exact _markupbase.parse_marked_section
 # rules: a declname, then a keyword-dependent close (']]>' for CDATA-class
 # sections, ']>' for MS conditionals); unknown keywords make the stdlib
@@ -448,6 +464,10 @@ def _parse_fast(html: str) -> list[Block] | None:
         if lg == "selfclose":
             tag = m["name"].lower()
             selfclose = m["selfclose"]
+            attrs_q = m["attrs"]
+            if attrs_q and ('"' in attrs_q or "'" in attrs_q) and \
+                    _STRICT_ATTRS_RE.fullmatch(attrs_q) is None:
+                return None  # quote outside value position — stdlib owns
             if not selfclose:
                 # The attrs group can swallow a trailing '/' (e.g.
                 # '<img src="x" />' puts ' /' in attrs), hiding an XHTML

@@ -336,3 +336,30 @@ def test_pdf_flate_bomb_degrades_not_ooms():
     assert pk._stream_bytes(body) == b"BT (ok) Tj ET"
     trunc = b"<< /FlateDecode >>\nstream\n" + good[:-4] + b"\nendstream"
     assert pk._stream_bytes(trunc) == b""
+
+
+def test_fast_tokenizer_quote_position_parity():
+    """A quote outside value position ('<a href=/home\">', \"<ht'ml>\") must
+    not let the fast regex's quoted chunk span the '>' where stdlib ends
+    the tag — regression for silent markup swallowing on mangled pages.
+    Well-formed quoted attributes (including '>' inside values) stay on
+    the fast path."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    # stray quotes: bail, stdlib owns
+    for payload in ["<p'x>a</p>", "<ht'ml><p>t</p><style'>b</style>",
+                    '<a href=/home">Home</a>', '<p a="1"b=2>x</p>']:
+        assert hk._parse_fast(payload) is None, payload
+        hk.parse_blocks(payload)  # fallback must not raise
+    # well-formed quoted attrs: fast path, block-identical
+    for payload in ['<p class="sidebar">x</p>', "<a href='/r/0'>y</a>",
+                    '<p title="a>b">x</p>', '<meta charset="utf-8" /><p>z</p>',
+                    '<a href=">about">About</a>', "<p a = 'b'>t</p>"]:
+        fast = hk._parse_fast(payload)
+        assert fast is not None, payload
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
