@@ -243,3 +243,50 @@ def test_fast_path_structured_fragment_fuzz():
         std.close()
         assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
     assert n_fast > 1000  # the fast path still claims most of the soup
+
+
+def test_fast_path_mutation_fuzz_on_corpus_pages():
+    """Seeded random corruptions of real corpus pages (insert/delete/replace/
+    truncate/duplicate — the mangled-WARC shapes) must never make the fast
+    path diverge from stdlib when it claims the input. This campaign found
+    the quote-position and startendtag parity bugs; keep it green."""
+    import random
+
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    docs = [d.html.decode("utf-8", "replace")
+            for d in corpus.generate(200, seed=42)
+            if d.html and d.html[:5] != b"%PDF-"]
+    rng = random.Random(424242)
+    chars = "<>&/\"'= aZ-!?[]"
+    n_claimed = 0
+    for _ in range(4000):
+        h = docs[rng.randrange(len(docs))]
+        for _ in range(rng.randint(1, 6)):
+            if not h:
+                break
+            op = rng.randrange(5)
+            i = rng.randrange(len(h))
+            if op == 0:
+                h = h[:i] + rng.choice(chars) + h[i:]
+            elif op == 1:
+                h = h[:i] + h[i + 1:]
+            elif op == 2:
+                h = h[:i] + rng.choice(chars) + h[i + 1:]
+            elif op == 3:
+                h = h[:i]
+            else:
+                j = min(len(h), i + rng.randrange(1, 40))
+                h = h[:i] + h[i:j] + h[i:]
+        fast = hk._parse_fast(h)
+        if fast is None:
+            continue
+        n_claimed += 1
+        std = hk._BlockParser()
+        std.feed(h)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], h[:300]
+    assert n_claimed > 500  # the fast path still claims a healthy share
