@@ -259,7 +259,14 @@ class _BlockParser(HTMLParser):
 _FAST_TAG_RE = re.compile(
     r"<(?:"
     r"(?P<end>/)\s*(?P<ename>[a-zA-Z][a-zA-Z0-9:_.-]*)\s*>"
-    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)"
+    # the (?=...) lookahead pins stdlib's ASCII-only tag-NAME terminator
+    # class ([\t\n\r\f />\x00], tagfind_tolerant): HTMLParser keeps a
+    # unicode space like U+2028 as part of the NAME ('<a  href=#>' is
+    # an unknown tag 'a ', not a link), while this regex's \s-based
+    # attrs would otherwise absorb it and mis-claim the tag — so those
+    # inputs now fail the match and bail to stdlib. WITHIN attrs stdlib's
+    # own machinery is unicode-\s, so the chunks below keep \s.
+    r"|(?P<name>[a-zA-Z][a-zA-Z0-9:_.-]*)(?=[ \t\n\r\f/>])"
     # possessive quantifiers: the ws-chunk body class includes \s, so a
     # backtracking loop explores every chunk decomposition — exponential on
     # an unclosed tag with N attr tokens (truncated WARC captures hit this;

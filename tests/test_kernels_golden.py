@@ -363,3 +363,29 @@ def test_fast_tokenizer_quote_position_parity():
         std.feed(payload)
         std.close()
         assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+
+
+def test_fast_tokenizer_unicode_ws_in_tag_name_bails():
+    """HTMLParser terminates tag NAMES on ASCII whitespace only
+    (tagfind_tolerant's [\\t\\n\\r\\f />] class): '<a\\u2028 href=#>' is an
+    unknown tag 'a\\u2028' to stdlib, not a link. The fast regex's unicode
+    \\s would mis-claim it as <a> (wrong link counts / boiler depth), so
+    those inputs must bail; ASCII-separated tags with interior unicode
+    whitespace stay fast and identical."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    for payload in ["<a  href=#>t</a>", "<style >b</style><p>x</p>",
+                    "<p class=\"m\">x</p>", "<p >x</p>",
+                    "<li >x</li>"]:
+        assert hk._parse_fast(payload) is None, payload
+        hk.parse_blocks(payload)  # stdlib fallback must not raise
+    for payload in ["<p   a=1>x</p>", "<li><a href=#>B</a></li>",
+                    "<p\ta=1>x</p>", "<p\fclass=\"m\">x</p>"]:
+        fast = hk._parse_fast(payload)
+        assert fast is not None, payload
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
