@@ -80,3 +80,19 @@ def test_ngram_jaccard_plan_no_cartesian(spark):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_tfidf_store_plan_has_no_corpus_reexplode(spark, tmp_path):
+    """With the tf store, the TF-IDF plan must tokenize the corpus at most
+    once: the df branch reads the committed tf table instead of re-exploding
+    the documents (at 100 TB a second explode doubles the tokenize work)."""
+    from pdf_extractor_spark.operators import text_analysis
+
+    rows = [(i, f"alpha beta gamma doc{i % 3} common words here") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    df = text_analysis.tfidf_topk(docs, k=2, tf_store=str(tmp_path / "tf"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # 'Generate explode' is the tokenize step; the store path leaves at most
+    # one (inside the tf-table build lineage), never one per branch
+    assert plan.count("Generate explode") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
