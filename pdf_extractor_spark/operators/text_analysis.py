@@ -327,33 +327,22 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> Data
     numpy sliding-window-min. Non-SQL-expressible (rolling recurrence) →
     rows-only driver check; exactness is pinned by the kernel twin tests.
     """
-    import numpy as np
     import pandas as pd
 
-    from pdf_extractor_spark.kernels.textstats import normalize, rolling_hashes
+    from pdf_extractor_spark.kernels.textstats import winnow_fingerprint_set
     from pdf_extractor_spark.operators.dedup import _widen
 
     def kernel(batches):
         for pdf in batches:
             fps, nfp = [], []
             for text in pdf["text"]:
-                hs = rolling_hashes(normalize(text), window=k)
-                if not hs:
-                    fps.append("")
-                    nfp.append(0)
-                    continue
-                a = np.array(hs, dtype=np.uint64)
-                if len(a) <= window:
-                    mins = np.array([a.min()], dtype=np.uint64)
-                else:
-                    w = np.lib.stride_tricks.sliding_window_view(a, window)
-                    mins = w.min(axis=1)
-                sel = sorted({int(x) for x in mins})
                 # comma-joined string (not array<long>): the external
                 # driver's canonicalizer cannot hash list cells
-                # (CORRECTNESS_r01 q48 harness crash)
-                fps.append(",".join(map(str, sel)))
-                nfp.append(len(sel))
+                # (CORRECTNESS_r01 q48 harness crash). The helper is the
+                # single source of truth shared with the q48 literal oracle.
+                s, n = winnow_fingerprint_set(text, k=k, window=window)
+                fps.append(s)
+                nfp.append(n)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "fingerprints": fps, "n_fp": nfp}
             )

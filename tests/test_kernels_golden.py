@@ -389,3 +389,26 @@ def test_fast_tokenizer_unicode_ws_in_tag_name_bails():
         std.feed(payload)
         std.close()
         assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+
+
+def test_fast_tokenizer_value_expecting_slash_bails():
+    """Review finding: '<img src= />' binds '/' AS the attribute value in
+    stdlib (plain starttag), and '='-leading tokens ('<li =/>') hit
+    attrfind subtleties — both must bail rather than promote to
+    startendtag. Completed attributes before a lone '/' still promote."""
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    for payload in ["<nav a= />menu</nav><p>content</p>", "<a href= />x</a>",
+                    "<li =/>x", "<p = />x", "<p ==/>x"]:
+        assert hk._parse_fast(payload) is None, payload
+        hk.parse_blocks(payload)  # stdlib fallback must not raise
+    for payload in ["<img src=x />b", "<input checked/>b", "<p a=1 />b",
+                    "<hr class=\"x\" /><p>t</p>"]:
+        fast = hk._parse_fast(payload)
+        assert fast is not None, payload
+        std = hk._BlockParser()
+        std.feed(payload)
+        std.close()
+        assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload

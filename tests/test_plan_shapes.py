@@ -9,8 +9,6 @@ reintroduces a shuffle/cartesian shows up here, not at 100 TB.
 """
 from __future__ import annotations
 
-import pytest
-
 from pdf_extractor_spark.operators import dedup, extract, relational
 
 
@@ -91,7 +89,7 @@ def test_tfidf_store_plan_has_no_corpus_reexplode(spark, tmp_path):
     rows = [(i, f"alpha beta gamma doc{i % 3} common words here") for i in range(40)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     df = text_analysis.tfidf_topk(docs, k=2, tf_store=str(tmp_path / "tf"))
-    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = _plan(df)
     # 'Generate explode' is the tokenize step; the store path leaves at most
     # one (inside the tf-table build lineage), never one per branch
     assert plan.count("Generate explode") <= 1, plan
