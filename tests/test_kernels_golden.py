@@ -412,3 +412,31 @@ def test_fast_tokenizer_value_expecting_slash_bails():
         std.feed(payload)
         std.close()
         assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+
+
+def test_fast_tokenizer_exhaustive_attr_token_enumeration():
+    """Exhaustively enumerate start tags built from the adversarial attr
+    token alphabet (up to 3 tokens): every input the fast path claims must
+    be block-identical to stdlib. This enumeration style caught the
+    value-expecting-slash bug that 300k random mutations missed."""
+    import itertools
+
+    from pdf_extractor_spark.kernels import html_kernel as hk
+
+    key = lambda b: (b.kind, b.text, b.level, b.rows, b.link_chars,
+                     b.total_chars, b.boiler_depth)
+    alphabet = ["a", "=", "/", '"b"', "'c'", "x=", "=y", "//", "checked"]
+    n_claimed = 0
+    for n in range(0, 3):
+        for combo in itertools.product(alphabet, repeat=n):
+            body = " " + " ".join(combo) if combo else ""
+            for payload in (f"<p{body}>t</p>", f"<p{body}/>t"):
+                fast = hk._parse_fast(payload)
+                if fast is None:
+                    continue
+                n_claimed += 1
+                std = hk._BlockParser()
+                std.feed(payload)
+                std.close()
+                assert [key(b) for b in fast] == [key(b) for b in std.blocks], payload
+    assert n_claimed > 50
