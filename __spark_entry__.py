@@ -588,7 +588,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "embeddings"))
     q["q65_random_projection"] = lambda s, d: similarity.random_projection(
         _t(s, d, "embeddings"), k=8, seed=7)
-    # eigendecomposition not SQL-expressible → rows-only; numpy-pinned test
+    # eigendecomposition runs driver-side on exact 6dp covariance; the
+    # oracle pins the twin-recomputed (mean, W) as literals and projects
+    # in SQL (see oracle_sql q66 block)
     q["q66_pca_project"] = lambda s, d: similarity.pca_project(
         _t(s, d, "embeddings"), k=4)
 
@@ -1227,9 +1229,7 @@ def oracle_sql() -> dict[str, str]:
     # the unit-tested kernel twin (textstats.rolling_hashes + the same
     # sliding-window min) recomputes every fingerprint set from the sf0.01
     # parquet and pins them as VALUES literals, upgrading q48 from the
-    # rows-only fallback to the full value-hash gate. (q66 PCA stays
-    # rows-only: its mean uses a double avg whose partial-agg order is not
-    # run-deterministic, so a literal oracle could flicker at round-ties.)
+    # rows-only fallback to the full value-hash gate.
     try:
         import os
 
@@ -1252,6 +1252,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id, fingerprints, n_fp::INT AS n_fp
             FROM (VALUES {', '.join(_fp_rows)}) AS fp(doc_id, fingerprints, n_fp)
             ORDER BY doc_id
+        """
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: literal-oracle build skipped: {_exc!r}", file=_sys.stderr)
+    # PCA projection: the eigen step is not SQL-expressible, but since
+    # round 2 the whole geometry is run-deterministic (exact decimal
+    # covariance combine + decimal(30,15) mean, eigh over the 6dp-rounded
+    # matrix) — so the bit-exact twin (similarity._pca_geometry_twin)
+    # recomputes (mean, W) from the sf0.01 parquet, pins them as VALUES
+    # literals, and the PROJECTION itself runs in SQL over the exploded
+    # embeddings — the q43 trained-centroid oracle shape, upgrading q66
+    # from rows-only to the full value-hash gate.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _et = _pq.read_table(f"{_sfd}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        _erows = [
+            (int(v), [float(x) for x in e])
+            for v, e in zip(_et["vec_id"].to_pylist(), _et["embedding"].to_pylist())
+        ]
+        _pk = 4
+        _mean, _W = similarity._pca_geometry_twin(_erows, k=_pk)
+        _d = len(_mean)
+        _w_rows = ", ".join(
+            f"({i}, {j + 1}, {_W[i][j]!r})" for i in range(_d) for j in range(_pk)
+        )
+        _mu_rows = ", ".join(f"({i}, {_mean[i]!r})" for i in range(_d))
+        _pc_cols = ",\n                   ".join(
+            f"round(max(CASE WHEN j = {j + 1} THEN p END), 6) + 0.0 AS pc{j + 1}"
+            for j in range(_pk)
+        )
+        o["q66_pca_project"] = f"""
+            WITH w(i, j, wv) AS (VALUES {_w_rows}),
+                 mu(i, mv) AS (VALUES {_mu_rows}),
+                 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+                 dims AS (SELECT unnest(range(1, {_d + 1}))::INT AS di),
+                 x AS (SELECT vec_id, (dims.di - 1) AS i, v[dims.di] AS xi
+                       FROM e, dims),
+                 proj AS (
+                   SELECT x.vec_id, w.j, sum((x.xi - mu.mv) * w.wv) AS p
+                   FROM x JOIN mu ON mu.i = x.i JOIN w ON w.i = x.i
+                   GROUP BY x.vec_id, w.j)
+            SELECT vec_id::BIGINT AS vec_id,
+                   {_pc_cols}
+            FROM proj GROUP BY vec_id ORDER BY vec_id
         """
     except Exception as _exc:  # pragma: no cover - driver fallback
         import sys as _sys

@@ -389,10 +389,15 @@ def embedding_covariance(embs: DataFrame) -> DataFrame:
     parts = e.mapInPandas(
         partial, "i int, j int, sxy double, sx double, sy double, cnt long"
     )
+    # decimal(38,15) combine: each partition's partial is a deterministic
+    # BLAS sum, but the cross-partition double-add order is not — quantizing
+    # partials to decimals makes the combine exact and order-independent, so
+    # the 6dp-rounded cov is run-stable (required by the q66 literal oracle,
+    # which eigendecomposes these exact rounded values).
     agg = parts.groupBy("i", "j").agg(
-        F.sum("sxy").alias("sxy"),
-        F.sum("sx").alias("sx"),
-        F.sum("sy").alias("sy"),
+        F.sum(F.col("sxy").cast("decimal(38,15)")).cast("double").alias("sxy"),
+        F.sum(F.col("sx").cast("decimal(38,15)")).cast("double").alias("sx"),
+        F.sum(F.col("sy").cast("decimal(38,15)")).cast("double").alias("sy"),
         F.sum("cnt").alias("n"),
     )
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (F.col("n") - 1)
@@ -451,15 +456,39 @@ def random_projection(embs: DataFrame, k: int = 8, seed: int = 7) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _eigh_topk(C: "object", k: int) -> "object":
+    """Driver-side eigendecomposition shared by pca_project and its oracle
+    twin: numpy eigh on the (symmetric, 6dp-rounded) covariance, top-k by
+    descending eigenvalue, deterministic sign (largest-|component| entry
+    positive). Both callers feed BIT-IDENTICAL rounded matrices, so W is
+    bit-identical — the whole eigen step collapses to one shared function.
+    """
+    import numpy as np
+
+    vals, vecs = np.linalg.eigh(C)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    for j in range(W.shape[1]):
+        if W[np.abs(W[:, j]).argmax(), j] < 0:
+            W[:, j] = -W[:, j]
+    return W
+
+
 def pca_project(embs: DataFrame, k: int = 4) -> DataFrame:
     """PCA projection onto the top-k principal components, built on the
     distributed covariance (embedding_covariance): the d×d matrix collects
     to the driver (d² doubles — tiny at any corpus size), numpy eigh
     decomposes it, and the projection runs as one narrow Arrow matmul over
     the scan. Deterministic sign convention: each eigenvector's
-    largest-|component| entry is made positive. Iterative/eigen step is not
-    SQL-expressible → rows-only driver check; exactness is pinned by the
-    numpy-reference unit test.
+    largest-|component| entry is made positive.
+
+    Determinism contract (what makes the literal oracle possible): the
+    covariance is 6dp-rounded with exact decimal partial combine (run- and
+    order-stable), the mean is computed from exact decimal(30,15) sums with
+    one float division driver-side (the kmeans_centroids discipline), and
+    the eigh runs on those exact rounded values via _eigh_topk — so
+    _pca_geometry_twin reproduces (mean, W) bit-for-bit and the projection
+    is SQL-expressible with W/mean pinned as literals.
     """
     import numpy as np
     import pandas as pd
@@ -469,22 +498,22 @@ def pca_project(embs: DataFrame, k: int = 4) -> DataFrame:
     C = np.zeros((d, d))
     for r in cov_rows:
         C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
-    mean = np.array(
+    mean = np.zeros(d)
+    mrows = (
         embs.select(
             F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x")
         )
         .groupBy("i")
-        .agg(F.avg("x").alias("m"))
-        .orderBy("i")
-        .select("m")
-        .toPandas()["m"]
+        .agg(
+            F.sum(F.col("x").cast("decimal(30,15)")).alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()
     )
-    vals, vecs = np.linalg.eigh(C)
-    order = np.argsort(vals)[::-1][:k]
-    W = vecs[:, order]
-    for j in range(W.shape[1]):  # deterministic sign
-        if W[np.abs(W[:, j]).argmax(), j] < 0:
-            W[:, j] = -W[:, j]
+    for r in mrows:
+        if r["s"] is not None:
+            mean[r["i"]] = float(r["s"]) / r["c"]
+    W = _eigh_topk(C, k)
 
     def kernel(batches):
         for pdf in batches:
@@ -502,5 +531,47 @@ def pca_project(embs: DataFrame, k: int = 4) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     ).mapInPandas(kernel, f"vec_id long, {cols}")
     return raw.select(
-        "vec_id", *[F.round(f"pc{j + 1}", 6).alias(f"pc{j + 1}") for j in range(k)]
+        "vec_id",
+        *[(F.round(f"pc{j + 1}", 6) + F.lit(0.0)).alias(f"pc{j + 1}")
+          for j in range(k)],
     ).orderBy("vec_id")
+
+
+def _pca_geometry_twin(embedding_rows: list[tuple[int, list[float]]],
+                       k: int = 4) -> tuple[list[float], list[list[float]]]:
+    """Bit-exact pure-numpy twin of pca_project's driver-side geometry,
+    used to pin (mean, W) into the DuckDB oracle as literals (the
+    _kmeans_centroids_twin pattern). Replication contract:
+    - mean: per-dim exact Decimal sums where each double is quantized via
+      Decimal(repr(x)).quantize(1e-15, HALF_UP) — equals Spark's
+      CAST(x AS DECIMAL(30,15)); mean = float(sum)/count (one IEEE op);
+    - covariance: full-matrix BLAS (Σxy − Σx·Σy/n)/(n−1) rounded 6dp
+      half-up — agrees with the distributed exact-combine partials at 6dp
+      (asserted by the parity unit test against embedding_covariance);
+    - W: the SAME _eigh_topk call on the same rounded matrix.
+    Returns (mean[d], W[d][k]).
+    """
+    import numpy as np
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pdf_extractor_spark.operators.multimodal import round_half_up
+
+    q15 = Decimal("1e-15")
+    M = np.array([v for _, v in embedding_rows], dtype=np.float64)
+    n, d = M.shape
+    mean = np.zeros(d)
+    for j in range(d):
+        s = Decimal(0)
+        for x in M[:, j]:
+            s += Decimal(repr(float(x))).quantize(q15, rounding=ROUND_HALF_UP)
+        mean[j] = float(s) / n
+    sxy = M.T @ M
+    sx = M.sum(axis=0)
+    C = (sxy - np.outer(sx, sx) / n) / (n - 1)
+    C6 = np.array(
+        [[round_half_up(float(C[i, j]), 6) + 0.0 for j in range(d)]
+         for i in range(d)]
+    )
+    C6 = (C6 + C6.T) / 2.0  # exact: symmetric rounded values averaged with selves
+    W = _eigh_topk(C6, k)
+    return mean.tolist(), [[float(W[i, j]) for j in range(k)] for i in range(d)]

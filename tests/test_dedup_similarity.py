@@ -312,6 +312,43 @@ def test_pca_project_matches_numpy(spark):
     assert pc1.var() > pc4.var()
 
 
+def test_pca_geometry_twin_bit_exact(spark):
+    """The q66 literal-oracle contract: the pure-numpy twin must reproduce
+    the distributed path's 6dp covariance EXACTLY (same rounded values →
+    same eigh input → bit-identical W) and the end-to-end pc outputs must
+    equal the twin projection after 6dp half-up rounding, bit for bit."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.multimodal import round_half_up
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    erows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+             for r in embs.orderBy("vec_id").collect()]
+    mean, W = similarity._pca_geometry_twin(erows, k=4)
+    d = len(mean)
+
+    # distributed 6dp covariance == twin 6dp covariance, cell by cell
+    cov_rows = similarity.embedding_covariance(embs).collect()
+    M = np.array([v for _, v in erows], dtype=np.float64)
+    n = len(erows)
+    sxy = M.T @ M
+    sx = M.sum(axis=0)
+    C = (sxy - np.outer(sx, sx) / n) / (n - 1)
+    for r in cov_rows:
+        assert r["cov"] == round_half_up(float(C[r["i"], r["j"]]), 6) + 0.0, (
+            r["i"], r["j"])
+
+    # end-to-end: Spark pc outputs == twin projection, bit-exact at 6dp
+    got = {r["vec_id"]: r for r in similarity.pca_project(embs, k=4).collect()}
+    Wm = np.array(W)
+    mu = np.array(mean)
+    for vid, v in erows:
+        proj = (np.array(v, dtype=np.float64) - mu) @ Wm
+        for j in range(4):
+            assert got[vid][f"pc{j + 1}"] == round_half_up(float(proj[j]), 6) + 0.0, (
+                vid, j)
+
+
 def test_kmeans_guards_empty_and_zero_norm(spark):
     from pdf_extractor_spark.operators import similarity
 
