@@ -14,8 +14,8 @@ oracle_sql() — exact DuckDB twins. Hash-sensitive operators use md5-based
                so the approximation itself is deterministic and verified.
                Even the non-SQL recurrences are value-hash gated via
                kernel-twin literals (q27 stub decode, q43 trained k-means,
-               q48 winnowing); only q66 PCA stays rows-only (its double-avg
-               mean is not run-deterministic at the ulp).
+               q48 winnowing, q66 PCA eigen geometry) — all 50 queries
+               carry the full value-hash oracle.
 """
 from __future__ import annotations
 
