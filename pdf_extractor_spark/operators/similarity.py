@@ -494,9 +494,16 @@ def pca_project(embs: DataFrame, k: int = 4) -> DataFrame:
     import pandas as pd
 
     cov_rows = embedding_covariance(embs).collect()
+    if not cov_rows:  # empty input: no geometry to fit — empty result,
+        # stable schema (same guard discipline as kmeans_centroids)
+        cols = ", ".join(f"pc{j + 1} double" for j in range(k))
+        return embs.sparkSession.createDataFrame([], f"vec_id long, {cols}")
     d = max(r["j"] for r in cov_rows) + 1
     C = np.zeros((d, d))
     for r in cov_rows:
+        if r["cov"] is None or not np.isfinite(r["cov"]):
+            raise ValueError(
+                "pca_project: covariance undefined (need >= 2 vectors)")
         C[r["i"], r["j"]] = C[r["j"], r["i"]] = r["cov"]
     mean = np.zeros(d)
     mrows = (

@@ -349,6 +349,52 @@ def test_pca_geometry_twin_bit_exact(spark):
                 vid, j)
 
 
+def test_pca_guards_empty_and_single_row(spark):
+    """Empty input → empty result with the stable schema; a single vector
+    (covariance undefined, n−1 = 0) → loud ValueError, not NaN columns."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = similarity.pca_project(empty, k=4)
+    assert out.columns == ["vec_id", "pc1", "pc2", "pc3", "pc4"]
+    assert out.count() == 0
+
+    one = spark.createDataFrame([(1, [1.0, 2.0, 3.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception) as exc:
+        similarity.pca_project(one, k=2).collect()
+    # ANSI mode raises DIVIDE_BY_ZERO inside the covariance query itself;
+    # the None/NaN guard covers non-ANSI configs with its own message
+    assert ("covariance undefined" in str(exc.value)
+            or "DIVIDE_BY_ZERO" in str(exc.value))
+
+
+def test_pca_twin_parity_random_matrices(spark):
+    """The literal-oracle contract must hold on arbitrary data, not just
+    the synthetic corpus: seeded random matrices (including duplicated rows
+    → rank-deficient covariance) still give bit-exact Spark-vs-twin parity
+    at 6dp."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.multimodal import round_half_up
+
+    for seed, n, d, k in [(11, 30, 8, 3), (12, 50, 16, 4), (13, 24, 6, 2)]:
+        rng = np.random.default_rng(seed)
+        M = rng.normal(size=(n, d)).round(4)
+        if seed == 12:  # duplicated rows: repeated structure in C
+            M[25:50] = M[0:25]
+        rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+        embs = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<double>")
+        mean, W = similarity._pca_geometry_twin(rows, k=k)
+        got = {r["vec_id"]: r for r in similarity.pca_project(embs, k=k).collect()}
+        Wm = np.array(W)
+        mu = np.array(mean)
+        for vid, v in rows:
+            proj = (np.array(v) - mu) @ Wm
+            for j in range(k):
+                assert got[vid][f"pc{j + 1}"] == round_half_up(
+                    float(proj[j]), 6) + 0.0, (seed, vid, j)
+
+
 def test_kmeans_guards_empty_and_zero_norm(spark):
     from pdf_extractor_spark.operators import similarity
 
