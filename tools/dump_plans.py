@@ -62,6 +62,18 @@ PICKS = {
         "Tagged union → single exchange on user_id → window carry-forward; linear "
         "in |orders|+|events| (no range-join row explosion)."
     ),
+    "q63_embedding_covariance": (
+        "Each partition emits ONE d×d BLAS partial (triangle rows) — the "
+        "single exchange carries O(partitions · d²) rows regardless of "
+        "corpus size; partials combine through exact decimal casts "
+        "(order-independent, run-deterministic 6dp output)."
+    ),
+    "q66_pca_project": (
+        "Covariance plan above collapses to a driver-side d×d eigh (d² "
+        "doubles); the projection itself is a NARROW Arrow matmul over the "
+        "scan — the only exchanges are the covariance/mean aggregates, both "
+        "O(d²)/O(d) in shuffle volume at any corpus size."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of the scale-critical queries
