@@ -395,6 +395,29 @@ def test_pca_twin_parity_random_matrices(spark):
                     float(proj[j]), 6) + 0.0, (seed, vid, j)
 
 
+def test_kmeans_twin_bit_parity_random_matrices(spark):
+    """The q22 trained-centroid oracle contract beyond the synthetic
+    corpus: Spark kmeans_centroids and the pure-Python twin must agree
+    bit-for-bit on seeded random data, including zero-norm vectors (park
+    in cell 0) and duplicated points (empty cells keep their previous
+    centroid)."""
+    import numpy as np
+
+    for seed, n, d in [(21, 40, 8), (22, 60, 16)]:
+        rng = np.random.default_rng(seed)
+        M = rng.normal(size=(n, d)).round(4)
+        M[0] = 0.0  # zero-norm vector
+        if seed == 22:
+            M[30:60] = M[0:30]  # duplicated points → sparse cells
+        rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+        embs = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<double>")
+        got = similarity.kmeans_centroids(embs, k=4, iters=3, seed=5)
+        want = similarity._kmeans_centroids_twin(rows, k=4, iters=3, seed=5,
+                                                 dim=d)
+        assert got == want, seed
+
+
 def test_kmeans_guards_empty_and_zero_norm(spark):
     from pdf_extractor_spark.operators import similarity
 
