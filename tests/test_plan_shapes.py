@@ -94,3 +94,40 @@ def test_tfidf_store_plan_has_no_corpus_reexplode(spark, tmp_path):
     # one (inside the tf-table build lineage), never one per branch
     assert plan.count("Generate explode") <= 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_covariance_plan_partial_agg_bounded_shuffle(spark):
+    """embedding_covariance shuffles O(partitions · d²) partial rows, never
+    the vectors: the plan must show a map-side partial HashAggregate feeding
+    ONE aggregate exchange (plus the final sort), and no Generate/explode of
+    the embedding column (PLANS.md q63)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(31)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = similarity.embedding_covariance(embs)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 2, plan  # agg shuffle + final sort
+    assert "HashAggregate" in plan, plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_pca_projection_stage_is_narrow(spark):
+    """pca_project's per-row stage is a narrow Arrow matmul: after the
+    driver-side eigh, the projection plan contains exactly one exchange
+    (the final orderBy sort) and no joins (PLANS.md q66)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(32)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(50)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = similarity.pca_project(embs, k=2)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1, plan  # only the final sort
+    assert "Join" not in plan, plan
+    assert "MapInPandas" in plan, plan
