@@ -783,6 +783,52 @@ def assemble_channels(blocks: list[Block]) -> dict[str, str]:
     }
 
 
+# WHATWG-style charset sniff (encoding standard §4.2 precedence, trimmed to
+# the deterministic subset a batch pipeline can honor): BOM first, then a
+# transport (HTTP Content-Type) label if the caller carries one, then a
+# <meta charset=...> / http-equiv content charset within the first 1024
+# bytes, else UTF-8. Labels resolve through a closed whitelist — never
+# codecs.lookup on attacker-controlled names (UTF-7 and friends stay out).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]{1,32})", re.I | re.S
+)
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "us-ascii": "utf-8", "ascii": "utf-8",
+    "iso-8859-1": "iso-8859-1", "latin-1": "iso-8859-1", "latin1": "iso-8859-1",
+    "iso8859-1": "iso-8859-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252", "x-cp1252": "cp1252",
+    "utf-16le": "utf-16-le", "utf-16-le": "utf-16-le",
+    "utf-16be": "utf-16-be", "utf-16-be": "utf-16-be",
+}
+
+
+def sniff_decode(payload: bytes, transport_charset: str | None = None
+                 ) -> tuple[str, str]:
+    """Decode an HTML payload with charset sniffing → (text, encoding).
+
+    errors="replace" throughout — decode NEVER raises, matching the
+    kernel error contract. The returned encoding is the canonical label
+    actually used ("utf-8" when nothing else matched).
+    """
+    if payload[:3] == b"\xef\xbb\xbf":
+        return payload.decode("utf-8-sig", errors="replace"), "utf-8"
+    if payload[:2] == b"\xff\xfe":
+        return payload[2:].decode("utf-16-le", errors="replace"), "utf-16-le"
+    if payload[:2] == b"\xfe\xff":
+        return payload[2:].decode("utf-16-be", errors="replace"), "utf-16-be"
+    enc = None
+    if transport_charset:
+        enc = _CHARSET_LABELS.get(transport_charset.strip().lower())
+    if enc is None:
+        m = _META_CHARSET_RE.search(payload[:1024])
+        if m:
+            enc = _CHARSET_LABELS.get(
+                m.group(1).decode("ascii", errors="replace").lower())
+    if enc is None:
+        enc = "utf-8"
+    return payload.decode(enc, errors="replace"), enc
+
+
 def extract_html(payload: bytes) -> dict:
     """Extract main content from one HTML payload.
 
@@ -797,7 +843,10 @@ def extract_html(payload: bytes) -> dict:
         meta["ok"] = "false"
         return {"channels": empty, "meta": meta}
     try:
-        html = payload.decode("utf-8", errors="replace")
+        html, enc = sniff_decode(payload)
+        if enc != "utf-8":  # key only when the sniff changed the decode —
+            # the utf-8 default leaves existing outputs byte-identical
+            meta["encoding"] = enc
         blocks = parse_blocks(html)
         channels = assemble_channels(blocks)
         ok = bool(channels["combined"] or channels["text"])

@@ -1,0 +1,269 @@
+"""From-scratch WARC (ISO 28500) source for Common-Crawl-style ingest.
+
+The engine's canonical input is the Iceberg-style pages table
+``(url, warc_ts, html, text, lang)`` — but Common-Crawl ships as WARC
+segment files (~1 GB each, per-record gzip members concatenated), so a real
+100 TB ingest starts here. This module implements the WARC/1.0 record
+grammar from the public ISO 28500 spec, pure Python, no external libs:
+
+    WARC/1.0\\r\\n
+    <Name>: <value>\\r\\n ...            (headers, case-insensitive names)
+    \\r\\n
+    <Content-Length bytes of block>
+    \\r\\n\\r\\n                          (record trailer)
+
+``response`` records carry an HTTP message as their block
+(``Content-Type: application/http``): status line, HTTP headers, blank
+line, payload. The payload is the page body; the HTTP ``Content-Type``
+charset parameter is surfaced per record so callers can feed it to the
+HTML kernel's ``sniff_decode`` transport slot (WHATWG precedence:
+BOM > transport > meta > UTF-8).
+
+Scale shape of ``read_warc``: ``binaryFile`` hands each segment file to ONE
+task (Common Crawl's native unit of parallelism — 100 TB ≈ 100k segments
+spread across executors), the record parse is a narrow ``mapInPandas``
+(zero shuffle), and malformed trailing bytes degrade per-file instead of
+failing the job, mirroring the extraction kernels' row-level error
+contract (reference pypdf2_extractor.py:41-48).
+"""
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import io as _io
+import re
+import zlib
+
+_GZIP_MAGIC = b"\x1f\x8b"
+# Per-record decompression cap — same bomb discipline as the PDF kernel's
+# FlateDecode cap (_MAX_STREAM_BYTES): a segment is ~1 GB compressed, and
+# one member expanding past this is hostile, not a web page.
+_MAX_MEMBER_BYTES = 64 * 1024 * 1024
+
+# no ^ anchor: matched with .match(data, pos) mid-buffer, where ^ would
+# only assert at offset 0
+_VERSION_RE = re.compile(rb"WARC/\d+\.\d+\r?\n")
+_CHARSET_RE = re.compile(rb"charset\s*=\s*\"?'?([A-Za-z0-9_.:-]+)", re.I)
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Header lines → dict with lower-cased names (latin-1 per the HTTP/
+    WARC wire conventions — never raises on arbitrary bytes)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if not line or line[:1] in (b" ", b"\t"):  # continuations: skip
+            continue
+        name, sep, value = line.partition(b":")
+        if sep:
+            headers[name.decode("latin-1").strip().lower()] = (
+                value.decode("latin-1").strip())
+    return headers
+
+
+def _parse_warc_ts(value: str) -> dt.datetime | None:
+    """WARC-Date (ISO 8601 Zulu) → naive UTC datetime (the pages table's
+    warc_ts convention)."""
+    try:
+        return dt.datetime.fromisoformat(value.replace("Z", "+00:00")).replace(
+            tzinfo=None)
+    except ValueError:
+        return None
+
+
+def _split_records(data: bytes) -> tuple[list[tuple[dict[str, str], bytes]], int]:
+    """Raw (already-decompressed) WARC bytes → [(headers, block)], n_bad.
+
+    Malformed data stops the scan of the remaining bytes (one bad count) —
+    record boundaries are length-prefixed, so a corrupt length makes
+    everything after it unrecoverable by design of the format.
+    """
+    records: list[tuple[dict[str, str], bytes]] = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):  # inter-record
+            pos += 1
+        if pos >= n:
+            break
+        m = _VERSION_RE.match(data, pos)
+        if m is None:
+            return records, 1
+        head_end = data.find(b"\r\n\r\n", m.end())
+        if head_end < 0:
+            return records, 1
+        headers = _parse_headers(data[m.end():head_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return records, 1
+        body_start = head_end + 4
+        if body_start + length > n:
+            return records, 1
+        records.append((headers, data[body_start:body_start + length]))
+        pos = body_start + length
+    return records, 0
+
+
+def _gunzip_members(data: bytes):
+    """Yield decompressed gzip members from concatenated-member data (the
+    Common-Crawl per-record layout), each capped at _MAX_MEMBER_BYTES."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+        out = d.decompress(data[pos:], _MAX_MEMBER_BYTES)
+        if d.unconsumed_tail:
+            raise ValueError("warc: gzip member exceeds decompression cap")
+        yield out
+        rest = d.unused_data
+        if not rest:
+            break
+        pos = n - len(rest)
+
+
+def parse_warc(data: bytes) -> tuple[list[dict], int]:
+    """One WARC file's bytes (plain or per-record-gzip) → (pages, n_bad).
+
+    Each page dict: url, warc_ts (naive-UTC datetime|None), http_status
+    (int|None), mime (str|None), charset (str|None), body (bytes).
+    Only ``WARC-Type: response`` records with an HTTP block become pages;
+    warcinfo/request/metadata records are structural and skipped.
+    """
+    pages: list[dict] = []
+    n_bad = 0
+    try:
+        if data[:2] == _GZIP_MAGIC:
+            raw_records: list[tuple[dict[str, str], bytes]] = []
+            for member in _gunzip_members(data):
+                recs, bad = _split_records(member)
+                raw_records.extend(recs)
+                n_bad += bad
+        else:
+            raw_records, n_bad = _split_records(data)
+    except (zlib.error, ValueError, EOFError):
+        return pages, n_bad + 1
+    for headers, block in raw_records:
+        if headers.get("warc-type") != "response":
+            continue
+        url = headers.get("warc-target-uri")
+        if not url:
+            n_bad += 1
+            continue
+        ts = _parse_warc_ts(headers.get("warc-date", ""))
+        status = None
+        mime = None
+        charset = None
+        body = block
+        if "application/http" in headers.get("content-type", ""):
+            split = block.find(b"\r\n\r\n")
+            if split < 0:
+                n_bad += 1
+                continue
+            http_head = block[:split]
+            body = block[split + 4:]
+            status_line, _, rest = http_head.partition(b"\r\n")
+            parts = status_line.split(None, 2)
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            http_headers = _parse_headers(rest)
+            ct = http_headers.get("content-type", "")
+            mime = ct.split(";", 1)[0].strip().lower() or None
+            cm = _CHARSET_RE.search(ct.encode("latin-1"))
+            if cm:
+                charset = cm.group(1).decode("latin-1").lower()
+            if http_headers.get("content-encoding", "").lower() == "gzip":
+                try:
+                    body = gzip.GzipFile(fileobj=_io.BytesIO(body)).read(
+                        _MAX_MEMBER_BYTES + 1)
+                    if len(body) > _MAX_MEMBER_BYTES:
+                        raise ValueError("body exceeds decompression cap")
+                except (OSError, EOFError, zlib.error, ValueError):
+                    n_bad += 1
+                    continue
+        pages.append(
+            {
+                "url": url,
+                "warc_ts": ts,
+                "http_status": status,
+                "mime": mime,
+                "charset": charset,
+                "body": body,
+            }
+        )
+    return pages, n_bad
+
+
+def write_warc(path: str, pages: list[dict], gzip_per_record: bool = True,
+               warcinfo: str = "software: pyspark-webtext-extractor") -> None:
+    """Write pages as a WARC/1.0 file — the test/corpus twin of parse_warc
+    (Common-Crawl layout when gzip_per_record, per ISO 28500 annex).
+
+    Each page dict needs url + body (bytes); optional warc_ts (datetime),
+    http_status (default 200), mime (default text/html), charset.
+    """
+    def record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+        head = b"WARC/1.0\r\n" + b"".join(
+            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+        ) + f"Content-Length: {len(block)}\r\n\r\n".encode()
+        return head + block + b"\r\n\r\n"
+
+    out: list[bytes] = []
+    info_block = (warcinfo + "\r\n").encode()
+    out.append(record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", "2024-01-01T00:00:00Z"),
+         ("Content-Type", "application/warc-fields")], info_block))
+    for p in pages:
+        body = p["body"]
+        ts = p.get("warc_ts") or dt.datetime(2024, 1, 1)
+        ct = p.get("mime") or "text/html"
+        if p.get("charset"):
+            ct = f"{ct}; charset={p['charset']}"
+        http = (
+            f"HTTP/1.1 {p.get('http_status', 200)} OK\r\n"
+            f"Content-Type: {ct}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode("latin-1") + body
+        out.append(record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", p["url"]),
+             ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ")),
+             ("Content-Type", "application/http; msgtype=response")], http))
+    with open(path, "wb") as f:
+        if gzip_per_record:
+            for rec in out:
+                f.write(gzip.compress(rec))
+        else:
+            for rec in out:
+                f.write(rec)
+
+
+def read_warc(spark, path: str):
+    """WARC segment files → pages DataFrame (url, warc_ts, html, text,
+    lang) ready for run_extract.
+
+    One file = one input task (binaryFile does not split), the Common-Crawl
+    unit of work; the parse is a narrow Arrow stage with zero shuffle —
+    downstream extraction adds its own salted repartition, which also
+    defuses segment-size skew here. Non-HTML responses are kept (the
+    extraction kernel dispatches on magic bytes); text/lang are null until
+    extraction/lang-ID fill them.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                pages, _bad = parse_warc(bytes(content))
+                for p in pages:
+                    rows.append((p["url"], p["warc_ts"], p["body"], None, None))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+
+    return files.mapInPandas(
+        kernel,
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )

@@ -1,0 +1,127 @@
+"""WARC source (ISO 28500 grammar, Common-Crawl layout) and charset-sniff
+decode: round-trip, malformed-data degradation, transport-vs-meta
+precedence, and parity of WARC-ingested extraction with the parquet path."""
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+from pdf_extractor_spark.kernels.html_kernel import extract_html, sniff_decode
+from pdf_extractor_spark.sources import warc
+
+TS = dt.datetime(2024, 3, 5, 12, 30, 0)
+
+
+def _pages():
+    return [
+        {"url": "https://a.example/x", "warc_ts": TS, "http_status": 200,
+         "mime": "text/html", "charset": "utf-8",
+         "body": b"<html><p>hello world</p></html>"},
+        {"url": "https://b.example/y", "warc_ts": TS, "http_status": 404,
+         "body": b"<html><p>not found</p></html>"},
+        {"url": "https://c.example/z", "warc_ts": TS,
+         "mime": "application/pdf", "body": b"%PDF-1.4 fake"},
+    ]
+
+
+def test_warc_roundtrip_plain_and_gzip(tmp_path):
+    for gz in (False, True):
+        p = str(tmp_path / (f"seg-{gz}.warc" + (".gz" if gz else "")))
+        warc.write_warc(p, _pages(), gzip_per_record=gz)
+        got, n_bad = warc.parse_warc(open(p, "rb").read())
+        assert n_bad == 0
+        assert [g["url"] for g in got] == [p_["url"] for p_ in _pages()]
+        for g, want in zip(got, _pages()):
+            assert g["body"] == want["body"]
+            assert g["warc_ts"] == TS
+            assert g["http_status"] == want.get("http_status", 200)
+        assert got[0]["charset"] == "utf-8"
+        assert got[2]["mime"] == "application/pdf"
+
+
+def test_warc_malformed_degrades_not_raises():
+    ok_pages, _ = warc.parse_warc(b"")
+    assert ok_pages == []
+    pages, n_bad = warc.parse_warc(b"NOT A WARC AT ALL")
+    assert pages == [] and n_bad == 1
+    # valid record followed by truncated garbage: keep the good one
+    import io as _io
+    buf = _io.BytesIO()
+    warc.write_warc("/dev/null", [], gzip_per_record=False)  # smoke
+    good = b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n" \
+           b"Content-Length: 4\r\n\r\nBODY\r\n\r\n"
+    pages, n_bad = warc.parse_warc(good + b"WARC/1.0\r\nContent-Length: 99\r\n\r\nshort")
+    assert len(pages) == 1 and pages[0]["body"] == b"BODY" and n_bad == 1
+    # corrupt gzip
+    pages, n_bad = warc.parse_warc(b"\x1f\x8b" + b"\x00" * 20)
+    assert pages == [] and n_bad >= 1
+
+
+def test_warc_http_body_gzip_content_encoding(tmp_path):
+    body = b"<html><p>compressed page</p></html>"
+    http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Content-Encoding: gzip\r\n\r\n") + gzip.compress(body)
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://gz.example/\r\n"
+           b"WARC-Date: 2024-03-05T12:30:00Z\r\n"
+           b"Content-Type: application/http; msgtype=response\r\n"
+           + f"Content-Length: {len(http)}\r\n\r\n".encode() + http + b"\r\n\r\n")
+    pages, n_bad = warc.parse_warc(rec)
+    assert n_bad == 0 and pages[0]["body"] == body
+
+
+def test_read_warc_spark_matches_parse_and_extracts(spark, tmp_path):
+    from pdf_extractor_spark.operators.extract import run_extract
+
+    p = str(tmp_path / "seg.warc.gz")
+    warc.write_warc(p, _pages(), gzip_per_record=True)
+    df = warc.read_warc(spark, p)
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {p_["url"] for p_ in _pages()}
+    assert bytes(rows["https://a.example/x"]["html"]) == _pages()[0]["body"]
+    assert rows["https://a.example/x"]["warc_ts"] == TS
+    # the WARC path feeds extraction identically to the parquet path
+    out = run_extract(df.select("url", "warc_ts", "html"), num_partitions=2)
+    got = {r["url"]: r for r in out.collect()}
+    direct = extract_html(_pages()[0]["body"])
+    assert got["https://a.example/x"]["text"] == direct["channels"]["text"]
+
+
+def test_sniff_decode_precedence_and_labels():
+    # BOM beats everything
+    assert sniff_decode(b"\xef\xbb\xbfhi", "iso-8859-1") == ("hi", "utf-8")
+    t, enc = sniff_decode("héllo".encode("utf-16-le")[0:0] + b"\xff\xfe"
+                          + "héllo".encode("utf-16-le"))
+    assert (t, enc) == ("héllo", "utf-16-le")
+    # transport label beats meta
+    payload = '<meta charset="utf-8"><p>caf\xe9</p>'.encode("latin-1")
+    t, enc = sniff_decode(payload, "windows-1252")
+    assert enc == "cp1252" and "café" in t
+    # meta charset drives the decode when no transport label
+    doc = '<html><meta charset="windows-1252"><p>s\xf6nderweg</p>'.encode("latin-1")
+    t, enc = sniff_decode(doc)
+    assert enc == "cp1252" and "sönderweg" in t
+    # http-equiv form
+    doc2 = (b'<meta http-equiv="Content-Type" '
+            b'content="text/html; charset=iso-8859-1"><p>\xe9</p>')
+    t, enc = sniff_decode(doc2)
+    assert enc == "iso-8859-1" and "é" in t
+    # unknown/hostile labels fall back to utf-8 (never codecs.lookup)
+    assert sniff_decode(b'<meta charset="utf-7"><p>+ADw-x</p>')[1] == "utf-8"
+    assert sniff_decode(b"plain", "no-such-charset")[1] == "utf-8"
+    # beyond the 1024-byte sniff window: ignored
+    far = b"<p>" + b"x" * 1100 + b'</p><meta charset="windows-1252">'
+    assert sniff_decode(far)[1] == "utf-8"
+
+
+def test_extract_html_charset_meta_key_and_unchanged_utf8():
+    # utf-8 docs: identical output, NO encoding key (golden-parity guard)
+    res = extract_html(b"<html><p>plain utf-8 doc</p></html>")
+    assert "encoding" not in res["meta"]
+    assert res["channels"]["text"] == "plain utf-8 doc"
+    # declared cp1252 decodes correctly and is labeled
+    doc = '<html><meta charset="windows-1252"><p>d\xe9j\xe0 vu</p>'.encode("latin-1")
+    res = extract_html(doc)
+    assert res["meta"]["encoding"] == "cp1252"
+    assert "déjà vu" in res["channels"]["text"]
