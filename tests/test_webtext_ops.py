@@ -1,0 +1,161 @@
+"""URL canonicalization + extraction-quality F1: known-answer cases and
+DuckDB SQL-twin parity (the driver-oracle discipline applied locally —
+the driver's testdata tables carry no URL column to gate these on)."""
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import webtext
+
+URLS = [
+    ("HTTP://Example.COM:80/a/b/?z=1&a=2#frag", "http://example.com/a/b?a=2&z=1"),
+    ("https://example.com:443/", "https://example.com/"),
+    ("https://example.com", "https://example.com/"),
+    ("https://example.com/path/", "https://example.com/path"),
+    ("https://example.com/path", "https://example.com/path"),
+    ("http://a.example/x?b=2&a=1", "http://a.example/x?a=1&b=2"),
+    ("http://a.example/x?a=1&b=2", "http://a.example/x?a=1&b=2"),
+    ("http://a.example/x?&&a=1", "http://a.example/x?a=1"),
+    ("http://a.example:8080/x", "http://a.example:8080/x"),
+    ("https://b.example/#only-frag", "https://b.example/"),
+]
+
+# the same canonicalization spec in DuckDB SQL — parity asserted below
+CANON_SQL = r"""
+WITH p AS (
+  SELECT raw_url,
+         lower(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+         lower(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+         regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(trim(raw_url), '\?([^#]*)', 1) AS query
+  FROM urls
+), q AS (
+  SELECT raw_url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+              ELSE auth END AS auth,
+         CASE WHEN path = '' THEN '/'
+              WHEN path <> '/' AND path LIKE '%/'
+                THEN substring(path, 1, length(path) - 1)
+              ELSE path END AS path,
+         array_to_string(list_sort(list_filter(string_split(query, '&'),
+                                               x -> x <> '')), '&') AS qs
+  FROM p
+)
+SELECT raw_url, scheme || '://' || auth || path ||
+       CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+FROM q ORDER BY raw_url
+"""
+
+
+def test_canonical_url_known_answers(spark):
+    df = spark.createDataFrame([(r,) for r, _ in URLS], "url string")
+    got = {r["url"]: r["c"] for r in df.select(
+        "url", webtext.canonical_url_expr(F.col("url")).alias("c")).collect()}
+    for raw, want in URLS:
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_canonical_url_duckdb_twin_parity(spark):
+    df = spark.createDataFrame([(r,) for r, _ in URLS], "url string")
+    got = sorted(
+        (r["url"], r["c"]) for r in df.select(
+            "url",
+            webtext.canonical_url_expr(F.col("url")).alias("c")).collect())
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame({"raw_url": [r for r, _ in URLS]}))
+    want = sorted(map(tuple, con.execute(CANON_SQL).fetchall()))
+    assert got == want
+
+
+def test_url_dup_groups(spark):
+    rows = [("HTTP://Example.COM:80/a?b=1&a=2",),
+            ("http://example.com/a?a=2&b=1",),
+            ("http://example.com/a/?a=2&b=1",),
+            ("http://unique.example/only",)]
+    df = spark.createDataFrame(rows, "url string")
+    groups = webtext.url_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["canonical_url"] == "http://example.com/a?a=2&b=1"
+    assert groups[0]["n_urls"] == 3
+
+
+def test_extraction_f1_known_answers(spark):
+    rows = [
+        (1, "the quick brown fox", "the quick brown fox"),   # exact: 1/1/1
+        (2, "hello world", "goodbye moon"),                   # disjoint: 0
+        (3, "a a b", "a b b"),                                # multiset partial
+        (4, "", ""),                                          # both empty: 1
+        (5, "something", ""),                                 # pred-only: 0
+        (6, "", "gold text"),                                 # gold-only: 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pred string, gold string")
+    got = {r["doc_id"]: r for r in
+           webtext.extraction_f1(df, "pred", "gold", "doc_id").collect()}
+    assert (got[1]["precision"], got[1]["recall"], got[1]["f1"]) == (1.0, 1.0, 1.0)
+    assert (got[2]["precision"], got[2]["recall"], got[2]["f1"]) == (0.0, 0.0, 0.0)
+    # doc 3: inter = min(2,1)[a] + min(1,2)[b] = 2; np = ng = 3
+    assert got[3]["precision"] == round(2 / 3, 6)
+    assert got[3]["recall"] == round(2 / 3, 6)
+    assert got[3]["f1"] == round(2 / 3, 6)
+    assert got[4]["f1"] == 1.0
+    assert got[5]["f1"] == 0.0 and got[5]["precision"] == 0.0
+    assert got[6]["f1"] == 0.0 and got[6]["recall"] == 0.0
+
+
+def test_extraction_f1_duckdb_twin_parity(spark):
+    rows = [(i, f"tok{i % 3} shared word word", f"tok{i % 4} shared word")
+            for i in range(30)] + [(99, "", "x")]
+    df = spark.createDataFrame(rows, "doc_id long, pred string, gold string")
+    got = sorted(
+        (r["doc_id"], r["precision"], r["recall"], r["f1"])
+        for r in webtext.extraction_f1(df, "pred", "gold", "doc_id").collect())
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(rows, columns=["doc_id", "pred", "gold"]))
+    want = sorted(map(tuple, con.execute(r"""
+        WITH pt AS (
+          SELECT doc_id, tok, count(*) AS pc FROM (
+            SELECT doc_id, unnest(list_filter(string_split_regex(trim(pred), '\s+'),
+                                              x -> x <> '')) AS tok FROM docs)
+          GROUP BY doc_id, tok),
+        gt AS (
+          SELECT doc_id, tok, count(*) AS gc FROM (
+            SELECT doc_id, unnest(list_filter(string_split_regex(trim(gold), '\s+'),
+                                              x -> x <> '')) AS tok FROM docs)
+          GROUP BY doc_id, tok),
+        j AS (
+          SELECT coalesce(pt.doc_id, gt.doc_id) AS doc_id,
+                 coalesce(pc, 0) AS pc, coalesce(gc, 0) AS gc
+          FROM pt FULL OUTER JOIN gt
+            ON pt.doc_id = gt.doc_id AND pt.tok = gt.tok),
+        s AS (
+          SELECT d.doc_id,
+                 coalesce(sum(least(pc, gc)), 0) AS inter,
+                 coalesce(sum(pc), 0) AS np, coalesce(sum(gc), 0) AS ng
+          FROM (SELECT DISTINCT doc_id FROM docs) d
+          LEFT JOIN j ON j.doc_id = d.doc_id GROUP BY d.doc_id),
+        m AS (
+          SELECT doc_id,
+                 CASE WHEN np > 0 THEN inter / np
+                      WHEN ng = 0 THEN 1.0 ELSE 0.0 END AS p,
+                 CASE WHEN ng > 0 THEN inter / ng
+                      WHEN np = 0 THEN 1.0 ELSE 0.0 END AS r
+          FROM s)
+        SELECT doc_id, round(p, 6) + 0.0 AS precision, round(r, 6) + 0.0 AS recall,
+               round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6)
+                 + 0.0 AS f1
+        FROM m ORDER BY doc_id
+    """).fetchall()))
+    assert got == want
+
+
+def test_canonical_url_plan_is_codegen_only(spark):
+    """The canonicalization must stay inside whole-stage codegen: no
+    Python eval nodes, no exchange (narrow projection)."""
+    df = spark.createDataFrame([(r,) for r, _ in URLS], "url string")
+    out = df.select(webtext.canonical_url_expr(F.col("url")).alias("c"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
