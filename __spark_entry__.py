@@ -26,7 +26,13 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.kernels.lang import STOPWORDS
 from pdf_extractor_spark.kernels.textstats import EN_STOPWORDS_SMALL, TOKEN_RE
-from pdf_extractor_spark.operators import dedup, relational, similarity, text_analysis
+from pdf_extractor_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    text_analysis,
+    webtext,
+)
 from pdf_extractor_spark.operators.extract import run_extract
 
 
@@ -137,6 +143,81 @@ def _pages_from_documents(docs: DataFrame) -> DataFrame:
         F.col("text").alias("text"),
         F.col("lang").alias("lang"),
         F.col("doc_id"),
+    )
+
+
+def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap each document as a page at ``https://{source}/doc/{doc_id}``
+    whose nav carries four deterministic outlinks exercising every
+    resolution branch of webtext.resolve_url_expr — absolute,
+    root-relative, protocol-relative, and path-relative+fragment — with
+    target hosts chosen by a closed-form sid formula, so the DuckDB
+    oracle derives the exact expected edge set WITHOUT parsing html
+    (the Spark side genuinely parses: regexp_extract_all over the
+    binary-decoded page)."""
+    from pyspark.sql import Window
+
+    sids = docs.select("source").distinct().withColumn(
+        "sid", F.dense_rank().over(Window.orderBy("source")) - 1)
+    n_src = sids.count()
+    t1 = sids.select(F.col("sid").alias("sid1"), F.col("source").alias("h1"))
+    t3 = sids.select(F.col("sid").alias("sid3"), F.col("source").alias("h3"))
+    d = (
+        docs.withColumn("sid1", (F.col("doc_id") * 7 + 1) % n_src)
+        .withColumn("sid3", (F.col("doc_id") * 11 + 5) % n_src)
+        .join(F.broadcast(t1), "sid1")
+        .join(F.broadcast(t3), "sid3")
+    )
+    did = F.col("doc_id").cast("string")
+    html = F.encode(
+        F.concat(
+            F.lit('<html><head><title>d</title></head><body><nav>'),
+            F.lit('<a href="https://'), F.col("h1"), F.lit('/p/'), did,
+            F.lit('">r</a>'),
+            F.lit('<a href="/p/'), (F.col("doc_id") + 1).cast("string"),
+            F.lit('">s</a>'),
+            F.lit('<a href="//'), F.col("h3"), F.lit('/p/'),
+            (F.col("doc_id") + 2).cast("string"), F.lit('">p</a>'),
+            F.lit('<a href="q/'), (F.col("doc_id") + 3).cast("string"),
+            F.lit('#f">q</a>'),
+            F.lit('</nav><main><p>'), F.substring(F.col("text"), 1, 40),
+            F.lit('</p></main></body></html>'),
+        ),
+        "utf-8",
+    )
+    return d.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"), did)
+        .alias("url"),
+        html.alias("html"),
+    )
+
+
+def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level corpus stats + web-graph signals: the q53 rollup joined
+    with out-degree and 5-iteration fixed-point PageRank computed from
+    links ACTUALLY parsed out of synthesized html pages (extract_links →
+    host_edges → pagerank_fixedpoint; all bit-exact vs the unrolled-CTE
+    oracle)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = text_analysis.source_rollup(docs)
+    pages = _linked_pages_from_documents(docs)
+    edges = webtext.host_edges(webtext.extract_links(pages))
+    pr = webtext.pagerank_fixedpoint(edges, iters=5)
+    od = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
+    return (
+        base.join(pr.withColumnRenamed("host", "source"), "source", "left")
+        .join(od.withColumnRenamed("src", "source"), "source", "left")
+        .select(
+            "source", "docs", "total_chars", "avg_chars", "n_langs",
+            "top_lang", "lang_entropy",
+            F.coalesce(F.col("out_degree"), F.lit(0)).cast("long")
+            .alias("out_degree"),
+            F.coalesce(F.col("rank_scaled"), F.lit(0)).cast("long")
+            .alias("rank_scaled"),
+            (F.coalesce(F.col("rank_scaled"), F.lit(0))
+             / F.lit(float(webtext.PAGERANK_SCALE))).alias("pagerank"),
+        )
+        .orderBy("source")
     )
 
 
@@ -548,8 +629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q52_tfidf_topk"] = lambda s, d: text_analysis.tfidf_topk(
         _t(s, d, "documents"), k=3,
         tf_store=_shingle_store_path(d).replace("q18_shingles", "q52_tf"))
-    q["q53_source_rollup"] = lambda s, d: text_analysis.source_rollup(
-        _t(s, d, "documents"))
+    q["q53_source_rollup"] = q_source_rollup
     q["q54_corpus_top_ngrams"] = lambda s, d: text_analysis.corpus_top_ngrams(
         _t(s, d, "documents"), n=3, k=20)
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
@@ -1644,8 +1724,28 @@ def oracle_sql() -> dict[str, str]:
                round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
         FROM r, n WHERE rank <= 3 ORDER BY doc_id, rank
     """
-    o["q53_source_rollup"] = """
-        WITH bl AS (SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
+    # q53: corpus rollup + link-graph signals. The edge CTE derives the
+    # expected links CLOSED-FORM from the _linked_pages_from_documents spec
+    # (the Spark side parses them out of real html); PageRank is the same
+    # fixed-point integer recurrence, unrolled (webtext.pagerank_unrolled_sql).
+    o["q53_source_rollup"] = f"""
+        WITH sids AS (SELECT source,
+                             dense_rank() OVER (ORDER BY source) - 1 AS sid
+                      FROM (SELECT DISTINCT source FROM documents)),
+        ns AS (SELECT count(*) AS c FROM sids),
+        dl AS (SELECT d.doc_id, d.source AS src, t1.source AS h1,
+                      t3.source AS h3
+               FROM documents d
+               JOIN sids t1 ON t1.sid = (d.doc_id * 7 + 1) % (SELECT c FROM ns)
+               JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)),
+        rawe AS (SELECT src, h1 AS dst FROM dl
+                 UNION ALL SELECT src, src FROM dl
+                 UNION ALL SELECT src, h3 FROM dl
+                 UNION ALL SELECT src, src FROM dl),
+        e AS (SELECT src, dst, count(*) AS w FROM rawe GROUP BY src, dst),
+        {webtext.pagerank_unrolled_sql("e", iters=5)},
+        od AS (SELECT src, sum(w) AS out_degree FROM e GROUP BY src),
+        bl AS (SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
                     FROM documents GROUP BY source, lang),
         tot AS (SELECT source, sum(n) AS docs, sum(chars) AS total_chars
                 FROM bl GROUP BY source),
@@ -1653,14 +1753,23 @@ def oracle_sql() -> dict[str, str]:
                           bl.n::DOUBLE / t.docs AS p,
                           row_number() OVER (PARTITION BY bl.source
                               ORDER BY bl.n DESC, bl.lang ASC) AS rk
-                   FROM bl JOIN tot t USING (source))
-        SELECT source, CAST(any_value(docs) AS BIGINT) AS docs,
+                   FROM bl JOIN tot t USING (source)),
+        base AS (SELECT source, CAST(any_value(docs) AS BIGINT) AS docs,
                CAST(any_value(total_chars) AS BIGINT) AS total_chars,
                round(any_value(total_chars)::DOUBLE / any_value(docs), 6) AS avg_chars,
                count(*) AS n_langs,
                max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
                round(-sum(p * ln(p)), 6) AS lang_entropy
-        FROM ranked GROUP BY source ORDER BY source
+        FROM ranked GROUP BY source)
+        SELECT base.*,
+               CAST(coalesce(od.out_degree, 0) AS BIGINT) AS out_degree,
+               CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
+               coalesce(pf.rank_scaled, 0) / {float(webtext.PAGERANK_SCALE)}
+                   AS pagerank
+        FROM base
+        LEFT JOIN pr_final pf ON pf.host = base.source
+        LEFT JOIN od ON od.src = base.source
+        ORDER BY source
     """
     o["q54_corpus_top_ngrams"] = f"""
         WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),

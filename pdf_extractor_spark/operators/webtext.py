@@ -1,12 +1,15 @@
 """Web-corpus operators beyond the reference's API: URL canonicalization
-(crawl dedup's first line of defense) and extraction-quality scoring
+(crawl dedup's first line of defense), extraction-quality scoring
 (token-level P/R/F1 of extracted text against a gold text column — how
-boilerplate-removal quality is measured over a labeled corpus).
+boilerplate-removal quality is measured over a labeled corpus), link
+extraction with relative-URL resolution, and a host-level fixed-point
+PageRank (the canonical web-graph centrality signal used for crawl
+prioritization and quality weighting of training corpora).
 
-Both are pure JVM expression/aggregation plans — no Python in the hot
-path, every stage map-side-partial — and both carry DuckDB SQL twins in
-tests/test_webtext_ops.py (the driver-oracle discipline applied locally,
-since the driver's testdata tables carry no URL column to gate them on).
+All of these are pure JVM expression/aggregation plans — no Python in
+the hot path, every stage map-side-partial — and all carry DuckDB SQL
+twins (tests/test_webtext_ops.py locally; the link-graph path is also
+driver-oracle-gated inside q53).
 
 Canonicalization spec (deterministic, documented so the SQL twin is exact):
 lowercase scheme+authority, strip fragment, strip default ports (http:80 /
@@ -113,3 +116,192 @@ def extraction_f1(df: DataFrame, pred_col: str, gold_col: str,
             F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
             .otherwise(F.lit(0.0)), 6) + F.lit(0.0)).alias("f1"),
     ).orderBy(key_col)
+
+
+# --------------------------------------------------------------------------
+# Link graph: href extraction, relative-URL resolution, host-level PageRank
+# --------------------------------------------------------------------------
+
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+# double-quoted href in an <a> tag — the documented extraction subset
+# (single-quoted/unquoted hrefs are out of spec; a production kernel pass
+# would widen this, but the regex keeps extraction whole-stage-codegen'd)
+_HREF_PATTERN = r'(?i)<a\s[^>]*?href="([^"]*)"'
+
+
+def resolve_url_expr(base: Column, href: Column) -> Column:
+    """Resolve ``href`` against absolute ``base`` (RFC 3986 subset,
+    documented so the DuckDB SQL twin is exact — see tests):
+
+    - fragment is stripped from href first;
+    - ``scheme://...`` absolute → unchanged;
+    - ``//host/...`` protocol-relative → base scheme + ``:`` + href;
+    - ``/path`` root-relative → base ``scheme://authority`` + path;
+    - empty (fragment-only) href → base stripped of query+fragment;
+    - anything else is path-relative → resolved against the base path's
+      directory (everything up to and including the last ``/``; ``/`` when
+      the base path is empty). Dot-segment normalization (``../``) is out
+      of spec — the synthetic corpus never emits it.
+
+    Pure when/regexp/concat — whole-stage codegen, no shuffle, no Python.
+    """
+    h = F.trim(F.regexp_replace(href, "#.*$", ""))
+    scheme = F.regexp_extract(base, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    auth = F.regexp_extract(base, _AUTH_RE, 1)
+    path = F.regexp_extract(base, _AUTH_RE + r"([^?#]*)", 2)
+    basedir = F.regexp_extract(path, r"^(.*/)", 1)
+    basedir = F.when(basedir == "", F.lit("/")).otherwise(basedir)
+    root = F.concat(scheme, F.lit("://"), auth)
+    return (
+        F.when(h.rlike(_SCHEME_RE), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(root, h))
+        .when(h == "", F.concat(root, path))
+        .otherwise(F.concat(root, basedir, h))
+    )
+
+
+def host_of_expr(url: Column) -> Column:
+    """Lower-cased authority of an absolute URL (the host key of the web
+    graph). Port/userinfo stripping is the canonicalizer's job — this is
+    the raw grouping key."""
+    return F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+
+
+def extract_links(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """``(url, html)`` pages → one row per ``<a href="...">`` occurrence:
+    ``(url, href, link_url)`` with ``link_url`` resolved against the page
+    URL. The whole plan is narrow (regexp_extract_all → explode → resolve):
+    zero shuffles, zero Python — at 10^12 pages this runs entirely inside
+    the scan stage."""
+    html_str = F.decode(F.col(html_col), "utf-8")
+    hrefs = F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), 1)
+    out = pages.select(
+        F.col(url_col).alias("url"), F.explode(hrefs).alias("href")
+    )
+    return out.select(
+        "url", "href",
+        resolve_url_expr(F.col("url"), F.col("href")).alias("link_url"),
+    )
+
+
+def host_edges(links: DataFrame) -> DataFrame:
+    """Link rows → weighted host-graph edges ``(src, dst, w)``. One shuffle
+    (the (src, dst) groupBy, map-side partial). Self-loops are kept — they
+    are real edges in the web graph and the fixed-point PageRank handles
+    them like any other."""
+    e = links.select(
+        host_of_expr(F.col("url")).alias("src"),
+        host_of_expr(F.col("link_url")).alias("dst"),
+    ).where((F.col("src") != "") & (F.col("dst") != ""))
+    return e.groupBy("src", "dst").agg(F.count("*").alias("w"))
+
+
+PAGERANK_SCALE = 10**12
+
+
+def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
+                        damping_num: int = 85, damping_den: int = 100,
+                        broadcast_ranks: bool = True) -> DataFrame:
+    """Host-level PageRank over weighted edges ``(src, dst, w)`` in exact
+    fixed-point integer arithmetic (ranks scaled by 1e12, truncating
+    division) — every operation is associative/commutative-exact, so the
+    result is BIT-IDENTICAL regardless of partitioning, task order, or
+    engine. That is the property a 1000-executor job needs for
+    reproducible reruns, and it is what lets DuckDB's unrolled-CTE twin
+    hash-match Spark exactly (float PageRank cannot: summation order
+    differs per run).
+
+    Per iteration: contribution of edge (s→d) = (rank_s[s] * w) div
+    outdeg[s]; rank' = teleport + damping_num * Σ contrib div damping_den,
+    with teleport = (100-damping)·SCALE div (100·N). Truncation loses
+    ≤1e-12 mass per edge per round — far below any ranking-relevant
+    signal. Dangling hosts (no outlinks) keep only teleport mass (the
+    classic simplification; documented, matched by the twin).
+
+    Scale notes: ranks are host-cardinality (~1e8 rows at web scale ≪
+    pages), broadcast to the edge partitions when ``broadcast_ranks``
+    (set False past broadcast size → shuffle hash join on ``src``).
+    Overflow bound: rank_s·w < 2^63 requires per-edge weight < 9.2e6 at
+    SCALE=1e12 — pre-cap w above that (no real host pair exceeds it).
+    The edge table (joined with out-degree once) is persisted and reused
+    across the ``iters`` joins; each round is one join + one
+    host-cardinality groupBy.
+    """
+    from pyspark.sql.functions import broadcast
+
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "host", F.lit(0).cast("long").alias("rank_scaled"),
+            F.lit(0.0).alias("pagerank"))
+    teleport = (damping_den - damping_num) * PAGERANK_SCALE // (damping_den * n)
+    outdeg = edges.groupBy("src").agg(F.sum("w").alias("od"))
+    ew = edges.join(outdeg, "src").persist()
+    ranks = nodes.select(
+        "host", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_scaled"))
+    for _ in range(iters):
+        r = broadcast(ranks) if broadcast_ranks else ranks
+        contrib = ew.join(
+            r.withColumnRenamed("host", "src"), "src"
+        ).select(
+            F.col("dst").alias("host"),
+            F.expr("(rank_scaled * w) div od").alias("c"),
+        )
+        sums = contrib.groupBy("host").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(sums, "host", "left").select(
+            "host",
+            (F.lit(teleport)
+             + F.expr(f"({damping_num} * coalesce(s, 0L)) div {damping_den}")
+             ).cast("long").alias("rank_scaled"),
+        )
+    # ew stays persisted until the returned plan is materialized (the five
+    # per-iteration joins all reference it); caller may unpersist after.
+    return ranks.select(
+        "host", "rank_scaled",
+        (F.col("rank_scaled") / F.lit(float(PAGERANK_SCALE))).alias("pagerank"),
+    )
+
+
+def pagerank_unrolled_sql(edges_cte: str, iters: int = 5,
+                          damping_num: int = 85,
+                          damping_den: int = 100) -> str:
+    """DuckDB SQL twin of :func:`pagerank_fixedpoint`: the same fixed-point
+    integer recurrence unrolled as ``iters`` chained CTEs over an existing
+    edge CTE/table ``edges_cte(src, dst, w)``. Floor division (``//``)
+    equals Spark's ``div`` on the all-positive quantities involved, so the
+    twin is bit-exact. Pure string building — deterministic across calls.
+    Shared by the unit tests and the driver oracle (q53)."""
+    s = PAGERANK_SCALE
+    tele = (f"({damping_den - damping_num} * {s}) "
+            f"// ({damping_den} * (SELECT c FROM pr_n))")
+    parts = [
+        f"pr_nodes AS (SELECT DISTINCT host FROM ("
+        f"SELECT src AS host FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        "pr_n AS (SELECT count(*) AS c FROM pr_nodes)",
+        f"pr_od AS (SELECT src, sum(w) AS od FROM {edges_cte} GROUP BY src)",
+        f"pr_r0 AS (SELECT host, CAST({s} // (SELECT c FROM pr_n) AS BIGINT)"
+        " AS rank_scaled FROM pr_nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"pr_r{i} AS (SELECT pr_nodes.host, "
+            f"CAST({tele} + ({damping_num} * coalesce(t.s, 0)) "
+            f"// {damping_den} AS BIGINT) AS rank_scaled "
+            f"FROM pr_nodes LEFT JOIN ("
+            f"SELECT e.dst AS host, "
+            f"sum((r.rank_scaled * e.w) // o.od) AS s "
+            f"FROM {edges_cte} e "
+            f"JOIN pr_od o ON e.src = o.src "
+            f"JOIN pr_r{i-1} r ON r.host = e.src "
+            f"GROUP BY e.dst) t ON t.host = pr_nodes.host)"
+        )
+    return ",\n".join(parts) + f",\npr_final AS (SELECT host, rank_scaled, " \
+        f"rank_scaled / {float(s)} AS pagerank FROM pr_r{iters})"

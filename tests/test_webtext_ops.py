@@ -151,6 +151,99 @@ def test_extraction_f1_duckdb_twin_parity(spark):
     assert got == want
 
 
+RESOLVE_CASES = [
+    # (base, href, resolved)
+    ("https://ex.com/doc/5", "https://other.net/p/1", "https://other.net/p/1"),
+    ("https://ex.com/doc/5", "//other.net/p/2", "https://other.net/p/2"),
+    ("http://ex.com/doc/5", "//other.net/p/2", "http://other.net/p/2"),
+    ("https://ex.com/doc/5", "/p/3", "https://ex.com/p/3"),
+    ("https://ex.com/doc/5", "q/4", "https://ex.com/doc/q/4"),
+    ("https://ex.com/doc/5", "q/4#frag", "https://ex.com/doc/q/4"),
+    ("https://ex.com", "q/4", "https://ex.com/q/4"),
+    ("https://ex.com/doc/5?x=1#top", "", "https://ex.com/doc/5"),
+    ("https://ex.com/a/b/c", "d", "https://ex.com/a/b/d"),
+]
+
+
+def test_resolve_url_known_answers(spark):
+    df = spark.createDataFrame(RESOLVE_CASES, "base string, href string, want string")
+    rows = df.select(
+        "base", "href", "want",
+        webtext.resolve_url_expr(F.col("base"), F.col("href")).alias("got"),
+    ).collect()
+    for r in rows:
+        assert r["got"] == r["want"], (r["base"], r["href"], r["got"], r["want"])
+
+
+def test_extract_links_and_plan(spark):
+    html = (
+        '<html><body><nav>'
+        '<a href="https://a.net/p/1">x</a>'
+        '<A class="z" HREF="/p/2">y</a>'
+        '<a data-k="v" href="//b.net/p/3#frag">z</a>'
+        '<a href="rel/4">w</a>'
+        '</nav></body></html>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://ex.com/doc/9", html)], "url string, html binary")
+    out = webtext.extract_links(df)
+    got = [r["link_url"] for r in out.collect()]
+    assert got == [
+        "https://a.net/p/1",
+        "https://ex.com/p/2",
+        "https://b.net/p/3",
+        "https://ex.com/doc/rel/4",
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan   # narrow: zero shuffles
+    assert "Python" not in plan, plan     # zero Python
+
+
+def _pr_duckdb(edges, iters=5):
+    con = duckdb.connect()
+    con.register("edges_t", pd.DataFrame(edges, columns=["src", "dst", "w"]))
+    sql = ("WITH e AS (SELECT * FROM edges_t),\n"
+           + webtext.pagerank_unrolled_sql("e", iters=iters)
+           + "\nSELECT host, rank_scaled, pagerank FROM pr_final ORDER BY host")
+    return sorted(map(tuple, con.execute(sql).fetchall()))
+
+
+def test_pagerank_fixedpoint_duckdb_twin_parity(spark):
+    # crafted graph: hub, spoke, self-loop, dangling target, weighted edge
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("b", "b", 2),
+             ("c", "d", 5), ("d", "a", 1), ("e", "a", 4)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = sorted(
+        (r["host"], r["rank_scaled"], r["pagerank"])
+        for r in webtext.pagerank_fixedpoint(df, iters=5).collect())
+    assert got == _pr_duckdb(edges, iters=5)
+    # rank mass is conserved up to truncation loss (teleport floor + per-
+    # edge floor): total <= SCALE, and within n_nodes+n_edges+1 ulps of it
+    total = sum(r[1] for r in got)
+    assert total <= webtext.PAGERANK_SCALE
+    assert total >= webtext.PAGERANK_SCALE - 10 * (len(edges) + 5 + 1)
+
+
+def test_pagerank_fixedpoint_partitioning_invariant(spark):
+    """Bit-identical result under different partitioning / join strategy —
+    the run-to-run reproducibility property the fixed-point arithmetic
+    buys on a real cluster."""
+    edges = [(f"h{i % 7}", f"h{(i * 3 + 1) % 7}", 1 + i % 4)
+             for i in range(40)]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+    df32 = df1.repartition(32)
+    a = sorted((r["host"], r["rank_scaled"]) for r in
+               webtext.pagerank_fixedpoint(df1, broadcast_ranks=True).collect())
+    b = sorted((r["host"], r["rank_scaled"]) for r in
+               webtext.pagerank_fixedpoint(df32, broadcast_ranks=False).collect())
+    assert a == b
+
+
+def test_pagerank_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, w long")
+    assert webtext.pagerank_fixedpoint(df).collect() == []
+
+
 def test_canonical_url_plan_is_codegen_only(spark):
     """The canonicalization must stay inside whole-stage codegen: no
     Python eval nodes, no exchange (narrow projection)."""
