@@ -834,13 +834,47 @@ def q_customer_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return no_orders.unionByName(high).orderBy("cohort", "c_custkey")
 
 
+def _messy_url_expr() -> F.Column:
+    """Deterministic raw-URL spelling per doc: docs 2k and 2k+1 carry two
+    DIFFERENT spellings of the same canonical URL (uppercase scheme+host,
+    default :443 port, trailing slash, empty+unsorted query components,
+    fragment vs the clean form) — so canonical-URL grouping must survive
+    every normalization rule to find the pairs."""
+    cid = F.expr("doc_id div 2").cast("string")
+    host_k = F.expr("(doc_id div 2) % 50").cast("string")
+    even = F.concat(F.lit("HTTPS://WWW.SITE"), host_k, F.lit(".COM:443/a/"),
+                    cid, F.lit("/?z=2&&a=1#frag"))
+    odd = F.concat(F.lit("https://www.site"), host_k, F.lit(".com/a/"),
+                   cid, F.lit("?a=1&z=2"))
+    return F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd)
+
+
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-hash dup groups (old q17) ∪ SimHash dup groups (old q20),
-    method-tagged."""
+    """Exact-hash dup groups (old q17) ∪ SimHash dup groups (old q20) ∪
+    canonical-URL dup groups (webtext.canonical_url_expr over deterministic
+    messy spellings), method-tagged."""
+    from pyspark.sql import Window
+
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
     exact = _exact_dup_groups(docs).withColumn("method", F.lit("exact_md5"))
     sim = _simhash_groups_flat(docs).withColumn("method", F.lit("simhash"))
-    return exact.unionByName(sim).orderBy("method", "group_id", "doc_id")
+    canon = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        webtext.canonical_url_expr(_messy_url_expr()).alias("cu"),
+    )
+    w = Window.partitionBy("cu")
+    urlg = (
+        canon.select(
+            F.min("doc_id").over(w).alias("group_id"),
+            "doc_id",
+            F.count("*").over(w).alias("n"),
+        )
+        .where(F.col("n") > 1)
+        .select("group_id", "doc_id")
+        .withColumn("method", F.lit("canonical_url"))
+    )
+    return (exact.unionByName(sim).unionByName(urlg)
+            .orderBy("method", "group_id", "doc_id"))
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1189,8 +1223,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT group_id, doc_id, 'exact_md5' AS method FROM ge WHERE n > 1
         UNION ALL
         SELECT group_id, doc_id, 'simhash' AS method FROM gs WHERE n > 1
+        UNION ALL
+        SELECT group_id, doc_id, 'canonical_url' AS method FROM ug WHERE n > 1
         ORDER BY method, group_id, doc_id
     """
+    # canonical-URL groups: the oracle REPLICATES the full canonicalization
+    # (lowercase scheme/auth, default-port strip, path-slash, empty-component
+    # filter + byte-sort of the query) over the same messy spellings — the
+    # independent-twin discipline, not a pinned outcome.
+    o["q17_dup_groups"] = o["q17_dup_groups"].replace(
+        "SELECT group_id, doc_id, 'exact_md5'",
+        """, uraw AS (SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 'HTTPS://WWW.SITE' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                         || '.COM:443/a/' || CAST(doc_id // 2 AS VARCHAR)
+                         || '/?z=2&&a=1#frag'
+                    ELSE 'https://www.site' || CAST((doc_id // 2) % 50 AS VARCHAR)
+                         || '.com/a/' || CAST(doc_id // 2 AS VARCHAR)
+                         || '?a=1&z=2' END AS raw_url
+               FROM documents),
+        up AS (SELECT doc_id,
+               lower(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+               lower(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+               regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(trim(raw_url), '\\?([^#]*)', 1) AS query
+               FROM uraw),
+        uq AS (SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')
+                    WHEN scheme = 'https' THEN regexp_replace(auth, ':443$', '')
+                    ELSE auth END AS auth,
+               CASE WHEN path = '' THEN '/'
+                    WHEN path <> '/' AND path LIKE '%/'
+                      THEN substring(path, 1, length(path) - 1)
+                    ELSE path END AS path,
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                                                     x -> x <> '')), '&') AS qs
+               FROM up),
+        uc AS (SELECT doc_id, scheme || '://' || auth || path ||
+                      CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS cu
+               FROM uq),
+        ug AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY cu) AS group_id,
+                      count(*) OVER (PARTITION BY cu) AS n
+               FROM uc)
+        SELECT group_id, doc_id, 'exact_md5'""", 1)
     # LSH with 32 bands × 2 rows has ~1-1e-4 recall at J≥0.5 and exact
     # verification, so both methods equal the exact all-pairs oracle on this
     # data (validated empirically at sf0.01).
