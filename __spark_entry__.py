@@ -324,10 +324,22 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id")
 
 
+# 12-token passage appended to every 7th doc: windows fully inside it repeat
+# across those docs, so ExactSubstr must strip them (and any naturally
+# repeated 8-token window — both twins compute the real rule, no shortcut)
+_ES_PASSAGE = (
+    " the quick brown fox jumps over the lazy dog again and again"
+)
+
+
 def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Inject two boilerplate sentences (one on every doc, one on evens),
-    then CCNet-style line-frequency dedup must strip exactly those and
-    reproduce the original text byte-identically."""
+    """Corpus dedup rules that rewrite document text, method-tagged:
+    `line_freq` — inject two boilerplate sentences (one on every doc, one on
+    evens); CCNet-style line-frequency dedup must strip exactly those and
+    reproduce the original text byte-identically.
+    `exact_substr` — append a shared 12-token passage to every 7th doc;
+    ExactSubstr (Lee et al. 2021) must remove every token span covered by a
+    corpus-duplicated 8-token window."""
     docs = _t(spark, sf_dir, "documents")
     polluted = docs.select(
         "doc_id",
@@ -339,7 +351,22 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("text"),
     )
-    return dedup.line_frequency_dedup(polluted, max_df=50).orderBy("doc_id")
+    lf = dedup.line_frequency_dedup(polluted, max_df=50).withColumn(
+        "method", F.lit("line_freq")
+    )
+    pol2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(_ES_PASSAGE)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    es = (
+        dedup.exact_substring_dedup(pol2, k=8)
+        .select("doc_id", "clean_text")
+        .withColumn("method", F.lit("exact_substr"))
+    )
+    return lf.unionByName(es).orderBy("method", "doc_id")
 
 
 def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1606,10 +1633,38 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
         ORDER BY doc_id, page_number
     """
-    # the injected boilerplate (df 500/250 > 50) is stripped; every natural
-    # sentence is rare (max df 2), so the cleaned text IS the original
-    o["q39_line_freq_dedup"] = """
-        SELECT doc_id, text AS clean_text FROM documents ORDER BY doc_id
+    # line_freq: the injected boilerplate (df 500/250 > 50) is stripped;
+    # every natural sentence is rare (max df 2), so the cleaned text IS the
+    # original. exact_substr: full independent computation of the ExactSubstr
+    # rule (k=8 token windows, corpus occurrence count > 1, covered-token
+    # removal, order-preserving reassembly) — no analytic shortcut.
+    es_norm = _NORM_SQL.format(c="text")
+    o["q39_line_freq_dedup"] = f"""
+        WITH pol AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 7 = 0
+                                THEN '{_ES_PASSAGE}' ELSE '' END AS text
+            FROM documents),
+        t AS (SELECT doc_id, string_split({es_norm}, ' ') AS toks FROM pol),
+        w AS (SELECT doc_id, i::INT AS pos,
+                     md5(array_to_string(toks[(i+1)::INT : (i+8)::INT], ' ')) AS h
+              FROM t, unnest(range(0, greatest(len(toks) - 7, 0))) AS u(i)),
+        dup AS (SELECT h FROM w GROUP BY h HAVING count(*) > 1),
+        cov AS (SELECT DISTINCT w.doc_id, (w.pos + j)::INT AS tpos
+                FROM w JOIN dup USING (h), unnest(range(0, 8)) AS v(j)),
+        tok AS (SELECT doc_id, i::INT AS tpos, toks[(i+1)::INT] AS tok
+                FROM t, unnest(range(0, len(toks))) AS u2(i)),
+        kept AS (SELECT tok.doc_id, tok.tpos, tok.tok
+                 FROM tok ANTI JOIN cov USING (doc_id, tpos)),
+        reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+                FROM kept GROUP BY doc_id)
+        SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
+               'exact_substr' AS method
+        FROM t LEFT JOIN reb USING (doc_id)
+        UNION ALL
+        SELECT doc_id, text AS clean_text, 'line_freq' AS method
+        FROM documents
+        ORDER BY method, doc_id
     """
     o["q42_video_frame_sample"] = """
         SELECT doc_id AS media_id, i AS frame_index, (i * 100)::BIGINT AS frame_ts_ms

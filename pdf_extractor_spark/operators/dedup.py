@@ -780,6 +780,81 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
 
 
 # ---------------------------------------------------------------------------
+# corpus-level exact-substring dedup (ExactSubstr, Lee et al. 2021)
+# ---------------------------------------------------------------------------
+
+def exact_substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Remove every token span covered by a k-token window whose exact text
+    occurs more than once in the whole corpus — the ExactSubstr rule of Lee
+    et al. 2021 ("Deduplicating Training Data Makes Language Models
+    Better"), which the paper implements with a corpus suffix array. A
+    suffix array is a single-node design; the Spark-first equivalent hashes
+    every k-token window and aggregates corpus frequency:
+
+      windows   : one narrow pass — posexplode over a transform(sequence)
+                  of md5'd k-token slices (no shuffle; ~n_tokens rows/doc).
+      dup set   : ONE shuffle on the 16-byte window hash; `count(*) > 1`
+                  keeps only duplicated windows. Duplication is heavy-tailed
+                  at web scale, so this set is small relative to the corpus
+                  and the join back is a broadcast-able semi-join.
+      coverage  : duplicated windows explode to their k covered token
+                  positions; distinct per (doc_id, tpos).
+      rebuild   : survivors reassemble order-preservingly with
+                  sort_array(collect_list(struct(pos, tok))) — one shuffle
+                  keyed by doc_id, same shape as line_frequency_dedup.
+
+    Output is total over the input: (doc_id, clean_text, n_removed_tokens);
+    docs shorter than k tokens pass through untouched (no window exists).
+    Matching the paper, frequency counts OCCURRENCES (a span repeated twice
+    inside one document is also removed), not distinct documents.
+    """
+    t = docs.select("doc_id", F.split(_norm(F.col("text")), " ").alias("toks"))
+    n = F.size("toks")
+    # window start positions 0..n-k (guarded: no windows when n < k)
+    wins = (
+        t.where(n >= k)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n - k),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("toks", i + 1, k))),
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    dup = wins.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    covered = (
+        wins.join(dup.select("h"), "h", "left_semi")
+        .select("doc_id", F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos"))
+        .distinct()
+    )
+    toks = t.select("doc_id", F.posexplode("toks").alias("tpos", "tok"))
+    kept = toks.join(covered, ["doc_id", "tpos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        t.select("doc_id", n.alias("n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("n_toks") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # benchmark decontamination (training-data hygiene)
 # ---------------------------------------------------------------------------
 

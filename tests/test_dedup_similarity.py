@@ -188,6 +188,33 @@ def test_line_frequency_dedup_strips_only_boilerplate(spark):
     }
 
 
+def test_exact_substring_dedup_removes_corpus_repeated_windows(spark):
+    # 4-token shared run across docs 1/2 with k=3: windows inside the run
+    # repeat corpus-wide, so all four shared tokens go; doc-unique heads and
+    # tails survive in order. doc 3 is shorter than k -> untouched. doc 4
+    # repeats a window INSIDE one document (occurrence count, not distinct
+    # docs, per Lee et al. 2021) -> removed too.
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha one shared run of text beta"),
+            (2, "gamma two shared run of text delta"),
+            (3, "tiny doc"),
+            (4, "x y z pad x y z pad tail3 tail4 tail5"),
+        ],
+        DOCS_DDL,
+    )
+    out = {r["doc_id"]: (r["clean_text"], r["n_removed_tokens"])
+           for r in dedup.exact_substring_dedup(docs, k=3).collect()}
+    assert out[1] == ("alpha one beta", 4)
+    assert out[2] == ("gamma two delta", 4)
+    assert out[3] == ("tiny doc", 0)
+    # "x y z pad" appears twice in doc 4: windows (x,y,z) (y,z,pad) and the
+    # bridging (z,pad,x)/(pad,x,y) dup only where both occurrences allow;
+    # the two full "x y z pad" runs are covered, the distinct tail survives
+    assert out[4][0] == "tail3 tail4 tail5"
+    assert out[4][1] == 8
+
+
 def test_kmeans_ivf_recall_not_worse_than_seed_ivf(spark):
     import numpy as np
 
