@@ -1969,17 +1969,48 @@ def oracle_sql() -> dict[str, str]:
     """
     # sliding 2-day/1-day windows: every event lands in the window starting
     # at its truncated day and the one starting a day earlier
+    # the perplexity branch recomputes the add-1 bigram LM end-to-end:
+    # decimal(20,10) log-prob summation (order-independent, same snap
+    # discipline as Spark), exp(-avg) through decimal(18,6), per-language
+    # ntile(3) terciles over the snapped value
     o["q62_training_mix"] = f"""
         WITH g AS ({_gopher_sql}),
         sampled AS (
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                   < CASE WHEN lang = 'en' THEN 100
-                         WHEN lang = 'zh' THEN 25 ELSE 50 END)
-        SELECT s.lang, count(*) AS survivors,
+                         WHEN lang = 'zh' THEN 25 ELSE 50 END),
+        t AS (SELECT doc_id, lang, string_split({_NORM_SQL.format(c="text")}, ' ')
+                         AS toks
+              FROM documents),
+        bg AS (SELECT doc_id, toks[(i+1)::INT] || ' ' || toks[(i+2)::INT] AS gram,
+                      toks[(i+1)::INT] AS w1
+               FROM t, unnest(range(0, greatest(len(toks) - 1, 0))) AS u(i)),
+        cb AS (SELECT gram, count(*) AS c_bg FROM bg GROUP BY gram),
+        cw AS (SELECT w1, count(*) AS c_w FROM bg GROUP BY w1),
+        v AS (SELECT count(DISTINCT tok) AS vsz
+              FROM (SELECT unnest(toks) AS tok FROM t)),
+        sc AS (SELECT b.doc_id,
+                      sum(CAST(ln((cb.c_bg + 1.0) / (cw.c_w + 1.0 * v.vsz))
+                               AS DECIMAL(20,10))) AS s,
+                      count(*) AS m
+               FROM bg b JOIN cb USING (gram) JOIN cw USING (w1), v
+               GROUP BY b.doc_id),
+        ppl AS (SELECT t.doc_id, t.lang,
+                       CAST(CAST(exp(-(coalesce(sc.s::DOUBLE, 0.0)
+                                       / coalesce(sc.m, 1)))
+                                 AS DECIMAL(18,6)) AS DOUBLE) AS ppl
+                FROM t LEFT JOIN sc USING (doc_id)),
+        pb AS (SELECT doc_id,
+                      ['head','middle','tail'][ntile(3) OVER (
+                          PARTITION BY lang ORDER BY ppl, doc_id)] AS bucket
+               FROM ppl)
+        SELECT s.lang, pb.bucket, count(*) AS survivors,
                round(avg(g.n_words), 6) AS avg_words
-        FROM sampled s JOIN g ON s.doc_id = g.doc_id AND g.keep
-        GROUP BY s.lang ORDER BY s.lang
+        FROM sampled s
+        JOIN g ON s.doc_id = g.doc_id AND g.keep
+        JOIN pb ON s.doc_id = pb.doc_id
+        GROUP BY s.lang, pb.bucket ORDER BY s.lang, pb.bucket
     """
     # i/j are 0-based in Spark; DuckDB arrays are 1-based → i-1/j-1
     o["q63_embedding_covariance"] = """

@@ -750,22 +750,120 @@ def fingerprint_suite(docs: DataFrame) -> DataFrame:
     return fp.join(cm, "doc_id").orderBy("doc_id")
 
 
+def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
+                          alpha: float = 1.0) -> DataFrame:
+    """CCNet-style language-model quality bucketing (Wenzek et al. 2019
+    §4.3): score each document by the perplexity of a smoothed word-bigram
+    LM and split each language into head/middle/tail terciles — the
+    canonical corpus-quality partition used to weight training mixtures.
+    CCNet scores with a Wikipedia-trained KenLM; the deterministic stand-in
+    here trains add-α bigram counts on `model_docs` (default: the corpus
+    itself, a self-scoring pass).
+
+    Plan: model bigram/context counts are two hash aggregates on the gram
+    key; document bigrams join those counts (one shuffle on gram — in
+    production the LM corpus is curated and Wikipedia-sized, so both count
+    tables broadcast and the scoring pass is shuffle-free); per-doc
+    log-probs sum as decimal(20,10) so the aggregate is exact and
+    order-independent (double summation order across partitions is
+    nondeterministic — the same snap discipline as q49/q16). Perplexity
+    exp(-avg_lp) snaps through decimal(18,6) for cross-engine hash
+    stability. Tercile assignment is ntile(3) per language over the snapped
+    value — rank-based, so exactly SQL-mirrorable; at 100 TB you'd replace
+    the per-language global sort with approx-percentile cutpoints
+    (two-pass, broadcastable), trading exactness of the tercile boundary
+    only.
+
+    Output: (doc_id, lang, ppl, bucket); docs with <2 tokens score ppl=1.
+    """
+    from pyspark.sql import Window
+
+    model = model_docs if model_docs is not None else docs
+
+    def bigrams(col_toks):
+        return F.transform(
+            F.sequence(F.lit(0), F.size(col_toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(col_toks, i), F.get(col_toks, i + 1)),
+        )
+
+    mt = model.select(F.split(_norm(F.col("text")), " ").alias("toks"))
+    mbig = mt.where(F.size("toks") >= 2).select(
+        F.explode(bigrams(F.col("toks"))).alias("gram")
+    )
+    cb = mbig.groupBy("gram").agg(F.count("*").alias("c_bg"))
+    cw = (
+        mbig.select(F.substring_index("gram", " ", 1).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_w"))
+    )
+    vocab = mt.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+
+    t = docs.select(
+        "doc_id", "lang", F.split(_norm(F.col("text")), " ").alias("toks")
+    )
+    big = t.where(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams(F.col("toks"))).alias("gram")
+    )
+    lp = F.log(
+        (F.coalesce("c_bg", F.lit(0)) + F.lit(alpha))
+        / (F.coalesce("c_w", F.lit(0)) + F.lit(alpha) * F.col("vsz"))
+    ).cast("decimal(20,10)")
+    scored = (
+        big.join(cb, "gram", "left")
+        .withColumn("w1", F.substring_index("gram", " ", 1))
+        .join(cw, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(F.sum(lp).alias("s"), F.count("*").alias("m"))
+    )
+    ppl = (
+        t.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.exp(
+                -(
+                    F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+                    / F.coalesce("m", F.lit(1))
+                )
+            )
+            .cast("decimal(18,6)")
+            .cast("double")
+            .alias("ppl"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    return ppl.select(
+        "doc_id",
+        "lang",
+        "ppl",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.ntile(3).over(w),
+        ).alias("bucket"),
+    )
+
+
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     """End-to-end training-data mixture prep, composing this engine's
     hygiene operators in one lazy plan: Gopher repetition/quality gate →
-    deterministic per-language stratified downsampling → per-language
-    mixture rollup (survivors + mean length). Catalyst pipelines the narrow
-    stages; the only shuffles are the per-doc gopher kernel's none, the
-    sample's none, and the final rollup aggregation — the whole mixture
-    pass is one scan + one aggregate at any corpus size."""
+    deterministic per-language stratified downsampling → CCNet perplexity
+    terciles → mixture rollup per (language, quality bucket), the exact
+    table CCNet's mixture weighting consumes. Catalyst pipelines the narrow
+    stages; the shuffles are the LM count aggregates + gram join (broadcast
+    in production, see lm_perplexity_buckets) and the final rollup."""
     gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
-    kept = sampled.join(gate, "doc_id")
+    ppl = lm_perplexity_buckets(docs).select("doc_id", "bucket")
+    kept = sampled.join(gate, "doc_id").join(ppl, "doc_id")
     return (
-        kept.groupBy("lang")
+        kept.groupBy("lang", "bucket")
         .agg(
             F.count("*").alias("survivors"),
             F.round(F.avg("n_words"), 6).alias("avg_words"),
         )
-        .orderBy("lang")
+        .orderBy("lang", "bucket")
     )

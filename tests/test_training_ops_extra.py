@@ -245,8 +245,11 @@ def test_stratified_sample_rates_and_determinism(spark, docs):
 # -- training_mix_pipeline ----------------------------------------------------
 
 def test_training_mix_pipeline_consistency(spark, docs):
-    got = {r["lang"]: r for r in
-           text_analysis.training_mix_pipeline(docs).collect()}
+    rows = text_analysis.training_mix_pipeline(docs).collect()
+    got: dict[str, list] = {}
+    for r in rows:
+        got.setdefault(r["lang"], []).append(r)
+        assert r["bucket"] in {"head", "middle", "tail"}
     gate = {r["doc_id"]: r["n_words"] for r in
             text_analysis.gopher_quality(docs).where("keep").collect()}
     sampled = {(r["doc_id"], r["lang"]) for r in
@@ -255,7 +258,43 @@ def test_training_mix_pipeline_consistency(spark, docs):
     for doc_id, lang in sampled:
         if doc_id in gate:
             per.setdefault(lang, []).append(gate[doc_id])
+    # per-language totals are bucket-invariant: summing the (lang, bucket)
+    # grain back up must reproduce the old per-language mixture
     assert set(got) == set(per)
     for lang, words in per.items():
-        assert got[lang]["survivors"] == len(words)
-        assert abs(got[lang]["avg_words"] - sum(words) / len(words)) < 1e-5
+        assert sum(r["survivors"] for r in got[lang]) == len(words)
+        wavg = sum(r["survivors"] * r["avg_words"] for r in got[lang]) / len(words)
+        assert abs(wavg - sum(words) / len(words)) < 1e-4
+
+
+def test_lm_perplexity_buckets_ranks_repetitive_text_as_head(spark, docs):
+    out = text_analysis.lm_perplexity_buckets(docs).collect()
+    assert len(out) == docs.count()
+    by_lang: dict[str, list] = {}
+    for r in out:
+        assert r["ppl"] >= 1.0 or abs(r["ppl"] - 1.0) < 1e-9
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_lang.items():
+        # terciles are balanced to within 1 and ordered: every head ppl
+        # <= every middle ppl <= every tail ppl
+        counts = {b: sum(1 for r in rows if r["bucket"] == b)
+                  for b in ("head", "middle", "tail")}
+        assert max(counts.values()) - min(counts.values()) <= 1
+        hi_head = max((r["ppl"] for r in rows if r["bucket"] == "head"),
+                      default=float("-inf"))
+        lo_tail = min((r["ppl"] for r in rows if r["bucket"] == "tail"),
+                      default=float("inf"))
+        assert hi_head <= lo_tail
+
+
+def test_lm_perplexity_self_trained_repetition_scores_lower(spark):
+    # a doc that is one bigram repeated dominates the LM mass -> lowest ppl;
+    # a doc of singleton transitions scores highest
+    docs = spark.createDataFrame(
+        [(1, "en", "ab cd " * 40), (2, "en", "q w e r t y u i o p"),
+         (3, "en", "ab cd ef gh ab cd")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r["ppl"]
+           for r in text_analysis.lm_perplexity_buckets(docs).collect()}
+    assert out[1] < out[3] < out[2]

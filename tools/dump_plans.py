@@ -74,6 +74,22 @@ PICKS = {
         "scan — the only exchanges are the covariance/mean aggregates, both "
         "O(d²)/O(d) in shuffle volume at any corpus size."
     ),
+    "q39_line_freq_dedup": (
+        "ExactSubstr arm: k-token window hashes are a narrow "
+        "transform(sequence) explode (no suffix array, no cross join); ONE "
+        "exchange aggregates corpus window frequency on the 16-byte hash; "
+        "the duplicated-window set is heavy-tail-small so the semi-join "
+        "back broadcasts; reassembly shuffles once on doc_id — same shape "
+        "as the line-frequency arm it unions with."
+    ),
+    "q62_training_mix": (
+        "Perplexity branch: bigram/context LM counts are two hash "
+        "aggregates; doc-gram scoring joins them on the gram key (broadcast "
+        "in production — the LM corpus is curated and small); per-doc "
+        "log-prob sums are exact decimals (order-independent), tercile "
+        "assignment is a per-language ntile window. Gopher gate and "
+        "stratified sample stay narrow; one final (lang, bucket) rollup."
+    ),
 }
 
 HEADER = """# PLANS — physical-plan audit of the scale-critical queries
