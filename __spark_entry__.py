@@ -2004,13 +2004,47 @@ def oracle_sql() -> dict[str, str]:
         pb AS (SELECT doc_id,
                       ['head','middle','tail'][ntile(3) OVER (
                           PARTITION BY lang ORDER BY ppl, doc_id)] AS bucket
-               FROM ppl)
+               FROM ppl),
+        ug AS (SELECT doc_id, toks[(i+1)::INT] AS gram
+               FROM t, unnest(range(0, len(toks))) AS u3(i)),
+        gb AS (SELECT gs.doc_id, d.lang,
+                      ('0x' || substr(md5(gs.gram), 1, 8))::BIGINT % 1024 AS bucket
+               FROM (SELECT doc_id, gram FROM ug
+                     UNION ALL SELECT doc_id, gram FROM bg) gs
+               JOIN (SELECT doc_id, lang FROM documents) d USING (doc_id)),
+        rb AS (SELECT bucket, count(*) AS r_b FROM gb GROUP BY bucket),
+        tb AS (SELECT bucket, count(*) AS t_b FROM gb WHERE lang = 'en'
+               GROUP BY bucket),
+        rt AS (SELECT sum(r_b) AS r_tot FROM rb),
+        tt AS (SELECT sum(t_b) AS t_tot FROM tb),
+        dw AS (SELECT gb.doc_id,
+                      sum(CAST(ln(((coalesce(tb.t_b, 0) + 1.0)
+                                   * (rt.r_tot + 1024.0))
+                                  / ((coalesce(rb.r_b, 0) + 1.0)
+                                     * (tt.t_tot + 1024.0)))
+                               AS DECIMAL(20,10))) AS s
+               FROM gb LEFT JOIN rb USING (bucket)
+                       LEFT JOIN tb USING (bucket), rt, tt
+               GROUP BY gb.doc_id),
+        dsel AS (SELECT d.doc_id
+                 FROM documents d LEFT JOIN dw USING (doc_id)
+                 WHERE CAST(CAST(coalesce(dw.s::DOUBLE, 0.0) AS DECIMAL(18,6))
+                            AS DOUBLE) > 0)
         SELECT s.lang, pb.bucket, count(*) AS survivors,
-               round(avg(g.n_words), 6) AS avg_words
+               round(avg(g.n_words), 6) AS avg_words, 'ccnet_mix' AS stage
         FROM sampled s
         JOIN g ON s.doc_id = g.doc_id AND g.keep
         JOIN pb ON s.doc_id = pb.doc_id
-        GROUP BY s.lang, pb.bucket ORDER BY s.lang, pb.bucket
+        GROUP BY s.lang, pb.bucket
+        UNION ALL
+        SELECT s.lang, pb.bucket, count(*) AS survivors,
+               round(avg(g.n_words), 6) AS avg_words, 'dsir_selected' AS stage
+        FROM sampled s
+        JOIN g ON s.doc_id = g.doc_id AND g.keep
+        JOIN pb ON s.doc_id = pb.doc_id
+        JOIN dsel ON s.doc_id = dsel.doc_id
+        GROUP BY s.lang, pb.bucket
+        ORDER BY stage, lang, bucket
     """
     # i/j are 0-based in Spark; DuckDB arrays are 1-based → i-1/j-1
     o["q63_embedding_covariance"] = """

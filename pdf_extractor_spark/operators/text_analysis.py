@@ -847,23 +847,109 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     )
 
 
+def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
+                 n_buckets: int = 1024, alpha: float = 1.0) -> DataFrame:
+    """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): featurize
+    each document as hashed word uni+bigram counts, fit bag-of-words
+    distributions over the hash buckets for a target corpus and the raw
+    corpus, and score each document by its log importance ratio
+    Σ_g ln(p_target(b(g)) / p_raw(b(g))) — positive means the document
+    looks more like the target than like the average raw page.
+
+    Plan: both distributions are ONE hash aggregate each over the exploded
+    gram stream, collapsed to `n_buckets` rows — so the stats tables are
+    constant-size (1024 rows here) and BROADCAST back onto the per-doc gram
+    stream regardless of corpus size; the per-doc sum is one aggregate
+    keyed by doc_id. Hashing is md5-hex mod B (the same portable bucket
+    primitive as stratified_sample), log terms snap through decimal(20,10)
+    so the per-doc sum is exact and order-independent, and the output
+    weight snaps to decimal(18,6) for cross-engine hash stability.
+
+    Default target: the corpus's `lang = 'en'` slice (self-referential
+    stand-in for the paper's curated target, e.g. Wikipedia+books).
+    Output: (doc_id, dsir_weight); docs with no grams weigh 0.
+    """
+    target = (
+        target_docs if target_docs is not None else docs.where(F.col("lang") == "en")
+    )
+
+    def gram_stream(d: DataFrame, *extra):
+        toks = F.split(_norm(F.col("text")), " ")
+        bigrams = F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+        return d.select(
+            *extra, F.explode(F.concat(toks, bigrams)).alias("gram")
+        ).select(*extra, bucket.alias("bucket"))
+
+    raw_b = gram_stream(docs).groupBy("bucket").agg(F.count("*").alias("r_b"))
+    tgt_b = gram_stream(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
+    raw_tot = raw_b.agg(F.sum("r_b").alias("r_tot"))
+    tgt_tot = tgt_b.agg(F.sum("t_b").alias("t_tot"))
+
+    ab = float(alpha * n_buckets)
+    term = F.log(
+        ((F.coalesce("t_b", F.lit(0)) + F.lit(alpha)) * (F.col("r_tot") + F.lit(ab)))
+        / ((F.coalesce("r_b", F.lit(0)) + F.lit(alpha)) * (F.col("t_tot") + F.lit(ab)))
+    ).cast("decimal(20,10)")
+    scored = (
+        gram_stream(docs, "doc_id")
+        .join(F.broadcast(raw_b), "bucket", "left")
+        .join(F.broadcast(tgt_b), "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("s"))
+    )
+    return docs.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        .cast("decimal(18,6)")
+        .cast("double")
+        .alias("dsir_weight"),
+    )
+
+
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     """End-to-end training-data mixture prep, composing this engine's
-    hygiene operators in one lazy plan: Gopher repetition/quality gate →
-    deterministic per-language stratified downsampling → CCNet perplexity
-    terciles → mixture rollup per (language, quality bucket), the exact
-    table CCNet's mixture weighting consumes. Catalyst pipelines the narrow
-    stages; the shuffles are the LM count aggregates + gram join (broadcast
-    in production, see lm_perplexity_buckets) and the final rollup."""
+    hygiene operators in one lazy plan, reported in two stages:
+    `ccnet_mix` — Gopher repetition/quality gate → deterministic
+    per-language stratified downsampling → CCNet perplexity terciles →
+    mixture rollup per (language, quality bucket), the exact table CCNet's
+    mixture weighting consumes. `dsir_selected` — the same rollup after
+    additionally keeping only documents with positive DSIR log importance
+    ratio against the en target (the deterministic selection variant of
+    Xie et al. 2023's Gumbel resampling), showing how importance selection
+    shifts the mixture. Catalyst pipelines the narrow stages; the shuffles
+    are the LM/DSIR count aggregates + gram joins (broadcast-scale stats)
+    and the final rollups."""
     gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
     ppl = lm_perplexity_buckets(docs).select("doc_id", "bucket")
     kept = sampled.join(gate, "doc_id").join(ppl, "doc_id")
-    return (
-        kept.groupBy("lang", "bucket")
-        .agg(
-            F.count("*").alias("survivors"),
-            F.round(F.avg("n_words"), 6).alias("avg_words"),
+
+    def rollup(d: DataFrame, stage: str) -> DataFrame:
+        return (
+            d.groupBy("lang", "bucket")
+            .agg(
+                F.count("*").alias("survivors"),
+                F.round(F.avg("n_words"), 6).alias("avg_words"),
+            )
+            .withColumn("stage", F.lit(stage))
         )
-        .orderBy("lang", "bucket")
+
+    selected = dsir_weights(docs).where(F.col("dsir_weight") > 0).select("doc_id")
+    return (
+        rollup(kept, "ccnet_mix")
+        .unionByName(rollup(kept.join(selected, "doc_id"), "dsir_selected"))
+        .orderBy("stage", "lang", "bucket")
     )

@@ -248,8 +248,16 @@ def test_training_mix_pipeline_consistency(spark, docs):
     rows = text_analysis.training_mix_pipeline(docs).collect()
     got: dict[str, list] = {}
     for r in rows:
-        got.setdefault(r["lang"], []).append(r)
         assert r["bucket"] in {"head", "middle", "tail"}
+        assert r["stage"] in {"ccnet_mix", "dsir_selected"}
+        if r["stage"] == "ccnet_mix":
+            got.setdefault(r["lang"], []).append(r)
+    # the DSIR-selected stage is a subset of the ccnet mixture, cell by cell
+    base = {(r["lang"], r["bucket"]): r["survivors"] for r in rows
+            if r["stage"] == "ccnet_mix"}
+    for r in rows:
+        if r["stage"] == "dsir_selected":
+            assert r["survivors"] <= base[(r["lang"], r["bucket"])]
     gate = {r["doc_id"]: r["n_words"] for r in
             text_analysis.gopher_quality(docs).where("keep").collect()}
     sampled = {(r["doc_id"], r["lang"]) for r in
@@ -285,6 +293,26 @@ def test_lm_perplexity_buckets_ranks_repetitive_text_as_head(spark, docs):
         lo_tail = min((r["ppl"] for r in rows if r["bucket"] == "tail"),
                       default=float("inf"))
         assert hi_head <= lo_tail
+
+
+def test_dsir_weights_prefer_target_like_documents(spark):
+    # target = en slice; an en-vocab doc must outweigh a disjoint-vocab doc
+    docs = spark.createDataFrame(
+        [(1, "en", "the cat sat on the mat with the hat"),
+         (2, "en", "the dog sat on the rug with the cat"),
+         (3, "zz", "zork blork quux fnord glorp wibble zork blork"),
+         (4, "zz", "quux fnord wibble glorp zork snark blork quux")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["doc_id"]: r["dsir_weight"]
+           for r in text_analysis.dsir_weights(docs).collect()}
+    assert len(out) == 4
+    # the DSIR contract is the ORDERING: target-like docs outweigh
+    # off-target docs. (Per-doc signs are not asserted — with a toy
+    # vocabulary, a single hash-bucket collision between an en gram and a
+    # repeated zz gram can push an en doc slightly negative.)
+    assert min(out[1], out[2]) > max(out[3], out[4])
+    assert out[3] < 0 and out[4] < 0
 
 
 def test_lm_perplexity_self_trained_repetition_scores_lower(spark):
