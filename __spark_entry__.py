@@ -923,14 +923,24 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH + exact-verify near-dups over the dup-injected embeddings
     (old q21, threshold 0.95) ∪ hyperplane-bucket LSH pairs over the raw
-    embeddings (old q24, threshold 0.35), method-tagged."""
+    embeddings (old q24, threshold 0.35) ∪ SemDeDup k-means-cell pairs over
+    the dup-injected embeddings (Abbas et al. 2023; same 0.95 threshold),
+    method-tagged — three candidate-generation geometries, one exact
+    verify kernel."""
     embs = _t(spark, sf_dir, "embeddings")
+    dup = _embs_with_neardups(embs)
     banded = dedup.embedding_neardup_pairs_lsh(
-        _embs_with_neardups(embs), threshold=0.95).withColumn(
+        dup, threshold=0.95).withColumn(
         "method", F.lit("lsh_banded"))
     buckets = similarity.lsh_neardup_pairs(embs, threshold=0.35).withColumn(
         "method", F.lit("hyperplane_bucket"))
-    return banded.unionByName(buckets).orderBy("method", "a", "b")
+    sem = similarity.semdedup_pairs(
+        dup, iters=2, seed=3, threshold=0.95).withColumn(
+        "method", F.lit("semdedup_cell"))
+    return (
+        banded.unionByName(buckets).unionByName(sem)
+        .orderBy("method", "a", "b")
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1305,19 +1315,67 @@ def oracle_sql() -> dict[str, str]:
     """
     # banded-LSH over dup-injected embeddings (exact all-pairs oracle) ∪
     # hyperplane-bucket LSH over the raw table (md5-plane literal oracle)
-    o["q21_embedding_neardup"] = f"""
-        WITH embdups AS ({_EMBS_DUPS_SQL}),
-        banded AS (
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
-            FROM embdups a JOIN embdups b ON a.vec_id < b.vec_id
-            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95),
-        buckets AS ({_lsh_pairs_sql().replace("ORDER BY a, b", "")})
-        SELECT a, b, cos, 'lsh_banded' AS method FROM banded
-        UNION ALL
-        SELECT a, b, cos, 'hyperplane_bucket' AS method FROM buckets
-        ORDER BY method, a, b
-    """
+    # q21 bundles three candidate geometries; the SemDeDup branch's trained
+    # k-means centroids come from the bit-exact pure-Python twin over the
+    # SAME dup-injected vector set the Spark query clusters (the q43
+    # trained-centroid oracle shape). Cell assignment in SQL mirrors
+    # assign_cells: argmax = first index of the max (list_position). Same
+    # sf0.01 contract and rows-only fallback discipline as q22/q27/q48.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _et = _pq.read_table(f"{_sfd}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        _erows = [
+            (int(v), [float(x) for x in e])
+            for v, e in zip(_et["vec_id"].to_pylist(), _et["embedding"].to_pylist())
+        ]
+        # replicate _embs_with_neardups exactly: cast-to-double first, then
+        # perturb dim 0 by +0.05 — the same IEEE-double add Spark executes
+        _duprows = _erows + [
+            (vid + 100000, [v[0] + 0.05] + v[1:])
+            for vid, v in _erows if vid % 5 == 0
+        ]
+        # same adaptive-k formula as semdedup_pairs (n/cell_target, min 8)
+        _semcents = similarity._kmeans_centroids_twin(
+            _duprows, k=max(8, len(_duprows) // 75), iters=2, seed=3)
+        _semcents_sql = ", ".join(
+            "[" + ",".join(repr(float(x)) for x in cv) + "]" for cv in _semcents
+        )
+        o["q21_embedding_neardup"] = f"""
+            WITH embdups AS ({_EMBS_DUPS_SQL}),
+            banded AS (
+                SELECT a.vec_id AS a, b.vec_id AS b,
+                       round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
+                FROM embdups a JOIN embdups b ON a.vec_id < b.vec_id
+                WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.95),
+            buckets AS ({_lsh_pairs_sql().replace("ORDER BY a, b", "")}),
+            cc AS (SELECT [{_semcents_sql}] AS cents),
+            asgn AS (SELECT vec_id, embedding AS v,
+                            list_position(sims, list_max(sims)) - 1 AS cell
+                     FROM (SELECT vec_id, embedding,
+                                  list_transform(cents,
+                                      cv -> list_cosine_similarity(embedding, cv)) AS sims
+                           FROM embdups, cc)),
+            sem AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                           round(list_cosine_similarity(a.v, b.v), 6) AS cos
+                    FROM asgn a JOIN asgn b
+                      ON a.cell = b.cell AND a.vec_id < b.vec_id
+                    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.95)
+            SELECT a, b, cos, 'lsh_banded' AS method FROM banded
+            UNION ALL
+            SELECT a, b, cos, 'hyperplane_bucket' AS method FROM buckets
+            UNION ALL
+            SELECT a, b, cos, 'semdedup_cell' AS method FROM sem
+            ORDER BY method, a, b
+        """
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: literal-oracle build skipped: {_exc!r}", file=_sys.stderr)
     _brute_sql = """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                    FROM embeddings WHERE vec_id IN (0,1,2,3,4)),

@@ -123,6 +123,67 @@ def lsh_neardup_pairs(embs: DataFrame, threshold: float = 0.9, n_planes: int = 8
     )
 
 
+def semdedup_pairs(embs: DataFrame, k: int | None = None, iters: int = 2,
+                   seed: int = 3, threshold: float = 0.95,
+                   cell_target: int = 75) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) semantic near-dup
+    pairs: k-means-cluster the embeddings, then search for near-identical
+    pairs ONLY within each cluster — the paper's observation is that
+    semantic duplicates land in the same cluster, so the O(n²) pair search
+    collapses to O(Σ|cell|²) ≈ O(n²/k). k defaults to n/cell_target
+    (min 8), growing WITH the corpus exactly as the paper scales cluster
+    count — a fixed k would silently re-quadratize at 100×.
+
+    This is the third member of the engine's candidate-generation family
+    (hyperplane LSH buckets, banded minhash LSH, k-means cells), each a
+    different recall/cost trade: cells give the SemDeDup semantics of
+    "duplicates within a semantic neighborhood". Plan at 100 TB: the k×dim
+    centroid table broadcasts into one narrow Arrow BLAS assignment pass;
+    the ONLY shuffle is groupBy(cell) moving each vector once (vec + 1
+    int — no pair-join that would ship every vector |cell| times); each
+    cell's pairs are then one in-memory BLAS gram matrix, emitting only
+    the (a, b, cos) survivors. Cell size is bounded by construction
+    (cell_target), so the per-task memory is flat as the corpus grows.
+    Training reuses kmeans_centroids (seeded deterministic init,
+    exact-decimal updates), so the trained geometry is replicable by the
+    pure-Python twin and the whole operator is value-hash oracle-gated.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.dedup import _round6_np
+
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    if k is None:
+        k = max(8, e.count() // cell_target)
+    cents = kmeans_centroids(embs, k=k, iters=iters, seed=seed)
+    assigned = assign_cells(e, cents)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                                 "b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["v"].to_numpy()[order])
+        Mn = np.linalg.norm(M, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (M @ M.T) / np.outer(Mn, Mn)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = _round6_np(sims[iu, ju])
+        keep = np.isfinite(cos) & (cos >= threshold)
+        return pd.DataFrame(
+            {"a": ids[iu[keep]], "b": ids[ju[keep]], "cos": cos[keep]})
+
+    return (
+        assigned.groupBy("cell")
+        .applyInPandas(kern, "a long, b long, cos double")
+        .orderBy("a", "b")
+    )
+
+
 def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8,
              n_probe: int = 2, seed: int = 3) -> DataFrame:
     """IVF-style ANN: assign vectors to their nearest of n_cells seed

@@ -168,6 +168,34 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, embs):
     assert lsh.issubset(exact)
 
 
+def test_semdedup_pairs_recovers_near_identical_dups(spark):
+    """SemDeDup's cluster-scoped search must (a) find every injected
+    near-identical pair — a 0.999-cosine copy cannot land in a different
+    k-means cell than its original — and (b) emit ONLY pairs the exact
+    all-pairs baseline confirms (precision 1.0: the verify step is exact
+    cosine, so cluster scoping can only lose candidates, never invent)."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    base = rng.normal(size=(40, 8)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    # inject near-identical copies of every 5th vector (tiny perturbation)
+    rows += [
+        (i + 1000, [float(base[i][0] + 0.01)] + [float(x) for x in base[i][1:]])
+        for i in range(0, 40, 5)
+    ]
+    embs = spark.createDataFrame(rows, EMB_DDL)
+    got = {(r["a"], r["b"]): r["cos"]
+           for r in similarity.semdedup_pairs(embs, k=4, iters=2, threshold=0.95).collect()}
+    for i in range(0, 40, 5):
+        assert (i, i + 1000) in got, f"missed injected dup pair ({i}, {i + 1000})"
+    exact = {(r["a"], r["b"]): r["cos"]
+             for r in dedup.embedding_neardup_pairs(embs, 0.95).collect()}
+    for pair, cos in got.items():
+        assert pair in exact and exact[pair] == cos
+    assert all(cos >= 0.95 for cos in got.values())
+
+
 def test_line_frequency_dedup_strips_only_boilerplate(spark):
     docs = spark.createDataFrame(
         [
