@@ -2031,7 +2031,32 @@ def oracle_sql() -> dict[str, str]:
     # decimal(20,10) log-prob summation (order-independent, same snap
     # discipline as Spark), exp(-avg) through decimal(18,6), per-language
     # ntile(3) terciles over the snapped value
-    o["q62_training_mix"] = f"""
+    # q62's qcls_selected stage needs the distributed-trained classifier
+    # weights: the bit-exact pure-Python twin (text_analysis.
+    # _quality_classifier_twin — shared gopher/sigmoid/decimal-snap
+    # contract) retrains them from the sf0.01 parquet and pins all 256 as
+    # SQL literals. Same sf0.01 contract and rows-only fallback discipline
+    # as q22/q27/q48.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _dt = _pq.read_table(f"{_sfd}/documents.parquet",
+                             columns=["doc_id", "text"])
+        _qcw = text_analysis._quality_classifier_twin(
+            list(zip(_dt["doc_id"].to_pylist(), _dt["text"].to_pylist())))
+        _qcw_sql = ",".join(repr(float(x)) for x in _qcw)
+        _q62_ok = True
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: literal-oracle build skipped: {_exc!r}",
+              file=_sys.stderr)
+        _q62_ok = False
+    if _q62_ok:
+        o["q62_training_mix"] = f"""
         WITH g AS ({_gopher_sql}),
         sampled AS (
             SELECT doc_id, lang FROM documents
@@ -2087,7 +2112,32 @@ def oracle_sql() -> dict[str, str]:
         dsel AS (SELECT d.doc_id
                  FROM documents d LEFT JOIN dw USING (doc_id)
                  WHERE CAST(CAST(coalesce(dw.s::DOUBLE, 0.0) AS DECIMAL(18,6))
-                            AS DOUBLE) > 0)
+                            AS DOUBLE) > 0),
+        qw AS (SELECT unnest(range(0, 261))::BIGINT AS bucket,
+                      unnest([{_qcw_sql}]) AS w),
+        qgb AS (SELECT doc_id,
+                       ('0x' || substr(md5(gram), 1, 8))::BIGINT % 256 AS bucket
+                FROM (SELECT doc_id, gram FROM ug
+                      UNION ALL SELECT doc_id, gram FROM bg)),
+        qcnt AS (SELECT doc_id, bucket, count(*) AS cnt
+                 FROM qgb GROUP BY doc_id, bucket),
+        qn AS (SELECT doc_id, sum(cnt)::BIGINT AS n FROM qcnt GROUP BY doc_id),
+        qgf AS (SELECT c.doc_id, c.bucket, c.cnt / qn.n AS x
+                FROM qcnt c JOIN qn USING (doc_id)),
+        qsf AS (SELECT doc_id, (256 + i)::BIGINT AS bucket,
+                       [least(n_words, 200) / 200.0,
+                        mean_word_len / 10.0,
+                        top_bigram_frac,
+                        dup_trigram_frac,
+                        1.0][(i + 1)::INT] AS x
+                FROM g, unnest(range(0, 5)) AS u5(i)),
+        qfe AS (SELECT * FROM qgf UNION ALL SELECT * FROM qsf),
+        qdot AS (SELECT f.doc_id,
+                        sum(CAST(qw.w * f.x AS DECIMAL(30,15))) AS s
+                 FROM qfe f JOIN qw USING (bucket)
+                 GROUP BY f.doc_id),
+        qsel AS (SELECT doc_id FROM qdot
+                 WHERE CAST(CAST(s::DOUBLE AS DECIMAL(18,6)) AS DOUBLE) > 0)
         SELECT s.lang, pb.bucket, count(*) AS survivors,
                round(avg(g.n_words), 6) AS avg_words, 'ccnet_mix' AS stage
         FROM sampled s
@@ -2101,6 +2151,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN g ON s.doc_id = g.doc_id AND g.keep
         JOIN pb ON s.doc_id = pb.doc_id
         JOIN dsel ON s.doc_id = dsel.doc_id
+        GROUP BY s.lang, pb.bucket
+        UNION ALL
+        SELECT s.lang, pb.bucket, count(*) AS survivors,
+               round(avg(g.n_words), 6) AS avg_words, 'qcls_selected' AS stage
+        FROM sampled s
+        JOIN g ON s.doc_id = g.doc_id AND g.keep
+        JOIN pb ON s.doc_id = pb.doc_id
+        JOIN qsel ON s.doc_id = qsel.doc_id
         GROUP BY s.lang, pb.bucket
         ORDER BY stage, lang, bucket
     """

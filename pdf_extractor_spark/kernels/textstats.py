@@ -186,3 +186,60 @@ def winnow_fingerprint_set(text: str, k: int = 8, window: int = 4) -> tuple[str,
         mins = np.lib.stride_tricks.sliding_window_view(a, window).min(axis=1)
     sel = sorted({int(x) for x in mins})
     return ",".join(map(str, sel)), len(sel)
+
+
+def gopher_doc_stats(text: str) -> tuple[int, float, float, float]:
+    """(n_words, mean_word_len, top_bigram_frac, dup_trigram_frac) of ONE
+    document — the Gopher repetition/quality signals (Rae et al. 2021,
+    §A1.1). Single source of truth shared by the Spark kernel
+    (operators/text_analysis.gopher_quality) and any pure-Python oracle
+    twin that needs Gopher labels, so the two can never drift."""
+    from collections import Counter
+
+    norm = normalize(text)
+    toks = norm.split(" ") if norm else []
+    n = len(toks)
+    nchars = len(norm)
+    mwl = sum(map(len, toks)) / n if n else 0.0
+    if n >= 2 and nchars:
+        bg = Counter(zip(toks, toks[1:]))
+        top = max(c * (len(a) + len(b) + 1) for (a, b), c in bg.items())
+        topbg = min(1.0, top / nchars)
+    else:
+        topbg = 0.0
+    if n >= 3 and nchars:
+        tg = Counter(zip(toks, toks[1:], toks[2:]))
+        dup = sum(
+            c * (len(a) + len(b) + len(g) + 2)
+            for (a, b, g), c in tg.items()
+            if c > 1
+        )
+        duptg = min(1.0, dup / nchars)
+    else:
+        duptg = 0.0
+    return n, mwl, topbg, duptg
+
+
+def gopher_keep(n_words: int, mean_word_len: float, top_bigram_frac: float,
+                dup_trigram_frac: float) -> bool:
+    """The Gopher gate over UNROUNDED stats — the same comparisons the JVM
+    evaluates in gopher_quality's keep column."""
+    return (
+        n_words >= 50
+        and 3.0 <= mean_word_len <= 10.0
+        and top_bigram_frac <= 0.20
+        and dup_trigram_frac <= 0.30
+    )
+
+
+def sigmoid(z: float) -> float:
+    """Numerically-stable logistic σ(z), shared by the distributed quality-
+    classifier trainer's per-doc kernel and its pure-Python twin — the SAME
+    CPython/libm math.exp on both sides, so trained weights replicate
+    bit-exactly."""
+    import math
+
+    if z >= 0:
+        return 1.0 / (1.0 + math.exp(-z))
+    e = math.exp(z)
+    return e / (1.0 + e)

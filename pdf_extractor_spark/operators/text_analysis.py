@@ -371,38 +371,19 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
     JVM-side matches the DuckDB oracle bit-exactly. Scale: narrow per-row
     projection, no shuffle — pipelines over any corpus size.
     """
-    from collections import Counter
-
     import pandas as pd
 
-    from pdf_extractor_spark.kernels.textstats import normalize
+    from pdf_extractor_spark.kernels.textstats import gopher_doc_stats
 
     def kernel(batches):
         for pdf in batches:
             n_words, mwl, topbg, duptg = [], [], [], []
             for text in pdf["text"]:
-                norm = normalize(text)
-                toks = norm.split(" ") if norm else []
-                n = len(toks)
-                nchars = len(norm)
+                n, m, t, d = gopher_doc_stats(text)
                 n_words.append(n)
-                mwl.append(sum(map(len, toks)) / n if n else 0.0)
-                if n >= 2 and nchars:
-                    bg = Counter(zip(toks, toks[1:]))
-                    top = max(c * (len(a) + len(b) + 1) for (a, b), c in bg.items())
-                    topbg.append(min(1.0, top / nchars))
-                else:
-                    topbg.append(0.0)
-                if n >= 3 and nchars:
-                    tg = Counter(zip(toks, toks[1:], toks[2:]))
-                    dup = sum(
-                        c * (len(a) + len(b) + len(g) + 2)
-                        for (a, b, g), c in tg.items()
-                        if c > 1
-                    )
-                    duptg.append(min(1.0, dup / nchars))
-                else:
-                    duptg.append(0.0)
+                mwl.append(m)
+                topbg.append(t)
+                duptg.append(d)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -847,6 +828,28 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     )
 
 
+def _hashed_gram_stream(d: DataFrame, n_buckets: int, *extra: str) -> DataFrame:
+    """(*extra, bucket) rows: one row per word uni+bigram of the normalized
+    text, hashed to md5-hex-mod-n_buckets — the shared hashed-bag-of-ngrams
+    featurizer for DSIR importance weights and the quality classifier (the
+    same portable bucket primitive as stratified_sample)."""
+    toks = F.split(_norm(F.col("text")), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    return d.select(
+        *extra, F.explode(F.concat(toks, bigrams)).alias("gram")
+    ).select(*extra, bucket.alias("bucket"))
+
+
 def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
                  n_buckets: int = 1024, alpha: float = 1.0) -> DataFrame:
     """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
@@ -875,21 +878,7 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
     )
 
     def gram_stream(d: DataFrame, *extra):
-        toks = F.split(_norm(F.col("text")), " ")
-        bigrams = F.when(
-            F.size(toks) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 2),
-                lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-        bucket = F.pmod(
-            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        )
-        return d.select(
-            *extra, F.explode(F.concat(toks, bigrams)).alias("gram")
-        ).select(*extra, bucket.alias("bucket"))
+        return _hashed_gram_stream(d, n_buckets, *extra)
 
     raw_b = gram_stream(docs).groupBy("bucket").agg(F.count("*").alias("r_b"))
     tgt_b = gram_stream(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
@@ -919,6 +908,255 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
     )
 
 
+def _qcls_features(docs: DataFrame, n_buckets: int,
+                   gq: DataFrame) -> DataFrame:
+    """(doc_id, bucket, x) feature rows for the quality classifier:
+    buckets [0, B) are hashed-gram term frequencies (cnt/n — length-
+    invariant vocabulary evidence), buckets B..B+3 are the scaled Gopher
+    structural signals (n_words capped at 200 /200, mean_word_len/10,
+    top_bigram_frac, dup_trigram_frac — without these a tf-only linear
+    model cannot express the length/repetition part of a quality gate),
+    and bucket B+4 is the bias (x = 1). `gq` is a gopher_quality frame
+    (its 6dp-rounded columns ARE the features, keeping the oracle twin's
+    replication surface small)."""
+    counts = (
+        _hashed_gram_stream(docs.select("doc_id", "text"), n_buckets, "doc_id")
+        .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    ndf = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
+    grams = counts.join(ndf, "doc_id").select(
+        "doc_id", "bucket", (F.col("cnt") / F.col("n")).alias("x"))
+    structs = gq.select(
+        "doc_id",
+        F.posexplode(F.array(
+            F.least(F.col("n_words"), F.lit(200)) / F.lit(200.0),
+            F.col("mean_word_len") / F.lit(10.0),
+            F.col("top_bigram_frac"),
+            F.col("dup_trigram_frac"),
+            F.lit(1.0),
+        )),
+    ).select(
+        "doc_id",
+        (F.lit(n_buckets) + F.col("pos")).cast("long").alias("bucket"),
+        F.col("col").alias("x"),
+    )
+    return grams.unionByName(structs)
+
+
+def quality_classifier_train(docs: DataFrame, n_buckets: int = 256,
+                             iters: int = 4, lr: float = 1.0) -> list[float]:
+    """Distributed trainer for a fastText-style linear quality classifier
+    (the CCNet/FineWeb-edu pattern: a cheap linear model over hashed
+    bag-of-ngram + structural features, distilled from a more expensive
+    quality signal — here the Gopher rule gate supplies the labels
+    y ∈ {0,1}). Returns B+5 weights (see _qcls_features).
+
+    Full-batch logistic-regression gradient descent, every step expressed
+    as Spark aggregates: per iteration (1) per-doc logit = Σ_b w_b·x_b via
+    a broadcast join of the (B+5)-row weight table onto the persisted
+    (doc_id, bucket, x) feature table + one decimal-snapped aggregate,
+    (2) per-doc residual σ(logit)−y in an Arrow kernel (plain math.exp so
+    the pure-Python twin is the same libm call), (3) per-bucket gradient =
+    one more decimal-snapped aggregate collapsed to B+5 rows collected
+    driver-side, (4) Adagrad update in plain driver-side float ops
+    (per-bucket adaptive steps condition the mixed tf/structural feature
+    scales — plain GD needs ~4× the iterations, i.e. ~4× the Spark jobs,
+    for the same separation).
+
+    Scale shape: the ONLY corpus-sized state is the feature table (persist
+    it once, reuse across iterations); everything crossing the driver is
+    B+5 doubles per iteration. Shuffles per iter: two aggregates over
+    bucket-collapsed rows. 100 TB-safe by construction.
+
+    Bit-exact replication contract (mirrors kmeans_centroids): every
+    per-row term double-computes as w*x (resp. coeff*x), snaps through
+    CAST(.. AS DECIMAL(30,15)) == Decimal(repr(x)).quantize(1e-15,
+    HALF_UP), sums exactly (order-free), and re-enters float via float().
+    σ runs in CPython math.exp on both sides. Trained weights therefore
+    equal _quality_classifier_twin's bit-for-bit, which is what lets the
+    oracle pin them as SQL literals.
+    """
+    feats = _qcls_labeled_features(docs, n_buckets).persist()
+    w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
+    feats.unpersist()
+    return w
+
+
+def _qcls_labeled_features(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket, x, y): classifier features joined with the Gopher
+    gate labels."""
+    gq = gopher_quality(docs)
+    return _qcls_features(docs, n_buckets, gq).join(
+        gq.select("doc_id", F.col("keep").cast("int").alias("y")), "doc_id")
+
+
+def _qcls_gd_loop(feats: DataFrame, dim: int, iters: int,
+                  lr: float) -> list[float]:
+    """The Adagrad full-batch GD loop over a (persisted) labeled feature
+    table — see quality_classifier_train for the plan + replication
+    contract."""
+    import math
+
+    from pdf_extractor_spark.kernels.textstats import sigmoid
+
+    spark = feats.sparkSession
+    n_docs = feats.select("doc_id").distinct().count()
+    if n_docs == 0:
+        return [0.0] * dim
+
+    def coeff_kern(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = [
+                sigmoid(float(dot)) - int(y)
+                for dot, y in zip(pdf["dot"], pdf["y"])
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "coeff": out})
+
+    w = [0.0] * dim
+    h = [0.0] * dim
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            list(enumerate(w)), "bucket long, w double")
+        term = (F.col("w") * F.col("x")).cast("decimal(30,15)")
+        dots = (
+            feats.join(F.broadcast(wdf), "bucket")
+            .groupBy("doc_id")
+            .agg(F.sum(term).alias("dot"), F.first("y").alias("y"))
+        )
+        coeffs = dots.mapInPandas(coeff_kern, "doc_id long, coeff double")
+        gterm = (F.col("coeff") * F.col("x")).cast("decimal(30,15)")
+        grows = (
+            feats.join(coeffs, "doc_id")
+            .groupBy("bucket").agg(F.sum(gterm).alias("g"))
+            .collect()
+        )
+        gmap = {int(r["bucket"]): float(r["g"]) for r in grows}
+        for b in range(dim):
+            g = gmap.get(b, 0.0) / n_docs
+            h[b] += g * g
+            w[b] -= lr * g / (math.sqrt(h[b]) + 1e-8)
+    return w
+
+
+def quality_classifier(docs: DataFrame, n_buckets: int = 256,
+                       iters: int = 4, lr: float = 1.0) -> DataFrame:
+    """Train the hashed quality classifier AND score the corpus from ONE
+    shared persisted feature table (one gopher pass + one gram pass total):
+    (doc_id, logit, pred). The feature table stays cached for the lifetime
+    of the returned plan — bounded: bucket-collapsed rows, not raw text."""
+    feats = _qcls_labeled_features(docs, n_buckets).persist()
+    w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
+    wdf = docs.sparkSession.createDataFrame(
+        list(enumerate(w)), "bucket long, w double")
+    term = (F.col("w") * F.col("x")).cast("decimal(30,15)")
+    dots = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id").agg(F.sum(term).alias("s"))
+    )
+    logit = (
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        .cast("decimal(18,6)").cast("double")
+    )
+    return docs.select("doc_id").join(dots, "doc_id", "left").select(
+        "doc_id", logit.alias("logit"), (logit > 0).alias("pred"))
+
+
+def quality_classifier_scores(docs: DataFrame, w: list[float],
+                              n_buckets: int = 256) -> DataFrame:
+    """(doc_id, logit, pred): score every document with trained weights —
+    one broadcast join of the (B+5)-row weight table onto the feature rows
+    and one decimal-exact aggregate; logit snaps to decimal(18,6) for
+    cross-engine hash stability, pred = logit > 0 (σ(logit) > 0.5)."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(list(enumerate(w)), "bucket long, w double")
+    feats = _qcls_features(docs, n_buckets, gopher_quality(docs))
+    term = (F.col("w") * F.col("x")).cast("decimal(30,15)")
+    dots = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id").agg(F.sum(term).alias("s"))
+    )
+    logit = (
+        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
+        .cast("decimal(18,6)").cast("double")
+    )
+    return docs.select("doc_id").join(dots, "doc_id", "left").select(
+        "doc_id", logit.alias("logit"), (logit > 0).alias("pred"))
+
+
+def _quality_classifier_twin(doc_rows: list[tuple[int, str | None]],
+                             n_buckets: int = 256, iters: int = 4,
+                             lr: float = 1.0) -> list[float]:
+    """Bit-exact pure-Python twin of quality_classifier_train, used to pin
+    the trained weights into the DuckDB oracle as literals (the
+    kmeans/winnowing twin pattern). Shares gopher_doc_stats/gopher_keep/
+    sigmoid with the Spark kernels; replicates the gram stream (normalize →
+    split(' ') → uni+bigrams → md5-hex mod B), the structural features
+    (over 6dp-half-up-rounded Gopher stats — what gopher_quality emits)
+    and the decimal-snap summation contract documented on the trainer.
+    Docs with null text are skipped — Spark's explode drops them from the
+    feature table."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pdf_extractor_spark.kernels.textstats import (
+        gopher_doc_stats, gopher_keep, normalize, sigmoid,
+    )
+    from pdf_extractor_spark.operators.multimodal import round_half_up
+
+    q15 = Decimal("1e-15")
+
+    def snap(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+
+    dim = n_buckets + 5
+    prepped = []
+    for did, text in doc_rows:
+        if text is None:
+            continue
+        toks = normalize(text).split(" ")
+        grams = list(toks)
+        if len(toks) >= 2:
+            grams += [toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)]
+        cnts: dict[int, int] = {}
+        for g in grams:
+            b = int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+            cnts[b] = cnts.get(b, 0) + 1
+        n = len(grams)
+        feats: dict[int, float] = {b: c / n for b, c in cnts.items()}
+        nw, mwl, topbg, duptg = gopher_doc_stats(text)
+        feats[n_buckets] = min(nw, 200) / 200.0
+        feats[n_buckets + 1] = round_half_up(mwl, 6) / 10.0
+        feats[n_buckets + 2] = round_half_up(topbg, 6)
+        feats[n_buckets + 3] = round_half_up(duptg, 6)
+        feats[n_buckets + 4] = 1.0
+        y = 1 if gopher_keep(nw, mwl, topbg, duptg) else 0
+        prepped.append((feats, y))
+
+    import math
+
+    n_docs = len(prepped)
+    if n_docs == 0:
+        return [0.0] * dim
+    w = [0.0] * dim
+    h = [0.0] * dim
+    for _ in range(iters):
+        gsum: dict[int, Decimal] = {}
+        for feats, y in prepped:
+            dot = Decimal(0)
+            for b, x in feats.items():
+                dot += snap(w[b] * x)
+            coeff = sigmoid(float(dot)) - y
+            for b, x in feats.items():
+                gsum[b] = gsum.get(b, Decimal(0)) + snap(coeff * x)
+        for b in range(dim):
+            g = float(gsum.get(b, Decimal(0))) / n_docs
+            h[b] += g * g
+            w[b] -= lr * g / (math.sqrt(h[b]) + 1e-8)
+    return w
+
+
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     """End-to-end training-data mixture prep, composing this engine's
     hygiene operators in one lazy plan, reported in two stages:
@@ -929,9 +1167,13 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     additionally keeping only documents with positive DSIR log importance
     ratio against the en target (the deterministic selection variant of
     Xie et al. 2023's Gumbel resampling), showing how importance selection
-    shifts the mixture. Catalyst pipelines the narrow stages; the shuffles
-    are the LM/DSIR count aggregates + gram joins (broadcast-scale stats)
-    and the final rollups."""
+    shifts the mixture. `qcls_selected` — the same rollup after keeping
+    only documents the distributed-trained hashed logistic quality
+    classifier scores positive (the CCNet/FineWeb pattern of a cheap
+    linear model distilled from an expensive quality signal). Catalyst
+    pipelines the narrow stages; the shuffles are the LM/DSIR/classifier
+    count aggregates + gram joins (broadcast-scale stats) and the final
+    rollups."""
     gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
     ppl = lm_perplexity_buckets(docs).select("doc_id", "bucket")
@@ -948,8 +1190,10 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
         )
 
     selected = dsir_weights(docs).where(F.col("dsir_weight") > 0).select("doc_id")
+    qcsel = quality_classifier(docs).where(F.col("pred")).select("doc_id")
     return (
         rollup(kept, "ccnet_mix")
         .unionByName(rollup(kept.join(selected, "doc_id"), "dsir_selected"))
+        .unionByName(rollup(kept.join(qcsel, "doc_id"), "qcls_selected"))
         .orderBy("stage", "lang", "bucket")
     )

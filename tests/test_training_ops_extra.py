@@ -249,14 +249,14 @@ def test_training_mix_pipeline_consistency(spark, docs):
     got: dict[str, list] = {}
     for r in rows:
         assert r["bucket"] in {"head", "middle", "tail"}
-        assert r["stage"] in {"ccnet_mix", "dsir_selected"}
+        assert r["stage"] in {"ccnet_mix", "dsir_selected", "qcls_selected"}
         if r["stage"] == "ccnet_mix":
             got.setdefault(r["lang"], []).append(r)
-    # the DSIR-selected stage is a subset of the ccnet mixture, cell by cell
+    # every selection stage is a subset of the ccnet mixture, cell by cell
     base = {(r["lang"], r["bucket"]): r["survivors"] for r in rows
             if r["stage"] == "ccnet_mix"}
     for r in rows:
-        if r["stage"] == "dsir_selected":
+        if r["stage"] in ("dsir_selected", "qcls_selected"):
             assert r["survivors"] <= base[(r["lang"], r["bucket"])]
     gate = {r["doc_id"]: r["n_words"] for r in
             text_analysis.gopher_quality(docs).where("keep").collect()}
@@ -326,3 +326,43 @@ def test_lm_perplexity_self_trained_repetition_scores_lower(spark):
     out = {r["doc_id"]: r["ppl"]
            for r in text_analysis.lm_perplexity_buckets(docs).collect()}
     assert out[1] < out[3] < out[2]
+
+
+def test_quality_classifier_twin_parity_and_separation(spark):
+    """The distributed Adagrad trainer must equal the pure-Python twin
+    BIT-FOR-BIT (that identity is what licenses pinning trained weights as
+    oracle literals), and the trained model must actually separate: on a
+    corpus with clearly-good and clearly-bad documents it predicts both
+    classes and agrees with the Gopher gate on the unambiguous ones."""
+    good = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while children play games outside under bright summer "
+            "skies and old friends share long stories about distant towns "
+            "gardens markets ships forests mountains rivers valleys roads "
+            "bridges houses schools libraries museums theaters stations ")
+    rows = []
+    for i in range(12):
+        rows.append((i, f"{good} extra words number {i} close the text"))
+    for i in range(12, 24):
+        rows.append((i, f"spam spam spam buy now {i} " * 3))  # short+repetitive
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    w = text_analysis.quality_classifier_train(docs, n_buckets=64)
+    wt = text_analysis._quality_classifier_twin(
+        [(i, t) for i, t in rows], n_buckets=64)
+    assert w == wt  # exact float equality, element-wise
+    preds = {r["doc_id"]: r["pred"] for r in
+             text_analysis.quality_classifier_scores(
+                 docs, w, n_buckets=64).collect()}
+    n_pos = sum(1 for i in range(12) if preds[i])
+    n_neg = sum(1 for i in range(12, 24) if not preds[i])
+    assert n_pos >= 10 and n_neg >= 10
+
+
+def test_quality_classifier_shared_feats_path_matches_two_pass(spark, docs):
+    """quality_classifier (train+score over one persisted feature table)
+    must equal the two-pass train-then-score composition exactly."""
+    one = {(r["doc_id"], r["logit"], r["pred"])
+           for r in text_analysis.quality_classifier(docs).collect()}
+    w = text_analysis.quality_classifier_train(docs)
+    two = {(r["doc_id"], r["logit"], r["pred"])
+           for r in text_analysis.quality_classifier_scores(docs, w).collect()}
+    assert one == two
