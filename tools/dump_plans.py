@@ -55,8 +55,12 @@ PICKS = {
         "Banded arm: one Arrow sign-sketch pass → ONE exchange into the "
         "(band, band_sig) groupBy → in-bucket pair explode → two narrow "
         "joins fetch vectors → exact JVM-fold cosine on candidates only. "
-        "No O(n²) stage anywhere (the blocked all-pairs matmul is now "
-        "test-only ground truth)."
+        "SemDeDup arm: k-means centroids (k scales with corpus size) "
+        "broadcast into one Arrow assignment pass → ONE exchange on cell "
+        "(each vector ships once — no pair-join) → per-cell BLAS gram "
+        "matrix emits only threshold survivors; per-cell work bounded by "
+        "cell_target. No O(n²) stage anywhere (the blocked all-pairs "
+        "matmul is now test-only ground truth)."
     ),
     "q33_asof_order_events": (
         "Tagged union → single exchange on user_id → window carry-forward; linear "
@@ -88,7 +92,13 @@ PICKS = {
         "in production — the LM corpus is curated and small); per-doc "
         "log-prob sums are exact decimals (order-independent), tercile "
         "assignment is a per-language ntile window. Gopher gate and "
-        "stratified sample stay narrow; one final (lang, bucket) rollup."
+        "stratified sample stay narrow; one final (lang, bucket) rollup. "
+        "DSIR branch: both bucket distributions collapse to 1024 rows and "
+        "broadcast back onto the gram stream. Classifier branch: the only "
+        "corpus-sized state is the persisted (doc_id, bucket, x) feature "
+        "table; each Adagrad iteration is a broadcast join of the 261-row "
+        "weight table + two decimal aggregates, and only 261 doubles cross "
+        "the driver per iteration."
     ),
 }
 
