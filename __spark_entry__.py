@@ -657,8 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents"), k=3,
         tf_store=_shingle_store_path(d).replace("q18_shingles", "q52_tf"))
     q["q53_source_rollup"] = q_source_rollup
-    q["q54_corpus_top_ngrams"] = lambda s, d: text_analysis.corpus_top_ngrams(
-        _t(s, d, "documents"), n=3, k=20)
+    q["q54_corpus_top_ngrams"] = q_corpus_vocab
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
         _t(s, d, "documents"))
 
@@ -957,6 +956,37 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("ivf_trained"))
     return brute.unionByName(ivf).unionByName(trained).orderBy(
         "method", "query_id", "rank")
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary suite, method-tagged: top-20 trigram counts (old
+    q54) ∪ the distributed-learned BPE merge table (Sennrich et al. 2016 —
+    greedy max-pair steps as Spark aggregates over the vocab table) ∪ the
+    top-20 subword tokens after applying those merges corpus-wide. The BPE
+    arms are integer/string-exact, so the oracle pins the pure-Python
+    twin's tables as VALUES literals (the kmeans/winnowing twin pattern)."""
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    rank_w = Window.orderBy(F.col("cnt").desc(), F.col("gram"))
+    tri = (
+        text_analysis.corpus_top_ngrams(docs)
+        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("method", F.lit("trigram_topk"))
+    )
+    learned = text_analysis.bpe_learn_merges(docs)
+    mdf = spark.createDataFrame(
+        [(a + "+" + b, int(c), int(r)) for r, a, b, c in learned],
+        "gram string, cnt long, rank int",
+    ).withColumn("method", F.lit("bpe_merge"))
+    toks = (
+        text_analysis.bpe_token_counts(
+            docs, [(a, b) for _, a, b, _ in learned])
+        .withColumnRenamed("token", "gram")
+        .withColumn("rank", F.row_number().over(rank_w))
+        .withColumn("method", F.lit("bpe_token_topk"))
+    )
+    return tri.unionByName(mdf).unionByName(toks).orderBy("method", "rank")
 
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1959,14 +1989,51 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN od ON od.src = base.source
         ORDER BY source
     """
-    o["q54_corpus_top_ngrams"] = f"""
-        WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
-        g AS (SELECT unnest([array_to_string(toks[i:i+2], ' ')
-                             for i in range(1, len(toks) - 1)]) AS gram
-              FROM t)
-        SELECT gram, count(*) AS cnt FROM g WHERE gram <> ''
-        GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
-    """
+    # q54's BPE arms: greedy merge learning is iterative (not SQL-
+    # expressible) but EXACT integer/string work — the pure-Python twin
+    # (text_analysis._bpe_twin, sharing bpe_apply_merges/normalize with the
+    # Spark kernels) relearns the merge table and the segmented token
+    # counts from the sf0.01 parquet and pins both as VALUES literals.
+    # Same sf0.01 contract and rows-only fallback discipline as q22/q27.
+    try:
+        import os
+
+        import pyarrow.parquet as _pq
+
+        def _esc(s: str) -> str:
+            return s.replace("'", "''")
+
+        _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _dt = _pq.read_table(f"{_sfd}/documents.parquet", columns=["text"])
+        _learned, _toptok = text_analysis._bpe_twin(_dt["text"].to_pylist())
+        _merge_rows = ", ".join(
+            f"('{_esc(a)}+{_esc(b)}', {c}, {r})" for r, a, b, c in _learned)
+        _tok_rows = ", ".join(
+            f"('{_esc(t)}', {c}, {r})" for t, c, r in _toptok)
+        o["q54_corpus_top_ngrams"] = f"""
+            WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+            g AS (SELECT unnest([array_to_string(toks[i:i+2], ' ')
+                                 for i in range(1, len(toks) - 1)]) AS gram
+                  FROM t),
+            tri AS (SELECT gram, cnt,
+                           row_number() OVER (ORDER BY cnt DESC, gram) AS rank
+                    FROM (SELECT gram, count(*) AS cnt FROM g WHERE gram <> ''
+                          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20))
+            SELECT gram, cnt, rank::INT AS rank, 'trigram_topk' AS method
+            FROM tri
+            UNION ALL
+            SELECT gram, cnt::BIGINT, rank::INT, 'bpe_merge'
+            FROM (VALUES {_merge_rows}) m(gram, cnt, rank)
+            UNION ALL
+            SELECT gram, cnt::BIGINT, rank::INT, 'bpe_token_topk'
+            FROM (VALUES {_tok_rows}) tk(gram, cnt, rank)
+            ORDER BY method, rank
+        """
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: literal-oracle build skipped: {_exc!r}",
+              file=_sys.stderr)
     o["q55_decontaminate"] = f"""
         WITH sh AS (SELECT doc_id,
                            CASE WHEN len(toks) < 8

@@ -188,6 +188,36 @@ def winnow_fingerprint_set(text: str, k: int = 8, window: int = 4) -> tuple[str,
     return ",".join(map(str, sel)), len(sel)
 
 
+def bpe_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Segment ONE word into subword symbols by applying learned BPE merges
+    in rank order (Sennrich et al. 2016 'Neural Machine Translation of Rare
+    Words with Subword Units', Algorithm 1's apply step): start from the
+    character sequence plus an end-of-word marker, and for each merge
+    (a, b) collapse every adjacent (a, b) occurrence left-to-right into
+    the single symbol a+b.
+
+    Single source of truth shared by the Spark pair-count/segmentation
+    kernels (operators/text_analysis.bpe_learn_merges / bpe_token_counts)
+    and the pure-Python oracle twin — exact string/integer work, no
+    floats, so the two can never drift."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        if len(syms) < 2:
+            break
+        out = []
+        i = 0
+        n = len(syms)
+        while i < n:
+            if i < n - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
 def gopher_doc_stats(text: str) -> tuple[int, float, float, float]:
     """(n_words, mean_word_len, top_bigram_frac, dup_trigram_frac) of ONE
     document — the Gopher repetition/quality signals (Rae et al. 2021,

@@ -579,6 +579,150 @@ def corpus_top_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
     )
 
 
+def _word_freq_table(docs: DataFrame) -> DataFrame:
+    """(word, freq) over normalized whitespace tokens — the vocabulary-
+    sized table BPE learning iterates over (corpus-sized text collapses to
+    vocab-sized rows in ONE aggregate; every later pass is over the vocab,
+    the standard trick that makes iterative BPE viable at corpus scale)."""
+    return (
+        docs.select(F.explode(F.split(_norm(F.col("text")), " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("freq"))
+    )
+
+
+def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
+                     min_count: int = 2) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE merge learning (Sennrich et al. 2016): greedily
+    learn `n_merges` subword merges from the corpus, each step picking the
+    most frequent adjacent symbol pair (weighted by word frequency;
+    deterministic tie-break count DESC, then pair ASC). Returns
+    [(rank, left, right, weighted_count), ...].
+
+    Plan per step: the persisted (word, freq) vocabulary table → one Arrow
+    kernel re-segmenting each word under the merges learned so far (shared
+    bpe_apply_merges — also the twin's function) and emitting adjacent
+    pairs → one count aggregate → TakeOrdered(1) to the driver. Driver
+    state is just the merge list (like k-means centroids / classifier
+    weights). All arithmetic is integer and all ordering is code-point
+    (== UTF-8 binary) — exactly replicable by the pure-Python twin with no
+    decimal contract needed.
+
+    At 100 TB: the word-freq aggregate is the only corpus-sized pass;
+    each of the n_merges steps touches only the vocabulary table.
+    Production BPE caps the vocab (top-N words) — same plan, one extra
+    TakeOrdered."""
+    from pdf_extractor_spark.kernels.textstats import bpe_apply_merges
+
+    words = _word_freq_table(docs).persist()
+    merges: list[tuple[str, str]] = []
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        frozen = tuple(merges)
+
+        def kern(batches, _m=frozen):
+            import pandas as pd
+
+            mlist = list(_m)
+            for pdf in batches:
+                a_l, b_l, f_l = [], [], []
+                for w, f in zip(pdf["word"], pdf["freq"]):
+                    syms = bpe_apply_merges(w, mlist)
+                    for i in range(len(syms) - 1):
+                        a_l.append(syms[i])
+                        b_l.append(syms[i + 1])
+                        f_l.append(f)
+                yield pd.DataFrame({"a": a_l, "b": b_l, "freq": f_l})
+
+        top = (
+            words.mapInPandas(kern, "a string, b string, freq long")
+            .groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "a", "b")
+            .limit(1).collect()
+        )
+        if not top or int(top[0]["cnt"]) < min_count:
+            break
+        r = top[0]
+        merges.append((r["a"], r["b"]))
+        learned.append((step + 1, r["a"], r["b"], int(r["cnt"])))
+    words.unpersist()
+    return learned
+
+
+def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                     k: int = 20) -> DataFrame:
+    """(token, cnt): corpus subword-token counts under learned BPE merges,
+    top-k (count DESC, token ASC) — the distributed APPLICATION pass of the
+    learned vocabulary (what a tokenization job runs over the full corpus).
+    One Arrow segmentation kernel over the vocab table, one aggregate,
+    TakeOrdered top-k."""
+    from pdf_extractor_spark.kernels.textstats import bpe_apply_merges
+
+    frozen = tuple(merges)
+
+    def kern(batches, _m=frozen):
+        import pandas as pd
+
+        mlist = list(_m)
+        for pdf in batches:
+            t_l, f_l = [], []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                for s in bpe_apply_merges(w, mlist):
+                    t_l.append(s)
+                    f_l.append(f)
+            yield pd.DataFrame({"token": t_l, "freq": f_l})
+
+    return (
+        _word_freq_table(docs)
+        .mapInPandas(kern, "token string, freq long")
+        .groupBy("token").agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(k)
+    )
+
+
+def _bpe_twin(texts: list[str | None], n_merges: int = 8,
+              min_count: int = 2, k: int = 20):
+    """Pure-Python twin of bpe_learn_merges + bpe_token_counts (exact
+    integer/string work; shares bpe_apply_merges and normalize with the
+    Spark kernels). Returns (learned, top_tokens) where learned =
+    [(rank, a, b, cnt)] and top_tokens = [(token, cnt, rank)]."""
+    from collections import Counter
+
+    from pdf_extractor_spark.kernels.textstats import (
+        bpe_apply_merges, normalize,
+    )
+
+    wf: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in normalize(t).split(" "):
+            if w:
+                wf[w] += 1
+    merges: list[tuple[str, str]] = []
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            syms = bpe_apply_merges(w, merges)
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        learned.append((step + 1, a, b, cnt))
+    tc: Counter = Counter()
+    for w, f in wf.items():
+        for s in bpe_apply_merges(w, merges):
+            tc[s] += f
+    top = sorted(tc.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return learned, [(t, c, i + 1) for i, (t, c) in enumerate(top)]
+
+
 def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,
                       default_rate: int = 50) -> DataFrame:
     """Deterministic per-stratum downsampling (the data-mixture step of a

@@ -194,7 +194,11 @@ def test_pdf_build_extract_roundtrip_fuzz(pages):
     got = dict(res["pages"])
     assert sorted(got) == list(range(1, len(pages) + 1))
     for pno, runs in enumerate(pages, start=1):
-        text = got[pno]
+        # collapse whitespace on BOTH sides: the kernel preserves in-run
+        # whitespace verbatim (reference parity), so a run '0  0' surfaces
+        # with its double space — the containment check must not normalize
+        # only one side (hypothesis-found asymmetry)
+        text = " ".join(got[pno].split())
         for _x, _y, run in runs:
             norm = " ".join(run.split())
             if norm:

@@ -366,3 +366,34 @@ def test_quality_classifier_shared_feats_path_matches_two_pass(spark, docs):
     two = {(r["doc_id"], r["logit"], r["pred"])
            for r in text_analysis.quality_classifier_scores(docs, w).collect()}
     assert one == two
+
+
+def test_bpe_learn_merges_matches_twin_and_handcheck(spark):
+    """The distributed greedy BPE learner must equal the pure-Python twin
+    exactly (integer/string work — no tolerance), and on a corpus with an
+    engineered dominant pair the first merge must be that pair."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab cdcd"), (2, "abab dddd abab"), (3, "abab cdcd xyz")],
+        "doc_id long, text string",
+    )
+    learned = text_analysis.bpe_learn_merges(docs, n_merges=4)
+    texts = [r["text"] for r in docs.collect()]
+    twin_learned, twin_top = text_analysis._bpe_twin(texts, n_merges=4)
+    assert learned == twin_learned
+    # 'abab' appears 5 times -> pair (a,b) count 10 dominates everything
+    assert learned[0][1:3] == ("a", "b")
+    # token counts under the learned merges must also match the twin
+    rows = text_analysis.bpe_token_counts(
+        docs, [(a, b) for _, a, b, _ in learned], k=10).collect()
+    got = [(r["token"], r["cnt"]) for r in rows]
+    assert got == [(t, c) for t, c, _ in twin_top[:10]]
+
+
+def test_bpe_apply_merges_is_left_to_right_greedy():
+    from pdf_extractor_spark.kernels.textstats import bpe_apply_merges
+
+    # overlapping occurrences collapse left-to-right: 'aaa' + (a,a) -> aa, a
+    assert bpe_apply_merges("aaa", [("a", "a")]) == ["aa", "a", "</w>"]
+    # merges apply in rank order, later merges see earlier output
+    assert bpe_apply_merges("abc", [("a", "b"), ("ab", "c")]) == ["abc", "</w>"]
+    assert bpe_apply_merges("", []) == ["</w>"]
