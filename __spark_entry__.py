@@ -944,8 +944,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN suite: brute-force exact (old q22) ∪ seed-centroid IVF (old q23)
-    ∪ k-means-trained IVF (old q43), method-tagged — all three oracle-gated
-    (the approximate variants via literal geometry)."""
+    ∪ k-means-trained IVF (old q43) ∪ the corpus-wide LSH-bucketed kNN
+    graph (every vector's top-3 in-bucket neighbors — the neighbor
+    structure graph dedup/clustering consumes), method-tagged — all four
+    oracle-gated (the approximate variants via literal geometry)."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     brute = similarity.brute_force_topk(embs, qids, k=5).withColumn(
@@ -954,8 +956,12 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("ivf_seed"))
     trained = similarity.ivf_topk_trained(embs, qids, k=5, train_iters=2).withColumn(
         "method", F.lit("ivf_trained"))
-    return brute.unionByName(ivf).unionByName(trained).orderBy(
-        "method", "query_id", "rank")
+    knn = similarity.knn_graph_lsh(embs, k=3, dim=64).withColumn(
+        "method", F.lit("knn_graph"))
+    return (
+        brute.unionByName(ivf).unionByName(trained).unionByName(knn)
+        .orderBy("method", "query_id", "rank")
+    )
 
 
 def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1060,6 +1066,36 @@ def _lsh_pairs_sql(threshold: float = 0.35, n_planes: int = 8, seed: int = 7,
         FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
         WHERE round(list_cosine_similarity(l.v, r.v), 6) >= {threshold}
         ORDER BY a, b
+    """
+
+
+def _knn_graph_sql(k: int = 3, n_planes: int = 4, seed: int = 7,
+                   dim: int = 64) -> str:
+    """Exact SQL twin of similarity.knn_graph_lsh: same md5 plane literals
+    as the LSH pair oracle, directed same-bucket candidates, per-query
+    row_number top-k (cos DESC, neighbor_id ASC — the kernel's stable
+    argsort tie-break)."""
+    planes = ", ".join(
+        "[" + ",".join(repr(_md5_component(f"{seed}:{i}:{d}")) for d in range(dim)) + "]"
+        for i in range(n_planes)
+    )
+    bucket = " + ".join(
+        f"CASE WHEN list_inner_product(v, planes[{i + 1}]) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(n_planes)
+    )
+    return f"""
+        WITH p AS (SELECT [{planes}] AS planes),
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        b AS (SELECT vec_id, v, {bucket} AS bucket FROM e, p),
+        s AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
+                     round(list_cosine_similarity(l.v, r.v), 6) AS cos
+              FROM b l JOIN b r
+                ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM s)
+        WHERE rank <= {k}
     """
 
 
@@ -1447,7 +1483,8 @@ def oracle_sql() -> dict[str, str]:
         o["q22_ann_topk"] = f"""
             WITH brute AS ({_brute_sql}),
             ivf_seed AS ({_seed_sql}),
-            ivf_trained AS ({_trained_sql})
+            ivf_trained AS ({_trained_sql}),
+            knn AS ({_knn_graph_sql()})
             SELECT query_id, neighbor_id, cos, rank, 'brute' AS method FROM brute
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'ivf_seed' AS method
@@ -1455,6 +1492,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'ivf_trained' AS method
             FROM ivf_trained
+            UNION ALL
+            SELECT query_id, neighbor_id, cos, rank, 'knn_graph' AS method
+            FROM knn
             ORDER BY method, query_id, rank
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

@@ -123,6 +123,75 @@ def lsh_neardup_pairs(embs: DataFrame, threshold: float = 0.9, n_planes: int = 8
     )
 
 
+def knn_graph_lsh(embs: DataFrame, k: int = 3, n_planes: int = 4,
+                  seed: int = 7, dim: int | None = None) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank): approximate k-nearest-neighbor
+    GRAPH over the whole corpus — the neighbor structure graph-based
+    dedup/clustering pipelines consume (SemDeDup neighbor pruning, kNN
+    connected components, HNSW bootstrap). Candidates are same-hyperplane-
+    bucket vectors (sign sketch, deterministic md5 planes); within each
+    bucket ONE BLAS gram matrix scores all directed pairs and emits each
+    vector's top-k by exact cosine (rounded 6dp; ties break on
+    neighbor_id) — recall is bucket-scoped by construction, the same
+    approximation contract as the LSH pair path.
+
+    Plan at 100 TB: one narrow Arrow sketch pass, ONE shuffle on bucket
+    (each vector ships once), per-bucket gram + per-row top-k inside the
+    kernel (no window shuffle at all); 2^n_planes tunes bucket size. The
+    md5 plane geometry is engine-portable, so the oracle recomputes the
+    whole graph in SQL from plane literals."""
+    import numpy as np
+    import pandas as pd
+
+    from pdf_extractor_spark.operators.dedup import _round6_np
+
+    row = embs.select(F.size("embedding")).first()
+    d = dim if dim is not None else (row[0] if row is not None else 64)
+    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=d)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "neighbor_id": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64"),
+                                 "rank": pd.Series(dtype="int32")})
+        order = np.argsort(ids)
+        ids = ids[order]
+        M = np.stack(pdf["v"].to_numpy()[order])
+        Mn = np.linalg.norm(M, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (M @ M.T) / np.outer(Mn, Mn)
+        sims = _round6_np(sims)
+        np.fill_diagonal(sims, -np.inf)
+        sims = np.where(np.isfinite(sims), sims, -np.inf)
+        q_l, n_l, c_l, r_l = [], [], [], []
+        kk = min(k, n - 1)
+        for i in range(n):
+            # top-k by (cos DESC, neighbor_id ASC): ids are sorted, and
+            # np.argsort is stable, so sorting -cos keeps id order on ties
+            top = np.argsort(-sims[i], kind="stable")[:kk]
+            for r, j in enumerate(top, start=1):
+                if sims[i, j] == -np.inf:
+                    break
+                q_l.append(ids[i])
+                n_l.append(ids[j])
+                c_l.append(sims[i, j])
+                r_l.append(r)
+        return pd.DataFrame({"query_id": np.array(q_l, dtype="int64"),
+                             "neighbor_id": np.array(n_l, dtype="int64"),
+                             "cos": np.array(c_l, dtype="float64"),
+                             "rank": np.array(r_l, dtype="int32")})
+
+    return (
+        b.groupBy("bucket")
+        .applyInPandas(kern,
+                       "query_id long, neighbor_id long, cos double, rank int")
+        .orderBy("query_id", "rank")
+    )
+
+
 def semdedup_pairs(embs: DataFrame, k: int | None = None, iters: int = 2,
                    seed: int = 3, threshold: float = 0.95,
                    cell_target: int = 75) -> DataFrame:

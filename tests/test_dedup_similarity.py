@@ -168,6 +168,47 @@ def test_lsh_cosine_pairs_subset_of_exact(spark, embs):
     assert lsh.issubset(exact)
 
 
+def test_knn_graph_lsh_matches_bucket_scoped_exact(spark):
+    """The LSH kNN graph must equal a numpy reference that computes exact
+    per-bucket top-k with the same plane geometry and tie-break — catching
+    rank ordering, directedness, and small-bucket edge cases."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.similarity import _md5_unit
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(50, 8)).astype("float64")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(50)]
+    embs = spark.createDataFrame(rows, EMB_DDL)
+    k, n_planes, seed, dim = 3, 2, 7, 8
+    got = [(r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+           for r in similarity.knn_graph_lsh(
+               embs, k=k, n_planes=n_planes, seed=seed).collect()]
+
+    H = np.array([[_md5_unit(f"{seed}:{i}:{d}") for d in range(dim)]
+                  for i in range(n_planes)])
+    bits = (base @ H.T) > 0
+    buckets = bits @ (1 << np.arange(n_planes))
+    expected = []
+    for i in range(50):
+        cands = [j for j in range(50) if j != i and buckets[j] == buckets[i]]
+        norms = np.linalg.norm(base, axis=1)
+        cos = {
+            j: float(np.floor(abs(c) * 1e6 + 0.5) / 1e6 * np.sign(c))
+            for j in cands
+            for c in [base[i] @ base[j] / (norms[i] * norms[j])]
+        }
+        top = sorted(cands, key=lambda j: (-cos[j], j))[:k]
+        expected += [(i, j, cos[j], r) for r, j in enumerate(top, start=1)]
+    # graph structure (edges + ranks) must match exactly; cos may differ by
+    # 1 ulp at the 6dp rounding boundary (BLAS gram vs per-pair dot)
+    assert sorted((q, n, r) for q, n, _, r in got) == \
+        sorted((q, n, r) for q, n, _, r in expected)
+    exp_cos = {(q, n): c for q, n, c, _ in expected}
+    for q, n, c, _ in got:
+        assert abs(c - exp_cos[(q, n)]) <= 1.01e-6
+
+
 def test_semdedup_pairs_recovers_near_identical_dups(spark):
     """SemDeDup's cluster-scoped search must (a) find every injected
     near-identical pair — a 0.999-cosine copy cannot land in a different

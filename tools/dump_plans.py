@@ -36,10 +36,12 @@ PICKS = {
         "composition measured 2.3× slower)."
     ),
     "q22_ann_topk": (
-        "Three ANN variants share one embeddings scan pattern: assignment is "
+        "Four ANN variants share one embeddings scan pattern: assignment is "
         "one n×k BLAS matmul per Arrow batch, probe cells broadcast (query "
         "set is tiny by contract), exact re-rank only within probed cells. "
-        "Union is a barrier-free unionByName of three independent subplans."
+        "The kNN-graph arm is one sketch pass → ONE shuffle on bucket → "
+        "per-bucket BLAS gram + in-kernel top-k (no window shuffle). "
+        "Union is a barrier-free unionByName of independent subplans."
     ),
     "q52_tfidf_topk": (
         "Tokenize+tf once (persisted — without it Catalyst re-explodes the "
