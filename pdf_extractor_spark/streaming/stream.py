@@ -132,6 +132,41 @@ def enriched_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+PAGES_DDL = "url string, warc_ts timestamp, html binary"
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str,
+                      max_files_per_trigger: int = 1) -> DataFrame:
+    """File-source stream of Common-Crawl-style pages (the input_hint
+    schema) — the streaming ingest shape of a crawler that lands parquet
+    segments continuously."""
+    return (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+
+def extract_pages_stream(pages: DataFrame,
+                         size_cap_bytes: int = 20 * 1024 * 1024) -> DataFrame:
+    """Streaming variant of the flagship extraction pass: the SAME Arrow
+    kernel batch function as batch run_extract (no second code path — the
+    kernels never know whether the DataFrame is streaming), applied per
+    micro-batch. The batch path's salted repartition is intentionally
+    absent: in a stream, micro-batch sizing (maxFilesPerTrigger /
+    maxBytesPerTrigger) bounds per-trigger work, and a per-batch shuffle
+    would only add latency. Stateless — no watermark needed; append mode."""
+    from pdf_extractor_spark.operators.extract import (
+        EXTRACTED_SCHEMA, _extract_arrow_batches,
+    )
+
+    src = pages.select("url", "warc_ts", "html").where(
+        F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
+    )
+    src = src.withColumn("partition_id", F.spark_partition_id())
+    return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes",
                           watermark: str = "1 day") -> DataFrame:
     """Native session windows (Spark's session_window): per-user sessions

@@ -310,3 +310,40 @@ def test_tf_table_reuse_matches_persist_path(spark, tmp_path):
     again = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"])
              for r in tfidf_topk(docs, k=2, tf_store=store).collect()}
     assert base == stored == again
+
+
+def test_extract_pages_stream_equals_batch(spark, tmp_path):
+    """The flagship extraction kernel must compose with Structured
+    Streaming unchanged: readStream over landed page segments →
+    extract_pages_stream (same Arrow batch function as run_extract) must
+    produce exactly the batch path's rows — byte-identical text, spans,
+    meta — across multiple micro-batches (maxFilesPerTrigger=1 over
+    several files exercises the per-trigger path)."""
+    from pdf_extractor_spark.operators.extract import run_extract
+    from pdf_extractor_spark.session import pages_df
+    from pdf_extractor_spark.streaming.stream import (
+        extract_pages_stream, read_pages_stream, run_stream_to_memory,
+    )
+
+    pages = pages_df(spark, 60, 42).select("url", "warc_ts", "html")
+    pdir = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(pdir)
+
+    stream = extract_pages_stream(read_pages_stream(spark, pdir))
+    got = run_stream_to_memory(
+        spark, stream, "extract_pages_test", output_mode="append")
+    batch = run_extract(spark.read.parquet(pdir), num_partitions=4, salt=3)
+
+    # partition_id depends on the physical layout and elapsed_us is a
+    # wall-clock cost metric — everything else must be byte-identical
+    cols = [c for c in batch.columns if c not in ("partition_id", "elapsed_us")]
+
+    def canon(df):
+        return sorted(
+            tuple(str(r[c]) for c in cols)
+            for r in df.select(*cols).collect()
+        )
+
+    g, b = canon(got), canon(batch)
+    assert len(g) == len(b) > 0
+    assert g == b
