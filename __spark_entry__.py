@@ -980,18 +980,24 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .withColumn("method", F.lit("trigram_topk"))
     )
-    learned = text_analysis.bpe_learn_merges(docs)
+    # one persisted word-freq table feeds training AND segmentation; the
+    # tiny top-k is checkpointed eagerly so the cache is released here
+    # rather than leaking until the query's final action
+    words = text_analysis._word_freq_table(docs).persist()
+    learned = text_analysis.bpe_learn_merges(docs, words=words)
     mdf = spark.createDataFrame(
         [(a + "+" + b, int(c), int(r)) for r, a, b, c in learned],
         "gram string, cnt long, rank int",
     ).withColumn("method", F.lit("bpe_merge"))
     toks = (
         text_analysis.bpe_token_counts(
-            docs, [(a, b) for _, a, b, _ in learned])
+            docs, [(a, b) for _, a, b, _ in learned], words=words)
+        .localCheckpoint()
         .withColumnRenamed("token", "gram")
         .withColumn("rank", F.row_number().over(rank_w))
         .withColumn("method", F.lit("bpe_token_topk"))
     )
+    words.unpersist()
     return tri.unionByName(mdf).unionByName(toks).orderBy("method", "rank")
 
 
@@ -1088,7 +1094,7 @@ def _knn_graph_sql(k: int = 3, n_planes: int = 4, seed: int = 7,
         e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         b AS (SELECT vec_id, v, {bucket} AS bucket FROM e, p),
         s AS (SELECT l.vec_id AS query_id, r.vec_id AS neighbor_id,
-                     round(list_cosine_similarity(l.v, r.v), 6) AS cos
+                     round(list_cosine_similarity(l.v, r.v), 6) + 0.0 AS cos
               FROM b l JOIN b r
                 ON l.bucket = r.bucket AND l.vec_id <> r.vec_id)
         SELECT query_id, neighbor_id, cos, rank FROM (
@@ -2046,6 +2052,9 @@ def oracle_sql() -> dict[str, str]:
         _sfd = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
         _dt = _pq.read_table(f"{_sfd}/documents.parquet", columns=["text"])
         _learned, _toptok = text_analysis._bpe_twin(_dt["text"].to_pylist())
+        if not _learned or not _toptok:
+            # empty VALUES would be malformed SQL — fall back to rows-only
+            raise ValueError("BPE twin learned no merges on this corpus")
         _merge_rows = ", ".join(
             f"('{_esc(a)}+{_esc(b)}', {c}, {r})" for r, a, b, c in _learned)
         _tok_rows = ", ".join(

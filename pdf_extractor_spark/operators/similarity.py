@@ -105,9 +105,10 @@ def lsh_neardup_pairs(embs: DataFrame, threshold: float = 0.9, n_planes: int = 8
     self-join, exact Arrow-kernel cosine verify. Bucket count 2^n_planes
     tunes the candidate-set size / recall trade-off.
     """
-    row = embs.select(F.size("embedding")).first()
-    d = dim if dim is not None else (row[0] if row is not None else 64)
-    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=d)
+    if dim is None:
+        row = embs.select(F.size("embedding")).first()
+        dim = row[0] if row is not None else 64
+    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=dim)
     l = b.select("bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
     r = b.select("bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb"))
     joined = (
@@ -145,9 +146,10 @@ def knn_graph_lsh(embs: DataFrame, k: int = 3, n_planes: int = 4,
 
     from pdf_extractor_spark.operators.dedup import _round6_np
 
-    row = embs.select(F.size("embedding")).first()
-    d = dim if dim is not None else (row[0] if row is not None else 64)
-    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=d)
+    if dim is None:
+        row = embs.select(F.size("embedding")).first()
+        dim = row[0] if row is not None else 64
+    b = hyperplane_lsh_buckets(embs, n_planes, seed, dim=dim)
 
     def kern(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["vec_id"].to_numpy()
@@ -177,7 +179,10 @@ def knn_graph_lsh(embs: DataFrame, k: int = 3, n_planes: int = 4,
                     break
                 q_l.append(ids[i])
                 n_l.append(ids[j])
-                c_l.append(sims[i, j])
+                # + 0.0 normalizes IEEE -0.0 (a tiny negative cosine rounds
+                # to it) so both engines hash the same canonical zero — the
+                # q63 covariance precedent
+                c_l.append(sims[i, j] + 0.0)
                 r_l.append(r)
         return pd.DataFrame({"query_id": np.array(q_l, dtype="int64"),
                              "neighbor_id": np.array(n_l, dtype="int64"),

@@ -592,7 +592,9 @@ def _word_freq_table(docs: DataFrame) -> DataFrame:
 
 
 def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
-                     min_count: int = 2) -> list[tuple[int, str, str, int]]:
+                     min_count: int = 2,
+                     words: DataFrame | None = None,
+                     ) -> list[tuple[int, str, str, int]]:
     """Distributed BPE merge learning (Sennrich et al. 2016): greedily
     learn `n_merges` subword merges from the corpus, each step picking the
     most frequent adjacent symbol pair (weighted by word frequency;
@@ -614,7 +616,9 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
     TakeOrdered."""
     from pdf_extractor_spark.kernels.textstats import bpe_apply_merges
 
-    words = _word_freq_table(docs).persist()
+    own_words = words is None
+    if own_words:
+        words = _word_freq_table(docs).persist()
     merges: list[tuple[str, str]] = []
     learned: list[tuple[int, str, str, int]] = []
     for step in range(n_merges):
@@ -645,12 +649,14 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
         r = top[0]
         merges.append((r["a"], r["b"]))
         learned.append((step + 1, r["a"], r["b"], int(r["cnt"])))
-    words.unpersist()
+    if own_words:
+        words.unpersist()
     return learned
 
 
 def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
-                     k: int = 20) -> DataFrame:
+                     k: int = 20,
+                     words: DataFrame | None = None) -> DataFrame:
     """(token, cnt): corpus subword-token counts under learned BPE merges,
     top-k (count DESC, token ASC) — the distributed APPLICATION pass of the
     learned vocabulary (what a tokenization job runs over the full corpus).
@@ -672,8 +678,10 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
                     f_l.append(f)
             yield pd.DataFrame({"token": t_l, "freq": f_l})
 
+    if words is None:
+        words = _word_freq_table(docs)
     return (
-        _word_freq_table(docs)
+        words
         .mapInPandas(kern, "token string, freq long")
         .groupBy("token").agg(F.sum("freq").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "token")
@@ -1184,14 +1192,15 @@ def _qcls_gd_loop(feats: DataFrame, dim: int, iters: int,
     return w
 
 
-def quality_classifier(docs: DataFrame, n_buckets: int = 256,
-                       iters: int = 4, lr: float = 1.0) -> DataFrame:
-    """Train the hashed quality classifier AND score the corpus from ONE
-    shared persisted feature table (one gopher pass + one gram pass total):
-    (doc_id, logit, pred). The feature table stays cached for the lifetime
-    of the returned plan — bounded: bucket-collapsed rows, not raw text."""
-    feats = _qcls_labeled_features(docs, n_buckets).persist()
-    w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
+def _qcls_score(docs: DataFrame, feats: DataFrame, w: list[float],
+                checkpoint: bool = False) -> DataFrame:
+    """(doc_id, logit, pred) from a feature table + trained weights — the
+    SINGLE copy of the scoring contract (broadcast weight join, decimal
+    dot, 6dp logit snap, pred = logit > 0) shared by quality_classifier
+    and quality_classifier_scores so the twin/oracle parity surface cannot
+    fork. With checkpoint=True the per-doc dot table is materialized
+    eagerly (localCheckpoint — narrow (doc_id, decimal) rows), letting the
+    caller release a persisted feature table immediately."""
     wdf = docs.sparkSession.createDataFrame(
         list(enumerate(w)), "bucket long, w double")
     term = (F.col("w") * F.col("x")).cast("decimal(30,15)")
@@ -1199,12 +1208,28 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 256,
         feats.join(F.broadcast(wdf), "bucket")
         .groupBy("doc_id").agg(F.sum(term).alias("s"))
     )
+    if checkpoint:
+        dots = dots.localCheckpoint()
     logit = (
         F.coalesce(F.col("s").cast("double"), F.lit(0.0))
         .cast("decimal(18,6)").cast("double")
     )
     return docs.select("doc_id").join(dots, "doc_id", "left").select(
         "doc_id", logit.alias("logit"), (logit > 0).alias("pred"))
+
+
+def quality_classifier(docs: DataFrame, n_buckets: int = 256,
+                       iters: int = 4, lr: float = 1.0) -> DataFrame:
+    """Train the hashed quality classifier AND score the corpus from ONE
+    shared persisted feature table (one gopher pass + one gram pass
+    total): (doc_id, logit, pred). Scoring checkpoints the narrow per-doc
+    dot table so the corpus-sized feature cache is released before
+    returning instead of leaking for the session lifetime."""
+    feats = _qcls_labeled_features(docs, n_buckets).persist()
+    w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
+    out = _qcls_score(docs, feats, w, checkpoint=True)
+    feats.unpersist()
+    return out
 
 
 def quality_classifier_scores(docs: DataFrame, w: list[float],
@@ -1213,20 +1238,8 @@ def quality_classifier_scores(docs: DataFrame, w: list[float],
     one broadcast join of the (B+5)-row weight table onto the feature rows
     and one decimal-exact aggregate; logit snaps to decimal(18,6) for
     cross-engine hash stability, pred = logit > 0 (σ(logit) > 0.5)."""
-    spark = docs.sparkSession
-    wdf = spark.createDataFrame(list(enumerate(w)), "bucket long, w double")
-    feats = _qcls_features(docs, n_buckets, gopher_quality(docs))
-    term = (F.col("w") * F.col("x")).cast("decimal(30,15)")
-    dots = (
-        feats.join(F.broadcast(wdf), "bucket")
-        .groupBy("doc_id").agg(F.sum(term).alias("s"))
-    )
-    logit = (
-        F.coalesce(F.col("s").cast("double"), F.lit(0.0))
-        .cast("decimal(18,6)").cast("double")
-    )
-    return docs.select("doc_id").join(dots, "doc_id", "left").select(
-        "doc_id", logit.alias("logit"), (logit > 0).alias("pred"))
+    return _qcls_score(
+        docs, _qcls_features(docs, n_buckets, gopher_quality(docs)), w)
 
 
 def _quality_classifier_twin(doc_rows: list[tuple[int, str | None]],
@@ -1302,8 +1315,12 @@ def _quality_classifier_twin(doc_rows: list[tuple[int, str | None]],
 
 
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
-    """End-to-end training-data mixture prep, composing this engine's
-    hygiene operators in one lazy plan, reported in two stages:
+    """End-to-end training-data mixture prep composing this engine's
+    hygiene operators. NOTE: not fully lazy — the classifier stage runs
+    its distributed Adagrad training (a handful of Spark jobs) at plan-
+    BUILD time, like every trained-geometry operator here (k-means IVF,
+    BPE); the gate/sample/perplexity/DSIR stages stay lazy. Reported in
+    three stages:
     `ccnet_mix` — Gopher repetition/quality gate → deterministic
     per-language stratified downsampling → CCNet perplexity terciles →
     mixture rollup per (language, quality bucket), the exact table CCNet's
