@@ -644,8 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q16_language_agreement"] = lambda s, d: text_analysis.language_agreement(
         _t(s, d, "documents"))
     q["q38_page_split"] = q_page_split
-    q["q47_chunk_documents"] = lambda s, d: text_analysis.chunk_documents(
-        _t(s, d, "documents"), chunk_tokens=64, overlap=8).orderBy("doc_id", "chunk_id")
+    q["q47_chunk_documents"] = q_chunk_and_pack
     # rolling-hash recurrence is not SQL-expressible, but it is exact
     # integer arithmetic — the oracle pins the kernel twin's fingerprints
     # as VALUES literals (see oracle_sql), so q48 is value-hash gated
@@ -679,11 +678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.col("doc_id").cast("string"),
                      F.lit(". Repeat me")).alias("text"))
     ).orderBy("doc_id")
-    q["q64_dedup_groups"] = lambda s, d: dedup.connected_components(
-        dedup.minhash_lsh_pairs(_docs_with_dups(_t(s, d, "documents")),
-                                num_perm=64, bands=32, jaccard_threshold=0.5,
-                                shingle_store=_shingle_store_path(d))
-        .select("a", "b"))
+    q["q64_dedup_groups"] = q_dedup_canonical
 
     # -- similarity search ---------------------------------------------------
     q["q21_embedding_neardup"] = q_embedding_neardup
@@ -800,6 +795,47 @@ def _simhash_groups_flat(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # merged suites (the 75→50 consolidation; see queries() docstring)
 # ---------------------------------------------------------------------------
+
+def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-input shaping suite, method-tagged: sliding-window token
+    chunks with overlap (old q47) ∪ GPT-style sequence packing — the whole
+    corpus concatenated in doc_id order and cut into fixed 128-token
+    sequences via a distributed bucketed prefix sum (no global sort, no
+    single-partition window)."""
+    docs = _t(spark, sf_dir, "documents")
+    chunks = text_analysis.chunk_documents(
+        docs, chunk_tokens=64, overlap=8
+    ).select(
+        F.lit("chunk").alias("method"),
+        F.col("doc_id").alias("gid"),
+        F.col("chunk_id").cast("long").alias("sub_id"),
+        F.col("chunk_text").alias("text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+    packed = text_analysis.pack_sequences(docs, seq_tokens=128).select(
+        F.lit("pack").alias("method"),
+        F.col("seq_id").alias("gid"),
+        F.col("n_docs").alias("sub_id"),
+        F.col("seq_text").alias("text"),
+        F.col("n_tokens"),
+    )
+    return chunks.unionByName(packed).orderBy("method", "gid", "sub_id")
+
+
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup tail: near-dup PAIRS (MinHash-LSH) → GROUPS
+    (large-star/small-star connected components) → one canonical survivor
+    per group (longest text wins, doc_id breaks ties) — what a dedup
+    pipeline actually keeps."""
+    docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
+    groups = dedup.connected_components(
+        dedup.minhash_lsh_pairs(
+            docs, num_perm=64, bands=32, jaccard_threshold=0.5,
+            shingle_store=_shingle_store_path(sf_dir),
+        ).select("a", "b")
+    )
+    return dedup.canonical_selection(groups, docs).orderBy("doc_id")
+
 
 def q_user_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user profile: rollup (old q03) ⋈ latest event (old q04) ⋈ the
@@ -1809,14 +1845,35 @@ def oracle_sql() -> dict[str, str]:
     o["q47_chunk_documents"] = f"""
         WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
         c AS (SELECT doc_id, toks,
-                     unnest(range(0, greatest(ceil((len(toks) - 8) / 56.0), 1)::BIGINT))::INT
+                     unnest(range(0, greatest(ceil((len(toks) - 8) / 56.0), 1)::BIGINT))::BIGINT
                          AS chunk_id
-              FROM t)
-        SELECT doc_id, chunk_id,
-               array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
-                   AS chunk_text,
-               len(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64]) AS n_tokens
-        FROM c ORDER BY doc_id, chunk_id
+              FROM t),
+        chunks AS (
+            SELECT 'chunk' AS method, doc_id AS gid, chunk_id AS sub_id,
+                   array_to_string(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64], ' ')
+                       AS text,
+                   len(toks[chunk_id * 56 + 1 : chunk_id * 56 + 64])::BIGINT
+                       AS n_tokens
+            FROM c),
+        cnt AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
+        off AS (SELECT *, (sum(n) OVER (ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS s
+                FROM cnt),
+        sp AS (SELECT *, s + n AS e FROM off),
+        x AS (SELECT toks, s, e,
+                     unnest(range(s // 128, (e - 1) // 128 + 1))::BIGINT AS seq_id
+              FROM sp),
+        p AS (SELECT seq_id, s,
+                     toks[(greatest(seq_id * 128, s) - s + 1)::INT
+                          : (least((seq_id + 1) * 128, e) - s)::INT] AS piece
+              FROM x),
+        packs AS (
+            SELECT 'pack' AS method, seq_id AS gid, count(*)::BIGINT AS sub_id,
+                   string_agg(array_to_string(piece, ' '), ' ' ORDER BY s) AS text,
+                   sum(len(piece))::BIGINT AS n_tokens
+            FROM p GROUP BY seq_id)
+        SELECT * FROM chunks UNION ALL SELECT * FROM packs
+        ORDER BY method, gid, sub_id
     """
     o["q46_channel_fanout"] = f"""
         SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,
@@ -2301,9 +2358,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT node, node FROM nodes
             UNION
             SELECT e.src, w.label FROM edges e JOIN walk w ON w.node = e.dst
-        )
-        SELECT node AS doc_id, min(label) AS group_id
-        FROM walk GROUP BY node ORDER BY doc_id
+        ),
+        g AS (SELECT node AS doc_id, min(label) AS group_id
+              FROM walk GROUP BY node),
+        dl AS (SELECT doc_id, len(text)::BIGINT AS text_len
+               FROM ({_DOCS_DUPS_SQL})),
+        r AS (SELECT g.doc_id, g.group_id,
+                     row_number() OVER (PARTITION BY group_id
+                         ORDER BY text_len DESC, g.doc_id) AS rn
+              FROM g JOIN dl ON dl.doc_id = g.doc_id)
+        SELECT doc_id, group_id,
+               (CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INT AS is_canonical
+        FROM r ORDER BY doc_id
     """
     # seed-derived ±1 projection matrix enters the SQL as literals (the
     # q23/q24 pattern: data-independent md5 geometry, engine-portable)

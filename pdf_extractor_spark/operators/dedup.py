@@ -1021,3 +1021,39 @@ def connected_components(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         .select(F.col("u").alias("doc_id"), F.col("v").alias("group_id"))
         .orderBy("doc_id")
     )
+
+
+def canonical_selection(groups: DataFrame, docs: DataFrame) -> DataFrame:
+    """Pick the canonical survivor of each dup group — the step after
+    connected_components that decides which copy a dedup pipeline KEEPS
+    (reference retry/replace semantics keep exactly one live row per
+    logical document, main.py:1751-1776; corpus dedup pipelines keep the
+    most informative copy per near-dup clique).
+
+    Rule: longest text wins (a near-duplicate superset carries strictly
+    more content than its subset), smallest doc_id breaks ties (exact
+    copies are interchangeable, so the earliest ingest is canonical).
+
+    groups: (doc_id, group_id) from connected_components.
+    docs:   (doc_id, text, ...) — the same corpus the pairs came from.
+
+    Scale: one keyed equi-join on doc_id (group membership is a tiny
+    fraction of the corpus after LSH, so AQE broadcasts it), then one
+    window partitioned by group_id — state bounded by the largest dup
+    clique, never by the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    scored = groups.join(
+        docs.select("doc_id", F.length("text").alias("text_len")), "doc_id"
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("text_len").desc(), F.col("doc_id")
+    )
+    return scored.select(
+        "doc_id",
+        "group_id",
+        F.when(F.row_number().over(w) == 1, 1).otherwise(0)
+        .cast("int")
+        .alias("is_canonical"),
+    )

@@ -1358,3 +1358,88 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
         .unionByName(rollup(kept.join(qcsel, "doc_id"), "qcls_selected"))
         .orderBy("stage", "lang", "bucket")
     )
+
+
+def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
+                   bucket: int = 1024) -> DataFrame:
+    """GPT-style sequence packing: concatenate every document's tokens in
+    doc_id order and cut the stream into fixed-length training sequences of
+    `seq_tokens` tokens (sequences cross document boundaries; the final
+    partial sequence is kept). The step after chunking/cleaning that turns
+    a corpus into equal-length model inputs with zero padding waste.
+
+    The global token offset of each document is a distributed prefix sum —
+    the part a naive implementation gets wrong with a single-partition
+    global window:
+      1. per-doc token counts (scan-side, no shuffle);
+      2. per-bucket subtotals (bucket = doc_id div `bucket`): one narrow
+         aggregate whose output is corpus_size/bucket rows;
+      3. cumulative bucket offsets via a window over the tiny subtotal
+         table (recurse the same trick one level if even that overflows a
+         partition at 1e12 docs);
+      4. in-bucket running sum via a window PARTITIONED by bucket —
+         bounded state, fully parallel.
+    Each doc then explodes to only the sequences it overlaps (a doc of n
+    tokens touches ceil(n/L)+1 sequences) and contributes its token slice;
+    sequences reassemble with one groupBy(seq_id). Every shuffle is keyed
+    (bucket or seq_id); no global sort, nothing driver-side.
+    """
+    from pyspark.sql.window import Window
+
+    toks = F.split(_norm(F.col("text")), " ")
+    t = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+        F.expr(f"doc_id div {bucket}").alias("bkt"),
+    )
+    bt = t.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bt.select(
+        "bkt", F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("boff")
+    )
+    wi = (
+        Window.partitionBy("bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    spans = (
+        t.join(F.broadcast(boff), "bkt")
+        .select(
+            "doc_id", "toks", "n",
+            (F.col("boff") + F.coalesce(F.sum("n").over(wi), F.lit(0)))
+            .alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.col("n"))
+    )
+    L = seq_tokens
+    x = spans.select(
+        "toks", "s", "e",
+        F.explode(
+            F.sequence(F.expr(f"s div {L}"), F.expr(f"(e - 1) div {L}"))
+        ).alias("seq_id"),
+    )
+    piece_start = F.greatest(F.col("seq_id") * L, F.col("s"))
+    piece_end = F.least((F.col("seq_id") + 1) * L, F.col("e"))
+    p = x.select(
+        "seq_id",
+        F.col("s").alias("src_start"),
+        F.slice(
+            "toks",
+            (piece_start - F.col("s") + 1).cast("int"),
+            (piece_end - piece_start).cast("int"),
+        ).alias("piece"),
+    )
+    pieces_sorted = F.transform(
+        F.sort_array(F.collect_list(F.struct("src_start", "piece"))),
+        lambda st: st.getField("piece"),
+    )
+    return (
+        p.groupBy("seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.size("piece")).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.flatten(pieces_sorted)).alias("seq_text"),
+        )
+        .select("seq_id", "n_docs", "n_tokens", "seq_text")
+    )

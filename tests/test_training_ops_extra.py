@@ -397,3 +397,74 @@ def test_bpe_apply_merges_is_left_to_right_greedy():
     # merges apply in rank order, later merges see earlier output
     assert bpe_apply_merges("abc", [("a", "b"), ("ab", "c")]) == ["abc", "</w>"]
     assert bpe_apply_merges("", []) == ["</w>"]
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pack_sequences) + canonical dup-group selection
+# ---------------------------------------------------------------------------
+
+
+def test_pack_sequences_matches_naive_concat(spark):
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "one two three"),
+        (2, " Mixed   CASE   and \t spaces "),
+        (3, "x " * 9),  # 9 tokens + trailing space -> normalized 9 tokens
+        (4, "tail"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    L = 8
+    out = (
+        text_analysis.pack_sequences(docs, seq_tokens=L, bucket=2)
+        .orderBy("seq_id")
+        .collect()
+    )
+    stream = []
+    for _, t in rows:
+        stream.extend(normalize(t).split(" "))
+    expected = [stream[i : i + L] for i in range(0, len(stream), L)]
+    assert [r["seq_id"] for r in out] == list(range(len(expected)))
+    assert [r["seq_text"] for r in out] == [" ".join(e) for e in expected]
+    assert [r["n_tokens"] for r in out] == [len(e) for e in expected]
+    # every sequence but the last is exactly full
+    assert all(r["n_tokens"] == L for r in out[:-1])
+    # doc 0 (4 toks) + doc 1 (3 toks) + first tok of doc 2 fill seq 0
+    assert out[0]["n_docs"] == 3
+
+
+def test_pack_sequences_single_doc_spans_many_sequences(spark):
+    docs = spark.createDataFrame(
+        [(7, " ".join(f"t{i}" for i in range(100)))], "doc_id long, text string"
+    )
+    out = text_analysis.pack_sequences(docs, seq_tokens=16).orderBy("seq_id").collect()
+    assert len(out) == 7  # ceil(100/16)
+    assert all(r["n_docs"] == 1 for r in out)
+    assert out[-1]["n_tokens"] == 100 - 6 * 16
+    assert out[0]["seq_text"].split(" ")[0] == "t0"
+    assert out[-1]["seq_text"].split(" ")[-1] == "t99"
+
+
+def test_canonical_selection_longest_then_min_id(spark):
+    from pdf_extractor_spark.operators.dedup import canonical_selection
+
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "doc_id long, group_id long",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),
+            (2, "the longest text of group one"),
+            (3, "short"),
+            (10, "same length"),
+            (11, "same length"),
+            (99, "not in any group"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["is_canonical"]
+        for r in canonical_selection(groups, docs).collect()
+    }
+    # longest text wins group 1; equal lengths -> min doc_id wins group 10
+    assert out == {1: 0, 2: 1, 3: 0, 10: 1, 11: 0}
