@@ -652,9 +652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "documents")).orderBy("doc_id")
     q["q51_redact_pii"] = lambda s, d: text_analysis.redact_pii(
         _docs_with_pii(_t(s, d, "documents"))).orderBy("doc_id")
-    q["q52_tfidf_topk"] = lambda s, d: text_analysis.tfidf_topk(
-        _t(s, d, "documents"), k=3,
-        tf_store=_shingle_store_path(d).replace("q18_shingles", "q52_tf"))
+    q["q52_tfidf_topk"] = q_retrieval_suite
     q["q53_source_rollup"] = q_source_rollup
     q["q54_corpus_top_ngrams"] = q_corpus_vocab
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
@@ -665,10 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q18_neardup_pairs"] = q_neardup_pairs
     q["q39_line_freq_dedup"] = q_line_freq_dedup
     q["q45_c4_pipeline"] = q_c4_pipeline
-    q["q55_decontaminate"] = lambda s, d: dedup.decontaminate(
-        _t(s, d, "documents"),
-        _t(s, d, "documents").where(F.col("doc_id") % 97 == 0),
-        n=8, min_overlap=1).orderBy("doc_id")
+    q["q55_decontaminate"] = q_decontaminate_suite
     # inject within-doc repeats so the dedup has real work: the operator must
     # keep first occurrences in order and strip the repeated sentence
     q["q56_sentence_self_dedup"] = lambda s, d: dedup.sentence_self_dedup(
@@ -795,6 +790,51 @@ def _simhash_groups_flat(docs: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # merged suites (the 75→50 consolidation; see queries() docstring)
 # ---------------------------------------------------------------------------
+
+def q_retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval suite, method-tagged: per-doc TF-IDF top-3 characteristic
+    terms (old q52) ∪ Okapi BM25 top-5 docs for a fixed 3-query literal
+    workload — one shared stored tf table feeds both arms (one corpus
+    tokenize, two retrieval operators). BM25 per-term contributions are
+    6dp-decimal before the per-doc sum, so scores/ranks are order-free
+    and engine-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    store = _shingle_store_path(sf_dir).replace("q18_shingles", "q52_tf")
+    ti = text_analysis.tfidf_topk(docs, k=3, tf_store=store).select(
+        F.lit("tfidf").alias("method"),
+        "doc_id", "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        "rank",
+        F.col("tfidf").alias("score"),
+    )
+    from pdf_extractor_spark.operators.text_analysis import tf_table
+
+    bm = text_analysis.bm25_topk(docs, k=5, tf=tf_table(docs, store)).select(
+        F.lit("bm25").alias("method"),
+        "doc_id",
+        F.concat(F.lit("q"), F.col("query_id").cast("string")).alias("term"),
+        F.col("matched_tf").alias("tf"),
+        F.col("matched_terms").alias("df"),
+        "rank",
+        "score",
+    )
+    return ti.unionByName(bm).orderBy("method", "doc_id", "rank")
+
+
+def q_decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination suite, method-tagged: exact benchmark n-gram set
+    intersection (old q55) ∪ the constant-memory Bloom-filter variant
+    (m=2^18 bits, k=4 md5 positions — false positives deterministic and
+    oracle-replicated)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    exact = dedup.decontaminate(docs, bench, n=8, min_overlap=1).withColumn(
+        "method", F.lit("exact_set"))
+    bloom = dedup.bloom_decontaminate(docs, bench, n=8).withColumn(
+        "method", F.lit("bloom"))
+    return exact.unionByName(bloom).orderBy("method", "doc_id")
+
 
 def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-input shaping suite, method-tagged: sliding-window token
@@ -2040,10 +2080,46 @@ def oracle_sql() -> dict[str, str]:
         r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
                      row_number() OVER (PARTITION BY tf.doc_id
                          ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank
-              FROM tf JOIN dfx USING (term))
-        SELECT doc_id, term, tf, df, rank,
-               round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS tfidf
-        FROM r, n WHERE rank <= 3 ORDER BY doc_id, rank
+              FROM tf JOIN dfx USING (term)),
+        tfidf_arm AS (
+            SELECT 'tfidf' AS method, doc_id, term, tf, df, rank,
+                   round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS score
+            FROM r, n WHERE rank <= 3),
+        dlt AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
+        avg AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dlt),
+        qt(query_id, term) AS (VALUES (0, 'hash'), (0, 'join'),
+                                      (1, 'window'), (1, 'stream'), (1, 'spark'),
+                                      (2, 'customer'), (2, 'filter')),
+        m AS (SELECT qt.query_id, tf.doc_id, tf.term, tf.tf
+              FROM tf JOIN qt USING (term)),
+        qdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM m GROUP BY term),
+        sc AS (SELECT m.query_id, m.doc_id, m.tf, dlt.dl,
+                      ln(((SELECT n FROM n)::DOUBLE - qdf.df + 0.5)
+                         / (qdf.df + 0.5) + 1.0) AS idf
+               FROM m JOIN qdf USING (term)
+               JOIN dlt ON dlt.doc_id = m.doc_id),
+        co AS (SELECT query_id, doc_id, tf,
+                      round(idf * (tf * (1.2 + 1.0))
+                            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl
+                               / (SELECT avgdl FROM avg))), 6)::DECIMAL(18,6)
+                          AS contrib
+               FROM sc),
+        ag AS (SELECT query_id, doc_id,
+                      CAST(sum(contrib) AS DECIMAL(18,6)) AS score,
+                      sum(tf)::BIGINT AS matched_tf,
+                      count(*)::BIGINT AS matched_terms
+               FROM co GROUP BY query_id, doc_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS rank
+               FROM ag),
+        bm25_arm AS (
+            SELECT 'bm25' AS method, doc_id, 'q' || query_id AS term,
+                   matched_tf AS tf, matched_terms AS df, rank,
+                   score::DOUBLE AS score
+            FROM rk WHERE rank <= 5)
+        SELECT * FROM tfidf_arm
+        UNION ALL SELECT * FROM bm25_arm
+        ORDER BY method, doc_id, rank
     """
     # q53: corpus rollup + link-graph signals. The edge CTE derives the
     # expected links CLOSED-FORM from the _linked_pages_from_documents spec
@@ -2151,10 +2227,33 @@ def oracle_sql() -> dict[str, str]:
         bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
         dg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
         ov AS (SELECT dg.doc_id, count(*) AS overlap_ngrams
-               FROM dg JOIN bg USING (g) GROUP BY dg.doc_id)
-        SELECT d.doc_id, coalesce(ov.overlap_ngrams, 0) AS overlap_ngrams,
-               coalesce(ov.overlap_ngrams, 0) >= 1 AS contaminated
-        FROM documents d LEFT JOIN ov USING (doc_id) ORDER BY doc_id
+               FROM dg JOIN bg USING (g) GROUP BY dg.doc_id),
+        ks(i) AS (VALUES (0), (1), (2), (3)),
+        bpos AS (SELECT DISTINCT
+                        ('0x' || substr(md5(g || '#' || i), 1, 15))::BIGINT
+                            % 262144 AS pos
+                 FROM bg CROSS JOIN ks),
+        pr AS (SELECT doc_id, g,
+                      ('0x' || substr(md5(g || '#' || i), 1, 15))::BIGINT
+                          % 262144 AS pos
+               FROM dg CROSS JOIN ks),
+        hit AS (SELECT doc_id, g FROM pr JOIN bpos USING (pos)
+                GROUP BY doc_id, g HAVING count(*) = 4),
+        bov AS (SELECT doc_id, count(*) AS overlap_ngrams
+                FROM hit GROUP BY doc_id),
+        exact_arm AS (
+            SELECT d.doc_id, coalesce(ov.overlap_ngrams, 0) AS overlap_ngrams,
+                   coalesce(ov.overlap_ngrams, 0) >= 1 AS contaminated,
+                   'exact_set' AS method
+            FROM documents d LEFT JOIN ov USING (doc_id)),
+        bloom_arm AS (
+            SELECT d.doc_id, coalesce(bov.overlap_ngrams, 0) AS overlap_ngrams,
+                   coalesce(bov.overlap_ngrams, 0) >= 1 AS contaminated,
+                   'bloom' AS method
+            FROM documents d LEFT JOIN bov USING (doc_id))
+        SELECT * FROM exact_arm
+        UNION ALL SELECT * FROM bloom_arm
+        ORDER BY method, doc_id
     """
     o["q56_sentence_self_dedup"] = r"""
         WITH s AS (SELECT doc_id, parts,

@@ -1057,3 +1057,85 @@ def canonical_selection(groups: DataFrame, docs: DataFrame) -> DataFrame:
         .cast("int")
         .alias("is_canonical"),
     )
+
+
+def _bloom_pos(gram: F.Column, i: int, m_bits: int) -> F.Column:
+    """Bit position i of a gram: 60-bit md5 int of `gram#i`, mod m. The
+    DuckDB twin is ('0x' || substr(md5(g || '#i'), 1, 15))::BIGINT % m —
+    bit-identical (both parse the same 15 hex chars)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(gram, F.lit(f"#{i}"))), 1, 15), 16, 10
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    m_bits: int = 1 << 18,
+    k_hashes: int = 4,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Bloom-filter decontamination — the constant-memory variant of
+    `decontaminate` for when even the distinct benchmark n-gram SET is too
+    wide to broadcast as strings: insert every benchmark gram's k bit
+    positions into an m-bit filter, then flag a training doc if ANY of its
+    grams probes all-k-set (false positives are possible, misses are not —
+    the safe direction for decontamination).
+
+    The filter is represented relationally as the distinct set-bit
+    positions (≤ |bench grams| × k longs, deduped — far narrower than the
+    grams themselves) and broadcast to the probe join; semantically
+    identical to probing a physical bit array, INCLUDING the deterministic
+    false positives from cross-gram position collisions, which is what
+    makes the operator oracle-checkable. At real scale you'd pack the
+    positions into an m/8-byte array on the driver and broadcast that
+    instead; the probe plan (scan-side gram hashing, broadcast lookup,
+    per-doc aggregate) is the same.
+
+    Output matches decontaminate: (doc_id, overlap_ngrams, contaminated)
+    where overlap_ngrams counts grams whose probe fully hits.
+    """
+    bits = (
+        shingle_arrays(benchmark, n)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+        .select(
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), i, m_bits) for i in range(k_hashes)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = (
+        shingle_arrays(docs, n)
+        .select("doc_id", F.explode("sh").alias("g"))
+        .select(
+            "doc_id", "g",
+            F.explode(
+                F.array(*[_bloom_pos(F.col("g"), i, m_bits) for i in range(k_hashes)])
+            ).alias("pos"),
+        )
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("nbits"))
+        .where(F.col("nbits") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            (F.coalesce("overlap_ngrams", F.lit(0)) >= min_overlap).alias(
+                "contaminated"
+            ),
+        )
+    )

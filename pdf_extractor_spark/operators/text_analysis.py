@@ -1443,3 +1443,96 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
         )
         .select("seq_id", "n_docs", "n_tokens", "seq_text")
     )
+
+
+# fixed retrieval workload for the q52 bm25 arm: term lists over the
+# synthetic corpus vocabulary (literal on both engines)
+BM25_QUERIES: list[tuple[int, tuple[str, ...]]] = [
+    (0, ("hash", "join")),
+    (1, ("window", "stream", "spark")),
+    (2, ("customer", "filter")),
+]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: list[tuple[int, tuple[str, ...]]] | None = None,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tf: DataFrame | None = None,
+) -> DataFrame:
+    """Okapi BM25 retrieval over the inverted (doc, term, tf) index — the
+    keyword-search side of training-data curation (targeted subset
+    selection / nearest-query mining).
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-style
+    non-negative variant).
+
+    Engine-exactness: each per-term contribution is rounded to 6dp and cast
+    to DECIMAL(18,6) BEFORE the per-doc sum, so the score is an order-free
+    decimal sum (double summation order can differ across engines; the
+    per-term expression trees are mirrored 1:1 in the oracle). Ranking is
+    (score DESC, doc_id ASC).
+
+    Plan: query terms are literals (broadcast); tf ⋈ terms touches only
+    posting lists of queried terms; df and dl aggregate map-side; avgdl is
+    two scalar literals (sum/count). One window per query_id bounded by the
+    matched posting size. The shared tf table comes in via `tf` (the q52
+    suite passes the same persisted/stored tf the TF-IDF arm uses — one
+    corpus tokenize, two retrieval operators).
+    """
+    from pyspark.sql import Window
+
+    if queries is None:
+        queries = BM25_QUERIES
+    spark = docs.sparkSession
+    if tf is None:
+        toks = docs.select(
+            "doc_id", F.explode(F.split(_norm(F.col("text")), " ")).alias("term")
+        ).where(F.col("term") != "")
+        tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = docs.count()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total_row = dl.agg(F.sum("dl")).collect()[0][0]  # one scalar
+    avgdl = float(total_row) / float(n_docs)
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in queries for t in terms],
+        "query_id int, term string",
+    )
+    matched = tf.join(F.broadcast(qterms), "term")
+    dfx = matched.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        matched.join(F.broadcast(dfx), "term")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log(
+                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                + 1.0
+            ),
+        )
+        .withColumn(
+            "contrib",
+            F.round(
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl))),
+                6,
+            ).cast("decimal(18,6)"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        scored.groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib").cast("decimal(18,6)").alias("score"),
+            F.sum("tf").cast("long").alias("matched_tf"),
+            F.count("*").cast("long").alias("matched_terms"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "matched_tf", "matched_terms", "rank",
+                F.col("score").cast("double").alias("score"))
+    )

@@ -468,3 +468,80 @@ def test_canonical_selection_longest_then_min_id(spark):
     }
     # longest text wins group 1; equal lengths -> min doc_id wins group 10
     assert out == {1: 0, 2: 1, 3: 0, 10: 1, 11: 0}
+
+
+def test_bm25_topk_matches_pure_python(spark):
+    import math
+
+    rows = [
+        (0, "hash join hash join hash table"),
+        (1, "hash only once here padding words"),
+        (2, "join join join join join join"),
+        (3, "nothing relevant at all here"),
+        (4, "hash join mixed with other text tokens"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_analysis.bm25_topk(
+        docs, queries=[(0, ("hash", "join"))], k=3
+    ).collect()
+
+    # pure-python twin
+    toks = {d: normalize(t).split(" ") for d, t in rows}
+    N = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / float(N)
+    k1, b = 1.2, 0.75
+    scores = {}
+    for term in ("hash", "join"):
+        df = sum(1 for v in toks.values() if term in v)
+        idf = math.log((N - df + 0.5) / (df + 0.5) + 1.0)
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf:
+                c = round(idf * (tf * (k1 + 1.0))
+                          / (tf + k1 * (1.0 - b + b * len(v) / avgdl)), 6)
+                scores[d] = round(scores.get(d, 0.0) + c, 6)
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    got = [(r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(d, s) for d, s in expect]
+    assert all(r["query_id"] == 0 for r in out)
+
+
+def test_bloom_decontaminate_superset_of_exact(spark):
+    from pdf_extractor_spark.operators import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.where(docs.doc_id % 23 == 0)
+    exact = {
+        r["doc_id"]
+        for r in dd.decontaminate(docs, bench, n=8).collect()
+        if r["contaminated"]
+    }
+    bloom = {
+        r["doc_id"]
+        for r in dd.bloom_decontaminate(docs, bench, n=8).collect()
+        if r["contaminated"]
+    }
+    assert exact, "benchmark docs must self-flag"
+    # a Bloom filter can only over-approximate — never miss
+    assert exact <= bloom
+
+
+def test_bloom_pos_matches_python_md5(spark):
+    import hashlib
+
+    from pdf_extractor_spark.operators.dedup import _bloom_pos
+    from pyspark.sql import functions as F
+
+    m = 1 << 18
+    grams = ["alpha beta", "the quick brown", "x"]
+    df = spark.createDataFrame([(g,) for g in grams], "g string")
+    got = {
+        (r["g"], r["i"]): r["pos"]
+        for i in range(4)
+        for r in df.select("g", F.lit(i).alias("i"),
+                           _bloom_pos(F.col("g"), i, m).alias("pos")).collect()
+    }
+    for g in grams:
+        for i in range(4):
+            exp = int(hashlib.md5(f"{g}#{i}".encode()).hexdigest()[:15], 16) % m
+            assert got[(g, i)] == exp
