@@ -981,7 +981,11 @@ def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH + exact-verify pairs (old q18) ∪ exact n-gram Jaccard
-    pairs (old q19), method-tagged — both equal the exact-Jaccard oracle."""
+    pairs (old q19) ∪ incremental delta-vs-index pairs (the injected
+    copies, doc_id ≥ 100000, deduped against the base corpus read from
+    the committed shingle store — one keyed band join, no corpus
+    re-scan), method-tagged — all three equal the exact-Jaccard oracle
+    (the incremental arm restricted to base × delta pairs)."""
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
     mh = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=32,
                                  jaccard_threshold=0.5,
@@ -992,7 +996,13 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    shingle_store=_shingle_store_path(sf_dir)
                                    ).withColumn(
         "method", F.lit("ngram_exact"))
-    return mh.unionByName(ng).orderBy("method", "a", "b")
+    shh = dedup.shingle_table(docs, 3, _shingle_store_path(sf_dir))
+    inc = dedup.minhash_lsh_pairs_incremental(
+        shh.where(F.col("doc_id") >= 100000),
+        shh.where(F.col("doc_id") < 100000),
+        num_perm=64, bands=32, jaccard_threshold=0.5,
+    ).withColumn("method", F.lit("incremental"))
+    return mh.unionByName(ng).unionByName(inc).orderBy("method", "a", "b")
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1459,6 +1469,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT a, b, jaccard, 'minhash_lsh' AS method FROM base
         UNION ALL
         SELECT a, b, jaccard, 'ngram_exact' AS method FROM base
+        UNION ALL
+        SELECT a, b, jaccard, 'incremental' AS method FROM base
+        WHERE a < 100000 AND b >= 100000
         ORDER BY method, a, b
     """
     # banded-LSH over dup-injected embeddings (exact all-pairs oracle) ∪

@@ -1139,3 +1139,45 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_shh: DataFrame,
+    corpus_shh: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Delta-vs-index near-dup detection — the continuous-crawl shape: a
+    new batch arrives and must be deduped against the existing corpus
+    WITHOUT re-scanning it. Both inputs are (doc_id, shh) shingle-hash
+    tables (see shingle_table — the committed store IS the index; a
+    production deployment would commit the banded signatures alongside).
+
+    Band signatures are computed for both sides' hash arrays (delta-sized
+    work for the batch; the corpus side reads the store, no text re-scan),
+    candidates come from ONE keyed join on (band, band_sig) — new×corpus
+    only, never corpus×corpus — and exact-Jaccard verify runs on
+    candidates. Cost per batch: O(|batch|) hashing + a join keyed on band
+    signatures, independent of corpus width. Output: (a=corpus doc,
+    b=new doc, jaccard).
+    """
+    corpus_banded = minhash_banded_from_hashes(corpus_shh, num_perm, bands)
+    new_banded = minhash_banded_from_hashes(new_shh, num_perm, bands)
+    cand = (
+        new_banded.select(
+            "band", "band_sig", F.col("doc_id").alias("b"))
+        .join(
+            corpus_banded.select(
+                "band", "band_sig", F.col("doc_id").alias("a")),
+            ["band", "band_sig"],
+        )
+        .where(F.col("a") != F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # callers pass disjoint doc_id sets (a batch vs the index), so the
+    # union needs no distinct — a wide dedup over array rows would cost a
+    # corpus-sized shuffle for nothing
+    shh_all = corpus_shh.unionByName(new_shh)
+    return verify_jaccard_hashed(cand, shh_all, threshold=jaccard_threshold)

@@ -616,3 +616,49 @@ def test_embedding_lsh_plan_has_no_quadratic_stage(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_incremental_minhash_vs_batch_cross_pairs(spark):
+    """Delta-vs-index pairs == the batch LSH pairs restricted to
+    (corpus, new); corpus-internal pairs must NOT appear."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog today"),  # corpus-internal dup
+            (3, "completely different content about spark engines and data"),
+            (4, "yet another unrelated document mentioning window functions"),
+        ],
+        DOCS_DDL,
+    )
+    new = spark.createDataFrame(
+        [
+            (101, "the quick brown fox jumps over the lazy dog today"),   # dup of 1,2
+            (102, "completely different content about spark engines and data plus"),  # near 3
+            (103, "totally novel text with no match anywhere in the corpus"),
+        ],
+        DOCS_DDL,
+    )
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs_incremental(
+            dedup.shingle_hash_arrays(new, 3),
+            dedup.shingle_hash_arrays(corpus, 3),
+            num_perm=64, bands=32, jaccard_threshold=0.5,
+        ).collect()
+    }
+    # cross pairs only: every a is corpus-side, every b is new-side
+    assert all(a <= 4 and b >= 101 for a, b in got)
+    assert (1, 101) in got and got[(1, 101)] == 1.0
+    assert (2, 101) in got and got[(2, 101)] == 1.0
+    assert (3, 102) in got and got[(3, 102)] >= 0.5
+    assert not any(b == 103 for _, b in got)
+    # matches the batch operator restricted to cross pairs
+    batch = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(
+            corpus.unionByName(new), num_perm=64, bands=32,
+            jaccard_threshold=0.5,
+        ).collect()
+        if r["a"] <= 4 and r["b"] >= 101
+    }
+    assert got == batch
