@@ -30,6 +30,7 @@ from pdf_extractor_spark.operators import (
     dedup,
     relational,
     similarity,
+    sketch,
     text_analysis,
     webtext,
 )
@@ -193,20 +194,28 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
 
 
 def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Host-level corpus stats + web-graph signals: the q53 rollup joined
-    with out-degree and 5-iteration fixed-point PageRank computed from
-    links ACTUALLY parsed out of synthesized html pages (extract_links →
-    host_edges → pagerank_fixedpoint; all bit-exact vs the unrolled-CTE
-    oracle)."""
+    """Host-level corpus stats + web-graph signals + cardinality sketch:
+    the q53 rollup joined with out-degree and 5-iteration fixed-point
+    PageRank computed from links ACTUALLY parsed out of synthesized html
+    pages (extract_links → host_edges → pagerank_fixedpoint), plus
+    per-host HyperLogLog distinct-text registers and estimate next to the
+    exact distinct count (sketch.hll_distinct — the constant-memory
+    distinct-per-host stat a 100 TB crawl rollup keeps; all bit-exact vs
+    the unrolled-CTE + register-recompute oracle)."""
     docs = _t(spark, sf_dir, "documents")
     base = text_analysis.source_rollup(docs)
     pages = _linked_pages_from_documents(docs)
     edges = webtext.host_edges(webtext.extract_links(pages))
     pr = webtext.pagerank_fixedpoint(edges, iters=5)
     od = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
+    hll = sketch.hll_distinct(docs, "text", "source")
+    exd = docs.groupBy("source").agg(
+        F.countDistinct("text").alias("distinct_texts"))
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(od.withColumnRenamed("src", "source"), "source", "left")
+        .join(F.broadcast(hll), "source")
+        .join(F.broadcast(exd), "source")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -216,6 +225,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_scaled"),
             (F.coalesce(F.col("rank_scaled"), F.lit(0))
              / F.lit(float(webtext.PAGERANK_SCALE))).alias("pagerank"),
+            F.col("distinct_texts").cast("long").alias("distinct_texts"),
+            "hll_nonzero", "hll_sum_int", "hll_est",
         )
         .orderBy("source")
     )
@@ -1083,8 +1094,19 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rank_w))
         .withColumn("method", F.lit("bpe_token_topk"))
     )
+    # Count-Min heavy hitters over the SAME persisted vocab table: the
+    # 4x1024-cell sketch estimate for the top-20 words (over-counts are
+    # deterministic md5 collisions, replicated bit-exactly by the oracle)
+    cm = (
+        sketch.countmin_topk(words)
+        .localCheckpoint()
+        .withColumn("method", F.lit("countmin_topk"))
+    )
     words.unpersist()
-    return tri.unionByName(mdf).unionByName(toks).orderBy("method", "rank")
+    return (
+        tri.unionByName(mdf).unionByName(toks).unionByName(cm)
+        .orderBy("method", "rank")
+    )
 
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2170,16 +2192,23 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_langs,
                max(CASE WHEN rk = 1 THEN lang END) AS top_lang,
                round(-sum(p * ln(p)), 6) AS lang_entropy
-        FROM ranked GROUP BY source)
+        FROM ranked GROUP BY source),
+        exd AS (SELECT source, count(DISTINCT text)::BIGINT AS distinct_texts
+                FROM documents GROUP BY source),
+        hll AS ({sketch.hll_oracle_sql("documents", "text", "source")})
         SELECT base.*,
                CAST(coalesce(od.out_degree, 0) AS BIGINT) AS out_degree,
                CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
                coalesce(pf.rank_scaled, 0) / {float(webtext.PAGERANK_SCALE)}
-                   AS pagerank
+                   AS pagerank,
+               exd.distinct_texts,
+               hll.hll_nonzero, hll.hll_sum_int, hll.hll_est
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN od ON od.src = base.source
-        ORDER BY source
+        JOIN exd ON exd.source = base.source
+        JOIN hll ON hll.source = base.source
+        ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-
     # expressible) but EXACT integer/string work — the pure-Python twin
@@ -2213,7 +2242,10 @@ def oracle_sql() -> dict[str, str]:
             tri AS (SELECT gram, cnt,
                            row_number() OVER (ORDER BY cnt DESC, gram) AS rank
                     FROM (SELECT gram, count(*) AS cnt FROM g WHERE gram <> ''
-                          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20))
+                          GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20)),
+            v AS (SELECT tok AS word, count(*) AS freq
+                  FROM (SELECT unnest(toks) AS tok FROM t)
+                  WHERE tok <> '' GROUP BY tok)
             SELECT gram, cnt, rank::INT AS rank, 'trigram_topk' AS method
             FROM tri
             UNION ALL
@@ -2222,6 +2254,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT gram, cnt::BIGINT, rank::INT, 'bpe_token_topk'
             FROM (VALUES {_tok_rows}) tk(gram, cnt, rank)
+            UNION ALL
+            SELECT gram, cnt, rank, 'countmin_topk'
+            FROM ({sketch.countmin_oracle_sql("v")})
             ORDER BY method, rank
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

@@ -1,0 +1,230 @@
+"""Probabilistic sketch operators: HyperLogLog cardinality and Count-Min
+frequency — the constant-memory summaries a 100 TB corpus-statistics job
+computes where exact state would not fit (distinct-URL/text counts per host,
+heavy-hitter vocabulary without materializing the full term dictionary).
+
+Reference analogue: the reference keeps exact per-user/job COUNT rollups in
+Postgres (main.py:925-968) — fine at service scale, impossible at corpus
+scale. These operators are the scale path: register/cell state is O(m) per
+group regardless of input size, built in ONE shuffle with map-side partial
+aggregation (max/sum are algebraic aggregates, so partials combine).
+
+Everything here is deterministic and engine-portable by construction, so the
+DuckDB oracle recomputes the sketches EXACTLY rather than asserting error
+bounds:
+- the hash is md5 → first 15 hex chars → int64, the repo's established
+  portable idiom (Spark `conv(substring(md5(x),1,15),16,10)` ==
+  DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`);
+- HLL's Z = sum(2^-M_j) is computed as the INTEGER sum(2^(53-M_j)) — each
+  term a power of two <= 2^53, total <= m * 2^53 = 2^61 < 2^63 — so the
+  register combine is exact in int64 with no float-summation-order hazard;
+  the only float ops are one literal/int division (IEEE-deterministic) and,
+  on the linear-counting branch, one ln() (the same 1-ulp-then-round(6)
+  knife-edge class the green TF-IDF/BM25 queries carry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---- HyperLogLog (Flajolet et al. 2007), m = 256 registers (b = 8) ----
+HLL_M = 256
+# the md5-prefix hash is 60 bits; 8 index bits leave a 52-bit pattern word,
+# so ranks lie in [1, 53] (rank 53 = pattern word is all zeros)
+_W_BITS = 52
+# alpha_256 * m^2 * 2^53, precomputed so the estimate is ONE division; the
+# identical literal is pasted into the SQL twin (hll_oracle_sql below)
+HLL_EST_NUM = 4.2399330249068963e+20
+# small-range (linear counting) threshold: 2.5 * m
+HLL_SMALL = 640.0
+
+
+def _hash60(col: Column) -> Column:
+    """Portable 60-bit hash: md5 hex prefix as int64 (>= 0)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate of `key_col`.
+
+    Returns (group_col, hll_nonzero int, hll_sum_int long, hll_est
+    decimal(18,6)). hll_nonzero and hll_sum_int pin the exact integer
+    register state; hll_est is the standard HLL estimator with the
+    linear-counting small-range correction.
+
+    Plan at 100 TB: one narrow projection (hash/idx/rank are JVM
+    expressions) → groupBy(group, idx) max — map-side combine collapses
+    each partition to <= m rows per group before the ONLY data-sized
+    shuffle → a group-cardinality-sized register aggregate. No Python, no
+    second pass over the input, register state bounded at m rows/group.
+    """
+    h = _hash60(F.col(key_col))
+    idx = h % HLL_M
+    # rank = leading zeros of the 52-bit pattern word + 1
+    #      = 53 - bit_length(h DIV m); ltrim('0', bin(x)) gives bit_length
+    # uniformly (bin(0) = '0' -> '' -> length 0 -> rank 53)
+    # h DIV 256 via shiftright: Column `/` is DOUBLE division and h has 60
+    # bits (> 2^53), so float division would corrupt low bits of the word
+    word = F.shiftright(h, 8)
+    regs = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            idx.cast("int").alias("idx"),
+            word.alias("word"),
+        )
+        .withColumn(
+            "rank",
+            F.lit(_W_BITS + 1) - F.length(F.expr("ltrim('0', bin(word))")),
+        )
+        .groupBy("grp", "idx")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    two53 = F.lit(2 ** 53).cast("long")
+    per = regs.groupBy("grp").agg(
+        F.count("*").cast("int").alias("hll_nonzero"),
+        F.sum(F.expr("shiftleft(1L, 53 - m_j)")).alias("sum_present"),
+    )
+    v = F.lit(HLL_M) - F.col("hll_nonzero")
+    sum_int = (F.col("sum_present") + v.cast("long") * two53).alias(
+        "hll_sum_int"
+    )
+    raw = F.lit(HLL_EST_NUM) / F.col("hll_sum_int")
+    linear = F.round(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")), 6
+    )
+    return per.select(
+        F.col("grp").alias(group_col),
+        "hll_nonzero",
+        sum_int,
+    ).select(
+        group_col,
+        "hll_nonzero",
+        "hll_sum_int",
+        F.when((raw <= HLL_SMALL) & (v > 0), linear)
+        .otherwise(F.round(raw, 6))
+        .cast("decimal(18,6)")
+        .alias("hll_est"),
+    )
+
+
+def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
+    """DuckDB CTE body recomputing hll_distinct exactly. Returns a
+    SELECT (group, hll_nonzero, hll_sum_int, hll_est) statement fragment;
+    `table_expr` is the FROM source, `key_sql`/`group_sql` are column
+    expressions in that source."""
+    return f"""
+        SELECT grp AS {group_sql},
+               hll_nonzero::INT AS hll_nonzero,
+               hll_sum_int::BIGINT AS hll_sum_int,
+               CAST(CASE WHEN ({HLL_EST_NUM!r} / hll_sum_int) <= {HLL_SMALL!r}
+                          AND ({HLL_M} - hll_nonzero) > 0
+                    THEN round({float(HLL_M)!r} * ln({float(HLL_M)!r} /
+                         ({HLL_M} - hll_nonzero)), 6)
+                    ELSE round({HLL_EST_NUM!r} / hll_sum_int, 6)
+               END AS DECIMAL(18,6)) AS hll_est
+        FROM (
+          SELECT grp, count(*) AS hll_nonzero,
+                 sum(1::BIGINT << (53 - m_j))::BIGINT
+                   + ({HLL_M} - count(*)) * (1::BIGINT << 53) AS hll_sum_int
+          FROM (
+            SELECT grp, idx, max(rank) AS m_j
+            FROM (
+              SELECT {group_sql} AS grp,
+                     h % {HLL_M} AS idx,
+                     53 - length(ltrim(bin(h // {HLL_M}), '0')) AS rank
+              FROM (SELECT {group_sql}, {key_sql},
+                           ('0x' || substr(md5({key_sql}), 1, 15))::BIGINT AS h
+                    FROM {table_expr})
+            ) GROUP BY grp, idx
+          ) GROUP BY grp
+        )
+    """
+
+
+# ---- Count-Min sketch (Cormode & Muthukrishnan 2005), d x w cells ----
+CM_DEPTH = 4
+CM_WIDTH = 1024
+
+
+def _cm_pos(word: Column, row: Column) -> Column:
+    """Cell column for `word` under hash row `row` (md5-portable)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(word, F.lit("#cm"), row.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_WIDTH
+    )
+
+
+def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
+    """Count-Min heavy hitters over a (word, freq) vocabulary table:
+    build the d x w cell table, then score every word as
+    min_i cells[i][pos_i(word)] and keep the top-k by (estimate DESC,
+    word ASC). Returns (gram, cnt, rank) where cnt is the CM ESTIMATE
+    (>= true frequency; over-counts come only from deterministic md5
+    cell collisions, so the oracle reproduces them bit-exactly).
+
+    Plan at 100 TB: the corpus has already collapsed to the vocab-sized
+    (word, freq) table (one aggregate, the same table BPE learning uses),
+    so the sketch build explodes vocab x d rows into <= d*w = 4096 cells
+    (map-side combine bounds per-partition state at 4096). Scoring
+    broadcasts the 4096-cell table back against vocab x d — no
+    corpus-sized shuffle anywhere, and the cell table IS the
+    constant-memory summary a streaming ingest would maintain.
+    """
+    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    wr = words.select(
+        "word", "freq", F.explode(rows).alias("row")
+    ).withColumn("pos", _cm_pos(F.col("word"), F.col("row")))
+    cells = wr.groupBy("row", "pos").agg(F.sum("freq").alias("cell_total"))
+    est = (
+        wr.join(F.broadcast(cells), ["row", "pos"])
+        .groupBy("word")
+        .agg(F.min("cell_total").alias("est"))
+    )
+    from pyspark.sql.window import Window
+
+    rank_w = Window.orderBy(F.col("est").desc(), F.col("word").asc())
+    return (
+        est.withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("word").alias("gram"),
+            F.col("est").cast("long").alias("cnt"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+def countmin_oracle_sql(vocab_cte: str, k: int = 20) -> str:
+    """DuckDB fragment recomputing countmin_topk over `vocab_cte`, a CTE
+    name with columns (word, freq)."""
+    return f"""
+        SELECT word AS gram, est::BIGINT AS cnt,
+               row_number() OVER (ORDER BY est DESC, word ASC)::INT AS rank
+        FROM (
+          SELECT wr.word, min(c.cell_total) AS est
+          FROM (SELECT word, freq, r.row,
+                       ('0x' || substr(md5(word || '#cm' || r.row::VARCHAR),
+                                       1, 15))::BIGINT % {CM_WIDTH} AS pos
+                FROM {vocab_cte}, (SELECT unnest(range({CM_DEPTH})) AS row) r
+               ) wr
+          JOIN (SELECT row, pos, sum(freq) AS cell_total
+                FROM (SELECT word, freq, r.row,
+                             ('0x' || substr(md5(word || '#cm' ||
+                                             r.row::VARCHAR),
+                                             1, 15))::BIGINT % {CM_WIDTH} AS pos
+                      FROM {vocab_cte},
+                           (SELECT unnest(range({CM_DEPTH})) AS row) r)
+                GROUP BY row, pos) c
+            ON c.row = wr.row AND c.pos = wr.pos
+          GROUP BY wr.word
+        )
+        ORDER BY est DESC, word ASC
+        LIMIT {k}
+    """

@@ -131,3 +131,33 @@ def test_pca_projection_stage_is_narrow(spark):
     assert plan.count("Exchange") == 1, plan  # only the final sort
     assert "Join" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_hll_plan_single_data_shuffle_partial_agg(spark, sf_dir):
+    """HLL registers must reach their only data-sized shuffle ALREADY
+    partially aggregated (max(rank) is algebraic): the plan is
+    scan -> partial HashAggregate -> Exchange(grp, idx) -> final agg ->
+    register rollup. A second data-sized exchange or a missing partial
+    aggregate would ship the raw corpus at 100 TB."""
+    from pdf_extractor_spark.operators import sketch
+
+    df = sketch.hll_distinct(_t(spark, sf_dir, "documents"), "text", "source")
+    plan = _plan(df)
+    # two exchanges total: (grp, idx) then grp — both keyed, none corpus-wide
+    assert plan.count("Exchange") <= 2, plan
+    assert "partial_max" in plan or "partial" in plan.lower(), plan
+    assert "Cartesian" not in plan and "SortMergeJoin" not in plan, plan
+
+
+def test_countmin_scoring_join_broadcasts_cells(spark):
+    """Count-Min scoring joins vocab x d rows against the <=4096-cell
+    table: the cell side must broadcast — a shuffle join here would
+    repartition the whole vocabulary to look up 4096 rows."""
+    from pdf_extractor_spark.operators import sketch
+
+    vocab = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(500)], "word string, freq long"
+    )
+    plan = _plan(sketch.countmin_topk(vocab))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -1,0 +1,107 @@
+"""Sketch operators: HyperLogLog distinct and Count-Min heavy hitters.
+
+Covers (a) the estimator-vs-exact accuracy contract each sketch is used
+for, (b) the integer-exactness invariants that make the DuckDB oracle a
+bit-exact twin, and (c) direct DuckDB parity on a synthetic corpus that is
+NOT the oracle-gate parquet (so parity is established independently of the
+driver sweep's dataset).
+"""
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.operators import sketch
+
+
+@pytest.fixture(scope="module")
+def keyed_df(spark):
+    # two groups: g0 has 600 distinct keys, g1 has 7 (exercises BOTH the
+    # raw-estimate branch and the linear-counting small-range branch)
+    rows = [("g0", f"key-{i}") for i in range(600)]
+    rows += [("g1", f"dup-{i % 7}") for i in range(100)]
+    return spark.createDataFrame(rows, "grp string, k string")
+
+
+def test_hll_accuracy_and_branches(keyed_df):
+    out = {
+        r["grp"]: r
+        for r in sketch.hll_distinct(keyed_df, "k", "grp").collect()
+    }
+    # m=256 -> relative error sigma ~= 1.04/sqrt(256) = 6.5%; assert 3 sigma
+    est0 = float(out["g0"]["hll_est"])
+    assert abs(est0 - 600) / 600 < 0.20
+    # small group: linear counting is near-exact at this load factor
+    est1 = float(out["g1"]["hll_est"])
+    assert abs(est1 - 7) < 1.5
+    assert out["g1"]["hll_nonzero"] <= 7
+    # register-state integers are present and bounded
+    assert 0 < out["g0"]["hll_nonzero"] <= sketch.HLL_M
+    assert out["g0"]["hll_sum_int"] <= sketch.HLL_M * (1 << 53)
+
+
+def test_hll_insensitive_to_duplication(keyed_df, spark):
+    # HLL state depends only on the distinct key set: double every row
+    doubled = keyed_df.unionAll(keyed_df)
+    a = sorted(map(tuple, sketch.hll_distinct(keyed_df, "k", "grp").collect()))
+    b = sorted(map(tuple, sketch.hll_distinct(doubled, "k", "grp").collect()))
+    assert a == b
+
+
+def test_hll_duckdb_parity(keyed_df):
+    sp = sorted(
+        (r["grp"], r["hll_nonzero"], r["hll_sum_int"], str(r["hll_est"]))
+        for r in sketch.hll_distinct(keyed_df, "k", "grp").collect()
+    )
+    con = duckdb.connect()
+    con.register("tbl", keyed_df.toPandas())
+    du = sorted(
+        (g, nz, si, str(e))
+        for g, nz, si, e in con.execute(
+            sketch.hll_oracle_sql("tbl", "k", "grp")
+        ).fetchall()
+    )
+    assert sp == du
+
+
+@pytest.fixture(scope="module")
+def vocab_df(spark):
+    # Zipf-ish skew: word-0 dominates, long tail of 3000 singletons
+    rows = [(f"w{i}", 3000 // (i + 1) + 1) for i in range(3000)]
+    return spark.createDataFrame(rows, "word string, freq long")
+
+
+def test_countmin_overestimates_and_ranks(vocab_df):
+    out = sketch.countmin_topk(vocab_df, k=20).collect()
+    assert len(out) == 20
+    true = {r["word"]: r["freq"] for r in vocab_df.collect()}
+    for r in out:
+        # CM never under-counts
+        assert r["cnt"] >= true[r["gram"]]
+    # the dominant word survives sketching as the top hitter
+    assert out[0]["gram"] == "w0" and out[0]["rank"] == 1
+    # ranks are 1..20 dense
+    assert [r["rank"] for r in out] == list(range(1, 21))
+
+
+def test_countmin_duckdb_parity(vocab_df):
+    sp = [tuple(r) for r in sketch.countmin_topk(vocab_df, k=20).collect()]
+    con = duckdb.connect()
+    con.register("vtbl", vocab_df.toPandas())
+    du = con.execute(
+        "WITH v AS (SELECT word, freq FROM vtbl) "
+        + sketch.countmin_oracle_sql("v", k=20)
+    ).fetchall()
+    assert sp == [tuple(r) for r in du]
+
+
+def test_countmin_cell_bound(vocab_df):
+    # the sketch's whole state is <= d*w cells regardless of vocab size
+    rows = F.sequence(F.lit(0), F.lit(sketch.CM_DEPTH - 1))
+    wr = vocab_df.select(
+        "word", "freq", F.explode(rows).alias("row")
+    ).withColumn("pos", sketch._cm_pos(F.col("word"), F.col("row")))
+    n_cells = wr.groupBy("row", "pos").count().count()
+    assert n_cells <= sketch.CM_DEPTH * sketch.CM_WIDTH
