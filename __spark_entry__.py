@@ -648,8 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _t(s, d, "events"))
 
     # -- text analysis ------------------------------------------------------
-    q["q12_doc_metrics"] = lambda s, d: text_analysis.doc_metrics(
-        _t(s, d, "documents"))
+    q["q12_doc_metrics"] = q_doc_metrics_suite
     q["q14_fingerprint_suite"] = lambda s, d: text_analysis.fingerprint_suite(
         _t(s, d, "documents"))
     q["q16_language_agreement"] = lambda s, d: text_analysis.language_agreement(
@@ -960,6 +959,51 @@ def _messy_url_expr() -> F.Column:
     odd = F.concat(F.lit("https://www.site"), host_k, F.lit(".com/a/"),
                    cid, F.lit("?a=1&z=2"))
     return F.when(F.col("doc_id") % 2 == 0, even).otherwise(odd)
+
+
+def _url_variants_expr() -> F.Column:
+    """Deterministic per-doc URL, each variant tripping exactly one
+    URL-quality gate (CASE precedence = gate order): ftp scheme (m23),
+    blocklist path token (m13), digit-heavy host (m11), deep path (m17),
+    param-heavy query (m19), over-long path (m29), else clean."""
+    did = F.col("doc_id").cast("string")
+    k = (F.col("doc_id") % 50).cast("string")
+    site = F.concat(F.lit("https://www.site"), k, F.lit(".com"))
+    m = lambda p: F.col("doc_id") % p == 0  # noqa: E731
+    return (
+        F.when(m(23), F.concat(F.lit("ftp://files.site"), k, F.lit(".com/a/"), did))
+        .when(m(13), F.concat(site, F.lit("/casino/p/"), did))
+        .when(m(11), F.concat(F.lit("https://"), did, F.lit("42424242.net/p/"), did))
+        .when(m(17), F.concat(site, F.lit("/a/b/c/d/e/f/g/h/i/j/"), did))
+        .when(m(19), F.concat(site, F.lit("/p/"), did,
+                              F.lit("?a=1&b=2&c=3&d=4&e=5")))
+        .when(m(29), F.concat(site, F.lit("/"), F.repeat(F.lit("z"), 300)))
+        .otherwise(F.concat(site, F.lit("/p/"), did))
+    )
+
+
+_URL_VARIANTS_SQL = """CASE
+    WHEN doc_id % 23 = 0 THEN 'ftp://files.site' || (doc_id % 50) || '.com/a/' || doc_id
+    WHEN doc_id % 13 = 0 THEN 'https://www.site' || (doc_id % 50) || '.com/casino/p/' || doc_id
+    WHEN doc_id % 11 = 0 THEN 'https://' || doc_id || '42424242.net/p/' || doc_id
+    WHEN doc_id % 17 = 0 THEN 'https://www.site' || (doc_id % 50) || '.com/a/b/c/d/e/f/g/h/i/j/' || doc_id
+    WHEN doc_id % 19 = 0 THEN 'https://www.site' || (doc_id % 50) || '.com/p/' || doc_id || '?a=1&b=2&c=3&d=4&e=5'
+    WHEN doc_id % 29 = 0 THEN 'https://www.site' || (doc_id % 50) || '.com/' || repeat('z', 300)
+    ELSE 'https://www.site' || (doc_id % 50) || '.com/p/' || doc_id
+    END"""
+
+
+def q_doc_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc metrics suite (token counts ⋈ quality ⋈ lang-id ⋈ Gopher ⋈
+    split/sample) joined with the URL-quality gate verdict
+    (webtext.url_quality_filter over deterministic per-doc URL variants —
+    the crawl-side filter that runs BEFORE extraction at web scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = text_analysis.doc_metrics(docs)
+    uf = webtext.url_quality_filter(
+        docs.select("doc_id", _url_variants_expr().alias("url"))
+    ).select("doc_id", "url_host", "url_ok", "url_reason")
+    return base.join(uf, "doc_id").orderBy("doc_id")
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2074,19 +2118,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100
                   < CASE WHEN lang = 'en' THEN 100
-                         WHEN lang = 'zh' THEN 25 ELSE 50 END)
+                         WHEN lang = 'zh' THEN 25 ELSE 50 END),
+        uurl AS (SELECT doc_id, {_URL_VARIANTS_SQL} AS url FROM documents),
+        uf AS (SELECT doc_id, {webtext.url_filter_sql("url")} FROM uurl)
         SELECT tc.doc_id, tc.ws_tokens, tc.bpe_tokens, tc.chars,
                q.punct_ratio, q.stop_ratio, q.quality,
                lid.lang, lid.detected_lang,
                g.mean_word_len, g.top_bigram_frac, g.dup_trigram_frac, g.keep,
                spl.split, samp.bucket, samp.rate,
-               samp.rate IS NOT NULL AS sampled
+               samp.rate IS NOT NULL AS sampled,
+               uf.url_host, uf.url_ok, uf.url_reason
         FROM tc
         JOIN q USING (doc_id)
         JOIN lid USING (doc_id)
         JOIN g USING (doc_id)
         JOIN spl USING (doc_id)
         LEFT JOIN samp USING (doc_id)
+        JOIN uf USING (doc_id)
         ORDER BY tc.doc_id
     """
     _pii_aug = (

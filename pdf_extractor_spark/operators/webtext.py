@@ -305,3 +305,92 @@ def pagerank_unrolled_sql(edges_cte: str, iters: int = 5,
         )
     return ",\n".join(parts) + f",\npr_final AS (SELECT host, rank_scaled, " \
         f"rank_scaled / {float(s)} AS pagerank FROM pr_r{iters})"
+
+
+# ---- URL quality gate (FineWeb/RefinedWeb-style pre-extraction filter) ----
+# Deterministic, regex-light, and integer-exact so the DuckDB twin is
+# bit-identical: the digit-ratio test is the cross-multiplied integer
+# comparison 10*digits <= 3*len (never a float division).
+URL_BLOCKLIST = ("casino", "porn", "xxx", "viagra", "poker", "escort")
+URL_MAX_LEN = 256
+URL_MAX_DEPTH = 8
+URL_MAX_PARAMS = 4
+
+
+def url_quality_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append URL-quality gate columns (url_host, url_ok, url_reason) —
+    the crawl-side filter a web-scale training pipeline applies BEFORE
+    fetching/extracting a page: scheme whitelist, token blocklist,
+    digit-heavy-host, length, path-depth, and query-param-count gates.
+    `url_reason` names the FIRST failing gate in a fixed order ('ok' when
+    all pass), so downstream rollups can attribute rejections.
+
+    All gates are JVM string/regexp expressions (whole-stage codegen, no
+    shuffle — this is a narrow map over the frontier/pages table).
+    """
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    host = F.split_part(hostport, F.lit(":"), F.lit(1))
+    path = F.regexp_extract(u, _AUTH_RE + r"([^?#]*)", 2)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    n_digits = F.length(F.regexp_replace(host, "[^0-9]", ""))
+    f_scheme = scheme.isin("http", "https")
+    lu = F.lower(u)
+    f_block = ~sum(
+        (lu.contains(t).cast("int") for t in URL_BLOCKLIST), F.lit(0)
+    ).cast("boolean")
+    f_digit = (n_digits * 10 <= F.length(host) * 3) & (F.length(host) > 0)
+    f_len = F.length(u) <= URL_MAX_LEN
+    depth = F.length(path) - F.length(F.replace(path, F.lit("/"), F.lit("")))
+    f_depth = depth <= URL_MAX_DEPTH
+    n_params = F.when(query == "", F.lit(0)).otherwise(
+        F.length(query) - F.length(F.replace(query, F.lit("&"), F.lit(""))) + 1
+    )
+    f_params = n_params <= URL_MAX_PARAMS
+    reason = (
+        F.when(~f_scheme, F.lit("scheme"))
+        .when(~f_block, F.lit("blocklist"))
+        .when(~f_digit, F.lit("digit_host"))
+        .when(~f_len, F.lit("too_long"))
+        .when(~f_depth, F.lit("too_deep"))
+        .when(~f_params, F.lit("too_many_params"))
+        .otherwise(F.lit("ok"))
+    )
+    return df.select(
+        "*",
+        host.alias("url_host"),
+        (reason == "ok").alias("url_ok"),
+        reason.alias("url_reason"),
+    )
+
+
+def url_filter_sql(url_sql: str) -> str:
+    """DuckDB select-list fragment recomputing url_quality_filter's
+    (url_host, url_ok, url_reason) from the URL expression `url_sql` —
+    gate-for-gate identical to the Spark expressions above."""
+    auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    host = f"split_part(lower(regexp_extract({url_sql}, '{auth}', 1)), ':', 1)"
+    path = f"regexp_extract({url_sql}, '{auth}([^?#]*)', 2)"
+    query = f"regexp_extract({url_sql}, '\\?([^#]*)', 1)"
+    block = " OR ".join(
+        f"contains(lower({url_sql}), '{t}')" for t in URL_BLOCKLIST)
+    reason = f"""CASE
+        WHEN lower(regexp_extract({url_sql},
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) NOT IN ('http', 'https')
+             THEN 'scheme'
+        WHEN {block} THEN 'blocklist'
+        WHEN NOT (length(regexp_replace({host}, '[^0-9]', '', 'g')) * 10
+                  <= length({host}) * 3 AND length({host}) > 0)
+             THEN 'digit_host'
+        WHEN length({url_sql}) > {URL_MAX_LEN} THEN 'too_long'
+        WHEN length({path}) - length(replace({path}, '/', ''))
+             > {URL_MAX_DEPTH} THEN 'too_deep'
+        WHEN (CASE WHEN {query} = '' THEN 0
+              ELSE length({query}) - length(replace({query}, '&', '')) + 1
+              END) > {URL_MAX_PARAMS} THEN 'too_many_params'
+        ELSE 'ok' END"""
+    return (
+        f"{host} AS url_host, ({reason}) = 'ok' AS url_ok, "
+        f"({reason}) AS url_reason"
+    )

@@ -252,3 +252,49 @@ def test_canonical_url_plan_is_codegen_only(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_url_quality_filter_gates_and_parity(spark):
+    """Each gate fires on its designed shape, first-failure precedence
+    holds, and the DuckDB twin reproduces every verdict bit-exactly."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import webtext
+
+    urls = [
+        "https://www.clean.com/p/1",                       # ok
+        "ftp://files.x.com/a",                             # scheme
+        "gopher://old.net/",                               # scheme
+        "https://www.x.com/casino/p",                      # blocklist
+        "https://PoKeR.example.com/p",                     # blocklist (host, case)
+        "https://12345678.net/p",                          # digit_host
+        "https://:443/none",                               # digit_host (empty)
+        "https://www.x.com/" + "z" * 300,                  # too_long
+        "https://www.x.com/a/b/c/d/e/f/g/h/i/j",           # too_deep
+        "https://www.x.com/p?a=1&b=2&c=3&d=4&e=5",         # too_many_params
+        "https://www.x.com/p?a=1&b=2&c=3&d=4",             # ok (4 params)
+        "ftp://www.x.com/casino",                          # scheme wins precedence
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = {r["url"]: (r["url_ok"], r["url_reason"])
+           for r in webtext.url_quality_filter(df).collect()}
+    assert got[urls[0]] == (True, "ok")
+    assert got[urls[1]] == (False, "scheme")
+    assert got[urls[2]] == (False, "scheme")
+    assert got[urls[3]] == (False, "blocklist")
+    assert got[urls[4]] == (False, "blocklist")
+    assert got[urls[5]] == (False, "digit_host")
+    assert got[urls[6]] == (False, "digit_host")
+    assert got[urls[7]] == (False, "too_long")
+    assert got[urls[8]] == (False, "too_deep")
+    assert got[urls[9]] == (False, "too_many_params")
+    assert got[urls[10]] == (True, "ok")
+    assert got[urls[11]] == (False, "scheme")
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls}))
+    du = con.execute(
+        "SELECT url, " + webtext.url_filter_sql("url") + " FROM t"
+    ).fetchall()
+    assert {u: (ok, r) for u, _h, ok, r in du} == got
