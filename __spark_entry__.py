@@ -993,17 +993,58 @@ _URL_VARIANTS_SQL = """CASE
     END"""
 
 
+def _robots_rules(spark: SparkSession) -> DataFrame:
+    """Deterministic robots.txt rule table for the synthesized hosts:
+    /casino denied but /casino/p re-allowed (exercises longest-match +
+    allow-on-tie), /a/b denied (catches the deep-path variant), and the
+    ftp 'files.' hosts fully denied."""
+    k = F.col("id").cast("string")
+    www = F.concat(F.lit("www.site"), k, F.lit(".com"))
+    fil = F.concat(F.lit("files.site"), k, F.lit(".com"))
+
+    def rule(host, prefix, allow):
+        return F.struct(
+            host.alias("host"), F.lit(prefix).alias("prefix"),
+            F.lit(allow).alias("allow"))
+
+    return (
+        spark.range(50)
+        .select(F.explode(F.array(
+            rule(www, "/casino", False),
+            rule(www, "/casino/p", True),
+            rule(www, "/a/b", False),
+            rule(fil, "/", False),
+        )).alias("r"))
+        .select("r.*")
+    )
+
+
+_ROBOTS_RULES_SQL = """(
+    SELECT 'www.site' || range || '.com' AS host, '/casino' AS prefix,
+           FALSE AS allow FROM range(50)
+    UNION ALL
+    SELECT 'www.site' || range || '.com', '/casino/p', TRUE FROM range(50)
+    UNION ALL
+    SELECT 'www.site' || range || '.com', '/a/b', FALSE FROM range(50)
+    UNION ALL
+    SELECT 'files.site' || range || '.com', '/', FALSE FROM range(50)
+)"""
+
+
 def q_doc_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc metrics suite (token counts ⋈ quality ⋈ lang-id ⋈ Gopher ⋈
-    split/sample) joined with the URL-quality gate verdict
-    (webtext.url_quality_filter over deterministic per-doc URL variants —
-    the crawl-side filter that runs BEFORE extraction at web scale)."""
+    split/sample) joined with the two crawl-side gates that run BEFORE
+    extraction at web scale: the URL-quality verdict
+    (webtext.url_quality_filter) and RFC 9309 robots.txt evaluation
+    (webtext.robots_match, longest-prefix rule with allow-on-tie) — both
+    over deterministic per-doc URL variants."""
     docs = _t(spark, sf_dir, "documents")
     base = text_analysis.doc_metrics(docs)
-    uf = webtext.url_quality_filter(
-        docs.select("doc_id", _url_variants_expr().alias("url"))
-    ).select("doc_id", "url_host", "url_ok", "url_reason")
-    return base.join(uf, "doc_id").orderBy("doc_id")
+    urls = docs.select("doc_id", _url_variants_expr().alias("url"))
+    uf = webtext.url_quality_filter(urls).select(
+        "doc_id", "url_host", "url_ok", "url_reason")
+    rb = webtext.robots_match(urls, _robots_rules(spark))
+    return base.join(uf, "doc_id").join(rb, "doc_id").orderBy("doc_id")
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2120,14 +2161,17 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN lang = 'en' THEN 100
                          WHEN lang = 'zh' THEN 25 ELSE 50 END),
         uurl AS (SELECT doc_id, {_URL_VARIANTS_SQL} AS url FROM documents),
-        uf AS (SELECT doc_id, {webtext.url_filter_sql("url")} FROM uurl)
+        uf AS (SELECT doc_id, {webtext.url_filter_sql("url")} FROM uurl),
+        robr AS {_ROBOTS_RULES_SQL},
+        rb AS ({webtext.robots_match_sql("uurl", "robr")})
         SELECT tc.doc_id, tc.ws_tokens, tc.bpe_tokens, tc.chars,
                q.punct_ratio, q.stop_ratio, q.quality,
                lid.lang, lid.detected_lang,
                g.mean_word_len, g.top_bigram_frac, g.dup_trigram_frac, g.keep,
                spl.split, samp.bucket, samp.rate,
                samp.rate IS NOT NULL AS sampled,
-               uf.url_host, uf.url_ok, uf.url_reason
+               uf.url_host, uf.url_ok, uf.url_reason,
+               rb.robots_allowed, rb.robots_rule
         FROM tc
         JOIN q USING (doc_id)
         JOIN lid USING (doc_id)
@@ -2135,6 +2179,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN spl USING (doc_id)
         LEFT JOIN samp USING (doc_id)
         JOIN uf USING (doc_id)
+        JOIN rb USING (doc_id)
         ORDER BY tc.doc_id
     """
     _pii_aug = (

@@ -394,3 +394,85 @@ def url_filter_sql(url_sql: str) -> str:
         f"{host} AS url_host, ({reason}) = 'ok' AS url_ok, "
         f"({reason}) AS url_reason"
     )
+
+
+def robots_match(urls: DataFrame, rules: DataFrame,
+                 key_col: str = "doc_id",
+                 url_col: str = "url") -> DataFrame:
+    """RFC 9309 robots.txt evaluation: match each URL against its host's
+    allow/disallow path-prefix rules; the LONGEST matching prefix wins and
+    an allow beats a disallow of equal length (the Google tie-break). URLs
+    whose host has no matching rule are allowed.
+
+    `rules` is (host, prefix, allow boolean) — the parsed robots table a
+    crawler maintains per host. Returns (key_col, robots_allowed,
+    robots_rule) where robots_rule is the winning prefix ('' if none).
+
+    Plan at 100 TB: the rules table is host-cardinality (tiny vs the
+    frontier) and broadcasts; matching is one BroadcastHashJoin on host +
+    a startswith filter, and the winner is a per-key window over the few
+    matched rules — no data-sized shuffle beyond the window's keyed
+    exchange.
+    """
+    from pyspark.sql.window import Window
+
+    u = urls.select(
+        F.col(key_col),
+        F.lower(F.split_part(
+            F.regexp_extract(F.col(url_col), _AUTH_RE, 1),
+            F.lit(":"), F.lit(1))).alias("host"),
+        F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2)
+        .alias("path"),
+    )
+    # the startswith predicate must live INSIDE the left-join condition: a
+    # URL whose host has rules but none matching must survive as an
+    # all-NULL match (-> allowed), not be filtered away
+    r = rules.select(
+        F.col("host").alias("r_host"), "prefix", "allow")
+    m = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.length(F.col("prefix")).desc_nulls_last(),
+        F.col("allow").desc_nulls_last(),
+        F.col("prefix").asc_nulls_last(),
+    )
+    return (
+        m.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col(key_col),
+            F.coalesce(F.col("allow"), F.lit(True)).alias("robots_allowed"),
+            F.coalesce(F.col("prefix"), F.lit("")).alias("robots_rule"),
+        )
+    )
+
+
+def robots_match_sql(urls_cte: str, rules_cte: str,
+                     key_col: str = "doc_id") -> str:
+    """DuckDB fragment recomputing robots_match over CTEs `urls_cte`
+    (key, url) and `rules_cte` (host, prefix, allow)."""
+    auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+    return f"""
+        SELECT {key_col},
+               coalesce(allow, TRUE) AS robots_allowed,
+               coalesce(prefix, '') AS robots_rule
+        FROM (
+          SELECT u.{key_col}, r.allow, r.prefix,
+                 row_number() OVER (
+                   PARTITION BY u.{key_col}
+                   ORDER BY length(r.prefix) DESC NULLS LAST,
+                            r.allow DESC NULLS LAST,
+                            r.prefix ASC NULLS LAST) AS rn
+          FROM (SELECT {key_col},
+                       split_part(lower(regexp_extract(url, '{auth}', 1)),
+                                  ':', 1) AS host,
+                       regexp_extract(url, '{auth}([^?#]*)', 2) AS path
+                FROM {urls_cte}) u
+          LEFT JOIN {rules_cte} r
+            ON r.host = u.host AND starts_with(u.path, r.prefix)
+        ) WHERE rn = 1
+    """

@@ -298,3 +298,47 @@ def test_url_quality_filter_gates_and_parity(spark):
         "SELECT url, " + webtext.url_filter_sql("url") + " FROM t"
     ).fetchall()
     assert {u: (ok, r) for u, _h, ok, r in du} == got
+
+
+def test_robots_match_longest_prefix_and_parity(spark):
+    """RFC 9309 semantics: longest matching prefix wins, allow beats
+    disallow on equal length, unmatched (including rule-bearing hosts
+    whose rules simply don't match) → allowed; DuckDB twin bit-exact."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import webtext
+
+    urls = [
+        (1, "https://a.com/casino/p/5"),   # /casino deny vs /casino/p allow
+        (2, "https://a.com/casino/x"),     # only /casino deny matches
+        (3, "https://a.com/free/x"),       # host has rules, none match
+        (4, "https://b.com/anything"),     # host has no rules at all
+        (5, "https://a.com/tie"),          # equal-length allow+deny -> allow
+    ]
+    rules = [
+        ("a.com", "/casino", False),
+        ("a.com", "/casino/p", True),
+        ("a.com", "/tie", False),
+        ("a.com", "/tie", True),
+    ]
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rdf = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    got = {r["doc_id"]: (r["robots_allowed"], r["robots_rule"])
+           for r in webtext.robots_match(udf, rdf).collect()}
+    assert got == {
+        1: (True, "/casino/p"),
+        2: (False, "/casino"),
+        3: (True, ""),
+        4: (True, ""),
+        5: (True, "/tie"),
+    }
+
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["doc_id", "url"]))
+    con.register("r", pd.DataFrame(rules, columns=["host", "prefix", "allow"]))
+    du = con.execute(
+        "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
+        + webtext.robots_match_sql("uu", "rr")
+    ).fetchall()
+    assert {d: (a, p) for d, a, p in du} == got
