@@ -294,3 +294,48 @@ def test_fast_path_mutation_fuzz_on_corpus_pages():
         std.close()
         assert [key(b) for b in fast] == [key(b) for b in std.blocks], h[:300]
     assert n_claimed > 500  # the fast path still claims a healthy share
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.sets(
+    # exclude NUL (embedded-NUL varchar behavior is a storage-layer
+    # question, not a formula property) and surrogates (not valid UTF-8)
+    st.text(st.characters(min_codepoint=1, blacklist_categories=("Cs",)),
+            min_size=1, max_size=20),
+    min_size=1, max_size=200))
+def test_hll_formula_twin_matches_duckdb(keys):
+    """The portable HLL idiom (md5-prefix hash, shifted-integer register
+    sum, one-division estimate) recomputes identically in pure Python and
+    DuckDB for arbitrary key sets — the property that makes the Spark/SQL
+    twins exact rather than approximately equal."""
+    import hashlib
+    import math
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import sketch
+
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode("utf-8")).hexdigest()[:15], 16)
+        idx, w = h % 256, h >> 8
+        regs[idx] = max(regs.get(idx, 0), 53 - w.bit_length())
+    nonzero = len(regs)
+    sum_int = sum(1 << (53 - m) for m in regs.values()) + (256 - nonzero) * (
+        1 << 53
+    )
+    raw = sketch.HLL_EST_NUM / sum_int
+    v = 256 - nonzero
+    est = (
+        round(256.0 * math.log(256.0 / v), 6)
+        if raw <= sketch.HLL_SMALL and v > 0
+        else round(raw, 6)
+    )
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame({"k": list(keys), "grp": "g"}))
+    g, nz, si, e = con.execute(
+        sketch.hll_oracle_sql("tbl", "k", "grp")
+    ).fetchone()
+    assert (nz, si) == (nonzero, sum_int)
+    assert float(e) == est
