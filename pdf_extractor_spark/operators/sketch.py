@@ -49,7 +49,7 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate of `key_col`.
 
     Returns (group_col, hll_nonzero int, hll_sum_int long, hll_est
-    decimal(18,6)). hll_nonzero and hll_sum_int pin the exact integer
+    decimal(28,6)). hll_nonzero and hll_sum_int pin the exact integer
     register state; hll_est is the standard HLL estimator with the
     linear-counting small-range correction.
 
@@ -103,7 +103,7 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
         "hll_sum_int",
         F.when((raw <= HLL_SMALL) & (v > 0), linear)
         .otherwise(F.round(raw, 6))
-        .cast("decimal(18,6)")
+        .cast("decimal(28,6)")
         .alias("hll_est"),
     )
 
@@ -122,7 +122,7 @@ def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
                     THEN round({float(HLL_M)!r} * ln({float(HLL_M)!r} /
                          ({HLL_M} - hll_nonzero)), 6)
                     ELSE round({HLL_EST_NUM!r} / hll_sum_int, 6)
-               END AS DECIMAL(18,6)) AS hll_est
+               END AS DECIMAL(28,6)) AS hll_est
         FROM (
           SELECT grp, count(*) AS hll_nonzero,
                  sum(1::BIGINT << (53 - m_j))::BIGINT
