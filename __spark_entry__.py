@@ -1195,11 +1195,16 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling (old q28) ∪ sliding (old q60) window counts,
-    kind-tagged."""
+    """Watermarked tumbling (old q28) ∪ sliding (old q60) window counts ∪
+    streaming HyperLogLog distinct-user estimation per window (bounded
+    register state — windows × types × 256 rows — instead of per-user
+    exact state), kind-tagged. For the hll kind, `n` carries the nonzero
+    register count (exact integer state) and `sum_value` the cardinality
+    estimate rounded to 4dp (one rounding of the one-division estimator,
+    mirrored exactly in the oracle)."""
     from pdf_extractor_spark.streaming.stream import (
-        read_events_stream, run_stream_to_memory, sliding_counts_stream,
-        windowed_counts_stream,
+        hll_user_registers_stream, read_events_stream, run_stream_to_memory,
+        sliding_counts_stream, windowed_counts_stream,
     )
 
     tumb = run_stream_to_memory(
@@ -1208,9 +1213,26 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     slide = run_stream_to_memory(
         spark, sliding_counts_stream(read_events_stream(spark, sf_dir)),
         "q28_sliding")
+    regs = run_stream_to_memory(
+        spark, hll_user_registers_stream(read_events_stream(spark, sf_dir)),
+        "q28_hll")
+    roll = sketch.hll_rollup(regs, ["window_start", "event_type"])
+    v = F.lit(sketch.HLL_M) - F.col("hll_nonzero")
+    raw = F.lit(sketch.HLL_EST_NUM) / F.col("hll_sum_int")
+    est4 = F.when(
+        (raw <= sketch.HLL_SMALL) & (v > 0),
+        F.round(F.lit(float(sketch.HLL_M))
+                * F.log(F.lit(float(sketch.HLL_M)) / v.cast("double")), 4),
+    ).otherwise(F.round(raw, 4))
+    hll = roll.select(
+        "window_start", "event_type",
+        F.col("hll_nonzero").cast("long").alias("n"),
+        est4.alias("sum_value"),
+    ).withColumn("kind", F.lit("tumbling_hll_users"))
     return (
         tumb.withColumn("kind", F.lit("tumbling"))
         .unionByName(slide.withColumn("kind", F.lit("sliding")))
+        .unionByName(hll)
         .orderBy("kind", "window_start", "event_type")
     )
 
@@ -1901,7 +1923,8 @@ def oracle_sql() -> dict[str, str]:
     # tumbling ∪ sliding watermarked window counts (kind-tagged); the
     # sliding arm: every event lands in the window starting at its truncated
     # day and the one starting a day earlier
-    o["q28_streaming_window_counts"] = """
+    _hn = sketch.HLL_EST_NUM
+    o["q28_streaming_window_counts"] = f"""
         WITH tumbling AS (
             SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
                    event_type, count(*) AS n, round(sum(value), 4) AS sum_value
@@ -1914,12 +1937,40 @@ def oracle_sql() -> dict[str, str]:
                              AS window_start,
                          event_type, value
                   FROM events)
-            GROUP BY window_start, event_type)
+            GROUP BY window_start, event_type),
+        hregs AS (
+            SELECT window_start, event_type, idx, max(rank) AS m_j
+            FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)
+                             AS window_start,
+                         event_type,
+                         h % 256 AS idx,
+                         53 - length(ltrim(bin(h // 256), '0')) AS rank
+                  FROM (SELECT ts, event_type,
+                               ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                                   ::BIGINT AS h
+                        FROM events))
+            GROUP BY 1, 2, 3),
+        hroll AS (
+            SELECT window_start, event_type, count(*) AS nz,
+                   sum(1::BIGINT << (53 - m_j))::BIGINT
+                     + (256 - count(*)) * (1::BIGINT << 53) AS sum_int
+            FROM hregs GROUP BY 1, 2),
+        hll_arm AS (
+            SELECT window_start, event_type, nz::BIGINT AS n,
+                   CASE WHEN ({_hn!r} / sum_int) <= 640.0 AND (256 - nz) > 0
+                        THEN round(256.0 * ln(256.0 / (256 - nz)), 4)
+                        ELSE round({_hn!r} / sum_int, 4)
+                   END AS sum_value
+            FROM hroll)
         SELECT window_start, event_type, n, sum_value, 'tumbling' AS kind
         FROM tumbling
         UNION ALL
         SELECT window_start, event_type, n, sum_value, 'sliding' AS kind
         FROM sliding
+        UNION ALL
+        SELECT window_start, event_type, n, sum_value,
+               'tumbling_hll_users' AS kind
+        FROM hll_arm
         ORDER BY kind, window_start, event_type
     """
     # streaming dedup of the doubled stream yields exactly the original

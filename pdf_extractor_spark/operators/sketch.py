@@ -45,6 +45,50 @@ def _hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def hll_idx_rank(key: Column) -> tuple[Column, Column]:
+    """(register index, rank) column pair for a key expression — shared by
+    the batch operator and the streaming register aggregation so both
+    maintain bit-identical register state. rank = leading zeros of the
+    52-bit pattern word + 1 = 53 - bit_length(h >> 8); ltrim('0', bin(x))
+    gives bit_length uniformly (bin(0)='0' -> '' -> length 0 -> rank 53).
+    h >> 8 (not `/ 256`): Column `/` is DOUBLE division and h has 60 bits
+    (> 2^53), so float division would corrupt low bits of the word."""
+    h = _hash60(key)
+    idx = (h % HLL_M).cast("int")
+    rank = F.lit(_W_BITS + 1) - F.length(
+        F.ltrim(F.bin(F.shiftright(h, 8)), F.lit("0")))
+    return idx, rank
+
+
+def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers (group_cols..., idx, m_j) → (group_cols..., hll_nonzero,
+    hll_sum_int, hll_est): the integer-exact register combine and the
+    one-division estimate with linear-counting small-range correction."""
+    two53 = F.lit(2 ** 53).cast("long")
+    per = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("hll_nonzero"),
+        F.sum(F.expr("shiftleft(1L, 53 - m_j)")).alias("sum_present"),
+    )
+    v = F.lit(HLL_M) - F.col("hll_nonzero")
+    raw = F.lit(HLL_EST_NUM) / F.col("hll_sum_int")
+    linear = F.round(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")), 6
+    )
+    return per.select(
+        *group_cols,
+        "hll_nonzero",
+        (F.col("sum_present") + v.cast("long") * two53).alias("hll_sum_int"),
+    ).select(
+        *group_cols,
+        "hll_nonzero",
+        "hll_sum_int",
+        F.when((raw <= HLL_SMALL) & (v > 0), linear)
+        .otherwise(F.round(raw, 6))
+        .cast("decimal(28,6)")
+        .alias("hll_est"),
+    )
+
+
 def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate of `key_col`.
 
@@ -59,53 +103,17 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     shuffle → a group-cardinality-sized register aggregate. No Python, no
     second pass over the input, register state bounded at m rows/group.
     """
-    h = _hash60(F.col(key_col))
-    idx = h % HLL_M
-    # rank = leading zeros of the 52-bit pattern word + 1
-    #      = 53 - bit_length(h DIV m); ltrim('0', bin(x)) gives bit_length
-    # uniformly (bin(0) = '0' -> '' -> length 0 -> rank 53)
-    # h DIV 256 via shiftright: Column `/` is DOUBLE division and h has 60
-    # bits (> 2^53), so float division would corrupt low bits of the word
-    word = F.shiftright(h, 8)
+    idx, rank = hll_idx_rank(F.col(key_col))
     regs = (
         df.select(
             F.col(group_col).alias("grp"),
-            idx.cast("int").alias("idx"),
-            word.alias("word"),
-        )
-        .withColumn(
-            "rank",
-            F.lit(_W_BITS + 1) - F.length(F.expr("ltrim('0', bin(word))")),
+            idx.alias("idx"),
+            rank.alias("rank"),
         )
         .groupBy("grp", "idx")
         .agg(F.max("rank").alias("m_j"))
     )
-    two53 = F.lit(2 ** 53).cast("long")
-    per = regs.groupBy("grp").agg(
-        F.count("*").cast("int").alias("hll_nonzero"),
-        F.sum(F.expr("shiftleft(1L, 53 - m_j)")).alias("sum_present"),
-    )
-    v = F.lit(HLL_M) - F.col("hll_nonzero")
-    sum_int = (F.col("sum_present") + v.cast("long") * two53).alias(
-        "hll_sum_int"
-    )
-    raw = F.lit(HLL_EST_NUM) / F.col("hll_sum_int")
-    linear = F.round(
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")), 6
-    )
-    return per.select(
-        F.col("grp").alias(group_col),
-        "hll_nonzero",
-        sum_int,
-    ).select(
-        group_col,
-        "hll_nonzero",
-        "hll_sum_int",
-        F.when((raw <= HLL_SMALL) & (v > 0), linear)
-        .otherwise(F.round(raw, 6))
-        .cast("decimal(28,6)")
-        .alias("hll_est"),
-    )
+    return hll_rollup(regs, ["grp"]).withColumnRenamed("grp", group_col)
 
 
 def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:

@@ -181,3 +181,28 @@ def session_window_stream(events: DataFrame, gap: str = "30 minutes",
         .select("user_id", F.col("w.start").alias("session_start"),
                 "n_events", "sum_value")
     )
+
+
+def hll_user_registers_stream(events: DataFrame,
+                              watermark: str = "1 day") -> DataFrame:
+    """Streaming HyperLogLog register maintenance: distinct-user
+    cardinality state per (tumbling day window, event_type) as
+    (window_start, event_type, idx, m_j) register rows. The streaming
+    state is BOUNDED at windows x types x 256 registers regardless of how
+    many distinct users flow past — the whole point of sketching a stream
+    (an exact streaming distinct-count would hold every user id in state).
+    max(rank) is an algebraic aggregate, so late rows within the watermark
+    fold in exactly; with availableNow the registers equal the batch twin
+    (operators.sketch.hll_idx_rank is the shared expression pair), so the
+    downstream estimate rollup is oracle-checkable."""
+    from pdf_extractor_spark.operators.sketch import hll_idx_rank
+
+    idx, rank = hll_idx_rank(F.col("user_id").cast("string"))
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", "event_type", idx.alias("idx"), rank.alias("rank"))
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "idx")
+        .agg(F.max("rank").alias("m_j"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "idx", "m_j")
+    )

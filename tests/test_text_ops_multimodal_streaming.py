@@ -347,3 +347,30 @@ def test_extract_pages_stream_equals_batch(spark, tmp_path):
     g, b = canon(got), canon(batch)
     assert len(g) == len(b) > 0
     assert g == b
+
+
+def test_streaming_hll_registers_equal_batch_and_bounded(spark):
+    """The streamed HLL registers equal the batch register computation
+    (shared hll_idx_rank expressions, availableNow drain), and the state
+    cardinality is bounded by windows x types x 256 regardless of how
+    many distinct users the stream carries."""
+    from pdf_extractor_spark.operators.sketch import HLL_M, hll_idx_rank
+    from pdf_extractor_spark.streaming.stream import (
+        hll_user_registers_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    stream = hll_user_registers_stream(read_events_stream(spark, SF_DIR))
+    got = run_stream_to_memory(spark, stream, "hll_regs_test")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    idx, rank = hll_idx_rank(F.col("user_id").cast("string"))
+    batch = (
+        events.select(
+            F.date_trunc("day", "ts").alias("window_start"),
+            "event_type", idx.alias("idx"), rank.alias("rank"))
+        .groupBy("window_start", "event_type", "idx")
+        .agg(F.max("rank").alias("m_j"))
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    n_groups = got.select("window_start", "event_type").distinct().count()
+    assert got.count() <= n_groups * HLL_M
