@@ -105,7 +105,10 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     """
     idx, rank = hll_idx_rank(F.col(key_col))
     regs = (
-        df.select(
+        # a NULL key carries no element — it must not mint a NULL register
+        # (count(*) in the rollup would count it); the twin filters too
+        df.where(F.col(key_col).isNotNull())
+        .select(
             F.col(group_col).alias("grp"),
             idx.alias("idx"),
             rank.alias("rank"),
@@ -143,7 +146,8 @@ def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
                      53 - length(ltrim(bin(h // {HLL_M}), '0')) AS rank
               FROM (SELECT {group_sql}, {key_sql},
                            ('0x' || substr(md5({key_sql}), 1, 15))::BIGINT AS h
-                    FROM {table_expr})
+                    FROM {table_expr}
+                    WHERE {key_sql} IS NOT NULL)
             ) GROUP BY grp, idx
           ) GROUP BY grp
         )

@@ -349,7 +349,10 @@ def url_quality_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     f_params = n_params <= URL_MAX_PARAMS
     reason = (
-        F.when(~f_scheme, F.lit("scheme"))
+        # a NULL url makes every predicate NULL, which would fall through
+        # every WHEN to 'ok' — fail it explicitly at the scheme gate
+        F.when(u.isNull(), F.lit("scheme"))
+        .when(~f_scheme, F.lit("scheme"))
         .when(~f_block, F.lit("blocklist"))
         .when(~f_digit, F.lit("digit_host"))
         .when(~f_len, F.lit("too_long"))
@@ -376,6 +379,7 @@ def url_filter_sql(url_sql: str) -> str:
     block = " OR ".join(
         f"contains(lower({url_sql}), '{t}')" for t in URL_BLOCKLIST)
     reason = f"""CASE
+        WHEN {url_sql} IS NULL THEN 'scheme'
         WHEN lower(regexp_extract({url_sql},
              '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) NOT IN ('http', 'https')
              THEN 'scheme'

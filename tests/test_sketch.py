@@ -105,3 +105,26 @@ def test_countmin_cell_bound(vocab_df):
     ).withColumn("pos", sketch._cm_pos(F.col("word"), F.col("row")))
     n_cells = wr.groupBy("row", "pos").count().count()
     assert n_cells <= sketch.CM_DEPTH * sketch.CM_WIDTH
+
+def test_hll_null_keys_carry_no_element(spark):
+    # NULL keys must not mint registers — estimate over (k, NULL, NULL)
+    # equals estimate over (k,), on both engines
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import sketch
+
+    with_nulls = spark.createDataFrame(
+        [("g", "k1"), ("g", None), ("g", None), ("g", "k2")],
+        "grp string, k string",
+    )
+    clean = spark.createDataFrame(
+        [("g", "k1"), ("g", "k2")], "grp string, k string")
+    a = [tuple(r) for r in sketch.hll_distinct(with_nulls, "k", "grp").collect()]
+    b = [tuple(r) for r in sketch.hll_distinct(clean, "k", "grp").collect()]
+    assert a == b
+    con = duckdb.connect()
+    con.register("tbl", pd.DataFrame(
+        {"grp": ["g"] * 4, "k": ["k1", None, None, "k2"]}))
+    du = con.execute(sketch.hll_oracle_sql("tbl", "k", "grp")).fetchall()
+    assert [tuple(map(str, r)) for r in du] == [tuple(map(str, r)) for r in a]
