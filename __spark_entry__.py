@@ -170,9 +170,17 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
         .join(F.broadcast(t3), "sid3")
     )
     did = F.col("doc_id").cast("string")
+    # every 7th doc is marked noindex — exercises the meta-robots detector
+    # against the analytic ground truth in the oracle
+    noindex_meta = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.lit('<meta name="robots" content="noindex">'),
+    ).otherwise(F.lit(""))
     html = F.encode(
         F.concat(
-            F.lit('<html><head><title>d</title></head><body><nav>'),
+            F.lit('<html><head><title>d</title>'),
+            noindex_meta,
+            F.lit('</head><body><nav>'),
             F.lit('<a href="https://'), F.col("h1"), F.lit('/p/'), did,
             F.lit('">r</a>'),
             F.lit('<a href="/p/'), (F.col("doc_id") + 1).cast("string"),
@@ -211,11 +219,21 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll = sketch.hll_distinct(docs, "text", "source")
     exd = docs.groupBy("source").agg(
         F.countDistinct("text").alias("distinct_texts"))
+    # meta-robots noindex detection over the REAL page bytes, rolled up per
+    # host; the oracle pins the analytic ground truth (every 7th doc), so
+    # this gates the detector end-to-end
+    ni = (
+        pages.where(
+            webtext.meta_noindex_expr(F.decode(F.col("html"), "utf-8")))
+        .select(webtext.host_of_expr(F.col("url")).alias("source"))
+        .groupBy("source").agg(F.count("*").alias("noindex_docs"))
+    )
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(od.withColumnRenamed("src", "source"), "source", "left")
         .join(F.broadcast(hll), "source")
         .join(F.broadcast(exd), "source")
+        .join(F.broadcast(ni), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -227,6 +245,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              / F.lit(float(webtext.PAGERANK_SCALE))).alias("pagerank"),
             F.col("distinct_texts").cast("long").alias("distinct_texts"),
             "hll_nonzero", "hll_sum_int", "hll_est",
+            F.coalesce(F.col("noindex_docs"), F.lit(0)).cast("long")
+            .alias("noindex_docs"),
         )
         .orderBy("source")
     )
@@ -2339,19 +2359,23 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked GROUP BY source),
         exd AS (SELECT source, count(DISTINCT text)::BIGINT AS distinct_texts
                 FROM documents GROUP BY source),
-        hll AS ({sketch.hll_oracle_sql("documents", "text", "source")})
+        hll AS ({sketch.hll_oracle_sql("documents", "text", "source")}),
+        ni AS (SELECT source, count(*)::BIGINT AS noindex_docs
+               FROM documents WHERE doc_id % 7 = 0 GROUP BY source)
         SELECT base.*,
                CAST(coalesce(od.out_degree, 0) AS BIGINT) AS out_degree,
                CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
                coalesce(pf.rank_scaled, 0) / {float(webtext.PAGERANK_SCALE)}
                    AS pagerank,
                exd.distinct_texts,
-               hll.hll_nonzero, hll.hll_sum_int, hll.hll_est
+               hll.hll_nonzero, hll.hll_sum_int, hll.hll_est,
+               CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN od ON od.src = base.source
         JOIN exd ON exd.source = base.source
         JOIN hll ON hll.source = base.source
+        LEFT JOIN ni ON ni.source = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

@@ -480,3 +480,17 @@ def robots_match_sql(urls_cte: str, rules_cte: str,
             ON r.host = u.host AND starts_with(u.path, r.prefix)
         ) WHERE rn = 1
     """
+
+
+def meta_noindex_expr(html_str: Column) -> Column:
+    """True when the page carries a `<meta name="robots" ...>` tag whose
+    content includes `noindex` — pages a compliant corpus builder must
+    drop even after fetching them. Pure JVM regexp over the decoded html
+    (bounded quantifiers, lowercased containment only — no index math on
+    the lowered copy), portable Java-regex/RE2 subset."""
+    tag = F.regexp_extract(
+        F.lower(html_str),
+        r"<meta[^>]{0,512}name\s*=\s*[\"']?robots[^>]{0,512}>",
+        0,
+    )
+    return tag.contains("noindex")

@@ -342,3 +342,23 @@ def test_robots_match_longest_prefix_and_parity(spark):
         + webtext.robots_match_sql("uu", "rr")
     ).fetchall()
     assert {d: (a, p) for d, a, p in du} == got
+
+
+def test_meta_noindex_detection_shapes(spark):
+    from pdf_extractor_spark.operators import webtext
+
+    cases = [
+        ('<head><meta name="robots" content="noindex"></head>', True),
+        ("<meta name='robots' content='noindex, nofollow'>", True),
+        ('<META NAME="ROBOTS" CONTENT="NOINDEX">', True),
+        ('<meta name="robots" content="nofollow">', False),
+        ('<meta name="description" content="noindex appears in prose">', False),
+        ('<p>noindex</p>', False),
+        ('', False),
+    ]
+    df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
+                               "i long, html string")
+    got = {r["i"]: r["ni"] for r in df.select(
+        "i", webtext.meta_noindex_expr(F.col("html")).alias("ni")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, cases[i])
