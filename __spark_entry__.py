@@ -658,8 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q58_customer_year_cohorts"] = lambda s, d: relational.customer_year_cohorts(
         _t(s, d, "orders"))
     q["q59_revenue_cube"] = lambda s, d: relational.revenue_cube(_t(s, d, "orders"))
-    q["q68_order_percentiles"] = lambda s, d: relational.order_value_percentiles(
-        _t(s, d, "orders"))
+    q["q68_order_percentiles"] = q_order_percentiles
     q["q70_event_time_heatmap"] = lambda s, d: relational.event_time_heatmap(
         _t(s, d, "events"))
     q["q71_pivot_roundtrip"] = lambda s, d: relational.pivot_roundtrip(
@@ -1065,6 +1064,20 @@ def q_doc_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "url_host", "url_ok", "url_reason")
     rb = webtext.robots_match(urls, _robots_rules(spark))
     return base.join(uf, "doc_id").join(rb, "doc_id").orderBy("doc_id")
+
+
+def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sort-based percentiles (quantile_cont semantics) joined with
+    the single-pass histogram-sketch estimates (sketch.histogram_quantiles
+    — bucket width 1000, the constant-memory path when a global per-group
+    sort is too expensive). The h* columns bound the exact p* columns from
+    above by construction (upper bucket edge), which the oracle checks
+    value-exactly."""
+    orders = _t(spark, sf_dir, "orders")
+    exact = relational.order_value_percentiles(orders)
+    hist = sketch.histogram_quantiles(orders, "o_totalprice",
+                                      "o_orderpriority")
+    return exact.join(hist, "o_orderpriority").orderBy("o_orderpriority")
 
 
 def q_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2716,13 +2729,19 @@ def oracle_sql() -> dict[str, str]:
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
     """
-    o["q68_order_percentiles"] = """
-        SELECT o_orderpriority,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
-               count(*) AS n_orders
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    o["q68_order_percentiles"] = f"""
+        WITH exact AS (
+            SELECT o_orderpriority,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+                   round(quantile_cont(o_totalprice, 0.99), 4) AS p99,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority),
+        hist AS ({sketch.histogram_quantiles_sql(
+            "orders", "o_totalprice", "o_orderpriority")})
+        SELECT exact.*, hist.h50, hist.h90, hist.h99
+        FROM exact JOIN hist USING (o_orderpriority)
+        ORDER BY o_orderpriority
     """
     # DuckDB dayofweek is 0=Sunday..6; Spark is 1=Sunday..7 -> +1
     o["q70_event_time_heatmap"] = """

@@ -240,3 +240,82 @@ def countmin_oracle_sql(vocab_cte: str, k: int = 20) -> str:
         ORDER BY est DESC, word ASC
         LIMIT {k}
     """
+
+
+# ---- Fixed-width histogram quantile sketch ----
+HIST_WIDTH = 1000.0
+
+
+def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
+                        width: float = HIST_WIDTH) -> DataFrame:
+    """Single-pass histogram quantile estimates (p50/p90/p99) per group:
+    bucket counts at fixed width `width`, then the quantile is the upper
+    edge of the first bucket whose cumulative count reaches ceil(q*n).
+    Returns (group_col, h50, h90, h99) — the constant-memory companion to
+    the exact sort-based percentile (state is range/width buckets per
+    group instead of every value; the error bound is `width`).
+
+    Determinism note: ceil(q*n) inherits IEEE double literal-times-int
+    semantics (0.9 is not binary-exact), which both engines evaluate
+    identically — the sketch is bit-portable even where the rank is
+    mathematically off by one from the rational q*n.
+
+    Plan at 100 TB: one narrow bucket projection → groupBy(group, bucket)
+    count (map-side combine bounds per-partition state at buckets/group) →
+    a bucket-cardinality window + rollup. No sort of the data, no
+    per-value state — the scale path where exact percentile's global sort
+    per group would dominate the job.
+    """
+    from pyspark.sql.window import Window
+
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.floor(F.col(value_col) / width).cast("long").alias("bucket"),
+    )
+    cells = b.groupBy("grp", "bucket").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("grp").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = cells.withColumn("cum", F.sum("c").over(w)).withColumn(
+        "n", F.sum("c").over(Window.partitionBy("grp")))
+
+    def est(q: float) -> Column:
+        rank = F.ceil(F.lit(q) * F.col("n"))
+        return F.min(
+            F.when(F.col("cum") >= rank, (F.col("bucket") + 1) * width)
+        )
+
+    return (
+        cum.groupBy("grp")
+        .agg(est(0.5).alias("h50"), est(0.9).alias("h90"),
+             est(0.99).alias("h99"))
+        .withColumnRenamed("grp", group_col)
+    )
+
+
+def histogram_quantiles_sql(table_expr: str, value_sql: str,
+                            group_sql: str,
+                            width: float = HIST_WIDTH) -> str:
+    """DuckDB fragment recomputing histogram_quantiles exactly."""
+    # CAST to DOUBLE: a bare float literal is DECIMAL in DuckDB, and a
+    # decimal-typed estimate would canon-differ from Spark's double
+    ests = ", ".join(
+        f"min(CASE WHEN cum >= ceil(CAST({q!r} AS DOUBLE) * n) "
+        f"THEN (bucket + 1) * CAST({width!r} AS DOUBLE) END) AS h{int(q * 100)}"
+        for q in (0.5, 0.9, 0.99)
+    )
+    return f"""
+        SELECT grp AS {group_sql}, {ests}
+        FROM (
+          SELECT grp, bucket, c,
+                 sum(c) OVER (PARTITION BY grp ORDER BY bucket
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 sum(c) OVER (PARTITION BY grp) AS n
+          FROM (SELECT grp, bucket, count(*) AS c
+                FROM (SELECT {group_sql} AS grp,
+                             CAST(floor({value_sql}
+                                        / CAST({width!r} AS DOUBLE))
+                                  AS BIGINT) AS bucket
+                      FROM {table_expr})
+                GROUP BY grp, bucket)
+        ) GROUP BY grp
+    """

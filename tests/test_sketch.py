@@ -128,3 +128,30 @@ def test_hll_null_keys_carry_no_element(spark):
         {"grp": ["g"] * 4, "k": ["k1", None, None, "k2"]}))
     du = con.execute(sketch.hll_oracle_sql("tbl", "k", "grp")).fetchall()
     assert [tuple(map(str, r)) for r in du] == [tuple(map(str, r)) for r in a]
+
+
+def test_histogram_quantiles_bound_exact_and_parity(spark):
+    """h_q is the upper edge of the bucket containing the rank-q value, so
+    exact_q <= h_q <= exact_q + width; DuckDB twin bit-exact."""
+    import duckdb
+    import pandas as pd
+
+    rows = [("a", float(v)) for v in range(0, 5000, 7)]
+    rows += [("b", float(v * v % 9000)) for v in range(900)]
+    df = spark.createDataFrame(rows, "grp string, val double")
+    got = {r["grp"]: r for r in
+           sketch.histogram_quantiles(df, "val", "grp").collect()}
+    exact = {r["grp"]: r for r in df.groupBy("grp").agg(
+        F.percentile("val", F.lit(0.5)).alias("p50"),
+        F.percentile("val", F.lit(0.9)).alias("p90"),
+        F.percentile("val", F.lit(0.99)).alias("p99")).collect()}
+    for g in ("a", "b"):
+        for q in ("50", "90", "99"):
+            e, h = exact[g][f"p{q}"], got[g][f"h{q}"]
+            assert e <= h <= e + sketch.HIST_WIDTH, (g, q, e, h)
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["grp", "val"]))
+    du = {g: (h50, h90, h99) for g, h50, h90, h99 in con.execute(
+        sketch.histogram_quantiles_sql("t", "val", "grp")).fetchall()}
+    assert du == {g: (r["h50"], r["h90"], r["h99"]) for g, r in got.items()}
