@@ -82,9 +82,13 @@ def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         *group_cols,
         "hll_nonzero",
         "hll_sum_int",
+        # decimal quantize then back to double: the q16 driver-gate pattern
+        # — both pandas bridges (Spark: Decimal objects; DuckDB: float64)
+        # then deliver bit-identical float64 of the same exact 6dp value
         F.when((raw <= HLL_SMALL) & (v > 0), linear)
         .otherwise(F.round(raw, 6))
         .cast("decimal(28,6)")
+        .cast("double")
         .alias("hll_est"),
     )
 
@@ -92,10 +96,12 @@ def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
 def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
     """Per-group HyperLogLog distinct-count estimate of `key_col`.
 
-    Returns (group_col, hll_nonzero int, hll_sum_int long, hll_est
-    decimal(28,6)). hll_nonzero and hll_sum_int pin the exact integer
-    register state; hll_est is the standard HLL estimator with the
-    linear-counting small-range correction.
+    Returns (group_col, hll_nonzero int, hll_sum_int long, hll_est double
+    — quantized through decimal(28,6) then bridged back to double so both
+    engines' pandas clients see bit-identical float64). hll_nonzero and
+    hll_sum_int pin the exact integer register state; hll_est is the
+    standard HLL estimator with the linear-counting small-range
+    correction.
 
     Plan at 100 TB: one narrow projection (hash/idx/rank are JVM
     expressions) → groupBy(group, idx) max — map-side combine collapses
@@ -128,12 +134,13 @@ def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
         SELECT grp AS {group_sql},
                hll_nonzero::INT AS hll_nonzero,
                hll_sum_int::BIGINT AS hll_sum_int,
-               CAST(CASE WHEN ({HLL_EST_NUM!r} / hll_sum_int) <= {HLL_SMALL!r}
+               CAST(CAST(CASE
+                    WHEN ({HLL_EST_NUM!r} / hll_sum_int) <= {HLL_SMALL!r}
                           AND ({HLL_M} - hll_nonzero) > 0
                     THEN round({float(HLL_M)!r} * ln({float(HLL_M)!r} /
                          ({HLL_M} - hll_nonzero)), 6)
                     ELSE round({HLL_EST_NUM!r} / hll_sum_int, 6)
-               END AS DECIMAL(28,6)) AS hll_est
+               END AS DECIMAL(28,6)) AS DOUBLE) AS hll_est
         FROM (
           SELECT grp, count(*) AS hll_nonzero,
                  sum(1::BIGINT << (53 - m_j))::BIGINT
