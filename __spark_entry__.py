@@ -1600,8 +1600,8 @@ def oracle_sql() -> dict[str, str]:
                          || '?a=1&z=2' END AS raw_url
                FROM documents),
         up AS (SELECT doc_id,
-               lower(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-               lower(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+               translate(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS scheme,
+               translate(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS auth,
                regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
                regexp_extract(trim(raw_url), '\\?([^#]*)', 1) AS query
                FROM uraw),

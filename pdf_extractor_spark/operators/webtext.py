@@ -12,7 +12,9 @@ twins (tests/test_webtext_ops.py locally; the link-graph path is also
 driver-oracle-gated inside q53).
 
 Canonicalization spec (deterministic, documented so the SQL twin is exact):
-lowercase scheme+authority, strip fragment, strip default ports (http:80 /
+ASCII-lowercase scheme+authority (Unicode case folding is not
+engine-portable — Java lower('İ') is 2 chars, DuckDB's is 1; real
+authorities are punycode/ASCII), strip fragment, strip default ports (http:80 /
 https:443), empty path → "/", strip one trailing slash from non-root
 paths, drop empty query components and sort the rest byte-wise.
 """
@@ -28,8 +30,9 @@ def canonical_url_expr(url: Column) -> Column:
     """Column expression computing the canonical form of an absolute URL
     (whole-stage-codegen'd: regexp_extract / array_sort / concat only)."""
     u = F.trim(url)
-    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    auth = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    scheme = _ascii_lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    auth = _ascii_lower(F.regexp_extract(u, _AUTH_RE, 1))
     auth = F.when(scheme == "http", F.regexp_replace(auth, ":80$", "")) \
         .when(scheme == "https", F.regexp_replace(auth, ":443$", "")) \
         .otherwise(auth)
@@ -165,7 +168,7 @@ def host_of_expr(url: Column) -> Column:
     """Lower-cased authority of an absolute URL (the host key of the web
     graph). Port/userinfo stripping is the canonicalizer's job — this is
     the raw grouping key."""
-    return F.lower(F.regexp_extract(url, _AUTH_RE, 1))
+    return _ascii_lower(F.regexp_extract(url, _AUTH_RE, 1))
 
 
 def extract_links(pages: DataFrame, url_col: str = "url",
@@ -315,6 +318,17 @@ URL_BLOCKLIST = ("casino", "porn", "xxx", "viagra", "poker", "escort")
 URL_MAX_LEN = 256
 URL_MAX_DEPTH = 8
 URL_MAX_PARAMS = 4
+# ASCII-only case fold: Java's lower('İ') is 'i'+U+0307 (2 chars) while
+# DuckDB's is 'i' — Unicode lowercasing is NOT engine-portable (the İ
+# length-change class from the kernel parity work). Real hosts are
+# punycode/ASCII, and the blocklist tokens are ASCII, so folding only A-Z
+# is both correct and bit-portable (translate() in both engines).
+_UC = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LC = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _ascii_lower(col: Column) -> Column:
+    return F.translate(col, _UC, _LC)
 
 
 def url_quality_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
@@ -329,14 +343,17 @@ def url_quality_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
     shuffle — this is a narrow map over the frontier/pages table).
     """
     u = F.col(url_col)
-    scheme = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(u, _AUTH_RE, 1))
+    # scheme chars are regex-constrained to ASCII, but host and the whole
+    # URL are not — fold case ASCII-only everywhere for engine parity
+    scheme = _ascii_lower(
+        F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = _ascii_lower(F.regexp_extract(u, _AUTH_RE, 1))
     host = F.split_part(hostport, F.lit(":"), F.lit(1))
     path = F.regexp_extract(u, _AUTH_RE + r"([^?#]*)", 2)
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     n_digits = F.length(F.regexp_replace(host, "[^0-9]", ""))
     f_scheme = scheme.isin("http", "https")
-    lu = F.lower(u)
+    lu = _ascii_lower(u)
     f_block = ~sum(
         (lu.contains(t).cast("int") for t in URL_BLOCKLIST), F.lit(0)
     ).cast("boolean")
@@ -373,15 +390,19 @@ def url_filter_sql(url_sql: str) -> str:
     (url_host, url_ok, url_reason) from the URL expression `url_sql` —
     gate-for-gate identical to the Spark expressions above."""
     auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
-    host = f"split_part(lower(regexp_extract({url_sql}, '{auth}', 1)), ':', 1)"
+    fold = "'" + _UC + "', '" + _LC + "'"
+    host = (f"split_part(translate(regexp_extract({url_sql}, '{auth}', 1), "
+            f"{fold}), ':', 1)")
     path = f"regexp_extract({url_sql}, '{auth}([^?#]*)', 2)"
     query = f"regexp_extract({url_sql}, '\\?([^#]*)', 1)"
     block = " OR ".join(
-        f"contains(lower({url_sql}), '{t}')" for t in URL_BLOCKLIST)
+        f"contains(translate({url_sql}, {fold}), '{t}')"
+        for t in URL_BLOCKLIST)
     reason = f"""CASE
         WHEN {url_sql} IS NULL THEN 'scheme'
-        WHEN lower(regexp_extract({url_sql},
-             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) NOT IN ('http', 'https')
+        WHEN translate(regexp_extract({url_sql},
+             '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), {fold})
+             NOT IN ('http', 'https')
              THEN 'scheme'
         WHEN {block} THEN 'blocklist'
         WHEN NOT (length(regexp_replace({host}, '[^0-9]', '', 'g')) * 10
@@ -422,7 +443,7 @@ def robots_match(urls: DataFrame, rules: DataFrame,
 
     u = urls.select(
         F.col(key_col),
-        F.lower(F.split_part(
+        _ascii_lower(F.split_part(
             F.regexp_extract(F.col(url_col), _AUTH_RE, 1),
             F.lit(":"), F.lit(1))).alias("host"),
         F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2)
@@ -472,7 +493,9 @@ def robots_match_sql(urls_cte: str, rules_cte: str,
                             r.allow DESC NULLS LAST,
                             r.prefix ASC NULLS LAST) AS rn
           FROM (SELECT {key_col},
-                       split_part(lower(regexp_extract(url, '{auth}', 1)),
+                       split_part(translate(regexp_extract(url,
+                                      '{auth}', 1),
+                                      'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                   ':', 1) AS host,
                        regexp_extract(url, '{auth}([^?#]*)', 2) AS path
                 FROM {urls_cte}) u

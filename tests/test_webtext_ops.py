@@ -26,8 +26,8 @@ URLS = [
 CANON_SQL = r"""
 WITH p AS (
   SELECT raw_url,
-         lower(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
-         lower(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1)) AS auth,
+         translate(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS scheme,
+         translate(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS auth,
          regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
          regexp_extract(trim(raw_url), '\?([^#]*)', 1) AS query
   FROM urls
@@ -362,3 +362,84 @@ def test_meta_noindex_detection_shapes(spark):
         "i", webtext.meta_noindex_expr(F.col("html")).alias("ni")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, cases[i])
+
+
+def test_url_filter_cross_engine_fuzz(spark):
+    """Seeded structured fuzz: 2000 adversarial URL shapes (weird schemes,
+    repeated '://', '?' before the authority, unicode hosts/paths,
+    percent-junk, control chars, empty) — Spark and DuckDB must produce
+    the identical verdict for every one."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import webtext
+
+    rng = random.Random(4242)
+    schemes = ["https", "http", "ftp", "HTTPS", "a+b-c.d", "", "1bad"]
+    hosts = ["www.ok.com", "12345678.net", "UP.com:443", "", ":80",
+             "straße.de", "host.with.many.labels.example", "777",
+             "a" * 80 + ".com"]
+    paths = ["", "/", "/p/1", "/casino/x", "/a/b/c/d/e/f/g/h/i/j/k",
+             "/İstanbul/page", "/x%20y/z", "/" + "q/" * 12, "/tab\there",
+             "/" + "z" * 280]
+    queries = ["", "?a=1", "?a=1&b=2&c=3&d=4&e=5", "?&&", "?x=%%",
+               "?a=1#frag", "??double"]
+    extras = ["", "#f", "#a#b", "://again"]
+    urls = []
+    for _ in range(2000):
+        u = (rng.choice(schemes) + ("://" if rng.random() < 0.9 else ":/")
+             + rng.choice(hosts) + rng.choice(paths) + rng.choice(queries)
+             + rng.choice(extras))
+        urls.append(u)
+    urls += ["", "no-scheme-at-all", "://", "https://", "xxx"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "i long, url string")
+    sp = {r["i"]: (r["url_host"], r["url_ok"], r["url_reason"])
+          for r in webtext.url_quality_filter(df).collect()}
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"i": range(len(urls)), "url": urls}))
+    du = con.execute(
+        "SELECT i, " + webtext.url_filter_sql("url") + " FROM t").fetchall()
+    for i, h, ok, r in du:
+        assert sp[i] == (h, ok, r), (i, urls[i], sp[i], (h, ok, r))
+
+
+def test_robots_cross_engine_fuzz(spark):
+    """Seeded fuzz of robots longest-prefix evaluation: random rule tables
+    (overlapping prefixes, allow/deny ties, multi-host) against random
+    URLs — verdicts must be engine-identical."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import webtext
+
+    rng = random.Random(77)
+    hosts = [f"h{k}.com" for k in range(8)]
+    segs = ["a", "b", "casino", "p", "x"]
+    rules = []
+    for _ in range(60):
+        depth = rng.randint(1, 3)
+        prefix = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        rules.append((rng.choice(hosts), prefix, rng.random() < 0.5))
+    rules = sorted(set(rules))
+    urls = []
+    for i in range(800):
+        depth = rng.randint(0, 5)
+        path = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        urls.append((i, f"https://{rng.choice(hosts + ['norules.org'])}{path}"))
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rdf = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    sp = {r["doc_id"]: (r["robots_allowed"], r["robots_rule"])
+          for r in webtext.robots_match(udf, rdf).collect()}
+    assert len(sp) == len(urls)
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["doc_id", "url"]))
+    con.register("r", pd.DataFrame(rules, columns=["host", "prefix", "allow"]))
+    du = con.execute(
+        "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
+        + webtext.robots_match_sql("uu", "rr")).fetchall()
+    assert {d: (a, p) for d, a, p in du} == sp
