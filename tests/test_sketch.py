@@ -155,3 +155,46 @@ def test_histogram_quantiles_bound_exact_and_parity(spark):
     du = {g: (h50, h90, h99) for g, h50, h90, h99 in con.execute(
         sketch.histogram_quantiles_sql("t", "val", "grp")).fetchall()}
     assert du == {g: (r["h50"], r["h90"], r["h99"]) for g, r in got.items()}
+
+
+def test_hll_merge_equals_union(spark):
+    """Registers built per shard and merged by max give EXACTLY the
+    registers of the union — the shardability property."""
+    a = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(300)], "grp string, k string")
+    b = spark.createDataFrame(
+        [("g", f"k{i}") for i in range(150, 450)], "grp string, k string")
+
+    def regs(df):
+        idx, rank = sketch.hll_idx_rank(F.col("k"))
+        return (df.select(F.col("grp"), idx.alias("idx"), rank.alias("rank"))
+                .groupBy("grp", "idx").agg(F.max("rank").alias("m_j")))
+
+    merged = sketch.hll_merge_registers(regs(a), regs(b))
+    union = regs(a.unionAll(b))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, union.collect()))
+    est_m = sketch.hll_rollup(merged, ["grp"]).collect()[0]["hll_est"]
+    est_u = sketch.hll_rollup(union, ["grp"]).collect()[0]["hll_est"]
+    assert est_m == est_u
+
+
+def test_countmin_merge_is_linear(spark):
+    """Shard-built CM cells summed == cells of the concatenated vocab."""
+    a = spark.createDataFrame(
+        [(f"w{i}", i + 1) for i in range(100)], "word string, freq long")
+    b = spark.createDataFrame(
+        [(f"w{i}", 2 * i + 1) for i in range(50, 150)],
+        "word string, freq long")
+
+    def cells(df):
+        rows = F.sequence(F.lit(0), F.lit(sketch.CM_DEPTH - 1))
+        wr = df.select("word", "freq", F.explode(rows).alias("row")) \
+            .withColumn("pos", sketch._cm_pos(F.col("word"), F.col("row")))
+        return wr.groupBy("row", "pos").agg(F.sum("freq").alias("cell_total"))
+
+    merged = sketch.countmin_merge_cells(cells(a), cells(b))
+    both = cells(a.unionAll(b).groupBy("word").agg(
+        F.sum("freq").alias("freq")))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, both.collect()))
