@@ -161,3 +161,20 @@ def test_countmin_scoring_join_broadcasts_cells(spark):
     plan = _plan(sketch.countmin_topk(vocab))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_histogram_quantiles_sorts_cells_not_rows(spark, sf_dir):
+    """The histogram sketch must never globally sort the raw data — the
+    plan's only Sort orders post-aggregation bucket cells (the window
+    input), and both exchanges are keyed aggregates."""
+    from pdf_extractor_spark.operators import sketch
+
+    df = sketch.histogram_quantiles(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderpriority")
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2, plan
+    # every Sort node sits above the bucket-cell aggregate (sorts grp/bucket
+    # columns), not the raw value column
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "o_totalprice" not in line, line
