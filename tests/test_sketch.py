@@ -198,3 +198,17 @@ def test_countmin_merge_is_linear(spark):
         F.sum("freq").alias("freq")))
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, both.collect()))
+
+
+def test_sketches_on_empty_input(spark):
+    """Empty input → empty result with a stable schema for every sketch
+    (no div-by-zero, no null-register rows)."""
+    e_docs = spark.createDataFrame([], "grp string, k string")
+    out = sketch.hll_distinct(e_docs, "k", "grp")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "grp", "hll_nonzero", "hll_sum_int", "hll_est"]
+    e_vocab = spark.createDataFrame([], "word string, freq long")
+    assert sketch.countmin_topk(e_vocab).count() == 0
+    e_vals = spark.createDataFrame([], "grp string, val double")
+    assert sketch.histogram_quantiles(e_vals, "val", "grp").count() == 0
