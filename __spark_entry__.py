@@ -231,8 +231,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(od.withColumnRenamed("src", "source"), "source", "left")
-        .join(F.broadcast(hll), "source")
-        .join(F.broadcast(exd), "source")
+        .join(F.broadcast(hll), "source", "left")
+        .join(F.broadcast(exd), "source", "left")
         .join(F.broadcast(ni), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
@@ -243,8 +243,15 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_scaled"),
             (F.coalesce(F.col("rank_scaled"), F.lit(0))
              / F.lit(float(webtext.PAGERANK_SCALE))).alias("pagerank"),
-            F.col("distinct_texts").cast("long").alias("distinct_texts"),
-            "hll_nonzero", "hll_sum_int", "hll_est",
+            F.coalesce(F.col("distinct_texts"), F.lit(0)).cast("long")
+            .alias("distinct_texts"),
+            # an all-NULL-text source has the EMPTY sketch state: 0 nonzero
+            # registers, sum = 256*2^53, estimate 0 (linear branch at V=256)
+            F.coalesce(F.col("hll_nonzero"), F.lit(0)).cast("int")
+            .alias("hll_nonzero"),
+            F.coalesce(F.col("hll_sum_int"), F.lit(256 * (2 ** 53)))
+            .cast("long").alias("hll_sum_int"),
+            F.coalesce(F.col("hll_est"), F.lit(0.0)).alias("hll_est"),
             F.coalesce(F.col("noindex_docs"), F.lit(0)).cast("long")
             .alias("noindex_docs"),
         )
@@ -1250,17 +1257,12 @@ def q_streaming_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, hll_user_registers_stream(read_events_stream(spark, sf_dir)),
         "q28_hll")
     roll = sketch.hll_rollup(regs, ["window_start", "event_type"])
-    v = F.lit(sketch.HLL_M) - F.col("hll_nonzero")
-    raw = F.lit(sketch.HLL_EST_NUM) / F.col("hll_sum_int")
-    est4 = F.when(
-        (raw <= sketch.HLL_SMALL) & (v > 0),
-        F.round(F.lit(float(sketch.HLL_M))
-                * F.log(F.lit(float(sketch.HLL_M)) / v.cast("double")), 4),
-    ).otherwise(F.round(raw, 4))
     hll = roll.select(
         "window_start", "event_type",
         F.col("hll_nonzero").cast("long").alias("n"),
-        est4.alias("sum_value"),
+        # the shared estimator at 4dp — ONE rounding, double on both
+        # engines (no decimal bridge needed: both sides emit float64)
+        sketch.hll_est_expr(4).alias("sum_value"),
     ).withColumn("kind", F.lit("tumbling_hll_users"))
     return (
         tumb.withColumn("kind", F.lit("tumbling"))
@@ -2380,14 +2382,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
                coalesce(pf.rank_scaled, 0) / {float(webtext.PAGERANK_SCALE)}
                    AS pagerank,
-               exd.distinct_texts,
-               hll.hll_nonzero, hll.hll_sum_int, hll.hll_est,
+               CAST(coalesce(exd.distinct_texts, 0) AS BIGINT)
+                   AS distinct_texts,
+               CAST(coalesce(hll.hll_nonzero, 0) AS INT) AS hll_nonzero,
+               CAST(coalesce(hll.hll_sum_int, 256 * (1::BIGINT << 53))
+                    AS BIGINT) AS hll_sum_int,
+               coalesce(hll.hll_est, CAST(0.0 AS DOUBLE)) AS hll_est,
                CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN od ON od.src = base.source
-        JOIN exd ON exd.source = base.source
-        JOIN hll ON hll.source = base.source
+        LEFT JOIN exd ON exd.source = base.source
+        LEFT JOIN hll ON hll.source = base.source
         LEFT JOIN ni ON ni.source = base.source
         ORDER BY base.source
     """

@@ -60,6 +60,22 @@ def hll_idx_rank(key: Column) -> tuple[Column, Column]:
     return idx, rank
 
 
+def hll_est_expr(dp: int = 6) -> Column:
+    """The HLL estimator (one division of the integer register sum, with
+    the linear-counting small-range branch) over columns `hll_nonzero` and
+    `hll_sum_int`, rounded to `dp` decimals — THE single source of the
+    formula; every consumer (batch rollup, streaming arm) derives from it
+    so the two cannot drift."""
+    v = F.lit(HLL_M) - F.col("hll_nonzero")
+    raw = F.lit(HLL_EST_NUM) / F.col("hll_sum_int")
+    linear = F.round(
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+        dp,
+    )
+    return F.when((raw <= HLL_SMALL) & (v > 0), linear).otherwise(
+        F.round(raw, dp))
+
+
 def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
     """Registers (group_cols..., idx, m_j) → (group_cols..., hll_nonzero,
     hll_sum_int, hll_est): the integer-exact register combine and the
@@ -70,10 +86,6 @@ def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         F.sum(F.expr("shiftleft(1L, 53 - m_j)")).alias("sum_present"),
     )
     v = F.lit(HLL_M) - F.col("hll_nonzero")
-    raw = F.lit(HLL_EST_NUM) / F.col("hll_sum_int")
-    linear = F.round(
-        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")), 6
-    )
     return per.select(
         *group_cols,
         "hll_nonzero",
@@ -85,8 +97,7 @@ def hll_rollup(regs: DataFrame, group_cols: list[str]) -> DataFrame:
         # decimal quantize then back to double: the q16 driver-gate pattern
         # — both pandas bridges (Spark: Decimal objects; DuckDB: float64)
         # then deliver bit-identical float64 of the same exact 6dp value
-        F.when((raw <= HLL_SMALL) & (v > 0), linear)
-        .otherwise(F.round(raw, 6))
+        hll_est_expr(6)
         .cast("decimal(28,6)")
         .cast("double")
         .alias("hll_est"),
@@ -128,8 +139,9 @@ def hll_distinct(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
 def hll_oracle_sql(table_expr: str, key_sql: str, group_sql: str) -> str:
     """DuckDB CTE body recomputing hll_distinct exactly. Returns a
     SELECT (group, hll_nonzero, hll_sum_int, hll_est) statement fragment;
-    `table_expr` is the FROM source, `key_sql`/`group_sql` are column
-    expressions in that source."""
+    `table_expr` is the FROM source. `key_sql`/`group_sql` must be BARE
+    column names (they are re-selected across subquery levels and used as
+    an output alias — a computed expression would not parse)."""
     return f"""
         SELECT grp AS {group_sql},
                hll_nonzero::INT AS hll_nonzero,
@@ -197,9 +209,13 @@ def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     constant-memory summary a streaming ingest would maintain.
     """
     rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    # localCheckpoint: wr feeds BOTH the cell aggregate and the scoring
+    # join — without it the vocab explode and 4 md5 hashes per word run
+    # twice (and the upstream vocab aggregate with them when the caller
+    # didn't persist). Eager, bounded at vocab x 4 narrow rows
     wr = words.select(
         "word", "freq", F.explode(rows).alias("row")
-    ).withColumn("pos", _cm_pos(F.col("word"), F.col("row")))
+    ).withColumn("pos", _cm_pos(F.col("word"), F.col("row"))).localCheckpoint()
     cells = wr.groupBy("row", "pos").agg(F.sum("freq").alias("cell_total"))
     est = (
         wr.join(F.broadcast(cells), ["row", "pos"])
@@ -275,7 +291,10 @@ def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
     """
     from pyspark.sql.window import Window
 
-    b = df.select(
+    # NULL values carry no rank — percentile/quantile_cont ignore them, and
+    # an unfiltered NULL bucket would also order differently across engines
+    # (Spark windows put NULLS FIRST, DuckDB NULLS LAST)
+    b = df.where(F.col(value_col).isNotNull()).select(
         F.col(group_col).alias("grp"),
         F.floor(F.col(value_col) / width).cast("long").alias("bucket"),
     )
@@ -302,7 +321,9 @@ def histogram_quantiles(df: DataFrame, value_col: str, group_col: str,
 def histogram_quantiles_sql(table_expr: str, value_sql: str,
                             group_sql: str,
                             width: float = HIST_WIDTH) -> str:
-    """DuckDB fragment recomputing histogram_quantiles exactly."""
+    """DuckDB fragment recomputing histogram_quantiles exactly.
+    `value_sql`/`group_sql` must be bare column names (re-selected across
+    subquery levels / used as an output alias)."""
     # CAST to DOUBLE: a bare float literal is DECIMAL in DuckDB, and a
     # decimal-typed estimate would canon-differ from Spark's double
     ests = ", ".join(
@@ -322,7 +343,8 @@ def histogram_quantiles_sql(table_expr: str, value_sql: str,
                              CAST(floor({value_sql}
                                         / CAST({width!r} AS DOUBLE))
                                   AS BIGINT) AS bucket
-                      FROM {table_expr})
+                      FROM {table_expr}
+                      WHERE {value_sql} IS NOT NULL)
                 GROUP BY grp, bucket)
         ) GROUP BY grp
     """

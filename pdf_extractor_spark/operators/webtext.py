@@ -432,6 +432,8 @@ def robots_match(urls: DataFrame, rules: DataFrame,
     `rules` is (host, prefix, allow boolean) — the parsed robots table a
     crawler maintains per host. Returns (key_col, robots_allowed,
     robots_rule) where robots_rule is the winning prefix ('' if none).
+    A URL with no path component evaluates as path '/' (RFC 9309 — a
+    full-site `Disallow: /` must match `https://host`).
 
     Plan at 100 TB: the rules table is host-cardinality (tiny vs the
     frontier) and broadcasts; matching is one BroadcastHashJoin on host +
@@ -446,7 +448,11 @@ def robots_match(urls: DataFrame, rules: DataFrame,
         _ascii_lower(F.split_part(
             F.regexp_extract(F.col(url_col), _AUTH_RE, 1),
             F.lit(":"), F.lit(1))).alias("host"),
-        F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2)
+        F.when(
+            F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2)
+            == "", F.lit("/"))
+        .otherwise(
+            F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2))
         .alias("path"),
     )
     # the startswith predicate must live INSIDE the left-join condition: a
@@ -497,7 +503,10 @@ def robots_match_sql(urls_cte: str, rules_cte: str,
                                       '{auth}', 1),
                                       'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
                                   ':', 1) AS host,
-                       regexp_extract(url, '{auth}([^?#]*)', 2) AS path
+                       CASE WHEN regexp_extract(url, '{auth}([^?#]*)', 2)
+                                 = '' THEN '/'
+                            ELSE regexp_extract(url, '{auth}([^?#]*)', 2)
+                       END AS path
                 FROM {urls_cte}) u
           LEFT JOIN {rules_cte} r
             ON r.host = u.host AND starts_with(u.path, r.prefix)
@@ -509,10 +518,11 @@ def meta_noindex_expr(html_str: Column) -> Column:
     """True when the page carries a `<meta name="robots" ...>` tag whose
     content includes `noindex` — pages a compliant corpus builder must
     drop even after fetching them. Pure JVM regexp over the decoded html
-    (bounded quantifiers, lowercased containment only — no index math on
-    the lowered copy), portable Java-regex/RE2 subset."""
+    (bounded quantifiers, ASCII-folded containment only — Unicode lower is
+    not engine-portable, NOTES #28, and the tokens are ASCII), portable
+    Java-regex/RE2 subset."""
     tag = F.regexp_extract(
-        F.lower(html_str),
+        _ascii_lower(html_str),
         r"<meta[^>]{0,512}name\s*=\s*[\"']?robots[^>]{0,512}>",
         0,
     )

@@ -199,7 +199,10 @@ def hll_user_registers_stream(events: DataFrame,
 
     idx, rank = hll_idx_rank(F.col("user_id").cast("string"))
     return (
-        events.withWatermark("ts", watermark)
+        # NULL user_id carries no element — must not mint a NULL register
+        # (mirrors the batch hll_distinct filter exactly)
+        events.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
         .select("ts", "event_type", idx.alias("idx"), rank.alias("rank"))
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type", "idx")
         .agg(F.max("rank").alias("m_j"))

@@ -443,3 +443,28 @@ def test_robots_cross_engine_fuzz(spark):
         "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
         + webtext.robots_match_sql("uu", "rr")).fetchall()
     assert {d: (a, p) for d, a, p in du} == sp
+
+
+def test_robots_empty_path_is_root(spark):
+    """RFC 9309: a URL with no path evaluates as '/', so a full-site
+    Disallow '/' matches https://host (no trailing slash)."""
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.operators import webtext
+
+    urls = [(1, "https://deny.com"), (2, "https://deny.com/"),
+            (3, "https://free.com")]
+    rules = [("deny.com", "/", False)]
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rdf = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    got = {r["doc_id"]: r["robots_allowed"]
+           for r in webtext.robots_match(udf, rdf).collect()}
+    assert got == {1: False, 2: False, 3: True}
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["doc_id", "url"]))
+    con.register("r", pd.DataFrame(rules, columns=["host", "prefix", "allow"]))
+    du = {d: a for d, a, _p in con.execute(
+        "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
+        + webtext.robots_match_sql("uu", "rr")).fetchall()}
+    assert du == got
