@@ -212,3 +212,33 @@ def test_sketches_on_empty_input(spark):
     assert sketch.countmin_topk(e_vocab).count() == 0
     e_vals = spark.createDataFrame([], "grp string, val double")
     assert sketch.histogram_quantiles(e_vals, "val", "grp").count() == 0
+
+
+def test_hll_incremental_via_snapshot_table(spark, tmp_path):
+    """The continuous-crawl cardinality loop: day-1 registers committed to
+    a SnapshotTable; day-2's batch registers fold in with ONE
+    register-sized max-merge and an overwrite commit — the resulting
+    estimate is EXACTLY the estimate of a full recompute over both days
+    (HLL shardability + the repo's table format, no corpus re-scan)."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    day1 = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(400)], "grp string, k string")
+    day2 = spark.createDataFrame(
+        [("g", f"u{i}") for i in range(250, 700)], "grp string, k string")
+
+    def regs(df):
+        idx, rank = sketch.hll_idx_rank(F.col("k"))
+        return (df.select("grp", idx.alias("idx"), rank.alias("rank"))
+                .groupBy("grp", "idx").agg(F.max("rank").alias("m_j")))
+
+    store = SnapshotTable(str(tmp_path / "hll_state"))
+    store.append(regs(day1))
+    committed = store.read(spark)
+    merged = sketch.hll_merge_registers(committed, regs(day2))
+    store.overwrite(merged)
+    est_inc = sketch.hll_rollup(
+        store.read(spark), ["grp"]).collect()[0]["hll_est"]
+    est_full = sketch.hll_distinct(
+        day1.unionAll(day2), "k", "grp").collect()[0]["hll_est"]
+    assert est_inc == est_full
