@@ -468,3 +468,32 @@ def test_robots_empty_path_is_root(spark):
         "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
         + webtext.robots_match_sql("uu", "rr")).fetchall()}
     assert du == got
+
+
+def test_canonical_url_cross_engine_fuzz(spark):
+    """Seeded adversarial fuzz of the canonicalizer against its DuckDB
+    twin (CANON_SQL) — messy ports, empty queries, repeated separators,
+    unicode, case — every canonical form must be engine-identical."""
+    import random
+
+    rng = random.Random(99)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b.c", "WWW.Site7.com", "x", "straße.de",
+             "İstanbul.DE"]  # uppercase-İ host: ASCII-only fold must hold
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/a", "/a/", "/a/b/", "//double", "/İ/x"]
+    queries = ["", "?", "?a=1", "?z=2&a=1", "?b=&a=1&&", "?a=1&a=1"]
+    frags = ["", "#f", "#a#b"]
+    urls = []
+    for _ in range(1500):
+        urls.append(rng.choice(schemes) + "://" + rng.choice(hosts)
+                    + rng.choice(ports) + rng.choice(paths)
+                    + rng.choice(queries) + rng.choice(frags))
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [(r["url"], r["c"]) for r in df.select(
+        "url", webtext.canonical_url_expr(F.col("url")).alias("c")).collect()]
+    con = duckdb.connect()
+    con.register("urls", pd.DataFrame({"raw_url": urls}))
+    want = dict(con.execute(CANON_SQL).fetchall())
+    for u, c in got:
+        assert want[u] == c, (u, c, want[u])
