@@ -210,6 +210,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact distinct count (sketch.hll_distinct — the constant-memory
     distinct-per-host stat a 100 TB crawl rollup keeps; all bit-exact vs
     the unrolled-CTE + register-recompute oracle)."""
+    from pyspark.sql.window import Window
+
     docs = _t(spark, sf_dir, "documents")
     base = text_analysis.source_rollup(docs)
     pages = _linked_pages_from_documents(docs)
@@ -255,6 +257,26 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("noindex_docs"), F.lit(0)).cast("long")
             .alias("noindex_docs"),
         )
+        .withColumn(
+            # RedPajama/Pile-style temperature-scaled source mixing weight:
+            # w_i = docs_i^0.7 / Σ docs_j^0.7. Each pow term is rounded to
+            # DECIMAL(18,6) BEFORE the sum (the BM25 order-free-sum lesson,
+            # NOTES #20); the final division runs on the exact doubles of
+            # those decimals, then the q16 decimal→double bridge
+            "mix_term",
+            F.round(F.pow(F.col("docs").cast("double"), F.lit(0.7)), 6)
+            .cast("decimal(18,6)"),
+        )
+        .withColumn(
+            "mix_weight",
+            F.round(
+                F.col("mix_term").cast("double")
+                / F.sum(F.col("mix_term")).over(Window.partitionBy())
+                .cast("double"),
+                6,
+            ).cast("decimal(18,6)").cast("double"),
+        )
+        .drop("mix_term")
         .orderBy("source")
     )
 
@@ -2388,7 +2410,13 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(hll.hll_sum_int, 256 * (1::BIGINT << 53))
                     AS BIGINT) AS hll_sum_int,
                coalesce(hll.hll_est, CAST(0.0 AS DOUBLE)) AS hll_est,
-               CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs
+               CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs,
+               CAST(CAST(round(
+                   CAST(CAST(round(pow(base.docs, 0.7), 6)
+                             AS DECIMAL(18,6)) AS DOUBLE)
+                   / CAST(sum(CAST(round(pow(base.docs, 0.7), 6)
+                                   AS DECIMAL(18,6))) OVER () AS DOUBLE),
+                   6) AS DECIMAL(18,6)) AS DOUBLE) AS mix_weight
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN od ON od.src = base.source
