@@ -2672,7 +2672,8 @@ def oracle_sql() -> dict[str, str]:
                  FROM qfe f JOIN qw USING (bucket)
                  GROUP BY f.doc_id),
         qsel AS (SELECT doc_id FROM qdot
-                 WHERE CAST(CAST(s::DOUBLE AS DECIMAL(18,6)) AS DOUBLE) > 0)
+                 WHERE CAST(CAST(s::DOUBLE AS DECIMAL(18,6)) AS DOUBLE) > 0),
+        mixu AS (
         SELECT s.lang, pb.bucket, count(*) AS survivors,
                round(avg(g.n_words), 6) AS avg_words, 'ccnet_mix' AS stage
         FROM sampled s
@@ -2694,7 +2695,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN g ON s.doc_id = g.doc_id AND g.keep
         JOIN pb ON s.doc_id = pb.doc_id
         JOIN qsel ON s.doc_id = qsel.doc_id
-        GROUP BY s.lang, pb.bucket
+        GROUP BY s.lang, pb.bucket)
+        SELECT lang, bucket, survivors, avg_words, stage,
+               CAST(CAST(round(
+                   CAST(CAST(round(pow(survivors, 0.7), 6)
+                             AS DECIMAL(18,6)) AS DOUBLE)
+                   / CAST(sum(CAST(round(pow(survivors, 0.7), 6)
+                                   AS DECIMAL(18,6)))
+                          OVER (PARTITION BY stage) AS DOUBLE),
+                   6) AS DECIMAL(18,6)) AS DOUBLE) AS mix_weight
+        FROM mixu
         ORDER BY stage, lang, bucket
     """
     # i/j are 0-based in Spark; DuckDB arrays are 1-based → i-1/j-1

@@ -1341,6 +1341,15 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     kept = sampled.join(gate, "doc_id").join(ppl, "doc_id")
 
     def rollup(d: DataFrame, stage: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        # temperature-scaled mixture weight within the stage (CCNet-style
+        # w = survivors^0.7 / Σ survivors^0.7): each pow term decimal-
+        # snapped BEFORE the sum so the cross-engine sum is order-free
+        # (the BM25 lesson), then the q16 decimal→double bridge
+        term = F.round(
+            F.pow(F.col("survivors").cast("double"), F.lit(0.7)), 6
+        ).cast("decimal(18,6)")
         return (
             d.groupBy("lang", "bucket")
             .agg(
@@ -1348,6 +1357,17 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
                 F.round(F.avg("n_words"), 6).alias("avg_words"),
             )
             .withColumn("stage", F.lit(stage))
+            .withColumn("mix_term", term)
+            .withColumn(
+                "mix_weight",
+                F.round(
+                    F.col("mix_term").cast("double")
+                    / F.sum("mix_term").over(Window.partitionBy())
+                    .cast("double"),
+                    6,
+                ).cast("decimal(18,6)").cast("double"),
+            )
+            .drop("mix_term")
         )
 
     selected = dsir_weights(docs).where(F.col("dsir_weight") > 0).select("doc_id")
