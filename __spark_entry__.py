@@ -258,25 +258,12 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("noindex_docs"),
         )
         .withColumn(
-            # RedPajama/Pile-style temperature-scaled source mixing weight:
-            # w_i = docs_i^0.7 / Σ docs_j^0.7. Each pow term is rounded to
-            # DECIMAL(18,6) BEFORE the sum (the BM25 order-free-sum lesson,
-            # NOTES #20); the final division runs on the exact doubles of
-            # those decimals, then the q16 decimal→double bridge
-            "mix_term",
-            F.round(F.pow(F.col("docs").cast("double"), F.lit(0.7)), 6)
-            .cast("decimal(18,6)"),
-        )
-        .withColumn(
+            # RedPajama/Pile-style temperature-scaled source mixing weight
+            # (shared formula: text_analysis.temperature_mix_weight)
             "mix_weight",
-            F.round(
-                F.col("mix_term").cast("double")
-                / F.sum(F.col("mix_term")).over(Window.partitionBy())
-                .cast("double"),
-                6,
-            ).cast("decimal(18,6)").cast("double"),
+            text_analysis.temperature_mix_weight(
+                F.col("docs"), Window.partitionBy()),
         )
-        .drop("mix_term")
         .orderBy("source")
     )
 
@@ -1244,11 +1231,11 @@ def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Count-Min heavy hitters over the SAME persisted vocab table: the
     # 4x1024-cell sketch estimate for the top-20 words (over-counts are
     # deterministic md5 collisions, replicated bit-exactly by the oracle)
-    cm = (
-        sketch.countmin_topk(words)
-        .localCheckpoint()
-        .withColumn("method", F.lit("countmin_topk"))
-    )
+    # no extra checkpoint here: countmin_topk already eagerly checkpoints
+    # its hashed wr projection internally, and the result no longer
+    # references `words`, so the unpersist below is safe
+    cm = sketch.countmin_topk(words).withColumn(
+        "method", F.lit("countmin_topk"))
     words.unpersist()
     return (
         tri.unionByName(mdf).unionByName(toks).unionByName(cm)
@@ -2005,7 +1992,8 @@ def oracle_sql() -> dict[str, str]:
                   FROM (SELECT ts, event_type,
                                ('0x' || substr(md5(user_id::VARCHAR), 1, 15))
                                    ::BIGINT AS h
-                        FROM events))
+                        FROM events
+                        WHERE user_id IS NOT NULL))
             GROUP BY 1, 2, 3),
         hroll AS (
             SELECT window_start, event_type, count(*) AS nz,
@@ -2411,12 +2399,8 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS hll_sum_int,
                coalesce(hll.hll_est, CAST(0.0 AS DOUBLE)) AS hll_est,
                CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs,
-               CAST(CAST(round(
-                   CAST(CAST(round(pow(base.docs, 0.7), 6)
-                             AS DECIMAL(18,6)) AS DOUBLE)
-                   / CAST(sum(CAST(round(pow(base.docs, 0.7), 6)
-                                   AS DECIMAL(18,6))) OVER () AS DOUBLE),
-                   6) AS DECIMAL(18,6)) AS DOUBLE) AS mix_weight
+               {text_analysis.temperature_mix_weight_sql("base.docs")}
+                   AS mix_weight
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN od ON od.src = base.source
@@ -2697,13 +2681,8 @@ def oracle_sql() -> dict[str, str]:
         JOIN qsel ON s.doc_id = qsel.doc_id
         GROUP BY s.lang, pb.bucket)
         SELECT lang, bucket, survivors, avg_words, stage,
-               CAST(CAST(round(
-                   CAST(CAST(round(pow(survivors, 0.7), 6)
-                             AS DECIMAL(18,6)) AS DOUBLE)
-                   / CAST(sum(CAST(round(pow(survivors, 0.7), 6)
-                                   AS DECIMAL(18,6)))
-                          OVER (PARTITION BY stage) AS DOUBLE),
-                   6) AS DECIMAL(18,6)) AS DOUBLE) AS mix_weight
+               {text_analysis.temperature_mix_weight_sql("survivors", "stage")}
+                   AS mix_weight
         FROM mixu
         ORDER BY stage, lang, bucket
     """

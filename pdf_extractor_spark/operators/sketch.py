@@ -212,7 +212,10 @@ def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     # localCheckpoint: wr feeds BOTH the cell aggregate and the scoring
     # join — without it the vocab explode and 4 md5 hashes per word run
     # twice (and the upstream vocab aggregate with them when the caller
-    # didn't persist). Eager, bounded at vocab x 4 narrow rows
+    # didn't persist). Eager, bounded at vocab x 4 narrow rows; the
+    # checkpoint RDD is reclaimed by the ContextCleaner once the returned
+    # frame is unreferenced (callers should NOT stack another checkpoint
+    # on the result)
     wr = words.select(
         "word", "freq", F.explode(rows).alias("row")
     ).withColumn("pos", _cm_pos(F.col("word"), F.col("row"))).localCheckpoint()

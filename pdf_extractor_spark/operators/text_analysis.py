@@ -1314,6 +1314,36 @@ def _quality_classifier_twin(doc_rows: list[tuple[int, str | None]],
     return w
 
 
+def temperature_mix_weight(count_col, part_window):
+    """Temperature-scaled mixture weight w_i = c_i^0.7 / Σ c_j^0.7 over the
+    window's partition (CCNet/RedPajama source weighting). Each pow term is
+    decimal(18,6)-snapped BEFORE the sum so the cross-engine sum is
+    order-free (the BM25 lesson), and the final value goes through the q16
+    decimal→double bridge. SINGLE source of the formula — the SQL twin is
+    temperature_mix_weight_sql; keep them in lockstep."""
+    term = F.round(
+        F.pow(count_col.cast("double"), F.lit(0.7)), 6
+    ).cast("decimal(18,6)")
+    return (
+        F.round(
+            term.cast("double")
+            / F.sum(term).over(part_window).cast("double"),
+            6,
+        ).cast("decimal(18,6)").cast("double")
+    )
+
+
+def temperature_mix_weight_sql(count_sql: str, partition_by: str = "") -> str:
+    """DuckDB expression twin of temperature_mix_weight (no alias)."""
+    over = f"OVER (PARTITION BY {partition_by})" if partition_by else "OVER ()"
+    term = f"CAST(round(pow({count_sql}, 0.7), 6) AS DECIMAL(18,6))"
+    return (
+        f"CAST(CAST(round(CAST({term} AS DOUBLE) / "
+        f"CAST(sum({term}) {over} AS DOUBLE), 6) "
+        f"AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+
+
 def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     """End-to-end training-data mixture prep composing this engine's
     hygiene operators. NOTE: not fully lazy — the classifier stage runs
@@ -1343,13 +1373,6 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
     def rollup(d: DataFrame, stage: str) -> DataFrame:
         from pyspark.sql.window import Window
 
-        # temperature-scaled mixture weight within the stage (CCNet-style
-        # w = survivors^0.7 / Σ survivors^0.7): each pow term decimal-
-        # snapped BEFORE the sum so the cross-engine sum is order-free
-        # (the BM25 lesson), then the q16 decimal→double bridge
-        term = F.round(
-            F.pow(F.col("survivors").cast("double"), F.lit(0.7)), 6
-        ).cast("decimal(18,6)")
         return (
             d.groupBy("lang", "bucket")
             .agg(
@@ -1357,17 +1380,11 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
                 F.round(F.avg("n_words"), 6).alias("avg_words"),
             )
             .withColumn("stage", F.lit(stage))
-            .withColumn("mix_term", term)
             .withColumn(
                 "mix_weight",
-                F.round(
-                    F.col("mix_term").cast("double")
-                    / F.sum("mix_term").over(Window.partitionBy())
-                    .cast("double"),
-                    6,
-                ).cast("decimal(18,6)").cast("double"),
+                temperature_mix_weight(
+                    F.col("survivors"), Window.partitionBy()),
             )
-            .drop("mix_term")
         )
 
     selected = dsir_weights(docs).where(F.col("dsir_weight") > 0).select("doc_id")
