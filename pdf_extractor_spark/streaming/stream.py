@@ -209,3 +209,35 @@ def hll_user_registers_stream(events: DataFrame,
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "idx", "m_j")
     )
+
+
+def cm_user_cells_stream(events: DataFrame,
+                         watermark: str = "1 day") -> DataFrame:
+    """Streaming Count-Min cell maintenance: per (tumbling day window) the
+    4x1024 cell table counting user_id occurrences — constant state per
+    window (<= depth x width rows) however many distinct users flow past,
+    and the cells are a LINEAR sketch so late rows within the watermark
+    and cross-shard merges fold in by plain addition. With availableNow
+    the cells equal the batch build (shared sketch._cm_pos hashing), so
+    any key's frequency estimate afterwards is min over its 4 cells.
+    Test-demonstrated (not a driver query: the q28 suite schema has no
+    cell-grain home); the batch arm lives in q54."""
+    from pdf_extractor_spark.operators.sketch import CM_DEPTH, _cm_pos
+
+    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    keyed = (
+        events.where(F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .select(
+            "ts",
+            F.col("user_id").cast("string").alias("key"),
+            F.explode(rows).alias("row"),
+        )
+        .withColumn("pos", _cm_pos(F.col("key"), F.col("row")))
+    )
+    return (
+        keyed.groupBy(F.window("ts", "1 day").alias("w"), "row", "pos")
+        .agg(F.count("*").alias("cell_total"))
+        .select(F.col("w.start").alias("window_start"), "row", "pos",
+                "cell_total")
+    )

@@ -374,3 +374,33 @@ def test_streaming_hll_registers_equal_batch_and_bounded(spark):
     assert batch.exceptAll(got).count() == 0
     n_groups = got.select("window_start", "event_type").distinct().count()
     assert got.count() <= n_groups * HLL_M
+
+
+def test_streaming_countmin_cells_equal_batch_and_bounded(spark):
+    """Streamed CM cells equal the batch build (shared _cm_pos hashing),
+    and per-window state is bounded at depth x width."""
+    from pdf_extractor_spark.operators.sketch import (
+        CM_DEPTH, CM_WIDTH, _cm_pos,
+    )
+    from pdf_extractor_spark.streaming.stream import (
+        cm_user_cells_stream, read_events_stream, run_stream_to_memory,
+    )
+
+    got = run_stream_to_memory(
+        spark, cm_user_cells_stream(read_events_stream(spark, SF_DIR)),
+        "cm_cells_test")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    batch = (
+        events.where(F.col("user_id").isNotNull())
+        .select(F.date_trunc("day", "ts").alias("window_start"),
+                F.col("user_id").cast("string").alias("key"),
+                F.explode(rows).alias("row"))
+        .withColumn("pos", _cm_pos(F.col("key"), F.col("row")))
+        .groupBy("window_start", "row", "pos")
+        .agg(F.count("*").alias("cell_total"))
+    )
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    per_win = got.groupBy("window_start").count().agg(F.max("count")).first()[0]
+    assert per_win <= CM_DEPTH * CM_WIDTH
