@@ -582,3 +582,42 @@ def order_value_quartiles(orders: DataFrame) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.dense_rank().over(w).alias("rnk"),
     ).orderBy("o_orderkey")
+
+
+def gap_fill_locf(df: DataFrame, key_col: str, day_col: str,
+                  value_col: str) -> DataFrame:
+    """Dense daily series per key with last-observation-carried-forward:
+    build each key's day spine from its own min..max day (sequence →
+    explode — a JVM generator, no driver loop), left-join the observations,
+    and fill gaps with `last(value, ignoreNulls)` over the ordered window.
+    Returns (key_col, day, value, filled boolean).
+
+    The time-series companion to the as-of join (q33): as-of aligns one
+    table's rows to another's timeline; gap-fill densifies a single series
+    onto the calendar. Plan: one keyed aggregate for the spine bounds, a
+    broadcast-sized spine explode per key, one keyed window — all shuffles
+    on key_col, nothing global.
+    """
+    from pyspark.sql.window import Window
+
+    obs = df.select(
+        F.col(key_col).alias("k"),
+        F.col(day_col).cast("date").alias("day"),
+        F.col(value_col).alias("v"),
+    )
+    bounds = obs.groupBy("k").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        "k", F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = Window.partitionBy("k").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(obs, ["k", "day"], "left")
+        .select(
+            F.col("k").alias(key_col),
+            "day",
+            F.last("v", ignorenulls=True).over(w).alias(value_col),
+            F.col("v").isNull().alias("filled"),
+        )
+        .orderBy(key_col, "day")
+    )

@@ -316,3 +316,48 @@ def test_annotation_span_intersections_offsets(spark):
     got = {(r["ann_id"], r["span_start"]): r["overlap_chars"]
            for r in annotation_span_intersections(extracted, ann).collect()}
     assert got == {(100, 0): 5, (100, 12): 8}
+
+
+def test_gap_fill_locf_known_answers_and_twin(spark):
+    """Dense spine per key, LOCF fill, filled flag; DuckDB twin parity
+    (generate_series spine + last_value IGNORE NULLS window)."""
+    import datetime as dt
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.relational import gap_fill_locf
+
+    d = dt.date
+    rows = [
+        ("a", d(2024, 1, 1), 1.0),
+        ("a", d(2024, 1, 4), 4.0),   # 2 gap days -> carry 1.0
+        ("b", d(2024, 2, 10), 7.0),  # single-day series
+    ]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    got = [(r["k"], r["day"].isoformat(), r["v"], r["filled"])
+           for r in gap_fill_locf(df, "k", "day", "v").collect()]
+    assert got == [
+        ("a", "2024-01-01", 1.0, False),
+        ("a", "2024-01-02", 1.0, True),
+        ("a", "2024-01-03", 1.0, True),
+        ("a", "2024-01-04", 4.0, False),
+        ("b", "2024-02-10", 7.0, False),
+    ]
+    con = duckdb.connect()
+    con.register("obs", pd.DataFrame(rows, columns=["k", "day", "v"]))
+    du = con.execute("""
+        WITH b AS (SELECT k, min(day) d0, max(day) d1 FROM obs GROUP BY k),
+        spine AS (SELECT k, unnest(generate_series(d0, d1,
+                                   INTERVAL 1 DAY))::DATE AS day FROM b),
+        j AS (SELECT s.k, s.day, o.v FROM spine s
+              LEFT JOIN obs o ON o.k = s.k AND o.day = s.day)
+        SELECT k, day::VARCHAR,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY k ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS v,
+               v IS NULL AS filled
+        FROM j ORDER BY k, day
+    """).fetchall()
+    assert [tuple(r) for r in du] == got
