@@ -1614,7 +1614,7 @@ def oracle_sql() -> dict[str, str]:
                translate(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS scheme,
                translate(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS auth,
                regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-               regexp_extract(trim(raw_url), '\\?([^#]*)', 1) AS query
+               regexp_extract(regexp_extract(trim(raw_url), '^[^#]*', 0), '\\?(.*)', 1) AS query
                FROM uraw),
         uq AS (SELECT doc_id, scheme,
                CASE WHEN scheme = 'http' THEN regexp_replace(auth, ':80$', '')

@@ -40,7 +40,9 @@ def canonical_url_expr(url: Column) -> Column:
     path2 = F.when(path2 == "", F.lit("/")).otherwise(path2)
     path2 = F.when((path2 != "/") & path2.endswith("/"),
                    path2.substr(F.lit(1), F.length(path2) - 1)).otherwise(path2)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query from the pre-fragment prefix: a lone \?([^#]*) would match a
+    # '?' sitting AFTER '#' and leak fragment content into the query
+    query = F.regexp_extract(F.regexp_extract(u, "^[^#]*", 0), r"\?(.*)", 1)
     qsorted = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda x: x != "")), "&")
     return F.concat(
@@ -350,7 +352,9 @@ def url_quality_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
     hostport = _ascii_lower(F.regexp_extract(u, _AUTH_RE, 1))
     host = F.split_part(hostport, F.lit(":"), F.lit(1))
     path = F.regexp_extract(u, _AUTH_RE + r"([^?#]*)", 2)
-    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    # query from the pre-fragment prefix: a lone \?([^#]*) would match a
+    # '?' sitting AFTER '#' and leak fragment content into the query
+    query = F.regexp_extract(F.regexp_extract(u, "^[^#]*", 0), r"\?(.*)", 1)
     n_digits = F.length(F.regexp_replace(host, "[^0-9]", ""))
     f_scheme = scheme.isin("http", "https")
     lu = _ascii_lower(u)
@@ -394,7 +398,8 @@ def url_filter_sql(url_sql: str) -> str:
     host = (f"split_part(translate(regexp_extract({url_sql}, '{auth}', 1), "
             f"{fold}), ':', 1)")
     path = f"regexp_extract({url_sql}, '{auth}([^?#]*)', 2)"
-    query = f"regexp_extract({url_sql}, '\\?([^#]*)', 1)"
+    query = (f"regexp_extract(regexp_extract({url_sql}, '^[^#]*', 0), "
+             f"'\\?(.*)', 1)")
     block = " OR ".join(
         f"contains(translate({url_sql}, {fold}), '{t}')"
         for t in URL_BLOCKLIST)

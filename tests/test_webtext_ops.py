@@ -29,7 +29,7 @@ WITH p AS (
          translate(regexp_extract(trim(raw_url), '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS scheme,
          translate(regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS auth,
          regexp_extract(trim(raw_url), '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS path,
-         regexp_extract(trim(raw_url), '\?([^#]*)', 1) AS query
+         regexp_extract(regexp_extract(trim(raw_url), '^[^#]*', 0), '\?(.*)', 1) AS query
   FROM urls
 ), q AS (
   SELECT raw_url, scheme,
@@ -497,3 +497,21 @@ def test_canonical_url_cross_engine_fuzz(spark):
     want = dict(con.execute(CANON_SQL).fetchall())
     for u, c in got:
         assert want[u] == c, (u, c, want[u])
+
+
+def test_query_never_leaks_from_fragment(spark):
+    """A '?' sitting after '#' is fragment content, not a query — the
+    canonical form strips it and the URL gate counts zero params."""
+    from pdf_extractor_spark.operators import webtext
+
+    df = spark.createDataFrame(
+        [("http://example.com/page#sec?ref=1",),
+         ("http://example.com/p?a=1#frag?x=2&y=3&z=4&w=5&v=6",)],
+        "url string")
+    canon = [r["c"] for r in df.select(
+        webtext.canonical_url_expr(F.col("url")).alias("c")).collect()]
+    assert canon == ["http://example.com/page",
+                     "http://example.com/p?a=1"]
+    gate = [r["url_reason"] for r in
+            webtext.url_quality_filter(df).orderBy("url").collect()]
+    assert gate == ["ok", "ok"]  # phantom params from the fragment: none
