@@ -2099,7 +2099,10 @@ def oracle_sql() -> dict[str, str]:
         WHERE i % 5 = 0 ORDER BY media_id, frame_index
     """
     o["q47_chunk_documents"] = f"""
-        WITH t AS (SELECT doc_id, string_split({norm}, ' ') AS toks FROM documents),
+        WITH t AS (SELECT doc_id,
+                          CASE WHEN {norm} = '' THEN []::VARCHAR[]
+                               ELSE string_split({norm}, ' ') END AS toks
+                   FROM documents),
         c AS (SELECT doc_id, toks,
                      unnest(range(0, greatest(ceil((len(toks) - 8) / 56.0), 1)::BIGINT))::BIGINT
                          AS chunk_id
@@ -2118,7 +2121,7 @@ def oracle_sql() -> dict[str, str]:
         sp AS (SELECT *, s + n AS e FROM off),
         x AS (SELECT toks, s, e,
                      unnest(range(s // 128, (e - 1) // 128 + 1))::BIGINT AS seq_id
-              FROM sp),
+              FROM sp WHERE n > 0),
         p AS (SELECT seq_id, s,
                      toks[(greatest(seq_id * 128, s) - s + 1)::INT
                           : (least((seq_id + 1) * 128, e) - s)::INT] AS piece

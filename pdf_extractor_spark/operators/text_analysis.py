@@ -295,7 +295,10 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16)
     stride sequence; zero shuffle, pipelines over any corpus size.
     """
     stride = chunk_tokens - overlap
-    toks = F.split(_norm(F.col("text")), " ")
+    norm = _norm(F.col("text"))
+    # split('') is [''] — an empty doc has ZERO tokens, not one phantom ''
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
     n = F.size(toks)
     n_chunks = F.greatest(F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1))
     chunks = F.transform(
@@ -1423,7 +1426,11 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
     """
     from pyspark.sql.window import Window
 
-    toks = F.split(_norm(F.col("text")), " ")
+    norm = _norm(F.col("text"))
+    # split('') is [''] — a phantom token would shift every later doc's
+    # global offset and inject '' pieces into packed sequences
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
     t = docs.select(
         "doc_id",
         toks.alias("toks"),
@@ -1450,7 +1457,9 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
         .withColumn("e", F.col("s") + F.col("n"))
     )
     L = seq_tokens
-    x = spans.select(
+    # n == 0 docs contribute no tokens and must join NO sequence — their
+    # (s-1) div L membership range would otherwise emit one empty piece
+    x = spans.where(F.col("n") > 0).select(
         "toks", "s", "e",
         F.explode(
             F.sequence(F.expr(f"s div {L}"), F.expr(f"(e - 1) div {L}"))

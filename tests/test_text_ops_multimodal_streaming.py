@@ -404,3 +404,17 @@ def test_streaming_countmin_cells_equal_batch_and_bounded(spark):
     assert batch.exceptAll(got).count() == 0
     per_win = got.groupBy("window_start").count().agg(F.max("count")).first()[0]
     assert per_win <= CM_DEPTH * CM_WIDTH
+
+
+def test_pack_sequences_ignores_empty_docs(spark):
+    """An empty/whitespace-only document contributes ZERO tokens: offsets
+    of later docs are unshifted and no '' piece enters any sequence."""
+    from pdf_extractor_spark.operators.text_analysis import pack_sequences
+
+    rows = [(0, "a b c"), (1, "   "), (2, ""), (3, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(df, seq_tokens=4).collect()
+    assert len(out) == 2
+    assert out[0]["seq_text"] == "a b c d" and out[0]["n_tokens"] == 4
+    assert out[1]["seq_text"] == "e" and out[1]["n_tokens"] == 1
+    assert "  " not in out[0]["seq_text"]
