@@ -590,7 +590,8 @@ def gap_fill_locf(df: DataFrame, key_col: str, day_col: str,
     build each key's day spine from its own min..max day (sequence →
     explode — a JVM generator, no driver loop), left-join the observations,
     and fill gaps with `last(value, ignoreNulls)` over the ordered window.
-    Returns (key_col, day, value, filled boolean).
+    Returns (key_col, day, value, filled boolean). Multiple observations
+    on one day collapse to their max (deterministic) before the fill.
 
     The time-series companion to the as-of join (q33): as-of aligns one
     table's rows to another's timeline; gap-fill densifies a single series
@@ -600,10 +601,17 @@ def gap_fill_locf(df: DataFrame, key_col: str, day_col: str,
     """
     from pyspark.sql.window import Window
 
-    obs = df.select(
-        F.col(key_col).alias("k"),
-        F.col(day_col).cast("date").alias("day"),
-        F.col(value_col).alias("v"),
+    obs = (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(day_col).cast("date").alias("day"),
+            F.col(value_col).alias("v"),
+        )
+        # one row per (key, day): multiple same-day observations would fan
+        # out the spine join and make the carried value order-dependent —
+        # intra-day ties resolve deterministically to the max value
+        .groupBy("k", "day")
+        .agg(F.max("v").alias("v"))
     )
     bounds = obs.groupBy("k").agg(
         F.min("day").alias("d0"), F.max("day").alias("d1"))

@@ -269,7 +269,15 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8
     partitioned by cell; each query probes n_probe/n_cells of the data.
     """
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    dim = 64
+    first = e.select(F.size("v").alias("d")).first()
+    if first is None:
+        return e.limit(0).select(
+            F.lit(0).cast("int").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    dim = int(first["d"])  # derive from data, like the trained/LSH siblings
     cent_lists = [
         [_md5_unit(f"ivf:{seed}:{c}:{d}") for d in range(dim)]
         for c in range(n_cells)

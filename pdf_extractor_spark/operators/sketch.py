@@ -227,10 +227,14 @@ def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
+    # TakeOrderedAndProject first (per-partition heaps, no global window
+    # over the vocab-sized estimate table), THEN rank the k survivors —
+    # a bare global row_number window would funnel the whole vocabulary
+    # through one task (the corpus_top_ngrams pattern)
+    top = est.orderBy(F.col("est").desc(), F.col("word").asc()).limit(k)
     rank_w = Window.orderBy(F.col("est").desc(), F.col("word").asc())
     return (
-        est.withColumn("rank", F.row_number().over(rank_w))
-        .where(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(rank_w))
         .select(
             F.col("word").alias("gram"),
             F.col("est").cast("long").alias("cnt"),

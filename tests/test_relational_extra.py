@@ -361,3 +361,20 @@ def test_gap_fill_locf_known_answers_and_twin(spark):
         FROM j ORDER BY k, day
     """).fetchall()
     assert [tuple(r) for r in du] == got
+
+
+def test_gap_fill_locf_dedupes_same_day(spark):
+    import datetime as dt
+
+    from pdf_extractor_spark.operators.relational import gap_fill_locf
+
+    d = dt.date
+    rows = [("a", d(2024, 1, 1), 1.0), ("a", d(2024, 1, 1), 9.0),
+            ("a", d(2024, 1, 3), 3.0)]
+    df = spark.createDataFrame(rows, "k string, day date, v double")
+    got = [(r["day"].isoformat(), r["v"], r["filled"])
+           for r in gap_fill_locf(df, "k", "day", "v").collect()]
+    # one row per day; intra-day tie resolved to max; carry is deterministic
+    assert got == [("2024-01-01", 9.0, False),
+                   ("2024-01-02", 9.0, True),
+                   ("2024-01-03", 3.0, False)]
