@@ -53,6 +53,7 @@ def shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         for pdf in batches:
             out = []
             for text in pdf["text"]:
+                text = text or ""
                 nrm = normalize(text)
                 toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
@@ -140,6 +141,7 @@ def minhash_signatures(docs: DataFrame, num_perm: int = 64, n: int = 3) -> DataF
         for pdf in batches:
             sigs = []
             for text in pdf["text"]:
+                text = text or ""
                 nrm = normalize(text)
                 toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
@@ -187,6 +189,7 @@ def shingle_hash_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         for pdf in batches:
             out = []
             for text in pdf["text"]:
+                text = text or ""
                 nrm = normalize(text)
                 toks = nrm.split(" ") if nrm else []
                 if len(toks) < n:
@@ -433,6 +436,7 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = np.zeros(len(pdf), dtype=np.int64)
             for i, text in enumerate(pdf["text"]):
+                text = text or ""
                 nrm = normalize(text)
                 toks = nrm.split(" ") if nrm else []
                 if not toks:

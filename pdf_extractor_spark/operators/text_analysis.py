@@ -67,6 +67,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ws_tokens, punct_ratio, stop_ratio, quality = [], [], [], []
             for text in pdf["text"]:
+                text = text or ""
                 norm = ws_re.sub(" ", text.lower()).strip()
                 toks = norm.split(" ") if norm else []
                 nt = len(toks)
@@ -134,7 +135,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "lang": pdf["lang"],
-                    "detected_lang": [detect_lang(t) for t in pdf["text"]],
+                    "detected_lang": [detect_lang(t or "") for t in pdf["text"]],
                 }
             )
 
@@ -339,6 +340,7 @@ def winnowing_fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> Data
         for pdf in batches:
             fps, nfp = [], []
             for text in pdf["text"]:
+                text = text or ""
                 # comma-joined string (not array<long>): the external
                 # driver's canonicalizer cannot hash list cells
                 # (CORRECTNESS_r01 q48 harness crash). The helper is the
@@ -382,6 +384,7 @@ def gopher_quality(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             n_words, mwl, topbg, duptg = [], [], [], []
             for text in pdf["text"]:
+                text = text or ""
                 n, m, t, d = gopher_doc_stats(text)
                 n_words.append(n)
                 mwl.append(m)
@@ -790,6 +793,7 @@ def doc_metrics(docs: DataFrame) -> DataFrame:
                 "mean_word_len", "top_bigram_frac", "dup_trigram_frac",
             )}
             for did, lang, text in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                text = text or ""
                 norm = normalize(text)
                 toks = norm.split(" ") if norm else []
                 nt = len(toks)

@@ -418,3 +418,26 @@ def test_pack_sequences_ignores_empty_docs(spark):
     assert out[0]["seq_text"] == "a b c d" and out[0]["n_tokens"] == 4
     assert out[1]["seq_text"] == "e" and out[1]["n_tokens"] == 1
     assert "  " not in out[0]["seq_text"]
+
+
+def test_null_text_rows_do_not_crash_kernels(spark):
+    """A NULL text row is an in-domain empty document for every Arrow
+    kernel (pandas delivers None; the JVM twins treat NULL as empty) —
+    no AttributeError, and metrics equal the empty-string row's."""
+    from pdf_extractor_spark.operators import dedup, text_analysis
+
+    rows = [(0, "real words here", "en", "s0", 15),
+            (1, None, "en", "s0", 0),
+            (2, "", "en", "s0", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    q = {r["doc_id"]: r for r in text_analysis.quality_scores(df).collect()}
+    assert q[1]["quality"] == q[2]["quality"]
+    lid = {r["doc_id"]: r["detected_lang"]
+           for r in text_analysis.lang_id(df).collect()}
+    assert lid[1] == lid[2]
+    g = {r["doc_id"]: r["keep"] for r in text_analysis.gopher_quality(df).collect()}
+    assert g[1] == g[2]
+    fp = {r["doc_id"]: r["simhash"]
+          for r in dedup.simhash_signatures(df).collect()}
+    assert fp[1] == fp[2]
