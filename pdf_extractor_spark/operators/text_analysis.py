@@ -869,11 +869,14 @@ def doc_metrics(docs: DataFrame) -> DataFrame:
         F.round("top_bigram_frac", 6).alias("top_bigram_frac"),
         F.round("dup_trigram_frac", 6).alias("dup_trigram_frac"),
         (
+            # gate on the UNROUNDED stats — gopher_quality, the shared
+            # kernel gopher_keep, and the SQL twin all do; gating on the
+            # 6dp display values would disagree at rounding boundaries
             (F.col("ws_tokens") >= 50)
-            & (F.round("mean_word_len", 6) >= 3.0)
-            & (F.round("mean_word_len", 6) <= 10.0)
-            & (F.round("top_bigram_frac", 6) <= 0.20)
-            & (F.round("dup_trigram_frac", 6) <= 0.30)
+            & (F.col("mean_word_len") >= 3.0)
+            & (F.col("mean_word_len") <= 10.0)
+            & (F.col("top_bigram_frac") <= 0.20)
+            & (F.col("dup_trigram_frac") <= 0.30)
         ).alias("keep"),
         F.when(bucket < 90, "train").otherwise("val").alias("split"),
         F.when(sampled, bucket).alias("bucket"),

@@ -441,3 +441,15 @@ def test_null_text_rows_do_not_crash_kernels(spark):
     fp = {r["doc_id"]: r["simhash"]
           for r in dedup.simhash_signatures(df).collect()}
     assert fp[1] == fp[2]
+
+
+def test_doc_metrics_keep_equals_gopher_quality(spark, sf_dir):
+    """doc_metrics and gopher_quality are two views of the SAME gate — the
+    keep flag must agree doc-for-doc (doc_metrics once gated on 6dp-rounded
+    stats, which diverges at rounding boundaries)."""
+    from pdf_extractor_spark.operators import text_analysis
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = text_analysis.doc_metrics(docs).select("doc_id", "keep")
+    b = text_analysis.gopher_quality(docs).select("doc_id", "keep")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
