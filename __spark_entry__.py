@@ -2304,14 +2304,16 @@ def oracle_sql() -> dict[str, str]:
                FROM toks WHERE term <> '' GROUP BY doc_id, term),
         dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
         n AS (SELECT count(*) AS n FROM documents),
-        r AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
-                     row_number() OVER (PARTITION BY tf.doc_id
-                         ORDER BY tf.tf DESC, dfx.df ASC, tf.term ASC) AS rank
-              FROM tf JOIN dfx USING (term)),
+        tfsc AS (SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+                        round(tf.tf * ln(((SELECT n FROM n) + 1.0)
+                                         / (dfx.df + 1.0)), 6) AS score
+                 FROM tf JOIN dfx USING (term)),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term ASC) AS rank
+              FROM tfsc),
         tfidf_arm AS (
-            SELECT 'tfidf' AS method, doc_id, term, tf, df, rank,
-                   round(tf * ln((n.n + 1.0) / (df + 1.0)), 6) AS score
-            FROM r, n WHERE rank <= 3),
+            SELECT 'tfidf' AS method, doc_id, term, tf, df, rank, score
+            FROM r WHERE rank <= 3),
         dlt AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM tf GROUP BY doc_id),
         avg AS (SELECT sum(dl)::DOUBLE / (SELECT n FROM n) AS avgdl FROM dlt),
         qt(query_id, term) AS (VALUES (0, 'hash'), (0, 'join'),

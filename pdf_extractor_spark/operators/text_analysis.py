@@ -506,23 +506,23 @@ def tfidf_topk(docs: DataFrame, k: int = 3, tf_store: str | None = None) -> Data
         tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.count()  # one cheap count job; a literal in the plan
+    # rank by the ACTUAL score (lexicographic (tf, -df) is NOT monotone in
+    # tf*ln((N+1)/(df+1)) and can drop a doc's most characteristic term);
+    # the sort key is the same 6dp-snapped value the result emits — already
+    # value-hash-gated, so ordering on it adds no new cross-engine risk
+    scored = tf.join(F.broadcast(df), "term").withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ),
+    )
     w = Window.partitionBy("doc_id").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        F.col("tfidf").desc(), F.col("term").asc()
     )
     return (
-        tf.join(F.broadcast(df), "term")
-        .withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "doc_id",
-            "term",
-            "tf",
-            "df",
-            "rank",
-            F.round(
-                F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
-            ).alias("tfidf"),
-        )
+        .select("doc_id", "term", "tf", "df", "rank", "tfidf")
         .orderBy("doc_id", "rank")
     )
 
