@@ -249,9 +249,22 @@ def minhash_banded_from_hashes(
     return shh_df.mapInPandas(kernel, "doc_id long, band int, band_sig long")
 
 
+def _corpus_key(docs) -> str:
+    """Content-sensitive reuse key for committed derived tables: count
+    alone would silently reuse a stale snapshot when a re-crawl replaces
+    documents without changing the row count. count + an order-free crc32
+    checksum come out of ONE narrow aggregate (same single scan the old
+    count() action cost)."""
+    row = docs.agg(
+        F.count("*").alias("c"),
+        F.sum(F.crc32(F.coalesce(F.col("text"), F.lit("")))).alias("ck"),
+    ).first()
+    return f"{row['c']}:{row['ck']}"
+
+
 def shingle_table(docs: DataFrame, n: int, store_root: str) -> DataFrame:
     """Materialized int64 shingle-hash table (SnapshotTable) keyed by
-    (n_docs, n): reuse the committed snapshot when it matches, else rebuild
+    (corpus count+crc32 checksum, n): reuse the committed snapshot when it matches, else rebuild
     with one md5 Arrow pass and overwrite-commit. Replaces `.persist()` for
     the MinHash pipeline's shared shingles — at 100 TB an executor cache of
     the full shingle set is a multi-TB memory dependency, while a parquet
@@ -261,7 +274,7 @@ def shingle_table(docs: DataFrame, n: int, store_root: str) -> DataFrame:
     from pdf_extractor_spark.sources.table_format import SnapshotTable
 
     t = SnapshotTable(store_root)
-    key = {"n_docs": docs.count(), "n": n}
+    key = {"n_docs": _corpus_key(docs), "n": n}
     m = t.current_manifest()
     if m is not None and m.get("summary", {}).get("key") == key:
         return t.read(docs.sparkSession)

@@ -455,14 +455,16 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def tf_table(docs: DataFrame, store_root: str) -> DataFrame:
     """Materialized (doc_id, term, tf) table (SnapshotTable) keyed by corpus
-    size: the tokenize+count pass is the expensive shared input of both the
+    count+crc32 checksum (stale-content-safe, see dedup._corpus_key): the tokenize+count pass is the expensive shared input of both the
     ranking side and the document-frequency aggregate, and at 100 TB an
     executor-cache persist of it is a multi-TB residency dependency — the
     same discipline as dedup.shingle_table."""
     from pdf_extractor_spark.sources.table_format import SnapshotTable
 
+    from pdf_extractor_spark.operators.dedup import _corpus_key
+
     t = SnapshotTable(store_root)
-    key = {"n_docs": docs.count()}
+    key = {"n_docs": _corpus_key(docs)}
     m = t.current_manifest()
     if m is not None and m.get("summary", {}).get("key") == key:
         return t.read(docs.sparkSession)

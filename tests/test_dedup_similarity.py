@@ -662,3 +662,24 @@ def test_incremental_minhash_vs_batch_cross_pairs(spark):
         if r["a"] <= 4 and r["b"] >= 101
     }
     assert got == batch
+
+
+def test_shingle_store_rebuilds_on_content_change(spark, tmp_path):
+    """Same row count, different text → the committed shingle table must
+    NOT be reused (count-only keys silently served the previous crawl)."""
+    from pdf_extractor_spark.operators import dedup
+
+    a = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i}") for i in range(20)],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(i, f"delta epsilon zeta {i}") for i in range(20)],
+        "doc_id long, text string")
+    root = str(tmp_path / "sh")
+    sa = sorted(map(tuple, dedup.shingle_table(a, 3, root).collect()))
+    sb = sorted(map(tuple, dedup.shingle_table(b, 3, root).collect()))
+    assert sa != sb  # rebuilt, not reused
+    # and identical input IS reused (key stability)
+    sa2 = sorted(map(tuple, dedup.shingle_table(a, 3, root).collect()))
+    fresh = sorted(map(tuple, dedup.shingle_hash_arrays(a, 3).collect()))
+    assert sa2 == fresh
