@@ -1037,15 +1037,22 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
     stand-in for the paper's curated target, e.g. Wikipedia+books).
     Output: (doc_id, dsir_weight); docs with no grams weigh 0.
     """
-    target = (
-        target_docs if target_docs is not None else docs.where(F.col("lang") == "en")
-    )
-
     def gram_stream(d: DataFrame, *extra):
         return _hashed_gram_stream(d, n_buckets, *extra)
 
-    raw_b = gram_stream(docs).groupBy("bucket").agg(F.count("*").alias("r_b"))
-    tgt_b = gram_stream(target).groupBy("bucket").agg(F.count("*").alias("t_b"))
+    # ONE persisted corpus-wide gram stream feeds all three consumers (raw
+    # distribution, default-target distribution, per-doc scoring) — without
+    # sharing, the tokenize+md5 explode (the dominant cost) runs 3x; the
+    # tfidf/shingle discipline applied here. An explicit target corpus
+    # still streams separately (it is not derivable from the raw stream).
+    stream = gram_stream(docs, "doc_id", "lang").persist()
+    raw_b = stream.groupBy("bucket").agg(F.count("*").alias("r_b"))
+    if target_docs is not None:
+        tgt_b = gram_stream(target_docs).groupBy("bucket").agg(
+            F.count("*").alias("t_b"))
+    else:
+        tgt_b = (stream.where(F.col("lang") == "en")
+                 .groupBy("bucket").agg(F.count("*").alias("t_b")))
     raw_tot = raw_b.agg(F.sum("r_b").alias("r_tot"))
     tgt_tot = tgt_b.agg(F.sum("t_b").alias("t_tot"))
 
@@ -1055,7 +1062,7 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
         / ((F.coalesce("r_b", F.lit(0)) + F.lit(alpha)) * (F.col("t_tot") + F.lit(ab)))
     ).cast("decimal(20,10)")
     scored = (
-        gram_stream(docs, "doc_id")
+        stream
         .join(F.broadcast(raw_b), "bucket", "left")
         .join(F.broadcast(tgt_b), "bucket", "left")
         .crossJoin(F.broadcast(raw_tot))
