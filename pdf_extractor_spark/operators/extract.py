@@ -237,8 +237,24 @@ def salted_repartition(df: DataFrame, num_partitions: int, salt: int = 0) -> Dat
     return df.repartition(num_partitions, F.hash(F.col("url")) + F.lit(salt))
 
 
+# reference 20 MB upload cap (main.py:386-392) — the single policy constant
+# shared by the batch pass, the streaming pass, and the pipeline layer's
+# oversize quarantine (so the cap cannot drift between them)
+SIZE_CAP_BYTES = 20 * 1024 * 1024
+
+
+def eligible_pages(pages: DataFrame,
+                   size_cap_bytes: int = SIZE_CAP_BYTES) -> DataFrame:
+    """The shared extraction prologue: prune to (url, warc_ts, html) and
+    drop payloads over the size cap (the pipeline layer quarantines
+    them)."""
+    return pages.select("url", "warc_ts", "html").where(
+        F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
+    )
+
+
 def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
-                size_cap_bytes: int = 20 * 1024 * 1024,
+                size_cap_bytes: int = SIZE_CAP_BYTES,
                 oversize_bytes: int | None = None) -> DataFrame:
     """pages(url, warc_ts, html, ...) → extracted DataFrame (one row/page).
 
@@ -256,9 +272,7 @@ def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
       is raised to the 100 MB-1 GB book/manual tier, where one payload is
       minutes of work and the straggler dominates wave latency.
     """
-    src = pages.select("url", "warc_ts", "html").where(
-        F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
-    )
+    src = eligible_pages(pages, size_cap_bytes)
     if oversize_bytes is None:
         src = salted_repartition(src, num_partitions, salt)
         src = src.withColumn("partition_id", F.spark_partition_id())

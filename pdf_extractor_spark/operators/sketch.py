@@ -192,6 +192,19 @@ def _cm_pos(word: Column, row: Column) -> Column:
     )
 
 
+def cm_cell_expand(df: DataFrame, key_col: str,
+                   carry: tuple[str, ...] = ()) -> DataFrame:
+    """The Count-Min cell expansion shared by the batch build, the
+    streaming build, and their parity tests: one row per (input row x
+    depth) with the md5 cell position — (carry..., cm_key, row, pos).
+    Keeping this in ONE place is what makes stream/batch cell equality a
+    structural guarantee rather than a copy-discipline."""
+    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
+    out = df.select(
+        *carry, F.col(key_col).alias("cm_key"), F.explode(rows).alias("row"))
+    return out.withColumn("pos", _cm_pos(F.col("cm_key"), F.col("row")))
+
+
 def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     """Count-Min heavy hitters over a (word, freq) vocabulary table:
     build the d x w cell table, then score every word as
@@ -208,7 +221,6 @@ def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     corpus-sized shuffle anywhere, and the cell table IS the
     constant-memory summary a streaming ingest would maintain.
     """
-    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
     # localCheckpoint: wr feeds BOTH the cell aggregate and the scoring
     # join — without it the vocab explode and 4 md5 hashes per word run
     # twice (and the upstream vocab aggregate with them when the caller
@@ -216,9 +228,11 @@ def countmin_topk(words: DataFrame, k: int = 20) -> DataFrame:
     # checkpoint RDD is reclaimed by the ContextCleaner once the returned
     # frame is unreferenced (callers should NOT stack another checkpoint
     # on the result)
-    wr = words.select(
-        "word", "freq", F.explode(rows).alias("row")
-    ).withColumn("pos", _cm_pos(F.col("word"), F.col("row"))).localCheckpoint()
+    wr = (
+        cm_cell_expand(words, "word", carry=("freq",))
+        .withColumnRenamed("cm_key", "word")
+        .localCheckpoint()
+    )
     cells = wr.groupBy("row", "pos").agg(F.sum("freq").alias("cell_total"))
     est = (
         wr.join(F.broadcast(cells), ["row", "pos"])

@@ -89,17 +89,33 @@ class ExtractionJob:
 
     # -- checkpoint state ----------------------------------------------------
     def done_buckets(self) -> set[int]:
-        """Buckets already committed, from the output table's manifest chain
-        (authoritative — a bucket is visible iff its data committed)."""
-        m = self.extracted.current_manifest()
-        if m is None:
-            return set()
-        live = set(m["data_dirs"])
+        """Buckets already committed, from the output table's manifest
+        CHAIN (authoritative — a bucket is visible iff its data committed).
+
+        Walk parent pointers from CURRENT: a commit carrying the cumulative
+        `buckets_done` summary (every pipeline append writes it; compact/
+        soft_delete/undelete carry it forward) is self-sufficient — stop
+        there. Otherwise union per-append `buckets` and keep walking
+        through row-PRESERVING maintenance commits; a plain overwrite
+        replaced the data, so older appends no longer count. (The previous
+        own-dir∈CURRENT heuristic collapsed to the empty set after any
+        compact/soft_delete, making a resumed run() re-extract and
+        duplicate every bucket.)"""
+        by_id = {m["snapshot_id"]: m for m in self.extracted.snapshots()}
+        sid = self.extracted._current_id()
         done: set[int] = set()
-        for snap in self.extracted.snapshots():
-            own_dir = snap["data_dirs"][-1] if snap["data_dirs"] else None
-            if own_dir in live:  # this commit's data is reachable from CURRENT
-                done.update(snap.get("summary", {}).get("buckets", []))
+        while sid is not None and sid in by_id:
+            m = by_id[sid]
+            summ = m.get("summary") or {}
+            if "buckets_done" in summ:
+                done.update(summ["buckets_done"])
+                break
+            if m["op"] == "append":
+                done.update(summ.get("buckets", []))
+            elif not (m["op"] == "compact"
+                      or "soft_delete" in summ or "undelete" in summ):
+                break  # plain overwrite: data replaced
+            sid = m.get("parent_id")
         return done
 
     def _with_bucket(self, pages: DataFrame) -> DataFrame:
@@ -120,8 +136,10 @@ class ExtractionJob:
         if max_waves is not None:
             waves = waves[:max_waves]
         total = {"docs": 0, "failures": 0, "waves": 0, "buckets": 0}
+        cum = set(done)
         for wave in waves:
-            stats = self._run_wave(pages_b, wave)
+            cum.update(wave)
+            stats = self._run_wave(pages_b, wave, sorted(cum))
             total["docs"] += stats["docs"]
             total["failures"] += stats["failures"]
             total["waves"] += 1
@@ -135,9 +153,16 @@ class ExtractionJob:
                 )
         return total
 
-    def _run_wave(self, pages_b: DataFrame, wave: list[int]) -> dict:
+    def _run_wave(self, pages_b: DataFrame, wave: list[int],
+                  buckets_done: list[int]) -> dict:
+        import datetime as _dt
+
         t0 = time.time()
-        started_at = F.current_timestamp()
+        # bind the wall-clock start as a LITERAL: F.current_timestamp() is
+        # evaluated once at query execution, so using it for started_at
+        # would record zero wave duration (start == finish == commit time)
+        started_at = F.lit(_dt.datetime.now(_dt.timezone.utc)
+                           .replace(tzinfo=None))
         src = pages_b.where(F.col("bucket").isin(wave))
         out = run_extract(
             src.select("url", "warc_ts", "html"),
@@ -150,20 +175,30 @@ class ExtractionJob:
         out.cache()
         try:
             # per-(bucket, partition) metrics — tasks.py:265-282 analogue
+            # per-url rollup first: elapsed_us is CUMULATIVE since the
+            # document start on every page row, so the per-doc total is the
+            # MAX, not the sum (summing overcounts an N-page doc ~N/2-fold)
+            per_url = out.groupBy("bucket", "partition_id", "url").agg(
+                F.count("*").alias("pages"),
+                F.max(
+                    F.when(F.col("page_number") == 1, F.col("payload_bytes"))
+                ).alias("doc_bytes"),
+                F.max("elapsed_us").alias("doc_us"),
+                F.max(
+                    F.when(
+                        (F.col("meta")["ok"] == "false")
+                        & (F.col("page_number") == 1), 1
+                    ).otherwise(0)
+                ).alias("doc_fail"),
+            )
             met = (
-                out.groupBy("bucket", "partition_id")
+                per_url.groupBy("bucket", "partition_id")
                 .agg(
-                    F.count_distinct("url").alias("docs"),
-                    F.count("*").alias("pages"),
-                    F.sum(
-                        F.when(F.col("page_number") == 1, F.col("payload_bytes")).otherwise(0)
-                    ).alias("bytes"),
-                    (F.sum("elapsed_us") / 1000).cast("long").alias("elapsed_ms"),
-                    F.sum(
-                        F.when(
-                            (F.col("meta")["ok"] == "false") & (F.col("page_number") == 1), 1
-                        ).otherwise(0)
-                    ).alias("failure_count"),
+                    F.count("*").alias("docs"),
+                    F.sum("pages").alias("pages"),
+                    F.sum(F.coalesce("doc_bytes", F.lit(0))).alias("bytes"),
+                    (F.sum("doc_us") / 1000).cast("long").alias("elapsed_ms"),
+                    F.sum("doc_fail").alias("failure_count"),
                 )
                 .withColumn(
                     "docs_per_sec",
@@ -184,6 +219,23 @@ class ExtractionJob:
             nbytes = sum(r["bytes"] for r in mrows)
 
             # quarantine rows (row-level error contract, tasks.py:112-123)
+            # + payloads over the size cap: run_extract EXCLUDES them, so
+            # without this row they would silently vanish while their
+            # bucket commits as done — unrecoverable loss
+            from pdf_extractor_spark.operators.extract import SIZE_CAP_BYTES
+
+            oversize = (
+                src.where(
+                    F.col("html").isNotNull()
+                    & (F.length("html") > SIZE_CAP_BYTES))
+                .select(
+                    "url",
+                    F.lit("size_cap").alias("stage"),
+                    F.concat(
+                        F.lit("payload_over_cap:"), F.length("html")
+                    ).alias("error"),
+                )
+            )
             quar = (
                 out.where((F.col("meta")["ok"] == "false") & (F.col("page_number") == 1))
                 .select(
@@ -191,12 +243,14 @@ class ExtractionJob:
                     F.lit("extract").alias("stage"),
                     F.coalesce(F.col("meta")["error"], F.lit("unknown")).alias("error"),
                 )
+                .unionByName(oversize)
             )
 
             # commit order: data first (manifest records the buckets — the
             # checkpoint), then metrics/lineage/quarantine (observability).
             self.extracted.append(
-                out, summary={"buckets": wave, "docs": docs, "failures": failures}
+                out, summary={"buckets": wave, "buckets_done": buckets_done,
+                              "docs": docs, "failures": failures}
             )
             self.metrics.append(self.spark.createDataFrame(mrows, METRICS_DDL))
             self.quarantine.append(quar)

@@ -132,7 +132,8 @@ class SnapshotTable:
                 F.current_timestamp(),
             ).otherwise(F.col("deleted_at")),
         )
-        return self.overwrite(upd, summary={"soft_delete": condition})
+        return self.overwrite(upd, summary=self._carry_state(
+            {"soft_delete": condition}))
 
     def undelete(self, spark: SparkSession, condition: str) -> str | None:
         """Clear tombstones on matching rows (the reference retry endpoint's
@@ -148,13 +149,26 @@ class SnapshotTable:
                 F.col("deleted_at")
             ),
         )
-        return self.overwrite(upd, summary={"undelete": condition})
+        return self.overwrite(upd, summary=self._carry_state(
+            {"undelete": condition}))
+
+    def _carry_state(self, summary: dict) -> dict:
+        """Propagate cumulative checkpoint keys (buckets_done) through a
+        row-preserving maintenance commit."""
+        parent = self.current_manifest()
+        ps = (parent.get("summary") or {}) if parent else {}
+        if "buckets_done" in ps and "buckets_done" not in summary:
+            summary = {**summary, "buckets_done": ps["buckets_done"]}
+        return summary
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
         """Time travel: read the table as of a given snapshot."""
         with open(os.path.join(self.snap_dir, f"{snapshot_id}.json")) as f:
             m = json.load(f)
-        return spark.read.parquet(*m["data_dirs"])
+        # mergeSchema for the same reason as read(): columns added by later
+        # commits in this snapshot's chain must not vanish behind one
+        # arbitrary file's footer
+        return spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
 
     def expire_orphans(self) -> int:
         """Drop data dirs unreachable from ANY retained manifest (keeps
@@ -203,7 +217,7 @@ class SnapshotTable:
             m = by_id.get(parent) if parent else None
         if m is None:
             raise ValueError(f"snapshot {since_snapshot} not on the CURRENT chain")
-        return spark.read.parquet(*new_dirs)
+        return spark.read.option("mergeSchema", "true").parquet(*new_dirs)
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
@@ -216,12 +230,20 @@ class SnapshotTable:
         m = self.current_manifest()
         if m is None or len(m["data_dirs"]) <= 1:
             return None
-        df = spark.read.parquet(*m["data_dirs"])
+        # mergeSchema: compaction REWRITES data — without it a tombstone
+        # column added mid-chain could be dropped from the compacted files,
+        # permanently resurrecting soft-deleted rows once old snapshots
+        # expire (read() only risked it per-read)
+        df = spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
         if target_partitions:
             df = df.coalesce(target_partitions)
-        return self._commit(
-            df, "compact", {"compacted_dirs": len(m["data_dirs"])}
-        )
+        summary: dict = {"compacted_dirs": len(m["data_dirs"])}
+        # carry forward cumulative checkpoint state (e.g. the extraction
+        # pipeline's buckets_done) so maintenance commits stay resume-safe
+        parent_summary = m.get("summary") or {}
+        if "buckets_done" in parent_summary:
+            summary["buckets_done"] = parent_summary["buckets_done"]
+        return self._commit(df, "compact", summary)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop the oldest manifests beyond `keep_last` (the CURRENT one is

@@ -46,17 +46,26 @@ _VERSION_RE = re.compile(rb"WARC/\d+\.\d+\r?\n")
 _CHARSET_RE = re.compile(rb"charset\s*=\s*\"?'?([A-Za-z0-9_.:-]+)", re.I)
 
 
+def _hdr_decode(b: bytes) -> str:
+    """ISO 28500 says WARC named fields are UTF-8; fall back to the
+    byte-transparent latin-1 for malformed wire data (never raises)."""
+    try:
+        return b.decode("utf-8")
+    except UnicodeDecodeError:
+        return b.decode("latin-1")
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
-    """Header lines → dict with lower-cased names (latin-1 per the HTTP/
-    WARC wire conventions — never raises on arbitrary bytes)."""
+    """Header lines → dict with lower-cased names (UTF-8 per ISO 28500,
+    latin-1 fallback — never raises on arbitrary bytes)."""
     headers: dict[str, str] = {}
     for line in block.split(b"\r\n"):
         if not line or line[:1] in (b" ", b"\t"):  # continuations: skip
             continue
         name, sep, value = line.partition(b":")
         if sep:
-            headers[name.decode("latin-1").strip().lower()] = (
-                value.decode("latin-1").strip())
+            headers[_hdr_decode(name).strip().lower()] = (
+                _hdr_decode(value).strip())
     return headers
 
 
@@ -121,6 +130,58 @@ def _gunzip_members(data: bytes):
         pos = n - len(rest)
 
 
+def _record_to_page(headers: dict[str, str],
+                    block: bytes) -> tuple[dict | None, int]:
+    """One WARC record → (page dict | None, n_bad increment). Skips
+    non-response records; unwraps the HTTP block; inflates gzip bodies
+    under the decompression cap."""
+    if headers.get("warc-type") != "response":
+        return None, 0
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None, 1
+    ts = _parse_warc_ts(headers.get("warc-date", ""))
+    status = None
+    mime = None
+    charset = None
+    body = block
+    if "application/http" in headers.get("content-type", ""):
+        split = block.find(b"\r\n\r\n")
+        if split < 0:
+            return None, 1
+        http_head = block[:split]
+        body = block[split + 4:]
+        status_line, _, rest = http_head.partition(b"\r\n")
+        parts = status_line.split(None, 2)
+        if len(parts) >= 2 and parts[1].isdigit():
+            status = int(parts[1])
+        http_headers = _parse_headers(rest)
+        ct = http_headers.get("content-type", "")
+        mime = ct.split(";", 1)[0].strip().lower() or None
+        cm = _CHARSET_RE.search(ct.encode("latin-1", errors="replace"))
+        if cm:
+            charset = cm.group(1).decode("latin-1").lower()
+        if http_headers.get("content-encoding", "").lower() == "gzip":
+            try:
+                body = gzip.GzipFile(fileobj=_io.BytesIO(body)).read(
+                    _MAX_MEMBER_BYTES + 1)
+                if len(body) > _MAX_MEMBER_BYTES:
+                    raise ValueError("body exceeds decompression cap")
+            except (OSError, EOFError, zlib.error, ValueError):
+                return None, 1
+    return (
+        {
+            "url": url,
+            "warc_ts": ts,
+            "http_status": status,
+            "mime": mime,
+            "charset": charset,
+            "body": body,
+        },
+        0,
+    )
+
+
 def parse_warc(data: bytes) -> tuple[list[dict], int]:
     """One WARC file's bytes (plain or per-record-gzip) → (pages, n_bad).
 
@@ -128,68 +189,35 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
     (int|None), mime (str|None), charset (str|None), body (bytes).
     Only ``WARC-Type: response`` records with an HTTP block become pages;
     warcinfo/request/metadata records are structural and skipped.
+
+    Records are processed PER gzip MEMBER — materializing every member's
+    records before building pages held the whole decompressed segment
+    (multiple GB for a real Common-Crawl file) in memory at once; streaming
+    bounds intermediate residency at one member (_MAX_MEMBER_BYTES).
     """
     pages: list[dict] = []
     n_bad = 0
+
+    def handle(recs: list[tuple[dict[str, str], bytes]]) -> None:
+        nonlocal n_bad
+        for headers, block in recs:
+            page, bad = _record_to_page(headers, block)
+            n_bad += bad
+            if page is not None:
+                pages.append(page)
+
     try:
         if data[:2] == _GZIP_MAGIC:
-            raw_records: list[tuple[dict[str, str], bytes]] = []
             for member in _gunzip_members(data):
                 recs, bad = _split_records(member)
-                raw_records.extend(recs)
                 n_bad += bad
+                handle(recs)
         else:
-            raw_records, n_bad = _split_records(data)
+            recs, bad = _split_records(data)
+            n_bad += bad
+            handle(recs)
     except (zlib.error, ValueError, EOFError):
         return pages, n_bad + 1
-    for headers, block in raw_records:
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        if not url:
-            n_bad += 1
-            continue
-        ts = _parse_warc_ts(headers.get("warc-date", ""))
-        status = None
-        mime = None
-        charset = None
-        body = block
-        if "application/http" in headers.get("content-type", ""):
-            split = block.find(b"\r\n\r\n")
-            if split < 0:
-                n_bad += 1
-                continue
-            http_head = block[:split]
-            body = block[split + 4:]
-            status_line, _, rest = http_head.partition(b"\r\n")
-            parts = status_line.split(None, 2)
-            if len(parts) >= 2 and parts[1].isdigit():
-                status = int(parts[1])
-            http_headers = _parse_headers(rest)
-            ct = http_headers.get("content-type", "")
-            mime = ct.split(";", 1)[0].strip().lower() or None
-            cm = _CHARSET_RE.search(ct.encode("latin-1"))
-            if cm:
-                charset = cm.group(1).decode("latin-1").lower()
-            if http_headers.get("content-encoding", "").lower() == "gzip":
-                try:
-                    body = gzip.GzipFile(fileobj=_io.BytesIO(body)).read(
-                        _MAX_MEMBER_BYTES + 1)
-                    if len(body) > _MAX_MEMBER_BYTES:
-                        raise ValueError("body exceeds decompression cap")
-                except (OSError, EOFError, zlib.error, ValueError):
-                    n_bad += 1
-                    continue
-        pages.append(
-            {
-                "url": url,
-                "warc_ts": ts,
-                "http_status": status,
-                "mime": mime,
-                "charset": charset,
-                "body": body,
-            }
-        )
     return pages, n_bad
 
 
@@ -202,8 +230,11 @@ def write_warc(path: str, pages: list[dict], gzip_per_record: bool = True,
     http_status (default 200), mime (default text/html), charset.
     """
     def record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+        # UTF-8 per ISO 28500 — latin-1 raised UnicodeEncodeError on any
+        # non-latin-1 URL (CJK paths exist in real WARC-Target-URIs) and
+        # aborted the whole file write
         head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode("latin-1") for k, v in headers
+            f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
         ) + f"Content-Length: {len(block)}\r\n\r\n".encode()
         return head + block + b"\r\n\r\n"
 
@@ -223,7 +254,7 @@ def write_warc(path: str, pages: list[dict], gzip_per_record: bool = True,
             f"HTTP/1.1 {p.get('http_status', 200)} OK\r\n"
             f"Content-Type: {ct}\r\n"
             f"Content-Length: {len(body)}\r\n\r\n"
-        ).encode("latin-1") + body
+        ).encode("utf-8") + body
         out.append(record(
             [("WARC-Type", "response"),
              ("WARC-Target-URI", p["url"]),

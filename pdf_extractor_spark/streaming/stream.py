@@ -148,7 +148,7 @@ def read_pages_stream(spark: SparkSession, pages_dir: str,
 
 
 def extract_pages_stream(pages: DataFrame,
-                         size_cap_bytes: int = 20 * 1024 * 1024) -> DataFrame:
+                         size_cap_bytes: int | None = None) -> DataFrame:
     """Streaming variant of the flagship extraction pass: the SAME Arrow
     kernel batch function as batch run_extract (no second code path — the
     kernels never know whether the DataFrame is streaming), applied per
@@ -157,12 +157,13 @@ def extract_pages_stream(pages: DataFrame,
     maxBytesPerTrigger) bounds per-trigger work, and a per-batch shuffle
     would only add latency. Stateless — no watermark needed; append mode."""
     from pdf_extractor_spark.operators.extract import (
-        EXTRACTED_SCHEMA, _extract_arrow_batches,
+        EXTRACTED_SCHEMA, SIZE_CAP_BYTES, _extract_arrow_batches,
+        eligible_pages,
     )
 
-    src = pages.select("url", "warc_ts", "html").where(
-        F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
-    )
+    # the SHARED batch prologue (select + size cap) — one policy, no drift
+    src = eligible_pages(
+        pages, SIZE_CAP_BYTES if size_cap_bytes is None else size_cap_bytes)
     src = src.withColumn("partition_id", F.spark_partition_id())
     return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
 
@@ -222,18 +223,13 @@ def cm_user_cells_stream(events: DataFrame,
     any key's frequency estimate afterwards is min over its 4 cells.
     Test-demonstrated (not a driver query: the q28 suite schema has no
     cell-grain home); the batch arm lives in q54."""
-    from pdf_extractor_spark.operators.sketch import CM_DEPTH, _cm_pos
+    from pdf_extractor_spark.operators.sketch import cm_cell_expand
 
-    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
-    keyed = (
+    keyed = cm_cell_expand(
         events.where(F.col("user_id").isNotNull())
         .withWatermark("ts", watermark)
-        .select(
-            "ts",
-            F.col("user_id").cast("string").alias("key"),
-            F.explode(rows).alias("row"),
-        )
-        .withColumn("pos", _cm_pos(F.col("key"), F.col("row")))
+        .select("ts", F.col("user_id").cast("string").alias("key")),
+        "key", carry=("ts",),
     )
     return (
         keyed.groupBy(F.window("ts", "1 day").alias("w"), "row", "pos")

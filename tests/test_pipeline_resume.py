@@ -222,3 +222,48 @@ def test_incremental_scan_feeds_dedup_on_new_docs_only(spark, tmp_path):
     new_fp = fingerprints(inc)
     dup_new = new_fp.join(old_fp.select("fp"), "fp", "left_semi")
     assert {r["doc_id"] for r in dup_new.collect()} == {3}
+
+
+def test_resume_after_compact_and_soft_delete_no_duplicates(spark, tmp_path):
+    """Maintenance commits must not amnesia the checkpoint: after compact()
+    or soft_delete() on the extracted table, done_buckets() still reports
+    every committed bucket and a resumed run() appends NOTHING (the old
+    own-dir heuristic collapsed to the empty set and re-extracted — and
+    duplicated — every bucket)."""
+    pages = pages_df(spark, N, SEED)
+    job = _job(spark, tmp_path / "maint")
+    job.run(pages)
+    all_done = job.done_buckets()
+    n_rows = job.read_extracted().count()
+    assert len(all_done) == job.n_buckets
+
+    job.extracted.compact(spark)
+    assert job.done_buckets() == all_done
+    job.run(pages)  # must be a no-op
+    assert job.read_extracted().count() == n_rows
+
+    job.extracted.soft_delete(spark, "page_number = 999999")  # matches none
+    assert job.done_buckets() == all_done
+    job.run(pages)
+    assert job.read_extracted().count() == n_rows
+
+
+def test_oversize_payload_quarantined_not_lost(spark, tmp_path):
+    """A page over the 20 MB cap is excluded from extraction but MUST
+    surface in the quarantine table (silent loss otherwise — its bucket
+    commits as done and resume never retries it)."""
+    import pyspark.sql.functions as F
+
+    from pdf_extractor_spark.operators.extract import SIZE_CAP_BYTES
+
+    pages = pages_df(spark, 40, SEED)
+    big = spark.createDataFrame(
+        [("doc://oversize", None, b"x" * (SIZE_CAP_BYTES + 1), None, None)],
+        "url string, warc_ts timestamp, html binary, text string, lang string")
+    job = _job(spark, tmp_path / "oversize")
+    job.run(pages.unionByName(big))
+    quar = job.quarantine.read(spark)
+    row = quar.where(F.col("url") == "doc://oversize").collect()
+    assert len(row) == 1 and row[0]["stage"] == "size_cap"
+    assert job.read_extracted().where(
+        F.col("url") == "doc://oversize").count() == 0

@@ -380,7 +380,7 @@ def test_streaming_countmin_cells_equal_batch_and_bounded(spark):
     """Streamed CM cells equal the batch build (shared _cm_pos hashing),
     and per-window state is bounded at depth x width."""
     from pdf_extractor_spark.operators.sketch import (
-        CM_DEPTH, CM_WIDTH, _cm_pos,
+        CM_DEPTH, CM_WIDTH, cm_cell_expand,
     )
     from pdf_extractor_spark.streaming.stream import (
         cm_user_cells_stream, read_events_stream, run_stream_to_memory,
@@ -390,13 +390,12 @@ def test_streaming_countmin_cells_equal_batch_and_bounded(spark):
         spark, cm_user_cells_stream(read_events_stream(spark, SF_DIR)),
         "cm_cells_test")
     events = spark.read.parquet(f"{SF_DIR}/events.parquet")
-    rows = F.sequence(F.lit(0), F.lit(CM_DEPTH - 1))
     batch = (
-        events.where(F.col("user_id").isNotNull())
-        .select(F.date_trunc("day", "ts").alias("window_start"),
-                F.col("user_id").cast("string").alias("key"),
-                F.explode(rows).alias("row"))
-        .withColumn("pos", _cm_pos(F.col("key"), F.col("row")))
+        cm_cell_expand(
+            events.where(F.col("user_id").isNotNull())
+            .select(F.date_trunc("day", "ts").alias("window_start"),
+                    F.col("user_id").cast("string").alias("key")),
+            "key", carry=("window_start",))
         .groupBy("window_start", "row", "pos")
         .agg(F.count("*").alias("cell_total"))
     )

@@ -125,3 +125,19 @@ def test_extract_html_charset_meta_key_and_unchanged_utf8():
     res = extract_html(doc)
     assert res["meta"]["encoding"] == "cp1252"
     assert "déjà vu" in res["channels"]["text"]
+
+
+def test_warc_unicode_url_roundtrip(tmp_path):
+    """Non-latin-1 WARC-Target-URIs (CJK/umlaut paths exist in real
+    Common-Crawl) must write (UTF-8 per ISO 28500) and read back exactly —
+    the latin-1 writer raised UnicodeEncodeError and aborted the file."""
+    from pdf_extractor_spark.sources.warc import parse_warc, write_warc
+
+    url = "https://example.com/für/中文"
+    p = str(tmp_path / "u.warc.gz")
+    write_warc(p, [{"url": url, "body": b"<html>x</html>"}])
+    with open(p, "rb") as f:
+        pages, n_bad = parse_warc(f.read())
+    assert n_bad == 0 and len(pages) == 1
+    assert pages[0]["url"] == url
+    assert pages[0]["body"] == b"<html>x</html>"
