@@ -75,12 +75,12 @@ class Doc:
     expected_ok: bool = True
 
 
-def _nav_html(rng: random.Random) -> str:
+def _nav_html() -> str:
     links = "".join(f'<a href="/{w.lower()}">{w}</a> ' for w in NAV_LINKS)
     return f"<nav><ul>{''.join(f'<li><a href=#>{w}</a></li>' for w in NAV_LINKS)}</ul></nav><header><h1>{links}</h1></header>"
 
 
-def _sidebar_html(rng: random.Random) -> str:
+def _sidebar_html() -> str:
     items = "".join(
         f'<li><a href="/r/{i}">Related story number {i} read more</a></li>' for i in range(8)
     )
@@ -96,6 +96,13 @@ def _wrap(body: str) -> bytes:
 
 
 def _spans_for(paras: list[str]) -> list[tuple[int, int, str]]:
+    """Golden spans pin SEGMENTATION (byte offsets) plus the kernel's own
+    deterministic lang label. The label deliberately comes from detect_lang
+    (short headings/snippets have no reliable truth), so span goldens are a
+    determinism pin, NOT a lang-accuracy gate — accuracy is gated
+    independently in tests/test_kernels_golden.py
+    (test_detect_lang_accuracy_on_generated_paragraphs) against the
+    generator's true language on full paragraphs."""
     spans = []
     pos = 0
     for p in paras:
@@ -108,11 +115,11 @@ def gen_article(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
     lang = rng.choice(["en", "en", "en", "de", "fr", "es"])
     paras = [_paragraph(rng, lang) for _ in range(rng.randint(2, 5))]
     body = (
-        _nav_html(rng)
+        _nav_html()
         + "<article>"
         + "".join(f"<p>{p}</p>" for p in paras)
         + "</article>"
-        + _sidebar_html(rng)
+        + _sidebar_html()
         + _footer_html()
     )
     expected = "\n\n".join(paras)
@@ -129,7 +136,7 @@ def gen_table_page(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
         "<tr>" + "".join(f"<td>{c}</td>" for c in row) + "</tr>" for row in rows
     ) + "</table>"
     outro = _paragraph(rng, lang)
-    body = _nav_html(rng) + f"<article><p>{intro}</p>{table_html}<p>{outro}</p></article>" + _footer_html()
+    body = _nav_html() + f"<article><p>{intro}</p>{table_html}<p>{outro}</p></article>" + _footer_html()
     table_txt = "\n".join(" | ".join(r) for r in rows)
     expected_text = intro + "\n\n" + outro
     combined = intro + "\n\n" + table_txt + "\n\n" + outro
@@ -146,7 +153,7 @@ def gen_list_page(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
     items = [_sentence(rng, lang, rng.randint(4, 8)).capitalize() for _ in range(rng.randint(3, 5))]
     para = _paragraph(rng, lang)
     body = (
-        _nav_html(rng)
+        _nav_html()
         + f"<main><h1>{h1}</h1><p>{para}</p><h2>{h2}</h2><ul>"
         + "".join(f"<li>{i}</li>" for i in items)
         + "</ul></main>"
@@ -168,7 +175,7 @@ def gen_boilerplate_heavy(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
         for i in range(10)
     )
     cookie = '<div id="cookie"><a href="#">Accept all cookies</a><a href="#">Reject</a></div>'
-    body = _nav_html(rng) + banners + cookie + f"<div><p>{main}</p></div>" + _sidebar_html(rng) + _footer_html()
+    body = _nav_html() + banners + cookie + f"<div><p>{main}</p></div>" + _sidebar_html() + _footer_html()
     return Doc(url, ts, _wrap(body), None, lang, "boilerplate", main,
                expected_combined=main, expected_markdown=main,
                expected_spans=_spans_for([main]))
@@ -177,7 +184,7 @@ def gen_boilerplate_heavy(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
 def gen_multilingual(rng: random.Random, url: str, ts: dt.datetime) -> Doc:
     langs = rng.sample(["en", "de", "fr", "es"], k=3)
     paras = [_paragraph(rng, lg) for lg in langs]
-    body = _nav_html(rng) + "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>" + _footer_html()
+    body = _nav_html() + "<article>" + "".join(f"<p>{p}</p>" for p in paras) + "</article>" + _footer_html()
     expected = "\n\n".join(paras)
     return Doc(url, ts, _wrap(body), None, langs[0], "multilingual", expected,
                expected_combined=expected, expected_markdown=expected,
@@ -323,7 +330,6 @@ FAMILIES = [
     (gen_pdf_flate, 3),
     (gen_pdf_degenerate, 2),
 ]
-_TOTAL_W = sum(w for _, w in FAMILIES)
 
 
 def generate(n: int, seed: int = 42) -> list[Doc]:
@@ -363,15 +369,17 @@ def pages_df_distributed(spark, n_docs: int, seed: int = 42, partitions: int = 3
     """Generate the pages table ON THE EXECUTORS (driver never holds the
     corpus): one generator chunk per partition. Deterministic in
     (n_docs, seed, partitions)."""
-    import pandas as pd
-
     from pdf_extractor_spark.session import PAGES_DDL
 
     per = n_docs // partitions
     sizes = [per + (1 if i < n_docs % partitions else 0) for i in range(partitions)]
+    # repartitionByRange: hash-partitioning n chunk ids into n partitions
+    # leaves ~1/e of partitions EMPTY (birthday collisions) while others
+    # generate 2-3 chunks serially; range partitioning gives one chunk per
+    # partition (the parallelism the docstring promises)
     chunks = spark.createDataFrame(
         [(i, sizes[i]) for i in range(partitions)], "chunk_id int, n int"
-    ).repartition(partitions, "chunk_id")
+    ).repartitionByRange(partitions, "chunk_id")
 
     def gen(it):
         for pdf in it:

@@ -22,9 +22,9 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="PySpark web-text extraction job")
-    p.add_argument("--input", help="pages table path (parquet/json/csv)")
+    p.add_argument("--input", help="pages table path (parquet/orc/json/csv)")
     p.add_argument("--input-format", default="parquet",
-                   choices=["parquet", "json", "csv"])
+                   choices=["parquet", "orc", "json", "csv"])
     p.add_argument("--generate", type=int, default=0,
                    help="instead of --input: synthesize N corpus docs (smoke)")
     p.add_argument("--output", required=True, help="output table root")
@@ -37,15 +37,26 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--salt", type=int, default=0, help="repartition salt")
     p.add_argument("--max-waves", type=int, default=None)
     p.add_argument("--cores", default=None,
-                   help="local[N] cores (ignored under a real cluster master)")
+                   help="local[N] cores (local mode only; see --cluster)")
+    p.add_argument("--cluster", action="store_true",
+                   help="defer to the spark-submit --master instead of "
+                        "forcing local[] (sets SPARK_GRAFT_MASTER=external)")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.input and not args.generate:
-        print("one of --input / --generate is required", file=sys.stderr)
+    if bool(args.input) == bool(args.generate):
+        # both set would SILENTLY extract synthetic docs into the real
+        # output table's manifest chain (resume then skips those buckets
+        # of the real input forever); neither set has nothing to do
+        print("exactly one of --input / --generate is required",
+              file=sys.stderr)
         return 2
+    if args.cluster:
+        import os
+
+        os.environ["SPARK_GRAFT_MASTER"] = "external"
 
     from pyspark.sql import SparkSession
 
@@ -53,7 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     from pdf_extractor_spark.session import get_spark
     from pdf_extractor_spark.sources import io as pio
 
-    owns_session = SparkSession.getActiveSession() is None
+    # ownership must consult the process-global instantiated session too:
+    # getActiveSession() is thread-local, and stopping a session this call
+    # merely JOINED (getOrCreate) would kill an in-process caller's session
+    pre = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None)
+    owns_session = pre is None
     spark = get_spark(app_name="pdfx-extract", cores=args.cores)
     spark.sparkContext.setLogLevel("WARN")
     partitions = args.partitions or 2 * (
@@ -64,7 +80,9 @@ def main(argv: list[str] | None = None) -> int:
 
         pages = corpus.pages_df_distributed(
             spark, args.generate, seed=42, partitions=min(partitions, 64)
-        )
+        ).persist()  # each wave rescans its source twice (extract +
+        # oversize quarantine) x n_waves — without this the whole corpus
+        # regenerates ~2x(n_buckets/wave_size) times
     else:
         pages = pio.read_pages(spark, args.input, fmt=args.input_format)
 

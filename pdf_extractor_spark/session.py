@@ -24,7 +24,7 @@ def get_spark(
         n = os.cpu_count() or 8 if cores == "*" else int(cores)
         shuffle_partitions = max(2 * n, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -34,10 +34,25 @@ def get_spark(
         # JVM<->Python channel and kernel working set stay bounded
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
+    # Master resolution: forcing .master(local[...]) would OVERRIDE a
+    # spark-submit --master and silently run the "cluster" job single-JVM
+    # on the driver node. SPARK_GRAFT_MASTER=external (or --cluster on
+    # job.py) defers to the submit-time master; any other value is used
+    # verbatim; default is the local[] sandbox mode. driver.memory is a
+    # pre-JVM setting, so it only applies on the in-process local path —
+    # under spark-submit pass --driver-memory instead.
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env == "external":
+        pass
+    elif master_env:
+        builder = builder.master(master_env)
+    else:
+        builder = builder.master(f"local[{cores}]").config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     return builder.getOrCreate()
 
 

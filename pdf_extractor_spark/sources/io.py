@@ -17,15 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-PAGES_SCHEMA = T.StructType(
-    [
-        T.StructField("url", T.StringType(), False),
-        T.StructField("warc_ts", T.TimestampType(), True),
-        T.StructField("html", T.BinaryType(), True),
-        T.StructField("text", T.StringType(), True),
-        T.StructField("lang", T.StringType(), True),
-    ]
-)
+from pdf_extractor_spark.session import PAGES_DDL
+
+# single source of truth: session.PAGES_DDL defines the input-table shape
+# (BASELINE.json input_hint); deriving the StructType from it means a column
+# added in one place cannot silently drift from the other. url is the key
+# and never null. (Parsed in pure Python — StructType.fromDDL needs a live
+# SparkContext, which does not exist at import time.)
+_DDL_TYPES = {
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+PAGES_SCHEMA = T.StructType([
+    T.StructField(name, _DDL_TYPES[typ], name != "url")
+    for name, typ in (c.split(" ") for c in PAGES_DDL.split(", "))
+])
 
 # text-format twin: html carried as base64
 _PAGES_TEXT_SCHEMA = T.StructType(

@@ -132,7 +132,13 @@ def enriched_events_stream(events: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
-PAGES_DDL = "url string, warc_ts timestamp, html binary"
+# the stream carries the extraction-relevant subset of the canonical pages
+# schema (session.PAGES_DDL) — derived, not re-typed, so it cannot drift
+from pdf_extractor_spark.session import PAGES_DDL as _FULL_PAGES_DDL
+
+PAGES_DDL = ", ".join(
+    c for c in _FULL_PAGES_DDL.split(", ")
+    if c.split(" ")[0] in ("url", "warc_ts", "html"))
 
 
 def read_pages_stream(spark: SparkSession, pages_dir: str,
