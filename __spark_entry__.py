@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pdf_extractor_spark.kernels.lang import PUNCT_STRIP as _PUNCT_STRIP
 from pdf_extractor_spark.kernels.lang import STOPWORDS
 from pdf_extractor_spark.kernels.textstats import EN_STOPWORDS_SMALL, TOKEN_RE
 from pdf_extractor_spark.operators import (
@@ -701,7 +702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q53_source_rollup"] = q_source_rollup
     q["q54_corpus_top_ngrams"] = q_corpus_vocab
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
-        _t(s, d, "documents"))
+        _t(s, d, "documents"),
+        gram_store=_shingle_store_path(d).replace("q18_shingles", "q62_grams"))
 
     # -- dedup ---------------------------------------------------------------
     q["q17_dup_groups"] = q_dup_groups
@@ -1086,9 +1088,12 @@ def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sort-based percentiles (quantile_cont semantics) joined with
     the single-pass histogram-sketch estimates (sketch.histogram_quantiles
     — bucket width 1000, the constant-memory path when a global per-group
-    sort is too expensive). The h* columns bound the exact p* columns from
-    above by construction (upper bucket edge), which the oracle checks
-    value-exactly."""
+    sort is too expensive). The h* bucket upper edge bounds the
+    NEAREST-RANK order statistic from above; the exact p* columns are
+    quantile_cont (interpolated), which can exceed the bucket edge when
+    the gap to the next order statistic is large — so no h* >= p*
+    invariant is claimed (round-2 advice). The oracle checks both column
+    sets value-exactly."""
     orders = _t(spark, sf_dir, "orders")
     exact = relational.order_value_percentiles(orders)
     hist = sketch.histogram_quantiles(orders, "o_totalprice",
@@ -1441,12 +1446,17 @@ def _lang_score_fragments() -> tuple[str, str, str]:
     """(score_cols, best, pick) SQL fragments for stopword language scoring
     over a `toks` column — shared by the lang-id oracle and the annotation
     span oracle."""
+    # kernels/lang.PUNCT_STRIP twin: DuckDB trim(s, chars) == Python
+    # str.strip(chars) (both ends, any-of-chars), so sentence-final
+    # stopwords count on both engines identically.
+    punct_sql = _PUNCT_STRIP.replace("'", "''")
     score_cols = []
     for lg in sorted(STOPWORDS):
         words = ", ".join(f"'{w}'" for w in sorted(STOPWORDS[lg]))
         score_cols.append(
             f"CASE WHEN len(toks)=0 THEN 0.0 ELSE "
-            f"len(list_filter(toks, x -> list_contains([{words}], x)))::DOUBLE/len(toks) "
+            f"len(list_filter(toks, x -> list_contains([{words}], trim(x, '{punct_sql}'))))"
+            f"::DOUBLE/len(toks) "
             f"END AS s_{lg}"
         )
     langs = sorted(STOPWORDS)

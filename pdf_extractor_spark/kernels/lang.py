@@ -47,6 +47,16 @@ STOPWORDS: dict[str, frozenset[str]] = {
 
 UNKNOWN = "und"
 
+# ASCII punctuation stripped from token ENDS before stopword lookup (the
+# token count — the score denominator — is unchanged). Without this,
+# sentence-final function words ("pour.", "bien.") never hit their profile,
+# and a French paragraph whose remaining hits are all fr/es-shared words
+# (le, la, que, un) ties fr==es and the alphabetical tie-break misroutes it
+# to 'es' (round-2 verdict item 1; NOTES-32 accuracy gate). Mirrored in the
+# DuckDB oracle via trim(x, PUNCT_STRIP) — DuckDB trim(s, chars) and Python
+# str.strip(chars) have identical both-ends/any-of-chars semantics.
+PUNCT_STRIP = ".,;:!?\"'()[]"
+
 # One combined lookup per token instead of one membership test per language:
 # token → tuple of indexes into _LANGS. Hit counts are identical to per-set
 # membership, so detect_lang's scores (and tie-breaks) are unchanged.
@@ -77,8 +87,9 @@ def detect_lang(text: str) -> str:
         return UNKNOWN
     counts = [0] * len(_LANGS)
     get = _TOKEN_LANG_IDS.get
+    strip = PUNCT_STRIP
     for t in toks:
-        ids = get(t)
+        ids = get(t.strip(strip))
         if ids:
             for li in ids:
                 counts[li] += 1

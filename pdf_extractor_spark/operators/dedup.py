@@ -252,12 +252,24 @@ def minhash_banded_from_hashes(
 def _corpus_key(docs) -> str:
     """Content-sensitive reuse key for committed derived tables: count
     alone would silently reuse a stale snapshot when a re-crawl replaces
-    documents without changing the row count. count + an order-free crc32
-    checksum come out of ONE narrow aggregate (same single scan the old
-    count() action cost)."""
+    documents without changing the row count. The crc32 covers the
+    (doc_id, text) BINDING, not just the text multiset — a re-crawl that
+    keeps the same texts but reassigns them to different doc_ids must
+    invalidate the snapshot too, or the store serves the OLD id→content
+    mapping to every downstream join (round-2 advice). count + an
+    order-free crc32 checksum come out of ONE narrow aggregate (same
+    single scan the old count() action cost)."""
     row = docs.agg(
         F.count("*").alias("c"),
-        F.sum(F.crc32(F.coalesce(F.col("text"), F.lit("")))).alias("ck"),
+        F.sum(
+            F.crc32(
+                F.concat(
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col("text"), F.lit("")),
+                )
+            )
+        ).alias("ck"),
     ).first()
     return f"{row['c']}:{row['ck']}"
 

@@ -1015,7 +1015,8 @@ def _hashed_gram_stream(d: DataFrame, n_buckets: int, *extra: str) -> DataFrame:
 
 
 def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
-                 n_buckets: int = 1024, alpha: float = 1.0) -> DataFrame:
+                 n_buckets: int = 1024, alpha: float = 1.0,
+                 gram_store: str | None = None) -> DataFrame:
     """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): featurize
     each document as hashed word uni+bigram counts, fit bag-of-words
@@ -1040,12 +1041,31 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
     def gram_stream(d: DataFrame, *extra):
         return _hashed_gram_stream(d, n_buckets, *extra)
 
-    # ONE persisted corpus-wide gram stream feeds all three consumers (raw
+    # ONE shared corpus-wide gram stream feeds all three consumers (raw
     # distribution, default-target distribution, per-doc scoring) — without
     # sharing, the tokenize+md5 explode (the dominant cost) runs 3x; the
     # tfidf/shingle discipline applied here. An explicit target corpus
     # still streams separately (it is not derivable from the raw stream).
-    stream = gram_stream(docs, "doc_id", "lang").persist()
+    # Sharing medium (round-2 advice): `gram_store` routes the stream
+    # through a SnapshotTable — the 100 TB path, where a .persist() of the
+    # exploded gram stream is a multi-TB executor-cache residency that
+    # lives for the session. Without a store we keep .persist(): the cache
+    # cannot be unpersisted here because the returned plan is lazy (the
+    # three consumers only hit the cache when the CALLER runs an action) —
+    # acceptable at test/bench scale, pass gram_store at corpus scale.
+    if gram_store is not None:
+        from pdf_extractor_spark.operators.dedup import _corpus_key
+        from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+        t = SnapshotTable(gram_store)
+        key = {"n_docs": _corpus_key(docs), "b": n_buckets}
+        m = t.current_manifest()
+        if m is None or m.get("summary", {}).get("key") != key:
+            t.overwrite(gram_stream(docs, "doc_id", "lang"),
+                        summary={"key": key})
+        stream = t.read(docs.sparkSession)
+    else:
+        stream = gram_stream(docs, "doc_id", "lang").persist()
     raw_b = stream.groupBy("bucket").agg(F.count("*").alias("r_b"))
     if target_docs is not None:
         tgt_b = gram_stream(target_docs).groupBy("bucket").agg(
@@ -1363,7 +1383,8 @@ def temperature_mix_weight_sql(count_sql: str, partition_by: str = "") -> str:
     )
 
 
-def training_mix_pipeline(docs: DataFrame) -> DataFrame:
+def training_mix_pipeline(docs: DataFrame,
+                          gram_store: str | None = None) -> DataFrame:
     """End-to-end training-data mixture prep composing this engine's
     hygiene operators. NOTE: not fully lazy — the classifier stage runs
     its distributed Adagrad training (a handful of Spark jobs) at plan-
@@ -1406,7 +1427,8 @@ def training_mix_pipeline(docs: DataFrame) -> DataFrame:
             )
         )
 
-    selected = dsir_weights(docs).where(F.col("dsir_weight") > 0).select("doc_id")
+    selected = dsir_weights(docs, gram_store=gram_store).where(
+        F.col("dsir_weight") > 0).select("doc_id")
     qcsel = quality_classifier(docs).where(F.col("pred")).select("doc_id")
     return (
         rollup(kept, "ccnet_mix")

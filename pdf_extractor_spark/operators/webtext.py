@@ -521,14 +521,30 @@ def robots_match_sql(urls_cte: str, rules_cte: str,
 
 def meta_noindex_expr(html_str: Column) -> Column:
     """True when the page carries a `<meta name="robots" ...>` tag whose
-    content includes `noindex` — pages a compliant corpus builder must
-    drop even after fetching them. Pure JVM regexp over the decoded html
-    (bounded quantifiers, ASCII-folded containment only — Unicode lower is
-    not engine-portable, NOTES #28, and the tokens are ASCII), portable
-    Java-regex/RE2 subset."""
+    CONTENT ATTRIBUTE VALUE includes `noindex` — pages a compliant corpus
+    builder must drop even after fetching them. Pure JVM regexp over the
+    decoded html (bounded quantifiers, ASCII-folded containment only —
+    Unicode lower is not engine-portable, NOTES #28, and the tokens are
+    ASCII), portable Java-regex/RE2 subset.
+
+    Round-2 advice hardening: the name value is anchored with a closing
+    delimiter (`robots` followed by quote/whitespace/`/`/`>`), so
+    `name="robots-news"` no longer matches, and `noindex` is checked
+    inside the extracted content value only — a 'noindex' token elsewhere
+    in the tag no longer false-positives."""
+    low = _ascii_lower(html_str)
     tag = F.regexp_extract(
-        _ascii_lower(html_str),
-        r"<meta[^>]{0,512}name\s*=\s*[\"']?robots[^>]{0,512}>",
+        low,
+        r"<meta\s[^>]{0,512}?name\s*=\s*(\"robots\"|'robots'|robots[\s/>]|robots$)"
+        r"[^>]{0,512}",
         0,
     )
-    return tag.contains("noindex")
+    c_dq = F.regexp_extract(tag, r"content\s*=\s*\"([^\"]{0,512})\"", 1)
+    c_sq = F.regexp_extract(tag, r"content\s*=\s*'([^']{0,512})'", 1)
+    c_uq = F.regexp_extract(tag, r"content\s*=\s*([^\s\"'>]{1,512})", 1)
+    val = (
+        F.when(c_dq != "", c_dq)
+        .when(c_sq != "", c_sq)
+        .otherwise(c_uq)
+    )
+    return val.contains("noindex")

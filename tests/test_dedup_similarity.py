@@ -683,3 +683,23 @@ def test_shingle_store_rebuilds_on_content_change(spark, tmp_path):
     sa2 = sorted(map(tuple, dedup.shingle_table(a, 3, root).collect()))
     fresh = sorted(map(tuple, dedup.shingle_hash_arrays(a, 3).collect()))
     assert sa2 == fresh
+
+
+def test_shingle_store_rebuilds_on_id_reassignment(spark, tmp_path):
+    """Same text MULTISET, same count, but texts bound to different doc_ids
+    → must rebuild: a text-only checksum is identical for both corpora and
+    would serve the OLD doc_id→content mapping (round-2 advice on
+    _corpus_key)."""
+    from pdf_extractor_spark.operators import dedup
+
+    rows = [(i, f"alpha beta gamma {i}") for i in range(20)]
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    # rotate ids by one: identical text multiset, permuted binding
+    b = spark.createDataFrame(
+        [((i + 1) % 20, t) for i, t in rows], "doc_id long, text string")
+    root = str(tmp_path / "sh")
+    sa = sorted(map(tuple, dedup.shingle_table(a, 3, root).collect()))
+    sb = sorted(map(tuple, dedup.shingle_table(b, 3, root).collect()))
+    assert sa != sb  # rebuilt with the new binding, not reused
+    fresh_b = sorted(map(tuple, dedup.shingle_hash_arrays(b, 3).collect()))
+    assert sb == fresh_b

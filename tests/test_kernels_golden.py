@@ -457,14 +457,17 @@ def test_detect_lang_accuracy_on_generated_paragraphs():
     wrong = []
     per = {lang: 0 for lang in ("en", "de", "fr", "es")}
     for lang in per:
-        for _ in range(50):
+        for _ in range(500):
             p = corpus._paragraph(rng, lang)
             got = detect_lang(p)
             if got != lang:
                 per[lang] += 1
                 wrong.append((lang, got, p[:60]))
-    # the n-gram/stopword profile confuses ~1/50 fr paragraphs with es
-    # (shared romance stopwords) — gate at >=96% per language and >=99%
-    # overall so a real regression trips while the known ambiguity passes
-    assert all(v <= 2 for v in per.values()), (per, wrong[:5])
-    assert len(wrong) <= 2, wrong[:5]
+    # Round-3 tightened gate: ZERO misroutes on 500 paragraphs per language.
+    # The round-2 fr->es confusion (1/200) was sentence-final punctuation
+    # hiding fr-exclusive stopwords ("pour.") until the remaining hits were
+    # all fr/es-shared words and the alphabetical tie-break picked 'es';
+    # PUNCT_STRIP lookup fixed it (0/20000 measured). A true tie — a French
+    # paragraph drawing ZERO fr-exclusive stopwords — remains theoretically
+    # possible but was not observed in 20k generator paragraphs.
+    assert per == {lang: 0 for lang in per}, (per, wrong[:5])

@@ -127,7 +127,7 @@ def test_detect_lang_single_pass_equals_reference(text):
     else:
         best_lang, best_score = L.UNKNOWN, 0.0
         for lang in sorted(L.STOPWORDS):
-            hits = sum(1 for t in toks if t in L.STOPWORDS[lang])
+            hits = sum(1 for t in toks if t.strip(L.PUNCT_STRIP) in L.STOPWORDS[lang])
             score = hits / len(toks)
             if score > best_score:
                 best_lang, best_score = lang, score

@@ -312,6 +312,29 @@ def test_tf_table_reuse_matches_persist_path(spark, tmp_path):
     assert base == stored == again
 
 
+def test_dsir_gram_store_matches_persist_path(spark, tmp_path):
+    """dsir_weights(gram_store=...) — the 100 TB path that routes the
+    shared exploded gram stream through a SnapshotTable instead of a
+    session-lifetime executor-cache persist (round-2 advice) — must
+    produce the identical weights, and a repeat call must reuse the
+    committed stream."""
+    from pdf_extractor_spark.operators.text_analysis import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "en"),
+         (2, "der schnelle braune fuchs springt", "de"),
+         (3, "the lazy dog sleeps all day long", "en"),
+         (4, "le renard brun rapide saute", "fr")],
+        "doc_id long, text string, lang string")
+    store = str(tmp_path / "grams")
+    base = {r["doc_id"]: r["dsir_weight"] for r in dsir_weights(docs).collect()}
+    stored = {r["doc_id"]: r["dsir_weight"]
+              for r in dsir_weights(docs, gram_store=store).collect()}
+    again = {r["doc_id"]: r["dsir_weight"]
+             for r in dsir_weights(docs, gram_store=store).collect()}
+    assert base == stored == again and len(base) == 4
+
+
 def test_extract_pages_stream_equals_batch(spark, tmp_path):
     """The flagship extraction kernel must compose with Structured
     Streaming unchanged: readStream over landed page segments →

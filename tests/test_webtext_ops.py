@@ -355,6 +355,17 @@ def test_meta_noindex_detection_shapes(spark):
         ('<meta name="description" content="noindex appears in prose">', False),
         ('<p>noindex</p>', False),
         ('', False),
+        # round-2 advice: prefix-matched name values must NOT match
+        ('<meta name="robots-news" content="noindex">', False),
+        # 'noindex' outside the content attribute must NOT match
+        ('<meta name="robots" data-x="noindex" content="all">', False),
+        ('<meta name="robots" content="noindex-like-class">', True),
+        # unquoted attribute values
+        ("<meta name=robots content=noindex>", True),
+        ("<meta name=robots content=nofollow>", False),
+        # content before name
+        ('<meta content="noindex" name="robots">', True),
+        ('<meta content="noindex" name="robots-news">', False),
     ]
     df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
                                "i long, html string")
