@@ -112,8 +112,9 @@ class ExtractionJob:
                 break
             if m["op"] == "append":
                 done.update(summ.get("buckets", []))
-            elif not (m["op"] == "compact"
-                      or "soft_delete" in summ or "undelete" in summ):
+            elif not (m["op"] in ("compact", "add_column", "rename_column")
+                      or "soft_delete" in summ or "undelete" in summ
+                      or "backfill" in summ):
                 break  # plain overwrite: data replaced
             sid = m.get("parent_id")
         return done

@@ -77,6 +77,15 @@ class SnapshotTable:
             "data_dirs": dirs,
             "summary": summary or {},
         }
+        # schema evolution ops ride the manifest chain: an append keeps old
+        # (pre-evolution) dirs alive, so the ops must survive; an overwrite
+        # or compact replaces every data dir with freshly-written (already
+        # evolved) files, so the ops are cleared — the evolution is
+        # materialized in the data from that snapshot on.
+        if op == "append" and parent is not None:
+            ops = parent.get("schema_ops") or []
+            if ops:
+                manifest["schema_ops"] = ops
         tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -94,6 +103,41 @@ class SnapshotTable:
         return self._commit(df, "overwrite", summary)
 
     # -- read ---------------------------------------------------------------
+    def _read_dirs(self, spark: SparkSession, dirs: list[str],
+                   schema_ops: list[dict] | None) -> DataFrame:
+        """Scan data dirs with the manifest's schema-evolution ops applied
+        (reference migration.py:1-533 — add-column/backfill migrations —
+        re-expressed as Iceberg-style METADATA-ONLY evolution: no data
+        rewrite at evolution time; old files are adapted at read).
+
+        Each op records `before_dirs` — the data dirs that existed when it
+        committed — so pre-evolution files get the add-column default
+        (Iceberg initial-default semantics) or the rename mapping, while
+        post-evolution files read as written. Without ops this is the
+        single merged scan (one multi-dir parquet read, mergeSchema)."""
+        if not schema_ops:
+            return spark.read.option("mergeSchema", "true").parquet(*dirs)
+        from pyspark.sql import functions as F
+
+        frames = []
+        for d in dirs:
+            df = spark.read.option("mergeSchema", "true").parquet(d)
+            for op in schema_ops:
+                pre = d in op.get("before_dirs", [])
+                if op["op"] == "add" and op["name"] not in df.columns and pre:
+                    df = df.withColumn(
+                        op["name"], F.lit(op.get("default")).cast(op["type"]))
+                elif (op["op"] == "rename" and op["old"] in df.columns
+                      and op["new"] not in df.columns):
+                    df = df.withColumnRenamed(op["old"], op["new"])
+            frames.append(df)
+        out = frames[0]
+        for f in frames[1:]:
+            # post-evolution appends that legitimately omit a nullable
+            # added column come back as NULL, exactly like mergeSchema
+            out = out.unionByName(f, allowMissingColumns=True)
+        return out
+
     def read(self, spark: SparkSession, include_deleted: bool = False) -> DataFrame | None:
         """Current-snapshot scan. Tombstone discipline (reference
         main.py:609,626-631: every read filters `deleted_at IS NULL`): when
@@ -107,10 +151,75 @@ class SnapshotTable:
         # appears with the first soft delete); without it the union schema
         # comes from one arbitrary dir and a tombstone column can vanish,
         # silently resurrecting deleted rows
-        df = spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
+        df = self._read_dirs(spark, m["data_dirs"], m.get("schema_ops"))
         if not include_deleted and "deleted_at" in df.columns:
             df = df.where(df["deleted_at"].isNull())
         return df
+
+    # -- schema evolution (reference migration.py:1-533) ---------------------
+    def _evolve_commit(self, entry: dict, op_name: str) -> str | None:
+        """Metadata-only evolution commit: reuses the parent's data dirs
+        (nothing is rewritten — at 100 TB an add-column must not touch the
+        data), appends the op to the manifest's cumulative schema_ops, and
+        publishes atomically like any other commit."""
+        parent = self.current_manifest()
+        if parent is None:
+            return None
+        sid = uuid.uuid4().hex[:16]
+        entry = {**entry, "before_dirs": parent["data_dirs"]}
+        manifest = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "op": op_name,
+            "data_dirs": parent["data_dirs"],
+            "summary": self._carry_state({op_name: entry["name"] if "name" in entry else entry}),
+            "schema_ops": (parent.get("schema_ops") or []) + [entry],
+        }
+        tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
+        cur_tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(sid)
+        os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
+        return sid
+
+    def add_column(self, name: str, dtype: str, default=None) -> str | None:
+        """Add a column with an initial default for pre-existing rows —
+        metadata-only (Iceberg ADD COLUMN + initial-default): existing
+        files are untouched; reads adapt them. New writers may include or
+        omit the column (omitted → NULL, like any nullable column)."""
+        return self._evolve_commit(
+            {"op": "add", "name": name, "type": dtype, "default": default},
+            "add_column",
+        )
+
+    def rename_column(self, old: str, new: str) -> str | None:
+        """Rename a column — metadata-only: old files keep the old name on
+        disk and reads map it (Iceberg renames by field-id; this emulation
+        records the mapping in the manifest chain)."""
+        return self._evolve_commit(
+            {"op": "rename", "old": old, "new": new, "name": new},
+            "rename_column",
+        )
+
+    def backfill(self, spark: SparkSession, name: str, value_sql: str) -> str | None:
+        """Materialize a column's value for EXISTING rows (reference
+        migration.py's backfill migrations): an explicit full-rewrite
+        commit — the one evolution op that must touch data — computing
+        `value_sql` where the column is NULL. Runs as a normal overwrite,
+        so the schema_ops chain is cleared (evolution now lives in the
+        files) and checkpoint state carries forward."""
+        from pyspark.sql import functions as F
+
+        df = self.read(spark, include_deleted=True)
+        if df is None:
+            return None
+        filled = df.withColumn(
+            name, F.coalesce(F.col(name), F.expr(value_sql)))
+        return self.overwrite(
+            filled, summary=self._carry_state({"backfill": name}))
 
     # -- soft delete (reference main.py:1751-1776 retry endpoint) -----------
     def soft_delete(self, spark: SparkSession, condition: str) -> str | None:
@@ -162,13 +271,14 @@ class SnapshotTable:
         return summary
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
-        """Time travel: read the table as of a given snapshot."""
+        """Time travel: read the table as of a given snapshot — with THAT
+        snapshot's schema ops only, so a pre-evolution snapshot reads with
+        its original schema (mergeSchema for the same reason as read():
+        columns added by later commits in this snapshot's chain must not
+        vanish behind one arbitrary file's footer)."""
         with open(os.path.join(self.snap_dir, f"{snapshot_id}.json")) as f:
             m = json.load(f)
-        # mergeSchema for the same reason as read(): columns added by later
-        # commits in this snapshot's chain must not vanish behind one
-        # arbitrary file's footer
-        return spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
+        return self._read_dirs(spark, m["data_dirs"], m.get("schema_ops"))
 
     def expire_orphans(self) -> int:
         """Drop data dirs unreachable from ANY retained manifest (keeps
@@ -199,17 +309,21 @@ class SnapshotTable:
         if cur["snapshot_id"] == since_snapshot:
             return spark.createDataFrame([], spark.read.parquet(cur["data_dirs"][0]).schema)
         by_id = {m["snapshot_id"]: m for m in self.snapshots()}
+        # metadata-only schema evolution adds no rows, so it is transparent
+        # to an incremental scan (Iceberg likewise allows schema changes
+        # mid-chain); only data-replacing commits break append semantics
+        transparent = ("append", "add_column", "rename_column")
         new_dirs: list[str] = []
         m = cur
         while m is not None and m["snapshot_id"] != since_snapshot:
-            if m["op"] not in ("append",) and m["snapshot_id"] != cur["snapshot_id"]:
+            if m["op"] not in transparent and m["snapshot_id"] != cur["snapshot_id"]:
                 raise ValueError(
                     f"non-append commit {m['snapshot_id']} ({m['op']}) between "
                     f"{since_snapshot} and CURRENT — incremental read undefined"
                 )
             if m["op"] == "append":
                 new_dirs.append(m["data_dirs"][-1])
-            elif m["snapshot_id"] == cur["snapshot_id"]:
+            elif m["snapshot_id"] == cur["snapshot_id"] and m["op"] not in transparent:
                 raise ValueError(
                     f"CURRENT is a {m['op']} commit — incremental read undefined"
                 )
@@ -217,7 +331,11 @@ class SnapshotTable:
             m = by_id.get(parent) if parent else None
         if m is None:
             raise ValueError(f"snapshot {since_snapshot} not on the CURRENT chain")
-        return spark.read.option("mergeSchema", "true").parquet(*new_dirs)
+        if not new_dirs:
+            return spark.createDataFrame(
+                [], self._read_dirs(
+                    spark, cur["data_dirs"], cur.get("schema_ops")).schema)
+        return self._read_dirs(spark, new_dirs, cur.get("schema_ops"))
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
@@ -233,8 +351,11 @@ class SnapshotTable:
         # mergeSchema: compaction REWRITES data — without it a tombstone
         # column added mid-chain could be dropped from the compacted files,
         # permanently resurrecting soft-deleted rows once old snapshots
-        # expire (read() only risked it per-read)
-        df = spark.read.option("mergeSchema", "true").parquet(*m["data_dirs"])
+        # expire (read() only risked it per-read). Schema-evolution ops are
+        # applied here too, so compaction MATERIALIZES the evolution (the
+        # compacted files carry the evolved schema + defaults) and the
+        # compact commit clears schema_ops via the normal non-append path.
+        df = self._read_dirs(spark, m["data_dirs"], m.get("schema_ops"))
         if target_partitions:
             df = df.coalesce(target_partitions)
         summary: dict = {"compacted_dirs": len(m["data_dirs"])}

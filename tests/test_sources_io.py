@@ -70,3 +70,120 @@ def test_soft_delete_read_discipline(spark, tmp_path):
     assert {r["id"] for r in t.read(spark).collect()} == {1, 3, 4}
     t.undelete(spark, "id = 2")
     assert {r["id"] for r in t.read(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_schema_evolution_add_column_metadata_only(spark, tmp_path):
+    """Reference migration.py:1-533 parity (add-column migrations), done the
+    Iceberg way: add_column is METADATA-ONLY — no data rewrite — and
+    pre-evolution rows read with the initial default; post-evolution
+    appends carry real values; time travel to a pre-evolution snapshot
+    shows the original schema."""
+    import os
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ev"))
+    s1 = t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"))
+    data_before = sorted(os.listdir(t.data_dir))
+    t.add_column("score", "double", default=0.5)
+    # metadata-only: no new data dir was written
+    assert sorted(os.listdir(t.data_dir)) == data_before
+    got = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert got == {1: 0.5, 2: 0.5}
+    # new appends carry explicit values; old rows keep the default
+    t.append(spark.createDataFrame([(3, "c", 0.9)], "id long, v string, score double"))
+    got = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert got == {1: 0.5, 2: 0.5, 3: 0.9}
+    # time travel: the pre-evolution snapshot has no score column
+    assert "score" not in t.read_snapshot(spark, s1).columns
+
+
+def test_schema_evolution_rename_column(spark, tmp_path):
+    """rename_column is metadata-only: old files keep the old name on disk;
+    reads map it; post-rename appends under the new name union cleanly."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "rn"))
+    t.append(spark.createDataFrame([(1, "x")], "id long, old_name string"))
+    t.rename_column("old_name", "new_name")
+    df = t.read(spark)
+    assert "new_name" in df.columns and "old_name" not in df.columns
+    t.append(spark.createDataFrame([(2, "y")], "id long, new_name string"))
+    got = {r["id"]: r["new_name"] for r in t.read(spark).collect()}
+    assert got == {1: "x", 2: "y"}
+
+
+def test_schema_evolution_survives_compaction(spark, tmp_path):
+    """Compaction MATERIALIZES the evolution: the compacted files carry the
+    evolved schema + defaults, schema_ops clears, and values are unchanged
+    (extends the round-2 mergeSchema-through-compaction fix)."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "cp"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    t.add_column("score", "double", default=1.5)
+    t.rename_column("v", "val")
+    before = {(r["id"], r["val"], r["score"]) for r in t.read(spark).collect()}
+    t.compact(spark)
+    m = t.current_manifest()
+    assert m["op"] == "compact" and not m.get("schema_ops")
+    after = {(r["id"], r["val"], r["score"]) for r in t.read(spark).collect()}
+    assert after == before == {(1, "a", 1.5), (2, "b", 1.5)}
+    # expire everything but CURRENT: evolved values must persist from the
+    # compacted files alone
+    t.expire_snapshots(keep_last=1)
+    assert {(r["id"], r["val"], r["score"])
+            for r in t.read(spark).collect()} == before
+
+
+def test_schema_evolution_backfill_and_tombstones(spark, tmp_path):
+    """backfill computes the added column for existing rows (explicit
+    rewrite commit); soft-delete discipline keeps working across
+    evolution commits."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "bf"))
+    t.append(spark.createDataFrame([(1, "aa"), (2, "bbbb")], "id long, v string"))
+    t.soft_delete(spark, "id = 2")
+    t.add_column("v_len", "int", default=None)
+    t.backfill(spark, "v_len", "length(v)")
+    got = {r["id"]: r["v_len"] for r in t.read(spark).collect()}
+    assert got == {1: 2}  # tombstoned row stays hidden
+    audit = {r["id"]: r["v_len"]
+             for r in t.read(spark, include_deleted=True).collect()}
+    assert audit == {1: 2, 2: 4}  # backfill reached the tombstoned row too
+
+
+def test_schema_evolution_incremental_scan_transparent(spark, tmp_path):
+    """Metadata-only evolution between two appends must not break
+    read_incremental (Iceberg allows schema changes mid-chain), and the
+    new rows come back under the evolved schema."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "inc"))
+    s1 = t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    t.add_column("score", "double", default=0.0)
+    t.append(spark.createDataFrame([(2, "b", 2.0)], "id long, v string, score double"))
+    inc = t.read_incremental(spark, s1)
+    rows = {(r["id"], r["score"]) for r in inc.collect()}
+    assert rows == {(2, 2.0)}
+
+
+def test_schema_evolution_resume_state_carries(spark, tmp_path):
+    """An evolution commit on the extraction output table must not erase
+    the pipeline's resume checkpoint (done_buckets walks THROUGH
+    metadata-only commits like compact/soft_delete)."""
+    from pdf_extractor_spark.pipeline import ExtractionJob
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "out" / "extracted"))
+    t.append(
+        spark.createDataFrame([(1, "x")], "id long, v string"),
+        summary={"buckets": [0, 1]},
+    )
+    job = ExtractionJob.__new__(ExtractionJob)
+    job.extracted = t
+    assert job.done_buckets() == {0, 1}
+    t.add_column("note", "string", default=None)
+    assert job.done_buckets() == {0, 1}
