@@ -218,6 +218,46 @@ def bpe_apply_merges(word: str, merges: list[tuple[str, str]]) -> list[str]:
     return syms
 
 
+def bpe_learn_from_vocab(
+    wf: list[tuple[str, int]] | dict[str, int],
+    n_merges: int,
+    min_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Exact greedy BPE merge learning over a (word, freq) VOCABULARY
+    (Sennrich et al. 2016, Algorithm 1's learn step): each step counts
+    adjacent symbol pairs weighted by word frequency and commits the most
+    frequent (tie-break count DESC, then (a, b) ASC — code-point order,
+    identical to the Spark aggregate's ORDER BY cnt DESC, a, b). Returns
+    [(rank, left, right, weighted_count), ...]; stops early when the best
+    pair falls below min_count.
+
+    Single source of truth shared by the Spark CAPPED-VOCAB learning path
+    (operators/text_analysis.bpe_learn_merges with vocab_cap — one collect
+    of the top-N vocabulary rows, then zero per-merge Spark jobs) and the
+    pure-Python oracle twin — exact string/integer work, no floats, so the
+    two can never drift. Complexity is O(n_merges x total vocab chars),
+    bounded by the cap, never by the corpus."""
+    from collections import Counter
+
+    items = list(wf.items()) if isinstance(wf, dict) else list(wf)
+    merges: list[tuple[str, str]] = []
+    learned: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pc: Counter = Counter()
+        for w, f in items:
+            syms = bpe_apply_merges(w, merges)
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        learned.append((step + 1, a, b, cnt))
+    return learned
+
+
 def gopher_doc_stats(text: str) -> tuple[int, float, float, float]:
     """(n_words, mean_word_len, top_bigram_frac, dup_trigram_frac) of ONE
     document — the Gopher repetition/quality signals (Rae et al. 2021,

@@ -602,6 +602,7 @@ def _word_freq_table(docs: DataFrame) -> DataFrame:
 def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
                      min_count: int = 2,
                      words: DataFrame | None = None,
+                     vocab_cap: int | None = None,
                      ) -> list[tuple[int, str, str, int]]:
     """Distributed BPE merge learning (Sennrich et al. 2016): greedily
     learn `n_merges` subword merges from the corpus, each step picking the
@@ -620,11 +621,32 @@ def bpe_learn_merges(docs: DataFrame, n_merges: int = 8,
 
     At 100 TB: the word-freq aggregate is the only corpus-sized pass;
     each of the n_merges steps touches only the vocabulary table.
-    Production BPE caps the vocab (top-N words) — same plan, one extra
-    TakeOrdered."""
-    from pdf_extractor_spark.kernels.textstats import bpe_apply_merges
+
+    `vocab_cap` (round-2 verdict item 5 — sublinear driver round-trips):
+    the production path. The top-`vocab_cap` vocabulary rows by
+    (freq DESC, word ASC) are collected ONCE (driver state bounded by the
+    cap, like k-means centroids) and ALL merges are learned locally via
+    the shared kernels.textstats.bpe_learn_from_vocab — zero per-merge
+    Spark jobs, so n_merges=256 or 32k costs one aggregate + one bounded
+    collect instead of n_merges job round-trips. This is what
+    SentencePiece/HF trainers do: the corpus-sized pass is the word-freq
+    aggregate; merge learning is vocabulary-local. When the cap exceeds
+    the true vocabulary the result is IDENTICAL to the uncapped
+    distributed path (same greedy rule, same tie-breaks, shared
+    segmentation function)."""
+    from pdf_extractor_spark.kernels.textstats import (
+        bpe_apply_merges, bpe_learn_from_vocab,
+    )
 
     own_words = words is None
+    if vocab_cap is not None:
+        wdf = words if words is not None else _word_freq_table(docs)
+        top = (
+            wdf.orderBy(F.col("freq").desc(), "word")
+            .limit(int(vocab_cap)).collect()
+        )
+        return bpe_learn_from_vocab(
+            [(r["word"], int(r["freq"])) for r in top], n_merges, min_count)
     if own_words:
         words = _word_freq_table(docs).persist()
     merges: list[tuple[str, str]] = []
@@ -700,13 +722,13 @@ def bpe_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
 def _bpe_twin(texts: list[str | None], n_merges: int = 8,
               min_count: int = 2, k: int = 20):
     """Pure-Python twin of bpe_learn_merges + bpe_token_counts (exact
-    integer/string work; shares bpe_apply_merges and normalize with the
-    Spark kernels). Returns (learned, top_tokens) where learned =
-    [(rank, a, b, cnt)] and top_tokens = [(token, cnt, rank)]."""
+    integer/string work; shares bpe_apply_merges, bpe_learn_from_vocab and
+    normalize with the Spark kernels). Returns (learned, top_tokens) where
+    learned = [(rank, a, b, cnt)] and top_tokens = [(token, cnt, rank)]."""
     from collections import Counter
 
     from pdf_extractor_spark.kernels.textstats import (
-        bpe_apply_merges, normalize,
+        bpe_apply_merges, bpe_learn_from_vocab, normalize,
     )
 
     wf: Counter = Counter()
@@ -716,21 +738,9 @@ def _bpe_twin(texts: list[str | None], n_merges: int = 8,
         for w in normalize(t).split(" "):
             if w:
                 wf[w] += 1
-    merges: list[tuple[str, str]] = []
-    learned: list[tuple[int, str, str, int]] = []
-    for step in range(n_merges):
-        pc: Counter = Counter()
-        for w, f in wf.items():
-            syms = bpe_apply_merges(w, merges)
-            for i in range(len(syms) - 1):
-                pc[(syms[i], syms[i + 1])] += f
-        if not pc:
-            break
-        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
-        if cnt < min_count:
-            break
-        merges.append((a, b))
-        learned.append((step + 1, a, b, cnt))
+    # learning: the SAME shared function the Spark capped-vocab path calls
+    learned = bpe_learn_from_vocab(wf, n_merges, min_count)
+    merges = [(a, b) for _, a, b, _ in learned]
     tc: Counter = Counter()
     for w, f in wf.items():
         for s in bpe_apply_merges(w, merges):

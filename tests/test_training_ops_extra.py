@@ -545,3 +545,49 @@ def test_bloom_pos_matches_python_md5(spark):
         for i in range(4):
             exp = int(hashlib.md5(f"{g}#{i}".encode()).hexdigest()[:15], 16) % m
             assert got[(g, i)] == exp
+
+
+def test_bpe_capped_vocab_path_equals_distributed(spark):
+    """vocab_cap >= true vocabulary → the capped driver-side learner (one
+    bounded collect, zero per-merge Spark jobs) must equal the distributed
+    per-step path EXACTLY (same greedy rule, tie-breaks, shared
+    segmentation); a binding cap must learn from exactly the top-N words."""
+    docs = spark.createDataFrame(
+        [(1, "abab abab cdcd"), (2, "abab dddd abab"), (3, "abab cdcd xyz")],
+        "doc_id long, text string",
+    )
+    dist = text_analysis.bpe_learn_merges(docs, n_merges=6)
+    capped = text_analysis.bpe_learn_merges(docs, n_merges=6, vocab_cap=1000)
+    assert capped == dist
+    # binding cap: top-1 word by (freq DESC, word ASC) is 'abab' (freq 5) —
+    # learning from it alone yields pairs only from 'abab</w>'
+    from pdf_extractor_spark.kernels.textstats import bpe_learn_from_vocab
+
+    only_top = text_analysis.bpe_learn_merges(
+        docs, n_merges=6, min_count=1, vocab_cap=1)
+    assert only_top == bpe_learn_from_vocab([("abab", 5)], 6, 1)
+
+
+def test_bpe_256_merges_is_cheap_on_capped_path(spark):
+    """Round-2 verdict item 5 'done' criterion: n_merges=256 must cost
+    ~the same as n_merges=8 on the capped path (no per-merge Spark jobs —
+    merge learning is vocabulary-local). The corpus vocabulary saturates
+    long before 256 merges, and per-merge wall time stays driver-local."""
+    import time
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i % 7}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    small = text_analysis.bpe_learn_merges(docs, n_merges=8, vocab_cap=4096)
+    t_small = time.time() - t0
+    t0 = time.time()
+    big = text_analysis.bpe_learn_merges(docs, n_merges=256, vocab_cap=4096)
+    t_big = time.time() - t0
+    assert big[: len(small)] == small  # greedy prefix property
+    assert len(big) >= len(small)
+    # 256 merges must NOT cost anywhere near 32x the 8-merge run; allow a
+    # generous 4x for host noise (measured ~1x: both are one aggregate +
+    # one collect + local work)
+    assert t_big < 4 * max(t_small, 1.0), (t_small, t_big)
