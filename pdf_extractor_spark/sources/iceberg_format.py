@@ -1,0 +1,191 @@
+"""Real-Iceberg binding for the SnapshotTable interface (round-2 verdict
+item 7): the same call surface as sources/table_format.SnapshotTable, backed
+by Spark's Iceberg DSv2 API instead of the parquet+manifest emulation.
+
+The sandbox has no Iceberg jars, so the class carries an explicit
+``dry_run`` mode (auto-detected): every method RECORDS the exact API/SQL
+call it would issue (``self.calls``) and executes nothing. On a cluster
+with ``iceberg-spark-runtime`` on the classpath and a catalog configured,
+``dry_run`` auto-disables and the same call-sites execute for real — the
+1:1 mapping the SnapshotTable docstrings promise:
+
+    SnapshotTable (emulation)        IcebergTable (this class)
+    ------------------------------   -----------------------------------------
+    append(df)                       df.writeTo(t).append()
+    overwrite(df)                    df.writeTo(t).createOrReplace()
+    read(spark)                      spark.table(t) [+ deleted_at IS NULL]
+    read_snapshot(spark, sid)        spark.read.option("snapshot-id", sid)
+                                         .format("iceberg").load(t)
+    read_incremental(spark, sid)     spark.read.format("iceberg")
+                                         .option("start-snapshot-id", sid).load(t)
+    compact(spark)                   CALL <cat>.system.rewrite_data_files(t)
+    expire_snapshots(keep_last=k)    CALL <cat>.system.expire_snapshots(
+                                         table => t, retain_last => k)
+    soft_delete(spark, cond)         UPDATE t SET deleted_at = now() WHERE cond
+                                         AND deleted_at IS NULL
+    undelete(spark, cond)            UPDATE t SET deleted_at = NULL WHERE cond
+    add_column(name, type, default)  ALTER TABLE t ADD COLUMN name type
+                                         [DEFAULT d — Iceberg v3 initial-default]
+    rename_column(old, new)          ALTER TABLE t RENAME COLUMN old TO new
+    backfill(spark, name, expr)      UPDATE t SET name = expr WHERE name IS NULL
+    snapshots()                      SELECT * FROM t.snapshots
+
+Differences owned by Iceberg rather than re-implemented here: atomic commit
+protocol, manifest files, snapshot ids, schema evolution by field-id (so
+rename needs no read-side mapping), and metadata-only ADD COLUMN.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when an Iceberg catalog is usable in this session (jars on the
+    classpath + extensions configured)."""
+    try:
+        ext = spark.conf.get("spark.sql.extensions", "") or ""
+        if "IcebergSparkSessionExtensions" not in ext:
+            return False
+        # the class must actually be loadable (extensions conf alone can be
+        # set without the runtime jar)
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class IcebergTable:
+    """SnapshotTable-interface twin over a real Iceberg table.
+
+    `table` is the fully-qualified catalog identifier (e.g.
+    ``local.db.extracted``). In dry_run mode (default wherever
+    iceberg_available() is False) methods record their would-be calls in
+    ``self.calls`` and return None — the interface-parity test drives every
+    method this way and asserts the exact call text, so the binding is
+    executable documentation rather than a comment.
+    """
+
+    def __init__(self, spark: SparkSession, table: str,
+                 dry_run: bool | None = None) -> None:
+        self.spark = spark
+        self.table = table
+        self.dry_run = (not iceberg_available(spark)
+                        if dry_run is None else dry_run)
+        self.calls: list[str] = []
+
+    # -- internals -----------------------------------------------------------
+    def _sql(self, sql: str):
+        self.calls.append(sql)
+        if not self.dry_run:
+            return self.spark.sql(sql)
+        return None
+
+    def _cat(self) -> str:
+        return self.table.split(".", 1)[0]
+
+    # -- commit protocol (Iceberg owns atomicity) -----------------------------
+    def append(self, df: DataFrame, summary: dict | None = None):
+        self.calls.append(f"writeTo({self.table}).append()")
+        if not self.dry_run:
+            df.writeTo(self.table).append()
+        return None
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None):
+        self.calls.append(f"writeTo({self.table}).createOrReplace()")
+        if not self.dry_run:
+            df.writeTo(self.table).createOrReplace()
+        return None
+
+    def overwrite_partitions(self, df: DataFrame,
+                             summary: dict | None = None):
+        """Dynamic partition overwrite — the idempotent-retry write the
+        pipeline uses per bucket (north rule: overwrite-by-partition)."""
+        self.calls.append(f"writeTo({self.table}).overwritePartitions()")
+        if not self.dry_run:
+            df.writeTo(self.table).overwritePartitions()
+        return None
+
+    # -- read -----------------------------------------------------------------
+    def read(self, spark: SparkSession, include_deleted: bool = False):
+        self.calls.append(f"spark.table({self.table})")
+        if self.dry_run:
+            return None
+        df = spark.table(self.table)
+        if not include_deleted and "deleted_at" in df.columns:
+            df = df.where(df["deleted_at"].isNull())
+        return df
+
+    def read_snapshot(self, spark: SparkSession, snapshot_id: str):
+        self.calls.append(
+            f"read.format(iceberg).option(snapshot-id, {snapshot_id})"
+            f".load({self.table})")
+        if self.dry_run:
+            return None
+        return (spark.read.format("iceberg")
+                .option("snapshot-id", snapshot_id).load(self.table))
+
+    def read_incremental(self, spark: SparkSession, since_snapshot: str):
+        self.calls.append(
+            f"read.format(iceberg).option(start-snapshot-id, "
+            f"{since_snapshot}).load({self.table})")
+        if self.dry_run:
+            return None
+        return (spark.read.format("iceberg")
+                .option("start-snapshot-id", since_snapshot)
+                .load(self.table))
+
+    def snapshots(self):
+        return self._sql(f"SELECT * FROM {self.table}.snapshots")
+
+    def current_manifest(self):
+        return self._sql(
+            f"SELECT * FROM {self.table}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1")
+
+    # -- soft delete ----------------------------------------------------------
+    def soft_delete(self, spark: SparkSession, condition: str):
+        return self._sql(
+            f"UPDATE {self.table} SET deleted_at = current_timestamp() "
+            f"WHERE ({condition}) AND deleted_at IS NULL")
+
+    def undelete(self, spark: SparkSession, condition: str):
+        return self._sql(
+            f"UPDATE {self.table} SET deleted_at = NULL WHERE ({condition})")
+
+    # -- schema evolution (metadata-only in Iceberg, by field-id) -------------
+    def add_column(self, name: str, dtype: str, default=None):
+        ddl = f"ALTER TABLE {self.table} ADD COLUMN {name} {dtype}"
+        if default is not None:
+            # Iceberg v3 initial-default: pre-existing rows read the default
+            # without a rewrite — the semantics SnapshotTable emulates with
+            # per-dir read adaptation
+            ddl += f" DEFAULT {default!r}"
+        return self._sql(ddl)
+
+    def rename_column(self, old: str, new: str):
+        return self._sql(
+            f"ALTER TABLE {self.table} RENAME COLUMN {old} TO {new}")
+
+    def backfill(self, spark: SparkSession, name: str, value_sql: str):
+        return self._sql(
+            f"UPDATE {self.table} SET {name} = {value_sql} "
+            f"WHERE {name} IS NULL")
+
+    # -- maintenance ----------------------------------------------------------
+    def compact(self, spark: SparkSession,
+                target_partitions: int | None = None):
+        return self._sql(
+            f"CALL {self._cat()}.system.rewrite_data_files("
+            f"table => '{self.table}')")
+
+    def expire_snapshots(self, keep_last: int = 1):
+        return self._sql(
+            f"CALL {self._cat()}.system.expire_snapshots("
+            f"table => '{self.table}', retain_last => {max(keep_last, 1)})")
+
+    def expire_orphans(self):
+        return self._sql(
+            f"CALL {self._cat()}.system.remove_orphan_files("
+            f"table => '{self.table}')")
