@@ -1206,7 +1206,9 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = similarity.lsh_neardup_pairs(embs, threshold=0.35).withColumn(
         "method", F.lit("hyperplane_bucket"))
     sem = similarity.semdedup_pairs(
-        dup, iters=2, seed=3, threshold=0.95).withColumn(
+        dup, iters=2, seed=3, threshold=0.95,
+        cent_store=_shingle_store_path(sf_dir).replace(
+            "q18_shingles", "q21_semcents")).withColumn(
         "method", F.lit("semdedup_cell"))
     return (
         banded.unionByName(buckets).unionByName(sem)
@@ -1226,7 +1228,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("brute"))
     ivf = similarity.ivf_topk(embs, qids, k=5).withColumn(
         "method", F.lit("ivf_seed"))
-    trained = similarity.ivf_topk_trained(embs, qids, k=5, train_iters=2).withColumn(
+    trained = similarity.ivf_topk_trained(
+        embs, qids, k=5, train_iters=2,
+        cent_store=_shingle_store_path(sf_dir).replace(
+            "q18_shingles", "q22_ivfcents")).withColumn(
         "method", F.lit("ivf_trained"))
     knn = similarity.knn_graph_lsh(embs, k=3, dim=64).withColumn(
         "method", F.lit("knn_graph"))

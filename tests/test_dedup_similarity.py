@@ -703,3 +703,33 @@ def test_shingle_store_rebuilds_on_id_reassignment(spark, tmp_path):
     assert sa != sb  # rebuilt with the new binding, not reused
     fresh_b = sorted(map(tuple, dedup.shingle_hash_arrays(b, 3).collect()))
     assert sb == fresh_b
+
+
+def test_kmeans_centroid_store_matches_fresh_and_invalidates(spark, tmp_path):
+    """The trained-geometry model store must return bit-identical centroids
+    to fresh training (training is deterministic), reuse the committed
+    snapshot on a second call, and invalidate on content OR id-binding
+    change (the _corpus_key discipline, vector edition)."""
+    from pdf_extractor_spark.operators import similarity
+
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "cents")
+    fresh = similarity.kmeans_centroids(embs, k=4, iters=2, seed=3)
+    stored = similarity.kmeans_centroids_stored(embs, k=4, iters=2, seed=3,
+                                                store_root=root)
+    again = similarity.kmeans_centroids_stored(embs, k=4, iters=2, seed=3,
+                                               store_root=root)
+    assert stored == fresh == again
+    # id-rotation with identical vector multiset must retrain (binding key)
+    rot = spark.createDataFrame(
+        [((i + 1) % 40, v) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    before = SnapshotTable(root).current_manifest()["snapshot_id"]
+    similarity.kmeans_centroids_stored(rot, k=4, iters=2, seed=3,
+                                       store_root=root)
+    after = SnapshotTable(root).current_manifest()["snapshot_id"]
+    assert after != before  # recommitted, not served stale
