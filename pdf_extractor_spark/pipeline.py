@@ -112,7 +112,7 @@ class ExtractionJob:
                 break
             if m["op"] == "append":
                 done.update(summ.get("buckets", []))
-            elif not (m["op"] in ("compact", "add_column", "rename_column")
+            elif not (m["op"] in ("compact", "add_column", "rename_column", "drop_column")
                       or "soft_delete" in summ or "undelete" in summ
                       or "backfill" in summ):
                 break  # plain overwrite: data replaced

@@ -168,6 +168,9 @@ class IcebergTable:
         return self._sql(
             f"ALTER TABLE {self.table} RENAME COLUMN {old} TO {new}")
 
+    def drop_column(self, name: str):
+        return self._sql(f"ALTER TABLE {self.table} DROP COLUMN {name}")
+
     def backfill(self, spark: SparkSession, name: str, value_sql: str):
         return self._sql(
             f"UPDATE {self.table} SET {name} = {value_sql} "

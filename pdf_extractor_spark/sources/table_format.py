@@ -25,6 +25,16 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+_UNSET = object()
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another commit moved CURRENT between this writer's read and its
+    publish — the optimistic-concurrency conflict Iceberg resolves with a
+    metadata CAS + retry. The emulation FAILS LOUDLY instead of silently
+    last-writer-wins (which would drop the other commit's rows from the
+    logical table)."""
+
 
 class SnapshotTable:
     def __init__(self, root: str) -> None:
@@ -58,7 +68,25 @@ class SnapshotTable:
         return out
 
     # -- commit protocol ----------------------------------------------------
-    def _commit(self, df: DataFrame, op: str, summary: dict | None) -> str:
+    def _commit(self, df: DataFrame, op: str, summary: dict | None,
+                expected_parent=_UNSET) -> str:
+        """Atomic commit. `expected_parent` (a snapshot id or None for an
+        empty table) enables the optimistic-concurrency check for
+        read-modify-write callers (soft_delete/undelete/backfill): if
+        another commit moved CURRENT after the caller read its input, the
+        rewrite was computed on stale data and MUST fail, not silently
+        drop the interleaved commit. Plain appends/overwrites don't pass
+        it (an append is order-independent; an overwrite replaces the
+        table by intent). The check runs before the data write and again
+        at publish; the residual window between the final check and the
+        CURRENT rename is the emulation's single-writer caveat — the real
+        binding (sources/iceberg_format) delegates to Iceberg's CAS."""
+        if expected_parent is not _UNSET:
+            cur = self._current_id()
+            if cur != expected_parent:
+                raise ConcurrentCommitError(
+                    f"CURRENT moved from {expected_parent} to {cur} since "
+                    f"this {op} read its input")
         sid = uuid.uuid4().hex[:16]
         snap_data = os.path.join(self.data_dir, f"snap-{sid}")
         staging = snap_data + ".staging"
@@ -66,6 +94,12 @@ class SnapshotTable:
         os.replace(staging, snap_data)  # atomic publish of the data dir
 
         parent = self.current_manifest()
+        if expected_parent is not _UNSET:
+            pid = parent["snapshot_id"] if parent else None
+            if pid != expected_parent:
+                raise ConcurrentCommitError(
+                    f"CURRENT moved from {expected_parent} to {pid} during "
+                    f"this {op} commit")
         if op == "append" and parent is not None:
             dirs = parent["data_dirs"] + [snap_data]
         else:
@@ -96,11 +130,13 @@ class SnapshotTable:
         os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
         return sid
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> str:
-        return self._commit(df, "append", summary)
+    def append(self, df: DataFrame, summary: dict | None = None,
+               expected_parent=_UNSET) -> str:
+        return self._commit(df, "append", summary, expected_parent)
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> str:
-        return self._commit(df, "overwrite", summary)
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  expected_parent=_UNSET) -> str:
+        return self._commit(df, "overwrite", summary, expected_parent)
 
     # -- read ---------------------------------------------------------------
     def _read_dirs(self, spark: SparkSession, dirs: list[str],
@@ -130,6 +166,11 @@ class SnapshotTable:
                 elif (op["op"] == "rename" and op["old"] in df.columns
                       and op["new"] not in df.columns):
                     df = df.withColumnRenamed(op["old"], op["new"])
+                elif op["op"] == "drop" and op["name"] in df.columns:
+                    # drop applies to EVERY dir (pre- and post-op): the
+                    # column is gone from the logical table from the drop
+                    # commit on, whichever file still carries it on disk
+                    df = df.drop(op["name"])
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
@@ -204,6 +245,13 @@ class SnapshotTable:
             "rename_column",
         )
 
+    def drop_column(self, name: str) -> str | None:
+        """Drop a column — metadata-only (Iceberg DROP COLUMN): files are
+        untouched; reads exclude the column from the drop commit on. Time
+        travel to a pre-drop snapshot still shows it."""
+        return self._evolve_commit(
+            {"op": "drop", "name": name}, "drop_column")
+
     def backfill(self, spark: SparkSession, name: str, value_sql: str) -> str | None:
         """Materialize a column's value for EXISTING rows (reference
         migration.py's backfill migrations): an explicit full-rewrite
@@ -213,13 +261,15 @@ class SnapshotTable:
         files) and checkpoint state carries forward."""
         from pyspark.sql import functions as F
 
+        read_parent = self._current_id()
         df = self.read(spark, include_deleted=True)
         if df is None:
             return None
         filled = df.withColumn(
             name, F.coalesce(F.col(name), F.expr(value_sql)))
         return self.overwrite(
-            filled, summary=self._carry_state({"backfill": name}))
+            filled, summary=self._carry_state({"backfill": name}),
+            expected_parent=read_parent)
 
     # -- soft delete (reference main.py:1751-1776 retry endpoint) -----------
     def soft_delete(self, spark: SparkSession, condition: str) -> str | None:
@@ -229,6 +279,7 @@ class SnapshotTable:
         visibility for audit/undelete."""
         from pyspark.sql import functions as F
 
+        read_parent = self._current_id()
         df = self.read(spark, include_deleted=True)
         if df is None:
             return None
@@ -242,13 +293,14 @@ class SnapshotTable:
             ).otherwise(F.col("deleted_at")),
         )
         return self.overwrite(upd, summary=self._carry_state(
-            {"soft_delete": condition}))
+            {"soft_delete": condition}), expected_parent=read_parent)
 
     def undelete(self, spark: SparkSession, condition: str) -> str | None:
         """Clear tombstones on matching rows (the reference retry endpoint's
         soft-delete-then-requeue counterpart)."""
         from pyspark.sql import functions as F
 
+        read_parent = self._current_id()
         df = self.read(spark, include_deleted=True)
         if df is None or "deleted_at" not in df.columns:
             return None
@@ -259,7 +311,7 @@ class SnapshotTable:
             ),
         )
         return self.overwrite(upd, summary=self._carry_state(
-            {"undelete": condition}))
+            {"undelete": condition}), expected_parent=read_parent)
 
     def _carry_state(self, summary: dict) -> dict:
         """Propagate cumulative checkpoint keys (buckets_done) through a
@@ -312,7 +364,7 @@ class SnapshotTable:
         # metadata-only schema evolution adds no rows, so it is transparent
         # to an incremental scan (Iceberg likewise allows schema changes
         # mid-chain); only data-replacing commits break append semantics
-        transparent = ("append", "add_column", "rename_column")
+        transparent = ("append", "add_column", "rename_column", "drop_column")
         new_dirs: list[str] = []
         m = cur
         while m is not None and m["snapshot_id"] != since_snapshot:

@@ -225,6 +225,7 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
     t.undelete(spark, "id = 2")
     t.add_column("score", "double", default=0.5)
     t.rename_column("v", "val")
+    t.drop_column("obsolete")
     t.backfill(spark, "score", "length(val)")
     t.compact(spark)
     t.expire_snapshots(keep_last=3)
@@ -243,6 +244,7 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
         "UPDATE local.db.extracted SET deleted_at = NULL WHERE (id = 2)",
         "ALTER TABLE local.db.extracted ADD COLUMN score double DEFAULT 0.5",
         "ALTER TABLE local.db.extracted RENAME COLUMN v TO val",
+        "ALTER TABLE local.db.extracted DROP COLUMN obsolete",
         "UPDATE local.db.extracted SET score = length(val) "
         "WHERE score IS NULL",
         "CALL local.system.rewrite_data_files(table => 'local.db.extracted')",
@@ -271,3 +273,49 @@ def test_iceberg_binding_executes_when_jars_present(spark):
     t.overwrite(df)
     t.append(df)
     assert t.read(spark).count() == 2
+
+
+def test_schema_evolution_drop_column(spark, tmp_path):
+    """drop_column is metadata-only: files keep the column on disk; reads
+    exclude it from the drop commit on; time travel to a pre-drop snapshot
+    still shows it; a later re-add with a default works."""
+    import os
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "dc"))
+    s1 = t.append(spark.createDataFrame(
+        [(1, "a", 9.0)], "id long, v string, score double"))
+    data_before = sorted(os.listdir(t.data_dir))
+    t.drop_column("score")
+    assert sorted(os.listdir(t.data_dir)) == data_before  # no rewrite
+    assert "score" not in t.read(spark).columns
+    assert "score" in t.read_snapshot(spark, s1).columns  # time travel
+    t.add_column("score", "double", default=1.0)
+    got = {r["id"]: r["score"] for r in t.read(spark).collect()}
+    assert got == {1: 1.0}  # re-added column reads the NEW default
+
+
+def test_concurrent_commit_conflict_detected(spark, tmp_path):
+    """A read-modify-write commit (soft_delete-style) must FAIL LOUDLY when
+    another commit moved CURRENT after its input was read — silent
+    last-writer-wins would drop the interleaved commit's rows."""
+    import pytest
+
+    from pdf_extractor_spark.sources.table_format import (
+        ConcurrentCommitError, SnapshotTable,
+    )
+
+    t = SnapshotTable(str(tmp_path / "cc"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    stale_parent = t._current_id()
+    # an interleaved writer lands an append
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"))
+    df = spark.createDataFrame([(1, "a-edited")], "id long, v string")
+    with pytest.raises(ConcurrentCommitError):
+        t.overwrite(df, expected_parent=stale_parent)
+    # the interleaved row survived (no silent clobber)
+    assert {r["id"] for r in t.read(spark).collect()} == {1, 2}
+    # and the happy path still commits when the parent matches
+    t.overwrite(df, expected_parent=t._current_id())
+    assert {r["id"] for r in t.read(spark).collect()} == {1}
