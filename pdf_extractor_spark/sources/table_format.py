@@ -318,8 +318,9 @@ class SnapshotTable:
         row-preserving maintenance commit."""
         parent = self.current_manifest()
         ps = (parent.get("summary") or {}) if parent else {}
-        if "buckets_done" in ps and "buckets_done" not in summary:
-            summary = {**summary, "buckets_done": ps["buckets_done"]}
+        for key in ("buckets_done", "stream_batch_id"):
+            if key in ps and key not in summary:
+                summary = {**summary, key: ps[key]}
         return summary
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
@@ -411,11 +412,13 @@ class SnapshotTable:
         if target_partitions:
             df = df.coalesce(target_partitions)
         summary: dict = {"compacted_dirs": len(m["data_dirs"])}
-        # carry forward cumulative checkpoint state (e.g. the extraction
-        # pipeline's buckets_done) so maintenance commits stay resume-safe
+        # carry forward cumulative checkpoint state (the extraction
+        # pipeline's buckets_done, the streaming sink's stream_batch_id)
+        # so maintenance commits stay resume-safe
         parent_summary = m.get("summary") or {}
-        if "buckets_done" in parent_summary:
-            summary["buckets_done"] = parent_summary["buckets_done"]
+        for key in ("buckets_done", "stream_batch_id"):
+            if key in parent_summary:
+                summary[key] = parent_summary[key]
         return self._commit(df, "compact", summary)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

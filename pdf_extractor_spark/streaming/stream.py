@@ -174,6 +174,45 @@ def extract_pages_stream(pages: DataFrame,
     return src.mapInArrow(_extract_arrow_batches, EXTRACTED_SCHEMA)
 
 
+def snapshot_table_sink(table):
+    """foreachBatch sink writing micro-batches into a SnapshotTable with
+    EXACTLY-ONCE appends: Structured Streaming replays the in-flight batch
+    after a restart, so each append records its batch id and a replayed
+    batch id <= the last committed one is skipped — the standard
+    idempotent-foreachBatch pattern (and precisely what the Iceberg sink
+    does with its commit metadata). Combined with the stream's checkpoint
+    (which makes batch contents deterministic per id), a kill/restart
+    cannot duplicate or drop rows."""
+    def write(batch_df, batch_id: int) -> None:
+        m = table.current_manifest()
+        last = ((m or {}).get("summary") or {}).get("stream_batch_id")
+        if last is not None and batch_id <= last:
+            return
+        table.append(batch_df, summary={"stream_batch_id": batch_id})
+
+    return write
+
+
+def extract_stream_to_table(spark: SparkSession, pages_dir: str, table,
+                            checkpoint_dir: str,
+                            max_files_per_trigger: int = 1) -> None:
+    """End-to-end streaming ingestion: landed page segments → the flagship
+    extraction kernel → exactly-once appends into a snapshot table. The
+    streaming twin of pipeline.ExtractionJob's wave loop — the checkpoint
+    plays the role of done_buckets (source progress) and the batch-id
+    summary plays the role of the bucket manifest (sink idempotence).
+    Drains everything available, then stops (availableNow)."""
+    sdf = extract_pages_stream(
+        read_pages_stream(spark, pages_dir, max_files_per_trigger))
+    q = (
+        sdf.writeStream.foreachBatch(snapshot_table_sink(table))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes",
                           watermark: str = "1 day") -> DataFrame:
     """Native session windows (Spark's session_window): per-user sessions

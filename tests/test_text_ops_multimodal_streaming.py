@@ -475,3 +475,50 @@ def test_doc_metrics_keep_equals_gopher_quality(spark, sf_dir):
     a = text_analysis.doc_metrics(docs).select("doc_id", "keep")
     b = text_analysis.gopher_quality(docs).select("doc_id", "keep")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_extract_stream_to_table_exactly_once(spark, tmp_path):
+    """Streaming ingestion into the snapshot-table layer must be
+    exactly-once across restarts: (a) the drained table equals the batch
+    extraction byte-for-byte; (b) re-running the SAME stream over the same
+    checkpoint appends NOTHING (replayed batches skipped by batch-id);
+    (c) landing a new segment and re-running appends ONLY its rows; (d) a
+    compact in between keeps the batch-id watermark (carry-state)."""
+    from pdf_extractor_spark.operators.extract import run_extract
+    from pdf_extractor_spark.session import pages_df
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+    from pdf_extractor_spark.streaming.stream import extract_stream_to_table
+
+    pages = pages_df(spark, 40, 11).select("url", "warc_ts", "html")
+    pdir = str(tmp_path / "pages")
+    pages.repartition(4).write.parquet(pdir)
+    table = SnapshotTable(str(tmp_path / "out"))
+    ckpt = str(tmp_path / "ckpt")
+
+    extract_stream_to_table(spark, pdir, table, ckpt)
+    batch = {(r["url"], r["page_number"], r["text"])
+             for r in run_extract(pages, num_partitions=4).collect()}
+    got = {(r["url"], r["page_number"], r["text"])
+           for r in table.read(spark).collect()}
+    assert got == batch and len(got) >= 40
+
+    # (b) restart over the same checkpoint: nothing new
+    n_before = table.read(spark).count()
+    extract_stream_to_table(spark, pdir, table, ckpt)
+    assert table.read(spark).count() == n_before
+
+    # (d) compaction carries the stream_batch_id watermark
+    table.compact(spark)
+    assert "stream_batch_id" in (table.current_manifest()["summary"] or {})
+
+    # (c) a new landed segment: only its rows append
+    more = pages_df(spark, 50, 11).where("url > ''").select(
+        "url", "warc_ts", "html").subtract(pages)
+    more.coalesce(1).write.mode("append").parquet(pdir)
+    extract_stream_to_table(spark, pdir, table, ckpt)
+    final = {(r["url"], r["page_number"], r["text"])
+             for r in table.read(spark).collect()}
+    expected = {(r["url"], r["page_number"], r["text"])
+                for r in run_extract(pages.unionByName(more),
+                                     num_partitions=4).collect()}
+    assert final == expected
