@@ -387,7 +387,9 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the original text byte-identically.
     `exact_substr` — append a shared 12-token passage to every 7th doc;
     ExactSubstr (Lee et al. 2021) must remove every token span covered by a
-    corpus-duplicated 8-token window."""
+    corpus-duplicated 8-token window.
+    `site_template` — prepend a per-source nav sentence to every doc of
+    that source; per-host template suppression must strip exactly it."""
     docs = _t(spark, sf_dir, "documents")
     polluted = docs.select(
         "doc_id",
@@ -414,7 +416,21 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "clean_text")
         .withColumn("method", F.lit("exact_substr"))
     )
-    return lf.unionByName(es).orderBy("method", "doc_id")
+    # `site_template` — prepend the SAME nav sentence to every document of
+    # a source; per-host template suppression (dedup.site_template_dedup)
+    # must strip exactly that sentence on every host and nothing else,
+    # reproducing the original text byte-identically (the per-site chrome
+    # rule production extractors run on top of corpus-global line_freq).
+    pol3 = docs.select(
+        "doc_id", F.col("source").alias("host"),
+        F.concat(F.lit("Visit "), F.col("source"),
+                 F.lit(" homepage today. "), F.col("text")).alias("text"),
+    )
+    st = (
+        dedup.site_template_dedup(pol3, host_col="host")
+        .withColumn("method", F.lit("site_template"))
+    )
+    return lf.unionByName(es).unionByName(st).orderBy("method", "doc_id")
 
 
 def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2158,6 +2174,9 @@ def oracle_sql() -> dict[str, str]:
         FROM t LEFT JOIN reb USING (doc_id)
         UNION ALL
         SELECT doc_id, text AS clean_text, 'line_freq' AS method
+        FROM documents
+        UNION ALL
+        SELECT doc_id, text AS clean_text, 'site_template' AS method
         FROM documents
         ORDER BY method, doc_id
     """

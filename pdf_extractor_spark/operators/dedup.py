@@ -808,6 +808,59 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
     )
 
 
+def site_template_dedup(docs: DataFrame, host_col: str = "host",
+                        max_frac: float = 0.5, min_df: int = 2,
+                        sep: str = r"\. ", joiner: str = ". ") -> DataFrame:
+    """Per-SITE template suppression: remove sentences/lines that repeat
+    across more than `max_frac` of a HOST's documents (and at least
+    `min_df` of them) — the site-chrome rule production web extractors
+    apply on top of corpus-global line frequency (line_frequency_dedup):
+    a nav/footer sentence shared by most pages of one host is template even
+    when the host is too small for its chrome to clear a corpus-wide df
+    threshold, and a sentence popular across MANY hosts (a quote, a
+    license line) is NOT this operator's business.
+
+    `min_df` guards small hosts: on a 1-document host every unique
+    sentence trivially exceeds any fraction of 1 — without the floor the
+    whole document would be deleted as its own template.
+
+    Plan: posexplode(split) → md5 per line → per-(host, hash)
+    doc-frequency aggregate (one narrow shuffle) joined to broadcast-able
+    per-host doc counts → anti-join → the same order-preserving reassembly
+    as line_frequency_dedup. At 100 TB the template set is
+    hosts x chrome-lines (tiny vs the corpus) and broadcasts.
+    """
+    sents = docs.select(
+        "doc_id", host_col,
+        F.posexplode(F.split("text", sep, -1)).alias("pos", "sent"),
+    ).withColumn("h", F.md5("sent"))
+    host_docs = docs.groupBy(host_col).agg(
+        F.countDistinct("doc_id").alias("n_docs"))
+    tmpl = (
+        sents.groupBy(host_col, "h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .join(F.broadcast(host_docs), host_col)
+        .where((F.col("df") >= min_df)
+               & (F.col("df") > F.lit(max_frac) * F.col("n_docs")))
+        .select(host_col, "h")
+    )
+    kept = sents.join(F.broadcast(tmpl), [host_col, "h"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "sent"))),
+                lambda s: s["sent"],
+            ),
+        ).alias("clean_text")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus-level exact-substring dedup (ExactSubstr, Lee et al. 2021)
 # ---------------------------------------------------------------------------

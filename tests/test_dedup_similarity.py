@@ -733,3 +733,30 @@ def test_kmeans_centroid_store_matches_fresh_and_invalidates(spark, tmp_path):
                                        store_root=root)
     after = SnapshotTable(root).current_manifest()["snapshot_id"]
     assert after != before  # recommitted, not served stale
+
+
+def test_site_template_dedup_per_host(spark):
+    """Per-host template suppression: a sentence shared by most docs of ONE
+    host is stripped there, while the same sentence on a host where it is
+    rare survives; single-doc hosts are never self-deleted (min_df floor);
+    non-template content is byte-preserved."""
+    rows = [
+        # host A: 4 docs, "Nav home" on all 4 (template), unique bodies
+        (1, "a.com", "Nav home. alpha body one"),
+        (2, "a.com", "Nav home. beta body two"),
+        (3, "a.com", "Nav home. gamma body three"),
+        (4, "a.com", "Nav home. delta body four"),
+        # host B: 3 docs, "Nav home" on just one (rare here -> kept)
+        (5, "b.com", "Nav home. epsilon body"),
+        (6, "b.com", "zeta body six"),
+        (7, "b.com", "eta body seven"),
+        # host C: single doc — nothing may be deleted
+        (8, "c.com", "theta body eight. iota body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup.site_template_dedup(docs, host_col="host").collect()}
+    assert got[1] == "alpha body one" and got[4] == "delta body four"
+    assert got[5] == "Nav home. epsilon body"  # rare on b.com -> kept
+    assert got[6] == "zeta body six"
+    assert got[8] == "theta body eight. iota body"  # 1-doc host untouched
