@@ -319,3 +319,99 @@ def test_concurrent_commit_conflict_detected(spark, tmp_path):
     # and the happy path still commits when the parent matches
     t.overwrite(df, expected_parent=t._current_id())
     assert {r["id"] for r in t.read(spark).collect()} == {1}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(seed=st.integers(0, 10_000))
+def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, seed):
+    """Model-based property test: a random interleaving of append /
+    add_column / rename_column / drop_column / backfill / compact /
+    expire_snapshots must always read back exactly what a trivial
+    in-memory model predicts — the evolution ops compose in ANY order."""
+    import random
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    rng = random.Random(seed)
+    t = SnapshotTable(str(tmp_path_factory.mktemp("walk") / "t"))
+    # model: list of row-dicts + ordered schema [(name, dtype)]
+    schema: list[tuple[str, str]] = [("id", "long")]
+    rows: list[dict] = []
+    next_id = 0
+    next_col = 0
+
+    def spark_df(new_rows):
+        ddl = ", ".join(f"{n} {d}" for n, d in schema)
+        data = [tuple(r[n] for n, _ in schema) for r in new_rows]
+        return spark.createDataFrame(data, ddl)
+
+    def do_append():
+        nonlocal next_id
+        new = []
+        for _ in range(rng.randint(1, 3)):
+            r = {"id": next_id}
+            for n, d in schema[1:]:
+                r[n] = (rng.randint(0, 9) if d == "long"
+                        else f"v{rng.randint(0, 9)}")
+            new.append(r)
+            next_id += 1
+        t.append(spark_df(new))
+        rows.extend(new)
+
+    do_append()  # non-empty start
+    for _ in range(rng.randint(2, 7)):
+        choices = ["append", "add", "compact", "expire"]
+        if len(schema) > 1:
+            choices += ["rename", "drop", "backfill"]
+        op = rng.choice(choices)
+        if op == "append":
+            do_append()
+        elif op == "add":
+            name = f"c{next_col}"
+            next_col += 1
+            dtype = rng.choice(["long", "string"])
+            default = (rng.choice([None, 7]) if dtype == "long"
+                       else rng.choice([None, "dflt"]))
+            t.add_column(name, dtype, default=default)
+            schema.append((name, dtype))
+            for r in rows:
+                r[name] = default
+        elif op == "rename":
+            i = rng.randrange(1, len(schema))
+            old, d = schema[i]
+            new_name = f"c{next_col}"
+            next_col += 1
+            t.rename_column(old, new_name)
+            schema[i] = (new_name, d)
+            for r in rows:
+                r[new_name] = r.pop(old)
+        elif op == "drop":
+            i = rng.randrange(1, len(schema))
+            name, _ = schema.pop(i)
+            t.drop_column(name)
+            for r in rows:
+                r.pop(name, None)
+        elif op == "backfill":
+            i = rng.randrange(1, len(schema))
+            name, d = schema[i]
+            fill = 42 if d == "long" else "'filled'"
+            t.backfill(spark, name, str(fill))
+            pyfill = 42 if d == "long" else "filled"
+            for r in rows:
+                if r[name] is None:
+                    r[name] = pyfill
+        elif op == "compact":
+            t.compact(spark)
+        elif op == "expire":
+            t.expire_snapshots(keep_last=1)
+
+    got = sorted(
+        (tuple(sorted(r.asDict().items())) for r in t.read(spark).collect()),
+        key=repr)
+    want = sorted((tuple(sorted(r.items())) for r in rows), key=repr)
+    assert got == want, (seed, schema)
