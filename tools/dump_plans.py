@@ -86,7 +86,10 @@ PICKS = {
         "exchange aggregates corpus window frequency on the 16-byte hash; "
         "the duplicated-window set is heavy-tail-small so the semi-join "
         "back broadcasts; reassembly shuffles once on doc_id — same shape "
-        "as the line-frequency arm it unions with."
+        "as the line-frequency arm it unions with. Site-template arm "
+        "(round 3): per-(host, line-hash) df aggregate joined to "
+        "BROADCAST per-host doc counts, template set broadcasts into the "
+        "anti-join — plan-audited 3 BroadcastHashJoin / 0 SortMergeJoin."
     ),
     "q62_training_mix": (
         "Perplexity branch: bigram/context LM counts are two hash "
