@@ -139,6 +139,12 @@ class IcebergTable:
     def snapshots(self):
         return self._sql(f"SELECT * FROM {self.table}.snapshots")
 
+    def logical_columns(self):
+        self.calls.append(f"spark.table({self.table}).columns")
+        if self.dry_run:
+            return None
+        return self.spark.table(self.table).columns
+
     def current_manifest(self):
         return self._sql(
             f"SELECT * FROM {self.table}.snapshots "

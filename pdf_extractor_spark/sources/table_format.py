@@ -111,6 +111,15 @@ class SnapshotTable:
             "data_dirs": dirs,
             "summary": summary or {},
         }
+        # track the logical column list (powers the evolution guards): an
+        # append widens the parent's list with any new columns; a
+        # data-replacing commit resets it to the written frame's columns
+        if op == "append" and parent is not None and parent.get("columns"):
+            pcols = parent["columns"]
+            manifest["columns"] = pcols + [
+                c for c in df.columns if c not in pcols]
+        else:
+            manifest["columns"] = list(df.columns)
         # schema evolution ops ride the manifest chain: an append keeps old
         # (pre-evolution) dirs alive, so the ops must survive; an overwrite
         # or compact replaces every data dir with freshly-written (already
@@ -198,14 +207,41 @@ class SnapshotTable:
         return df
 
     # -- schema evolution (reference migration.py:1-533) ---------------------
+    def logical_columns(self) -> list[str] | None:
+        """The CURRENT logical column list, tracked in manifests: data
+        commits record their DataFrame's columns; evolution commits adjust
+        the parent's list. None for tables whose manifests predate schema
+        tracking (no guard possible — parquet footers would need a Spark
+        session these metadata-only methods don't take)."""
+        m = self.current_manifest()
+        return None if m is None else m.get("columns")
+
     def _evolve_commit(self, entry: dict, op_name: str) -> str | None:
         """Metadata-only evolution commit: reuses the parent's data dirs
         (nothing is rewritten — at 100 TB an add-column must not touch the
-        data), appends the op to the manifest's cumulative schema_ops, and
+        data), appends the op to the manifest's cumulative schema_ops,
+        guards against schema conflicts via the tracked column list, and
         publishes atomically like any other commit."""
         parent = self.current_manifest()
         if parent is None:
             return None
+        cols = parent.get("columns")
+        if cols is not None:
+            if entry["op"] == "add" and entry["name"] in cols:
+                raise ValueError(f"add_column: {entry['name']!r} already exists")
+            if entry["op"] == "rename":
+                if entry["old"] not in cols:
+                    raise ValueError(f"rename_column: {entry['old']!r} missing")
+                if entry["new"] in cols:
+                    raise ValueError(f"rename_column: {entry['new']!r} exists")
+            if entry["op"] == "drop" and entry["name"] not in cols:
+                raise ValueError(f"drop_column: {entry['name']!r} missing")
+            if entry["op"] == "add":
+                cols = cols + [entry["name"]]
+            elif entry["op"] == "rename":
+                cols = [entry["new"] if c == entry["old"] else c for c in cols]
+            elif entry["op"] == "drop":
+                cols = [c for c in cols if c != entry["name"]]
         sid = uuid.uuid4().hex[:16]
         entry = {**entry, "before_dirs": parent["data_dirs"]}
         manifest = {
@@ -213,9 +249,11 @@ class SnapshotTable:
             "parent_id": parent["snapshot_id"],
             "op": op_name,
             "data_dirs": parent["data_dirs"],
-            "summary": self._carry_state({op_name: entry["name"] if "name" in entry else entry}),
+            "summary": self._carry_state({op_name: entry["name"]}),
             "schema_ops": (parent.get("schema_ops") or []) + [entry],
         }
+        if cols is not None:
+            manifest["columns"] = cols
         tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)

@@ -415,3 +415,33 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, see
         key=repr)
     want = sorted((tuple(sorted(r.items())) for r in rows), key=repr)
     assert got == want, (seed, schema)
+
+
+def test_schema_evolution_conflict_guards(spark, tmp_path):
+    """Evolution ops validate against the manifest-tracked logical schema:
+    add-existing / rename-missing / rename-onto-existing / drop-missing all
+    raise instead of committing a broken op; the tracked column list
+    follows appends and evolution."""
+    import pytest
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "gd"))
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert t.logical_columns() == ["id", "v"]
+    with pytest.raises(ValueError):
+        t.add_column("v", "string")
+    with pytest.raises(ValueError):
+        t.rename_column("missing", "x")
+    with pytest.raises(ValueError):
+        t.rename_column("v", "id")
+    with pytest.raises(ValueError):
+        t.drop_column("missing")
+    t.add_column("score", "double", default=0.0)
+    assert t.logical_columns() == ["id", "v", "score"]
+    t.rename_column("v", "val")
+    t.drop_column("score")
+    assert t.logical_columns() == ["id", "val"]
+    # appends widen the tracked list; soft delete minted deleted_at
+    t.soft_delete(spark, "id = 99")
+    assert "deleted_at" in t.logical_columns()
