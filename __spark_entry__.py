@@ -639,14 +639,20 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_pages_stream, read_pages_stream, run_stream_to_memory,
     )
 
+    import shutil as _shutil
+
     pdir = tempfile.mkdtemp(prefix="pdfx_q37_pages_")
     pages.repartition(4).write.mode("overwrite").parquet(pdir)
     sdf = extract_pages_stream(
         read_pages_stream(spark, pdir, max_files_per_trigger=1))
-    srows = run_stream_to_memory(
-        spark, sdf, f"q37_stream_{_uuid.uuid4().hex[:8]}",
-        output_mode="append")
-    stream_agg = srows.agg(
+    sink_name = f"q37_stream_{_uuid.uuid4().hex[:8]}"
+    srows = run_stream_to_memory(spark, sdf, sink_name, output_mode="append")
+    # materialize the 1-row aggregate NOW (plan-build-time action, like the
+    # trained-geometry queries) so the memory-sink view and the staged
+    # pages parquet can be dropped immediately — repeated invocations
+    # (best-of-2 bench, parity sweeps) must not accumulate driver memory
+    # or /tmp copies of the corpus
+    srow = srows.agg(
         F.count("*").alias("stream_rows"),
         F.sum(
             F.when(F.col("meta")["needs_ocr"] == "true", 1).otherwise(0)
@@ -658,6 +664,13 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long"),
             ).otherwise(F.lit(0))
         ).alias("stream_text_cksum"),
+    ).first()
+    spark.catalog.dropTempView(sink_name)
+    _shutil.rmtree(pdir, ignore_errors=True)
+    stream_agg = spark.createDataFrame(
+        [(int(srow["stream_rows"]), int(srow["stream_needs_ocr"]),
+          int(srow["stream_text_cksum"]))],
+        "stream_rows long, stream_needs_ocr long, stream_text_cksum long",
     )
 
     return (

@@ -533,9 +533,12 @@ def meta_noindex_expr(html_str: Column) -> Column:
     inside the extracted content value only — a 'noindex' token elsewhere
     in the tag no longer false-positives."""
     low = _ascii_lower(html_str)
+    # the unquoted-name delimiter is a LOOKAHEAD — consuming it would eat
+    # the tag's closing '>' (name=robots>) and let the [^>] tail spill into
+    # the NEXT tag, reading that tag's content attribute (false positive)
     tag = F.regexp_extract(
         low,
-        r"<meta\s[^>]{0,512}?name\s*=\s*(\"robots\"|'robots'|robots[\s/>]|robots$)"
+        r"<meta\s[^>]{0,512}?name\s*=\s*(\"robots\"|'robots'|robots(?=[\s/>]|$))"
         r"[^>]{0,512}",
         0,
     )

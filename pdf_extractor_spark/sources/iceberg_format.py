@@ -146,9 +146,27 @@ class IcebergTable:
         return self.spark.table(self.table).columns
 
     def current_manifest(self):
-        return self._sql(
-            f"SELECT * FROM {self.table}.snapshots "
-            f"ORDER BY committed_at DESC LIMIT 1")
+        """Returns the SnapshotTable-shaped manifest DICT (not a frame):
+        callers written against the emulation do
+        `(m or {}).get("summary")` — e.g. streaming.snapshot_table_sink —
+        so the real binding must match the return shape, not just the
+        method name."""
+        sql = (f"SELECT snapshot_id, parent_id, operation, summary "
+               f"FROM {self.table}.snapshots "
+               f"ORDER BY committed_at DESC LIMIT 1")
+        self.calls.append(sql)
+        if self.dry_run:
+            return None
+        row = self.spark.sql(sql).first()
+        if row is None:
+            return None
+        return {
+            "snapshot_id": str(row["snapshot_id"]),
+            "parent_id": (str(row["parent_id"])
+                          if row["parent_id"] is not None else None),
+            "op": row["operation"],
+            "summary": dict(row["summary"] or {}),
+        }
 
     # -- soft delete ----------------------------------------------------------
     def soft_delete(self, spark: SparkSession, condition: str):

@@ -68,6 +68,29 @@ class SnapshotTable:
         return out
 
     # -- commit protocol ----------------------------------------------------
+    def _publish(self, manifest: dict, expected_parent=_UNSET) -> str:
+        """The single atomic manifest-publish sequence (tmp json →
+        os.replace → CURRENT swap), shared by data commits and evolution
+        commits so the optimistic-concurrency re-check cannot drift
+        between the two. `expected_parent` re-validates CURRENT
+        immediately before the swap."""
+        if expected_parent is not _UNSET:
+            cur = self._current_id()
+            if cur != expected_parent:
+                raise ConcurrentCommitError(
+                    f"CURRENT moved from {expected_parent} to {cur} during "
+                    f"this {manifest['op']} commit")
+        sid = manifest["snapshot_id"]
+        tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
+        cur_tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as f:
+            f.write(sid)
+        os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
+        return sid
+
     def _commit(self, df: DataFrame, op: str, summary: dict | None,
                 expected_parent=_UNSET) -> str:
         """Atomic commit. `expected_parent` (a snapshot id or None for an
@@ -94,12 +117,6 @@ class SnapshotTable:
         os.replace(staging, snap_data)  # atomic publish of the data dir
 
         parent = self.current_manifest()
-        if expected_parent is not _UNSET:
-            pid = parent["snapshot_id"] if parent else None
-            if pid != expected_parent:
-                raise ConcurrentCommitError(
-                    f"CURRENT moved from {expected_parent} to {pid} during "
-                    f"this {op} commit")
         if op == "append" and parent is not None:
             dirs = parent["data_dirs"] + [snap_data]
         else:
@@ -112,12 +129,20 @@ class SnapshotTable:
             "summary": summary or {},
         }
         # track the logical column list (powers the evolution guards): an
-        # append widens the parent's list with any new columns; a
-        # data-replacing commit resets it to the written frame's columns
+        # append widens the parent's list with any new columns EXCEPT ones
+        # a live drop op removed (a stale writer still carrying a dropped
+        # column must not resurrect it in the tracked schema — reads drop
+        # it too); a data-replacing commit resets to the written frame
         if op == "append" and parent is not None and parent.get("columns"):
             pcols = parent["columns"]
+            pops = parent.get("schema_ops") or []
+            dead = {
+                o["name"] for i, o in enumerate(pops) if o["op"] == "drop"
+                and not any(o2["op"] == "add" and o2["name"] == o["name"]
+                            for o2 in pops[i + 1:])
+            }
             manifest["columns"] = pcols + [
-                c for c in df.columns if c not in pcols]
+                c for c in df.columns if c not in pcols and c not in dead]
         else:
             manifest["columns"] = list(df.columns)
         # schema evolution ops ride the manifest chain: an append keeps old
@@ -129,15 +154,7 @@ class SnapshotTable:
             ops = parent.get("schema_ops") or []
             if ops:
                 manifest["schema_ops"] = ops
-        tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
-        cur_tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(sid)
-        os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
-        return sid
+        return self._publish(manifest, expected_parent)
 
     def append(self, df: DataFrame, summary: dict | None = None,
                expected_parent=_UNSET) -> str:
@@ -167,7 +184,7 @@ class SnapshotTable:
         frames = []
         for d in dirs:
             df = spark.read.option("mergeSchema", "true").parquet(d)
-            for op in schema_ops:
+            for i, op in enumerate(schema_ops):
                 pre = d in op.get("before_dirs", [])
                 if op["op"] == "add" and op["name"] not in df.columns and pre:
                     df = df.withColumn(
@@ -176,10 +193,19 @@ class SnapshotTable:
                       and op["new"] not in df.columns):
                     df = df.withColumnRenamed(op["old"], op["new"])
                 elif op["op"] == "drop" and op["name"] in df.columns:
-                    # drop applies to EVERY dir (pre- and post-op): the
-                    # column is gone from the logical table from the drop
-                    # commit on, whichever file still carries it on disk
-                    df = df.drop(op["name"])
+                    # drop applies to every dir (a stale post-drop writer's
+                    # column must not resurrect) — UNLESS a LATER add op
+                    # re-introduced the name and this dir was written after
+                    # that re-add: then the on-disk column IS the new
+                    # column and must survive (Iceberg gets this for free
+                    # via fresh field-ids on re-add)
+                    readded_later = any(
+                        o2["op"] == "add" and o2["name"] == op["name"]
+                        and d not in o2.get("before_dirs", [])
+                        for o2 in schema_ops[i + 1:]
+                    )
+                    if not readded_later:
+                        df = df.drop(op["name"])
             frames.append(df)
         out = frames[0]
         for f in frames[1:]:
@@ -254,15 +280,10 @@ class SnapshotTable:
         }
         if cols is not None:
             manifest["columns"] = cols
-        tmp = os.path.join(self.snap_dir, f".{sid}.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, os.path.join(self.snap_dir, f"{sid}.json"))
-        cur_tmp = os.path.join(self.snap_dir, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as f:
-            f.write(sid)
-        os.replace(cur_tmp, os.path.join(self.snap_dir, "CURRENT"))
-        return sid
+        # evolution is read-modify-write on the manifest (it republishes
+        # the parent's data_dirs): an append landing in between would be
+        # silently dropped from the logical table without this guard
+        return self._publish(manifest, expected_parent=parent["snapshot_id"])
 
     def add_column(self, name: str, dtype: str, default=None) -> str | None:
         """Add a column with an initial default for pre-existing rows —
@@ -398,7 +419,11 @@ class SnapshotTable:
         if cur is None:
             return None
         if cur["snapshot_id"] == since_snapshot:
-            return spark.createDataFrame([], spark.read.parquet(cur["data_dirs"][0]).schema)
+            # empty frame with the EVOLVED schema (the raw first dir's
+            # footer would miss added/renamed columns and break a
+            # unionByName with later incremental batches)
+            return spark.createDataFrame([], self._read_dirs(
+                spark, cur["data_dirs"], cur.get("schema_ops")).schema)
         by_id = {m["snapshot_id"]: m for m in self.snapshots()}
         # metadata-only schema evolution adds no rows, so it is transparent
         # to an incremental scan (Iceberg likewise allows schema changes

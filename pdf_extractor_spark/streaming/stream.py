@@ -184,8 +184,19 @@ def snapshot_table_sink(table):
     (which makes batch contents deterministic per id), a kill/restart
     cannot duplicate or drop rows."""
     def write(batch_df, batch_id: int) -> None:
-        m = table.current_manifest()
-        last = ((m or {}).get("summary") or {}).get("stream_batch_id")
+        # MAX over the whole CURRENT parent chain, not just the CURRENT
+        # manifest: an interleaved commit by another writer (plain append,
+        # custom-summary overwrite) does not carry stream_batch_id, and
+        # reading only CURRENT would reset the replay guard to None —
+        # letting a restarted stream append its replayed batch twice.
+        by_id = {m["snapshot_id"]: m for m in table.snapshots()}
+        sid = table._current_id()
+        last = None
+        while sid is not None and sid in by_id:
+            v = (by_id[sid].get("summary") or {}).get("stream_batch_id")
+            if v is not None:
+                last = v if last is None else max(last, v)
+            sid = by_id[sid].get("parent_id")
         if last is not None and batch_id <= last:
             return
         table.append(batch_df, summary={"stream_batch_id": batch_id})

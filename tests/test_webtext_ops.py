@@ -366,6 +366,11 @@ def test_meta_noindex_detection_shapes(spark):
         # content before name
         ('<meta content="noindex" name="robots">', True),
         ('<meta content="noindex" name="robots-news">', False),
+        # the match must not spill past the tag close into the NEXT tag
+        ('<meta name=robots><meta name=description '
+         'content="noindex policy explained">', False),
+        ('<meta name=robots content=all><meta name=d content="noindex">',
+         False),
     ]
     df = spark.createDataFrame([(i, h) for i, (h, _) in enumerate(cases)],
                                "i long, html string")
