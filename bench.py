@@ -88,8 +88,9 @@ def main() -> None:
     # single run. q01 is the calibration probe — a pure-JVM scan+agg whose
     # code has been untouched since round 1 — and `host_factor` is its
     # time in THIS window over the recorded median of its best-of-2 runs
-    # at sf0.1/32 cores (0.677, 1.062, 1.363 → 0.87 s). Divide any
-    # per-query time by host_factor before comparing across windows.
+    # at sf0.1/32 cores (BENCH.md: 0.642, 0.677, 1.062, 1.363 → median
+    # 0.87 s). Divide any per-query time by host_factor before comparing
+    # across windows.
     CAL_QUERY = "q01_pricing_summary"
     CAL_RECORD_MEDIAN = 0.87  # sec; sf0.1, 32 cores, best-of-2
     cal_applicable = sf_dir.rstrip("/").endswith("sf0.1") and cpus == 32
