@@ -41,6 +41,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cluster", action="store_true",
                    help="defer to the spark-submit --master instead of "
                         "forcing local[] (sets SPARK_GRAFT_MASTER=external)")
+    p.add_argument("--stream", action="store_true",
+                   help="continuous-ingest mode: readStream over --input "
+                        "(landed parquet segments), the same extraction "
+                        "kernel per micro-batch, exactly-once appends into "
+                        "the output snapshot table; drains what is "
+                        "available, then exits (availableNow) — re-run to "
+                        "pick up newly landed segments from the checkpoint")
+    p.add_argument("--checkpoint", default=None,
+                   help="stream checkpoint dir (default <output>/_checkpoint)")
     return p
 
 
@@ -75,6 +84,28 @@ def main(argv: list[str] | None = None) -> int:
     partitions = args.partitions or 2 * (
         spark.sparkContext.defaultParallelism or 8
     )
+    if args.stream:
+        if not args.input or args.input_format != "parquet":
+            print("--stream requires --input with parquet segments",
+                  file=sys.stderr)
+            return 2
+        import os as _os
+
+        from pdf_extractor_spark.sources.table_format import SnapshotTable
+        from pdf_extractor_spark.streaming.stream import (
+            extract_stream_to_table,
+        )
+
+        table = SnapshotTable(_os.path.join(args.output, "extracted"))
+        ckpt = args.checkpoint or _os.path.join(args.output, "_checkpoint")
+        extract_stream_to_table(spark, args.input, table, ckpt)
+        out = table.read(spark)
+        print(json.dumps({"output": args.output, "mode": "stream",
+                          "rows": out.count() if out is not None else 0}))
+        if owns_session:
+            spark.stop()
+        return 0
+
     if args.generate:
         from pdf_extractor_spark import corpus
 
