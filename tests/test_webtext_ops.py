@@ -531,3 +531,56 @@ def test_query_never_leaks_from_fragment(spark):
     gate = [r["url_reason"] for r in
             webtext.url_quality_filter(df).orderBy("url").collect()]
     assert gate == ["ok", "ok"]  # phantom params from the fragment: none
+
+
+def test_lang_id_cross_engine_fuzz(spark):
+    """Seeded structured fuzz for the lang-ID twin pair (Python kernel in
+    the Spark path vs the DuckDB stopword-SQL fragment): 600 adversarial
+    texts mixing stopwords from several languages, ASCII punctuation glued
+    to tokens (the round-3 PUNCT_STRIP surface), case-folding hazards
+    ('İ', ß), exotic whitespace, quotes and empties — both engines must
+    emit the identical detected_lang for every doc."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.kernels.lang import STOPWORDS
+    from pdf_extractor_spark.operators.text_analysis import lang_id
+
+    rng = random.Random(20250818)
+    pools = {lg: sorted(ws) for lg, ws in STOPWORDS.items()}
+    fillers = ["data", "engine", "İstanbul", "straße", "corpus", "x1",
+               "naïve", "Zürich", "word", "—", "“quoted”"]
+    puncts = ["", ".", ",", "!", "?", '"', "'", "(", ")", "[", "]", "...",
+              ".)", '?"']
+    seps = [" ", "  ", "\t", "\n", "   "]  # NBSP inside a token run
+
+    texts = []
+    for _ in range(600):
+        langs = rng.sample(sorted(pools), k=rng.randint(1, 3))
+        toks = []
+        for _ in range(rng.randint(1, 25)):
+            src = rng.choice(langs)
+            w = (rng.choice(pools[src]) if rng.random() < 0.7
+                 else rng.choice(fillers))
+            if rng.random() < 0.2:
+                w = w.capitalize()
+            toks.append(rng.choice(puncts) + w + rng.choice(puncts))
+        texts.append(rng.choice(seps).join(toks))
+    texts += ["", "   ", ".", "!!!", '"le" (de) [que].', "LE DE LA ET"]
+
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string")
+    sp = {r["doc_id"]: r["detected_lang"] for r in lang_id(df).collect()}
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": range(len(texts)), "lang": "xx", "text": texts}))
+    du = con.execute(entry._lang_id_sql()).fetchall()
+    for doc_id, _lang, detected in du:
+        assert sp[doc_id] == detected, (doc_id, repr(texts[doc_id]),
+                                        sp[doc_id], detected)
