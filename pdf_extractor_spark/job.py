@@ -62,6 +62,12 @@ def main(argv: list[str] | None = None) -> int:
         print("exactly one of --input / --generate is required",
               file=sys.stderr)
         return 2
+    if args.stream and (not args.input or args.input_format != "parquet"):
+        # validate BEFORE get_spark(): the later early-exit would leak an
+        # owned SparkSession for in-process callers
+        print("--stream requires --input with parquet segments",
+              file=sys.stderr)
+        return 2
     if args.cluster:
         import os
 
@@ -85,10 +91,6 @@ def main(argv: list[str] | None = None) -> int:
         spark.sparkContext.defaultParallelism or 8
     )
     if args.stream:
-        if not args.input or args.input_format != "parquet":
-            print("--stream requires --input with parquet segments",
-                  file=sys.stderr)
-            return 2
         import os as _os
 
         from pdf_extractor_spark.sources.table_format import SnapshotTable

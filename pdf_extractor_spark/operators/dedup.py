@@ -777,9 +777,7 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
     tiny relative to the corpus (boilerplate is heavy-tailed), so the
     anti-join broadcasts; reassembly shuffles on doc_id once.
     """
-    sents = docs.select(
-        "doc_id", F.posexplode(F.split("text", sep, -1)).alias("pos", "sent")
-    ).withColumn("h", F.md5("sent"))
+    sents = _exploded_lines(docs, sep)
     boiler = (
         sents.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -787,6 +785,24 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
         .select("h")
     )
     kept = sents.join(boiler, "h", "left_anti")
+    return _reassemble_clean(docs, kept, joiner)
+
+
+def _exploded_lines(docs: DataFrame, sep: str, *extra: str) -> DataFrame:
+    """(doc_id, *extra, pos, sent, h=md5(sent)) — the shared explode of the
+    line-grain dedup family (line_frequency_dedup, site_template_dedup)."""
+    return docs.select(
+        "doc_id", *extra,
+        F.posexplode(F.split("text", sep, -1)).alias("pos", "sent"),
+    ).withColumn("h", F.md5("sent"))
+
+
+def _reassemble_clean(docs: DataFrame, kept: DataFrame,
+                      joiner: str) -> DataFrame:
+    """Order-preserving reassembly of kept lines into (doc_id, clean_text),
+    total over the input: docs whose every line was removed drop out of the
+    groupBy and are restored as empty strings. Shared by the line-grain
+    dedup family so the separator round-trip rule cannot diverge."""
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(
@@ -799,8 +815,6 @@ def line_frequency_dedup(docs: DataFrame, max_df: int = 50, sep: str = r"\. ",
             ).alias("clean_text")
         )
     )
-    # docs whose every line was boilerplate drop out of the groupBy — restore
-    # them as empty strings so the output is total over the input
     return (
         docs.select("doc_id")
         .join(rebuilt, "doc_id", "left")
@@ -830,10 +844,7 @@ def site_template_dedup(docs: DataFrame, host_col: str = "host",
     as line_frequency_dedup. At 100 TB the template set is
     hosts x chrome-lines (tiny vs the corpus) and broadcasts.
     """
-    sents = docs.select(
-        "doc_id", host_col,
-        F.posexplode(F.split("text", sep, -1)).alias("pos", "sent"),
-    ).withColumn("h", F.md5("sent"))
+    sents = _exploded_lines(docs, sep, host_col)
     host_docs = docs.groupBy(host_col).agg(
         F.countDistinct("doc_id").alias("n_docs"))
     tmpl = (
@@ -845,20 +856,7 @@ def site_template_dedup(docs: DataFrame, host_col: str = "host",
         .select(host_col, "h")
     )
     kept = sents.join(F.broadcast(tmpl), [host_col, "h"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            joiner,
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "sent"))),
-                lambda s: s["sent"],
-            ),
-        ).alias("clean_text")
-    )
-    return (
-        docs.select("doc_id")
-        .join(rebuilt, "doc_id", "left")
-        .select("doc_id", F.coalesce("clean_text", F.lit("")).alias("clean_text"))
-    )
+    return _reassemble_clean(docs, kept, joiner)
 
 
 # ---------------------------------------------------------------------------

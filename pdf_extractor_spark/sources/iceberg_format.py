@@ -139,6 +139,18 @@ class IcebergTable:
     def snapshots(self):
         return self._sql(f"SELECT * FROM {self.table}.snapshots")
 
+    def chain_max_summary(self, key: str):
+        """MAX of a numeric summary key over the snapshot history (the
+        emulation walks its parent chain; Iceberg's snapshots metadata
+        table carries the summary map directly)."""
+        sql = (f"SELECT max(CAST(summary['{key}'] AS BIGINT)) "
+               f"FROM {self.table}.snapshots")
+        self.calls.append(sql)
+        if self.dry_run:
+            return None
+        row = self.spark.sql(sql).first()
+        return None if row is None else row[0]
+
     def logical_columns(self):
         self.calls.append(f"spark.table({self.table}).columns")
         if self.dry_run:

@@ -133,16 +133,21 @@ class SnapshotTable:
         # a live drop op removed (a stale writer still carrying a dropped
         # column must not resurrect it in the tracked schema — reads drop
         # it too); a data-replacing commit resets to the written frame
-        if op == "append" and parent is not None and parent.get("columns"):
-            pcols = parent["columns"]
-            pops = parent.get("schema_ops") or []
-            dead = {
-                o["name"] for i, o in enumerate(pops) if o["op"] == "drop"
-                and not any(o2["op"] == "add" and o2["name"] == o["name"]
-                            for o2 in pops[i + 1:])
-            }
-            manifest["columns"] = pcols + [
-                c for c in df.columns if c not in pcols and c not in dead]
+        if op == "append" and parent is not None:
+            if parent.get("columns"):
+                pcols = parent["columns"]
+                pops = parent.get("schema_ops") or []
+                dead = {
+                    o["name"] for i, o in enumerate(pops) if o["op"] == "drop"
+                    and not any(o2["op"] == "add" and o2["name"] == o["name"]
+                                for o2 in pops[i + 1:])
+                }
+                manifest["columns"] = pcols + [
+                    c for c in df.columns if c not in pcols and c not in dead]
+            # parent predates schema tracking: its full column set is
+            # unknown without a Spark read, so stay untracked (None) —
+            # recording just this append's columns would make the
+            # evolution guards authoritative over an incomplete schema
         else:
             manifest["columns"] = list(df.columns)
         # schema evolution ops ride the manifest chain: an append keeps old
@@ -252,6 +257,7 @@ class SnapshotTable:
         if parent is None:
             return None
         cols = parent.get("columns")
+        live_ops = parent.get("schema_ops") or []
         if cols is not None:
             if entry["op"] == "add" and entry["name"] in cols:
                 raise ValueError(f"add_column: {entry['name']!r} already exists")
@@ -262,6 +268,30 @@ class SnapshotTable:
                     raise ValueError(f"rename_column: {entry['new']!r} exists")
             if entry["op"] == "drop" and entry["name"] not in cols:
                 raise ValueError(f"drop_column: {entry['name']!r} missing")
+            # NAME-REUSE guards: this emulation adapts old files BY NAME
+            # (Iceberg disambiguates reuse with field-ids; a name-keyed
+            # read cannot). Reusing a name that a LIVE op renamed away —
+            # or renaming onto a live-dropped name — would make the prior
+            # op fire on post-reuse files and silently relabel/delete the
+            # new column's data. Reject loudly; compact() materializes the
+            # evolution, clears the ops, and frees the name. Plain
+            # drop → add_column re-use IS supported (the drop op skips
+            # dirs written after the re-add).
+            renamed_from = {o["old"] for o in live_ops if o["op"] == "rename"}
+            dropped = {o["name"] for o in live_ops if o["op"] == "drop"}
+            introduced = (entry["name"] if entry["op"] == "add"
+                          else entry["new"] if entry["op"] == "rename"
+                          else None)
+            if introduced is not None and introduced in renamed_from:
+                raise ValueError(
+                    f"{op_name}: {introduced!r} was renamed away by a live "
+                    f"evolution op — run compact() to materialize the "
+                    f"evolution before reusing the name")
+            if entry["op"] == "rename" and entry["new"] in dropped:
+                raise ValueError(
+                    f"rename_column: {entry['new']!r} was dropped by a live "
+                    f"evolution op — run compact() before renaming onto it "
+                    f"(or use add_column, which supports drop→re-add)")
             if entry["op"] == "add":
                 cols = cols + [entry["name"]]
             elif entry["op"] == "rename":
@@ -276,7 +306,7 @@ class SnapshotTable:
             "op": op_name,
             "data_dirs": parent["data_dirs"],
             "summary": self._carry_state({op_name: entry["name"]}),
-            "schema_ops": (parent.get("schema_ops") or []) + [entry],
+            "schema_ops": live_ops + [entry],
         }
         if cols is not None:
             manifest["columns"] = cols
@@ -372,14 +402,43 @@ class SnapshotTable:
         return self.overwrite(upd, summary=self._carry_state(
             {"undelete": condition}), expected_parent=read_parent)
 
+    def chain_max_summary(self, key: str):
+        """MAX of a numeric summary key over the CURRENT parent chain,
+        loading only on-chain manifest files (not every retained snapshot).
+        The streaming sink's replay watermark and _carry_state both need
+        the chain max: an interleaved commit by another writer does not
+        carry the key, so the immediate parent alone can read as None."""
+        sid = self._current_id()
+        best = None
+        while sid is not None:
+            path = os.path.join(self.snap_dir, f"{sid}.json")
+            if not os.path.exists(path):
+                break
+            with open(path) as f:
+                m = json.load(f)
+            v = (m.get("summary") or {}).get(key)
+            if v is not None:
+                best = v if best is None else max(best, v)
+            sid = m.get("parent_id")
+        return best
+
     def _carry_state(self, summary: dict) -> dict:
-        """Propagate cumulative checkpoint keys (buckets_done) through a
-        row-preserving maintenance commit."""
+        """Propagate cumulative checkpoint keys through a row-preserving
+        maintenance commit: buckets_done from the immediate parent (the
+        pipeline's done_buckets also chain-walks, so parent carry is a
+        fast path); stream_batch_id as the CHAIN max — carrying only the
+        parent's value would lose the replay watermark whenever an
+        interleaved foreign commit sits between the stream's last append
+        and this maintenance commit, and expire_snapshots could then make
+        the loss permanent."""
         parent = self.current_manifest()
         ps = (parent.get("summary") or {}) if parent else {}
-        for key in ("buckets_done", "stream_batch_id"):
-            if key in ps and key not in summary:
-                summary = {**summary, key: ps[key]}
+        if "buckets_done" in ps and "buckets_done" not in summary:
+            summary = {**summary, "buckets_done": ps["buckets_done"]}
+        if "stream_batch_id" not in summary:
+            v = self.chain_max_summary("stream_batch_id")
+            if v is not None:
+                summary = {**summary, "stream_batch_id": v}
         return summary
 
     def read_snapshot(self, spark: SparkSession, snapshot_id: str) -> DataFrame:
@@ -462,7 +521,12 @@ class SnapshotTable:
         readers keep a consistent view and time travel to pre-compaction
         snapshots still works until they are expired."""
         m = self.current_manifest()
-        if m is None or len(m["data_dirs"]) <= 1:
+        if m is None:
+            return None
+        # single-dir tables still compact when schema ops are live:
+        # materializing the evolution (and freeing renamed/dropped names
+        # for reuse) is a reason to rewrite even one dir
+        if len(m["data_dirs"]) <= 1 and not m.get("schema_ops"):
             return None
         # mergeSchema: compaction REWRITES data — without it a tombstone
         # column added mid-chain could be dropped from the compacted files,
@@ -474,14 +538,11 @@ class SnapshotTable:
         df = self._read_dirs(spark, m["data_dirs"], m.get("schema_ops"))
         if target_partitions:
             df = df.coalesce(target_partitions)
-        summary: dict = {"compacted_dirs": len(m["data_dirs"])}
         # carry forward cumulative checkpoint state (the extraction
-        # pipeline's buckets_done, the streaming sink's stream_batch_id)
-        # so maintenance commits stay resume-safe
-        parent_summary = m.get("summary") or {}
-        for key in ("buckets_done", "stream_batch_id"):
-            if key in parent_summary:
-                summary[key] = parent_summary[key]
+        # pipeline's buckets_done, the streaming sink's stream_batch_id —
+        # the latter as the chain max, see _carry_state) so maintenance
+        # commits stay resume-safe
+        summary = self._carry_state({"compacted_dirs": len(m["data_dirs"])})
         return self._commit(df, "compact", summary)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -183,23 +183,24 @@ def snapshot_table_sink(table):
     does with its commit metadata). Combined with the stream's checkpoint
     (which makes batch contents deterministic per id), a kill/restart
     cannot duplicate or drop rows."""
+    # replay watermark = MAX over the CURRENT parent chain, not just the
+    # CURRENT manifest: an interleaved commit by another writer (plain
+    # append, custom-summary overwrite) does not carry stream_batch_id,
+    # and reading only CURRENT would reset the guard to None — letting a
+    # restarted stream append its replayed batch twice. Computed ONCE per
+    # sink (then advanced in-closure): per-batch chain walks would be
+    # O(chain length) manifest reads per micro-batch on a long-lived
+    # table; within one query this writer is the only source of new ids.
+    state = {"last": None, "init": False}
+
     def write(batch_df, batch_id: int) -> None:
-        # MAX over the whole CURRENT parent chain, not just the CURRENT
-        # manifest: an interleaved commit by another writer (plain append,
-        # custom-summary overwrite) does not carry stream_batch_id, and
-        # reading only CURRENT would reset the replay guard to None —
-        # letting a restarted stream append its replayed batch twice.
-        by_id = {m["snapshot_id"]: m for m in table.snapshots()}
-        sid = table._current_id()
-        last = None
-        while sid is not None and sid in by_id:
-            v = (by_id[sid].get("summary") or {}).get("stream_batch_id")
-            if v is not None:
-                last = v if last is None else max(last, v)
-            sid = by_id[sid].get("parent_id")
-        if last is not None and batch_id <= last:
+        if not state["init"]:
+            state["last"] = table.chain_max_summary("stream_batch_id")
+            state["init"] = True
+        if state["last"] is not None and batch_id <= state["last"]:
             return
         table.append(batch_df, summary={"stream_batch_id": batch_id})
+        state["last"] = batch_id
 
     return write
 

@@ -445,3 +445,57 @@ def test_schema_evolution_conflict_guards(spark, tmp_path):
     # appends widen the tracked list; soft delete minted deleted_at
     t.soft_delete(spark, "id = 99")
     assert "deleted_at" in t.logical_columns()
+
+
+def test_schema_evolution_name_reuse_rejected(spark, tmp_path):
+    """Name reuse that a name-keyed read cannot disambiguate is rejected
+    loudly (Iceberg handles it via field-ids): add/rename onto a
+    live-renamed-away name, rename onto a live-dropped name. compact()
+    materializes the evolution and frees the names; plain drop -> add
+    re-use stays supported."""
+    import pytest
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "nr"))
+    t.append(spark.createDataFrame([(1, "a", "b")],
+                                   "id long, x string, y string"))
+    t.drop_column("x")
+    with pytest.raises(ValueError):
+        t.rename_column("y", "x")  # rename onto live-dropped name
+    t.rename_column("y", "z")
+    with pytest.raises(ValueError):
+        t.add_column("y", "string")  # add onto live-renamed-away name
+    with pytest.raises(ValueError):
+        t.rename_column("z", "y")  # rename onto live-renamed-away name
+    # compaction materializes the evolution and frees every name
+    t.compact(spark)
+    t.add_column("y", "string", default="fresh")
+    got = t.read(spark).collect()[0]
+    assert got["z"] == "b" and got["y"] == "fresh"
+    assert "x" not in t.read(spark).columns
+
+
+def test_stream_watermark_survives_foreign_commit_and_compact(spark, tmp_path):
+    """The exactly-once replay watermark must survive an interleaved
+    NON-stream commit followed by compact + expire (review finding): the
+    chain-max carry keeps stream_batch_id on the CURRENT manifest."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+    from pdf_extractor_spark.streaming.stream import snapshot_table_sink
+
+    t = SnapshotTable(str(tmp_path / "wm"))
+    sink = snapshot_table_sink(t)
+    sink(spark.createDataFrame([(1, "a")], "id long, v string"), 0)
+    sink(spark.createDataFrame([(2, "b")], "id long, v string"), 1)
+    # a foreign writer appends WITHOUT the stream key
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"))
+    t.compact(spark)
+    t.expire_snapshots(keep_last=1)
+    assert t.chain_max_summary("stream_batch_id") == 1
+    # a restarted stream (fresh sink closure) replaying batch 1 skips it
+    sink2 = snapshot_table_sink(t)
+    sink2(spark.createDataFrame([(2, "b")], "id long, v string"), 1)
+    assert t.read(spark).count() == 3
+    # and genuinely new batches still land
+    sink2(spark.createDataFrame([(4, "d")], "id long, v string"), 2)
+    assert t.read(spark).count() == 4
