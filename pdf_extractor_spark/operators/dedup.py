@@ -320,6 +320,14 @@ def minhash_lsh_pairs(
         shh = shingle_table(docs, n, shingle_store)
     else:
         shh = shingle_hash_arrays(docs, n).persist()
+    return minhash_pairs_from_hashes(shh, num_perm, bands, jaccard_threshold)
+
+
+def minhash_pairs_from_hashes(shh: DataFrame, num_perm: int, bands: int,
+                              jaccard_threshold: float) -> DataFrame:
+    """The hash-level core of minhash_lsh_pairs: (doc_id, shh) shingle
+    table → banded candidates → exact-Jaccard-verified (a < b) pairs.
+    Shared by the batch operator and the streaming intra-batch arm."""
     banded = minhash_banded_from_hashes(shh, num_perm, bands)
     # bucket → sorted member list → all ordered pairs, JVM-side. Buckets are
     # tiny (near-dup cliques), so the interpreted pair-comprehension HOF is

@@ -225,6 +225,74 @@ def extract_stream_to_table(spark: SparkSession, pages_dir: str, table,
     q.awaitTermination()
 
 
+def _append_once(table, df: DataFrame, batch_id: int) -> None:
+    """Idempotent per-table append keyed by the stream batch id: each
+    table carries its OWN replay watermark, so a crash between the two
+    appends of a multi-table sink replays the batch and each table
+    independently skips or lands it — no duplicates, no gaps."""
+    last = table.chain_max_summary("stream_batch_id")
+    if last is not None and batch_id <= last:
+        return
+    table.append(df, summary={"stream_batch_id": batch_id})
+
+
+def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
+                             shingle_store, pairs_table,
+                             checkpoint_dir: str,
+                             num_perm: int = 64, bands: int = 32,
+                             n: int = 3, jaccard_threshold: float = 0.5,
+                             max_files_per_trigger: int = 1) -> None:
+    """Continuous-crawl near-duplicate detection: landed document segments
+    stream in; each micro-batch is (a) deduped AGAINST THE COMMITTED
+    SHINGLE STORE (delta-vs-index — the corpus is never re-scanned),
+    (b) deduped within itself, and then (c) its shingles are appended to
+    the store so later batches can match against it. Pairs land in
+    `pairs_table`; both tables use per-table batch-id watermarks
+    (_append_once) so a kill/restart at ANY point replays exactly-once.
+
+    Per-batch cost is O(|batch| hashing) + one band-signature join against
+    the store — independent of corpus width, the property that makes
+    continuous dedup viable at a 10^12-document crawl. The union of
+    intra-batch and delta-vs-index pairs over all batches equals the batch
+    operator's pairs on the full corpus (same banding geometry, same exact
+    verify; every unordered pair is found exactly once — in the batch
+    where its later member arrives). Drains available segments, then
+    stops (availableNow); re-run to pick up new segments.
+    """
+    from pdf_extractor_spark.operators import dedup
+
+    def sink(batch_df, batch_id: int) -> None:
+        pairs_last = pairs_table.chain_max_summary("stream_batch_id")
+        if pairs_last is not None and batch_id <= pairs_last:
+            return
+        batch_shh = dedup.shingle_hash_arrays(
+            batch_df.select("doc_id", "text"), n).localCheckpoint()
+        base = shingle_store.read(spark)
+        intra = dedup.minhash_pairs_from_hashes(
+            batch_shh, num_perm, bands, jaccard_threshold)
+        if base is not None:
+            inter = dedup.minhash_lsh_pairs_incremental(
+                batch_shh, base, num_perm, bands, jaccard_threshold)
+            pairs = intra.unionByName(inter)
+        else:
+            pairs = intra
+        # shingles FIRST: if we crash after this append, the replay skips
+        # it via the store's own watermark and still lands the pairs
+        _append_once(shingle_store, batch_shh, batch_id)
+        _append_once(pairs_table, pairs, batch_id)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(docs_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def session_window_stream(events: DataFrame, gap: str = "30 minutes",
                           watermark: str = "1 day") -> DataFrame:
     """Native session windows (Spark's session_window): per-user sessions

@@ -760,3 +760,59 @@ def test_site_template_dedup_per_host(spark):
     assert got[5] == "Nav home. epsilon body"  # rare on b.com -> kept
     assert got[6] == "zeta body six"
     assert got[8] == "theta body eight. iota body"  # 1-doc host untouched
+
+
+def test_neardup_stream_equals_batch(spark, tmp_path):
+    """Continuous-crawl dedup: streaming delta-vs-index + intra-batch pairs
+    over landed segments must equal the batch MinHash-LSH operator on the
+    full corpus (same banding geometry, exact verify), and a restart over
+    the same checkpoint must append nothing."""
+    from pdf_extractor_spark.operators import dedup
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+    from pdf_extractor_spark.streaming.stream import neardup_stream_to_tables
+
+    base = "the quick brown fox jumps over the lazy dog near segment"
+    rows = []
+    # segments land as separate files; dups within AND across segments
+    for seg in range(3):
+        for i in range(6):
+            did = seg * 100 + i
+            if i == 5 and seg > 0:
+                text = base + " zero 0"  # near-dup of doc 0 (cross-segment)
+            elif i == 4:
+                text = base + f" intra {seg}"  # near-dup cluster per segment
+            elif i == 3:
+                text = base + f" intra {seg} x"  # pairs with i==4 in-segment
+            else:
+                text = f"unique content number {did} " + " ".join(
+                    f"w{did}_{j}" for j in range(10))
+            rows.append((seg, did, text))
+    docs = spark.createDataFrame(rows, "seg int, doc_id long, text string")
+    ddir = str(tmp_path / "docs")
+    for seg in range(3):
+        docs.where(F.col("seg") == seg).select("doc_id", "text") \
+            .coalesce(1).write.mode("append").parquet(ddir)
+
+    store = SnapshotTable(str(tmp_path / "shingles"))
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    ckpt = str(tmp_path / "ckpt")
+    neardup_stream_to_tables(spark, ddir, store, pairs_t, ckpt,
+                             max_files_per_trigger=1)
+
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"]), r["jaccard"])
+           for r in pairs_t.read(spark).collect()}
+    want = {(r["a"], r["b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(
+                docs.select("doc_id", "text"), num_perm=64, bands=32,
+                jaccard_threshold=0.5).collect()}
+    assert got == want and len(want) > 0
+    # cross-segment pairs present (found via the delta-vs-index arm)
+    assert any(a < 100 <= b for a, b, _ in got)
+
+    # restart: nothing appends, store unchanged
+    n_pairs = pairs_t.read(spark).count()
+    n_shh = store.read(spark).count()
+    neardup_stream_to_tables(spark, ddir, store, pairs_t, ckpt,
+                             max_files_per_trigger=1)
+    assert pairs_t.read(spark).count() == n_pairs
+    assert store.read(spark).count() == n_shh == 18
