@@ -1251,6 +1251,26 @@ def minhash_lsh_pairs_incremental(
     b=new doc, jaccard).
     """
     corpus_banded = minhash_banded_from_hashes(corpus_shh, num_perm, bands)
+    return minhash_pairs_delta_vs_index(
+        new_shh, corpus_banded, corpus_shh, num_perm, bands,
+        jaccard_threshold)
+
+
+def minhash_pairs_delta_vs_index(
+    new_shh: DataFrame,
+    corpus_banded: DataFrame,
+    corpus_shh: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Delta-vs-index with a PREBANDED corpus: when the banded signatures
+    are committed alongside the shingle store (what the streaming operator
+    maintains), the per-batch compute is O(|batch|) hashing + one keyed
+    join against the signature table — re-banding the whole corpus per
+    batch would be corpus-sized numpy work every trigger. At 10^12 docs
+    the signature table additionally partitions on a band_sig prefix so
+    the join prunes to matching buckets."""
     new_banded = minhash_banded_from_hashes(new_shh, num_perm, bands)
     cand = (
         new_banded.select(

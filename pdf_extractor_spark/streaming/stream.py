@@ -239,27 +239,38 @@ def _append_once(table, df: DataFrame, batch_id: int) -> None:
 def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
                              shingle_store, pairs_table,
                              checkpoint_dir: str,
+                             sig_store=None,
                              num_perm: int = 64, bands: int = 32,
                              n: int = 3, jaccard_threshold: float = 0.5,
                              max_files_per_trigger: int = 1) -> None:
     """Continuous-crawl near-duplicate detection: landed document segments
-    stream in; each micro-batch is (a) deduped AGAINST THE COMMITTED
-    SHINGLE STORE (delta-vs-index — the corpus is never re-scanned),
-    (b) deduped within itself, and then (c) its shingles are appended to
-    the store so later batches can match against it. Pairs land in
-    `pairs_table`; both tables use per-table batch-id watermarks
+    stream in; each micro-batch is (a) deduped AGAINST THE COMMITTED INDEX
+    (delta-vs-index — the corpus text is never re-scanned), (b) deduped
+    within itself, and then (c) its shingles AND banded signatures are
+    appended to the stores so later batches match against them. Pairs land
+    in `pairs_table`; every table uses a per-table batch-id watermark
     (_append_once) so a kill/restart at ANY point replays exactly-once.
 
-    Per-batch cost is O(|batch| hashing) + one band-signature join against
-    the store — independent of corpus width, the property that makes
-    continuous dedup viable at a 10^12-document crawl. The union of
-    intra-batch and delta-vs-index pairs over all batches equals the batch
-    operator's pairs on the full corpus (same banding geometry, same exact
-    verify; every unordered pair is found exactly once — in the batch
-    where its later member arrives). Drains available segments, then
-    stops (availableNow); re-run to pick up new segments.
+    `sig_store` (recommended; created under the shingle store's root when
+    omitted) holds the corpus's banded signatures: with it, per-batch
+    compute is O(|batch|) hashing + one keyed join against the signature
+    table — WITHOUT it the corpus's signatures would be re-derived from
+    the shingle store every trigger, corpus-sized numpy work per batch.
+    The exact-Jaccard verify joins candidate ids back to the shingle
+    store. At 10^12 documents the signature table additionally partitions
+    on a band_sig prefix so the join prunes to matching buckets.
+
+    The union of intra-batch and delta-vs-index pairs over all batches
+    equals the batch operator's pairs on the full corpus (same banding
+    geometry, same exact verify; every unordered pair is found exactly
+    once — in the batch where its later member arrives). Drains available
+    segments, then stops (availableNow); re-run to pick up new segments.
     """
     from pdf_extractor_spark.operators import dedup
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    if sig_store is None:
+        sig_store = SnapshotTable(shingle_store.root.rstrip("/") + "_sigs")
 
     def sink(batch_df, batch_id: int) -> None:
         pairs_last = pairs_table.chain_max_summary("stream_batch_id")
@@ -267,18 +278,23 @@ def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
             return
         batch_shh = dedup.shingle_hash_arrays(
             batch_df.select("doc_id", "text"), n).localCheckpoint()
-        base = shingle_store.read(spark)
+        batch_sigs = dedup.minhash_banded_from_hashes(
+            batch_shh, num_perm, bands).localCheckpoint()
+        base_shh = shingle_store.read(spark)
+        base_sigs = sig_store.read(spark)
         intra = dedup.minhash_pairs_from_hashes(
             batch_shh, num_perm, bands, jaccard_threshold)
-        if base is not None:
-            inter = dedup.minhash_lsh_pairs_incremental(
-                batch_shh, base, num_perm, bands, jaccard_threshold)
+        if base_shh is not None and base_sigs is not None:
+            inter = dedup.minhash_pairs_delta_vs_index(
+                batch_shh, base_sigs, base_shh, num_perm, bands,
+                jaccard_threshold)
             pairs = intra.unionByName(inter)
         else:
             pairs = intra
-        # shingles FIRST: if we crash after this append, the replay skips
-        # it via the store's own watermark and still lands the pairs
+        # index stores FIRST: if we crash after these appends, the replay
+        # skips them via each store's own watermark and still lands pairs
         _append_once(shingle_store, batch_shh, batch_id)
+        _append_once(sig_store, batch_sigs, batch_id)
         _append_once(pairs_table, pairs, batch_id)
 
     q = (
