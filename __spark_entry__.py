@@ -604,17 +604,42 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     the needs-OCR image dispatch branch (extract.detect_image_format) is
     exercised and DRIVER-GATED: those docs must surface as failures AND as
     quarantine rows with the needs_ocr error — the oracle counts them from
-    the documents table."""
+    the documents table. Every doc_id % 50 == 25 page becomes a SCANNED
+    BITMAP page (round 3: kernels/ocr_kernel.py — the reference's
+    tesseract tier, tesseract_extractor.py:22-53): the page is printed in
+    the fixed-pitch OCR font from a SQL-expressible transform of the doc
+    text (ASCII-uppercase, font charset only, first 64 chars), so the
+    oracle recomputes the EXACT expected OCR output from `documents` and
+    the streamed-text checksum value-gates the whole render→OCR→extract
+    path. Those docs must extract successfully (not quarantine)."""
     import tempfile
 
+    from pdf_extractor_spark.kernels.ocr_kernel import render_text_bmp
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
     pages = _pages_from_documents(docs)
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+
+    # the scanned-page text transform, kept to expressions BOTH engines
+    # compute identically (ASCII-only translate for case, no Unicode
+    # folding — NOTES.md #28 discipline)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    filt = F.trim(F.regexp_replace(
+        F.regexp_replace(norm, "[^a-z0-9 .,]", ""), " +", " "))
+    ocr_src = F.rtrim(F.substring(
+        F.translate(filt, "abcdefghijklmnopqrstuvwxyz",
+                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), 1, 64))
+
+    _print_page = F.pandas_udf(
+        lambda texts: texts.map(lambda t: render_text_bmp(t or "", width=32)),
+        "binary",
+    )
+
     pages = pages.select(
         "url", "warc_ts",
         F.when(F.col("doc_id") % 50 == 0, F.lit(png))
+        .when(F.col("doc_id") % 50 == 25, _print_page(ocr_src))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -658,6 +683,9 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("meta")["needs_ocr"] == "true", 1).otherwise(0)
         ).alias("stream_needs_ocr"),
         F.sum(
+            F.when(F.col("meta")["ocr"] == "true", 1).otherwise(0)
+        ).alias("stream_ocr_docs"),
+        F.sum(
             F.when(
                 F.col("meta")["needs_ocr"].isNull(),
                 F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
@@ -669,8 +697,9 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _shutil.rmtree(pdir, ignore_errors=True)
     stream_agg = spark.createDataFrame(
         [(int(srow["stream_rows"]), int(srow["stream_needs_ocr"]),
-          int(srow["stream_text_cksum"]))],
-        "stream_rows long, stream_needs_ocr long, stream_text_cksum long",
+          int(srow["stream_ocr_docs"]), int(srow["stream_text_cksum"]))],
+        "stream_rows long, stream_needs_ocr long, stream_ocr_docs long, "
+        "stream_text_cksum long",
     )
 
     return (
@@ -2121,11 +2150,22 @@ def oracle_sql() -> dict[str, str]:
     # fail loudly through the needs-OCR dispatch and land in quarantine; all
     # other docs extract cleanly and all 16 buckets commit. Any silent-empty
     # image doc, spurious failure, or missed quarantine row breaks the hash.
+    # every doc_id % 50 == 25 page is a SCANNED BITMAP printed from the
+    # transform below (font charset, ASCII-uppercase, 64 chars) — the
+    # from-scratch OCR kernel must recover it byte-identically, batch AND
+    # stream (those docs count as successes, never as quarantine rows).
     # streaming arm: every doc yields exactly one streamed row; PNG docs
     # surface as needs_ocr rows; for the rest the streamed TEXT must equal
-    # the normalized document text byte-for-byte — gated by an order-free
-    # sum of 32-bit md5 prefixes the oracle recomputes from `documents`
+    # the normalized document text (or the OCR transform) byte-for-byte —
+    # gated by an order-free sum of 32-bit md5 prefixes the oracle
+    # recomputes from `documents`
     _q37_norm = _NORM_SQL.format(c="text")
+    _q37_ocr = (
+        "rtrim(substr(translate(trim(regexp_replace(regexp_replace("
+        f"{_q37_norm}, '[^a-z0-9 .,]', '', 'g'), ' +', ' ', 'g')), "
+        "'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), "
+        "1, 64))"
+    )
     o["q37_pipeline_metrics"] = f"""
         SELECT 16::BIGINT AS buckets_done, count(*) AS total_docs,
                count(*) AS total_pages,
@@ -2139,7 +2179,12 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
+               CAST(sum(CASE WHEN doc_id % 50 = 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
+                             WHEN doc_id % 50 = 25
+                             THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
+                                  ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))
                                   ::BIGINT END)
                     AS BIGINT) AS stream_text_cksum

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 
 from pdf_extractor_spark.kernels.html_kernel import extract_html
 from pdf_extractor_spark.kernels.lang import lang_spans
+from pdf_extractor_spark.kernels.ocr_kernel import OcrUnsupported, ocr_stream_text
 from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
 SPAN_TYPE = ArrayType(
@@ -108,33 +109,56 @@ def detect_image_format(payload: bytes) -> str | None:
     return None
 
 
+def _needs_ocr_row(img: str, why: str) -> dict:
+    """The loud quarantine row for image payloads the engine cannot read
+    (reference file_type semantics, enums.py:25-31)."""
+    return {
+        "page_number": 1, "text": "", "combined": "", "table": "",
+        "markdown": "", "titles": "", "spans": [],
+        "meta": {
+            "ok": "false",
+            "error": f"needs_ocr: {img} payload{why}",
+            "file_type": img,
+            "needs_ocr": "true",
+        },
+    }
+
+
 def extract_document(payload: bytes | None) -> list[dict]:
     """One document → one output row per page (HTML: single page 1).
 
     Pure Python, shared by the Arrow batch path and unit tests. Follows the
     reference per-page result invariants (SURVEY.md §2a): 1-based pages,
     error rows degrade instead of raising (pypdf2_extractor.py:41-48).
-    Image payloads (scanned-document tier, reference enums.py:25-31) have
-    no OCR stack in this environment: they dispatch to a loud needs-OCR
-    quarantine row (meta ok=false) instead of silently extracting as empty
-    text — preserving the reference's file_type semantics.
+    Image payloads (scanned-document tier, reference enums.py:25-31,
+    tesseract_extractor.py:22-53): fixed-pitch bitmap pages (the BMP
+    profile of kernels/ocr_kernel.py) are OCR'd from scratch into the TEXT
+    channel; every other image format — or a BMP variant outside the OCR
+    profile — dispatches to a loud needs-OCR quarantine row (meta
+    ok=false) instead of silently extracting as empty text, preserving the
+    reference's file_type semantics.
     """
     if payload:
         img = detect_image_format(payload)
-        if img is not None:
+        if img == "bmp":
+            try:
+                text = ocr_stream_text(payload)
+            except OcrUnsupported as exc:
+                return [_needs_ocr_row(img, f" ({exc})")]
+            ok = bool(text)
+            meta = {"ok": "true" if ok else "false", "file_type": "bmp",
+                    "ocr": "true"}
+            if not ok:
+                meta["error"] = "no meaningful content"
             return [
                 {
-                    "page_number": 1, "text": "", "combined": "", "table": "",
-                    "markdown": "", "titles": "", "spans": [],
-                    "meta": {
-                        "ok": "false",
-                        "error": f"needs_ocr: {img} payload (no OCR stack in "
-                                 "this environment)",
-                        "file_type": img,
-                        "needs_ocr": "true",
-                    },
+                    "page_number": 1, "text": text, "combined": text,
+                    "table": "", "markdown": "", "titles": "",
+                    "spans": lang_spans(text), "meta": meta,
                 }
             ]
+        if img is not None:
+            return [_needs_ocr_row(img, " (no OCR stack in this environment)")]
     if payload and payload.startswith(b"%PDF"):
         res = extract_pdf(payload)
         rows = []

@@ -1,0 +1,213 @@
+"""From-scratch fixed-pitch bitmap OCR: render→recognize roundtrip, noise
+tolerance (the decoder is a Hamming-nearest classifier, not a byte inverse),
+container edge cases, and the extraction dispatch integration.
+
+Reference analogue: tesseract_extractor.py:22-53 (rasterize → OCR → TEXT
+channel); enums.py:25-31 (image-capable file types).
+"""
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_extractor_spark.kernels import ocr_kernel as K
+
+CHARS = "".join(sorted(K.CHARSET - {" "}))
+
+
+def _flip_pixels(bmp: bytes, n: int, seed: int) -> bytes:
+    """Deterministic scanner noise: flip n pixels anywhere on the page."""
+    buf = bytearray(bmp)
+    (off,) = struct.unpack_from("<I", buf, 10)
+    width, height = struct.unpack_from("<ii", buf, 18)
+    stride = (width + 3) & ~3
+    rng = random.Random(seed)
+    for _ in range(n):
+        x, y = rng.randrange(width), rng.randrange(abs(height))
+        p = off + y * stride + x
+        buf[p] = 255 - buf[p]
+    return bytes(buf)
+
+
+def test_roundtrip_full_charset():
+    text = CHARS + " " + CHARS.lower().upper()
+    bmp = K.render_text_bmp(text, width=16)
+    assert K.ocr_stream_text(bmp) == text
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "",
+        "A",
+        "HELLO, WORLD. 42",
+        "X" * 64,                              # exact multiple of width
+        "A B" + " C" * 20,                      # alternating spaces
+        "ENDS WITH SPACE AT COL 32 XXXXX YMORE",  # space at wrap boundary
+        "Y" * 31 + " " + "Z" * 10,              # space as last cell of a line
+        "Q" * 32 + " TAIL",                     # space as first cell of a line
+        ".,. ,., 0O0 O0O 1I1 I1I",              # confusable glyph pairs
+    ],
+)
+def test_roundtrip_cases(text):
+    bmp = K.render_text_bmp(text, width=32)
+    assert K.ocr_stream_text(bmp) == text
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet=CHARS + " ", max_size=90))
+def test_roundtrip_property(text):
+    # the printed stream is right-trim invariant (trailing blank cells are
+    # indistinguishable from padding on a fixed-pitch page)
+    bmp = K.render_text_bmp(text, width=17)
+    assert K.ocr_stream_text(bmp) == text.rstrip(" ")
+
+
+def test_noise_tolerance_is_classification():
+    """One flipped pixel in ANY glyph cell must never change the output
+    (guaranteed by the ≥3 min font distance) — exhaustive over cells and
+    spot-checked over in-cell positions; plus light random page noise."""
+    text = "NOISE TEST 123, OK. FIN"
+    bmp = K.render_text_bmp(text, width=32)
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    width, height = struct.unpack_from("<ii", bmp, 18)
+    stride = (width + 3) & ~3
+    for ci in range(len(text)):
+        x0 = K.MARGIN + ci * K.PITCH_X
+        y0 = K.MARGIN  # single line
+        for (dr, dc) in ((0, 0), (3, 2), (6, 4)):
+            buf = bytearray(bmp)
+            # bottom-up row order inside the file
+            y_file = height - 1 - (y0 + dr)
+            p = off + y_file * stride + (x0 + dc)
+            buf[p] = 255 - buf[p]
+            assert K.ocr_stream_text(bytes(buf)) == text, (ci, dr, dc)
+    for seed in range(3):
+        assert K.ocr_stream_text(_flip_pixels(bmp, 8, seed)) == text
+
+
+def test_unrecognizable_cell_degrades_to_question_mark():
+    assert K.match_glyph((1 << 35) - 1) == "?"  # all ink
+    # a glyph mangled beyond max_err must not silently guess
+    bits = K._FONT_BITS["A"]
+    for i in range(10):
+        bits ^= 1 << (i * 3 % 35)
+    assert K.match_glyph(bits, max_err=2) == "?"
+
+
+def test_font_min_hamming_distance():
+    """Every glyph pair (incl. blank=space) must be ≥3 flipped pixels
+    apart so a single-pixel scan error can never cross a decision
+    boundary — the property that makes 1-flip recovery provable, not
+    empirical."""
+    items = sorted(K._FONT_BITS.items()) + [(" ", 0)]
+    for i in range(len(items)):
+        for j in range(i + 1, len(items)):
+            d = bin(items[i][1] ^ items[j][1]).count("1")
+            assert d >= 3, (items[i][0], items[j][0], d)
+
+
+def test_match_glyph_exact_and_near():
+    for ch, bits in K._FONT_BITS.items():
+        assert K.match_glyph(bits) == ch
+        assert K.match_glyph(bits ^ 1) == ch  # one flipped pixel
+    assert K.match_glyph(0) == " "
+    assert K.match_glyph(0b11) == " "  # 2 stray dots → nearest is blank
+
+
+def test_vectorized_grid_matches_scalar_reference():
+    """The numpy fast path must be cell-identical to the pure-Python
+    reference, including on noisy pages where nearest-match kicks in."""
+    text = ("PARITY CHECK 0123456789 .,. END OF LINE ONE AND SOME MORE "
+            "TEXT TO WRAP ACROSS LINES")
+    clean = K.render_text_bmp(text, width=24)
+    for payload in (clean, _flip_pixels(clean, 40, 11), _flip_pixels(clean, 200, 3)):
+        rows = K.decode_bmp_gray(payload)
+        n_lines = (len(rows) - 2 * K.MARGIN) // K.PITCH_Y
+        n_cols = (len(rows[0]) - 2 * K.MARGIN) // K.PITCH_X
+        assert K.ocr_bmp(payload) == K._grid_chars_scalar(
+            rows, n_lines, n_cols, max_err=6)
+
+
+def test_unsupported_variants_raise():
+    good = K.render_text_bmp("ABC")
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(b"BM" + b"\x00" * 20)  # truncated header
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(good[:80])  # truncated pixel data
+    bad_bpp = bytearray(good)
+    struct.pack_into("<H", bad_bpp, 28, 24)
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(bad_bpp))
+    compressed = bytearray(good)
+    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(compressed))
+
+
+def test_top_down_bmp_decodes():
+    """Negative height = top-down row order (valid BMP) — the decoder must
+    handle both orientations."""
+    text = "TOP DOWN"
+    bmp = bytearray(K.render_text_bmp(text))
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    width, height = struct.unpack_from("<ii", bmp, 18)
+    stride = (width + 3) & ~3
+    rows = [bytes(bmp[off + y * stride: off + (y + 1) * stride])
+            for y in range(height)]
+    flipped = b"".join(reversed(rows))
+    bmp[off:off + stride * height] = flipped
+    struct.pack_into("<i", bmp, 22, -height)
+    assert K.ocr_stream_text(bytes(bmp)) == text
+
+
+def test_renderer_rejects_out_of_charset():
+    with pytest.raises(ValueError):
+        K.render_text_bmp("lowercase")
+    with pytest.raises(ValueError):
+        K.render_text_bmp("EMOJI ☃")
+
+
+def test_ocr_text_display_form():
+    bmp = K.render_text_bmp("AB CD EF", width=5)
+    assert K.ocr_text(bmp) == "AB CD\nEF"
+
+
+def test_extract_document_ocr_dispatch():
+    """The extraction operator routes readable BMP pages through OCR into
+    the TEXT channel (ok=true) and everything else to needs-OCR
+    quarantine."""
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    text = "SCANNED PAGE 1, HELLO."
+    rows = extract_document(K.render_text_bmp(text))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["meta"]["ok"] == "true"
+    assert r["meta"]["file_type"] == "bmp"
+    assert r["meta"]["ocr"] == "true"
+    assert "needs_ocr" not in r["meta"]
+    assert r["text"] == text and r["combined"] == text
+    assert r["page_number"] == 1
+
+    # BMP variant outside the OCR profile → loud quarantine, not a crash
+    bad = bytearray(K.render_text_bmp("X"))
+    struct.pack_into("<H", bad, 28, 24)
+    r = extract_document(bytes(bad))[0]
+    assert r["meta"]["ok"] == "false"
+    assert r["meta"]["needs_ocr"] == "true"
+    assert "needs_ocr" in r["meta"]["error"]
+
+    # other image formats still quarantine
+    r = extract_document(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)[0]
+    assert r["meta"]["needs_ocr"] == "true"
+
+    # blank page → no meaningful content (reference gate tasks.py:228-249)
+    r = extract_document(K.render_text_bmp(""))[0]
+    assert r["meta"]["ok"] == "false" and "needs_ocr" not in r["meta"]
