@@ -627,19 +627,31 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     filt = F.trim(F.regexp_replace(
         F.regexp_replace(norm, "[^a-z0-9 .,]", ""), " +", " "))
-    ocr_src = F.rtrim(F.substring(
-        F.translate(filt, "abcdefghijklmnopqrstuvwxyz",
-                    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), 1, 64))
+    # 'DOC <id> ' prefix makes the printed text structurally non-empty even
+    # if a doc's text filters to nothing — an empty OCR page would surface
+    # as ok=false and break the oracle's pinned failure counts (review
+    # finding, round 3); rtrim for the all-filtered case.
+    ocr_src = F.rtrim(F.concat(
+        F.lit("DOC "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.substring(
+            F.translate(filt, "abcdefghijklmnopqrstuvwxyz",
+                        "ABCDEFGHIJKLMNOPQRSTUVWXYZ"), 1, 64)))
 
+    # Catalyst extracts pandas UDFs into an unconditional ArrowEvalPython
+    # stage (CaseWhen does not short-circuit UDF branches), so the gate
+    # must live in the UDF's INPUT: null for the 98% of rows that keep
+    # their html, a rendered page only for the doc_id%50==25 rows.
     _print_page = F.pandas_udf(
-        lambda texts: texts.map(lambda t: render_text_bmp(t or "", width=32)),
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_bmp(t, width=32)),
         "binary",
     )
+    ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
 
     pages = pages.select(
         "url", "warc_ts",
         F.when(F.col("doc_id") % 50 == 0, F.lit(png))
-        .when(F.col("doc_id") % 50 == 25, _print_page(ocr_src))
+        .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -2161,7 +2173,8 @@ def oracle_sql() -> dict[str, str]:
     # recomputes from `documents`
     _q37_norm = _NORM_SQL.format(c="text")
     _q37_ocr = (
-        "rtrim(substr(translate(trim(regexp_replace(regexp_replace("
+        "rtrim('DOC ' || CAST(doc_id AS VARCHAR) || ' ' || "
+        "substr(translate(trim(regexp_replace(regexp_replace("
         f"{_q37_norm}, '[^a-z0-9 .,]', '', 'g'), ' +', ' ', 'g')), "
         "'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ'), "
         "1, 64))"

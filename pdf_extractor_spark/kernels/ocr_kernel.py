@@ -183,8 +183,17 @@ def render_text_bmp(text: str, width: int = 32) -> bytes:
 
 def decode_bmp_gray(payload: bytes) -> list[bytes]:
     """Parse an uncompressed 8-bpp BMP into a top-down list of pixel rows
-    (one gray byte per pixel). Raises OcrUnsupported on any container
-    shape outside this profile; raises nothing else."""
+    (one LUMINANCE byte per pixel). Raises OcrUnsupported on any container
+    shape outside this profile; raises nothing else.
+
+    Pixel values are palette INDICES, not gray — an 8-bpp BMP's color
+    table may be inverted grayscale (index 0 = white) or colored, and
+    thresholding raw indices would read such a page as solid ink (review
+    finding, round 3). Each index is therefore mapped through the color
+    table to integer luminance (b+g+r)//3 with one C-speed
+    ``bytes.translate`` per row; a palette-less BMP (data immediately
+    after the DIB header) keeps the identity mapping.
+    """
     if len(payload) < 54 or not payload.startswith(b"BM"):
         raise OcrUnsupported("not a BMP container")
     (data_offset,) = struct.unpack_from("<I", payload, 10)
@@ -206,10 +215,17 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     need = data_offset + stride * height
     if data_offset < 54 or len(payload) < need:
         raise OcrUnsupported("truncated pixel data")
+    pal_start = 14 + hdr_size
+    n_pal = max(0, min(256, (data_offset - pal_start) // 4))
+    lut = bytearray(range(256))  # identity for palette-less / short tables
+    for i in range(n_pal):
+        b, g, r = payload[pal_start + 4 * i: pal_start + 4 * i + 3]
+        lut[i] = (b + g + r) // 3
+    lut_b = bytes(lut)
     rows = []
     for y in range(height):
         off = data_offset + y * stride
-        rows.append(payload[off:off + width])
+        rows.append(payload[off:off + width].translate(lut_b))
     if not top_down:
         rows.reverse()
     return rows

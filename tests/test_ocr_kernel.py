@@ -167,6 +167,46 @@ def test_top_down_bmp_decodes():
     assert K.ocr_stream_text(bytes(bmp)) == text
 
 
+def test_inverted_palette_decodes_correctly():
+    """An 8-bpp BMP whose palette is INVERTED grayscale (index 0 = white,
+    255 = black) must OCR to the same text, not to solid-ink garbage: the
+    decoder maps indices through the color table, it does not threshold
+    raw index values (review finding, round 3)."""
+    text = "INVERTED PALETTE PAGE 9"
+    bmp = bytearray(K.render_text_bmp(text))
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    width, height = struct.unpack_from("<ii", bmp, 18)
+    stride = (width + 3) & ~3
+    # palette entry i = 255-i gray; pixel indices complemented to match
+    for i in range(256):
+        g = 255 - i
+        struct.pack_into("<BBBB", bmp, 54 + 4 * i, g, g, g, 0)
+    for p in range(off, off + stride * height):
+        bmp[p] = 255 - bmp[p]
+    assert K.ocr_stream_text(bytes(bmp)) == text
+
+
+def test_colored_ink_palette_decodes_correctly():
+    """Dark-red ink on white paper (a colored scan) — luminance through the
+    palette keeps ink dark and paper light."""
+    text = "RED INK"
+    bmp = bytearray(K.render_text_bmp(text))
+    # index 0 (ink) -> dark red (B,G,R)=(0,0,140); index 255 stays white
+    struct.pack_into("<BBBB", bmp, 54, 0, 0, 140, 0)
+    assert K.ocr_stream_text(bytes(bmp)) == text
+
+
+def test_palette_less_bmp_keeps_identity_mapping():
+    """data_offset == 14 + header size (no color table): indices are gray."""
+    text = "NO PALETTE"
+    bmp = K.render_text_bmp(text)
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    stripped = bytearray(bmp[:54] + bmp[off:])
+    struct.pack_into("<I", stripped, 10, 54)          # new data offset
+    struct.pack_into("<I", stripped, 2, len(stripped))
+    assert K.ocr_stream_text(bytes(stripped)) == text
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
