@@ -605,16 +605,22 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised and DRIVER-GATED: those docs must surface as failures AND as
     quarantine rows with the needs_ocr error — the oracle counts them from
     the documents table. Every doc_id % 50 == 25 page becomes a SCANNED
-    BITMAP page (round 3: kernels/ocr_kernel.py — the reference's
-    tesseract tier, tesseract_extractor.py:22-53): the page is printed in
-    the fixed-pitch OCR font from a SQL-expressible transform of the doc
-    text (ASCII-uppercase, font charset only, first 64 chars), so the
-    oracle recomputes the EXACT expected OCR output from `documents` and
-    the streamed-text checksum value-gates the whole render→OCR→extract
-    path. Those docs must extract successfully (not quarantine)."""
+    BITMAP page and every doc_id % 50 == 45 page a SCANNED PDF (a page-
+    sized DeviceGray image XObject with no text operators — round 3:
+    kernels/ocr_kernel.py; the reference's tesseract tier,
+    tesseract_extractor.py:22-53): each is printed in the fixed-pitch OCR
+    font from a SQL-expressible transform of the doc text
+    (ASCII-uppercase, font charset only, first 64 chars), so the oracle
+    recomputes the EXACT expected OCR output from `documents` and the
+    streamed-text checksum value-gates the whole render→OCR→extract path
+    for both containers. Those docs must extract successfully (not
+    quarantine)."""
     import tempfile
 
-    from pdf_extractor_spark.kernels.ocr_kernel import render_text_bmp
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        render_scanned_pdf,
+        render_text_bmp,
+    )
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
@@ -646,12 +652,23 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: None if t is None else render_text_bmp(t, width=32)),
         "binary",
     )
+    # doc_id%50==45 docs are SCANNED PDFs (each page a DeviceGray image
+    # XObject, no text operators) printed from the same transform — the
+    # reference's tesseract tier input shape; the PDF kernel must OCR them
+    # through the same glyph machinery as the BMP tier
+    _print_scan_pdf = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_scanned_pdf([t], width=32)),
+        "binary",
+    )
     ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
+    pdf_gated = F.when(F.col("doc_id") % 50 == 45, ocr_src)
 
     pages = pages.select(
         "url", "warc_ts",
         F.when(F.col("doc_id") % 50 == 0, F.lit(png))
         .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated))
+        .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -2162,10 +2179,12 @@ def oracle_sql() -> dict[str, str]:
     # fail loudly through the needs-OCR dispatch and land in quarantine; all
     # other docs extract cleanly and all 16 buckets commit. Any silent-empty
     # image doc, spurious failure, or missed quarantine row breaks the hash.
-    # every doc_id % 50 == 25 page is a SCANNED BITMAP printed from the
-    # transform below (font charset, ASCII-uppercase, 64 chars) — the
-    # from-scratch OCR kernel must recover it byte-identically, batch AND
-    # stream (those docs count as successes, never as quarantine rows).
+    # every doc_id % 50 == 25 page is a SCANNED BITMAP and every
+    # doc_id % 50 == 45 page a SCANNED PDF (image-XObject page, no text
+    # operators), both printed from the transform below (font charset,
+    # ASCII-uppercase, 64 chars) — the from-scratch OCR kernel must recover
+    # each byte-identically, batch AND stream (those docs count as
+    # successes, never as quarantine rows).
     # streaming arm: every doc yields exactly one streamed row; PNG docs
     # surface as needs_ocr rows; for the rest the streamed TEXT must equal
     # the normalized document text (or the OCR transform) byte-for-byte —
@@ -2192,10 +2211,10 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
-               CAST(sum(CASE WHEN doc_id % 50 = 25 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN doc_id % 50 IN (25, 45) THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
-                             WHEN doc_id % 50 = 25
+                             WHEN doc_id % 50 IN (25, 45)
                              THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
                                   ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))

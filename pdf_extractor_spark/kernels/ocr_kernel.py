@@ -125,15 +125,12 @@ def wrap_fixed(text: str, width: int = 32) -> list[str]:
     return [text[i:i + width] for i in range(0, len(text), width)]
 
 
-def render_page_bmp(lines: list[str]) -> bytes:
-    """Print ``lines`` in the 5x7 fixed-pitch font onto a grayscale BMP.
-
-    8 bits/pixel, uncompressed, bottom-up, 256-entry grayscale palette —
-    the plainest BMP profile so the decoder's container parse stays a
-    struct exercise. Raises on characters outside the font charset (the
-    caller controls the page text; silent substitution would corrupt the
-    byte-identical contract).
-    """
+def render_page_gray(lines: list[str]) -> list[bytearray]:
+    """Print ``lines`` in the 5x7 fixed-pitch font onto a TOP-DOWN matrix of
+    luminance rows (one byte per pixel) — the shared raster behind both
+    page containers (BMP file and PDF image XObject). Raises on characters
+    outside the font charset (the caller controls the page text; silent
+    substitution would corrupt the byte-identical contract)."""
     if not lines:
         lines = [""]
     bad = {ch for line in lines for ch in line} - CHARSET
@@ -142,8 +139,6 @@ def render_page_bmp(lines: list[str]) -> bytes:
     n_cols = max((len(line) for line in lines), default=0)
     width = 2 * MARGIN + max(n_cols, 1) * PITCH_X
     height = 2 * MARGIN + len(lines) * PITCH_Y
-    # top-down pixel matrix, then emitted bottom-up per the positive-height
-    # BMP convention
     px = [bytearray([PAPER]) * width for _ in range(height)]
     for li, line in enumerate(lines):
         y0 = MARGIN + li * PITCH_Y
@@ -158,6 +153,18 @@ def render_page_bmp(lines: list[str]) -> bytes:
                 for c in range(GLYPH_W):
                     if row[c] == "X":
                         prow[x0 + c] = INK
+    return px
+
+
+def render_page_bmp(lines: list[str]) -> bytes:
+    """Print ``lines`` in the 5x7 fixed-pitch font onto a grayscale BMP.
+
+    8 bits/pixel, uncompressed, bottom-up, 256-entry grayscale palette —
+    the plainest BMP profile so the decoder's container parse stays a
+    struct exercise.
+    """
+    px = render_page_gray(lines)
+    height, width = len(px), len(px[0])
     stride = (width + 3) & ~3
     pad = b"\x00" * (stride - width)
     body = b"".join(bytes(px[y]) + pad for y in range(height - 1, -1, -1))
@@ -175,6 +182,61 @@ def render_page_bmp(lines: list[str]) -> bytes:
 def render_text_bmp(text: str, width: int = 32) -> bytes:
     """Convenience: fixed-pitch wrap then print."""
     return render_page_bmp(wrap_fixed(text, width))
+
+
+def render_scanned_pdf(page_texts: list[str], width: int = 32) -> bytes:
+    """Build a SCANNED PDF: each page is one full-page grayscale image
+    XObject (8 bits/component, /DeviceGray, uncompressed) printed in the
+    fixed-pitch font — the real-world shape a scanner/copier emits and the
+    input the reference feeds through Tesseract (tesseract_extractor.py:
+    22-53 rasterizes PDF pages back to images before OCR; a scanned PDF is
+    already that raster). The extraction kernel OCRs these pages via the
+    same glyph machinery as BMP files.
+
+    Raw (unfiltered) image data is deliberate: the raster holds only
+    INK/PAPER bytes, so the stream can never alias the 'endstream' /
+    'endobj' markers the tolerant object scanner keys on."""
+    if not page_texts:
+        page_texts = [""]
+    objs: list[bytes] = []   # bodies; object number = index + 1
+
+    def _add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_ids: list[int] = []
+    kids_slot = _add(b"")  # pages node patched once kids are known
+    for text in page_texts:
+        px = render_page_gray(wrap_fixed(text, width))
+        h, w = len(px), len(px[0])
+        data = b"".join(bytes(r) for r in px)  # top-down, per PDF convention
+        img_id = _add(
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
+            b"stream\n%s\nendstream" % (w, h, len(data), data))
+        content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
+        content_id = _add(
+            b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
+        page_ids.append(_add(
+            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 %d %d]"
+            b" /Resources << /XObject << /Im0 %d 0 R >> >>"
+            b" /Contents %d 0 R >>" % (kids_slot, w, h, img_id, content_id)))
+    objs[kids_slot - 1] = (
+        b"<< /Type /Pages /Count %d /Kids [%s] >>"
+        % (len(page_ids), b" ".join(b"%d 0 R" % p for p in page_ids)))
+    root_id = _add(b"<< /Type /Catalog /Pages %d 0 R >>" % kids_slot)
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (len(objs) + 1, root_id, xref_at))
+    return bytes(out)
 
 
 # --------------------------------------------------------------------------
@@ -272,7 +334,14 @@ def _cell_bits_numpy(rows: list[bytes], n_lines: int, n_cols: int):
 
 
 def ocr_bmp(payload: bytes, max_err: int = 6) -> list[str]:
-    """OCR one fixed-pitch BMP page into raw grid lines.
+    """OCR one fixed-pitch BMP page into raw grid lines (container parse +
+    ``ocr_gray_rows``)."""
+    return ocr_gray_rows(decode_bmp_gray(payload), max_err=max_err)
+
+
+def ocr_gray_rows(rows: list[bytes], max_err: int = 6) -> list[str]:
+    """OCR a top-down luminance-row raster into raw grid lines — the
+    container-independent core shared by BMP files and PDF image XObjects.
 
     Grid segmentation at the page profile's known margin/pitch; each cell
     classified independently by ``match_glyph``. Lines are returned as the
@@ -285,7 +354,6 @@ def ocr_bmp(payload: bytes, max_err: int = 6) -> list[str]:
     them, a noisy page a few more), so per-page cost is numpy ops plus
     O(unique patterns) Python.
     """
-    rows = decode_bmp_gray(payload)
     height, width = len(rows), len(rows[0]) if rows else 0
     n_lines = (height - 2 * MARGIN) // PITCH_Y
     n_cols = (width - 2 * MARGIN) // PITCH_X

@@ -97,6 +97,60 @@ def _content_refs(page_body: bytes) -> list[int]:
     return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
 
 
+def _xobject_image_refs(page_body: bytes, objs: dict[int, bytes]) -> list[int]:
+    """Image XObject refs reachable from a page's /Resources (inline dict or
+    indirect ref), in declaration order."""
+    d = _dict_of(page_body)
+    m = re.search(rb"/Resources\s*(<<|(\d+)\s+\d+\s+R)", d)
+    if not m:
+        return []
+    if m.group(2) is not None:
+        ref = int(m.group(2))
+        if ref not in objs:
+            return []
+        res = _dict_of(objs[ref])
+    else:
+        res = _dict_of(d[m.start(1):])
+    mx = re.search(rb"/XObject\s*<<", res)
+    if not mx:
+        return []
+    xdict = _dict_of(res[mx.end() - 2:])
+    return [int(r.group(1)) for r in _REF_RE.finditer(xdict)]
+
+
+def _ocr_image_xobject(body: bytes) -> str | None:
+    """OCR one /Subtype /Image XObject if it is in the scanned-page profile
+    (8-bit /DeviceGray, raw or FlateDecode data): returns the printed
+    character stream, or None when the image is outside the profile (other
+    color spaces / JPEG etc. — those pages stay textless and surface
+    through the normal no-content path)."""
+    d = _dict_of(body)
+    if not re.search(rb"/Subtype\s*/Image\b", d):
+        return None
+    if not re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
+        return None
+    mb = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+    if not mb or int(mb.group(1)) != 8:
+        return None
+    mf = re.search(rb"/Filter\s*/(\w+)", d)
+    if mf and mf.group(1) != b"FlateDecode":
+        return None  # DCTDecode/CCITT etc. — not decodable here
+    mw = re.search(rb"/Width\s+(\d+)", d)
+    mh = re.search(rb"/Height\s+(\d+)", d)
+    if not mw or not mh:
+        return None
+    w, h = int(mw.group(1)), int(mh.group(1))
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    data = _stream_bytes(body)
+    if len(data) < w * h:
+        return None  # truncated raster
+    from pdf_extractor_spark.kernels.ocr_kernel import ocr_gray_rows
+
+    rows = [data[y * w:(y + 1) * w] for y in range(h)]
+    return "".join(ocr_gray_rows(rows)).rstrip(" ")
+
+
 def _kids(pages_body: bytes) -> list[int]:
     d = _dict_of(pages_body)
     m = re.search(rb"/Kids\s*\[([^\]]*)\]", d)
@@ -440,16 +494,33 @@ def extract_pdf(payload: bytes) -> dict:
                     page_ids = kids
                 break
         pages: list[tuple[int, str]] = []
+        ocr_pages = 0
         for i, pid in enumerate(page_ids, start=1):
             text_parts = []
             for cref in _content_refs(objs[pid]):
                 if cref in objs:
                     text_parts.append(merge_lines(_runs_from_stream(_stream_bytes(objs[cref]))))
-            pages.append((i, "\n".join(p for p in text_parts if p)))
+            text = "\n".join(p for p in text_parts if p)
+            if not text:
+                # scanned page: no text operators — OCR any in-profile image
+                # XObjects (the reference's tesseract tier rasterizes pages
+                # back to images before OCR; a scanned page IS that raster)
+                img_texts = [
+                    t for xref in _xobject_image_refs(objs[pid], objs)
+                    if xref in objs
+                    for t in (_ocr_image_xobject(objs[xref]),) if t
+                ]
+                if img_texts:
+                    text = "\n".join(img_texts)
+                    ocr_pages += 1
+            pages.append((i, text))
         ok = any(t for _, t in pages)
         meta["ok"] = "true" if ok else "false"
         if not ok:
             meta["error"] = "no meaningful content"
+        if ocr_pages:
+            meta["ocr"] = "true"
+            meta["ocr_pages"] = str(ocr_pages)
         meta["page_count"] = str(len(pages))
         return {"pages": pages, "meta": meta}
     except Exception as exc:

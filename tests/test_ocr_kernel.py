@@ -207,6 +207,92 @@ def test_palette_less_bmp_keeps_identity_mapping():
     assert K.ocr_stream_text(bytes(stripped)) == text
 
 
+def test_scanned_pdf_roundtrip():
+    """A scanned PDF (pages = DeviceGray image XObjects, zero text
+    operators) must OCR back to its printed text through the normal PDF
+    extraction path — the reference's tesseract tier
+    (tesseract_extractor.py:22-53)."""
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    texts = ["SCANNED PAGE ONE, HELLO WORLD.",
+             "PAGE TWO WRAPS BECAUSE IT IS LONGER THAN THIRTY TWO CHARS",
+             ""]
+    pdf = K.render_scanned_pdf(texts, width=32)
+    res = extract_pdf(pdf)
+    assert res["meta"]["ok"] == "true"
+    assert res["meta"]["ocr"] == "true"
+    assert res["meta"]["ocr_pages"] == "2"  # blank page 3 yields no text
+    assert res["meta"]["page_count"] == "3"
+    assert res["pages"] == [(1, texts[0]), (2, texts[1]), (3, "")]
+
+
+def test_mixed_text_and_scanned_pdf_pages():
+    """Text operators win on pages that have them; OCR only fills
+    textless pages — matching the canonical-extractor semantics."""
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    scanned = "SCANNED SECOND PAGE."
+    px = K.render_page_gray(K.wrap_fixed(scanned, 32))
+    h, w = len(px), len(px[0])
+    data = b"".join(bytes(r) for r in px)
+    text_content = b"BT /F1 12 Tf 72 720 Td (Born digital page) Tj ET"
+    objs = [
+        b"<< /Type /Pages /Count 2 /Kids [2 0 R 4 0 R] >>",
+        b"<< /Type /Page /Parent 1 0 R /Contents 3 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(text_content), text_content),
+        b"<< /Type /Page /Parent 1 0 R /Resources << /XObject"
+        b" << /Im0 5 0 R >> >> /Contents 6 0 R >>",
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
+        b"stream\n%s\nendstream" % (w, h, len(data), data),
+        b"<< /Length 22 >>\nstream\nq 1 0 0 1 0 0 cm /Im0 Do Q\nendstream",
+        b"<< /Type /Catalog /Pages 1 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, start=1):
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    out += b"trailer\n<< /Root 7 0 R >>\n%%EOF\n"
+    res = extract_pdf(bytes(out))
+    assert res["pages"] == [(1, "Born digital page"), (2, scanned)]
+    assert res["meta"]["ocr_pages"] == "1"
+
+
+def test_out_of_profile_pdf_images_stay_textless():
+    """JPEG-compressed or RGB image XObjects are outside the OCR profile:
+    the page stays empty and the document degrades to the no-content error
+    row — never a crash, never garbage text."""
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    pdf = bytearray(K.render_scanned_pdf(["UNREADABLE"]))
+    jpeg = bytes(pdf).replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceRGB")
+    res = extract_pdf(jpeg)
+    assert res["pages"] == [(1, "")]
+    assert res["meta"]["ok"] == "false" and "ocr" not in res["meta"]
+
+    dct = bytes(pdf).replace(b"/BitsPerComponent 8",
+                             b"/Filter /DCTDecode /BitsPerComponent 8")
+    res = extract_pdf(dct)
+    assert res["pages"] == [(1, "")] and res["meta"]["ok"] == "false"
+
+    # truncated raster: header promises more pixels than the stream holds
+    trunc = bytes(pdf).replace(b"/Height ", b"/Height 9")  # 10x the rows
+    res = extract_pdf(trunc)
+    assert res["pages"] == [(1, "")] and res["meta"]["ok"] == "false"
+
+
+def test_extract_document_scanned_pdf_dispatch():
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    text = "DOC 45 SCANNED VIA PDF."
+    rows = extract_document(K.render_scanned_pdf([text]))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["meta"]["ok"] == "true" and r["meta"]["ocr"] == "true"
+    assert r["text"] == text and r["page_number"] == 1
+    assert "needs_ocr" not in r["meta"]
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
