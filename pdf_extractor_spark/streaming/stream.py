@@ -225,15 +225,30 @@ def extract_stream_to_table(spark: SparkSession, pages_dir: str, table,
     q.awaitTermination()
 
 
-def _append_once(table, df: DataFrame, batch_id: int) -> None:
+def _append_once(table, df: DataFrame, batch_id: int,
+                 cache: dict | None = None, key: str | None = None) -> bool:
     """Idempotent per-table append keyed by the stream batch id: each
     table carries its OWN replay watermark, so a crash between the two
     appends of a multi-table sink replays the batch and each table
-    independently skips or lands it — no duplicates, no gaps."""
-    last = table.chain_max_summary("stream_batch_id")
+    independently skips or lands it — no duplicates, no gaps. Returns
+    True when the append landed, False when the replay skipped it.
+
+    ``cache``/``key``: per-query watermark memo — the chain walk
+    (O(manifests) file reads) runs once per (query, table), then the
+    watermark advances in-closure, exactly like snapshot_table_sink;
+    within one query this writer is the only source of new ids."""
+    if cache is not None and key in cache:
+        last = cache[key]
+    else:
+        last = table.chain_max_summary("stream_batch_id")
+        if cache is not None:
+            cache[key] = last
     if last is not None and batch_id <= last:
-        return
+        return False
     table.append(df, summary={"stream_batch_id": batch_id})
+    if cache is not None:
+        cache[key] = batch_id
+    return True
 
 
 def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
@@ -272,19 +287,45 @@ def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
     if sig_store is None:
         sig_store = SnapshotTable(shingle_store.root.rstrip("/") + "_sigs")
 
+    wm: dict = {}  # per-query watermark memo (one chain walk per table)
+
     def sink(batch_df, batch_id: int) -> None:
-        pairs_last = pairs_table.chain_max_summary("stream_batch_id")
-        if pairs_last is not None and batch_id <= pairs_last:
+        if "pairs" not in wm:
+            wm["pairs"] = pairs_table.chain_max_summary("stream_batch_id")
+        if wm["pairs"] is not None and batch_id <= wm["pairs"]:
             return
         batch_shh = dedup.shingle_hash_arrays(
             batch_df.select("doc_id", "text"), n).localCheckpoint()
         batch_sigs = dedup.minhash_banded_from_hashes(
             batch_shh, num_perm, bands).localCheckpoint()
+        # Exclude this batch's own doc_ids from the index view: a crash
+        # BETWEEN the store appends and the pairs append replays the batch
+        # with its rows already committed to the stores — without the
+        # anti-join the delta arm would see each batch doc twice (fanned-out
+        # duplicate pairs) and re-find intra-batch pairs through the inter
+        # arm in both orientations. The batch id set is tiny → broadcast.
+        batch_ids = batch_shh.select("doc_id").distinct()
         base_shh = shingle_store.read(spark)
+        if base_shh is not None:
+            base_shh = base_shh.join(
+                F.broadcast(batch_ids), "doc_id", "left_anti")
         base_sigs = sig_store.read(spark)
+        if base_sigs is not None:
+            base_sigs = base_sigs.join(
+                F.broadcast(batch_ids), "doc_id", "left_anti")
+        sig_rows = batch_sigs
+        if base_shh is not None and base_sigs is None:
+            # signature store lags the shingle store (e.g. the corpus was
+            # built by the batch path): derive the corpus signatures ONCE
+            # and backfill them with this batch's append — skipping the
+            # delta arm here would silently drop every incoming-vs-corpus
+            # pair forever
+            base_sigs = dedup.minhash_banded_from_hashes(
+                base_shh, num_perm, bands).localCheckpoint()
+            sig_rows = base_sigs.unionByName(batch_sigs)
         intra = dedup.minhash_pairs_from_hashes(
             batch_shh, num_perm, bands, jaccard_threshold)
-        if base_shh is not None and base_sigs is not None:
+        if base_shh is not None:
             inter = dedup.minhash_pairs_delta_vs_index(
                 batch_shh, base_sigs, base_shh, num_perm, bands,
                 jaccard_threshold)
@@ -293,9 +334,9 @@ def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
             pairs = intra
         # index stores FIRST: if we crash after these appends, the replay
         # skips them via each store's own watermark and still lands pairs
-        _append_once(shingle_store, batch_shh, batch_id)
-        _append_once(sig_store, batch_sigs, batch_id)
-        _append_once(pairs_table, pairs, batch_id)
+        _append_once(shingle_store, batch_shh, batch_id, wm, "shingle")
+        _append_once(sig_store, sig_rows, batch_id, wm, "sig")
+        _append_once(pairs_table, pairs, batch_id, wm, "pairs")
 
     q = (
         spark.readStream.schema("doc_id long, text string")

@@ -816,3 +816,89 @@ def test_neardup_stream_equals_batch(spark, tmp_path):
                              max_files_per_trigger=1)
     assert pairs_t.read(spark).count() == n_pairs
     assert store.read(spark).count() == n_shh == 18
+
+
+def test_neardup_stream_crash_replay_between_appends(spark, tmp_path):
+    """A crash AFTER the shingle/signature store appends but BEFORE the
+    pairs append replays the batch with its rows already committed to the
+    index; the replayed pair computation must exclude the batch's own rows
+    from the index view, or every cross pair duplicates and intra pairs
+    re-emit through the inter arm (review finding, round 3)."""
+    from pdf_extractor_spark.operators import dedup
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+    from pdf_extractor_spark.streaming.stream import neardup_stream_to_tables
+
+    base = "the quick brown fox jumps over the lazy dog near segment"
+    seg0 = [(0, base + " zero 0"), (1, "totally unrelated words one " +
+                                    " ".join(f"u{j}" for j in range(10)))]
+    seg1 = [(100, base + " zero 0x"),        # near-dup of doc 0 (cross)
+            (101, base + " intra pair a"),   # near-dup cluster in-batch
+            (102, base + " intra pair b")]
+    docs0 = spark.createDataFrame(seg0, "doc_id long, text string")
+    docs1 = spark.createDataFrame(seg1, "doc_id long, text string")
+    ddir = str(tmp_path / "docs")
+    docs0.coalesce(1).write.mode("append").parquet(ddir)
+
+    store = SnapshotTable(str(tmp_path / "shingles"))
+    sig_t = SnapshotTable(str(tmp_path / "sigs"))
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    ckpt = str(tmp_path / "ckpt")
+    neardup_stream_to_tables(spark, ddir, store, pairs_t, ckpt,
+                             sig_store=sig_t, max_files_per_trigger=1)
+
+    # segment 2 lands; simulate the crash: its shingles AND signatures are
+    # committed with the NEXT batch id, but the pairs append (and the
+    # checkpoint) never happened
+    docs1.coalesce(1).write.mode("append").parquet(ddir)
+    shh1 = dedup.shingle_hash_arrays(docs1, 3)
+    store.append(shh1, summary={"stream_batch_id": 1})
+    sig_t.append(dedup.minhash_banded_from_hashes(shh1, 64, 32),
+                 summary={"stream_batch_id": 1})
+
+    # restart: batch 1 replays (checkpoint never committed it)
+    neardup_stream_to_tables(spark, ddir, store, pairs_t, ckpt,
+                             sig_store=sig_t, max_files_per_trigger=1)
+
+    got = sorted((min(r["a"], r["b"]), max(r["a"], r["b"]))
+                 for r in pairs_t.read(spark).collect())
+    all_docs = docs0.unionByName(docs1)
+    want = sorted((r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        all_docs, num_perm=64, bands=32, jaccard_threshold=0.5).collect())
+    assert got == want and (0, 100) in got and (101, 102) in got
+    # stores did not double-append on the replay
+    assert store.read(spark).count() == all_docs.count()
+
+
+def test_neardup_stream_backfills_lagging_sig_store(spark, tmp_path):
+    """Streaming on top of a shingle store built by the BATCH path (no
+    signature store yet) must derive and backfill the corpus signatures —
+    not silently skip the delta arm and lose every incoming-vs-corpus pair
+    (review finding, round 3)."""
+    from pdf_extractor_spark.operators import dedup
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+    from pdf_extractor_spark.streaming.stream import neardup_stream_to_tables
+
+    base = "the quick brown fox jumps over the lazy dog near segment"
+    corpus = [(0, base + " zero 0"),
+              (1, "unrelated filler " + " ".join(f"v{j}" for j in range(10)))]
+    newseg = [(200, base + " zero 0y")]      # near-dup of corpus doc 0
+    docs0 = spark.createDataFrame(corpus, "doc_id long, text string")
+    docs1 = spark.createDataFrame(newseg, "doc_id long, text string")
+
+    store = SnapshotTable(str(tmp_path / "shingles"))
+    store.append(dedup.shingle_hash_arrays(docs0, 3))  # batch-built corpus
+    sig_t = SnapshotTable(str(tmp_path / "sigs"))      # empty: lags store
+    pairs_t = SnapshotTable(str(tmp_path / "pairs"))
+    ddir = str(tmp_path / "docs")
+    docs1.coalesce(1).write.mode("append").parquet(ddir)
+
+    neardup_stream_to_tables(spark, ddir, store, pairs_t,
+                             str(tmp_path / "ckpt"), sig_store=sig_t,
+                             max_files_per_trigger=1)
+
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"]))
+           for r in pairs_t.read(spark).collect()}
+    assert got == {(0, 200)}
+    # the corpus signatures were backfilled: a SECOND new segment matches
+    # the corpus through the signature store without re-deriving it
+    assert sig_t.read(spark).select("doc_id").distinct().count() == 3
