@@ -1,10 +1,13 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio/video libraries, so the decode step is
-STUBBED (clearly marked) behind a deterministic fake, while everything
+The container has no image/audio/video codec libraries, so decode is a
+three-tier story: REAL for uncompressed 8-bpp BMP (the from-scratch
+container/palette decoder shared with the OCR kernel), a deterministic
+fake container for everything the tests exercise at scale, and a loud
+NotImplementedError for codec formats (JPEG/PNG/ffmpeg) — while everything
 Spark-side — schema, Arrow batch shape, partitioning, mapInPandas signature —
 is real and tested. On a cluster with codecs installed, only `_decode_image`
-/ `_sample_frames` change.
+/ `_sample_frames` grow arms.
 
 Payload container format (deterministic fake, self-describing):
     b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload
@@ -40,9 +43,17 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB decode. Real implementation would call PIL/libjpeg — not in this
-    container. Parses the deterministic fake container instead; raises
-    NotImplementedError for real image formats so misuse is loud."""
+    """Image decode: REAL for uncompressed 8-bpp BMP (the from-scratch
+    container/palette decoder in kernels/ocr_kernel.py — luminance
+    (h, w, 1)), the deterministic fake container for tests, and a loud
+    NotImplementedError for formats that need a codec this container
+    lacks (JPEG/PNG — swap in a PIL-based arm on a real cluster)."""
+    if payload[:2] == b"BM":
+        from pdf_extractor_spark.kernels.ocr_kernel import decode_bmp_gray
+
+        rows = decode_bmp_gray(payload)  # raises OcrUnsupported (a ValueError)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
     if payload[:4] != MAGIC:
         if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
             raise NotImplementedError(

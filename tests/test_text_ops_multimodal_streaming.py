@@ -74,6 +74,48 @@ def test_multimodal_error_contract(spark):
     assert out[1]["width"] is None
 
 
+def test_multimodal_real_bmp_decode(spark):
+    """Uncompressed 8-bpp BMP is a REAL decode arm (shared with the OCR
+    kernel, palette-aware): width/height/channels/mean come from actual
+    pixel data, and the resize path round-trips through it."""
+    import numpy as np
+
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        decode_bmp_gray,
+        render_text_bmp,
+    )
+    from pdf_extractor_spark.operators.multimodal import resize_stub
+
+    bmp = render_text_bmp("REAL IMAGE", width=32)
+    rows_px = decode_bmp_gray(bmp)
+    want_h, want_w = len(rows_px), len(rows_px[0])
+    want_mean = float(
+        np.frombuffer(b"".join(rows_px), dtype=np.uint8)
+        .astype(np.float64).mean())
+
+    media = spark.createDataFrame(
+        [(7, "image", bmp, {})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    r = extract_features(media).collect()[0]
+    assert r["error"] is None
+    assert (r["width"], r["height"], r["channels"]) == (want_w, want_h, 1)
+    assert r["mean_intensity"] == want_mean
+    assert len(r["feature"]) == 8
+
+    rz = {x["media_id"]: x for x in
+          extract_features(resize_stub(media, 10, 6)).collect()}
+    assert rz[7]["width"] == 10 and rz[7]["height"] == 6
+    # out-of-profile BMP (24-bpp) degrades to the error row, not garbage
+    import struct as _struct
+    bad = bytearray(bmp)
+    _struct.pack_into("<H", bad, 28, 24)
+    media_bad = spark.createDataFrame(
+        [(8, "image", bytes(bad), {})],
+        "media_id long, kind string, payload binary, meta map<string,string>")
+    rb = extract_features(media_bad).collect()[0]
+    assert rb["error"] is not None and "OcrUnsupported" in rb["error"]
+
+
 def test_multimodal_resize(spark):
     rows = [(1, "image", encode_fake_image(1, 16, 12), {})]
     media = spark.createDataFrame(
