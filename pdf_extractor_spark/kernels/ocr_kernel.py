@@ -392,13 +392,40 @@ def _grid_chars_scalar(rows: list[bytes], n_lines: int, n_cols: int,
     return out
 
 
-def ocr_stream_text(payload: bytes, max_err: int = 6) -> str:
-    """Reconstruct the printed character stream: the renderer wraps at a
+# Plausibility gate: a page is only accepted as machine print when at most
+# this fraction of its inked cells failed classification. A real-world
+# grayscale raster (photo, scanner noise field) thresholded onto the glyph
+# grid classifies overwhelmingly to '?' (a random 35-bit cell lands within
+# max_err=6 of any template with p ≈ 0.2%), so garbage pages reject loudly
+# instead of polluting the TEXT channel — while a legit page with a few
+# damaged cells still reads.
+OCR_MAX_UNKNOWN_FRAC = 0.15
+
+
+def ocr_page_plausible(lines: list[str]) -> bool:
+    """True when the decoded grid looks like machine print: '?' cells are
+    at most OCR_MAX_UNKNOWN_FRAC of the non-blank cells. An all-blank page
+    is plausible (it is EMPTY, not unreadable — callers handle empty)."""
+    n_unknown = sum(ln.count("?") for ln in lines)
+    n_nonblank = sum(len(ln) - ln.count(" ") for ln in lines)
+    return n_nonblank == 0 or n_unknown <= OCR_MAX_UNKNOWN_FRAC * n_nonblank
+
+
+def lines_to_stream_text(lines: list[str]) -> str:
+    """Grid lines → the printed character stream: the renderer wraps at a
     fixed pitch with no layout semantics (a printer feed), so the inverse
-    is plain concatenation of the grid lines, trailing padding stripped.
-    This is the extraction-channel form — it equals the exact text the
-    page was printed from (byte-identical contract)."""
-    return "".join(ocr_bmp(payload, max_err=max_err)).rstrip(" ")
+    is plain concatenation (blank cells ARE spaces), trailing padding
+    stripped. The single definition of the stream-form contract — shared
+    by the BMP tier and the scanned-PDF tier so the two can never
+    diverge under q37's common checksum."""
+    return "".join(lines).rstrip(" ")
+
+
+def ocr_stream_text(payload: bytes, max_err: int = 6) -> str:
+    """Reconstruct the printed character stream of a BMP page
+    (extraction-channel form — equals the exact text the page was printed
+    from; byte-identical contract)."""
+    return lines_to_stream_text(ocr_bmp(payload, max_err=max_err))
 
 
 def ocr_text(payload: bytes, max_err: int = 6) -> str:

@@ -145,10 +145,17 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     data = _stream_bytes(body)
     if len(data) < w * h:
         return None  # truncated raster
-    from pdf_extractor_spark.kernels.ocr_kernel import ocr_gray_rows
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        lines_to_stream_text,
+        ocr_gray_rows,
+        ocr_page_plausible,
+    )
 
     rows = [data[y * w:(y + 1) * w] for y in range(h)]
-    return "".join(ocr_gray_rows(rows)).rstrip(" ")
+    lines = ocr_gray_rows(rows)
+    if not ocr_page_plausible(lines):
+        return None  # a real-world raster (photo), not machine print
+    return lines_to_stream_text(lines)
 
 
 def _kids(pages_body: bytes) -> list[int]:

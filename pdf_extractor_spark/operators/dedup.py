@@ -1263,6 +1263,7 @@ def minhash_pairs_delta_vs_index(
     num_perm: int = 64,
     bands: int = 16,
     jaccard_threshold: float = 0.5,
+    new_banded: DataFrame | None = None,
 ) -> DataFrame:
     """Delta-vs-index with a PREBANDED corpus: when the banded signatures
     are committed alongside the shingle store (what the streaming operator
@@ -1270,8 +1271,12 @@ def minhash_pairs_delta_vs_index(
     join against the signature table — re-banding the whole corpus per
     batch would be corpus-sized numpy work every trigger. At 10^12 docs
     the signature table additionally partitions on a band_sig prefix so
-    the join prunes to matching buckets."""
-    new_banded = minhash_banded_from_hashes(new_shh, num_perm, bands)
+    the join prunes to matching buckets. ``new_banded``: callers that
+    already banded the batch (the streaming sink stores the signatures
+    anyway) pass it in so the minhash work runs once per trigger, not
+    twice."""
+    if new_banded is None:
+        new_banded = minhash_banded_from_hashes(new_shh, num_perm, bands)
     cand = (
         new_banded.select(
             "band", "band_sig", F.col("doc_id").alias("b"))

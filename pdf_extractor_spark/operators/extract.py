@@ -27,7 +27,12 @@ from pyspark.sql.types import (
 
 from pdf_extractor_spark.kernels.html_kernel import extract_html
 from pdf_extractor_spark.kernels.lang import lang_spans
-from pdf_extractor_spark.kernels.ocr_kernel import OcrUnsupported, ocr_stream_text
+from pdf_extractor_spark.kernels.ocr_kernel import (
+    OcrUnsupported,
+    lines_to_stream_text,
+    ocr_bmp,
+    ocr_page_plausible,
+)
 from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
 SPAN_TYPE = ArrayType(
@@ -142,9 +147,16 @@ def extract_document(payload: bytes | None) -> list[dict]:
         img = detect_image_format(payload)
         if img == "bmp":
             try:
-                text = ocr_stream_text(payload)
+                lines = ocr_bmp(payload)
             except OcrUnsupported as exc:
                 return [_needs_ocr_row(img, f" ({exc})")]
+            if not ocr_page_plausible(lines):
+                # a real-world raster (photo/noise field), not machine
+                # print: quarantine loudly instead of emitting '?' garbage
+                # into the TEXT channel with ok=true
+                return [_needs_ocr_row(
+                    img, " (raster is not fixed-pitch machine print)")]
+            text = lines_to_stream_text(lines)
             ok = bool(text)
             meta = {"ok": "true" if ok else "false", "file_type": "bmp",
                     "ocr": "true"}

@@ -225,30 +225,32 @@ def extract_stream_to_table(spark: SparkSession, pages_dir: str, table,
     q.awaitTermination()
 
 
+def _watermark(table, cache: dict | None = None, key: str | None = None):
+    """Replay watermark for ``table`` (MAX stream_batch_id over the chain),
+    memoized per (query, cache-key): the chain walk — O(manifests) file
+    reads — runs once per query, then advances in-closure, exactly like
+    snapshot_table_sink; within one query this writer is the only source
+    of new ids."""
+    if cache is not None and key in cache:
+        return cache[key]
+    last = table.chain_max_summary("stream_batch_id")
+    if cache is not None:
+        cache[key] = last
+    return last
+
+
 def _append_once(table, df: DataFrame, batch_id: int,
-                 cache: dict | None = None, key: str | None = None) -> bool:
+                 cache: dict | None = None, key: str | None = None) -> None:
     """Idempotent per-table append keyed by the stream batch id: each
     table carries its OWN replay watermark, so a crash between the two
     appends of a multi-table sink replays the batch and each table
-    independently skips or lands it — no duplicates, no gaps. Returns
-    True when the append landed, False when the replay skipped it.
-
-    ``cache``/``key``: per-query watermark memo — the chain walk
-    (O(manifests) file reads) runs once per (query, table), then the
-    watermark advances in-closure, exactly like snapshot_table_sink;
-    within one query this writer is the only source of new ids."""
-    if cache is not None and key in cache:
-        last = cache[key]
-    else:
-        last = table.chain_max_summary("stream_batch_id")
-        if cache is not None:
-            cache[key] = last
+    independently skips or lands it — no duplicates, no gaps."""
+    last = _watermark(table, cache, key)
     if last is not None and batch_id <= last:
-        return False
+        return
     table.append(df, summary={"stream_batch_id": batch_id})
     if cache is not None:
         cache[key] = batch_id
-    return True
 
 
 def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
@@ -290,9 +292,8 @@ def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
     wm: dict = {}  # per-query watermark memo (one chain walk per table)
 
     def sink(batch_df, batch_id: int) -> None:
-        if "pairs" not in wm:
-            wm["pairs"] = pairs_table.chain_max_summary("stream_batch_id")
-        if wm["pairs"] is not None and batch_id <= wm["pairs"]:
+        pairs_last = _watermark(pairs_table, wm, "pairs")
+        if pairs_last is not None and batch_id <= pairs_last:
             return
         batch_shh = dedup.shingle_hash_arrays(
             batch_df.select("doc_id", "text"), n).localCheckpoint()
@@ -313,29 +314,47 @@ def neardup_stream_to_tables(spark: SparkSession, docs_dir: str,
         if base_sigs is not None:
             base_sigs = base_sigs.join(
                 F.broadcast(batch_ids), "doc_id", "left_anti")
-        sig_rows = batch_sigs
-        if base_shh is not None and base_sigs is None:
-            # signature store lags the shingle store (e.g. the corpus was
-            # built by the batch path): derive the corpus signatures ONCE
-            # and backfill them with this batch's append — skipping the
-            # delta arm here would silently drop every incoming-vs-corpus
-            # pair forever
-            base_sigs = dedup.minhash_banded_from_hashes(
-                base_shh, num_perm, bands).localCheckpoint()
-            sig_rows = base_sigs.unionByName(batch_sigs)
+        if base_shh is not None and not wm.get("lag_reconciled"):
+            # Signature store may LAG the shingle store — empty (corpus
+            # built by the batch path) or partial (batch-path appends
+            # between streaming runs). Skipping the delta arm for lagging
+            # docs would silently drop every incoming-vs-those-docs pair
+            # forever, so reconcile ONCE per query: derive signatures for
+            # exactly the corpus docs missing from the signature store and
+            # backfill them in their OWN commit (not the batch's
+            # watermarked append — a crash-replay whose sig append was
+            # already committed would skip it and the lag would persist).
+            # Idempotent by re-detection: the next query recomputes the
+            # missing set, which is then empty. Later batches in the same
+            # query append both stores together, so no new lag arises
+            # mid-query (single-writer discipline, as documented).
+            lag_shh = base_shh
+            if base_sigs is not None:
+                lag_shh = base_shh.join(
+                    base_sigs.select("doc_id").distinct(),
+                    "doc_id", "left_anti")
+            lag_sigs = dedup.minhash_banded_from_hashes(
+                lag_shh, num_perm, bands).localCheckpoint()
+            if not lag_sigs.isEmpty():
+                sig_store.append(lag_sigs)
+                base_sigs = (lag_sigs if base_sigs is None
+                             else base_sigs.unionByName(lag_sigs))
+            elif base_sigs is None:
+                base_sigs = lag_sigs  # empty frame with the right schema
+            wm["lag_reconciled"] = True
         intra = dedup.minhash_pairs_from_hashes(
             batch_shh, num_perm, bands, jaccard_threshold)
         if base_shh is not None:
             inter = dedup.minhash_pairs_delta_vs_index(
                 batch_shh, base_sigs, base_shh, num_perm, bands,
-                jaccard_threshold)
+                jaccard_threshold, new_banded=batch_sigs)
             pairs = intra.unionByName(inter)
         else:
             pairs = intra
         # index stores FIRST: if we crash after these appends, the replay
         # skips them via each store's own watermark and still lands pairs
         _append_once(shingle_store, batch_shh, batch_id, wm, "shingle")
-        _append_once(sig_store, sig_rows, batch_id, wm, "sig")
+        _append_once(sig_store, batch_sigs, batch_id, wm, "sig")
         _append_once(pairs_table, pairs, batch_id, wm, "pairs")
 
     q = (

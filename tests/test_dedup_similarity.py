@@ -902,3 +902,20 @@ def test_neardup_stream_backfills_lagging_sig_store(spark, tmp_path):
     # the corpus signatures were backfilled: a SECOND new segment matches
     # the corpus through the signature store without re-deriving it
     assert sig_t.read(spark).select("doc_id").distinct().count() == 3
+
+    # PARTIAL lag: the batch path appends more corpus docs (shingles only)
+    # between streaming runs — the reconciliation must backfill exactly the
+    # missing docs, and incoming near-dups of THOSE docs must be found
+    late = [(300, "late corpus doc about gardening tips and tricks more")]
+    store.append(dedup.shingle_hash_arrays(
+        spark.createDataFrame(late, "doc_id long, text string"), 3))
+    seg2 = [(400, "late corpus doc about gardening tips and tricks morex")]
+    spark.createDataFrame(seg2, "doc_id long, text string") \
+        .coalesce(1).write.mode("append").parquet(ddir)
+    neardup_stream_to_tables(spark, ddir, store, pairs_t,
+                             str(tmp_path / "ckpt"), sig_store=sig_t,
+                             max_files_per_trigger=1)
+    got = {(min(r["a"], r["b"]), max(r["a"], r["b"]))
+           for r in pairs_t.read(spark).collect()}
+    assert (300, 400) in got
+    assert sig_t.read(spark).select("doc_id").distinct().count() == 5

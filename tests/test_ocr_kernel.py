@@ -293,6 +293,62 @@ def test_extract_document_scanned_pdf_dispatch():
     assert "needs_ocr" not in r["meta"]
 
 
+def _noise_bmp(seed: int = 7, width: int = 200, height: int = 110) -> bytes:
+    """A 'real-world raster': seeded random pixels in a valid 8-bpp BMP —
+    the shape of a grayscale photo, NOT machine print."""
+    import random as _random
+
+    bmp = bytearray(K.render_page_bmp(["X" * ((width - 2 * K.MARGIN) // K.PITCH_X)]
+                                      * ((height - 2 * K.MARGIN) // K.PITCH_Y)))
+    (off,) = struct.unpack_from("<I", bmp, 10)
+    rng = _random.Random(seed)
+    for p in range(off, len(bmp)):
+        bmp[p] = rng.randrange(256)
+    return bytes(bmp)
+
+
+def test_plausibility_gate_rejects_photo_rasters():
+    """A real-world grayscale raster (photo/noise) thresholded onto the
+    glyph grid classifies overwhelmingly to '?': the plausibility gate
+    must reject the page instead of emitting garbage text (review
+    finding, round 3) — while clean and lightly-noisy machine print
+    passes."""
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    noise = _noise_bmp()
+    lines = K.ocr_bmp(noise)
+    assert not K.ocr_page_plausible(lines)
+    r = extract_document(noise)[0]
+    assert r["meta"]["ok"] == "false"
+    assert r["meta"]["needs_ocr"] == "true"
+    assert "not fixed-pitch machine print" in r["meta"]["error"]
+
+    clean = K.render_text_bmp("CLEAN MACHINE PRINT 123", width=32)
+    assert K.ocr_page_plausible(K.ocr_bmp(clean))
+    assert K.ocr_page_plausible(K.ocr_bmp(_flip_pixels(clean, 8, 3)))
+    # blank page is EMPTY, not implausible
+    assert K.ocr_page_plausible(K.ocr_bmp(K.render_text_bmp("")))
+
+
+def test_plausibility_gate_in_scanned_pdf():
+    """A PDF embedding a photo-like DeviceGray image stays textless (the
+    no-content error row), never OCR garbage."""
+    import random as _random
+
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    pdf = bytearray(K.render_scanned_pdf(["PLACEHOLDER TEXT HERE"]))
+    # overwrite the raster bytes with noise, in place (same /Length)
+    start = bytes(pdf).index(b"stream\n") + 7
+    end = bytes(pdf).index(b"\nendstream")
+    rng = _random.Random(11)
+    for p in range(start, end):
+        pdf[p] = rng.randrange(256)
+    res = extract_pdf(bytes(pdf))
+    assert res["pages"] == [(1, "")]
+    assert res["meta"]["ok"] == "false" and "ocr" not in res["meta"]
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
