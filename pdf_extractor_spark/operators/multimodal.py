@@ -211,10 +211,119 @@ def encode_fake_audio(media_id: int, n_samples: int, sample_rate: int = 16000) -
     return AUD_MAGIC + struct.pack("<IH", n_samples, sample_rate) + pcm.tobytes()
 
 
+def encode_wav_pcm16(pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """A real RIFF/WAVE file: 16-bit mono PCM, the canonical uncompressed
+    audio container (format code 1). Used by tests and as the reference
+    shape for `_decode_wav`."""
+    data = pcm.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decode of RIFF/WAVE PCM (struct-level chunk walk, no codec):
+    returns (samples float64 mono-mixed, sample_rate). Raises
+    NotImplementedError for compressed format codes (MP3/ADPCM/float —
+    codec territory) and ValueError for malformed containers."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8: pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    code, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if code != 1:
+        raise NotImplementedError(
+            f"WAVE format code {code} requires an audio codec (not installed); "
+            "only uncompressed PCM decodes here")
+    if bits != 16 or channels < 1:
+        raise ValueError(f"unsupported PCM layout ({bits}-bit, {channels}ch)")
+    n = len(data) // (2 * channels)
+    x = np.frombuffer(data[: n * 2 * channels], dtype="<i2").astype(np.float64)
+    if channels > 1:
+        x = x.reshape(n, channels).mean(axis=1)  # mono mix
+    return x, int(rate)
+
+
+_Y4M_FRAME_FRACTION = {"420": 3, "mono": 2, "422": 4, "444": 6}  # x/2 of w*h
+
+
+def encode_y4m(media_id: int, n_frames: int, width: int = 8, height: int = 8,
+               fps: tuple[int, int] = (25, 1), chroma: str = "420") -> bytes:
+    """A real YUV4MPEG2 stream (uncompressed planar YUV — the ffmpeg
+    interchange format): header line, then FRAME marker + raw planes per
+    frame. Seeded deterministic plane bytes."""
+    rng = np.random.default_rng(media_id)
+    fsize = width * height * _Y4M_FRAME_FRACTION[chroma] // 2
+    head = (f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 "
+            f"C{'mono' if chroma == 'mono' else chroma}\n").encode("ascii")
+    frames = b"".join(
+        b"FRAME\n" + rng.integers(0, 256, size=fsize, dtype=np.uint8).tobytes()
+        for _ in range(n_frames))
+    return head + frames
+
+
+def _iter_y4m_frames(raw: bytes):
+    """REAL decode of a YUV4MPEG2 stream (struct/text-level, no codec):
+    yields (frame_index, ts_ms, frame_plane_bytes). Raises ValueError on
+    malformed containers; unsupported chroma subsamplings raise
+    NotImplementedError."""
+    nl = raw.index(b"\n")
+    head = raw[:nl].decode("ascii", "replace").split(" ")
+    w = h = None
+    num, den = 25, 1
+    chroma = "420"
+    for tok in head[1:]:
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "F":
+            num, den = (int(x) for x in tok[1:].split(":"))
+        elif tok[:1] == "C":
+            chroma = tok[1:]
+    if not w or not h or num <= 0 or den <= 0:
+        raise ValueError("malformed YUV4MPEG2 header")
+    if chroma.startswith("mono"):
+        key = "mono"
+    elif chroma in ("420", "420jpeg", "420mpeg2", "420paldv"):
+        key = "420"
+    elif chroma in ("422", "444"):
+        key = chroma
+    else:  # e.g. 444alpha (4 planes), 411 — not in this profile
+        raise NotImplementedError(
+            f"YUV4MPEG2 chroma C{chroma} requires a converter (not installed)")
+    fsize = w * h * _Y4M_FRAME_FRACTION[key] // 2
+    pos, i = nl + 1, 0
+    while pos < len(raw):
+        fnl = raw.index(b"\n", pos)
+        if raw[pos:pos + 5] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        body = raw[fnl + 1: fnl + 1 + fsize]
+        if len(body) < fsize:
+            raise ValueError("truncated frame")
+        yield i, i * 1000 * den // num, body
+        pos = fnl + 1 + fsize
+        i += 1
+
+
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame sampling: one input row → one output row per kept frame
-    (the 1→N explode shape a real frame sampler has). STUB decode: parses
-    the fake container; raises NotImplementedError for real containers."""
+    (the 1→N explode shape a real frame sampler has). Decode is REAL for
+    YUV4MPEG2 (uncompressed planar YUV — `_iter_y4m_frames`), the fake
+    container for scale tests, and a loud NotImplementedError for codec
+    formats (MP4/H.264 → ffmpeg on a real cluster)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -223,6 +332,15 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     raw = bytes(payload)
+                    if raw[:9] == b"YUV4MPEG2":
+                        for i, ts, body in _iter_y4m_frames(raw):
+                            if i % every_n == 0:
+                                out["media_id"].append(mid)
+                                out["frame_index"].append(i)
+                                out["frame_ts_ms"].append(ts)
+                                out["payload"].append(body)
+                                out["error"].append(None)
+                        continue
                     if raw[:4] != VID_MAGIC:
                         raise NotImplementedError(
                             "real video decode requires ffmpeg (not installed)"
@@ -251,8 +369,10 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
 
 
 def audio_features(media: DataFrame) -> DataFrame:
-    """Waveform → fixed feature row (RMS + zero crossings). STUB decode of
-    the fake PCM container; numpy does the real math."""
+    """Waveform → fixed feature row (RMS + zero crossings). Decode is REAL
+    for RIFF/WAVE PCM-16 (struct-level chunk walk — `_decode_wav`), the
+    fake PCM container for scale tests, and a loud NotImplementedError for
+    codec formats; numpy does the waveform math either way."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -261,13 +381,17 @@ def audio_features(media: DataFrame) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
                     raw = bytes(payload)
-                    if raw[:4] != AUD_MAGIC:
+                    if raw[:4] == b"RIFF":
+                        x, sr = _decode_wav(raw)
+                        n = len(x)
+                    elif raw[:4] != AUD_MAGIC:
                         raise NotImplementedError(
                             "real audio decode requires a codec (not installed)"
                         )
-                    n, sr = struct.unpack("<IH", raw[4:10])
-                    pcm = np.frombuffer(raw[10 : 10 + 2 * n], dtype=np.int16)
-                    x = pcm.astype(np.float64)
+                    else:
+                        n, sr = struct.unpack("<IH", raw[4:10])
+                        pcm = np.frombuffer(raw[10 : 10 + 2 * n], dtype=np.int16)
+                        x = pcm.astype(np.float64)
                     out["media_id"].append(mid)
                     out["n_samples"].append(int(n))
                     out["sample_rate"].append(int(sr))

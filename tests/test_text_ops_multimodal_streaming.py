@@ -209,16 +209,91 @@ def test_video_frame_sampling_shape(spark):
     assert _decode_image(bytes(ok[0]["payload"])).shape == (8, 8, 3)
 
 
+def test_real_wav_decode(spark):
+    """RIFF/WAVE PCM-16 is a REAL decode arm: features computed from the
+    actual samples, stereo mono-mixed, compressed format codes fail loudly,
+    malformed containers degrade to error rows."""
+    import numpy as np
+    import struct as _struct
+
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    t = np.arange(1600)
+    mono = (3000 * np.sin(2 * np.pi * 440 * t / 16000)).astype(np.int16)
+    wav = mm.encode_wav_pcm16(mono, 16000)
+    x = mono.astype(np.float64)
+    want_rms = float(np.sqrt((x * x).mean()))
+    want_zc = int((np.diff(np.sign(x)) != 0).sum())
+
+    # stereo: two channels, mono mix = per-frame mean
+    stereo = np.empty(3200, dtype=np.int16)
+    stereo[0::2], stereo[1::2] = mono, mono
+    fmt = _struct.pack("<HHIIHH", 1, 2, 16000, 64000, 4, 16)
+    data = stereo.astype("<i2").tobytes()
+    wav2 = (b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _struct.pack("<I", 16) + fmt
+            + b"data" + _struct.pack("<I", len(data)) + data)
+    # compressed format code -> loud stub; truncated -> error row
+    bad = bytearray(wav)
+    _struct.pack_into("<H", bad, 20, 85)  # MP3 format code
+
+    df = spark.createDataFrame(
+        [(1, "audio", wav, {}), (2, "audio", wav2, {}),
+         (3, "audio", bytes(bad), {}), (4, "audio", b"RIFFjunk", {})],
+        mm.MEDIA_DDL)
+    out = {r["media_id"]: r for r in mm.audio_features(df).collect()}
+    assert out[1]["error"] is None
+    assert out[1]["n_samples"] == 1600 and out[1]["sample_rate"] == 16000
+    assert out[1]["rms"] == want_rms and out[1]["zero_crossings"] == want_zc
+    assert out[2]["error"] is None and out[2]["n_samples"] == 1600
+    assert out[2]["rms"] == want_rms  # mono mix of identical channels
+    assert "NotImplementedError" in out[3]["error"]
+    assert "ValueError" in out[4]["error"]
+
+
+def test_real_y4m_frame_sampling(spark):
+    """YUV4MPEG2 is a REAL video decode arm: header parse, FRAME walk,
+    fps-derived timestamps, chroma-sized planes; unsupported chroma fails
+    loudly; truncated streams degrade to error rows."""
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    y4m = mm.encode_y4m(5, n_frames=12, width=8, height=8, fps=(25, 1))
+    mono = mm.encode_y4m(6, n_frames=3, width=4, height=4, fps=(30000, 1001),
+                         chroma="mono")
+    alpha = y4m.replace(b" C420\n", b" C444alpha\n", 1)
+    df = spark.createDataFrame(
+        [(5, "video", y4m, {}), (6, "video", mono, {}),
+         (7, "video", alpha, {}), (8, "video", y4m[:40], {})],
+        mm.MEDIA_DDL)
+    out = mm.sample_frames(df, every_n=5).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    f5 = sorted((r["frame_index"], r["frame_ts_ms"], len(r["payload"]))
+                for r in by_id[5])
+    assert f5 == [(0, 0, 96), (5, 200, 96), (10, 400, 96)]  # 8*8*3/2 = 96
+    f6 = sorted((r["frame_index"], r["frame_ts_ms"], len(r["payload"]))
+                for r in by_id[6])
+    assert f6 == [(0, 0, 16)]  # mono: 4*4; ts = 0*1001000/30000
+    assert "NotImplementedError" in by_id[7][0]["error"]
+    assert by_id[8][0]["error"] is not None
+
+
 def test_audio_features_shape(spark):
     from pdf_extractor_spark.operators import multimodal as mm
 
     rows = [(1, "audio", mm.encode_fake_audio(1, 4000), {}),
-            (2, "audio", b"RIFF....WAVE", {})]
+            # RIFF/WAVE is now a REAL arm: a header with no chunks is a
+            # malformed container (ValueError), while codec formats like
+            # MP3 frames stay a loud NotImplementedError
+            (2, "audio", b"RIFF....WAVE", {}),
+            (3, "audio", b"\xff\xfbjunk mp3 frame", {})]
     df = spark.createDataFrame(rows, mm.MEDIA_DDL)
     out = {r["media_id"]: r for r in mm.audio_features(df).collect()}
     assert out[1]["n_samples"] == 4000 and out[1]["sample_rate"] == 16000
     assert out[1]["rms"] > 0 and out[1]["zero_crossings"] > 0
-    assert out[2]["error"] is not None and "NotImplementedError" in out[2]["error"]
+    assert out[2]["error"] is not None and "ValueError" in out[2]["error"]
+    assert out[3]["error"] is not None and "NotImplementedError" in out[3]["error"]
 
 
 def test_chunk_documents_windows(spark):
