@@ -349,6 +349,65 @@ def test_plausibility_gate_in_scanned_pdf():
     assert res["meta"]["ok"] == "false" and "ocr" not in res["meta"]
 
 
+def test_decoder_fuzz_no_unexpected_exceptions():
+    """Seeded mutation fuzz over every from-scratch media decoder: at
+    10^12 documents, 'one in a billion' payload shapes arrive hourly, so
+    each kernel must either decode, degrade, or raise EXACTLY its declared
+    exception type — anything else would fail a whole Spark task instead
+    of quarantining one row. Mutations: random byte flips across the
+    container (headers included), truncations, and random prefixes."""
+    import random as _random
+
+    from pdf_extractor_spark.operators.extract import extract_document
+    from pdf_extractor_spark.operators.multimodal import (
+        _decode_wav,
+        _iter_y4m_frames,
+        encode_wav_pcm16,
+        encode_y4m,
+    )
+
+    rng = _random.Random(42)
+
+    def mutations(base: bytes, n: int):
+        for _ in range(n):
+            buf = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                buf[rng.randrange(len(buf))] = rng.randrange(256)
+            yield bytes(buf)
+        for _ in range(n // 4):
+            yield base[: rng.randrange(len(base) + 1)]
+        for _ in range(n // 4):
+            yield bytes(rng.randrange(256)
+                        for _ in range(rng.randrange(200))) + base[:40]
+
+    bmp = K.render_text_bmp("FUZZ TARGET PAGE 123", width=16)
+    for payload in mutations(bmp, 300):
+        rows = extract_document(payload)  # must never raise
+        assert rows and isinstance(rows[0]["text"], str)
+
+    pdf = K.render_scanned_pdf(["FUZZ PDF PAGE"])
+    for payload in mutations(pdf, 200):
+        rows = extract_document(payload)
+        assert rows and isinstance(rows[0]["meta"], dict)
+
+    import numpy as np
+
+    wav = encode_wav_pcm16(
+        (1000 * np.sin(np.arange(800) / 9.0)).astype(np.int16))
+    for payload in mutations(wav, 300):
+        try:
+            _decode_wav(payload)
+        except (ValueError, NotImplementedError):
+            pass  # the declared contract (every unpack is bounds-guarded)
+
+    y4m = encode_y4m(3, n_frames=4, width=8, height=8)
+    for payload in mutations(y4m, 300):
+        try:
+            list(_iter_y4m_frames(payload))
+        except (ValueError, NotImplementedError):
+            pass
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
