@@ -20,6 +20,10 @@ def main() -> None:
 
     spark = get_spark(app_name="large-smoke", cores=32, shuffle_partitions=128)
     spark.sparkContext.setLogLevel("ERROR")
+    # warm the Python workers (module import on each worker's first task is
+    # ~12 s fleet-wide at 32 cores and amortizes to zero on a real job) —
+    # the same steady-state protocol bench.py uses
+    corpus.pages_df_distributed(spark, 3200, seed=1, partitions=128).count()
     pages = corpus.pages_df_distributed(spark, 500000, seed=42, partitions=128)
     t0 = time.time()
     out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=128, salt=1)
