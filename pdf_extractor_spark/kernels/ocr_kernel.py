@@ -156,14 +156,10 @@ def render_page_gray(lines: list[str]) -> list[bytearray]:
     return px
 
 
-def render_page_bmp(lines: list[str]) -> bytes:
-    """Print ``lines`` in the 5x7 fixed-pitch font onto a grayscale BMP.
-
-    8 bits/pixel, uncompressed, bottom-up, 256-entry grayscale palette —
-    the plainest BMP profile so the decoder's container parse stays a
-    struct exercise.
-    """
-    px = render_page_gray(lines)
+def pack_bmp_gray(px: list) -> bytes:
+    """Pack top-down luminance rows into the plainest BMP profile: 8
+    bits/pixel, uncompressed, bottom-up, 256-entry identity grayscale
+    palette — so the decoder's container parse stays a struct exercise."""
     height, width = len(px), len(px[0])
     stride = (width + 3) & ~3
     pad = b"\x00" * (stride - width)
@@ -177,6 +173,11 @@ def render_page_bmp(lines: list[str]) -> bytes:
     # reserved fields MUST be zero — extract.detect_image_format relies on it
     header = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
     return header + info + palette + body
+
+
+def render_page_bmp(lines: list[str]) -> bytes:
+    """Print ``lines`` in the 5x7 fixed-pitch font onto a grayscale BMP."""
+    return pack_bmp_gray(render_page_gray(lines))
 
 
 def render_text_bmp(text: str, width: int = 32) -> bytes:
@@ -315,7 +316,8 @@ def match_glyph(bits: int, max_err: int = 6) -> str:
     return best_ch if best_d <= max_err else "?"
 
 
-def _cell_bits_numpy(rows: list[bytes], n_lines: int, n_cols: int):
+def _cell_bits_numpy(rows: list[bytes], n_lines: int, n_cols: int,
+                     oy: int = MARGIN, ox: int = MARGIN):
     """Vectorized glyph-grid bit extraction: the whole page's cells become
     one (n_lines*n_cols,) int64 array of 35-bit patterns in a handful of
     numpy ops — reshape to (line, y, col, x) cells, crop the glyph area,
@@ -324,13 +326,39 @@ def _cell_bits_numpy(rows: list[bytes], n_lines: int, n_cols: int):
     import numpy as np
 
     m = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), -1)
-    region = m[MARGIN:MARGIN + n_lines * PITCH_Y,
-               MARGIN:MARGIN + n_cols * PITCH_X] < 128
+    region = m[oy:oy + n_lines * PITCH_Y,
+               ox:ox + n_cols * PITCH_X] < 128
     cells = region.reshape(n_lines, PITCH_Y, n_cols, PITCH_X)
     glyphs = cells[:, :GLYPH_H, :, :GLYPH_W].transpose(0, 2, 1, 3)
     flat = glyphs.reshape(n_lines * n_cols, GLYPH_H * GLYPH_W)
     pow2 = (1 << np.arange(GLYPH_H * GLYPH_W, dtype=np.int64))
     return flat @ pow2
+
+
+def _estimate_origin(rows: list[bytes]) -> tuple[int, int]:
+    """Locate the glyph grid on a cropped/shifted scan: for each axis pick
+    the pitch-offset class that keeps the most ink inside glyph areas
+    (for the true offset ALL ink lies in glyph rows/columns), then anchor
+    the origin at the first ink position of that class. Deterministic
+    (ties break to the smaller offset); (MARGIN, MARGIN) on blank pages."""
+    import numpy as np
+
+    m = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), -1)
+    ink_y, ink_x = np.nonzero(m < 128)
+    if ink_x.size == 0:
+        return MARGIN, MARGIN
+
+    def best(coords, pitch: int, glyph: int) -> int:
+        scores = [(int(((coords - o) % pitch < glyph).sum()), -o)
+                  for o in range(pitch)]
+        o = -max(scores)[1]
+        lo = int(coords.min())
+        origin = lo - ((lo - o) % pitch)
+        while origin < 0:  # first cell cut by the crop: skip the partial
+            origin += pitch
+        return origin
+
+    return best(ink_y, PITCH_Y, GLYPH_H), best(ink_x, PITCH_X, GLYPH_W)
 
 
 def ocr_bmp(payload: bytes, max_err: int = 6) -> list[str]:
@@ -339,31 +367,18 @@ def ocr_bmp(payload: bytes, max_err: int = 6) -> list[str]:
     return ocr_gray_rows(decode_bmp_gray(payload), max_err=max_err)
 
 
-def ocr_gray_rows(rows: list[bytes], max_err: int = 6) -> list[str]:
-    """OCR a top-down luminance-row raster into raw grid lines — the
-    container-independent core shared by BMP files and PDF image XObjects.
-
-    Grid segmentation at the page profile's known margin/pitch; each cell
-    classified independently by ``match_glyph``. Lines are returned as the
-    full cell grid (blank cells ARE spaces in a fixed-pitch page) — no
-    trimming, so callers can reconstruct the exact printed character
-    stream. Use ``ocr_stream_text``/``ocr_text`` for assembled output.
-
-    Bit extraction is vectorized over the whole page; template matching
-    runs once per DISTINCT cell pattern (a clean page has ≤ |font|+1 of
-    them, a noisy page a few more), so per-page cost is numpy ops plus
-    O(unique patterns) Python.
-    """
+def _decode_at(rows: list[bytes], oy: int, ox: int, max_err: int) -> list[str]:
+    """Grid decode anchored at origin (oy, ox)."""
     height, width = len(rows), len(rows[0]) if rows else 0
-    n_lines = (height - 2 * MARGIN) // PITCH_Y
-    n_cols = (width - 2 * MARGIN) // PITCH_X
+    n_lines = (height - oy) // PITCH_Y
+    n_cols = (width - ox) // PITCH_X
     if n_lines <= 0 or n_cols <= 0:
         return []
     try:
         import numpy as np
     except ImportError:  # pragma: no cover - numpy is baked into this env
-        return _grid_chars_scalar(rows, n_lines, n_cols, max_err)
-    bits_arr = _cell_bits_numpy(rows, n_lines, n_cols)
+        return _grid_chars_scalar(rows, n_lines, n_cols, max_err, oy, ox)
+    bits_arr = _cell_bits_numpy(rows, n_lines, n_cols, oy, ox)
     uniq, inv = np.unique(bits_arr, return_inverse=True)
     lut = np.array([match_glyph(int(b), max_err=max_err) for b in uniq],
                    dtype="<U1")
@@ -371,16 +386,55 @@ def ocr_gray_rows(rows: list[bytes], max_err: int = 6) -> list[str]:
     return ["".join(line) for line in chars]
 
 
+def ocr_gray_rows(rows: list[bytes], max_err: int = 6,
+                  autolocate: bool = True) -> list[str]:
+    """OCR a top-down luminance-row raster into raw grid lines — the
+    container-independent core shared by BMP files and PDF image XObjects.
+
+    Grid segmentation first at the page profile's canonical margin (the
+    clean-scan fast path — bit-stable for rendered pages); if that decode
+    is implausible (a cropped or shifted scan straddles cell boundaries
+    and classifies to '?') and ``autolocate`` is set, the grid origin is
+    re-estimated from the ink's pitch alignment and the page re-decoded —
+    accepted only if the relocated decode is itself plausible, else the
+    original (implausible) decode returns and the caller's gate rejects
+    it. Each cell is classified independently by ``match_glyph``. Lines
+    are returned as the full cell grid (blank cells ARE spaces in a
+    fixed-pitch page) — no trimming, so callers can reconstruct the exact
+    printed character stream. Use ``ocr_stream_text``/``ocr_text`` for
+    assembled output. Note a crop that removes entire leading blank cell
+    columns loses them (no absolute reference survives cropping) — the
+    standard OCR behavior of dropping leading whitespace.
+
+    Bit extraction is vectorized over the whole page; template matching
+    runs once per DISTINCT cell pattern (a clean page has ≤ |font|+1 of
+    them, a noisy page a few more), so per-page cost is numpy ops plus
+    O(unique patterns) Python.
+    """
+    lines = _decode_at(rows, MARGIN, MARGIN, max_err)
+    if not autolocate or ocr_page_plausible(lines):
+        return lines
+    oy, ox = _estimate_origin(rows)
+    if (oy, ox) == (MARGIN, MARGIN):
+        return lines
+    relocated = _decode_at(rows, oy, ox, max_err)
+    if relocated and ocr_page_plausible(relocated) and any(
+            ln.strip(" ") for ln in relocated):
+        return relocated
+    return lines
+
+
 def _grid_chars_scalar(rows: list[bytes], n_lines: int, n_cols: int,
-                       max_err: int) -> list[str]:
+                       max_err: int, oy: int = MARGIN,
+                       ox: int = MARGIN) -> list[str]:
     """Pure-Python reference for the vectorized grid decode (parity-tested
     against it; also the no-numpy fallback)."""
     out: list[str] = []
     for li in range(n_lines):
-        y0 = MARGIN + li * PITCH_Y
+        y0 = oy + li * PITCH_Y
         chars_l = []
         for ci in range(n_cols):
-            x0 = MARGIN + ci * PITCH_X
+            x0 = ox + ci * PITCH_X
             bits = 0
             for r in range(GLYPH_H):
                 prow = rows[y0 + r]

@@ -408,6 +408,44 @@ def test_decoder_fuzz_no_unexpected_exceptions():
             pass
 
 
+@pytest.mark.parametrize("dy,dx", [(2, 2), (0, 0), (5, 3), (1, 4), (7, 0),
+                                   (0, 11), (9, 6)])
+def test_crop_shift_tolerant_decode(dy, dx):
+    """A scanner crop/shift moves the glyph grid off the canonical margin:
+    the decoder must re-locate the grid from the ink's pitch alignment and
+    still read the page (origin estimation fallback). (2,2) is the
+    canonical margin itself; others re-pad the page so the grid origin
+    lands at (dy, dx)."""
+    text = "SHIFTED SCAN PAGE 42, STILL READS."
+    px = K.render_page_gray(K.wrap_fixed(text, 16))
+    inner = [bytes(r)[K.MARGIN:] for r in px[K.MARGIN:]]  # strip top/left
+    w = len(inner[0])
+    repad = ([bytes([K.PAPER]) * (dx + w)] * dy
+             + [bytes([K.PAPER]) * dx + r for r in inner])
+    assert K.ocr_stream_text(K.pack_bmp_gray(repad)) == text
+
+
+def test_crop_loses_only_leading_blank_columns():
+    """Cropping cannot preserve leading all-blank cell columns (no absolute
+    reference survives) — the decode drops them, like any OCR dropping
+    leading whitespace; inner spacing is preserved."""
+    text = "  INDENTED LINE"
+    px = K.render_page_gray([text])
+    cropped = [bytes(r)[K.MARGIN:] for r in px[K.MARGIN:]]
+    got = K.ocr_stream_text(K.pack_bmp_gray(cropped))
+    assert got == "INDENTED LINE"
+
+
+def test_extract_document_reads_cropped_scan():
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    text = "CROPPED BUT FINE."
+    px = K.render_page_gray(K.wrap_fixed(text, 32))
+    cropped = [bytes(r)[K.MARGIN:] for r in px[K.MARGIN:]]
+    r = extract_document(K.pack_bmp_gray(cropped))[0]
+    assert r["meta"]["ok"] == "true" and r["text"] == text
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
