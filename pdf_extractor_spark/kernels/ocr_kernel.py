@@ -393,12 +393,13 @@ def ocr_gray_rows(rows: list[bytes], max_err: int = 6,
 
     Grid segmentation first at the page profile's canonical margin (the
     clean-scan fast path — bit-stable for rendered pages); if that decode
-    is implausible (a cropped or shifted scan straddles cell boundaries
-    and classifies to '?') and ``autolocate`` is set, the grid origin is
-    re-estimated from the ink's pitch alignment and the page re-decoded —
-    accepted only if the relocated decode is itself plausible, else the
-    original (implausible) decode returns and the caller's gate rejects
-    it. Each cell is classified independently by ``match_glyph``. Lines
+    is implausible and ``autolocate`` is set, a bounded ladder of scanner
+    normalizations is tried (see ``_page_variants``): grid-origin
+    re-estimation for cropped/shifted scans, luminance inversion for
+    white-on-black output, and 2x/3x block-average downscale for
+    higher-resolution rasters — each accepted only if its decode is
+    itself plausible, else the original (implausible) decode returns and
+    the caller's gate rejects it. Each cell is classified independently by ``match_glyph``. Lines
     are returned as the full cell grid (blank cells ARE spaces in a
     fixed-pitch page) — no trimming, so callers can reconstruct the exact
     printed character stream. Use ``ocr_stream_text``/``ocr_text`` for
@@ -414,14 +415,53 @@ def ocr_gray_rows(rows: list[bytes], max_err: int = 6,
     lines = _decode_at(rows, MARGIN, MARGIN, max_err)
     if not autolocate or ocr_page_plausible(lines):
         return lines
-    oy, ox = _estimate_origin(rows)
-    if (oy, ox) == (MARGIN, MARGIN):
-        return lines
-    relocated = _decode_at(rows, oy, ox, max_err)
-    if relocated and ocr_page_plausible(relocated) and any(
-            ln.strip(" ") for ln in relocated):
-        return relocated
+    for variant in _page_variants(rows):
+        got = _try_decode(variant, max_err)
+        if got is not None:
+            return got
     return lines
+
+
+def _try_decode(rows: list[bytes], max_err: int) -> list[str] | None:
+    """Decode one page variant: canonical origin, then estimated origin.
+    Accept only a plausible decode with at least one recognized glyph —
+    a blank or '?'-ridden variant must NOT mask the implausibility signal
+    (the caller's gate turns that into a loud quarantine, not silence)."""
+    for oy, ox in ((MARGIN, MARGIN), _estimate_origin(rows)):
+        got = _decode_at(rows, oy, ox, max_err)
+        if got and ocr_page_plausible(got) and any(
+                ln.strip(" ") for ln in got):
+            return got
+    return None
+
+
+def _page_variants(rows: list[bytes]):
+    """Scanner-axis normalizations, tried in order on implausible pages:
+    crop/shift (handled by origin estimation inside _try_decode), inverse
+    video (white-on-black fax output — luminance inversion, distinct from
+    the palette inversion the BMP container decode already resolves), and
+    integer-scaled scans (a 2x/3x-resolution raster block-averages back to
+    the native pitch; exact for pixel-replicated zoom, threshold-stable
+    under light noise). Bounded: at most 9 variant decodes per page, and
+    only for pages the fast path already rejected."""
+    import numpy as np
+
+    m = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), -1)
+    inv = (255 - m).astype(np.uint8)
+
+    def as_rows(a) -> list[bytes]:
+        return [a[y].tobytes() for y in range(a.shape[0])]
+
+    yield as_rows(m)  # origin re-estimation on the raw page
+    yield as_rows(inv)
+    for base in (m, inv):
+        for k in (2, 3):
+            h, w = (base.shape[0] // k) * k, (base.shape[1] // k) * k
+            if h < PITCH_Y or w < PITCH_X:
+                continue
+            small = (base[:h, :w].reshape(h // k, k, w // k, k)
+                     .mean(axis=(1, 3)).astype(np.uint8))
+            yield as_rows(small)
 
 
 def _grid_chars_scalar(rows: list[bytes], n_lines: int, n_cols: int,

@@ -446,6 +446,45 @@ def test_extract_document_reads_cropped_scan():
     assert r["meta"]["ok"] == "true" and r["text"] == text
 
 
+def test_inverse_video_scan_decodes():
+    """White-on-black (fax-style) output: luminance inversion in the
+    variant ladder — distinct from palette inversion, which the container
+    decode already resolves."""
+    import numpy as np
+
+    text = "INVERSE VIDEO FAX PAGE."
+    px = K.render_page_gray(K.wrap_fixed(text, 32))
+    inverted = [bytes(255 - b for b in r) for r in px]
+    assert K.ocr_stream_text(K.pack_bmp_gray(inverted)) == text
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_scaled_scan_decodes(k):
+    """A 2x/3x-resolution scan of the same page (pixel-replicated zoom)
+    block-averages back to the native pitch and reads identically."""
+    import numpy as np
+
+    text = "HIGH RESOLUTION SCAN 2X3X."
+    px = K.render_page_gray(K.wrap_fixed(text, 16))
+    m = np.array([list(r) for r in px], dtype=np.uint8)
+    big = np.repeat(np.repeat(m, k, axis=0), k, axis=1)
+    rows = [big[y].tobytes() for y in range(big.shape[0])]
+    assert K.ocr_stream_text(K.pack_bmp_gray(rows)) == text
+
+    # zoom + crop compose: strip the scaled margin, decode via relocate
+    cropped = [r[k * K.MARGIN:] for r in rows[k * K.MARGIN:]]
+    assert K.ocr_stream_text(K.pack_bmp_gray(cropped)) == text
+
+
+def test_photo_still_rejects_through_the_ladder():
+    """The variant ladder must not resurrect garbage: a noise raster stays
+    implausible under inversion, relocation, and downscaling."""
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    r = extract_document(_noise_bmp(seed=13))[0]
+    assert r["meta"]["ok"] == "false" and r["meta"]["needs_ocr"] == "true"
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")
