@@ -1282,9 +1282,13 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded-LSH + exact-verify near-dups over the dup-injected embeddings
     (old q21, threshold 0.95) ∪ hyperplane-bucket LSH pairs over the raw
     embeddings (old q24, threshold 0.35) ∪ SemDeDup k-means-cell pairs over
-    the dup-injected embeddings (Abbas et al. 2023; same 0.95 threshold),
-    method-tagged — three candidate-generation geometries, one exact
-    verify kernel."""
+    the dup-injected embeddings (Abbas et al. 2023; same 0.95 threshold)
+    ∪ IMAGE near-dups via 64-bit dHash + banded Hamming-LSH over the media
+    table (dup-injected 'slightly re-encoded copies'; guaranteed recall at
+    hamming<=3 by pigeonhole over 4 disjoint 16-bit bands), method-tagged
+    — four candidate-generation geometries, exact verify everywhere."""
+    from pdf_extractor_spark.operators import multimodal as mm
+
     embs = _t(spark, sf_dir, "embeddings")
     dup = _embs_with_neardups(embs)
     banded = dedup.embedding_neardup_pairs_lsh(
@@ -1297,10 +1301,41 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_store=_shingle_store_path(sf_dir).replace(
             "q18_shingles", "q21_semcents")).withColumn(
         "method", F.lit("semdedup_cell"))
+    media = _media_with_neardups(
+        mm.fake_media_table(spark, _t(spark, sf_dir, "documents")))
+    img = mm.image_neardup_pairs(media, max_hamming=3).withColumn(
+        "method", F.lit("image_dhash"))
     return (
-        banded.unionByName(buckets).unionByName(sem)
+        banded.unionByName(buckets).unionByName(sem).unionByName(img)
         .orderBy("method", "a", "b")
     )
+
+
+def _media_with_neardups(media: DataFrame) -> DataFrame:
+    """Inject near-duplicate images: every media_id % 40 == 0 image gains a
+    'slightly re-encoded copy' (3 seeded body bytes shifted) at
+    media_id + 1_000_000 — the shared fake_near_dup_image transform the
+    oracle twin replays byte-identically."""
+    from pdf_extractor_spark.operators.multimodal import (
+        MEDIA_DDL,
+        fake_near_dup_image,
+    )
+    import pandas as _pd
+
+    def gen(it):
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for mid, meta in zip(pdf["media_id"], pdf["meta"]):
+                if int(mid) % 40 != 0:
+                    continue
+                w, h = int(meta["w"]), int(meta["h"])
+                rows["media_id"].append(int(mid) + 1_000_000)
+                rows["kind"].append("image")
+                rows["payload"].append(fake_near_dup_image(int(mid), w, h))
+                rows["meta"].append({"w": str(w), "h": str(h)})
+            yield _pd.DataFrame(rows)
+
+    return media.unionByName(media.mapInPandas(gen, MEDIA_DDL))
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1823,8 +1858,36 @@ def oracle_sql() -> dict[str, str]:
         _semcents_sql = ", ".join(
             "[" + ",".join(repr(float(x)) for x in cv) + "]" for cv in _semcents
         )
+        # image arm: dHash values over the fake media table (+ injected
+        # near-dup copies) from the SAME dhash64/fake_near_dup_image
+        # functions the Spark kernel runs — pinned as literals; the pair
+        # join + hamming verify then runs in SQL (bit_count/xor are
+        # two's-complement-identical across engines, checked)
+        from pdf_extractor_spark.operators import multimodal as _mm2
+
+        _dt2 = _pq.read_table(f"{_sfd}/documents.parquet",
+                              columns=["doc_id", "n_chars"])
+        _hash_rows = []
+        for _did, _nc in zip(_dt2["doc_id"].to_pylist(),
+                             _dt2["n_chars"].to_pylist()):
+            _w, _h = 8 + int(_nc) % 24, 8 + (int(_nc) // 7) % 24
+            _hash_rows.append((int(_did), _mm2.dhash64(
+                _mm2._decode_image(_mm2.encode_fake_image(int(_did), _w, _h)))))
+            if int(_did) % 40 == 0:
+                _hash_rows.append((int(_did) + 1_000_000, _mm2.dhash64(
+                    _mm2._decode_image(
+                        _mm2.fake_near_dup_image(int(_did), _w, _h)))))
+        _dhash_sql = ", ".join(f"({i}, {v}::BIGINT)" for i, v in _hash_rows)
         o["q21_embedding_neardup"] = f"""
             WITH embdups AS ({_EMBS_DUPS_SQL}),
+            ih(media_id, dhash) AS (VALUES {_dhash_sql}),
+            imgpairs AS (
+                SELECT a.media_id AS a, b.media_id AS b,
+                       round(CAST(1.0 AS DOUBLE)
+                             - bit_count(xor(a.dhash, b.dhash))
+                               / CAST(64.0 AS DOUBLE), 6) AS cos
+                FROM ih a JOIN ih b ON a.media_id < b.media_id
+                WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
             banded AS (
                 SELECT a.vec_id AS a, b.vec_id AS b,
                        round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cos
@@ -1848,6 +1911,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, cos, 'hyperplane_bucket' AS method FROM buckets
             UNION ALL
             SELECT a, b, cos, 'semdedup_cell' AS method FROM sem
+            UNION ALL
+            SELECT a, b, cos, 'image_dhash' AS method FROM imgpairs
             ORDER BY method, a, b
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

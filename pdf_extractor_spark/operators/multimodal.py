@@ -180,6 +180,102 @@ def fake_media_table(spark, documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_DDL)
 
 
+# -- image near-duplicate detection (perceptual hash) -------------------------
+
+def dhash64(arr: np.ndarray) -> int:
+    """64-bit difference hash (dHash) of an image array (h, w, c) or
+    (h, w, 1): channel-mean grayscale, nearest-neighbor downsample to a
+    9x8 grid (the resize_stub sampling — deterministic integer indexing,
+    no interpolation), then one bit per horizontal gradient
+    g[r, c+1] > g[r, c]. Returned as a SIGNED 64-bit value so it round-
+    trips through Spark/parquet BIGINT columns unchanged. Pure numpy —
+    the same function is the oracle twin (q21 image arm pins its outputs
+    as literals), so parity is structural."""
+    g = arr.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    ys = (np.arange(8) * h // 8).clip(0, h - 1)
+    xs = (np.arange(9) * w // 9).clip(0, w - 1)
+    s = g[ys][:, xs]
+    bits = (s[:, 1:] > s[:, :-1]).reshape(-1)
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def fake_near_dup_image(media_id: int, width: int, height: int,
+                        channels: int = 3, k: int = 3) -> bytes:
+    """A near-duplicate of ``encode_fake_image(media_id, ...)``: the same
+    payload with k seeded body bytes shifted by +64 (mod 256) — the
+    'slightly re-encoded copy' shape crawl dedup hunts for. Shared by the
+    q21 image arm and its oracle twin."""
+    base = bytearray(encode_fake_image(media_id, width, height, channels))
+    rng = np.random.default_rng(media_id + 999_983)
+    body = len(base) - 9
+    for p in rng.integers(0, body, size=k):
+        q = 9 + int(p)
+        base[q] = (base[q] + 64) % 256
+    return bytes(base)
+
+
+def image_dhash_table(media: DataFrame) -> DataFrame:
+    """(media_id, dhash) via mapInPandas over the binary payload column;
+    undecodable payloads are dropped (the features operator carries the
+    error contract — dedup only consumes decodable images)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    hs.append(dhash64(_decode_image(bytes(payload))))
+                    ids.append(mid)
+                except Exception:
+                    continue
+            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hs, dtype="int64")})
+
+    return media.mapInPandas(batches, "media_id long, dhash long")
+
+
+def image_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate image pairs: dHash + banded Hamming-LSH + exact
+    verify. The 64-bit hash splits into 4 disjoint 16-bit bands; by
+    pigeonhole, any pair within ``max_hamming`` <= 3 differing bits agrees
+    on at least one band, so the keyed (band, band_val) equi-join has
+    GUARANTEED recall at the threshold — no all-pairs stage, the q18
+    banding shape applied to image space. Returns (a, b, cos) with
+    cos = 1 - hamming/64 (exact binary fractions, cross-engine stable)."""
+    hashes = image_dhash_table(media)
+    bands = hashes.select(
+        "media_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.shiftrightunsigned(F.col("dhash"), 16 * i)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
+            for i in range(4)])).alias("bv"),
+    ).select("media_id", "dhash", "bv.band", "bv.band_val")
+    left = bands.alias("l")
+    right = bands.alias("r")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .where(F.col("l.media_id") < F.col("r.media_id"))
+        .select(F.col("l.media_id").alias("a"), F.col("r.media_id").alias("b"),
+                F.col("l.dhash").alias("ha"), F.col("r.dhash").alias("hb"))
+        .distinct()
+    )
+    d = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.withColumn("hamming", d)
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b",
+                F.round(F.lit(1.0) - F.col("hamming") / F.lit(64.0), 6)
+                .alias("cos"))
+    )
+
+
 # -- video / audio plumbing ---------------------------------------------------
 # Same stub discipline: self-describing fake containers exercise the real
 # Spark shapes (one row in → N frame rows out; waveform → fixed feature

@@ -279,6 +279,40 @@ def test_real_y4m_frame_sampling(spark):
     assert by_id[8][0]["error"] is not None
 
 
+def test_image_dhash_neardup_pairs(spark):
+    """Perceptual-hash image dedup: a slightly re-encoded copy pairs with
+    its original (hamming <= 3 via the banded join), unrelated images do
+    not; the hash is identical for identical payloads and works over real
+    BMP input too."""
+    import numpy as np
+
+    from pdf_extractor_spark.kernels.ocr_kernel import render_text_bmp
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    w, h = 16, 12
+    orig = mm.encode_fake_image(3, w, h)
+    clone = mm.fake_near_dup_image(3, w, h)
+    other = mm.encode_fake_image(4, w, h)
+    h_orig = mm.dhash64(mm._decode_image(orig))
+    assert mm.dhash64(mm._decode_image(orig)) == h_orig  # deterministic
+    d_clone = bin((h_orig ^ mm.dhash64(mm._decode_image(clone)))
+                  & ((1 << 64) - 1)).count("1")
+    d_other = bin((h_orig ^ mm.dhash64(mm._decode_image(other)))
+                  & ((1 << 64) - 1)).count("1")
+    assert d_clone <= 3 < d_other
+
+    bmp = render_text_bmp("HASHABLE BMP", width=16)
+    assert isinstance(mm.dhash64(mm._decode_image(bmp)), int)
+
+    media = spark.createDataFrame(
+        [(3, "image", orig, {}), (1000003, "image", clone, {}),
+         (4, "image", other, {}), (9, "image", b"junk", {})],
+        mm.MEDIA_DDL)
+    pairs = mm.image_neardup_pairs(media, max_hamming=3).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(3, 1000003)]
+    assert pairs[0]["cos"] == 1.0 - d_clone / 64.0
+
+
 def test_audio_features_shape(spark):
     from pdf_extractor_spark.operators import multimodal as mm
 
