@@ -1285,8 +1285,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dup-injected embeddings (Abbas et al. 2023; same 0.95 threshold)
     ∪ IMAGE near-dups via 64-bit dHash + banded Hamming-LSH over the media
     table (dup-injected 'slightly re-encoded copies'; guaranteed recall at
-    hamming<=3 by pigeonhole over 4 disjoint 16-bit bands), method-tagged
-    — four candidate-generation geometries, exact verify everywhere."""
+    hamming<=3 by pigeonhole over 4 disjoint 16-bit bands) ∪ AUDIO
+    near-dups via the envelope fingerprint through the SAME banded
+    machinery, method-tagged — five candidate-generation geometries,
+    exact verify everywhere."""
     from pdf_extractor_spark.operators import multimodal as mm
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -1301,14 +1303,49 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cent_store=_shingle_store_path(sf_dir).replace(
             "q18_shingles", "q21_semcents")).withColumn(
         "method", F.lit("semdedup_cell"))
-    media = _media_with_neardups(
-        mm.fake_media_table(spark, _t(spark, sf_dir, "documents")))
+    docs = _t(spark, sf_dir, "documents")
+    media = _media_with_neardups(mm.fake_media_table(spark, docs))
     img = mm.image_neardup_pairs(media, max_hamming=3).withColumn(
         "method", F.lit("image_dhash"))
+    aud = mm.audio_neardup_pairs(
+        _audio_media_with_neardups(spark, docs), max_hamming=3).withColumn(
+        "method", F.lit("audio_envelope"))
     return (
         banded.unionByName(buckets).unionByName(sem).unionByName(img)
+        .unionByName(aud)
         .orderBy("method", "a", "b")
     )
+
+
+def _audio_media_with_neardups(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """A deterministic audio media table from documents (one clip per doc,
+    length from n_chars) with near-duplicate copies injected for
+    doc_id % 40 == 20 at media_id + 2_000_000 — the shared
+    fake_near_dup_audio transform the oracle twin replays."""
+    from pdf_extractor_spark.operators.multimodal import (
+        MEDIA_DDL,
+        encode_fake_audio,
+        fake_near_dup_audio,
+    )
+    import pandas as _pd
+
+    def gen(it):
+        for pdf in it:
+            rows = {"media_id": [], "kind": [], "payload": [], "meta": []}
+            for did, nc in zip(pdf["doc_id"], pdf["n_chars"]):
+                n = 1000 + int(nc) % 3000
+                rows["media_id"].append(int(did))
+                rows["kind"].append("audio")
+                rows["payload"].append(encode_fake_audio(int(did), n))
+                rows["meta"].append({"n": str(n)})
+                if int(did) % 40 == 20:
+                    rows["media_id"].append(int(did) + 2_000_000)
+                    rows["kind"].append("audio")
+                    rows["payload"].append(fake_near_dup_audio(int(did), n))
+                    rows["meta"].append({"n": str(n)})
+            yield _pd.DataFrame(rows)
+
+    return docs.select("doc_id", "n_chars").mapInPandas(gen, MEDIA_DDL)
 
 
 def _media_with_neardups(media: DataFrame) -> DataFrame:
@@ -1878,15 +1915,35 @@ def oracle_sql() -> dict[str, str]:
                     _mm2._decode_image(
                         _mm2.fake_near_dup_image(int(_did), _w, _h)))))
         _dhash_sql = ", ".join(f"({i}, {v}::BIGINT)" for i, v in _hash_rows)
+        # audio arm: envelope fingerprints through the same twin pattern
+        _ah_rows = []
+        for _did, _nc in zip(_dt2["doc_id"].to_pylist(),
+                             _dt2["n_chars"].to_pylist()):
+            _n = 1000 + int(_nc) % 3000
+            _ah_rows.append((int(_did), _mm2.audio_fingerprint64(
+                _mm2._decode_audio(_mm2.encode_fake_audio(int(_did), _n))[0])))
+            if int(_did) % 40 == 20:
+                _ah_rows.append((int(_did) + 2_000_000,
+                                 _mm2.audio_fingerprint64(_mm2._decode_audio(
+                                     _mm2.fake_near_dup_audio(int(_did), _n))[0])))
+        _ahash_sql = ", ".join(f"({i}, {v}::BIGINT)" for i, v in _ah_rows)
         o["q21_embedding_neardup"] = f"""
             WITH embdups AS ({_EMBS_DUPS_SQL}),
             ih(media_id, dhash) AS (VALUES {_dhash_sql}),
+            ah(media_id, dhash) AS (VALUES {_ahash_sql}),
             imgpairs AS (
                 SELECT a.media_id AS a, b.media_id AS b,
                        round(CAST(1.0 AS DOUBLE)
                              - bit_count(xor(a.dhash, b.dhash))
                                / CAST(64.0 AS DOUBLE), 6) AS cos
                 FROM ih a JOIN ih b ON a.media_id < b.media_id
+                WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+            audpairs AS (
+                SELECT a.media_id AS a, b.media_id AS b,
+                       round(CAST(1.0 AS DOUBLE)
+                             - bit_count(xor(a.dhash, b.dhash))
+                               / CAST(64.0 AS DOUBLE), 6) AS cos
+                FROM ah a JOIN ah b ON a.media_id < b.media_id
                 WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
             banded AS (
                 SELECT a.vec_id AS a, b.vec_id AS b,
@@ -1913,6 +1970,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, cos, 'semdedup_cell' AS method FROM sem
             UNION ALL
             SELECT a, b, cos, 'image_dhash' AS method FROM imgpairs
+            UNION ALL
+            SELECT a, b, cos, 'audio_envelope' AS method FROM audpairs
             ORDER BY method, a, b
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

@@ -221,34 +221,46 @@ def fake_near_dup_image(media_id: int, width: int, height: int,
     return bytes(base)
 
 
-def image_dhash_table(media: DataFrame) -> DataFrame:
+def _hash_table(media: DataFrame, hash_fn) -> DataFrame:
     """(media_id, dhash) via mapInPandas over the binary payload column;
-    undecodable payloads are dropped (the features operator carries the
-    error contract — dedup only consumes decodable images)."""
+    undecodable payloads are dropped (the features operators carry the
+    error contract — dedup only consumes decodable media)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, hs = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    hs.append(dhash64(_decode_image(bytes(payload))))
+                    hs.append(hash_fn(bytes(payload)))
                     ids.append(mid)
                 except Exception:
                     continue
-            yield pd.DataFrame({"media_id": ids, "dhash": pd.array(hs, dtype="int64")})
+            yield pd.DataFrame({"media_id": ids,
+                                "dhash": np.array(hs, dtype=np.int64)})
 
     return media.mapInPandas(batches, "media_id long, dhash long")
 
 
+def image_dhash_table(media: DataFrame) -> DataFrame:
+    return _hash_table(media, lambda raw: dhash64(_decode_image(raw)))
+
+
 def image_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-duplicate image pairs: dHash + banded Hamming-LSH + exact
-    verify. The 64-bit hash splits into 4 disjoint 16-bit bands; by
-    pigeonhole, any pair within ``max_hamming`` <= 3 differing bits agrees
-    on at least one band, so the keyed (band, band_val) equi-join has
-    GUARANTEED recall at the threshold — no all-pairs stage, the q18
-    banding shape applied to image space. Returns (a, b, cos) with
-    cos = 1 - hamming/64 (exact binary fractions, cross-engine stable)."""
-    hashes = image_dhash_table(media)
+    """Near-duplicate image pairs: dHash + ``hamming_neardup_pairs``."""
+    return hamming_neardup_pairs(image_dhash_table(media), max_hamming)
+
+
+def hamming_neardup_pairs(hashes: DataFrame,
+                          max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs over any (media_id, dhash) fingerprint table:
+    banded Hamming-LSH + exact verify. The 64-bit hash splits into 4
+    disjoint 16-bit bands; by pigeonhole, any pair within ``max_hamming``
+    <= 3 differing bits agrees on at least one band, so the keyed
+    (band, band_val) equi-join has GUARANTEED recall at the threshold —
+    no all-pairs stage, the q18 banding shape applied to fingerprint
+    space (images, audio envelopes — any 64-bit perceptual hash).
+    Returns (a, b, cos) with cos = 1 - hamming/64 (exact binary
+    fractions, cross-engine stable)."""
     bands = hashes.select(
         "media_id", "dhash",
         F.explode(F.array(*[
@@ -414,6 +426,63 @@ def _iter_y4m_frames(raw: bytes):
         i += 1
 
 
+def _decode_audio(raw: bytes) -> tuple[np.ndarray, int]:
+    """(samples float64, sample_rate) from either supported container:
+    real RIFF/WAVE PCM-16 or the fake test container; loud
+    NotImplementedError for codec formats."""
+    if raw[:4] == b"RIFF":
+        return _decode_wav(raw)
+    if raw[:4] != AUD_MAGIC:
+        raise NotImplementedError(
+            "real audio decode requires a codec (not installed)")
+    n, sr = struct.unpack("<IH", raw[4:10])
+    pcm = np.frombuffer(raw[10: 10 + 2 * n], dtype=np.int16)
+    return pcm.astype(np.float64), int(sr)
+
+
+def audio_fingerprint64(x: np.ndarray) -> int:
+    """64-bit audio envelope fingerprint: the waveform splits into 65
+    equal windows, each reduced to RMS energy, and one bit per envelope
+    gradient rms[i+1] > rms[i] — the dHash idea applied to the energy
+    envelope (robust to small sample-level noise, cheap, deterministic).
+    Signed 64-bit like dhash64; the same function is the oracle twin."""
+    parts = np.array_split(x, 65)
+    rms = np.array([float(np.sqrt((w * w).mean())) if w.size else 0.0
+                    for w in parts])
+    v = 0
+    for i in range(64):
+        if rms[i + 1] > rms[i]:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def fake_near_dup_audio(media_id: int, n_samples: int,
+                        sample_rate: int = 16000, k: int = 5) -> bytes:
+    """A near-duplicate of ``encode_fake_audio``: the same PCM with k
+    seeded samples nudged by +500 — a lightly re-encoded copy whose
+    envelope fingerprint stays within a few bits. Shared with the oracle
+    twin."""
+    base = bytearray(encode_fake_audio(media_id, n_samples, sample_rate))
+    rng = np.random.default_rng(media_id + 424_243)
+    pcm = np.frombuffer(bytes(base[10:]), dtype=np.int16).copy()
+    for p in rng.integers(0, len(pcm), size=k):
+        pcm[int(p)] = np.clip(int(pcm[int(p)]) + 500, -32768, 32767)
+    return bytes(base[:10]) + pcm.tobytes()
+
+
+def audio_fingerprint_table(media: DataFrame) -> DataFrame:
+    return _hash_table(
+        media, lambda raw: audio_fingerprint64(_decode_audio(raw)[0]))
+
+
+def audio_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate audio pairs: envelope fingerprint +
+    ``hamming_neardup_pairs`` (same banded machinery as images)."""
+    return hamming_neardup_pairs(audio_fingerprint_table(media), max_hamming)
+
+
 def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
     """Video frame sampling: one input row → one output row per kept frame
     (the 1→N explode shape a real frame sampler has). Decode is REAL for
@@ -476,18 +545,8 @@ def audio_features(media: DataFrame) -> DataFrame:
                    "rms": [], "zero_crossings": [], "error": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    raw = bytes(payload)
-                    if raw[:4] == b"RIFF":
-                        x, sr = _decode_wav(raw)
-                        n = len(x)
-                    elif raw[:4] != AUD_MAGIC:
-                        raise NotImplementedError(
-                            "real audio decode requires a codec (not installed)"
-                        )
-                    else:
-                        n, sr = struct.unpack("<IH", raw[4:10])
-                        pcm = np.frombuffer(raw[10 : 10 + 2 * n], dtype=np.int16)
-                        x = pcm.astype(np.float64)
+                    x, sr = _decode_audio(bytes(payload))
+                    n = len(x)
                     out["media_id"].append(mid)
                     out["n_samples"].append(int(n))
                     out["sample_rate"].append(int(sr))

@@ -313,6 +313,34 @@ def test_image_dhash_neardup_pairs(spark):
     assert pairs[0]["cos"] == 1.0 - d_clone / 64.0
 
 
+def test_audio_envelope_neardup_pairs(spark):
+    """Envelope-fingerprint audio dedup through the shared banded Hamming
+    machinery: a lightly perturbed copy pairs with its original; an
+    unrelated clip does not; the WAV arm fingerprints too."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import multimodal as mm
+
+    orig = mm.encode_fake_audio(11, 2500)
+    clone = mm.fake_near_dup_audio(11, 2500)
+    other = mm.encode_fake_audio(12, 2500)
+    h = mm.audio_fingerprint64(mm._decode_audio(orig)[0])
+    d_clone = bin((h ^ mm.audio_fingerprint64(mm._decode_audio(clone)[0]))
+                  & ((1 << 64) - 1)).count("1")
+    assert d_clone <= 3
+
+    wav = mm.encode_wav_pcm16(
+        (2000 * np.sin(np.arange(2000) / 7.0)).astype(np.int16))
+    assert isinstance(mm.audio_fingerprint64(mm._decode_audio(wav)[0]), int)
+
+    media = spark.createDataFrame(
+        [(11, "audio", orig, {}), (2000011, "audio", clone, {}),
+         (12, "audio", other, {}), (13, "audio", b"\xff\xfbmp3", {})],
+        mm.MEDIA_DDL)
+    pairs = mm.audio_neardup_pairs(media, max_hamming=3).collect()
+    assert [(r["a"], r["b"]) for r in pairs] == [(11, 2000011)]
+
+
 def test_audio_features_shape(spark):
     from pdf_extractor_spark.operators import multimodal as mm
 

@@ -39,6 +39,41 @@ def test_warc_roundtrip_plain_and_gzip(tmp_path):
         assert got[2]["mime"] == "application/pdf"
 
 
+def test_warc_scanned_payloads_extract_via_ocr(tmp_path):
+    """The crawl story end-to-end for the scanned tier: a WARC segment
+    carrying a BMP scan and a scanned PDF round-trips through the WARC
+    reader and extracts via OCR into the TEXT channel, while a JPEG
+    record still dispatches to the needs-OCR quarantine row."""
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        render_scanned_pdf,
+        render_text_bmp,
+    )
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    bmp_text = "WARC BMP SCAN 7."
+    pdf_text = "WARC PDF SCAN 9."
+    pages = [
+        {"url": "https://s.example/scan.bmp", "warc_ts": TS,
+         "mime": "image/bmp", "body": render_text_bmp(bmp_text, width=32)},
+        {"url": "https://s.example/scan.pdf", "warc_ts": TS,
+         "mime": "application/pdf", "body": render_scanned_pdf([pdf_text])},
+        {"url": "https://s.example/photo.jpg", "warc_ts": TS,
+         "mime": "image/jpeg", "body": b"\xff\xd8\xff\xe0" + b"\x00" * 32},
+    ]
+    p = str(tmp_path / "scans.warc.gz")
+    warc.write_warc(p, pages, gzip_per_record=True)
+    got, n_bad = warc.parse_warc(open(p, "rb").read())
+    assert n_bad == 0 and [g["mime"] for g in got] == [
+        "image/bmp", "application/pdf", "image/jpeg"]
+    rows = {g["url"]: extract_document(g["body"]) for g in got}
+    r_bmp = rows["https://s.example/scan.bmp"][0]
+    assert r_bmp["meta"]["ok"] == "true" and r_bmp["text"] == bmp_text
+    r_pdf = rows["https://s.example/scan.pdf"][0]
+    assert r_pdf["meta"]["ok"] == "true" and r_pdf["text"] == pdf_text
+    r_jpg = rows["https://s.example/photo.jpg"][0]
+    assert r_jpg["meta"]["needs_ocr"] == "true"
+
+
 def test_warc_malformed_degrades_not_raises():
     ok_pages, _ = warc.parse_warc(b"")
     assert ok_pages == []
