@@ -368,12 +368,26 @@ def ocr_bmp(payload: bytes, max_err: int = 6) -> list[str]:
 
 
 def _decode_at(rows: list[bytes], oy: int, ox: int, max_err: int) -> list[str]:
-    """Grid decode anchored at origin (oy, ox)."""
+    """Grid decode anchored at origin (oy, ox).
+
+    The last line/column counts as soon as its GLYPH area fits — a
+    bottom/right crop removes only inter-cell leading/gap pixels, and
+    requiring a full PITCH block would silently drop the final text line
+    (review finding, round 3); the missing gap pixels are padded with
+    paper. For canonical pages the counts are identical to the full-pitch
+    formula (margin 2 < pitch−glyph never adds a row/col).
+    """
     height, width = len(rows), len(rows[0]) if rows else 0
-    n_lines = (height - oy) // PITCH_Y
-    n_cols = (width - ox) // PITCH_X
+    avail_y, avail_x = height - oy, width - ox
+    n_lines = (avail_y - GLYPH_H) // PITCH_Y + 1 if avail_y >= GLYPH_H else 0
+    n_cols = (avail_x - GLYPH_W) // PITCH_X + 1 if avail_x >= GLYPH_W else 0
     if n_lines <= 0 or n_cols <= 0:
         return []
+    need_y, need_x = oy + n_lines * PITCH_Y, ox + n_cols * PITCH_X
+    if need_y > height or need_x > width:
+        paper = PAPER.to_bytes(1, "little")
+        rows = [r + paper * max(0, need_x - width) for r in rows]
+        rows += [paper * max(width, need_x)] * max(0, need_y - height)
     try:
         import numpy as np
     except ImportError:  # pragma: no cover - numpy is baked into this env
@@ -415,19 +429,23 @@ def ocr_gray_rows(rows: list[bytes], max_err: int = 6,
     lines = _decode_at(rows, MARGIN, MARGIN, max_err)
     if not autolocate or ocr_page_plausible(lines):
         return lines
-    for variant in _page_variants(rows):
-        got = _try_decode(variant, max_err)
+    for i, variant in enumerate(_page_variants(rows)):
+        # the first variant IS the raw page, whose canonical decode just
+        # failed above — only its estimated-origin attempt is new
+        got = _try_decode(variant, max_err, try_canonical=i > 0)
         if got is not None:
             return got
     return lines
 
 
-def _try_decode(rows: list[bytes], max_err: int) -> list[str] | None:
+def _try_decode(rows: list[bytes], max_err: int,
+                try_canonical: bool = True) -> list[str] | None:
     """Decode one page variant: canonical origin, then estimated origin.
     Accept only a plausible decode with at least one recognized glyph —
     a blank or '?'-ridden variant must NOT mask the implausibility signal
     (the caller's gate turns that into a loud quarantine, not silence)."""
-    for oy, ox in ((MARGIN, MARGIN), _estimate_origin(rows)):
+    origins = ((MARGIN, MARGIN),) if try_canonical else ()
+    for oy, ox in origins + (_estimate_origin(rows),):
         got = _decode_at(rows, oy, ox, max_err)
         if got and ocr_page_plausible(got) and any(
                 ln.strip(" ") for ln in got):

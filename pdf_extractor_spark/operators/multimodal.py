@@ -401,7 +401,10 @@ def _iter_y4m_frames(raw: bytes):
             num, den = (int(x) for x in tok[1:].split(":"))
         elif tok[:1] == "C":
             chroma = tok[1:]
-    if not w or not h or num <= 0 or den <= 0:
+    if (w is None or h is None or w <= 0 or h <= 0
+            or w > 1 << 16 or h > 1 << 16 or num <= 0 or den <= 0):
+        # negative/zero dims would make the frame stride non-positive and
+        # the walk non-terminating (review finding, round 3)
         raise ValueError("malformed YUV4MPEG2 header")
     if chroma.startswith("mono"):
         key = "mono"
@@ -498,13 +501,20 @@ def sample_frames(media: DataFrame, every_n: int = 5) -> DataFrame:
                 try:
                     raw = bytes(payload)
                     if raw[:9] == b"YUV4MPEG2":
-                        for i, ts, body in _iter_y4m_frames(raw):
-                            if i % every_n == 0:
-                                out["media_id"].append(mid)
-                                out["frame_index"].append(i)
-                                out["frame_ts_ms"].append(ts)
-                                out["payload"].append(body)
-                                out["error"].append(None)
+                        # buffer, then commit only on a complete walk: a
+                        # mid-stream truncation must yield ONE error row,
+                        # not frames AND an error row for the same media
+                        # (the per-media error-XOR-data contract every
+                        # other decode arm keeps)
+                        kept = [(i, ts, body)
+                                for i, ts, body in _iter_y4m_frames(raw)
+                                if i % every_n == 0]
+                        for i, ts, body in kept:
+                            out["media_id"].append(mid)
+                            out["frame_index"].append(i)
+                            out["frame_ts_ms"].append(ts)
+                            out["payload"].append(body)
+                            out["error"].append(None)
                         continue
                     if raw[:4] != VID_MAGIC:
                         raise NotImplementedError(

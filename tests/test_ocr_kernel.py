@@ -485,6 +485,25 @@ def test_photo_still_rejects_through_the_ladder():
     assert r["meta"]["ok"] == "false" and r["meta"]["needs_ocr"] == "true"
 
 
+def test_bottom_right_crop_keeps_last_line_and_column():
+    """A bottom/right crop removes only inter-cell leading/gap pixels; the
+    last text line and character column must still decode (a full-pitch
+    requirement silently dropped them — review finding, round 3)."""
+    text = "LINE ONE IS HERE" + " " * 16 + "LINE TWO SURVIVES"
+    px = K.render_page_gray(K.wrap_fixed(text, 16))
+    # keep the glyph area of the last line (7 rows) but cut the 2-px
+    # trailing leading + 2-px margin; same on the right for the last col
+    cropped = [bytes(r)[: len(r) - K.MARGIN - (K.PITCH_X - K.GLYPH_W)]
+               for r in px[: len(px) - K.MARGIN - (K.PITCH_Y - K.GLYPH_H)]]
+    got = K.ocr_stream_text(K.pack_bmp_gray(cropped))
+    assert got == text
+    # and through extract_document: ok=true with ALL the text
+    from pdf_extractor_spark.operators.extract import extract_document
+
+    r = extract_document(K.pack_bmp_gray(cropped))[0]
+    assert r["meta"]["ok"] == "true" and "LINE TWO SURVIVES" in r["text"]
+
+
 def test_renderer_rejects_out_of_charset():
     with pytest.raises(ValueError):
         K.render_text_bmp("lowercase")

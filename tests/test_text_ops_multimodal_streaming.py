@@ -278,6 +278,17 @@ def test_real_y4m_frame_sampling(spark):
     assert "NotImplementedError" in by_id[7][0]["error"]
     assert by_id[8][0]["error"] is not None
 
+    # truncated mid-stream: ONE error row, never frames AND an error row
+    # for the same media (the per-media error-XOR-data contract)
+    assert len(by_id[8]) == 1 and by_id[8][0]["frame_index"] is None
+
+    # negative/absurd header dims terminate with an error row, not an
+    # infinite frame walk (non-positive stride — review finding, round 3)
+    neg = b"YUV4MPEG2 W4 H-1 C420\n" + b"FRAME\n" * 4
+    df_neg = spark.createDataFrame([(9, "video", neg, {})], mm.MEDIA_DDL)
+    out_neg = mm.sample_frames(df_neg, every_n=1).collect()
+    assert len(out_neg) == 1 and "ValueError" in out_neg[0]["error"]
+
 
 def test_image_dhash_neardup_pairs(spark):
     """Perceptual-hash image dedup: a slightly re-encoded copy pairs with
