@@ -61,7 +61,10 @@ PICKS = {
         "broadcast into one Arrow assignment pass → ONE exchange on cell "
         "(each vector ships once — no pair-join) → per-cell BLAS gram "
         "matrix emits only threshold survivors; per-cell work bounded by "
-        "cell_target. No O(n²) stage anywhere (the blocked all-pairs "
+        "cell_target. Image/audio arms: one mapInPandas fingerprint pass "
+        "each → 4-way band explode → keyed (band, band_val) equi-join "
+        "(pigeonhole recall at hamming<=3) → bit_count verify on "
+        "candidates only. No O(n²) stage anywhere (the blocked all-pairs "
         "matmul is now test-only ground truth)."
     ),
     "q33_asof_order_events": (
