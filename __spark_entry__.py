@@ -1257,8 +1257,11 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (old q19) ∪ incremental delta-vs-index pairs (the injected
     copies, doc_id ≥ 100000, deduped against the base corpus read from
     the committed shingle store — one keyed band join, no corpus
-    re-scan), method-tagged — all three equal the exact-Jaccard oracle
-    (the incremental arm restricted to base × delta pairs)."""
+    re-scan) ∪ prefix-filtered EXACT similarity join (AllPairs/PPJoin:
+    the inverted index holds only each set's |s|-⌈t·|s|⌉+1 prefix under
+    the hash order — lossless candidate pruning, no LSH miss
+    probability), method-tagged — all four equal the exact-Jaccard
+    oracle (the incremental arm restricted to base × delta pairs)."""
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
     mh = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=32,
                                  jaccard_threshold=0.5,
@@ -1275,7 +1278,11 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         shh.where(F.col("doc_id") < 100000),
         num_perm=64, bands=32, jaccard_threshold=0.5,
     ).withColumn("method", F.lit("incremental"))
-    return mh.unionByName(ng).unionByName(inc).orderBy("method", "a", "b")
+    pf = dedup.prefix_filter_jaccard_pairs(
+        docs, threshold=0.5, shingle_store=_shingle_store_path(sf_dir)
+    ).withColumn("method", F.lit("prefix_filter"))
+    return (mh.unionByName(ng).unionByName(inc).unionByName(pf)
+            .orderBy("method", "a", "b"))
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1861,6 +1868,8 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT a, b, jaccard, 'incremental' AS method FROM base
         WHERE a < 100000 AND b >= 100000
+        UNION ALL
+        SELECT a, b, jaccard, 'prefix_filter' AS method FROM base
         ORDER BY method, a, b
     """
     # banded-LSH over dup-injected embeddings (exact all-pairs oracle) ∪

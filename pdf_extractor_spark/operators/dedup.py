@@ -433,6 +433,79 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
+# exact all-pairs Jaccard via prefix filtering (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
+                                threshold: float = 0.5,
+                                shingle_store: str | None = None) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering
+    (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs): identical output
+    to ngram_jaccard_pairs, but the inverted index holds only each set's
+    PREFIX — the first ``|s| - ceil(t·|s|) + 1`` shingle hashes under the
+    global hash order — instead of every posting.
+
+    Correctness (full recall, no LSH miss probability): J(a,b) ≥ t implies
+    the sets share a token that lies in BOTH prefixes. Proof sketch: let w
+    be the smallest common token. If w is outside a's prefix, every common
+    token sits in a's suffix, so overlap ≤ ceil(t·|a|) - 1 < t·|a| ≤
+    t(|a|+|b|)/(1+t) = the minimum overlap J ≥ t requires (using |b| ≥
+    t·|a|, itself implied by J ≥ t); symmetrically for b via |a| ≥ t·|b|.
+    Either way J < t — contradiction. Precision is exact because survivors
+    re-verify with the full-array intersect kernel (verify_jaccard_hashed).
+
+    Scale notes (100 TB): the posting explode — the wide stage of any
+    inverted-index similarity join — shrinks to ~(1-t) of the full index
+    (half at t=0.5), and the candidate join carries the length filter
+    ``ceil(t·max(sz)) ≤ min(sz)`` inside the join condition so
+    incompatible-size pairs never materialize. The global order here is
+    the shingle hash itself (free: shingle_hash_arrays emits sorted
+    arrays, so the prefix is a slice — no df-ranking shuffle). For
+    Zipf-skewed token sets the classic refinement orders by ascending
+    document frequency so prefixes hold the RAREST tokens; word-3-shingles
+    are near-unique (df ≈ 1 outside boilerplate), so hash order costs
+    little here while saving the df join entirely. Unlike ``max_df``
+    pruning on the full index, prefix filtering is lossless.
+    """
+    if shingle_store is not None:
+        sh = shingle_table(docs, n, shingle_store)
+    else:
+        sh = shingle_hash_arrays(docs, n).persist()
+    t = float(threshold)
+    # ceil(t·sz) with a 1e-9 back-off: when the true product is an integer
+    # k, IEEE may evaluate k+ulp and ceil would return k+1 — shortening the
+    # prefix / tightening the length filter by one, i.e. a RECALL bug. The
+    # back-off only ever errs the safe way (longer prefix, looser filter).
+    def _tceil(col):
+        return F.ceil(col * F.lit(t) - F.lit(1e-9))
+
+    # prefix length: |s| - ceil(t*|s|) + 1 (≥ 1 whenever the set is
+    # non-empty; empty sets have no prefix and can never reach J ≥ t > 0)
+    plen = (F.size("shh") - _tceil(F.size("shh")) + F.lit(1)).cast("int")
+    pref = sh.select(
+        "doc_id",
+        F.size("shh").alias("sz"),
+        F.slice("shh", 1, F.greatest(plen, F.lit(0))).alias("pref"),
+    )
+    posts = pref.select("doc_id", "sz", F.explode("pref").alias("s"))
+    a, b = posts.alias("pa"), posts.alias("pb")
+    cand = (
+        a.join(
+            b,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # length filter folded into the join condition: J ≥ t forces
+            # t·|b| ≤ |a| and t·|a| ≤ |b|
+            & (F.col("pa.sz") >= _tceil(F.col("pb.sz")))
+            & (F.col("pb.sz") >= _tceil(F.col("pa.sz"))),
+        )
+        .select(F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b"))
+        .distinct()
+    )
+    return verify_jaccard_hashed(cand, sh, threshold=t)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -919,3 +919,74 @@ def test_neardup_stream_backfills_lagging_sig_store(spark, tmp_path):
            for r in pairs_t.read(spark).collect()}
     assert (300, 400) in got
     assert sig_t.read(spark).select("doc_id").distinct().count() == 5
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact similarity join (AllPairs/PPJoin family)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_prefix_filter_equals_exact_ngram(spark, docs, threshold):
+    """Prefix filtering is LOSSLESS: output identical to the full
+    inverted-index exact join at every threshold (pairs AND scores)."""
+    got = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.prefix_filter_jaccard_pairs(
+            docs, threshold=threshold).collect()
+    }
+    want = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+    }
+    assert got == want
+
+
+def test_prefix_filter_random_corpus_vs_bruteforce(spark):
+    """Randomized recall/precision check against a pure-Python exact
+    all-pairs computation over a shared small vocabulary (many pairs land
+    near the threshold, including exact-integer t*|s| products)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, DOCS_DDL)
+    for t in (0.3, 0.5):
+        got = {
+            (r["a"], r["b"]): r["jaccard"]
+            for r in dedup.prefix_filter_jaccard_pairs(
+                docs, threshold=t).collect()
+        }
+        want = {}
+        sh = {i: textstats.shingles(txt) for i, txt in rows}
+        for a in range(60):
+            for b in range(a + 1, 60):
+                j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+                if j >= t:
+                    want[(a, b)] = round(j, 6)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, k
+
+
+def test_prefix_filter_prefix_strictly_smaller_index(spark, docs):
+    """The wide stage (posting explode) holds ~(1-t) of the full index:
+    at t=0.8 the prefix posting count must be well under half the full
+    posting count on multi-shingle docs."""
+    sh = dedup.shingle_hash_arrays(docs, 3)
+    full = sh.select(F.explode("shh")).count()
+    t = 0.8
+    plen = (F.size("shh") - F.ceil(F.size("shh") * F.lit(t) - F.lit(1e-9))
+            + F.lit(1)).cast("int")
+    pref = sh.select(F.explode(F.slice("shh", 1, F.greatest(plen, F.lit(0)))))
+    assert pref.count() < 0.6 * full
+
+
+def test_prefix_filter_plan_no_quadratic_stage(spark, docs):
+    df = dedup.prefix_filter_jaccard_pairs(docs, threshold=0.5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
