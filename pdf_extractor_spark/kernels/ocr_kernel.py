@@ -409,11 +409,11 @@ def ocr_gray_rows(rows: list[bytes], max_err: int = 6,
     clean-scan fast path — bit-stable for rendered pages); if that decode
     is implausible and ``autolocate`` is set, a bounded ladder of scanner
     normalizations is tried (see ``_page_variants``): grid-origin
-    re-estimation for cropped/shifted scans, luminance inversion for
-    white-on-black output, and 2x/3x block-average downscale for
-    higher-resolution rasters — each accepted only if its decode is
-    itself plausible, else the original (implausible) decode returns and
-    the caller's gate rejects it. Each cell is classified independently by ``match_glyph``. Lines
+    re-estimation for cropped/shifted scans, 90°/180°/270° rotation for
+    mis-fed pages, luminance inversion for white-on-black output, and
+    2x/3x block-average downscale for higher-resolution rasters — each
+    accepted only if its decode is itself plausible, else the original
+    (implausible) decode returns and the caller's gate rejects it. Each cell is classified independently by ``match_glyph``. Lines
     are returned as the full cell grid (blank cells ARE spaces in a
     fixed-pitch page) — no trimming, so callers can reconstruct the exact
     printed character stream. Use ``ocr_stream_text``/``ocr_text`` for
@@ -455,31 +455,39 @@ def _try_decode(rows: list[bytes], max_err: int,
 
 def _page_variants(rows: list[bytes]):
     """Scanner-axis normalizations, tried in order on implausible pages:
-    crop/shift (handled by origin estimation inside _try_decode), inverse
+    crop/shift (handled by origin estimation inside _try_decode), page
+    ROTATION (180° upside-down feed first — the common mis-feed — then
+    90°/270° landscape feeds; np.rot90 is exact, no resampling), inverse
     video (white-on-black fax output — luminance inversion, distinct from
     the palette inversion the BMP container decode already resolves), and
     integer-scaled scans (a 2x/3x-resolution raster block-averages back to
     the native pitch; exact for pixel-replicated zoom, threshold-stable
-    under light noise). Bounded: at most 9 variant decodes per page, and
-    only for pages the fast path already rejected."""
+    under light noise). The axes COMPOSE (per rotation: plain, inverted,
+    then 2x/3x of each), bounding the ladder at 24 variant decodes per
+    page — cheap numpy transforms, tried only for pages the fast path
+    already rejected, and every accepted variant must itself pass the
+    plausibility gate (rotated/inverted REAL text classifies to '?' and
+    keeps rejecting — see test_photo_still_rejects_through_the_ladder)."""
     import numpy as np
 
-    m = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), -1)
-    inv = (255 - m).astype(np.uint8)
+    m0 = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), -1)
 
     def as_rows(a) -> list[bytes]:
         return [a[y].tobytes() for y in range(a.shape[0])]
 
-    yield as_rows(m)  # origin re-estimation on the raw page
-    yield as_rows(inv)
-    for base in (m, inv):
-        for k in (2, 3):
-            h, w = (base.shape[0] // k) * k, (base.shape[1] // k) * k
-            if h < PITCH_Y or w < PITCH_X:
-                continue
-            small = (base[:h, :w].reshape(h // k, k, w // k, k)
-                     .mean(axis=(1, 3)).astype(np.uint8))
-            yield as_rows(small)
+    for rot in (0, 2, 1, 3):  # 0°, 180°, 90°, 270°
+        m = np.rot90(m0, rot) if rot else m0
+        inv = (255 - m).astype(np.uint8)
+        yield as_rows(m)  # origin re-estimation on the (rotated) page
+        yield as_rows(inv)
+        for base in (m, inv):
+            for k in (2, 3):
+                h, w = (base.shape[0] // k) * k, (base.shape[1] // k) * k
+                if h < PITCH_Y or w < PITCH_X:
+                    continue
+                small = (base[:h, :w].reshape(h // k, k, w // k, k)
+                         .mean(axis=(1, 3)).astype(np.uint8))
+                yield as_rows(small)
 
 
 def _grid_chars_scalar(rows: list[bytes], n_lines: int, n_cols: int,

@@ -548,3 +548,38 @@ def test_extract_document_ocr_dispatch():
     # blank page → no meaningful content (reference gate tasks.py:228-249)
     r = extract_document(K.render_text_bmp(""))[0]
     assert r["meta"]["ok"] == "false" and "needs_ocr" not in r["meta"]
+
+
+@pytest.mark.parametrize("rot", [1, 2, 3])
+def test_rotated_scan_decodes(rot):
+    """A page fed rotated (90°/180°/270° — upside-down or landscape
+    mis-feed) recovers through the rotation axis of the variant ladder."""
+    import numpy as np
+
+    text = "ROTATED FEED PAGE READS."
+    px = K.render_page_gray(K.wrap_fixed(text, 16))
+    m = np.array([list(r) for r in px], dtype=np.uint8)
+    turned = np.rot90(m, rot)
+    rows = [turned[y].tobytes() for y in range(turned.shape[0])]
+    assert K.ocr_stream_text(K.pack_bmp_gray(rows)) == text
+
+
+def test_rotated_inverse_scaled_scan_composes():
+    """The ladder axes compose: an upside-down, white-on-black, 2x scan
+    still reads (rotation -> inversion -> downscale in one variant)."""
+    import numpy as np
+
+    text = "WORST CASE SCANNER OUTPUT."
+    px = K.render_page_gray(K.wrap_fixed(text, 16))
+    m = np.array([list(r) for r in px], dtype=np.uint8)
+    worst = np.repeat(np.repeat(np.rot90(255 - m, 2), 2, axis=0), 2, axis=1)
+    rows = [worst[y].tobytes() for y in range(worst.shape[0])]
+    assert K.ocr_stream_text(K.pack_bmp_gray(rows.copy())) == text
+
+
+def test_clean_scan_path_is_bit_stable_with_rotation_axis():
+    """The rotation axis lives behind the plausibility gate: a clean scan
+    never enters the ladder, so its decode is unchanged."""
+    text = "CLEAN PAGE FAST PATH."
+    bmp = K.render_text_bmp(text, width=32)
+    assert K.ocr_stream_text(bmp) == text
