@@ -219,6 +219,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = webtext.host_edges(webtext.extract_links(pages))
     pr = webtext.pagerank_fixedpoint(edges, iters=5)
     od = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
+    anch = webtext.inbound_host_signals(webtext.extract_anchor_texts(pages))
     hll = sketch.hll_distinct(docs, "text", "source")
     exd = docs.groupBy("source").agg(
         F.countDistinct("text").alias("distinct_texts"))
@@ -237,6 +238,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(hll), "source", "left")
         .join(F.broadcast(exd), "source", "left")
         .join(F.broadcast(ni), "source", "left")
+        .join(F.broadcast(anch.withColumnRenamed("host", "source")),
+              "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -257,6 +260,13 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hll_est"), F.lit(0.0)).alias("hll_est"),
             F.coalesce(F.col("noindex_docs"), F.lit(0)).cast("long")
             .alias("noindex_docs"),
+            # inbound link signals: in-degree + anchor-term diversity from
+            # anchors ACTUALLY parsed out of the page bytes (the oracle
+            # derives the expected values closed-form from the synth spec)
+            F.coalesce(F.col("in_degree"), F.lit(0)).cast("long")
+            .alias("in_degree"),
+            F.coalesce(F.col("inbound_anchor_terms"), F.lit(0)).cast("long")
+            .alias("inbound_anchor_terms"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -2675,11 +2685,14 @@ def oracle_sql() -> dict[str, str]:
                FROM documents d
                JOIN sids t1 ON t1.sid = (d.doc_id * 7 + 1) % (SELECT c FROM ns)
                JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)),
-        rawe AS (SELECT src, h1 AS dst FROM dl
-                 UNION ALL SELECT src, src FROM dl
-                 UNION ALL SELECT src, h3 FROM dl
-                 UNION ALL SELECT src, src FROM dl),
+        rawe AS (SELECT src, h1 AS dst, 'r' AS anchor FROM dl
+                 UNION ALL SELECT src, src, 's' FROM dl
+                 UNION ALL SELECT src, h3, 'p' FROM dl
+                 UNION ALL SELECT src, src, 'q' FROM dl),
         e AS (SELECT src, dst, count(*) AS w FROM rawe GROUP BY src, dst),
+        ind AS (SELECT dst, count(*)::BIGINT AS in_degree,
+                       count(DISTINCT anchor)::BIGINT AS inbound_anchor_terms
+                FROM rawe GROUP BY dst),
         {webtext.pagerank_unrolled_sql("e", iters=5)},
         od AS (SELECT src, sum(w) AS out_degree FROM e GROUP BY src),
         bl AS (SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
@@ -2715,6 +2728,9 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS hll_sum_int,
                coalesce(hll.hll_est, CAST(0.0 AS DOUBLE)) AS hll_est,
                CAST(coalesce(ni.noindex_docs, 0) AS BIGINT) AS noindex_docs,
+               CAST(coalesce(ind.in_degree, 0) AS BIGINT) AS in_degree,
+               CAST(coalesce(ind.inbound_anchor_terms, 0) AS BIGINT)
+                   AS inbound_anchor_terms,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight
         FROM base
@@ -2723,6 +2739,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN exd ON exd.source = base.source
         LEFT JOIN hll ON hll.source = base.source
         LEFT JOIN ni ON ni.source = base.source
+        LEFT JOIN ind ON ind.dst = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

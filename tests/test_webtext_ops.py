@@ -584,3 +584,44 @@ def test_lang_id_cross_engine_fuzz(spark):
     for doc_id, _lang, detected in du:
         assert sp[doc_id] == detected, (doc_id, repr(texts[doc_id]),
                                         sp[doc_id], detected)
+
+
+def test_extract_anchor_texts_and_plan(spark):
+    html = (
+        '<html><body>'
+        '<a href="https://a.net/p/1">Read More</a>'
+        '<A class="z" HREF="/p/2">about us</a>'
+        '<a href="//b.net/p/3#frag"></a>'
+        '<a href="rel/4"><b>nested</b></a>'   # nested markup: out of subset
+        '</body></html>'
+    ).encode()
+    df = spark.createDataFrame(
+        [("https://ex.com/doc/9", html)], "url string, html binary")
+    out = webtext.extract_anchor_texts(df)
+    got = [(r["link_url"], r["anchor"]) for r in out.collect()]
+    assert got == [
+        ("https://a.net/p/1", "Read More"),
+        ("https://ex.com/p/2", "about us"),
+        ("https://b.net/p/3", ""),
+    ]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan   # narrow: zero shuffles
+    assert "Python" not in plan, plan     # zero Python
+
+
+def test_inbound_host_signals(spark):
+    rows = [
+        ("https://s1.com/a", "h", "Read More", "https://t.com/p/1"),
+        ("https://s2.com/b", "h", "read  more", "https://t.com/p/2"),
+        ("https://s3.com/c", "h", "Docs", "https://T.com/p/3"),
+        ("https://s1.com/a", "h", "x", "https://other.net/"),
+        ("https://s1.com/a", "h", "y", "not-a-url"),
+    ]
+    df = spark.createDataFrame(rows, "url string, href string, anchor string, link_url string")
+    got = {r["host"]: (r["in_degree"], r["inbound_anchor_terms"])
+           for r in webtext.inbound_host_signals(df).collect()}
+    # t.com: 3 inbound links; terms lowercase+trimmed -> {read more variants
+    # stay distinct on inner whitespace, docs} = {'read more','read  more','docs'}
+    assert got["t.com"] == (3, 3)
+    assert got["other.net"] == (1, 1)
+    assert "not-a-url" not in got and "" not in got
