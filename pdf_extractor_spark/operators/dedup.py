@@ -357,9 +357,16 @@ def verify_jaccard_hashed(
     pairs: DataFrame, shh_df: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard for candidate (a,b) pairs over sorted int64 shingle-hash
-    arrays: two narrow joins + an intersect1d kernel (assume_unique sorted
-    merge). Bit-identical scores to the string-set verify absent 60-bit
-    hash collisions."""
+    arrays: two narrow joins + ONE vectorized structured-array intersect
+    per Arrow batch — (pair_idx, value) rows from both sides intersect in
+    a single np.intersect1d over an (i8, i8) struct view, and per-pair
+    intersection counts fall out of a bincount on the surviving pair
+    indices. This replaced a per-row intersect1d loop whose per-call
+    overhead dominated once candidate sets reached 10^5 pairs (the prefix
+    arm's regime; measured at sf0.1 in BENCH.md). Bit-identical scores to
+    the string-set verify absent 60-bit hash collisions: the intersection
+    COUNT is exact integer work either way and the final division is the
+    same IEEE op."""
     import numpy as np
     import pandas as pd
 
@@ -368,13 +375,34 @@ def verify_jaccard_hashed(
     ).join(shh_df.withColumnRenamed("doc_id", "b").withColumnRenamed("shh", "shb"), "b")
 
     def kernel(batches):
+        def flat(series, m):
+            arrs = [np.asarray(x, dtype=np.int64) for x in series]
+            ln = np.fromiter((x.size for x in arrs), np.int64, m)
+            vals = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+            return np.repeat(np.arange(m, dtype=np.int64), ln), vals, ln
+
         for pdf in batches:
-            jac = np.empty(len(pdf), dtype=np.float64)
-            for i, (sa, sb) in enumerate(zip(pdf["sha"], pdf["shb"])):
-                a = np.asarray(sa, dtype=np.int64)
-                b = np.asarray(sb, dtype=np.int64)
-                inter = np.intersect1d(a, b, assume_unique=True).size
-                jac[i] = inter / (a.size + b.size - inter)
+            m = len(pdf)
+            if m == 0:
+                continue
+            ka, va, la = flat(pdf["sha"], m)
+            kb, vb, lb = flat(pdf["shb"], m)
+            # (pair_idx, value) → ONE int64 key: rank-compress the 60-bit
+            # values into 32 bits (np.unique over the batch) and pack the
+            # pair index above them — structured/void dtypes sort with a
+            # generic comparator (measured 4x SLOWER end-to-end than the
+            # per-row loop); int64 keys keep every sort/intersect in
+            # vectorized numpy. Arrow batches are ≤10^4 rows, so the pair
+            # index needs ≤ 31 bits and the pack cannot overflow.
+            uniq = np.unique(np.concatenate([va, vb]))
+            keya = (ka << np.int64(32)) | np.searchsorted(uniq, va)
+            keyb = (kb << np.int64(32)) | np.searchsorted(uniq, vb)
+            # unique within a pair (arrays are distinct-shingle sets) and
+            # across pairs (the pair index differs) → assume_unique holds
+            inter = np.intersect1d(keya, keyb, assume_unique=True)
+            cnt = (np.bincount(inter >> np.int64(32), minlength=m)
+                   if inter.size else np.zeros(m, np.int64))
+            jac = cnt / (la + lb - cnt)
             yield pd.DataFrame({"a": pdf["a"], "b": pdf["b"], "jaccard": jac})
 
     return (
@@ -458,14 +486,16 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
     inverted-index similarity join — shrinks to ~(1-t) of the full index
     (half at t=0.5), and the candidate join carries the length filter
     ``ceil(t·max(sz)) ≤ min(sz)`` inside the join condition so
-    incompatible-size pairs never materialize. The global order here is
-    the shingle hash itself (free: shingle_hash_arrays emits sorted
-    arrays, so the prefix is a slice — no df-ranking shuffle). For
-    Zipf-skewed token sets the classic refinement orders by ascending
-    document frequency so prefixes hold the RAREST tokens; word-3-shingles
-    are near-unique (df ≈ 1 outside boilerplate), so hash order costs
-    little here while saving the df join entirely. Unlike ``max_df``
-    pruning on the full index, prefix filtering is lossless.
+    incompatible-size pairs never materialize. The global order is
+    ASCENDING DOCUMENT FREQUENCY (ties by shingle hash) — the AllPairs
+    ordering — so every prefix holds each set's RAREST shingles and the
+    candidate join only collides on rare tokens. This matters: with a
+    hash-value order (free — the arrays are already hash-sorted) this
+    corpus's template-shared stop-shingles put 24% of ALL pairs in the
+    candidate set (718k at sf0.1, measured); df-order collapses that to
+    ~the true near-dup population at the cost of one vocabulary groupBy
+    and one per-doc rank shuffle (both posting-width). Unlike ``max_df``
+    pruning on the full index, prefix filtering is lossless at any skew.
     """
     if shingle_store is not None:
         sh = shingle_table(docs, n, shingle_store)
@@ -479,30 +509,72 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
     def _tceil(col):
         return F.ceil(col * F.lit(t) - F.lit(1e-9))
 
-    # prefix length: |s| - ceil(t*|s|) + 1 (≥ 1 whenever the set is
-    # non-empty; empty sets have no prefix and can never reach J ≥ t > 0)
-    plen = (F.size("shh") - _tceil(F.size("shh")) + F.lit(1)).cast("int")
-    pref = sh.select(
-        "doc_id",
-        F.size("shh").alias("sz"),
-        F.slice("shh", 1, F.greatest(plen, F.lit(0))).alias("pref"),
-    )
-    posts = pref.select("doc_id", "sz", F.explode("pref").alias("s"))
+    posts = prefix_postings(sh, t)
     a, b = posts.alias("pa"), posts.alias("pb")
+    rows = a.join(
+        b,
+        (F.col("pa.s") == F.col("pb.s"))
+        & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+        # length filter folded into the join condition: J ≥ t forces
+        # t·|b| ≤ |a| and t·|a| ≤ |b|
+        & (F.col("pa.sz") >= _tceil(F.col("pb.sz")))
+        & (F.col("pb.sz") >= _tceil(F.col("pa.sz"))),
+    ).select(
+        F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b"),
+        F.col("pa.sz").alias("sza"), F.col("pb.sz").alias("szb"),
+        F.col("pa.rk").alias("rka"), F.col("pb.rk").alias("rkb"),
+    )
+    # POSITIONAL filter (PPJoin, Xiao et al. 2008): for the FIRST shared
+    # prefix token w — within one pair the shared tokens sort identically
+    # in both prefixes (one global order), so argmin(rka) = argmin(rkb) =
+    # w and the groupBy's two mins come from the same token — the common
+    # tokens are ⊆ {w} ∪ a's suffix after rka ∪ b's suffix after rkb, so
+    # overlap ≤ 1 + min(sza - rka, szb - rkb). J ≥ t needs overlap ≥
+    # α = ceil(t/(1+t)·(sza+szb)); pairs whose bound can't reach α are
+    # pruned BEFORE the array-shipping verify. This replaces the naive
+    # .distinct() with a same-shuffle groupBy and is what keeps verify
+    # volume ≈ the true near-dup population on template-heavy corpora
+    # (measured at sf0.1: candidates 454k → verify input after this
+    # filter is a small fraction; BENCH.md).
+    alpha = F.ceil((F.col("sza") + F.col("szb")) * F.lit(t / (1.0 + t))
+                   - F.lit(1e-9))
     cand = (
-        a.join(
-            b,
-            (F.col("pa.s") == F.col("pb.s"))
-            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
-            # length filter folded into the join condition: J ≥ t forces
-            # t·|b| ≤ |a| and t·|a| ≤ |b|
-            & (F.col("pa.sz") >= _tceil(F.col("pb.sz")))
-            & (F.col("pb.sz") >= _tceil(F.col("pa.sz"))),
-        )
-        .select(F.col("pa.doc_id").alias("a"), F.col("pb.doc_id").alias("b"))
-        .distinct()
+        rows.groupBy("a", "b", "sza", "szb")
+        .agg(F.min("rka").alias("rka"), F.min("rkb").alias("rkb"))
+        .where(F.lit(1) + F.least(F.col("sza") - F.col("rka"),
+                                  F.col("szb") - F.col("rkb")) >= alpha)
+        .select("a", "b")
     )
     return verify_jaccard_hashed(cand, sh, threshold=t)
+
+
+def prefix_postings(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, shh) shingle table → the PREFIX posting list ``(doc_id,
+    sz, s)``: each set's first ``sz - ceil(t·sz) + 1`` shingles under the
+    global (document-frequency asc, shingle hash) order. Shared by
+    prefix_filter_jaccard_pairs and the scale ladder's posting-volume
+    measurement. Prefix length ≥ 1 whenever the set is non-empty (t ≤ 1);
+    empty sets emit nothing and can never reach J ≥ t > 0.
+
+    Two posting-width exchanges: the vocabulary groupBy (map-side
+    combined) and the per-doc rank window — each bounded per doc/term,
+    no skew amplification (the df table is joined back by shingle key,
+    which Spark hash-distributes)."""
+    from pyspark.sql.window import Window
+
+    t = float(threshold)
+    posts = sh.select(
+        "doc_id", F.size("shh").alias("sz"), F.explode("shh").alias("s"))
+    dft = posts.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    plen = (F.col("sz")
+            - F.ceil(F.col("sz") * F.lit(t) - F.lit(1e-9)) + F.lit(1))
+    return (
+        posts.join(dft, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= plen)
+        .select("doc_id", "sz", "s", "rk")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -214,10 +214,20 @@ class IcebergTable:
 
     # -- maintenance ----------------------------------------------------------
     def compact(self, spark: SparkSession,
-                target_partitions: int | None = None):
+                target_partitions: int | None = None,
+                cluster_by: list[str] | None = None):
+        if cluster_by and len(cluster_by) > 1:
+            order = f"zorder({', '.join(cluster_by)})"
+        elif cluster_by:
+            order = cluster_by[0]
+        else:
+            return self._sql(
+                f"CALL {self._cat()}.system.rewrite_data_files("
+                f"table => '{self.table}')")
         return self._sql(
             f"CALL {self._cat()}.system.rewrite_data_files("
-            f"table => '{self.table}')")
+            f"table => '{self.table}', strategy => 'sort', "
+            f"sort_order => '{order}')")
 
     def expire_snapshots(self, keep_last: int = 1):
         return self._sql(

@@ -24,8 +24,82 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _UNSET = object()
+
+
+def zorder_key(df: DataFrame, cols: list[str]):
+    """Morton (Z-order) key over numeric/timestamp columns as ONE pure-JVM
+    expression: each column is min/max-normalized into a 2^bits integer
+    grid (bits = min(16, 63 // n_cols)) and the grid coordinates'
+    bits interleave — points close in EVERY dimension get close keys, so
+    range-partitioning on the key gives every output file a tight
+    hyper-rectangle and footer min/max stats prune reads on any clustered
+    column (the Iceberg zorder rewrite strategy; Morton 1966).
+
+    One narrow aggregate computes the per-column min/max; the interleave
+    itself is shiftright/and/shiftleft terms — whole-stage codegen, zero
+    Python, zero extra shuffles beyond the caller's repartition. NULLs
+    bin to the column minimum; constant/all-NULL columns contribute
+    nothing (they cannot discriminate)."""
+    bits = min(16, 63 // len(cols))
+    scale = (1 << bits) - 1
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")).alias(f"__mn_{c}"),
+                 F.max(F.col(c).cast("double")).alias(f"__mx_{c}")]
+    row = df.agg(*aggs).first()
+    key = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        mn, mx = row[f"__mn_{c}"], row[f"__mx_{c}"]
+        if mn is None or mx is None or mx <= mn:
+            continue
+        v = F.coalesce(F.col(c).cast("double"), F.lit(float(mn)))
+        bin_ = F.least(
+            F.greatest(
+                ((v - F.lit(float(mn))) / F.lit(float(mx) - float(mn))
+                 * F.lit(float(scale))).cast("long"),
+                F.lit(0).cast("long")),
+            F.lit(scale).cast("long"))
+        for b in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(bin_, b).bitwiseAND(F.lit(1)),
+                            b * len(cols) + j))
+    return key
+
+
+def parquet_skip_fraction(dirs: list[str], predicates: dict) -> float:
+    """Fraction of row groups a min/max-pruning reader SKIPS for an AND of
+    range predicates ``{col: (lo, hi)}``, judged from parquet footer
+    statistics alone — the same stats Iceberg manifests and parquet
+    readers prune on, so this measures exactly the I/O a clustered layout
+    saves (see SnapshotTable.compact(cluster_by=...))."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    total = skipped = 0
+    for d in dirs:
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                stats = {}
+                for i in range(g.num_columns):
+                    col = g.column(i)
+                    if col.statistics is not None and \
+                            col.statistics.has_min_max:
+                        stats[col.path_in_schema] = (
+                            col.statistics.min, col.statistics.max)
+                total += 1
+                for cname, (lo, hi) in predicates.items():
+                    if cname in stats:
+                        cmn, cmx = stats[cname]
+                        if cmx < lo or cmn > hi:
+                            skipped += 1
+                            break
+    return skipped / total if total else 0.0
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -513,20 +587,35 @@ class SnapshotTable:
         return self._read_dirs(spark, new_dirs, cur.get("schema_ops"))
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self, spark: SparkSession, target_partitions: int | None = None) -> str | None:
+    def compact(self, spark: SparkSession,
+                target_partitions: int | None = None,
+                cluster_by: list[str] | None = None) -> str | None:
         """Rewrite the current snapshot's data dirs into one (Iceberg
         rewrite_data_files analogue): a long-running append-heavy table
         accumulates one dir per commit; readers then open every dir's
         footers. Compaction is itself a normal atomic commit, so concurrent
         readers keep a consistent view and time travel to pre-compaction
-        snapshots still works until they are expired."""
+        snapshots still works until they are expired.
+
+        ``cluster_by`` rewrites CLUSTERED (Iceberg's sort/z-order
+        rewrite strategy): one column range-partitions + sorts on it; two
+        or more interleave into a Morton (Z-order) key so every rewritten
+        file covers a tight hyper-rectangle of the key space and a reader
+        with range predicates on ANY clustered column skips most files/
+        row groups on footer min/max statistics alone — the data-skipping
+        lever that turns a 100 TB full scan into a targeted read
+        (measured: parquet_skip_fraction + tests). The key is a pure JVM
+        bit-interleave expression (no Python in the write path); one
+        narrow min/max aggregate drives the normalization."""
         m = self.current_manifest()
         if m is None:
             return None
-        # single-dir tables still compact when schema ops are live:
-        # materializing the evolution (and freeing renamed/dropped names
-        # for reuse) is a reason to rewrite even one dir
-        if len(m["data_dirs"]) <= 1 and not m.get("schema_ops"):
+        # single-dir tables still compact when schema ops are live or a
+        # clustered rewrite was requested: materializing the evolution
+        # (freeing renamed/dropped names) and re-clustering are both
+        # reasons to rewrite even one dir
+        if (len(m["data_dirs"]) <= 1 and not m.get("schema_ops")
+                and not cluster_by):
             return None
         # mergeSchema: compaction REWRITES data — without it a tombstone
         # column added mid-chain could be dropped from the compacted files,
@@ -536,13 +625,27 @@ class SnapshotTable:
         # compacted files carry the evolved schema + defaults) and the
         # compact commit clears schema_ops via the normal non-append path.
         df = self._read_dirs(spark, m["data_dirs"], m.get("schema_ops"))
-        if target_partitions:
+        if cluster_by:
+            n = int(target_partitions
+                    or spark.conf.get("spark.sql.shuffle.partitions"))
+            if len(cluster_by) == 1:
+                key = F.col(cluster_by[0])
+            else:
+                df = df.withColumn("__zkey", zorder_key(df, cluster_by))
+                key = F.col("__zkey")
+            df = (df.repartitionByRange(n, key)
+                    .sortWithinPartitions(key))
+            if "__zkey" in df.columns:
+                df = df.drop("__zkey")
+        elif target_partitions:
             df = df.coalesce(target_partitions)
         # carry forward cumulative checkpoint state (the extraction
         # pipeline's buckets_done, the streaming sink's stream_batch_id —
         # the latter as the chain max, see _carry_state) so maintenance
         # commits stay resume-safe
         summary = self._carry_state({"compacted_dirs": len(m["data_dirs"])})
+        if cluster_by:
+            summary["cluster_by"] = list(cluster_by)
         return self._commit(df, "compact", summary)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -978,11 +978,21 @@ def test_prefix_filter_prefix_strictly_smaller_index(spark, docs):
     posting count on multi-shingle docs."""
     sh = dedup.shingle_hash_arrays(docs, 3)
     full = sh.select(F.explode("shh")).count()
-    t = 0.8
-    plen = (F.size("shh") - F.ceil(F.size("shh") * F.lit(t) - F.lit(1e-9))
-            + F.lit(1)).cast("int")
-    pref = sh.select(F.explode(F.slice("shh", 1, F.greatest(plen, F.lit(0)))))
+    pref = dedup.prefix_postings(sh, 0.8)
     assert pref.count() < 0.6 * full
+    # and the prefix holds the RAREST shingles: every kept posting's df is
+    # <= the df of every dropped posting of the same doc (the AllPairs
+    # ordering, which keeps candidate buckets off the stop-shingles)
+    posts = sh.select("doc_id", F.explode("shh").alias("s"))
+    dft = posts.groupBy("s").agg(F.count("*").alias("df"))
+    kept = pref.join(dft, "s").groupBy("doc_id").agg(
+        F.max(F.struct("df", "s")).alias("mx"))
+    dropped = (posts.join(pref.select("doc_id", "s").withColumn(
+        "k", F.lit(1)), ["doc_id", "s"], "left_anti")
+        .join(dft, "s").groupBy("doc_id").agg(
+            F.min(F.struct("df", "s")).alias("mn")))
+    bad = kept.join(dropped, "doc_id").where(F.col("mx") >= F.col("mn"))
+    assert bad.count() == 0
 
 
 def test_prefix_filter_plan_no_quadratic_stage(spark, docs):

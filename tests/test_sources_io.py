@@ -228,6 +228,7 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
     t.drop_column("obsolete")
     t.backfill(spark, "score", "length(val)")
     t.compact(spark)
+    t.compact(spark, cluster_by=["ts", "user_id"])
     t.expire_snapshots(keep_last=3)
     t.expire_orphans()
     assert t.calls == [
@@ -248,6 +249,9 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
         "UPDATE local.db.extracted SET score = length(val) "
         "WHERE score IS NULL",
         "CALL local.system.rewrite_data_files(table => 'local.db.extracted')",
+        "CALL local.system.rewrite_data_files("
+        "table => 'local.db.extracted', strategy => 'sort', "
+        "sort_order => 'zorder(ts, user_id)')",
         "CALL local.system.expire_snapshots("
         "table => 'local.db.extracted', retain_last => 3)",
         "CALL local.system.remove_orphan_files("
@@ -499,3 +503,89 @@ def test_stream_watermark_survives_foreign_commit_and_compact(spark, tmp_path):
     # and genuinely new batches still land
     sink2(spark.createDataFrame([(4, "d")], "id long, v string"), 2)
     assert t.read(spark).count() == 4
+
+
+# ---------------------------------------------------------------------------
+# clustered (sort / Z-order) compaction + data-skipping evidence
+# ---------------------------------------------------------------------------
+
+def test_zorder_key_matches_python_reference(spark):
+    from pdf_extractor_spark.sources.table_format import zorder_key
+
+    rows = [(i, float(i % 7), float((i * 3) % 11)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {r["id"]: r["k"] for r in
+           df.select("id", zorder_key(df, ["x", "y"]).alias("k")).collect()}
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    mnx, mxx, mny, mxy = min(xs), max(xs), min(ys), max(ys)
+    scale = (1 << 16) - 1
+
+    def bin_(v, mn, mx):
+        b = int((v - mn) / (mx - mn) * scale)  # same IEEE op order as the expr
+        return min(max(b, 0), scale)
+
+    for i, x, y in rows:
+        bx, by = bin_(x, mnx, mxx), bin_(y, mny, mxy)
+        want = 0
+        for b in range(16):
+            want |= ((bx >> b) & 1) << (2 * b)
+            want |= ((by >> b) & 1) << (2 * b + 1)
+        assert got[i] == want, (i, x, y)
+
+
+def test_zorder_compaction_prunes_row_groups(spark, tmp_path):
+    """cluster_by=["x","y"]: a 1%-area (x,y) box predicate becomes
+    footer-prunable on most rewritten files, while the same data compacted
+    WITHOUT clustering prunes ~nothing (each random file spans the full
+    range). Logical content is unchanged by the clustered rewrite."""
+    import random
+
+    from pdf_extractor_spark.sources.table_format import (
+        SnapshotTable, parquet_skip_fraction)
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(0, 999), rng.randint(0, 999))
+            for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long").repartition(8)
+    h1, h2 = df.where("id % 2 = 0"), df.where("id % 2 = 1")
+    pred = {"x": (0, 99), "y": (0, 99)}
+
+    plain = SnapshotTable(str(tmp_path / "plain"))
+    plain.append(h1)
+    plain.append(h2)
+    plain.compact(spark, target_partitions=16)
+    f_plain = parquet_skip_fraction(
+        plain.current_manifest()["data_dirs"], pred)
+
+    zt = SnapshotTable(str(tmp_path / "zt"))
+    zt.append(h1)
+    zt.append(h2)
+    zt.compact(spark, target_partitions=16, cluster_by=["x", "y"])
+    m = zt.current_manifest()
+    assert m["op"] == "compact" and m["summary"]["cluster_by"] == ["x", "y"]
+    f_z = parquet_skip_fraction(m["data_dirs"], pred)
+
+    assert f_plain <= 0.15, f_plain
+    assert f_z >= 0.5, f_z
+    assert sorted(r["id"] for r in zt.read(spark).collect()) == list(range(20000))
+
+
+def test_sort_cluster_single_column_prunes(spark, tmp_path):
+    import random
+
+    from pdf_extractor_spark.sources.table_format import (
+        SnapshotTable, parquet_skip_fraction)
+
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 9999)) for i in range(20000)]
+    df = spark.createDataFrame(rows, "id long, x long").repartition(8)
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(df)
+    # single-dir table: a clustered rewrite is a legitimate reason to
+    # compact even one dir
+    t.compact(spark, target_partitions=16, cluster_by=["x"])
+    frac = parquet_skip_fraction(
+        t.current_manifest()["data_dirs"], {"x": (0, 499)})
+    assert frac >= 0.8, frac
+    assert t.read(spark).count() == 20000

@@ -124,6 +124,33 @@ def run_q18(spark, docs, scale: int) -> dict:
             "cand": bucket_stats(banded, "doc_id")}
 
 
+def run_q18_prefix(spark, docs, scale: int) -> dict:
+    """Prefix-filtered EXACT join vs the full inverted index: same output
+    pairs (lossless), but the wide stage (posting explode) shrinks to
+    ~(1-t). Reports posting volumes, walls, and pair-count equality."""
+    store = os.path.join(LADDER_ROOT, f"shingles_x{scale}")
+    sh = dedup.shingle_table(docs, 3, store)  # committed by run_q18
+    full_posts = sh.select(F.explode("shh")).count()
+    t = 0.5
+    pref_posts = dedup.prefix_postings(sh, t).count()
+    t0 = time.time()
+    pf = dedup.prefix_filter_jaccard_pairs(
+        docs, threshold=t, shingle_store=store)
+    n_pf = pf.count()
+    wall_pf = time.time() - t0
+    t0 = time.time()
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=t, shingle_store=store)
+    n_exact = exact.count()
+    wall_exact = time.time() - t0
+    return {
+        "full_postings": full_posts, "prefix_postings": pref_posts,
+        "prefix_frac": round(pref_posts / full_posts, 3),
+        "prefix_wall_s": round(wall_pf, 2),
+        "full_index_wall_s": round(wall_exact, 2),
+        "pairs": n_pf, "pairs_equal": n_pf == n_exact,
+    }
+
+
 def run_q21(spark, embs, band_bits: int) -> dict:
     t0 = time.time()
     out = dedup.embedding_neardup_pairs_lsh(
@@ -163,6 +190,7 @@ def main() -> None:
         n_embs = embs.count()
         entry: dict = {"n_docs": n_docs, "n_embs": n_embs}
         entry["q18_minhash"] = run_q18(spark, docs, scale)
+        entry["q18_prefix_filter"] = run_q18_prefix(spark, docs, scale)
         # band_bits knob: 12 at the 1x operating point (n ~ 2.4k); at 10x
         # the documented rule grows it by log2(10) ~ 3.3 -> 15/16. Run the
         # UNGROWN width at 10x too, to show what the knob is protecting
