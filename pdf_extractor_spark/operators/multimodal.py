@@ -445,13 +445,26 @@ def _decode_audio(raw: bytes) -> tuple[np.ndarray, int]:
 
 def audio_fingerprint64(x: np.ndarray) -> int:
     """64-bit audio envelope fingerprint: the waveform splits into 65
-    equal windows, each reduced to RMS energy, and one bit per envelope
-    gradient rms[i+1] > rms[i] — the dHash idea applied to the energy
-    envelope (robust to small sample-level noise, cheap, deterministic).
-    Signed 64-bit like dhash64; the same function is the oracle twin."""
-    parts = np.array_split(x, 65)
-    rms = np.array([float(np.sqrt((w * w).mean())) if w.size else 0.0
-                    for w in parts])
+    equal windows (np.array_split sizing), each reduced to RMS energy,
+    and one bit per envelope gradient rms[i+1] > rms[i] — the dHash idea
+    applied to the energy envelope (robust to small sample-level noise,
+    cheap, deterministic). Signed 64-bit like dhash64; the same function
+    is the oracle twin on BOTH sides, so the vectorized fast path below
+    (one reduceat over x², replacing 65 per-window numpy calls — the q21
+    audio arm's dominant cost at bench scale) cannot desync Spark from
+    the oracle."""
+    n = x.size
+    if n >= 65:
+        base, rem = divmod(n, 65)
+        sizes = np.full(65, base, dtype=np.int64)
+        sizes[:rem] += 1
+        offsets = np.zeros(65, dtype=np.int64)
+        np.cumsum(sizes[:-1], out=offsets[1:])
+        rms = np.sqrt(np.add.reduceat(x * x, offsets) / sizes)
+    else:
+        parts = np.array_split(x, 65)
+        rms = np.array([float(np.sqrt((w * w).mean())) if w.size else 0.0
+                        for w in parts])
     v = 0
     for i in range(64):
         if rms[i + 1] > rms[i]:
