@@ -27,7 +27,12 @@ PICKS = {
         "banding AND verify) → numpy banding → ONE exchange into the "
         "(band, band_sig) groupBy → in-bucket pair explode → exact verify "
         "over int64 arrays; no cross join, no string shuffles anywhere. "
-        "The exact n-gram arm is the small-side ground-truth union branch."
+        "The exact n-gram arm is the small-side ground-truth union branch. "
+        "The prefix-filter arm indexes only df-ordered prefixes (posting "
+        "explode ~halves), prunes with the PPJoin positional bound in the "
+        "same groupBy that replaces distinct, and re-verifies survivors "
+        "with the batched int64-key intersect kernel — lossless at any "
+        "skew, no LSH miss probability."
     ),
     "q12_doc_metrics": (
         "ONE fused Arrow kernel emits every per-doc text metric from a single "
