@@ -1396,8 +1396,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN suite: brute-force exact (old q22) ∪ seed-centroid IVF (old q23)
     ∪ k-means-trained IVF (old q43) ∪ the corpus-wide LSH-bucketed kNN
     graph (every vector's top-3 in-bucket neighbors — the neighbor
-    structure graph dedup/clustering consumes), method-tagged — all four
-    oracle-gated (the approximate variants via literal geometry)."""
+    structure graph dedup/clustering consumes) ∪ product-quantization ADC
+    top-k (FAISS IndexPQ shape: per-subspace trained codebooks behind the
+    model store, m_sub-byte codes, pinned-literal lookup-table scoring,
+    exact re-rank — the memory-bounded 100 TB index), method-tagged — all
+    five oracle-gated (the approximate variants via literal geometry)."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     brute = similarity.brute_force_topk(embs, qids, k=5).withColumn(
@@ -1411,8 +1414,14 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "method", F.lit("ivf_trained"))
     knn = similarity.knn_graph_lsh(embs, k=3, dim=64).withColumn(
         "method", F.lit("knn_graph"))
+    pq = similarity.pq_adc_topk(
+        embs, qids, k=5, m_sub=4, ksub=16, train_iters=2,
+        book_store=_shingle_store_path(sf_dir).replace(
+            "q18_shingles", "q22_pqbooks")).withColumn(
+        "method", F.lit("pq_adc"))
     return (
         brute.unionByName(ivf).unionByName(trained).unionByName(knn)
+        .unionByName(pq)
         .orderBy("method", "query_id", "rank")
     )
 
@@ -1634,6 +1643,70 @@ def _ivf_topk_sql(k: int = 5, n_cells: int = 8, n_probe: int = 2, seed: int = 3,
                                          ORDER BY cos DESC, neighbor_id) AS rank
             FROM scored)
         WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _pq_topk_sql(books: list[list[list[float]]],
+                 luts: dict[int, list[list[float]]], k: int = 5) -> str:
+    """Exact SQL twin of similarity.pq_adc_topk: per-subspace codebooks
+    (trained by the bit-exact _pq_codebooks_twin) and the per-query ADC
+    lookup tables enter as literals. Both engines L2-normalize with the
+    same sequential fold (the q41 norm fragment), assign codes by
+    first-index argmin over the literal codebooks, and sum the SAME
+    pinned LUT doubles left-to-right — so the ADC ranking is bit-identical
+    by construction; only the exact-cosine re-rank column relies on the
+    proven ~1-ulp-inside-6dp BLAS/list_cosine_similarity agreement."""
+    m_sub = len(books)
+    dsub = len(books[0][0])
+
+    def arr(xs: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+    cb_cols = ", ".join(
+        "[" + ",".join(arr(cw) for cw in books[m]) + f"] AS cb{m}"
+        for m in range(m_sub)
+    )
+    dist_cols = ", ".join(
+        f"list_transform(cb{m}, cw -> list_distance("
+        f"v[{m * dsub + 1}:{(m + 1) * dsub}], cw)) AS d{m}"
+        for m in range(m_sub)
+    )
+    code_cols = ", ".join(
+        f"(list_position(d{m}, list_min(d{m})) - 1) AS c{m}"
+        for m in range(m_sub)
+    )
+    lut_cols = ", ".join(f"l{m}" for m in range(m_sub))
+    q_rows = ", ".join(
+        "(" + str(int(qid)) + ", "
+        + ", ".join(arr(luts[qid][m]) for m in range(m_sub)) + ")"
+        for qid in sorted(luts)
+    )
+    adc = " + ".join(f"q.l{m}[c.c{m} + 1]" for m in range(m_sub))
+    return f"""
+        WITH eraw AS (
+            SELECT vec_id, embedding::DOUBLE[] AS raw,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+            FROM embeddings),
+        e AS (SELECT vec_id,
+                     CASE WHEN nrm > 0 THEN list_transform(raw, x -> x / nrm)
+                          ELSE raw END AS v
+              FROM eraw),
+        b AS (SELECT {cb_cols}),
+        codes AS (SELECT vec_id, v, {code_cols}
+                  FROM (SELECT vec_id, v, {dist_cols} FROM e, b)),
+        q(query_id, {lut_cols}) AS (VALUES {q_rows}),
+        scored AS (SELECT q.query_id, c.vec_id AS neighbor_id, {adc} AS adc
+                   FROM q, codes c WHERE c.vec_id <> q.query_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY adc DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT r.query_id, r.neighbor_id,
+               round(list_cosine_similarity(qe.v, ne.v), 6) AS cos, r.rank
+        FROM ranked r
+        JOIN e ne ON ne.vec_id = r.neighbor_id
+        JOIN e qe ON qe.vec_id = r.query_id
+        WHERE r.rank <= {k}
     """
 
 
@@ -2035,11 +2108,20 @@ def oracle_sql() -> dict[str, str]:
         _trained_sql = _ivf_topk_sql(cent_lists=_trained).replace(
             "ORDER BY query_id, rank", "")
         _seed_sql = _ivf_topk_sql().replace("ORDER BY query_id, rank", "")
+        _books = similarity._pq_codebooks_twin(_erows, m_sub=4, ksub=16,
+                                               iters=2, seed=3, dim=64)
+        _qids = (0, 1, 2, 3, 4)
+        _luts = similarity.pq_adc_luts(
+            [(qid, similarity._unit_py(v)) for qid, v in _erows
+             if qid in _qids],
+            _books)
+        _pq_sql = _pq_topk_sql(_books, _luts, k=5)
         o["q22_ann_topk"] = f"""
             WITH brute AS ({_brute_sql}),
             ivf_seed AS ({_seed_sql}),
             ivf_trained AS ({_trained_sql}),
-            knn AS ({_knn_graph_sql()})
+            knn AS ({_knn_graph_sql()}),
+            pq AS ({_pq_sql})
             SELECT query_id, neighbor_id, cos, rank, 'brute' AS method FROM brute
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'ivf_seed' AS method
@@ -2050,6 +2132,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'knn_graph' AS method
             FROM knn
+            UNION ALL
+            SELECT query_id, neighbor_id, cos, rank, 'pq_adc' AS method
+            FROM pq
             ORDER BY method, query_id, rank
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

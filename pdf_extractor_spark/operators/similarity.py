@@ -792,3 +792,314 @@ def _pca_geometry_twin(embedding_rows: list[tuple[int, list[float]]],
     C6 = (C6 + C6.T) / 2.0  # exact: symmetric rounded values averaged with selves
     W = _eigh_topk(C6, k)
     return mean.tolist(), [[float(W[i, j]) for j in range(k)] for i in range(d)]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the FAISS IndexPQ / IVF-PQ compression shape
+# ---------------------------------------------------------------------------
+
+def _pq_seed_books(m_sub: int, ksub: int, dsub: int,
+                   seed: int) -> list[list[list[float]]]:
+    """Deterministic md5-derived seed codebooks, one ksub×dsub codebook per
+    subspace — the pq:{seed}:{sub}:{cell}:{dim} tag keeps the scheme
+    disjoint from the ivf:* seed-centroid namespace."""
+    return [
+        [[_md5_unit(f"pq:{seed}:{m}:{c}:{d}") for d in range(dsub)]
+         for c in range(ksub)]
+        for m in range(m_sub)
+    ]
+
+
+def pq_assign_codes(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
+    """(vec_id, v, codes): per-subspace nearest-codeword assignment —
+    codes[m] = argmin_j ||v[m·dsub:(m+1)·dsub] − books[m][j]||², FIRST
+    index of the min (list_position/list_min semantics, the assign_cells
+    argmax discipline transposed to L2).
+
+    One Arrow batch pass; per batch the m_sub distance tables are m_sub
+    small (n×ksub×dsub) broadcasts — no shuffle, no Python per row. The
+    codebooks are tiny literals (m_sub·ksub·dsub doubles) and ride the
+    closure like the IVF centroids do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = [np.array(cb, dtype=np.float64) for cb in books]
+    dsub = B[0].shape[1]
+
+    def kern(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy())
+            codes = np.zeros((len(pdf), len(B)), dtype=np.int32)
+            for m, cb in enumerate(B):
+                sub = M[:, m * dsub:(m + 1) * dsub]
+                # full squared-diff tensor: more accurate than the
+                # |x|²−2x·c+|c|² expansion near ties, and the sub-batch is
+                # small (n×ksub×dsub)
+                dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "v": pdf["v"], "codes": list(codes)}
+            )
+
+    return e.mapInPandas(kern, "vec_id long, v array<double>, codes array<int>")
+
+
+def _unit_expr(v):
+    """L2-normalize an array<double> column JVM-side — sequential
+    left-to-right fold for the norm (matches the pure-Python twin and
+    DuckDB's list_sum, all three sequential), one sqrt, one division per
+    element: bit-identical across engines. Zero-norm vectors pass through
+    unchanged (they dot to 0 against everything either way)."""
+    nrm = F.sqrt(
+        F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                    lambda s, x: s + x)
+    )
+    return F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+
+
+def _unit_py(v: list[float]) -> list[float]:
+    """Pure-Python twin of _unit_expr (same fold order, same IEEE ops)."""
+    s = 0.0
+    for x in v:
+        s = s + x * x
+    n = s ** 0.5
+    return [x / n for x in v] if n > 0 else list(v)
+
+
+def pq_train_codebooks(embs: DataFrame, m_sub: int = 4, ksub: int = 16,
+                       iters: int = 2, seed: int = 3) -> list[list[list[float]]]:
+    """Lloyd's k-means per subspace over the L2-NORMALIZED embedding
+    column — product quantizer training (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"; the FAISS IndexPQ trainer,
+    cosine metric = normalize + inner product, the faiss cosine
+    discipline). All m_sub subspaces train in the SAME scan per
+    iteration: one Arrow assignment pass emits the m_sub code columns,
+    the re-center is posexplode(dim) → (sub, cell, sdim) groupBy with
+    exact decimal(30,15) sums (order-independent — the kmeans_centroids
+    discipline), and only the m_sub·ksub·dsub codebook table ever
+    reaches the driver.
+
+    Empty cells keep their previous codeword; deterministic seeded init;
+    bit-identical to _pq_codebooks_twin (parity unit-tested).
+    """
+    e = embs.select(
+        "vec_id",
+        _unit_expr(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    first = e.first()
+    dim = len(first["v"]) if first is not None else 64
+    assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
+    dsub = dim // m_sub
+    books = _pq_seed_books(m_sub, ksub, dsub, seed)
+    if first is None:
+        return books
+    for _ in range(iters):
+        assigned = pq_assign_codes(e, books)
+        parts = assigned.select(
+            F.col("codes"), F.posexplode("v").alias("dim", "x")
+        ).select(
+            (F.col("dim") / dsub).cast("int").alias("sub"),
+            F.element_at("codes", (F.col("dim") / dsub).cast("int") + 1).alias("cell"),
+            (F.col("dim") % dsub).alias("sdim"),
+            F.col("x"),
+        )
+        sums = (
+            parts.groupBy("sub", "cell", "sdim")
+            .agg(
+                F.sum(F.col("x").cast("decimal(30,15)")).alias("s"),
+                F.count("*").alias("c"),
+            )
+            .collect()
+        )
+        new = [[list(cw) for cw in cb] for cb in books]
+        for r in sums:
+            if r["s"] is not None:
+                new[r["sub"]][r["cell"]][r["sdim"]] = float(r["s"]) / r["c"]
+        books = new
+    return books
+
+
+def _pq_codebooks_twin(embedding_rows: list[tuple[int, list[float]]],
+                       m_sub: int = 4, ksub: int = 16, iters: int = 2,
+                       seed: int = 3, dim: int = 64) -> list[list[list[float]]]:
+    """Bit-exact pure-Python twin of pq_train_codebooks (the
+    _kmeans_centroids_twin contract transposed to per-subspace L2):
+    L2-normalized input (_unit_py == _unit_expr), sequential-fold squared
+    distances, argmin = first index of the min, per-(sub,cell,sdim)
+    Decimal(repr(x)).quantize(1e-15, HALF_UP) sums, mean =
+    float(sum)/count."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q15 = Decimal("1e-15")
+    dsub = dim // m_sub
+    books = _pq_seed_books(m_sub, ksub, dsub, seed)
+    if not embedding_rows:
+        return books
+    embedding_rows = [(vid, _unit_py([float(x) for x in v]))
+                      for vid, v in embedding_rows]
+    for _ in range(iters):
+        sums: dict[tuple[int, int, int], Decimal] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for _vid, v in embedding_rows:
+            for m in range(m_sub):
+                sub = v[m * dsub:(m + 1) * dsub]
+                best, cell = None, 0
+                for j, cw in enumerate(books[m]):
+                    d2 = 0.0
+                    for x, y in zip(sub, cw):
+                        d2 = d2 + (x - y) * (x - y)
+                    if best is None or d2 < best:
+                        best, cell = d2, j
+                counts[(m, cell)] = counts.get((m, cell), 0) + 1
+                for d, x in enumerate(sub):
+                    key = (m, cell, d)
+                    qx = Decimal(repr(float(x))).quantize(q15, rounding=ROUND_HALF_UP)
+                    sums[key] = sums.get(key, Decimal(0)) + qx
+        new = [[list(cw) for cw in cb] for cb in books]
+        for (m, cell, d), s in sums.items():
+            new[m][cell][d] = float(s) / counts[(m, cell)]
+        books = new
+    return books
+
+
+def pq_codebooks_stored(embs: DataFrame, m_sub: int, ksub: int, iters: int,
+                        seed: int, store_root: str) -> list[list[list[float]]]:
+    """pq_train_codebooks behind a committed model store (rows
+    (sub, cell, dim, val) keyed by corpus checksum + hyperparameters) —
+    the kmeans_centroids_stored discipline: train once per corpus version,
+    serve every later invocation from the tiny committed table. Training
+    is deterministic, so stored == retrained bit-for-bit."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    spark = embs.sparkSession
+    e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    t = SnapshotTable(store_root)
+    key = {"corpus": _emb_corpus_key(e), "m_sub": m_sub, "ksub": ksub,
+           "iters": iters, "seed": seed}
+    m = t.current_manifest()
+    if m is not None and m.get("summary", {}).get("key") == key:
+        rows = t.read(spark).collect()
+        dsub = 1 + max(r["dim"] for r in rows)
+        books: list[list[list[float]]] = [
+            [[0.0] * dsub for _ in range(ksub)] for _ in range(m_sub)
+        ]
+        for r in rows:
+            books[r["sub"]][r["cell"]][r["dim"]] = r["val"]
+        return books
+    books = pq_train_codebooks(embs, m_sub=m_sub, ksub=ksub, iters=iters,
+                               seed=seed)
+    flat = [(mm, c, d, float(x)) for mm, cb in enumerate(books)
+            for c, cw in enumerate(cb) for d, x in enumerate(cw)]
+    t.overwrite(
+        spark.createDataFrame(flat, "sub int, cell int, dim int, val double"),
+        summary={"key": key},
+    )
+    return books
+
+
+def pq_adc_luts(query_rows: list[tuple[int, list[float]]],
+                books: list[list[list[float]]]) -> dict[int, list[list[float]]]:
+    """Per-query asymmetric-distance lookup tables:
+    LUT[q][m][j] = <q_m, books[m][j]> (sequential left-to-right fold).
+    Inner product decomposes EXACTLY over subspace concatenation —
+    <q, x̂> = Σ_m <q_m, codeword(x)_m> — which is why ADC ranking needs
+    only m_sub table lookups per candidate. The tables are computed ONCE
+    driver-side from literal geometry and pinned verbatim into both the
+    Spark plan and the DuckDB oracle, so the ADC score is bit-identical
+    across engines by construction."""
+    dsub = len(books[0][0])
+    luts: dict[int, list[list[float]]] = {}
+    for qid, qv in query_rows:
+        per_sub = []
+        for m, cb in enumerate(books):
+            sub = qv[m * dsub:(m + 1) * dsub]
+            row = []
+            for cw in cb:
+                dot = 0.0
+                for x, y in zip(sub, cw):
+                    dot = dot + x * y
+                row.append(dot)
+            per_sub.append(row)
+        luts[int(qid)] = per_sub
+    return luts
+
+
+def pq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
+                m_sub: int = 4, ksub: int = 16, train_iters: int = 2,
+                seed: int = 3, book_store: str | None = None) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (FAISS IndexPQ
+    over L2-normalized vectors — METRIC_INNER_PRODUCT on unit vectors IS
+    cosine, the faiss cosine-search discipline): train per-subspace
+    codebooks, encode every normalized corpus vector as m_sub small
+    codes, rank candidates per query by the quantized inner product
+    Σ_m LUT[m][code_m] (pure table lookups), and report the EXACT cosine
+    for the k survivors (the standard retrieve-then-rerank contract).
+
+    THE 100 TB shape: a 64-dim float32 corpus is 256 B/vector; PQ codes are
+    m_sub bytes (64× smaller), so the search working set for 10¹² vectors
+    drops from ~256 TB to ~4 TB — the only way a corpus-wide ANN index
+    fits a cluster's memory. Scoring is additive over pinned-literal
+    lookup tables (no float math per dimension), the LUT set is
+    queries×m_sub×ksub doubles (broadcast), and the exact re-rank touches
+    only queries×k rows. No shuffle anywhere except the per-query top-k
+    window over scored codes.
+
+    Determinism: codebooks are exact-decimal-trained (bit-identical to
+    _pq_codebooks_twin), assignment is first-index argmin, the ADC sum is
+    a fixed left-to-right chain of pinned doubles — both engines look up
+    the same literals, so ranking is bit-identical by construction.
+    """
+    if book_store is not None:
+        books = pq_codebooks_stored(embs, m_sub=m_sub, ksub=ksub,
+                                    iters=train_iters, seed=seed,
+                                    store_root=book_store)
+    else:
+        books = pq_train_codebooks(embs, m_sub=m_sub, ksub=ksub,
+                                   iters=train_iters, seed=seed)
+    e = embs.select(
+        "vec_id",
+        _unit_expr(F.col("embedding").cast("array<double>")).alias("v"),
+    )
+    spark = e.sparkSession
+    qrows = [(int(r["vec_id"]), list(r["v"]))
+             for r in e.where(F.col("vec_id").isin(query_ids)).collect()]
+    if not qrows:
+        return e.limit(0).select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    luts = pq_adc_luts(qrows, books)
+    m_cols = len(books)
+    qlut = spark.createDataFrame(
+        [(qid, qv, *luts[qid]) for qid, qv in qrows],
+        "query_id long, qv array<double>, "
+        + ", ".join(f"l{m} array<double>" for m in range(m_cols)),
+    )
+    codes = pq_assign_codes(e, books)
+    adc = F.element_at("l0", F.element_at("codes", 1) + 1)
+    for m in range(1, m_cols):
+        adc = adc + F.element_at(f"l{m}", F.element_at("codes", m + 1) + 1)
+    scored = (
+        F.broadcast(qlut)
+        .crossJoin(codes)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v",
+                adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qv", "v", "rank")
+    )
+    return (
+        cosine_pairs_arrow(top, "qv", "v")
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

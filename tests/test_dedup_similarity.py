@@ -1000,3 +1000,137 @@ def test_prefix_filter_plan_no_quadratic_stage(spark, docs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pq_codebooks_twin_bit_parity_random_matrices(spark):
+    """The q22 PQ-arm oracle contract: Spark pq_train_codebooks and the
+    pure-Python twin must agree bit-for-bit on seeded random data,
+    including duplicated points (empty cells keep their seed codeword)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    for seed, n, d, m_sub, ksub in [(31, 40, 8, 2, 4), (32, 60, 16, 4, 8)]:
+        rng = np.random.default_rng(seed)
+        M = rng.normal(size=(n, d)).round(4)
+        if seed == 32:
+            M[30:60] = M[0:30]  # duplicated points → sparse cells
+        rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+        embs = spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<double>")
+        got = similarity.pq_train_codebooks(embs, m_sub=m_sub, ksub=ksub,
+                                            iters=3, seed=5)
+        want = similarity._pq_codebooks_twin(rows, m_sub=m_sub, ksub=ksub,
+                                             iters=3, seed=5, dim=d)
+        assert got == want, seed
+
+
+def test_pq_adc_topk_recall_on_planted_clusters(spark):
+    """PQ-ADC retrieval recall where recall is well-posed: 16
+    well-separated clusters of 4 (center + small noise). For a query
+    inside a cluster, the exact top-3 is its 3 siblings — separation-
+    dominated, not margin-dominated — so the quantizer must recover the
+    same set. On ISOTROPIC random unit vectors this test would be
+    meaningless: cosines concentrate near 0 and the exact top-k hangs on
+    margins below quantization error (measured overlap there is chance
+    level), the curse-of-dimensionality regime every ANN paper excludes.
+    A 20-sibling cluster fails differently: the whole cluster quantizes
+    to ONE ADC score and pair-level overlap drops to in-cluster chance
+    (measured 0.24), hence cluster size ≤ k+1."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    nclust, per = 16, 4
+    centers = rng.normal(size=(nclust, 32)) * 5.0
+    rows = []
+    for i in range(nclust * per):
+        v = centers[i % nclust] + rng.normal(size=32) * 0.1
+        rows.append((i, [float(x) for x in np.round(v, 4)]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2, 3, 4]
+    pq = similarity.pq_adc_topk(embs, qids, k=3, m_sub=4, ksub=16,
+                                train_iters=3, seed=5).collect()
+    brute = similarity.brute_force_topk(embs, qids, k=3).collect()
+    assert len(pq) == 15 and {r["query_id"] for r in pq} == set(qids)
+    for q in qids:
+        ranks = sorted(r["rank"] for r in pq if r["query_id"] == q)
+        assert ranks == [1, 2, 3]
+    got = {(r["query_id"], r["neighbor_id"]) for r in pq}
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    overlap = len(got & want) / len(want)
+    assert overlap >= 0.8, overlap
+
+
+def test_pq_adc_topk_structural_on_real_table(spark, sf_dir):
+    """On the real embeddings table the output contract still holds:
+    dense ranks, k rows per query, cos is the EXACT cosine of the
+    retrieved pair (verified against a driver-side recompute)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = similarity.pq_adc_topk(embs, [0, 1], k=3).collect()
+    assert len(out) == 6
+    vecs = {int(r["vec_id"]): np.array(r["embedding"], dtype=np.float64)
+            for r in embs.collect()}
+    for r in out:
+        q, nbr = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        want = float(q @ nbr / (np.linalg.norm(q) * np.linalg.norm(nbr)))
+        assert abs(r["cos"] - want) < 1e-5
+
+
+def test_pq_adc_partitioning_invariant(spark):
+    """ADC ranking must not depend on the physical layout: 1 partition and
+    32 partitions produce identical rows (the ADC sum is a fixed chain of
+    pinned literals, so ties can only break on neighbor_id)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(41)
+    M = rng.normal(size=(80, 16)).round(4)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(80)]
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(1)
+    df32 = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(32)
+    a = [tuple(r) for r in similarity.pq_adc_topk(df1, [0, 1], k=4, m_sub=2, ksub=8).collect()]
+    b = [tuple(r) for r in similarity.pq_adc_topk(df32, [0, 1], k=4, m_sub=2, ksub=8).collect()]
+    assert a == b
+
+
+def test_pq_codebook_store_matches_fresh_and_invalidates(spark, tmp_path):
+    """PQ model store: bit-identical to fresh training, reused on second
+    call, invalidated on id-binding rotation (the kmeans-store contract)."""
+    from pdf_extractor_spark.operators import similarity
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    rows = [(i, [float((i * 7 + d) % 5) - 2.0 for d in range(8)])
+            for i in range(40)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    root = str(tmp_path / "pqbooks")
+    fresh = similarity.pq_train_codebooks(embs, m_sub=2, ksub=4, iters=2, seed=3)
+    stored = similarity.pq_codebooks_stored(embs, m_sub=2, ksub=4, iters=2,
+                                            seed=3, store_root=root)
+    again = similarity.pq_codebooks_stored(embs, m_sub=2, ksub=4, iters=2,
+                                           seed=3, store_root=root)
+    assert stored == fresh == again
+    rot = spark.createDataFrame(
+        [((i + 1) % 40, v) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    before = SnapshotTable(root).current_manifest()["snapshot_id"]
+    similarity.pq_codebooks_stored(rot, m_sub=2, ksub=4, iters=2, seed=3,
+                                   store_root=root)
+    after = SnapshotTable(root).current_manifest()["snapshot_id"]
+    assert after != before
+
+
+def test_pq_empty_and_missing_queries(spark):
+    from pdf_extractor_spark.operators import similarity
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    books = similarity.pq_train_codebooks(empty, m_sub=2, ksub=4, iters=1)
+    assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 32
+    out = similarity.pq_adc_topk(empty, [0, 1], k=3, m_sub=2, ksub=4)
+    assert out.collect() == []
