@@ -1399,8 +1399,10 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure graph dedup/clustering consumes) ∪ product-quantization ADC
     top-k (FAISS IndexPQ shape: per-subspace trained codebooks behind the
     model store, m_sub-byte codes, pinned-literal lookup-table scoring,
-    exact re-rank — the memory-bounded 100 TB index), method-tagged — all
-    five oracle-gated (the approximate variants via literal geometry)."""
+    exact re-rank — the memory-bounded 100 TB index) ∪ IVF-PQ (FAISS
+    IndexIVFPQ: coarse cells bound the scan, residual product codes bound
+    the memory — the composed billion-vector layout), method-tagged — all
+    six oracle-gated (the approximate variants via literal geometry)."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
     brute = similarity.brute_force_topk(embs, qids, k=5).withColumn(
@@ -1419,9 +1421,15 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         book_store=_shingle_store_path(sf_dir).replace(
             "q18_shingles", "q22_pqbooks")).withColumn(
         "method", F.lit("pq_adc"))
+    ivfpq = similarity.ivfpq_adc_topk(
+        embs, qids, k=5, n_cells=8, n_probe=4, m_sub=4, ksub=16,
+        coarse_iters=2, train_iters=2,
+        cent_store=_shingle_store_path(sf_dir).replace(
+            "q18_shingles", "q22_ivfpq")).withColumn(
+        "method", F.lit("ivfpq_adc"))
     return (
         brute.unionByName(ivf).unionByName(trained).unionByName(knn)
-        .unionByName(pq)
+        .unionByName(pq).unionByName(ivfpq)
         .orderBy("method", "query_id", "rank")
     )
 
@@ -1662,8 +1670,11 @@ def _pq_topk_sql(books: list[list[list[float]]],
     def arr(xs: list[float]) -> str:
         return "[" + ",".join(repr(float(x)) for x in xs) + "]"
 
+    # ::DOUBLE[] casts everywhere literals feed arithmetic: DuckDB types
+    # bare numeric literals as DECIMAL, and decimal-exact sums can order
+    # differently from the Spark side's IEEE-double sums near ties
     cb_cols = ", ".join(
-        "[" + ",".join(arr(cw) for cw in books[m]) + f"] AS cb{m}"
+        "[" + ",".join(arr(cw) for cw in books[m]) + f"]::DOUBLE[][] AS cb{m}"
         for m in range(m_sub)
     )
     dist_cols = ", ".join(
@@ -1681,7 +1692,7 @@ def _pq_topk_sql(books: list[list[list[float]]],
         + ", ".join(arr(luts[qid][m]) for m in range(m_sub)) + ")"
         for qid in sorted(luts)
     )
-    adc = " + ".join(f"q.l{m}[c.c{m} + 1]" for m in range(m_sub))
+    adc = " + ".join(f"(q.l{m}::DOUBLE[])[c.c{m} + 1]" for m in range(m_sub))
     return f"""
         WITH eraw AS (
             SELECT vec_id, embedding::DOUBLE[] AS raw,
@@ -1707,6 +1718,85 @@ def _pq_topk_sql(books: list[list[list[float]]],
         JOIN e ne ON ne.vec_id = r.neighbor_id
         JOIN e qe ON qe.vec_id = r.query_id
         WHERE r.rank <= {k}
+    """
+
+
+def _ivfpq_topk_sql(cents: list[list[float]],
+                    books: list[list[list[float]]],
+                    probe_rows: list[tuple[int, int, float]],
+                    luts: dict[int, list[list[float]]], k: int = 5) -> str:
+    """Exact SQL twin of similarity.ivfpq_adc_topk: coarse centroids,
+    residual codebooks, per-(query, cell) probe offsets and ADC lookup
+    tables all enter as literals from the bit-exact _ivfpq_geometry_twin.
+    The engine-side recomputation is the composition of the two proven
+    fragments — coarse cosine argmax assignment (the _ivf_topk_sql shape)
+    and residual code assignment + pinned-LUT ADC (the _pq_topk_sql
+    shape); the residual itself is an exact elementwise IEEE subtraction
+    (list_zip lambda == Spark zip_with)."""
+    m_sub = len(books)
+    dsub = len(books[0][0])
+
+    def arr(xs: list[float]) -> str:
+        return "[" + ",".join(repr(float(x)) for x in xs) + "]"
+
+    cents_lit = "[" + ",".join(arr(cv) for cv in cents) + "]::DOUBLE[][]"
+    cb_cols = ", ".join(
+        "[" + ",".join(arr(cw) for cw in books[m]) + f"]::DOUBLE[][] AS cb{m}"
+        for m in range(m_sub)
+    )
+    dist_cols = ", ".join(
+        f"list_transform(cb{m}, cw -> list_distance("
+        f"rv[{m * dsub + 1}:{(m + 1) * dsub}], cw)) AS d{m}"
+        for m in range(m_sub)
+    )
+    code_cols = ", ".join(
+        f"(list_position(d{m}, list_min(d{m})) - 1) AS c{m}"
+        for m in range(m_sub)
+    )
+    lut_cols = ", ".join(f"l{m}" for m in range(m_sub))
+    p_rows = ", ".join(
+        f"({int(qid)}, {int(cell)}, {repr(float(off))}, "
+        + ", ".join(arr(luts[qid][m]) for m in range(m_sub)) + ")"
+        for qid, cell, off in probe_rows
+    )
+    adc = "CAST(p.off AS DOUBLE) + " + " + ".join(
+        f"(p.l{m}::DOUBLE[])[c2.c{m} + 1]" for m in range(m_sub))
+    return f"""
+        WITH eraw AS (
+            SELECT vec_id, embedding::DOUBLE[] AS raw,
+                   sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+            FROM embeddings),
+        e AS (SELECT vec_id,
+                     CASE WHEN nrm > 0 THEN list_transform(raw, x -> x / nrm)
+                          ELSE raw END AS v
+              FROM eraw),
+        cc AS (SELECT {cents_lit} AS cents),
+        a AS (SELECT vec_id, v,
+                     list_position(sims, list_max(sims)) - 1 AS cell
+              FROM (SELECT vec_id, v,
+                           list_transform(cents, cv -> list_cosine_similarity(v, cv)) AS sims
+                    FROM e, cc)),
+        r AS (SELECT vec_id, v, cell,
+                     list_transform(list_zip(v, cents[cell + 1]),
+                                    p -> p[1] - p[2]) AS rv
+              FROM a, cc),
+        b AS (SELECT {cb_cols}),
+        codes AS (SELECT vec_id, v, cell, {code_cols}
+                  FROM (SELECT vec_id, v, cell, {dist_cols} FROM r, b)),
+        p(query_id, cell, off, {lut_cols}) AS (VALUES {p_rows}),
+        scored AS (SELECT p.query_id, c2.vec_id AS neighbor_id, {adc} AS adc
+                   FROM p JOIN codes c2 ON c2.cell = p.cell
+                   WHERE c2.vec_id <> p.query_id),
+        ranked AS (SELECT query_id, neighbor_id,
+                          row_number() OVER (PARTITION BY query_id
+                                             ORDER BY adc DESC, neighbor_id) AS rank
+                   FROM scored)
+        SELECT rk.query_id, rk.neighbor_id,
+               round(list_cosine_similarity(qe.v, ne.v), 6) AS cos, rk.rank
+        FROM ranked rk
+        JOIN e ne ON ne.vec_id = rk.neighbor_id
+        JOIN e qe ON qe.vec_id = rk.query_id
+        WHERE rk.rank <= {k}
     """
 
 
@@ -2116,12 +2206,22 @@ def oracle_sql() -> dict[str, str]:
              if qid in _qids],
             _books)
         _pq_sql = _pq_topk_sql(_books, _luts, k=5)
+        _qn = [(qid, similarity._unit_py(v)) for qid, v in _erows
+               if qid in _qids]
+        _cents_ipq, _books_ipq = similarity._ivfpq_geometry_twin(
+            _erows, n_cells=8, m_sub=4, ksub=16, coarse_iters=2,
+            train_iters=2, seed=3, dim=64)
+        _luts_ipq = similarity.pq_adc_luts(_qn, _books_ipq)
+        _probes_ipq = similarity.ivfpq_probes(_qn, _cents_ipq, n_probe=4)
+        _ivfpq_sql = _ivfpq_topk_sql(_cents_ipq, _books_ipq, _probes_ipq,
+                                     _luts_ipq, k=5)
         o["q22_ann_topk"] = f"""
             WITH brute AS ({_brute_sql}),
             ivf_seed AS ({_seed_sql}),
             ivf_trained AS ({_trained_sql}),
             knn AS ({_knn_graph_sql()}),
-            pq AS ({_pq_sql})
+            pq AS ({_pq_sql}),
+            ivfpq AS ({_ivfpq_sql})
             SELECT query_id, neighbor_id, cos, rank, 'brute' AS method FROM brute
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'ivf_seed' AS method
@@ -2135,6 +2235,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT query_id, neighbor_id, cos, rank, 'pq_adc' AS method
             FROM pq
+            UNION ALL
+            SELECT query_id, neighbor_id, cos, rank, 'ivfpq_adc' AS method
+            FROM ivfpq
             ORDER BY method, query_id, rank
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

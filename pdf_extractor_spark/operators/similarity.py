@@ -810,11 +810,14 @@ def _pq_seed_books(m_sub: int, ksub: int, dsub: int,
     ]
 
 
-def pq_assign_codes(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
-    """(vec_id, v, codes): per-subspace nearest-codeword assignment —
-    codes[m] = argmin_j ||v[m·dsub:(m+1)·dsub] − books[m][j]||², FIRST
+def pq_assign_codes(e: DataFrame, books: list[list[list[float]]],
+                    vec_col: str = "v") -> DataFrame:
+    """Input columns + `codes`: per-subspace nearest-codeword assignment —
+    codes[m] = argmin_j ||vec[m·dsub:(m+1)·dsub] − books[m][j]||², FIRST
     index of the min (list_position/list_min semantics, the assign_cells
-    argmax discipline transposed to L2).
+    argmax discipline transposed to L2). Every input column passes
+    through, so callers can carry the coarse cell / the raw vector
+    alongside the codes (the IVF-PQ composition needs both).
 
     One Arrow batch pass; per batch the m_sub distance tables are m_sub
     small (n×ksub×dsub) broadcasts — no shuffle, no Python per row. The
@@ -826,12 +829,16 @@ def pq_assign_codes(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
 
     B = [np.array(cb, dtype=np.float64) for cb in books]
     dsub = B[0].shape[1]
+    fields = list(e.schema)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in fields
+    ) + ", codes array<int>"
 
     def kern(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            M = np.stack(pdf["v"].to_numpy())
+            M = np.stack(pdf[vec_col].to_numpy())
             codes = np.zeros((len(pdf), len(B)), dtype=np.int32)
             for m, cb in enumerate(B):
                 sub = M[:, m * dsub:(m + 1) * dsub]
@@ -840,11 +847,11 @@ def pq_assign_codes(e: DataFrame, books: list[list[list[float]]]) -> DataFrame:
                 # small (n×ksub×dsub)
                 dist = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
                 codes[:, m] = dist.argmin(axis=1)
-            yield pd.DataFrame(
-                {"vec_id": pdf["vec_id"], "v": pdf["v"], "codes": list(codes)}
-            )
+            outd = {f.name: pdf[f.name] for f in fields}
+            outd["codes"] = list(codes)
+            yield pd.DataFrame(outd)
 
-    return e.mapInPandas(kern, "vec_id long, v array<double>, codes array<int>")
+    return e.mapInPandas(kern, schema)
 
 
 def _unit_expr(v):
@@ -861,16 +868,22 @@ def _unit_expr(v):
 
 
 def _unit_py(v: list[float]) -> list[float]:
-    """Pure-Python twin of _unit_expr (same fold order, same IEEE ops)."""
+    """Pure-Python twin of _unit_expr (same fold order, same IEEE ops).
+    math.sqrt, NOT ** 0.5: pow(x, 0.5) is not correctly rounded and
+    measurably drifts 1 ulp from JVM F.sqrt (= hardware sqrtsd) on real
+    inputs — found when a coarse-centroid twin diverged at 1e-15."""
+    import math
+
     s = 0.0
     for x in v:
         s = s + x * x
-    n = s ** 0.5
+    n = math.sqrt(s)
     return [x / n for x in v] if n > 0 else list(v)
 
 
 def pq_train_codebooks(embs: DataFrame, m_sub: int = 4, ksub: int = 16,
-                       iters: int = 2, seed: int = 3) -> list[list[list[float]]]:
+                       iters: int = 2, seed: int = 3,
+                       normalize: bool = True) -> list[list[list[float]]]:
     """Lloyd's k-means per subspace over the L2-NORMALIZED embedding
     column — product quantizer training (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"; the FAISS IndexPQ trainer,
@@ -884,11 +897,11 @@ def pq_train_codebooks(embs: DataFrame, m_sub: int = 4, ksub: int = 16,
 
     Empty cells keep their previous codeword; deterministic seeded init;
     bit-identical to _pq_codebooks_twin (parity unit-tested).
+    normalize=False trains on the raw column — the IVF-PQ residual path,
+    where the input is already a residual of a normalized vector.
     """
-    e = embs.select(
-        "vec_id",
-        _unit_expr(F.col("embedding").cast("array<double>")).alias("v"),
-    )
+    v = F.col("embedding").cast("array<double>")
+    e = embs.select("vec_id", (_unit_expr(v) if normalize else v).alias("v"))
     first = e.first()
     dim = len(first["v"]) if first is not None else 64
     assert dim % m_sub == 0, f"dim {dim} not divisible by m_sub {m_sub}"
@@ -924,7 +937,8 @@ def pq_train_codebooks(embs: DataFrame, m_sub: int = 4, ksub: int = 16,
 
 def _pq_codebooks_twin(embedding_rows: list[tuple[int, list[float]]],
                        m_sub: int = 4, ksub: int = 16, iters: int = 2,
-                       seed: int = 3, dim: int = 64) -> list[list[list[float]]]:
+                       seed: int = 3, dim: int = 64,
+                       normalize: bool = True) -> list[list[list[float]]]:
     """Bit-exact pure-Python twin of pq_train_codebooks (the
     _kmeans_centroids_twin contract transposed to per-subspace L2):
     L2-normalized input (_unit_py == _unit_expr), sequential-fold squared
@@ -938,8 +952,9 @@ def _pq_codebooks_twin(embedding_rows: list[tuple[int, list[float]]],
     books = _pq_seed_books(m_sub, ksub, dsub, seed)
     if not embedding_rows:
         return books
-    embedding_rows = [(vid, _unit_py([float(x) for x in v]))
-                      for vid, v in embedding_rows]
+    if normalize:
+        embedding_rows = [(vid, _unit_py([float(x) for x in v]))
+                          for vid, v in embedding_rows]
     for _ in range(iters):
         sums: dict[tuple[int, int, int], Decimal] = {}
         counts: dict[tuple[int, int], int] = {}
@@ -1103,3 +1118,192 @@ def pq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — coarse inverted lists + residual product codes (FAISS IndexIVFPQ)
+# ---------------------------------------------------------------------------
+
+def _assign_cell_py(v: list[float], cents: list[list[float]]) -> int:
+    """Pure-Python twin of assign_cells for one vector: first-index argmax
+    of cosine (sequential fold, math.sqrt — see _unit_py), zero-norm parks
+    in cell 0."""
+    import math
+
+    best, cell = None, 0
+    nv = 0.0
+    for x in v:
+        nv = nv + x * x
+    if nv == 0.0:
+        return 0
+    for ci, cv in enumerate(cents):
+        dot = 0.0
+        nc = 0.0
+        for x, y in zip(v, cv):
+            dot = dot + x * y
+        for y in cv:
+            nc = nc + y * y
+        if nc == 0.0:
+            continue
+        s = dot / (math.sqrt(nv) * math.sqrt(nc))
+        if best is None or s > best:
+            best, cell = s, ci
+    return cell
+
+
+def residual_frame(e: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """(vec_id, v, cell, r): coarse-assign each vector to its nearest
+    centroid (assign_cells — one Arrow BLAS pass) and subtract the
+    centroid JVM-side (zip_with over a literal centroid matrix — exact
+    IEEE elementwise subtraction, identical in any engine given the same
+    inputs). The residual is what IVF-PQ quantizes: residual energy is a
+    fraction of vector energy, so the same ksub spends its codewords on a
+    much smaller ball — the precision-per-byte gain that makes IVFPQ the
+    FAISS default at billion-vector scale."""
+    centlit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in cv]) for cv in cents
+    ])
+    assigned = assign_cells(e, cents)
+    return assigned.select(
+        "vec_id", "v", "cell",
+        F.zip_with(
+            "v", F.element_at(centlit, F.col("cell") + 1), lambda a, b: a - b
+        ).alias("r"),
+    )
+
+
+def ivfpq_probes(qrows: list[tuple[int, list[float]]],
+                 cents: list[list[float]],
+                 n_probe: int) -> list[tuple[int, int, float]]:
+    """(query_id, cell, offset) probe rows, driver-side: the n_probe
+    closest coarse cells per query (cosine DESC, cell DESC tiebreak —
+    _ivf_probe_plan's order) with the pinned ADC offset ⟨q, c_cell⟩.
+    Shared verbatim by the operator and the oracle builder, so the probe
+    set and offsets are identical literals on both engines."""
+    import math
+
+    out = []
+    for qid, qv in qrows:
+        scored_cells = []
+        for c, cv in enumerate(cents):
+            dot = 0.0
+            nc = 0.0
+            for x, y in zip(qv, cv):
+                dot = dot + x * y
+            for y in cv:
+                nc = nc + y * y
+            sim = None if nc == 0.0 else dot / math.sqrt(nc)
+            scored_cells.append((sim if sim is not None else float("-inf"),
+                                 c, dot))
+        for _, c, dot in sorted(scored_cells, reverse=True)[:n_probe]:
+            out.append((int(qid), int(c), float(dot)))
+    return out
+
+
+def ivfpq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
+                   n_cells: int = 8, n_probe: int = 4, m_sub: int = 4,
+                   ksub: int = 16, coarse_iters: int = 2,
+                   train_iters: int = 2, seed: int = 3,
+                   cent_store: str | None = None) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011 §V; FAISS IndexIVFPQ, by_residual):
+    L2-normalize → coarse k-means cells (inverted lists) → product-
+    quantize the RESIDUAL x̂ = x − c_cell → per query, probe the n_probe
+    closest cells and rank in-cell candidates by
+        ⟨q, c_cell⟩ + Σ_m LUT[m][code_m]         (= ⟨q, c_cell + r̂⟩)
+    — the pinned cell-offset plus m_sub table lookups — then report the
+    EXACT cosine for the k survivors.
+
+    THE composed 100 TB layout: cells bound the scan (n_probe/n_cells of
+    the corpus per query), codes bound the memory (m_sub bytes/vector),
+    and both index stages are tiny literal geometry (centroids +
+    codebooks) trained once behind the model store. Per-query work is
+    |probed cells| lookups-and-adds — no float math per dimension, no
+    shuffle beyond the top-k window.
+
+    Determinism: the geometry is exact-decimal-trained (bit-identical to
+    _ivfpq_geometry_twin); cell offsets and LUTs are pinned literals; the
+    ADC chain is fixed-order addition of pinned doubles.
+    """
+    v = F.col("embedding").cast("array<double>")
+    e_n = embs.select("vec_id", _unit_expr(v).alias("v"))
+    embs_n = e_n.select("vec_id", F.col("v").alias("embedding"))
+    if cent_store is not None:
+        cents = kmeans_centroids_stored(embs_n, k=n_cells, iters=coarse_iters,
+                                        seed=seed,
+                                        store_root=cent_store + "_coarse")
+    else:
+        cents = kmeans_centroids(embs_n, k=n_cells, iters=coarse_iters,
+                                 seed=seed)
+    res = residual_frame(e_n, cents)
+    books = pq_train_codebooks(
+        res.select("vec_id", F.col("r").alias("embedding")),
+        m_sub=m_sub, ksub=ksub, iters=train_iters, seed=seed,
+        normalize=False)
+    codes = pq_assign_codes(res, books, vec_col="r").drop("r")
+    spark = e_n.sparkSession
+    qrows = [(int(r["vec_id"]), list(r["v"]))
+             for r in e_n.where(F.col("vec_id").isin(query_ids)).collect()]
+    if not qrows:
+        return e_n.limit(0).select(
+            F.lit(0).cast("long").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(0).cast("int").alias("rank"),
+        )
+    luts = pq_adc_luts(qrows, books)
+    qv_by_id = {qid: qv for qid, qv in qrows}
+    probe_rows = [
+        (qid, list(qv_by_id[qid]), cell, off, *luts[qid])
+        for qid, cell, off in ivfpq_probes(qrows, cents, n_probe)
+    ]
+    m_cols = len(books)
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, qv array<double>, cell int, offset double, "
+        + ", ".join(f"l{m} array<double>" for m in range(m_cols)),
+    )
+    adc = F.col("offset") + F.element_at("l0", F.element_at("codes", 1) + 1)
+    for m in range(1, m_cols):
+        adc = adc + F.element_at(f"l{m}", F.element_at("codes", m + 1) + 1)
+    scored = (
+        F.broadcast(probes)
+        .join(codes, ["cell"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v",
+                adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id"))
+    top = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "qv", "v", "rank")
+    )
+    return (
+        cosine_pairs_arrow(top, "qv", "v")
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )
+
+
+def _ivfpq_geometry_twin(embedding_rows: list[tuple[int, list[float]]],
+                         n_cells: int = 8, m_sub: int = 4, ksub: int = 16,
+                         coarse_iters: int = 2, train_iters: int = 2,
+                         seed: int = 3, dim: int = 64):
+    """Bit-exact pure-Python twin of ivfpq_adc_topk's trained geometry:
+    returns (cents, books) where cents come from _kmeans_centroids_twin
+    over the normalized rows and books from _pq_codebooks_twin over the
+    coarse residuals (normalize=False). Used to pin the IVFPQ oracle's
+    literals, the trained-IVF/PQ pattern composed."""
+    norm_rows = [(vid, _unit_py([float(x) for x in v]))
+                 for vid, v in embedding_rows]
+    cents = _kmeans_centroids_twin(norm_rows, k=n_cells, iters=coarse_iters,
+                                   seed=seed, dim=dim)
+    res_rows = []
+    for vid, v in norm_rows:
+        cell = _assign_cell_py(v, cents)
+        res_rows.append((vid, [x - y for x, y in zip(v, cents[cell])]))
+    books = _pq_codebooks_twin(res_rows, m_sub=m_sub, ksub=ksub,
+                               iters=train_iters, seed=seed, dim=dim,
+                               normalize=False)
+    return cents, books

@@ -1134,3 +1134,86 @@ def test_pq_empty_and_missing_queries(spark):
     assert len(books) == 2 and len(books[0]) == 4 and len(books[0][0]) == 32
     out = similarity.pq_adc_topk(empty, [0, 1], k=3, m_sub=2, ksub=4)
     assert out.collect() == []
+
+
+def test_ivfpq_geometry_twin_bit_parity(spark):
+    """The q22 IVFPQ-arm oracle contract: distributed coarse k-means +
+    residual PQ training must match _ivfpq_geometry_twin bit-for-bit
+    (normalization via math.sqrt — pow(x, 0.5) drifts 1 ulp from JVM
+    F.sqrt and was caught breaking exactly this parity)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    nclust = 16
+    centers = rng.normal(size=(nclust, 32)) * 5.0
+    rows = [(i, [float(x)
+                 for x in np.round(centers[i % nclust]
+                                   + rng.normal(size=32) * 0.1, 4)])
+            for i in range(nclust * 4)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents_t, books_t = similarity._ivfpq_geometry_twin(
+        rows, n_cells=8, m_sub=4, ksub=16, seed=5, dim=32)
+    e_n = embs.select(
+        "vec_id",
+        similarity._unit_expr(F.col("embedding").cast("array<double>")).alias("v"))
+    cents_d = similarity.kmeans_centroids(
+        e_n.select("vec_id", F.col("v").alias("embedding")),
+        k=8, iters=2, seed=5)
+    books_d = similarity.pq_train_codebooks(
+        similarity.residual_frame(e_n, cents_d)
+        .select("vec_id", F.col("r").alias("embedding")),
+        m_sub=4, ksub=16, iters=2, seed=5, normalize=False)
+    assert cents_d == cents_t
+    assert books_d == books_t
+
+
+def test_ivfpq_adc_topk_recall_on_planted_clusters(spark):
+    """IVF-PQ retrieval on the planted-cluster corpus (the PQ recall
+    setup): with n_probe=4 of 8 cells the query's own cell is always
+    probed, and the residual quantizer separates the siblings — full
+    overlap with brute force measured at these parameters."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    nclust, per = 16, 4
+    centers = rng.normal(size=(nclust, 32)) * 5.0
+    rows = [(i, [float(x)
+                 for x in np.round(centers[i % nclust]
+                                   + rng.normal(size=32) * 0.1, 4)])
+            for i in range(nclust * per)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = [0, 1, 2, 3, 4]
+    ivfpq = similarity.ivfpq_adc_topk(embs, qids, k=3, n_cells=8, n_probe=4,
+                                      m_sub=4, ksub=16, seed=5).collect()
+    brute = similarity.brute_force_topk(embs, qids, k=3).collect()
+    assert len(ivfpq) == 15 and {r["query_id"] for r in ivfpq} == set(qids)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivfpq}
+    want = {(r["query_id"], r["neighbor_id"]) for r in brute}
+    assert len(got & want) / len(want) >= 0.8
+
+
+def test_ivfpq_partitioning_invariant_and_empty(spark):
+    import numpy as np
+
+    from pdf_extractor_spark.operators import similarity
+
+    rng = np.random.default_rng(43)
+    M = rng.normal(size=(80, 16)).round(4)
+    rows = [(i, [float(x) for x in M[i]]) for i in range(80)]
+    df1 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").coalesce(1)
+    df32 = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").repartition(32)
+    a = [tuple(r) for r in similarity.ivfpq_adc_topk(
+        df1, [0, 1], k=4, n_cells=4, n_probe=2, m_sub=2, ksub=8).collect()]
+    b = [tuple(r) for r in similarity.ivfpq_adc_topk(
+        df32, [0, 1], k=4, n_cells=4, n_probe=2, m_sub=2, ksub=8).collect()]
+    assert a == b
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.ivfpq_adc_topk(empty, [0], k=3, m_sub=2,
+                                     ksub=4).collect() == []
