@@ -177,6 +177,47 @@ def run_q22(spark, embs, n_cells: int, queries: list[int]) -> dict:
             "rows": n, "brute_rows": nb}
 
 
+def run_q22_pq(spark, embs, n_cells: int, queries: list[int]) -> dict:
+    """PQ + IVF-PQ ladder arm: flat-PQ ADC scoring touches every code (but
+    codes are m_sub bytes, not dim floats); IVF-PQ bounds the SCORED set
+    to the probed cells, with n_cells grown ~sqrt(n) like the IVF arm.
+    Reports walls plus the scored-candidate count per query set and the
+    index-size story (code bytes vs raw float32 bytes)."""
+    from pdf_extractor_spark.operators.dedup import assign_cells
+
+    t0 = time.time()
+    pq = similarity.pq_adc_topk(embs, queries, k=5, m_sub=4, ksub=16,
+                                train_iters=2)
+    n_pq = pq.count()
+    t_pq = time.time() - t0
+    t0 = time.time()
+    ipq = similarity.ivfpq_adc_topk(embs, queries, k=5, n_cells=n_cells,
+                                    n_probe=2, m_sub=4, ksub=16,
+                                    train_iters=2)
+    n_ipq = ipq.count()
+    t_ipq = time.time() - t0
+    # scored-candidate volume: rows in the probed cells (recomputed from
+    # the same deterministic geometry the operator trains)
+    v = F.col("embedding").cast("array<double>")
+    e_n = embs.select("vec_id", similarity._unit_expr(v).alias("v"))
+    cents = similarity.kmeans_centroids(
+        e_n.select("vec_id", F.col("v").alias("embedding")),
+        k=n_cells, iters=2, seed=3)
+    sizes = {r["cell"]: r["n"] for r in assign_cells(e_n, cents)
+             .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    qrows = [(int(r["vec_id"]), list(r["v"]))
+             for r in e_n.where(F.col("vec_id").isin(queries)).collect()]
+    probes = similarity.ivfpq_probes(qrows, cents, n_probe=2)
+    cand = sum(sizes.get(cell, 0) for _, cell, _ in probes)
+    n = embs.count()
+    return {"n_cells": n_cells, "pq_wall_s": round(t_pq, 2),
+            "ivfpq_wall_s": round(t_ipq, 2), "pq_rows": n_pq,
+            "ivfpq_rows": n_ipq,
+            "ivfpq_scored_candidates": cand,
+            "flat_scored_candidates": len(queries) * (n - 1),
+            "code_bytes": n * 4, "raw_f32_bytes": n * 64 * 4}
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-ladder", cores=32,
                       shuffle_partitions=64)
@@ -203,6 +244,8 @@ def main() -> None:
         # IVF cell count grows ~sqrt(n): 8 cells at 2.4k vectors, 25 at 24k
         entry["q22_ivf"] = run_q22(spark, embs, 8 if scale == 1 else 25,
                                    queries)
+        entry["q22_pq"] = run_q22_pq(spark, embs, 8 if scale == 1 else 25,
+                                     queries)
         out["scales"][f"x{scale}"] = entry
         docs.unpersist()
         embs.unpersist()
