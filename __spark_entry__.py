@@ -1304,8 +1304,10 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (dup-injected 'slightly re-encoded copies'; guaranteed recall at
     hamming<=3 by pigeonhole over 4 disjoint 16-bit bands) ∪ AUDIO
     near-dups via the envelope fingerprint through the SAME banded
-    machinery, method-tagged — five candidate-generation geometries,
-    exact verify everywhere."""
+    machinery ∪ TEXT near-dups via 60-bit SimHash through the same
+    machinery again (Manku et al. 2007 — the Google web-crawl dedup
+    layout: all pairs within hamming ≤ 3), method-tagged — six
+    candidate-generation geometries, exact verify everywhere."""
     from pdf_extractor_spark.operators import multimodal as mm
 
     embs = _t(spark, sf_dir, "embeddings")
@@ -1327,9 +1329,12 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aud = mm.audio_neardup_pairs(
         _audio_media_with_neardups(spark, docs), max_hamming=3).withColumn(
         "method", F.lit("audio_envelope"))
+    sh = dedup.simhash_neardup_pairs(
+        _docs_with_dups(docs), max_hamming=3).withColumn(
+        "method", F.lit("simhash_text"))
     return (
         banded.unionByName(buckets).unionByName(sem).unionByName(img)
-        .unionByName(aud)
+        .unionByName(aud).unionByName(sh)
         .orderBy("method", "a", "b")
     )
 
@@ -2109,10 +2114,31 @@ def oracle_sql() -> dict[str, str]:
                                  _mm2.audio_fingerprint64(_mm2._decode_audio(
                                      _mm2.fake_near_dup_audio(int(_did), _n))[0])))
         _ahash_sql = ", ".join(f"({i}, {v}::BIGINT)" for i, v in _ah_rows)
+        _shnorm = _NORM_SQL.format(c="text")
         o["q21_embedding_neardup"] = f"""
             WITH embdups AS ({_EMBS_DUPS_SQL}),
             ih(media_id, dhash) AS (VALUES {_dhash_sql}),
             ah(media_id, dhash) AS (VALUES {_ahash_sql}),
+            ddups AS ({_DOCS_DUPS_SQL}),
+            sh_t AS (SELECT doc_id, {_shnorm} AS norm FROM ddups),
+            sh_h AS (SELECT doc_id, norm,
+                            list_transform(string_split(norm, ' '),
+                                s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
+                     FROM sh_t),
+            sh_sig AS (SELECT doc_id,
+                              CASE WHEN norm = '' THEN 0 ELSE
+                              CAST(list_sum([CASE WHEN list_sum(list_transform(hs,
+                                       x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                                   THEN (1::BIGINT << b) ELSE 0 END
+                                   for b in range(0, 60)]) AS BIGINT) END AS simhash
+                       FROM sh_h),
+            shpairs AS (
+                SELECT a.doc_id AS a, b.doc_id AS b,
+                       round(CAST(1.0 AS DOUBLE)
+                             - bit_count(xor(a.simhash, b.simhash))
+                               / CAST(60.0 AS DOUBLE), 6) AS cos
+                FROM sh_sig a JOIN sh_sig b ON a.doc_id < b.doc_id
+                WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
             imgpairs AS (
                 SELECT a.media_id AS a, b.media_id AS b,
                        round(CAST(1.0 AS DOUBLE)
@@ -2154,6 +2180,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, cos, 'image_dhash' AS method FROM imgpairs
             UNION ALL
             SELECT a, b, cos, 'audio_envelope' AS method FROM audpairs
+            UNION ALL
+            SELECT a, b, cos, 'simhash_text' AS method FROM shpairs
             ORDER BY method, a, b
         """
     except Exception as _exc:  # pragma: no cover - driver fallback

@@ -646,6 +646,31 @@ def simhash_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_neardup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(a, b, cos): document pairs whose 60-bit SimHash signatures differ
+    in at most ``max_hamming`` bits — the Manku/Jain/Das Sarma web-crawl
+    near-dup detector (WWW 2007), which runs Google-scale dedup as exactly
+    this: SimHash + all pairs within hamming distance 3.
+
+    Candidates come from the SHARED banded Hamming-LSH
+    (multimodal.hamming_neardup_pairs): max_hamming+1 disjoint bands of
+    the 60-bit signature, so any qualifying pair collides on ≥1 band by
+    pigeonhole — guaranteed recall, one keyed equi-join, no all-pairs
+    stage (the same machinery that serves image dHash and audio envelope
+    fingerprints; one banding implementation, three fingerprint spaces).
+    cos = 1 − hamming/60 rounded 6dp (identical IEEE division both
+    engines). At 100 TB the signature table is 8 bytes/doc and the join
+    ships (max_hamming+1) narrow rows per doc — the cheapest text
+    near-dup pass in the suite, complementary to MinHash (token-set
+    overlap) and embedding LSH (semantic)."""
+    from pdf_extractor_spark.operators.multimodal import hamming_neardup_pairs
+
+    s = simhash_signatures(docs).select(
+        F.col("doc_id").alias("media_id"), F.col("simhash").alias("dhash"))
+    return hamming_neardup_pairs(s, max_hamming=max_hamming,
+                                 bits=SIMHASH_BITS)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

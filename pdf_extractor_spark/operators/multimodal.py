@@ -251,23 +251,32 @@ def image_neardup_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
 
 
 def hamming_neardup_pairs(hashes: DataFrame,
-                          max_hamming: int = 3) -> DataFrame:
+                          max_hamming: int = 3,
+                          bits: int = 64) -> DataFrame:
     """Near-duplicate pairs over any (media_id, dhash) fingerprint table:
-    banded Hamming-LSH + exact verify. The 64-bit hash splits into 4
-    disjoint 16-bit bands; by pigeonhole, any pair within ``max_hamming``
-    <= 3 differing bits agrees on at least one band, so the keyed
-    (band, band_val) equi-join has GUARANTEED recall at the threshold —
-    no all-pairs stage, the q18 banding shape applied to fingerprint
-    space (images, audio envelopes — any 64-bit perceptual hash).
-    Returns (a, b, cos) with cos = 1 - hamming/64 (exact binary
-    fractions, cross-engine stable)."""
+    banded Hamming-LSH + exact verify. The ``bits``-wide hash splits into
+    max_hamming+1 disjoint bands; by pigeonhole, any pair within
+    ``max_hamming`` differing bits agrees on at least one band, so the
+    keyed (band, band_val) equi-join has GUARANTEED recall at the
+    threshold — no all-pairs stage, the q18 banding shape applied to
+    fingerprint space (images, audio envelopes, text SimHash — any
+    perceptual hash up to 64 bits; Manku et al. 2007 WWW, "Detecting
+    Near-Duplicates for Web Crawling", uses exactly this table layout).
+    Returns (a, b, cos) with cos = 1 - hamming/bits, rounded 6dp (for
+    bits=64 the fraction is exact binary; otherwise both engines round
+    the same IEEE double identically)."""
+    n_bands = max_hamming + 1
+    width = bits // n_bands  # last band absorbs the bits % n_bands remainder
+    mask_last = (1 << (bits - width * (n_bands - 1))) - 1
     bands = hashes.select(
         "media_id", "dhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
-                     F.shiftrightunsigned(F.col("dhash"), 16 * i)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("band_val"))
-            for i in range(4)])).alias("bv"),
+                     F.shiftrightunsigned(F.col("dhash"), width * i)
+                     .bitwiseAND(F.lit(mask_last if i == n_bands - 1
+                                       else (1 << width) - 1))
+                     .alias("band_val"))
+            for i in range(n_bands)])).alias("bv"),
     ).select("media_id", "dhash", "bv.band", "bv.band_val")
     left = bands.alias("l")
     right = bands.alias("r")
@@ -283,7 +292,7 @@ def hamming_neardup_pairs(hashes: DataFrame,
         cand.withColumn("hamming", d)
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b",
-                F.round(F.lit(1.0) - F.col("hamming") / F.lit(64.0), 6)
+                F.round(F.lit(1.0) - F.col("hamming") / F.lit(float(bits)), 6)
                 .alias("cos"))
     )
 

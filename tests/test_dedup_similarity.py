@@ -1217,3 +1217,60 @@ def test_ivfpq_partitioning_invariant_and_empty(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert similarity.ivfpq_adc_topk(empty, [0], k=3, m_sub=2,
                                      ksub=4).collect() == []
+
+
+def test_hamming_banding_guaranteed_recall_any_width(spark):
+    """The generalized banded Hamming-LSH must equal brute-force hamming
+    filtering for every supported width (pigeonhole guarantee): random
+    64-bit and 60-bit hash tables with planted near-misses at distances
+    0..5, max_hamming 2 and 3 (band width varies, last band absorbs the
+    remainder)."""
+    import numpy as np
+
+    from pdf_extractor_spark.operators.multimodal import hamming_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    for bits, max_h in [(64, 3), (60, 3), (60, 2)]:
+        base = [int(x) for x in
+                rng.integers(0, 1 << 59, size=40, dtype=np.int64)]
+        rows = []
+        for i, h in enumerate(base):
+            rows.append((i, h))
+            # planted variant at distance i % 6: flip that many bits
+            # (positions stay below bit 60 so signed-int64 never overflows;
+            # the 64-bit case still exercises all 4 bands' band_vals)
+            flip = 0
+            for bpos in range(i % 6):
+                flip |= 1 << ((i * 7 + bpos * 11) % 60)
+            rows.append((i + 1000, h ^ flip))
+        df = spark.createDataFrame(rows, "media_id long, dhash long")
+        got = {(r["a"], r["b"]) for r in
+               hamming_neardup_pairs(df, max_hamming=max_h, bits=bits).collect()}
+        want = {(a, b)
+                for ai, (a, ha) in enumerate(rows)
+                for (b, hb) in rows[ai + 1:]
+                if a < b and bin(ha ^ hb).count("1") <= max_h}
+        # orientation: hamming_neardup_pairs emits a < b already
+        want = {(min(a, b), max(a, b)) for a, b in want}
+        assert got == want, (bits, max_h)
+
+
+def test_simhash_neardup_pairs_matches_brute_twin(spark, docs):
+    """SimHash hamming<=3 pairs over the shared banded machinery must equal
+    brute-force hamming over the pure-Python textstats.simhash twin, and
+    must surface the exact-duplicate docs (hamming 0)."""
+    from pdf_extractor_spark.operators import dedup as dd
+
+    got = {(r["a"], r["b"]): r["cos"]
+           for r in dd.simhash_neardup_pairs(docs, max_hamming=3).collect()}
+    sigs = {r["doc_id"]: textstats.simhash(r["text"])
+            for r in docs.collect()}
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = round(1.0 - h / 60.0, 6)
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dups, hamming 0
