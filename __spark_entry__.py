@@ -1663,12 +1663,13 @@ def _pq_topk_sql(books: list[list[list[float]]],
                  luts: dict[int, list[list[float]]], k: int = 5) -> str:
     """Exact SQL twin of similarity.pq_adc_topk: per-subspace codebooks
     (trained by the bit-exact _pq_codebooks_twin) and the per-query ADC
-    lookup tables enter as literals. Both engines L2-normalize with the
-    same sequential fold (the q41 norm fragment), assign codes by
-    first-index argmin over the literal codebooks, and sum the SAME
-    pinned LUT doubles left-to-right — so the ADC ranking is bit-identical
-    by construction; only the exact-cosine re-rank column relies on the
-    proven ~1-ulp-inside-6dp BLAS/list_cosine_similarity agreement."""
+    lookup tables enter as literals. Code assignment is recomputed
+    engine-side (first-index argmin over the literal codebooks) and is
+    ulp-robust, not bit-identical — summation orders differ across
+    engines (see the dist_cols note); GIVEN equal codes, the ADC score is
+    a fixed-order chain of the same pinned doubles, hence bit-identical.
+    The exact-cosine re-rank column relies on the proven
+    ~1-ulp-inside-6dp BLAS/list_cosine_similarity agreement."""
     m_sub = len(books)
     dsub = len(books[0][0])
 
@@ -1682,9 +1683,20 @@ def _pq_topk_sql(books: list[list[list[float]]],
         "[" + ",".join(arr(cw) for cw in books[m]) + f"]::DOUBLE[][] AS cb{m}"
         for m in range(m_sub)
     )
+    # SQUARED distance, not list_distance: the sqrt adds one more rounding
+    # that can collapse two distinct squared sums into one double and flip
+    # the first-index tie-break. NOTE the honest contract: numpy's
+    # last-axis reduce, the twin's sequential fold and DuckDB's list_sum
+    # are THREE different summation orders (measured: list_sum and numpy
+    # pairwise-sum each differ from a sequential fold on ~half of random
+    # 100-element inputs), so code assignment is ULP-ROBUST argmin — the
+    # assign_cells/IVF discipline — not bit-identical; only the PINNED
+    # literals (codebooks, LUTs, offsets) are bit-identical by
+    # construction, which is what makes the ADC chain itself exact.
     dist_cols = ", ".join(
-        f"list_transform(cb{m}, cw -> list_distance("
-        f"v[{m * dsub + 1}:{(m + 1) * dsub}], cw)) AS d{m}"
+        f"list_transform(cb{m}, cw -> list_sum(list_transform("
+        f"list_zip(v[{m * dsub + 1}:{(m + 1) * dsub}], cw), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2])))) AS d{m}"
         for m in range(m_sub)
     )
     code_cols = ", ".join(
@@ -1749,9 +1761,11 @@ def _ivfpq_topk_sql(cents: list[list[float]],
         "[" + ",".join(arr(cw) for cw in books[m]) + f"]::DOUBLE[][] AS cb{m}"
         for m in range(m_sub)
     )
+    # sequential squared-diff sums, not list_distance — see _pq_topk_sql
     dist_cols = ", ".join(
-        f"list_transform(cb{m}, cw -> list_distance("
-        f"rv[{m * dsub + 1}:{(m + 1) * dsub}], cw)) AS d{m}"
+        f"list_transform(cb{m}, cw -> list_sum(list_transform("
+        f"list_zip(rv[{m * dsub + 1}:{(m + 1) * dsub}], cw), "
+        f"p -> (p[1]-p[2])*(p[1]-p[2])))) AS d{m}"
         for m in range(m_sub)
     )
     code_cols = ", ".join(
@@ -1802,6 +1816,26 @@ def _ivfpq_topk_sql(cents: list[list[float]],
         JOIN e ne ON ne.vec_id = rk.neighbor_id
         JOIN e qe ON qe.vec_id = rk.query_id
         WHERE rk.rank <= {k}
+    """
+
+
+def _simhash_sig_sql(src: str) -> str:
+    """(doc_id, simhash) over `src`(doc_id, text): the 60-bit md5 sign-sum
+    SimHash twin in SQL (see dedup.simhash_signatures) — ONE definition
+    shared by the q17 dup-groups oracle and the q21 simhash_text near-dup
+    oracle so the scheme can never desynchronize between them."""
+    norm = _NORM_SQL.format(c="text")
+    return f"""
+        SELECT doc_id,
+               CASE WHEN norm = '' THEN 0 ELSE
+               CAST(list_sum([CASE WHEN list_sum(list_transform(hs,
+                        x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                    THEN (1::BIGINT << b) ELSE 0 END
+                    for b in range(0, 60)]) AS BIGINT) END AS simhash
+        FROM (SELECT doc_id, norm,
+                     list_transform(string_split(norm, ' '),
+                                    s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
+              FROM (SELECT doc_id, {norm} AS norm FROM {src}))
     """
 
 
@@ -1974,18 +2008,7 @@ def oracle_sql() -> dict[str, str]:
         fp AS (SELECT doc_id, md5({norm}) AS fp FROM docs_dups),
         ge AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS group_id,
                       count(*) OVER (PARTITION BY fp) AS n FROM fp),
-        t AS (SELECT doc_id, {norm} AS norm FROM docs_dups),
-        h AS (SELECT doc_id, norm,
-                     list_transform(string_split(norm, ' '),
-                                    s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
-              FROM t),
-        sig AS (SELECT doc_id,
-                       CASE WHEN norm = '' THEN 0 ELSE
-                       CAST(list_sum([CASE WHEN list_sum(list_transform(hs,
-                                x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                            THEN (1::BIGINT << b) ELSE 0 END
-                            for b in range(0, 60)]) AS BIGINT) END AS simhash
-                FROM h),
+        sig AS ({_simhash_sig_sql("docs_dups")}),
         gs AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY simhash) AS group_id,
                       count(*) OVER (PARTITION BY simhash) AS n
                FROM sig)
@@ -2114,24 +2137,12 @@ def oracle_sql() -> dict[str, str]:
                                  _mm2.audio_fingerprint64(_mm2._decode_audio(
                                      _mm2.fake_near_dup_audio(int(_did), _n))[0])))
         _ahash_sql = ", ".join(f"({i}, {v}::BIGINT)" for i, v in _ah_rows)
-        _shnorm = _NORM_SQL.format(c="text")
         o["q21_embedding_neardup"] = f"""
             WITH embdups AS ({_EMBS_DUPS_SQL}),
             ih(media_id, dhash) AS (VALUES {_dhash_sql}),
             ah(media_id, dhash) AS (VALUES {_ahash_sql}),
             ddups AS ({_DOCS_DUPS_SQL}),
-            sh_t AS (SELECT doc_id, {_shnorm} AS norm FROM ddups),
-            sh_h AS (SELECT doc_id, norm,
-                            list_transform(string_split(norm, ' '),
-                                s -> ('0x' || substr(md5(s),1,15))::BIGINT) AS hs
-                     FROM sh_t),
-            sh_sig AS (SELECT doc_id,
-                              CASE WHEN norm = '' THEN 0 ELSE
-                              CAST(list_sum([CASE WHEN list_sum(list_transform(hs,
-                                       x -> CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-                                   THEN (1::BIGINT << b) ELSE 0 END
-                                   for b in range(0, 60)]) AS BIGINT) END AS simhash
-                       FROM sh_h),
+            sh_sig AS ({_simhash_sig_sql("ddups")}),
             shpairs AS (
                 SELECT a.doc_id AS a, b.doc_id AS b,
                        round(CAST(1.0 AS DOUBLE)
@@ -2229,13 +2240,10 @@ def oracle_sql() -> dict[str, str]:
         _books = similarity._pq_codebooks_twin(_erows, m_sub=4, ksub=16,
                                                iters=2, seed=3, dim=64)
         _qids = (0, 1, 2, 3, 4)
-        _luts = similarity.pq_adc_luts(
-            [(qid, similarity._unit_py(v)) for qid, v in _erows
-             if qid in _qids],
-            _books)
-        _pq_sql = _pq_topk_sql(_books, _luts, k=5)
         _qn = [(qid, similarity._unit_py(v)) for qid, v in _erows
                if qid in _qids]
+        _luts = similarity.pq_adc_luts(_qn, _books)
+        _pq_sql = _pq_topk_sql(_books, _luts, k=5)
         _cents_ipq, _books_ipq = similarity._ivfpq_geometry_twin(
             _erows, n_cells=8, m_sub=4, ksub=16, coarse_iters=2,
             train_iters=2, seed=3, dim=64)

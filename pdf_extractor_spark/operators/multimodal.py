@@ -267,14 +267,19 @@ def hamming_neardup_pairs(hashes: DataFrame,
     the same IEEE double identically)."""
     n_bands = max_hamming + 1
     width = bits // n_bands  # last band absorbs the bits % n_bands remainder
-    mask_last = (1 << (bits - width * (n_bands - 1))) - 1
+
+    def _mask(nbits: int) -> int:
+        # a full-64-bit band (max_hamming=0, bits=64): (1<<64)-1 overflows
+        # the signed long literal; -1 is the same all-ones two's-complement
+        return -1 if nbits >= 64 else (1 << nbits) - 1
+
     bands = hashes.select(
         "media_id", "dhash",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.shiftrightunsigned(F.col("dhash"), width * i)
-                     .bitwiseAND(F.lit(mask_last if i == n_bands - 1
-                                       else (1 << width) - 1))
+                     .bitwiseAND(F.lit(_mask(bits - width * (n_bands - 1)
+                                             if i == n_bands - 1 else width)))
                      .alias("band_val"))
             for i in range(n_bands)])).alias("bv"),
     ).select("media_id", "dhash", "bv.band", "bv.band_val")

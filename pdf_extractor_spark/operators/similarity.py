@@ -504,6 +504,12 @@ def _kmeans_centroids_twin(embedding_rows: list[tuple[int, list[float]]],
         ]
 
     def cos(a: list[float], b: list[float]) -> float | None:
+        # math.sqrt, not ** 0.5: pow is not correctly rounded and drifts
+        # 1 ulp from np.sqrt/F.sqrt (see _unit_py) — near-tie argmax flips
+        # against the BLAS assignment are the exact mode this twin exists
+        # to avoid
+        import math
+
         dot = 0.0
         na = 0.0
         nb = 0.0
@@ -513,7 +519,7 @@ def _kmeans_centroids_twin(embedding_rows: list[tuple[int, list[float]]],
             na = na + x * x
         for y in b:
             nb = nb + y * y
-        denom = (na ** 0.5) * (nb ** 0.5)
+        denom = math.sqrt(na) * math.sqrt(nb)
         return None if denom == 0.0 else dot / denom
 
     cents = [seed_centroid(c) for c in range(k)]
@@ -981,7 +987,8 @@ def _pq_codebooks_twin(embedding_rows: list[tuple[int, list[float]]],
 
 
 def pq_codebooks_stored(embs: DataFrame, m_sub: int, ksub: int, iters: int,
-                        seed: int, store_root: str) -> list[list[list[float]]]:
+                        seed: int, store_root: str,
+                        normalize: bool = True) -> list[list[list[float]]]:
     """pq_train_codebooks behind a committed model store (rows
     (sub, cell, dim, val) keyed by corpus checksum + hyperparameters) —
     the kmeans_centroids_stored discipline: train once per corpus version,
@@ -993,7 +1000,7 @@ def pq_codebooks_stored(embs: DataFrame, m_sub: int, ksub: int, iters: int,
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     t = SnapshotTable(store_root)
     key = {"corpus": _emb_corpus_key(e), "m_sub": m_sub, "ksub": ksub,
-           "iters": iters, "seed": seed}
+           "iters": iters, "seed": seed, "normalize": normalize}
     m = t.current_manifest()
     if m is not None and m.get("summary", {}).get("key") == key:
         rows = t.read(spark).collect()
@@ -1005,7 +1012,7 @@ def pq_codebooks_stored(embs: DataFrame, m_sub: int, ksub: int, iters: int,
             books[r["sub"]][r["cell"]][r["dim"]] = r["val"]
         return books
     books = pq_train_codebooks(embs, m_sub=m_sub, ksub=ksub, iters=iters,
-                               seed=seed)
+                               seed=seed, normalize=normalize)
     flat = [(mm, c, d, float(x)) for mm, cb in enumerate(books)
             for c, cw in enumerate(cb) for d, x in enumerate(cw)]
     t.overwrite(
@@ -1063,9 +1070,11 @@ def pq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
     window over scored codes.
 
     Determinism: codebooks are exact-decimal-trained (bit-identical to
-    _pq_codebooks_twin), assignment is first-index argmin, the ADC sum is
-    a fixed left-to-right chain of pinned doubles — both engines look up
-    the same literals, so ranking is bit-identical by construction.
+    _pq_codebooks_twin); code assignment is first-index argmin and
+    ULP-ROBUST across engines (summation orders differ — the
+    assign_cells discipline, not a bit guarantee); GIVEN equal codes the
+    ADC sum is a fixed left-to-right chain of pinned literal doubles,
+    hence bit-identical.
     """
     if book_store is not None:
         books = pq_codebooks_stored(embs, m_sub=m_sub, ksub=ksub,
@@ -1091,19 +1100,23 @@ def pq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
     luts = pq_adc_luts(qrows, books)
     m_cols = len(books)
     qlut = spark.createDataFrame(
-        [(qid, qv, *luts[qid]) for qid, qv in qrows],
-        "query_id long, qv array<double>, "
+        [(qid, *luts[qid]) for qid, _ in qrows],
+        "query_id long, "
         + ", ".join(f"l{m} array<double>" for m in range(m_cols)),
     )
-    codes = pq_assign_codes(e, books)
+    codes = pq_assign_codes(e, books).select("vec_id", "codes")
     adc = F.element_at("l0", F.element_at("codes", 1) + 1)
     for m in range(1, m_cols):
         adc = adc + F.element_at(f"l{m}", F.element_at("codes", m + 1) + 1)
+    # the scored relation and the rank-window shuffle stay NARROW —
+    # (query_id, neighbor_id, adc), ~24 bytes/row, not the dim-double
+    # vectors; the exact re-rank joins the vectors back for only the
+    # queries×k survivors (the SQL twin's shape)
     scored = (
         F.broadcast(qlut)
         .crossJoin(codes)
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v",
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 adc.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1111,10 +1124,17 @@ def pq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    qvs = spark.createDataFrame(qrows, "query_id long, qv array<double>")
+    survivors = (
+        F.broadcast(top)
+        .join(e, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qvs), ["query_id"])
         .select("query_id", "neighbor_id", "qv", "v", "rank")
     )
     return (
-        cosine_pairs_arrow(top, "qv", "v")
+        cosine_pairs_arrow(survivors, "qv", "v")
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
@@ -1222,7 +1242,11 @@ def ivfpq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
 
     Determinism: the geometry is exact-decimal-trained (bit-identical to
     _ivfpq_geometry_twin); cell offsets and LUTs are pinned literals; the
-    ADC chain is fixed-order addition of pinned doubles.
+    ADC chain is fixed-order addition of pinned doubles (bit-identical
+    GIVEN equal cell/code assignments, which are ulp-robust argmin/argmax
+    — the assign_cells discipline). With cent_store set, BOTH index
+    stages persist: coarse centroids at <store>_coarse, residual
+    codebooks at <store>_books.
     """
     v = F.col("embedding").cast("array<double>")
     e_n = embs.select("vec_id", _unit_expr(v).alias("v"))
@@ -1235,11 +1259,18 @@ def ivfpq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
         cents = kmeans_centroids(embs_n, k=n_cells, iters=coarse_iters,
                                  seed=seed)
     res = residual_frame(e_n, cents)
-    books = pq_train_codebooks(
-        res.select("vec_id", F.col("r").alias("embedding")),
-        m_sub=m_sub, ksub=ksub, iters=train_iters, seed=seed,
-        normalize=False)
-    codes = pq_assign_codes(res, books, vec_col="r").drop("r")
+    res_embs = res.select("vec_id", F.col("r").alias("embedding"))
+    if cent_store is not None:
+        books = pq_codebooks_stored(res_embs, m_sub=m_sub, ksub=ksub,
+                                    iters=train_iters, seed=seed,
+                                    store_root=cent_store + "_books",
+                                    normalize=False)
+    else:
+        books = pq_train_codebooks(res_embs, m_sub=m_sub, ksub=ksub,
+                                   iters=train_iters, seed=seed,
+                                   normalize=False)
+    codes = pq_assign_codes(res, books, vec_col="r").select(
+        "vec_id", "cell", "codes")
     spark = e_n.sparkSession
     qrows = [(int(r["vec_id"]), list(r["v"]))
              for r in e_n.where(F.col("vec_id").isin(query_ids)).collect()]
@@ -1251,25 +1282,26 @@ def ivfpq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
             F.lit(0).cast("int").alias("rank"),
         )
     luts = pq_adc_luts(qrows, books)
-    qv_by_id = {qid: qv for qid, qv in qrows}
     probe_rows = [
-        (qid, list(qv_by_id[qid]), cell, off, *luts[qid])
+        (qid, cell, off, *luts[qid])
         for qid, cell, off in ivfpq_probes(qrows, cents, n_probe)
     ]
     m_cols = len(books)
     probes = spark.createDataFrame(
         probe_rows,
-        "query_id long, qv array<double>, cell int, offset double, "
+        "query_id long, cell int, offset double, "
         + ", ".join(f"l{m} array<double>" for m in range(m_cols)),
     )
     adc = F.col("offset") + F.element_at("l0", F.element_at("codes", 1) + 1)
     for m in range(1, m_cols):
         adc = adc + F.element_at(f"l{m}", F.element_at("codes", m + 1) + 1)
+    # narrow scored relation through the rank window (the pq_adc_topk
+    # shape); vectors join back for only the queries×k survivors
     scored = (
         F.broadcast(probes)
         .join(codes, ["cell"])
         .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), "qv", "v",
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
                 adc.alias("adc"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1277,10 +1309,17 @@ def ivfpq_adc_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
     top = (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    qvs = spark.createDataFrame(qrows, "query_id long, qv array<double>")
+    survivors = (
+        F.broadcast(top)
+        .join(e_n, F.col("vec_id") == F.col("neighbor_id"))
+        .join(F.broadcast(qvs), ["query_id"])
         .select("query_id", "neighbor_id", "qv", "v", "rank")
     )
     return (
-        cosine_pairs_arrow(top, "qv", "v")
+        cosine_pairs_arrow(survivors, "qv", "v")
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )

@@ -1274,3 +1274,16 @@ def test_simhash_neardup_pairs_matches_brute_twin(spark, docs):
                 want[(a, b)] = round(1.0 - h / 60.0, 6)
     assert got == want
     assert (1, 2) in got and got[(1, 2)] == 1.0  # exact dups, hamming 0
+
+
+def test_hamming_banding_max_hamming_zero_full_width(spark):
+    """max_hamming=0 with bits=64 is a single full-width band: the mask
+    must be the signed all-ones literal, not the overflowing (1<<64)-1
+    (regression — exact-duplicate fingerprint search)."""
+    from pdf_extractor_spark.operators.multimodal import hamming_neardup_pairs
+
+    rows = [(1, -5), (2, -5), (3, 7), (4, 7), (5, 9)]
+    df = spark.createDataFrame(rows, "media_id long, dhash long")
+    got = {(r["a"], r["b"]): r["cos"]
+           for r in hamming_neardup_pairs(df, max_hamming=0, bits=64).collect()}
+    assert got == {(1, 2): 1.0, (3, 4): 1.0}
