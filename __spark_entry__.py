@@ -218,6 +218,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _linked_pages_from_documents(docs)
     edges = webtext.host_edges(webtext.extract_links(pages))
     pr = webtext.pagerank_fixedpoint(edges, iters=5)
+    # HITS hubs/authorities next to PageRank — the second classic web-graph
+    # centrality (runs eagerly at plan build: per-half-iteration
+    # localCheckpoint, like semdedup's k-means training)
+    ht = webtext.hits_fixedpoint(edges, iters=5)
     od = edges.groupBy("src").agg(F.sum("w").alias("out_degree"))
     anch = webtext.inbound_host_signals(webtext.extract_anchor_texts(pages))
     hll = sketch.hll_distinct(docs, "text", "source")
@@ -234,6 +238,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
+        .join(F.broadcast(ht.withColumnRenamed("host", "source")),
+              "source", "left")
         .join(od.withColumnRenamed("src", "source"), "source", "left")
         .join(F.broadcast(hll), "source", "left")
         .join(F.broadcast(exd), "source", "left")
@@ -249,6 +255,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank_scaled"),
             (F.coalesce(F.col("rank_scaled"), F.lit(0))
              / F.lit(float(webtext.PAGERANK_SCALE))).alias("pagerank"),
+            F.coalesce(F.col("hub_scaled"), F.lit(0)).cast("long")
+            .alias("hub_scaled"),
+            F.coalesce(F.col("auth_scaled"), F.lit(0)).cast("long")
+            .alias("auth_scaled"),
             F.coalesce(F.col("distinct_texts"), F.lit(0)).cast("long")
             .alias("distinct_texts"),
             # an all-NULL-text source has the EMPTY sketch state: 0 nonzero
@@ -2918,6 +2928,7 @@ def oracle_sql() -> dict[str, str]:
                        count(DISTINCT anchor)::BIGINT AS inbound_anchor_terms
                 FROM rawe GROUP BY dst),
         {webtext.pagerank_unrolled_sql("e", iters=5)},
+        {webtext.hits_unrolled_sql("e", iters=5)},
         od AS (SELECT src, sum(w) AS out_degree FROM e GROUP BY src),
         bl AS (SELECT source, lang, count(*) AS n, sum(n_chars) AS chars
                     FROM documents GROUP BY source, lang),
@@ -2945,6 +2956,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
                coalesce(pf.rank_scaled, 0) / {float(webtext.PAGERANK_SCALE)}
                    AS pagerank,
+               CAST(coalesce(hf.hub_scaled, 0) AS BIGINT) AS hub_scaled,
+               CAST(coalesce(hf.auth_scaled, 0) AS BIGINT) AS auth_scaled,
                CAST(coalesce(exd.distinct_texts, 0) AS BIGINT)
                    AS distinct_texts,
                CAST(coalesce(hll.hll_nonzero, 0) AS INT) AS hll_nonzero,
@@ -2959,6 +2972,7 @@ def oracle_sql() -> dict[str, str]:
                    AS mix_weight
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
+        LEFT JOIN hits_final hf ON hf.host = base.source
         LEFT JOIN od ON od.src = base.source
         LEFT JOIN exd ON exd.source = base.source
         LEFT JOIN hll ON hll.source = base.source

@@ -368,6 +368,172 @@ def pagerank_unrolled_sql(edges_cte: str, iters: int = 5,
         f"rank_scaled / {float(s)} AS pagerank FROM pr_r{iters})"
 
 
+HITS_SCALE = 10**5
+
+
+def hits_fixedpoint(edges: DataFrame, iters: int = 5,
+                    broadcast_scores: bool = True) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, public) over weighted
+    edges ``(src, dst, w)`` in exact fixed-point integer arithmetic — the
+    second classic web-graph centrality next to PageRank: a good HUB links
+    to many good authorities; a good AUTHORITY is linked from many good
+    hubs. Crawl schedulers use hubs to find link pages; quality gates use
+    authorities as an independent signal from PageRank (which mixes both
+    roles into one score).
+
+    Per iteration (all integers, truncating division — bit-identical
+    across partitionings, task orders, and engines, like
+    :func:`pagerank_fixedpoint`):
+      auth_j  = Σ_{(i→j)} w · hub_i          (one join + groupBy(dst))
+      auth_j := (auth_j · SCALE) div max(auth)   (max-normalization)
+      hub_i   = Σ_{(i→j)} w · auth_j         (one join + groupBy(src))
+      hub_i  := (hub_i · SCALE) div max(hub)
+    Max-normalization replaces the float L2 norm of the textbook
+    formulation: it keeps every score in [0, SCALE] with the SAME
+    fixed-point ranking and is exactly expressible in both engines
+    (coordinate-wise division by a scalar preserves the eigenvector
+    direction the power iteration converges to). `greatest(max, 1)`
+    guards the all-zero edge case (graph with no edges after filtering).
+
+    Scale notes: scores are host-cardinality; broadcast to the edge
+    partitions when ``broadcast_scores`` (False past broadcast size →
+    shuffle hash join). Overflow bound: the raw sum Σ w·score ≤
+    W_in·SCALE per host and the normalization multiplies by SCALE before
+    dividing, so W_in·SCALE² < 2^63 requires total inbound (resp.
+    outbound) weight per host < 9.2e8 at SCALE=1e5 — pre-cap w above
+    that (same discipline as pagerank's per-edge bound). The max() is a
+    2-row-per-partition aggregate, not a driver collect; it joins back as
+    a broadcast 1-row frame (crossJoin), so each iteration is two
+    join+groupBy rounds over the persisted edge table.
+
+    Unlike pagerank (whose per-iteration plan references the previous
+    ranks ONCE, so 5 lazy iterations stay linear), each HITS
+    normalization references its input twice (the max aggregate + the
+    scores themselves) — a lazily-composed plan grows ~4^iters and stalls
+    Catalyst analysis. Each normalized score table is therefore
+    ``localCheckpoint(eager=True)``-ed: lineage truncates to a
+    host-cardinality materialized RDD per half-iteration — the standard
+    iterative-graph pattern (GraphX/Pregel checkpoint cadence), 2 small
+    jobs per iteration instead of one exponential plan.
+    """
+    from pyspark.sql.functions import broadcast
+
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = edges.select("src", "dst", "w").persist()
+    hubs = nodes.select(
+        "host", F.lit(HITS_SCALE).cast("long").alias("score"))
+
+    def _norm_join(raw: DataFrame) -> DataFrame:
+        # (host, raw) -> (host, (raw*SCALE) div greatest(max(raw),1)) with
+        # the scalar max attached via a 1-row crossJoin (stays distributed)
+        mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        return raw.crossJoin(broadcast(mx)).select(
+            "host",
+            F.expr(f"(raw * {HITS_SCALE}) div mx").cast("long")
+            .alias("score"),
+        ).localCheckpoint(eager=True)
+
+    auths = hubs
+    for _ in range(iters):
+        h = broadcast(hubs) if broadcast_scores else hubs
+        araw = nodes.join(
+            e.join(h.withColumnRenamed("host", "src"), "src")
+            .groupBy("dst").agg(F.sum(F.expr("w * score")).alias("s"))
+            .withColumnRenamed("dst", "host"),
+            "host", "left",
+        ).select("host", F.coalesce(F.col("s"), F.lit(0)).alias("raw"))
+        auths = _norm_join(araw)
+        a = broadcast(auths) if broadcast_scores else auths
+        hraw = nodes.join(
+            e.join(a.withColumnRenamed("host", "dst"), "dst")
+            .groupBy("src").agg(F.sum(F.expr("w * score")).alias("s"))
+            .withColumnRenamed("src", "host"),
+            "host", "left",
+        ).select("host", F.coalesce(F.col("s"), F.lit(0)).alias("raw"))
+        hubs = _norm_join(hraw)
+    # e stays persisted until the checkpointed iterations have run (i.e.
+    # this point); safe to release here since every downstream reference
+    # is to the truncated score RDDs.
+    e.unpersist()
+    return (
+        hubs.withColumnRenamed("score", "hub_scaled")
+        .join(auths.withColumnRenamed("score", "auth_scaled"), "host")
+        .select(
+            "host",
+            F.col("hub_scaled").cast("long").alias("hub_scaled"),
+            F.col("auth_scaled").cast("long").alias("auth_scaled"),
+            (F.col("hub_scaled") / F.lit(float(HITS_SCALE))).alias("hub"),
+            (F.col("auth_scaled") / F.lit(float(HITS_SCALE)))
+            .alias("authority"),
+        )
+    )
+
+
+def hits_unrolled_sql(edges_cte: str, iters: int = 5) -> str:
+    """DuckDB SQL twin of :func:`hits_fixedpoint`: the same fixed-point
+    integer recurrence unrolled as chained CTEs over an existing edge
+    CTE/table ``edges_cte(src, dst, w)``. Floor division equals Spark's
+    ``div`` on the all-nonnegative quantities involved, so the twin is
+    bit-exact. Ends with ``hits_final(host, hub_scaled, auth_scaled,
+    hub, authority)``. Shared by the unit tests and the driver oracle
+    (q53)."""
+    s = HITS_SCALE
+    # Every per-iteration CTE is referenced twice (the scalar max subquery
+    # + the main SELECT); DuckDB inlines non-materialized CTEs, so a plain
+    # chain re-evaluates each level per reference — ~4^iters blowup
+    # (measured: iters=3 took 9.5 s, iters=5 never finished). MATERIALIZED
+    # pins each level to one evaluation, the exact analogue of the Spark
+    # side's per-half-iteration localCheckpoint.
+    parts = [
+        f"hits_nodes AS MATERIALIZED (SELECT DISTINCT host FROM ("
+        f"SELECT src AS host FROM {edges_cte} "
+        f"UNION ALL SELECT dst FROM {edges_cte}))",
+        f"hits_h0 AS MATERIALIZED (SELECT host, CAST({s} AS BIGINT) AS score "
+        "FROM hits_nodes)",
+    ]
+    prev_h = "hits_h0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"hits_araw{i} AS MATERIALIZED (SELECT n.host, "
+            f"CAST(coalesce(t.s, 0) AS BIGINT) AS raw "
+            f"FROM hits_nodes n LEFT JOIN ("
+            f"SELECT e.dst AS host, sum(e.w * h.score) AS s "
+            f"FROM {edges_cte} e JOIN {prev_h} h ON h.host = e.src "
+            f"GROUP BY e.dst) t ON t.host = n.host)"
+        )
+        parts.append(
+            f"hits_a{i} AS MATERIALIZED (SELECT host, CAST((raw * {s}) // "
+            f"greatest((SELECT max(raw) FROM hits_araw{i}), 1) AS BIGINT) "
+            f"AS score FROM hits_araw{i})"
+        )
+        parts.append(
+            f"hits_hraw{i} AS MATERIALIZED (SELECT n.host, "
+            f"CAST(coalesce(t.s, 0) AS BIGINT) AS raw "
+            f"FROM hits_nodes n LEFT JOIN ("
+            f"SELECT e.src AS host, sum(e.w * a.score) AS s "
+            f"FROM {edges_cte} e JOIN hits_a{i} a ON a.host = e.dst "
+            f"GROUP BY e.src) t ON t.host = n.host)"
+        )
+        parts.append(
+            f"hits_h{i} AS MATERIALIZED (SELECT host, CAST((raw * {s}) // "
+            f"greatest((SELECT max(raw) FROM hits_hraw{i}), 1) AS BIGINT) "
+            f"AS score FROM hits_hraw{i})"
+        )
+        prev_h = f"hits_h{i}"
+    parts.append(
+        f"hits_final AS (SELECT h.host, h.score AS hub_scaled, "
+        f"a.score AS auth_scaled, h.score / {float(s)} AS hub, "
+        f"a.score / {float(s)} AS authority "
+        f"FROM hits_h{iters} h JOIN hits_a{iters} a ON a.host = h.host)"
+    )
+    return ",\n".join(parts)
+
+
 # ---- URL quality gate (FineWeb/RefinedWeb-style pre-extraction filter) ----
 # Deterministic, regex-light, and integer-exact so the DuckDB twin is
 # bit-identical: the digit-ratio test is the cross-multiplied integer

@@ -625,3 +625,55 @@ def test_inbound_host_signals(spark):
     assert got["t.com"] == (3, 3)
     assert got["other.net"] == (1, 1)
     assert "not-a-url" not in got and "" not in got
+
+
+def _hits_duckdb(edges, iters=5):
+    agg = {}
+    for s, d, w in edges:
+        agg[(s, d)] = agg.get((s, d), 0) + w
+    vals = ", ".join(f"('{s}','{d}',{w})" for (s, d), w in sorted(agg.items()))
+    sql = (f"WITH e(src,dst,w) AS (VALUES {vals}),\n"
+           f"{webtext.hits_unrolled_sql('e', iters=iters)}\n"
+           f"SELECT * FROM hits_final ORDER BY host")
+    return duckdb.connect().execute(sql).fetchall()
+
+
+def test_hits_fixedpoint_duckdb_twin_parity(spark):
+    # star + chain + self-loop + weighted: exercises both score directions
+    edges = [("a", "b", 3), ("c", "b", 1), ("d", "b", 2), ("b", "e", 1),
+             ("e", "e", 2), ("a", "c", 1), ("f", "a", 1)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    got = sorted(
+        (r["host"], r["hub_scaled"], r["auth_scaled"], r["hub"],
+         r["authority"])
+        for r in webtext.hits_fixedpoint(df, iters=5).collect())
+    assert got == [tuple(r) for r in _hits_duckdb(edges, iters=5)]
+    # max-normalization invariants: all scores in [0, SCALE], and the
+    # per-direction max IS SCALE (some host saturates each direction)
+    assert all(0 <= h <= webtext.HITS_SCALE
+               and 0 <= a <= webtext.HITS_SCALE for _, h, a, _, _ in got)
+    assert max(h for _, h, _, _, _ in got) == webtext.HITS_SCALE
+    assert max(a for _, _, a, _, _ in got) == webtext.HITS_SCALE
+    # b is the star center: it must be the top authority
+    top_auth = max(got, key=lambda r: r[2])
+    assert top_auth[0] == "b"
+
+
+def test_hits_fixedpoint_partitioning_invariant(spark):
+    """Bit-identical under different partitioning / join strategy — the
+    reproducibility property the fixed-point arithmetic buys (same
+    contract as the pagerank twin test)."""
+    edges = [(f"h{i % 9}", f"h{(i * 5 + 2) % 9}", 1 + i % 3)
+             for i in range(50)]
+    df1 = spark.createDataFrame(edges, "src string, dst string, w long")
+    df32 = df1.repartition(32)
+    a = sorted((r["host"], r["hub_scaled"], r["auth_scaled"]) for r in
+               webtext.hits_fixedpoint(df1, broadcast_scores=True).collect())
+    b = sorted((r["host"], r["hub_scaled"], r["auth_scaled"]) for r in
+               webtext.hits_fixedpoint(df32, broadcast_scores=False).collect())
+    assert a == b
+
+
+def test_hits_empty_edges(spark):
+    df = spark.createDataFrame([], "src string, dst string, w long")
+    assert webtext.hits_fixedpoint(df).collect() == []
