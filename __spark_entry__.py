@@ -1031,7 +1031,11 @@ def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks with overlap (old q47) ∪ GPT-style sequence packing — the whole
     corpus concatenated in doc_id order and cut into fixed 128-token
     sequences via a distributed bucketed prefix sum (no global sort, no
-    single-partition window)."""
+    single-partition window) ∪ the end-to-end TOKENIZER arm: learn a BPE
+    vocabulary, encode every document to token ids, pack the id stream
+    (text in, model-ready sequences out; the oracle pins the vocab-bounded
+    word→ids map from the pure-Python twin and recomputes the corpus-scale
+    reassembly + packing independently in SQL)."""
     docs = _t(spark, sf_dir, "documents")
     chunks = text_analysis.chunk_documents(
         docs, chunk_tokens=64, overlap=8
@@ -1049,7 +1053,17 @@ def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_text").alias("text"),
         F.col("n_tokens"),
     )
-    return chunks.unionByName(packed).orderBy("method", "gid", "sub_id")
+    bpe = text_analysis.bpe_encode_pack(
+        docs, n_merges=16, min_count=2, vocab_cap=65536, seq_tokens=128
+    ).select(
+        F.lit("bpe_pack").alias("method"),
+        F.col("seq_id").alias("gid"),
+        F.col("n_docs").alias("sub_id"),
+        F.col("seq_text").alias("text"),
+        F.col("n_tokens"),
+    )
+    return (chunks.unionByName(packed).unionByName(bpe)
+            .orderBy("method", "gid", "sub_id"))
 
 
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2653,7 +2667,28 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
         WHERE i % 5 = 0 ORDER BY media_id, frame_index
     """
-    o["q47_chunk_documents"] = f"""
+    # q47's bpe_pack arm: the word→ids map is the vocab-bounded model
+    # state — pinned from the pure-Python twin (shared kernels, zero
+    # fork); the corpus-scale encode + prefix-sum + packing is recomputed
+    # independently in SQL below. Same rows-only fallback discipline as
+    # q54 if the twin cannot build literals on this corpus.
+    try:
+        import os as _os
+
+        import pyarrow.parquet as _pq47
+
+        _sfd47 = _os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+        _dt47 = _pq47.read_table(
+            f"{_sfd47}/documents.parquet", columns=["text"])
+        _bmap = text_analysis._bpe_encode_map_twin(
+            _dt47["text"].to_pylist(), n_merges=16, min_count=2,
+            vocab_cap=65536)
+        if not _bmap:
+            raise ValueError("BPE encode twin produced an empty vocab map")
+        _bmap_rows = ", ".join(
+            "('{}', '{}')".format(w.replace("'", "''"), ids)
+            for w, ids in _bmap)
+        o["q47_chunk_documents"] = f"""
         WITH t AS (SELECT doc_id,
                           CASE WHEN {norm} = '' THEN []::VARCHAR[]
                                ELSE string_split({norm}, ' ') END AS toks
@@ -2685,10 +2720,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'pack' AS method, seq_id AS gid, count(*)::BIGINT AS sub_id,
                    string_agg(array_to_string(piece, ' '), ' ' ORDER BY s) AS text,
                    sum(len(piece))::BIGINT AS n_tokens
-            FROM p GROUP BY seq_id)
+            FROM p GROUP BY seq_id),
+        bmap(word, ids) AS (VALUES {_bmap_rows}),
+        bw AS (SELECT doc_id, toks AS words,
+                      unnest(range(1, len(toks) + 1))::INT AS i
+               FROM t),
+        bd AS (SELECT bw.doc_id,
+                      flatten(list(string_split(m.ids, ' ') ORDER BY bw.i))
+                          AS toks
+               FROM bw JOIN bmap m ON m.word = bw.words[bw.i]
+               GROUP BY bw.doc_id),
+        bcnt AS (SELECT d.doc_id,
+                        coalesce(bd.toks, []::VARCHAR[]) AS toks,
+                        coalesce(len(bd.toks), 0)::BIGINT AS n
+                 FROM documents d LEFT JOIN bd ON bd.doc_id = d.doc_id),
+        boff AS (SELECT *, (sum(n) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS s
+                 FROM bcnt),
+        bsp AS (SELECT *, s + n AS e FROM boff),
+        bx AS (SELECT toks, s, e,
+                      unnest(range(s // 128, (e - 1) // 128 + 1))::BIGINT
+                          AS seq_id
+               FROM bsp WHERE n > 0),
+        bp AS (SELECT seq_id, s,
+                      toks[(greatest(seq_id * 128, s) - s + 1)::INT
+                           : (least((seq_id + 1) * 128, e) - s)::INT] AS piece
+               FROM bx),
+        bpacks AS (
+            SELECT 'bpe_pack' AS method, seq_id AS gid,
+                   count(*)::BIGINT AS sub_id,
+                   string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)
+                       AS text,
+                   sum(len(piece))::BIGINT AS n_tokens
+            FROM bp GROUP BY seq_id)
         SELECT * FROM chunks UNION ALL SELECT * FROM packs
+        UNION ALL SELECT * FROM bpacks
         ORDER BY method, gid, sub_id
     """
+    except Exception as _exc:  # pragma: no cover - driver fallback
+        import sys as _sys
+
+        print(f"oracle_sql: q47 literal-oracle build skipped: {_exc!r}",
+              file=_sys.stderr)
     o["q46_channel_fanout"] = f"""
         SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,
                {norm} AS content

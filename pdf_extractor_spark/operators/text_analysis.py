@@ -749,6 +749,135 @@ def _bpe_twin(texts: list[str | None], n_merges: int = 8,
     return learned, [(t, c, i + 1) for i, (t, c) in enumerate(top)]
 
 
+def bpe_vocab_and_map(docs: DataFrame, n_merges: int = 16,
+                      min_count: int = 2, vocab_cap: int = 65536,
+                      ) -> tuple[list[tuple[str, str]], dict[str, list[int]]]:
+    """Learn BPE merges (capped-vocab path: one corpus-sized word-freq
+    aggregate + one bounded collect — see bpe_learn_merges) and derive the
+    deterministic token-id table: every subword token reachable by
+    segmenting the collected vocabulary, ids assigned by code-point order
+    (token ASC → 0..V-1, the canonical-ordering trick every twin in this
+    repo uses instead of engine-dependent insertion order). Returns
+    (merges, word → [token ids]) — the driver-side model state of a
+    tokenizer job (vocab-bounded, like k-means centroids / robots rules),
+    broadcast into the encode kernel."""
+    from pdf_extractor_spark.kernels.textstats import (
+        bpe_apply_merges, bpe_learn_from_vocab,
+    )
+
+    top = (
+        _word_freq_table(docs)
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(int(vocab_cap)).collect()
+    )
+    wf = [(r["word"], int(r["freq"])) for r in top]
+    learned = bpe_learn_from_vocab(wf, n_merges, min_count)
+    merges = [(a, b) for _, a, b, _ in learned]
+    seg = {w: bpe_apply_merges(w, merges) for w, _ in wf}
+    tok_ids = {t: i for i, t in
+               enumerate(sorted({s for ss in seg.values() for s in ss}))}
+    return merges, {w: [tok_ids[s] for s in ss] for w, ss in seg.items()}
+
+
+def bpe_encode_pack(docs: DataFrame, n_merges: int = 16,
+                    min_count: int = 2, vocab_cap: int = 65536,
+                    seq_tokens: int = 128, bucket: int = 1024) -> DataFrame:
+    """The end-to-end tokenization deliverable of an LLM-data pipeline:
+    learn a BPE vocabulary from the corpus, ENCODE every document to token
+    ids, and pack the global id stream into fixed-length training
+    sequences — corpus text in, model-ready (seq_id, ids) out. Returns
+    (seq_id, n_docs, n_tokens, seq_text) where seq_text is the
+    space-joined decimal ids (string-rendered so the packing core, the
+    value hash, and the SQL twin all operate on one portable encoding).
+
+    Plan: one corpus-sized word-freq aggregate + one vocab-bounded collect
+    (bpe_vocab_and_map) → the word→ids map rides the Arrow-kernel closure
+    to every partition (vocab-sized broadcast, like robots rules) → one
+    mapInArrow-style pandas pass encodes docs (per-word dict lookup;
+    unseen-beyond-cap words segment on the fly via the SAME shared
+    bpe_apply_merges, tokens outside the vocab map to id -1, the
+    documented UNK) → the shared distributed-prefix-sum packing core
+    (_pack_token_stream). At 100 TB the only corpus-sized stages are the
+    word-freq aggregate and the encode map pass — both shuffle-free until
+    the keyed pack shuffles.
+    """
+    from pdf_extractor_spark.kernels.textstats import (
+        bpe_apply_merges, normalize,
+    )
+
+    merges, wmap = bpe_vocab_and_map(docs, n_merges, min_count, vocab_cap)
+    frozen_m = tuple(merges)
+    frozen_map = dict(wmap)
+    tok_ids = {}
+    for w, ids in frozen_map.items():
+        for s, i in zip(bpe_apply_merges(w, list(frozen_m)), ids):
+            tok_ids[s] = i
+
+    def kern(batches, _m=frozen_m, _map=frozen_map, _tid=tok_ids,
+             _bucket=bucket):
+        import pandas as pd
+
+        mlist = list(_m)
+
+        def enc(doc_text):
+            if doc_text is None:
+                return []
+            out = []
+            for w in normalize(doc_text).split(" "):
+                if not w:
+                    continue
+                ids = _map.get(w)
+                if ids is None:
+                    ids = [_tid.get(s, -1) for s in bpe_apply_merges(w, mlist)]
+                out.extend(ids)
+            return out
+
+        for pdf in batches:
+            ids_col = [enc(t) for t in pdf["text"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "toks": [[str(i) for i in ids] for ids in ids_col],
+                "n": [len(ids) for ids in ids_col],
+                "bkt": [int(d) // _bucket for d in pdf["doc_id"]],
+            })
+
+    t = docs.select("doc_id", "text").mapInPandas(
+        kern, "doc_id long, toks array<string>, n long, bkt long")
+    return _pack_token_stream(t, seq_tokens)
+
+
+def _bpe_encode_map_twin(texts: list[str | None], n_merges: int = 16,
+                         min_count: int = 2, vocab_cap: int = 65536,
+                         ) -> list[tuple[str, str]]:
+    """Pure-Python twin of :func:`bpe_vocab_and_map` for the q47 oracle:
+    relearns merges from the corpus texts and returns the word → ids map
+    as [(word, 'id id id')] rows (sorted by word) to pin as SQL VALUES —
+    the vocab-bounded model state; the corpus-scale reassembly/packing is
+    recomputed independently in SQL. Shares bpe_learn_from_vocab /
+    bpe_apply_merges / normalize with the Spark side (zero fork)."""
+    from collections import Counter
+
+    from pdf_extractor_spark.kernels.textstats import (
+        bpe_apply_merges, bpe_learn_from_vocab, normalize,
+    )
+
+    wf: Counter = Counter()
+    for t in texts:
+        if t is None:
+            continue
+        for w in normalize(t).split(" "):
+            if w:
+                wf[w] += 1
+    top = sorted(wf.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_cap]
+    learned = bpe_learn_from_vocab(top, n_merges, min_count)
+    merges = [(a, b) for _, a, b, _ in learned]
+    seg = {w: bpe_apply_merges(w, merges) for w, _ in top}
+    tok_ids = {t: i for i, t in
+               enumerate(sorted({s for ss in seg.values() for s in ss}))}
+    return sorted(
+        (w, " ".join(str(tok_ids[s]) for s in ss)) for w, ss in seg.items())
+
+
 def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,
                       default_rate: int = 50) -> DataFrame:
     """Deterministic per-stratum downsampling (the data-mixture step of a
@@ -1472,8 +1601,6 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
     sequences reassemble with one groupBy(seq_id). Every shuffle is keyed
     (bucket or seq_id); no global sort, nothing driver-side.
     """
-    from pyspark.sql.window import Window
-
     norm = _norm(F.col("text"))
     # split('') is [''] — a phantom token would shift every later doc's
     # global offset and inject '' pieces into packed sequences
@@ -1485,6 +1612,18 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
         F.size(toks).cast("long").alias("n"),
         F.expr(f"doc_id div {bucket}").alias("bkt"),
     )
+    return _pack_token_stream(t, seq_tokens)
+
+
+def _pack_token_stream(t: DataFrame, seq_tokens: int) -> DataFrame:
+    """Packing core shared by :func:`pack_sequences` (whitespace tokens)
+    and :func:`bpe_encode_pack` (BPE token ids rendered as strings):
+    ``t`` = (doc_id, toks array<string>, n long, bkt long) → fixed-length
+    sequences (seq_id, n_docs, n_tokens, seq_text). Plan shape documented
+    at pack_sequences (distributed two-level prefix sum; every shuffle
+    keyed)."""
+    from pyspark.sql.window import Window
+
     bt = t.groupBy("bkt").agg(F.sum("n").alias("bn"))
     wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     boff = bt.select(

@@ -591,3 +591,72 @@ def test_bpe_256_merges_is_cheap_on_capped_path(spark):
     # generous 4x for host noise (measured ~1x: both are one aggregate +
     # one collect + local work)
     assert t_big < 4 * max(t_small, 1.0), (t_small, t_big)
+
+
+def test_bpe_encode_pack_matches_twin_and_handcheck(spark):
+    """End-to-end tokenizer arm: the Spark encode+pack output must equal a
+    pure-Python reassembly from the twin's word→ids map (exact string/
+    integer work); empty/None docs contribute zero tokens; id assignment
+    is code-point order over the segmented vocabulary."""
+    texts = ["the quick fox", "", None, "the the fox fox fox jumps",
+             "pack packing packed", "fox the"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    L = 5
+    got = sorted(
+        (r["seq_id"], r["n_docs"], r["n_tokens"], r["seq_text"])
+        for r in text_analysis.bpe_encode_pack(
+            docs, n_merges=4, seq_tokens=L).collect())
+    # reassemble from the twin map (the exact artifact the oracle pins)
+    bmap = dict(text_analysis._bpe_encode_map_twin(texts, n_merges=4))
+    stream, spans = [], []
+    for i, t in enumerate(texts):
+        ids = []
+        if t:
+            for w in normalize(t).split(" "):
+                if w:
+                    ids.extend(bmap[w].split(" "))
+        if ids:
+            spans.append((len(stream), len(ids)))
+            stream.extend(ids)
+    exp = {}
+    for s, n in spans:
+        for q in range(s // L, (s + n - 1) // L + 1):
+            d = exp.setdefault(q, [0, 0])
+            d[0] += 1
+            d[1] += min((q + 1) * L, s + n) - max(q * L, s)
+    # seq q holds exactly stream[q*L:(q+1)*L]; nt == len of that slice
+    expected = sorted(
+        (q, nd, nt, " ".join(stream[q * L:(q + 1) * L]))
+        for q, (nd, nt) in exp.items())
+    assert got == expected
+    # every id decodes back through the map's id space (no -1 UNKs here)
+    all_ids = {int(x) for _, _, _, s in got for x in s.split(" ")}
+    assert min(all_ids) >= 0
+
+
+def test_bpe_encode_pack_unseen_word_unk(spark):
+    """Words beyond the vocab cap segment on the fly; tokens outside the
+    capped vocabulary map to -1 (the documented UNK id) instead of
+    crashing or silently dropping."""
+    # cap=2 keeps only the two most frequent words' tokens
+    docs = spark.createDataFrame(
+        [(0, "aa aa aa bb bb zz")], "doc_id long, text string")
+    out = text_analysis.bpe_encode_pack(
+        docs, n_merges=0, vocab_cap=2, seq_tokens=100).collect()
+    ids = out[0]["seq_text"].split(" ")
+    assert "-1" in ids  # 'zz' tokens are outside the capped vocab
+    # in-vocab words still encode to real ids
+    assert any(int(x) >= 0 for x in ids)
+
+
+def test_pack_sequences_unchanged_after_refactor(spark):
+    """pack_sequences (whitespace arm) still produces the documented
+    shape after the packing core was factored out for the BPE arm."""
+    docs = spark.createDataFrame(
+        [(0, "a b c d e"), (1, ""), (2, "f g h")],
+        "doc_id long, text string")
+    rows = sorted(
+        (r["seq_id"], r["n_docs"], r["n_tokens"], r["seq_text"])
+        for r in text_analysis.pack_sequences(docs, seq_tokens=4).collect())
+    assert rows == [(0, 1, 4, "a b c d"), (1, 2, 4, "e f g h")]
