@@ -236,6 +236,38 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(webtext.host_of_expr(F.col("url")).alias("source"))
         .groupBy("source").agg(F.count("*").alias("noindex_docs"))
     )
+    # sitemap tier: synthesize one sitemap XML per host from its docs
+    # (closed-form entry spec — every 3rd doc omits <lastmod>, exercising
+    # the NULL branch), parse it back with the REAL protocol parser
+    # (webtext.parse_sitemap), roll up per host; the oracle derives the
+    # expected counts/max-lastmod analytically without parsing XML
+    sm_lastmod = F.when(
+        F.col("doc_id") % 3 != 0,
+        F.concat(
+            F.lit("<lastmod>2026-01-"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        ),
+    ).otherwise(F.lit(""))
+    sm_entry = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"), F.lit("/doc/"),
+        F.col("doc_id").cast("string"), F.lit("</loc>"), sm_lastmod,
+        F.lit("</url>"))
+    sxml = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.array_sort(F.collect_list(sm_entry))),
+            F.lit("</urlset>"),
+        ).alias("xml"))
+    smr = (
+        webtext.parse_sitemap(sxml.select(F.col("source").alias("url"),
+                                          "xml"))
+        .where(~F.col("is_index"))
+        .groupBy("url")
+        .agg(F.count("*").alias("sitemap_urls"),
+             F.max("lastmod").alias("sitemap_latest_lastmod"))
+        .withColumnRenamed("url", "source")
+    )
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(F.broadcast(ht.withColumnRenamed("host", "source")),
@@ -246,6 +278,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ni), "source", "left")
         .join(F.broadcast(anch.withColumnRenamed("host", "source")),
               "source", "left")
+        .join(F.broadcast(smr), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -277,6 +310,9 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_degree"),
             F.coalesce(F.col("inbound_anchor_terms"), F.lit(0)).cast("long")
             .alias("inbound_anchor_terms"),
+            F.coalesce(F.col("sitemap_urls"), F.lit(0)).cast("long")
+            .alias("sitemap_urls"),
+            F.col("sitemap_latest_lastmod"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -3023,7 +3059,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents GROUP BY source),
         hll AS ({sketch.hll_oracle_sql("documents", "text", "source")}),
         ni AS (SELECT source, count(*)::BIGINT AS noindex_docs
-               FROM documents WHERE doc_id % 7 = 0 GROUP BY source)
+               FROM documents WHERE doc_id % 7 = 0 GROUP BY source),
+        sm AS (SELECT source, count(*)::BIGINT AS sitemap_urls,
+                      max(CASE WHEN doc_id % 3 <> 0 THEN
+                          '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0')
+                          END) AS sitemap_latest_lastmod
+               FROM documents GROUP BY source)
         SELECT base.*,
                CAST(coalesce(od.out_degree, 0) AS BIGINT) AS out_degree,
                CAST(coalesce(pf.rank_scaled, 0) AS BIGINT) AS rank_scaled,
@@ -3041,6 +3082,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(ind.in_degree, 0) AS BIGINT) AS in_degree,
                CAST(coalesce(ind.inbound_anchor_terms, 0) AS BIGINT)
                    AS inbound_anchor_terms,
+               CAST(coalesce(sm.sitemap_urls, 0) AS BIGINT) AS sitemap_urls,
+               sm.sitemap_latest_lastmod AS sitemap_latest_lastmod,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight
         FROM base
@@ -3051,6 +3094,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN hll ON hll.source = base.source
         LEFT JOIN ni ON ni.source = base.source
         LEFT JOIN ind ON ind.dst = base.source
+        LEFT JOIN sm ON sm.source = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

@@ -247,6 +247,51 @@ def inbound_host_signals(anchors: DataFrame) -> DataFrame:
     )
 
 
+_SITEMAP_URL_BLOCK = r"(?is)<url[\s>].*?</url>"
+_SITEMAP_INDEX_BLOCK = r"(?is)<sitemap[\s>].*?</sitemap>"
+_SITEMAP_LOC = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+_SITEMAP_LASTMOD = r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>"
+
+
+def parse_sitemap(sitemaps: DataFrame, url_col: str = "url",
+                  xml_col: str = "xml") -> DataFrame:
+    """``(url, xml)`` sitemap documents → one row per entry:
+    ``(url, loc, lastmod, is_index)`` — the crawl-frontier feed
+    (sitemaps.org protocol, public spec). ``<urlset>`` entries carry
+    ``is_index = false``; ``<sitemapindex>`` entries (pointers to child
+    sitemaps a fetcher must recurse into) carry ``is_index = true``.
+    ``lastmod`` is NULL when the entry omits it; entries without a
+    ``<loc>`` are dropped (spec-required field).
+
+    Extraction subset, documented like the href/anchor parsers: block
+    scan for ``<url>…</url>`` / ``<sitemap>…</sitemap>`` (case-
+    insensitive, dot-matches-newline), then ``<loc>``/``<lastmod>``
+    inside each block — whitespace around values trimmed by the pattern.
+    CDATA and entity decoding are out of the subset. The whole plan is
+    narrow (two regexp_extract_all passes → explode → per-block
+    extracts): zero shuffles, zero Python — at a 10^12-page crawl the
+    frontier refresh runs entirely inside the scan stage, like
+    extract_links.
+    """
+    xml = F.col(xml_col)
+
+    def entries(block_re: str, is_index: bool) -> DataFrame:
+        blocks = F.regexp_extract_all(xml, F.lit(block_re), 0)
+        out = sitemaps.select(
+            F.col(url_col).alias("url"), F.explode(blocks).alias("b"))
+        loc = F.regexp_extract(F.col("b"), _SITEMAP_LOC, 1)
+        lastmod = F.regexp_extract(F.col("b"), _SITEMAP_LASTMOD, 1)
+        return out.select(
+            "url",
+            loc.alias("loc"),
+            F.when(lastmod != "", lastmod).alias("lastmod"),
+            F.lit(is_index).alias("is_index"),
+        ).where(F.col("loc") != "")
+
+    return entries(_SITEMAP_URL_BLOCK, False).unionByName(
+        entries(_SITEMAP_INDEX_BLOCK, True))
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """Link rows → weighted host-graph edges ``(src, dst, w)``. One shuffle
     (the (src, dst) groupBy, map-side partial). Self-loops are kept — they

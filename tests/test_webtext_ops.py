@@ -677,3 +677,50 @@ def test_hits_fixedpoint_partitioning_invariant(spark):
 def test_hits_empty_edges(spark):
     df = spark.createDataFrame([], "src string, dst string, w long")
     assert webtext.hits_fixedpoint(df).collect() == []
+
+
+def test_parse_sitemap_known_answers(spark):
+    urlset = (
+        '<?xml version="1.0" encoding="UTF-8"?>\n'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">\n'
+        '  <url><loc>https://ex.com/a</loc>'
+        '<lastmod>2026-01-05</lastmod></url>\n'
+        '  <URL>\n    <LOC>  https://ex.com/b  </LOC>\n  </URL>\n'
+        '  <url><lastmod>2026-01-09</lastmod></url>\n'   # no loc -> dropped
+        '  <url><loc>https://ex.com/c</loc>'
+        '<lastmod>\n 2026-02-01 \n</lastmod></url>\n'
+        '</urlset>')
+    index = (
+        '<sitemapindex>'
+        '<sitemap><loc>https://ex.com/sitemap-1.xml</loc>'
+        '<lastmod>2025-12-31</lastmod></sitemap>'
+        '<sitemap><loc>https://ex.com/sitemap-2.xml</loc></sitemap>'
+        '</sitemapindex>')
+    df = spark.createDataFrame(
+        [("https://ex.com/sitemap.xml", urlset),
+         ("https://ex.com/sitemap_index.xml", index)],
+        "url string, xml string")
+    got = sorted(
+        (r["url"], r["loc"], r["lastmod"], r["is_index"])
+        for r in webtext.parse_sitemap(df).collect())
+    assert got == [
+        ("https://ex.com/sitemap.xml", "https://ex.com/a", "2026-01-05", False),
+        ("https://ex.com/sitemap.xml", "https://ex.com/b", None, False),
+        ("https://ex.com/sitemap.xml", "https://ex.com/c", "2026-02-01", False),
+        ("https://ex.com/sitemap_index.xml", "https://ex.com/sitemap-1.xml",
+         "2025-12-31", True),
+        ("https://ex.com/sitemap_index.xml", "https://ex.com/sitemap-2.xml",
+         None, True),
+    ]
+
+
+def test_parse_sitemap_plan_is_narrow(spark):
+    """The frontier refresh must run inside the scan stage: no shuffle,
+    no Python (same contract as extract_links)."""
+    df = spark.createDataFrame(
+        [("u", "<urlset><url><loc>x</loc></url></urlset>")],
+        "url string, xml string")
+    out = webtext.parse_sitemap(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
