@@ -292,6 +292,42 @@ def parse_sitemap(sitemaps: DataFrame, url_col: str = "url",
         entries(_SITEMAP_INDEX_BLOCK, True))
 
 
+def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
+               content_col: str = "text") -> DataFrame:
+    """Crawl-over-crawl delta: compare two crawl tables (typically two
+    SnapshotTable snapshots via read_snapshot — Common Crawl's
+    month-over-month shape) and classify every key as ``added`` (only in
+    new), ``gone`` (only in old), ``changed`` (both, different content
+    fingerprint) or ``unchanged``. The re-crawl scheduler's input: fetch
+    'changed' hosts more often, expire 'gone' URLs from the frontier.
+
+    Contract: ``key_col`` is unique per side (a crawl table is keyed by
+    url; dedup upstream if not). Plan: each side reduces scan-side to
+    (key, md5(content)) — the one exchange per side carries a 16-byte
+    fingerprint, never page bodies — then ONE full-outer sort-merge join
+    on the key classifies everything. NULL content hashes as the empty
+    string (a fetched-but-empty page is a real state, distinct from
+    absent). At 10^12 pages this is two keyed shuffles + a join, no
+    driver state.
+    """
+    o = old.select(
+        F.col(key_col).alias("k"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("ofp"))
+    n = new.select(
+        F.col(key_col).alias("k"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("nfp"))
+    status = (
+        F.when(F.col("ofp").isNull(), F.lit("added"))
+        .when(F.col("nfp").isNull(), F.lit("gone"))
+        .when(F.col("ofp") != F.col("nfp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "k", "full_outer")
+        .select(F.col("k").alias(key_col), status.alias("status"))
+    )
+
+
 def host_edges(links: DataFrame) -> DataFrame:
     """Link rows → weighted host-graph edges ``(src, dst, w)``. One shuffle
     (the (src, dst) groupBy, map-side partial). Self-loops are kept — they

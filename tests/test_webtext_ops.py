@@ -724,3 +724,47 @@ def test_parse_sitemap_plan_is_narrow(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_crawl_diff_known_answers_and_twin(spark):
+    old = spark.createDataFrame(
+        [("u1", "same"), ("u2", "before"), ("u3", "kept"), ("u4", None)],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "same"), ("u2", "after"), ("u5", "fresh"), ("u4", "")],
+        "url string, text string")
+    got = sorted(map(tuple, webtext.crawl_diff(old, new).collect()))
+    # u4: NULL old content hashes as '' == new '' -> unchanged
+    assert got == [("u1", "unchanged"), ("u2", "changed"), ("u3", "gone"),
+                   ("u4", "unchanged"), ("u5", "added")]
+    con = duckdb.connect()
+    con.register("o", old.toPandas())
+    con.register("n", new.toPandas())
+    want = sorted(map(tuple, con.execute("""
+        SELECT coalesce(o.url, n.url) AS url,
+               CASE WHEN o.url IS NULL THEN 'added'
+                    WHEN n.url IS NULL THEN 'gone'
+                    WHEN md5(coalesce(o.text, '')) <> md5(coalesce(n.text, ''))
+                        THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM o FULL OUTER JOIN n ON o.url = n.url ORDER BY url
+    """).fetchall()))
+    assert got == want
+
+
+def test_crawl_diff_across_snapshot_time_travel(spark, tmp_path):
+    """The month-over-month shape: crawl A committed, crawl B overwrites,
+    diff(read_snapshot(A), read(current)) classifies every url."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "crawl"))
+    a = spark.createDataFrame(
+        [("u1", "x"), ("u2", "y"), ("u3", "z")], "url string, text string")
+    snap_a = t.append(a)
+    b = spark.createDataFrame(
+        [("u1", "x"), ("u2", "y2"), ("u4", "w")], "url string, text string")
+    t.overwrite(b)
+    diff = sorted(map(tuple, webtext.crawl_diff(
+        t.read_snapshot(spark, snap_a), t.read(spark)).collect()))
+    assert diff == [("u1", "unchanged"), ("u2", "changed"), ("u3", "gone"),
+                    ("u4", "added")]
