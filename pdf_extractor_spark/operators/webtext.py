@@ -729,6 +729,130 @@ def url_filter_sql(url_sql: str) -> str:
     )
 
 
+def _robots_lines(robots: DataFrame, host_col: str,
+                  body_col: str) -> DataFrame:
+    """robots.txt bodies → one row per directive: (host, pos, key, value)
+    with key ASCII-lowercased, '#' comments stripped, whitespace trimmed,
+    non-directive lines dropped. Narrow (split → posexplode → regexp) —
+    the shared front half of parse_robots_txt / robots_sitemaps /
+    robots_crawl_delay."""
+    line = F.col("line")
+    nc = F.regexp_extract(line, r"^([^#]*)", 1)
+    key = _ascii_lower(F.regexp_extract(nc, r"^\s*([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract(nc, r"^\s*[A-Za-z-]+\s*:(.*)$", 1))
+    return (
+        robots.select(
+            _ascii_lower(F.col(host_col)).alias("host"),
+            F.posexplode(F.split(F.col(body_col), r"\r?\n"))
+            .alias("pos", "line"),
+        )
+        .select("host", "pos", key.alias("key"), value.alias("value"))
+        .where(F.col("key") != "")
+    )
+
+
+def _robots_groups(lines: DataFrame, agent: str) -> DataFrame:
+    """Directive lines → (host, pos, key, value, applicable): RFC 9309
+    group structure. Consecutive ``User-agent`` lines open ONE group; a
+    group is applicable when its agent set names ``agent`` exactly
+    (ASCII-lowercased token match — the RFC's longest-token-match is
+    simplified to exact-or-*, the documented subset) — and if ANY group
+    names the agent specifically, ``*`` groups are ignored for it (the
+    RFC's most-specific-group rule). Windows are partitioned by host
+    (robots files are small; hosts are many — fully parallel)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    lines = lines.withColumn(
+        "gid",
+        F.sum(
+            (is_ua.cast("boolean")
+             & ~F.coalesce(F.lag(is_ua.cast("boolean")).over(w),
+                           F.lit(False))).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    agents = (
+        lines.where(F.col("key") == "user-agent")
+        .groupBy("host", "gid")
+        .agg(F.collect_set(_ascii_lower(F.col("value"))).alias("agents"))
+        .withColumn("names_agent",
+                    F.array_contains("agents", agent.lower()))
+        .withColumn("names_star", F.array_contains("agents", "*"))
+    )
+    host_specific = agents.groupBy("host").agg(
+        F.max("names_agent").alias("has_specific"))
+    applicable = (
+        agents.join(F.broadcast(host_specific), "host")
+        .withColumn(
+            "applicable",
+            F.when(F.col("has_specific"), F.col("names_agent"))
+            .otherwise(F.col("names_star")))
+        .select("host", "gid", "applicable")
+    )
+    return lines.join(F.broadcast(applicable), ["host", "gid"], "left") \
+        .withColumn("applicable",
+                    F.coalesce(F.col("applicable"), F.lit(False)))
+
+
+def parse_robots_txt(robots: DataFrame, agent: str = "*",
+                     host_col: str = "host",
+                     body_col: str = "body") -> DataFrame:
+    """robots.txt TEXT → the (host, prefix, allow) rules table
+    :func:`robots_match` consumes — the missing front half of the chain
+    (raw fetched bytes in, crawl decisions out). RFC 9309 subset,
+    documented: '#' comments, CRLF/LF lines, case-insensitive directive
+    keys, consecutive User-agent lines share a group, empty
+    ``Disallow:`` emits no rule (allow-all), percent-decoding and
+    wildcard patterns ('*', '$') are out of the subset (emitted verbatim
+    as prefixes). Only rules from groups applicable to ``agent`` are
+    returned. Narrow until one host-keyed window; output is
+    host-cardinality-small — the broadcast side of robots_match."""
+    g = _robots_groups(_robots_lines(robots, host_col, body_col), agent)
+    return (
+        g.where(F.col("applicable")
+                & F.col("key").isin("allow", "disallow")
+                & (F.col("value") != ""))
+        .select(
+            "host",
+            F.col("value").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
+def robots_sitemaps(robots: DataFrame, host_col: str = "host",
+                    body_col: str = "body") -> DataFrame:
+    """``Sitemap:`` directives (group-independent per RFC 9309) →
+    (host, sitemap_url) frontier seeds — the link between the robots
+    fetch and :func:`parse_sitemap`."""
+    lines = _robots_lines(robots, host_col, body_col)
+    return (
+        lines.where((F.col("key") == "sitemap") & (F.col("value") != ""))
+        .select("host", F.col("value").alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def robots_crawl_delay(robots: DataFrame, agent: str = "*",
+                       host_col: str = "host",
+                       body_col: str = "body") -> DataFrame:
+    """``Crawl-delay:`` per host for ``agent`` (de-facto directive —
+    not in RFC 9309 but honored by major crawlers; the politeness knob a
+    frontier scheduler needs next to the allow rules). MIN across
+    applicable groups; non-numeric values are ignored."""
+    g = _robots_groups(_robots_lines(robots, host_col, body_col), agent)
+    return (
+        g.where(F.col("applicable") & (F.col("key") == "crawl-delay"))
+        # try_cast: malformed delays are ignored, not ANSI cast errors
+        .select("host", F.col("value").try_cast("double").alias("d"))
+        .where(F.col("d").isNotNull())
+        .groupBy("host")
+        .agg(F.min("d").alias("crawl_delay"))
+    )
+
+
 def robots_match(urls: DataFrame, rules: DataFrame,
                  key_col: str = "doc_id",
                  url_col: str = "url") -> DataFrame:

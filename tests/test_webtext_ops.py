@@ -768,3 +768,116 @@ def test_crawl_diff_across_snapshot_time_travel(spark, tmp_path):
         t.read_snapshot(spark, snap_a), t.read(spark)).collect()))
     assert diff == [("u1", "unchanged"), ("u2", "changed"), ("u3", "gone"),
                     ("u4", "added")]
+
+
+ROBOTS_A = """# global comment
+User-agent: *
+Disallow: /private/
+Allow: /private/ok
+Crawl-delay: 2
+
+User-agent: fastbot
+User-agent: megabot
+Disallow: /
+Crawl-delay: 0.5
+
+Sitemap: https://a.com/sitemap.xml
+Sitemap: https://a.com/sitemap-news.xml
+"""
+
+ROBOTS_B = """User-agent: *
+Disallow:
+Allow: /x  # trailing comment
+bogus line without colon pattern !!
+Crawl-delay: not-a-number
+"""
+
+
+def _robots_ref(body, agent="*"):
+    """Independent pure-Python reference of the documented RFC 9309
+    subset (group structure, exact-or-* agent match, specific-overrides-*)."""
+    groups, cur, in_ua = [], None, False
+    sitemaps, rules_out, delays = [], [], []
+    for raw in body.split("\n"):
+        line = raw.split("#", 1)[0]
+        import re
+        m = re.match(r"^\s*([A-Za-z-]+)\s*:(.*)$", line)
+        if not m:
+            continue
+        k, v = m.group(1).lower(), m.group(2).strip()
+        if k == "sitemap":
+            if v:
+                sitemaps.append(v)
+            continue
+        if k == "user-agent":
+            if not in_ua:
+                cur = {"agents": set(), "rules": [], "delay": []}
+                groups.append(cur)
+            cur["agents"].add(v.lower())
+            in_ua = True
+            continue
+        in_ua = False
+        if cur is None:
+            continue
+        if k in ("allow", "disallow") and v:
+            cur["rules"].append((v, k == "allow"))
+        elif k == "crawl-delay":
+            try:
+                cur["delay"].append(float(v))
+            except ValueError:
+                pass
+    has_specific = any(agent.lower() in g["agents"] for g in groups)
+    for g in groups:
+        app = (agent.lower() in g["agents"]) if has_specific \
+            else ("*" in g["agents"])
+        if app:
+            rules_out.extend(g["rules"])
+            delays.extend(g["delay"])
+    return sorted(set(rules_out)), sorted(set(sitemaps)), \
+        (min(delays) if delays else None)
+
+
+def test_parse_robots_txt_reference_parity(spark):
+    df = spark.createDataFrame(
+        [("A.com", ROBOTS_A), ("b.com", ROBOTS_B)], "host string, body string")
+    for agent in ("*", "megabot", "unknownbot"):
+        got = {}
+        for r in webtext.parse_robots_txt(df, agent=agent).collect():
+            got.setdefault(r["host"], []).append((r["prefix"], r["allow"]))
+        gd = {r["host"]: r["crawl_delay"] for r in
+              webtext.robots_crawl_delay(df, agent=agent).collect()}
+        for host, body in [("a.com", ROBOTS_A), ("b.com", ROBOTS_B)]:
+            rules, _, delay = _robots_ref(body, agent)
+            assert sorted(got.get(host, [])) == rules, (agent, host)
+            assert gd.get(host) == delay, (agent, host)
+    sm = sorted(map(tuple, webtext.robots_sitemaps(df).collect()))
+    assert sm == [("a.com", "https://a.com/sitemap-news.xml"),
+                  ("a.com", "https://a.com/sitemap.xml")]
+
+
+def test_parse_robots_specific_group_overrides_star(spark):
+    df = spark.createDataFrame([("h.com", ROBOTS_A)], "host string, body string")
+    # megabot has a specific group -> '*' rules ignored entirely
+    rules = sorted((r["prefix"], r["allow"]) for r in
+                   webtext.parse_robots_txt(df, agent="megabot").collect())
+    assert rules == [("/", False)]
+    d = webtext.robots_crawl_delay(df, agent="megabot").collect()
+    assert d[0]["crawl_delay"] == 0.5
+    # unknown agent falls back to the '*' group
+    rules = sorted((r["prefix"], r["allow"]) for r in
+                   webtext.parse_robots_txt(df, agent="slowbot").collect())
+    assert rules == [("/private/", False), ("/private/ok", True)]
+
+
+def test_parse_robots_chain_into_robots_match(spark):
+    """bytes → parse_robots_txt → robots_match: the full decision chain."""
+    df = spark.createDataFrame([("a.com", ROBOTS_A)], "host string, body string")
+    rules = webtext.parse_robots_txt(df, agent="crawler9000")
+    urls = spark.createDataFrame(
+        [(1, "https://a.com/private/secret"),
+         (2, "https://a.com/private/ok/page"),
+         (3, "https://a.com/public")],
+        "doc_id long, url string")
+    got = {r["doc_id"]: r["robots_allowed"] for r in
+           webtext.robots_match(urls, rules).collect()}
+    assert got == {1: False, 2: True, 3: True}
