@@ -2705,9 +2705,14 @@ def oracle_sql() -> dict[str, str]:
     """
     # q47's bpe_pack arm: the word→ids map is the vocab-bounded model
     # state — pinned from the pure-Python twin (shared kernels, zero
-    # fork); the corpus-scale encode + prefix-sum + packing is recomputed
+    # fork; covers EVERY distinct corpus word, beyond-cap words included,
+    # so the SQL map join can never drop a word and shift offsets); the
+    # corpus-scale encode + prefix-sum + packing is recomputed
     # independently in SQL below. Same rows-only fallback discipline as
-    # q54 if the twin cannot build literals on this corpus.
+    # q54 if the twin cannot build literals on this corpus. Deliberately
+    # NO 2-arm fallback SQL: the Spark side always emits the bpe arm, so
+    # a chunks+packs-only oracle would be a GUARANTEED false mismatch —
+    # rows-only is the honest degradation (flagged loudly to stderr).
     try:
         import os as _os
 

@@ -751,16 +751,19 @@ def _bpe_twin(texts: list[str | None], n_merges: int = 8,
 
 def bpe_vocab_and_map(docs: DataFrame, n_merges: int = 16,
                       min_count: int = 2, vocab_cap: int = 65536,
-                      ) -> tuple[list[tuple[str, str]], dict[str, list[int]]]:
+                      ) -> tuple[list[tuple[str, str]],
+                                 dict[str, list[int]], dict[str, int]]:
     """Learn BPE merges (capped-vocab path: one corpus-sized word-freq
     aggregate + one bounded collect — see bpe_learn_merges) and derive the
     deterministic token-id table: every subword token reachable by
     segmenting the collected vocabulary, ids assigned by code-point order
     (token ASC → 0..V-1, the canonical-ordering trick every twin in this
     repo uses instead of engine-dependent insertion order). Returns
-    (merges, word → [token ids]) — the driver-side model state of a
-    tokenizer job (vocab-bounded, like k-means centroids / robots rules),
-    broadcast into the encode kernel."""
+    (merges, word → [token ids], token → id) — the driver-side model
+    state of a tokenizer job (vocab-bounded, like k-means centroids /
+    robots rules), broadcast into the encode kernel. The token→id table
+    rides along so callers never re-segment the vocabulary to
+    reconstruct it (review-wave finding)."""
     from pdf_extractor_spark.kernels.textstats import (
         bpe_apply_merges, bpe_learn_from_vocab,
     )
@@ -776,7 +779,9 @@ def bpe_vocab_and_map(docs: DataFrame, n_merges: int = 16,
     seg = {w: bpe_apply_merges(w, merges) for w, _ in wf}
     tok_ids = {t: i for i, t in
                enumerate(sorted({s for ss in seg.values() for s in ss}))}
-    return merges, {w: [tok_ids[s] for s in ss] for w, ss in seg.items()}
+    return (merges,
+            {w: [tok_ids[s] for s in ss] for w, ss in seg.items()},
+            tok_ids)
 
 
 def bpe_encode_pack(docs: DataFrame, n_merges: int = 16,
@@ -805,13 +810,10 @@ def bpe_encode_pack(docs: DataFrame, n_merges: int = 16,
         bpe_apply_merges, normalize,
     )
 
-    merges, wmap = bpe_vocab_and_map(docs, n_merges, min_count, vocab_cap)
+    merges, wmap, tok_ids = bpe_vocab_and_map(
+        docs, n_merges, min_count, vocab_cap)
     frozen_m = tuple(merges)
     frozen_map = dict(wmap)
-    tok_ids = {}
-    for w, ids in frozen_map.items():
-        for s, i in zip(bpe_apply_merges(w, list(frozen_m)), ids):
-            tok_ids[s] = i
 
     def kern(batches, _m=frozen_m, _map=frozen_map, _tid=tok_ids,
              _bucket=bucket):
@@ -853,8 +855,13 @@ def _bpe_encode_map_twin(texts: list[str | None], n_merges: int = 16,
     relearns merges from the corpus texts and returns the word → ids map
     as [(word, 'id id id')] rows (sorted by word) to pin as SQL VALUES —
     the vocab-bounded model state; the corpus-scale reassembly/packing is
-    recomputed independently in SQL. Shares bpe_learn_from_vocab /
-    bpe_apply_merges / normalize with the Spark side (zero fork)."""
+    recomputed independently in SQL. Covers EVERY distinct corpus word:
+    words beyond the vocab cap are segmented on the fly and unknown
+    tokens map to -1 — exactly the engine kernel's enc() fallback, so
+    the oracle's map join never silently drops a word and shifts every
+    later packing offset (review-wave finding). Shares
+    bpe_learn_from_vocab / bpe_apply_merges / normalize with the Spark
+    side (zero fork)."""
     from collections import Counter
 
     from pdf_extractor_spark.kernels.textstats import (
@@ -874,8 +881,12 @@ def _bpe_encode_map_twin(texts: list[str | None], n_merges: int = 16,
     seg = {w: bpe_apply_merges(w, merges) for w, _ in top}
     tok_ids = {t: i for i, t in
                enumerate(sorted({s for ss in seg.values() for s in ss}))}
+    out = {w: [tok_ids[s] for s in ss] for w, ss in seg.items()}
+    for w in wf:
+        if w not in out:  # beyond-cap: the kernel's on-the-fly fallback
+            out[w] = [tok_ids.get(s, -1) for s in bpe_apply_merges(w, merges)]
     return sorted(
-        (w, " ".join(str(tok_ids[s]) for s in ss)) for w, ss in seg.items())
+        (w, " ".join(str(i) for i in ids)) for w, ids in out.items())
 
 
 def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None,

@@ -303,8 +303,10 @@ def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
 
     Contract: ``key_col`` is unique per side (a crawl table is keyed by
     url; dedup upstream if not). Plan: each side reduces scan-side to
-    (key, md5(content)) — the one exchange per side carries a 16-byte
-    fingerprint, never page bodies — then ONE full-outer sort-merge join
+    (key, md5(content)) — the one exchange per side carries a
+    32-character hex fingerprint (unhex it to 16 bytes if the exchange
+    volume ever matters more than twin simplicity), never page bodies —
+    then ONE full-outer sort-merge join
     on the key classifies everything. NULL content hashes as the empty
     string (a fetched-but-empty page is a real state, distinct from
     absent). At 10^12 pages this is two keyed shuffles + a join, no
@@ -496,9 +498,14 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
     host-cardinality materialized RDD per half-iteration — the standard
     iterative-graph pattern (GraphX/Pregel checkpoint cadence), 2 small
     jobs per iteration instead of one exponential plan.
+
+    ``iters`` must be >= 1 — the SQL twin's final join references the
+    last iteration's tables, so iters=0 has no cross-engine meaning.
     """
     from pyspark.sql.functions import broadcast
 
+    if iters < 1:
+        raise ValueError("hits_fixedpoint requires iters >= 1")
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
@@ -562,7 +569,10 @@ def hits_unrolled_sql(edges_cte: str, iters: int = 5) -> str:
     ``div`` on the all-nonnegative quantities involved, so the twin is
     bit-exact. Ends with ``hits_final(host, hub_scaled, auth_scaled,
     hub, authority)``. Shared by the unit tests and the driver oracle
-    (q53)."""
+    (q53). ``iters`` must be >= 1 (hits_final references the last
+    iteration's tables)."""
+    if iters < 1:
+        raise ValueError("hits_unrolled_sql requires iters >= 1")
     s = HITS_SCALE
     # Every per-iteration CTE is referenced twice (the scalar max subquery
     # + the main SELECT); DuckDB inlines non-materialized CTEs, so a plain
@@ -759,9 +769,16 @@ def _robots_groups(lines: DataFrame, agent: str) -> DataFrame:
     simplified to exact-or-*, the documented subset) — and if ANY group
     names the agent specifically, ``*`` groups are ignored for it (the
     RFC's most-specific-group rule). Windows are partitioned by host
-    (robots files are small; hosts are many — fully parallel)."""
+    (robots files are small; hosts are many — fully parallel).
+
+    ``Sitemap`` lines are filtered out BEFORE the group-run scan: RFC
+    9309 says non-group records must not interfere with group parsing —
+    a Sitemap line between two consecutive User-agent lines must not
+    split their shared group (review-wave finding; the pure-Python
+    reference in the tests skips them the same way)."""
     from pyspark.sql.window import Window
 
+    lines = lines.where(F.col("key") != "sitemap")
     w = Window.partitionBy("host").orderBy("pos")
     is_ua = (F.col("key") == "user-agent").cast("int")
     lines = lines.withColumn(

@@ -660,3 +660,20 @@ def test_pack_sequences_unchanged_after_refactor(spark):
         (r["seq_id"], r["n_docs"], r["n_tokens"], r["seq_text"])
         for r in text_analysis.pack_sequences(docs, seq_tokens=4).collect())
     assert rows == [(0, 1, 4, "a b c d"), (1, 2, 4, "e f g h")]
+
+
+def test_bpe_encode_map_twin_covers_beyond_cap_words(spark):
+    """The oracle map must include beyond-cap words (segmented on the fly,
+    unknown tokens -> -1) so its SQL join never drops a word — parity with
+    the engine kernel's fallback (review-wave regression)."""
+    texts = ["aa aa aa bb bb zz"]
+    bmap = dict(text_analysis._bpe_encode_map_twin(
+        texts, n_merges=0, vocab_cap=2))
+    assert set(bmap) == {"aa", "bb", "zz"}
+    assert "-1" in bmap["zz"]
+    # and the Spark engine agrees end-to-end at the same cap
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    out = text_analysis.bpe_encode_pack(
+        docs, n_merges=0, vocab_cap=2, seq_tokens=100).collect()
+    stream = " ".join(bmap[w] for w in texts[0].split(" "))
+    assert out[0]["seq_text"] == stream

@@ -881,3 +881,33 @@ def test_parse_robots_chain_into_robots_match(spark):
     got = {r["doc_id"]: r["robots_allowed"] for r in
            webtext.robots_match(urls, rules).collect()}
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_parse_robots_sitemap_does_not_split_ua_group(spark):
+    """RFC 9309: non-group records must not interfere with group parsing —
+    a Sitemap line between consecutive User-agent lines keeps them in ONE
+    group (review-wave regression)."""
+    body = ("User-agent: a\n"
+            "Sitemap: https://h.com/s.xml\n"
+            "User-agent: b\n"
+            "Disallow: /x\n")
+    df = spark.createDataFrame([("h.com", body)], "host string, body string")
+    for agent in ("a", "b"):
+        rules = sorted((r["prefix"], r["allow"]) for r in
+                       webtext.parse_robots_txt(df, agent=agent).collect())
+        assert rules == [("/x", False)], agent
+        ref_rules, _, _ = _robots_ref(body, agent)
+        assert rules == ref_rules, agent
+    # the sitemap line itself still surfaces
+    assert webtext.robots_sitemaps(df).collect()[0]["sitemap_url"] == \
+        "https://h.com/s.xml"
+
+
+def test_hits_rejects_iters_zero(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", "b", 1)], "src string, dst string, w long")
+    with pytest.raises(ValueError):
+        webtext.hits_fixedpoint(df, iters=0)
+    with pytest.raises(ValueError):
+        webtext.hits_unrolled_sql("e", iters=0)
