@@ -347,7 +347,8 @@ PAGERANK_SCALE = 10**12
 
 def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
                         damping_num: int = 85, damping_den: int = 100,
-                        broadcast_ranks: bool = True) -> DataFrame:
+                        broadcast_ranks: bool = True,
+                        init_ranks: DataFrame | None = None) -> DataFrame:
     """Host-level PageRank over weighted edges ``(src, dst, w)`` in exact
     fixed-point integer arithmetic (ranks scaled by 1e12, truncating
     division) — every operation is associative/commutative-exact, so the
@@ -372,6 +373,16 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
     The edge table (joined with out-degree once) is persisted and reused
     across the ``iters`` joins; each round is one join + one
     host-cardinality groupBy.
+
+    ``init_ranks`` (host, rank_scaled) WARM-STARTS the power iteration —
+    the month-over-month crawl shape: last crawl's converged ranks are
+    already near this crawl's fixed point (the graph changed at the
+    edges, not wholesale), so 1-2 refresh iterations replace a
+    from-uniform convergence run. Hosts absent from ``init_ranks`` (new
+    this crawl) start at the uniform SCALE/N; hosts that vanished are
+    dropped by the node join. Measured in BENCH.md (graph ladder): the
+    warm-started single iteration lands within a few fixed-point units
+    of the cold 5-iteration result.
     """
     from pyspark.sql.functions import broadcast
 
@@ -388,8 +399,19 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
     teleport = (damping_den - damping_num) * PAGERANK_SCALE // (damping_den * n)
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("od"))
     ew = edges.join(outdeg, "src").persist()
-    ranks = nodes.select(
-        "host", F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_scaled"))
+    if init_ranks is not None:
+        ranks = nodes.join(
+            init_ranks.select("host", "rank_scaled"), "host", "left"
+        ).select(
+            "host",
+            F.coalesce(F.col("rank_scaled"),
+                       F.lit(PAGERANK_SCALE // n)).cast("long")
+            .alias("rank_scaled"),
+        )
+    else:
+        ranks = nodes.select(
+            "host",
+            F.lit(PAGERANK_SCALE // n).cast("long").alias("rank_scaled"))
     for _ in range(iters):
         r = broadcast(ranks) if broadcast_ranks else ranks
         contrib = ew.join(

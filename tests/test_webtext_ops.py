@@ -911,3 +911,32 @@ def test_hits_rejects_iters_zero(spark):
         webtext.hits_fixedpoint(df, iters=0)
     with pytest.raises(ValueError):
         webtext.hits_unrolled_sql("e", iters=0)
+
+
+def test_pagerank_warm_start_converges_in_one_iteration(spark):
+    """Month-over-month shape: warm-starting from last crawl's converged
+    ranks, ONE refresh iteration on a lightly perturbed graph lands far
+    closer to the converged result than a cold iteration — the
+    iteration-count saving that matters at 1e8 hosts. Needs a SKEWED
+    graph: on a degree-regular graph the fixed point is ~uniform and
+    warm-starting cannot help by construction (measured while designing
+    this test — warm/cold ratio ~1.0 regular, ~0.09 hub-skewed)."""
+    edges = [(f"leaf{i}", "hub.com", 1) for i in range(30)] + \
+            [("hub.com", f"leaf{i}", 1) for i in range(3)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    cold = webtext.pagerank_fixedpoint(df, iters=30)
+    # next crawl: one new leaf appears
+    edges2 = edges + [("leaf30", "hub.com", 1)]
+    df2 = spark.createDataFrame(edges2, "src string, dst string, w long")
+    ref = {r["host"]: r["rank_scaled"]
+           for r in webtext.pagerank_fixedpoint(df2, iters=30).collect()}
+    warm1 = {r["host"]: r["rank_scaled"]
+             for r in webtext.pagerank_fixedpoint(
+                 df2, iters=1, init_ranks=cold).collect()}
+    cold1 = {r["host"]: r["rank_scaled"]
+             for r in webtext.pagerank_fixedpoint(df2, iters=1).collect()}
+    assert set(warm1) == set(ref)  # new host present, none lost
+    err_warm = max(abs(warm1[h] - ref[h]) for h in ref)
+    err_cold = max(abs(cold1[h] - ref[h]) for h in ref)
+    # measured: ratio ~0.09; assert a conservative 5x improvement
+    assert err_warm < err_cold / 5, (err_warm, err_cold)
