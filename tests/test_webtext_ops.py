@@ -940,3 +940,116 @@ def test_pagerank_warm_start_converges_in_one_iteration(spark):
     err_cold = max(abs(cold1[h] - ref[h]) for h in ref)
     # measured: ratio ~0.09; assert a conservative 5x improvement
     assert err_warm < err_cold / 5, (err_warm, err_cold)
+
+
+def test_parse_robots_txt_fuzz_vs_reference(spark):
+    """Seeded fuzz of the robots.txt TEXT parser: random bodies built
+    from the directive grammar (UA runs of 1-3, interleaved sitemaps,
+    comments, junk lines, empty disallows, weird case/whitespace, CRLF)
+    must parse identically to the pure-Python reference for every
+    agent tier."""
+    import random
+
+    rng = random.Random(1234)
+    agents_pool = ["*", "megabot", "fastbot", "slowbot"]
+    paths = ["/", "/a", "/a/b", "/casino", "/p/q", ""]
+    bodies = []
+    for h in range(25):
+        lines = []
+        for _ in range(rng.randint(2, 18)):
+            roll = rng.random()
+            if roll < 0.25:
+                lines.append(
+                    f"User-Agent: {rng.choice(agents_pool)}"
+                    + (" # c" if rng.random() < 0.3 else ""))
+            elif roll < 0.5:
+                key = rng.choice(["Disallow", "Allow", "disallow", "ALLOW"])
+                lines.append(f"{key}: {rng.choice(paths)}")
+            elif roll < 0.62:
+                lines.append(f"Crawl-delay: {rng.choice(['1', '2.5', 'x', ''])}")
+            elif roll < 0.74:
+                lines.append(f"Sitemap: https://h{h}.com/s{rng.randint(0,3)}.xml")
+            elif roll < 0.85:
+                lines.append("# full-line comment")
+            else:
+                lines.append(rng.choice(["junk without structure", "", "  "]))
+        sep = "\r\n" if rng.random() < 0.3 else "\n"
+        bodies.append((f"h{h}.com", sep.join(lines)))
+    df = spark.createDataFrame(bodies, "host string, body string")
+    for agent in ("*", "megabot", "neverseen"):
+        got_rules: dict = {h: [] for h, _ in bodies}
+        for r in webtext.parse_robots_txt(df, agent=agent).collect():
+            got_rules[r["host"]].append((r["prefix"], r["allow"]))
+        got_delay = {r["host"]: r["crawl_delay"] for r in
+                     webtext.robots_crawl_delay(df, agent=agent).collect()}
+        for h, body in bodies:
+            # CRLF bodies: the reference splits on \n and strips \r via
+            # the regex value-trim, same as the Spark split on \r?\n
+            ref_rules, _, ref_delay = _robots_ref(
+                body.replace("\r\n", "\n"), agent)
+            assert sorted(set(got_rules[h])) == ref_rules, (agent, h, body)
+            assert got_delay.get(h) == ref_delay, (agent, h, body)
+    got_sm: dict = {}
+    for r in webtext.robots_sitemaps(df).collect():
+        got_sm.setdefault(r["host"], set()).add(r["sitemap_url"])
+    for h, body in bodies:
+        _, ref_sm, _ = _robots_ref(body.replace("\r\n", "\n"))
+        assert got_sm.get(h, set()) == set(ref_sm), (h, body)
+
+
+def _sitemap_ref(xml: str):
+    """Independent pure-Python reference of the documented sitemap subset."""
+    import re
+
+    out = []
+    for block_re, is_idx in ((r"(?is)<url[\s>].*?</url>", False),
+                             (r"(?is)<sitemap[\s>].*?</sitemap>", True)):
+        for b in re.findall(block_re, xml):
+            loc = re.search(r"(?is)<loc>\s*([^<]*?)\s*</loc>", b)
+            lm = re.search(r"(?is)<lastmod>\s*([^<]*?)\s*</lastmod>", b)
+            if loc and loc.group(1):
+                out.append((loc.group(1), lm.group(1) if lm and lm.group(1)
+                            else None, is_idx))
+    return sorted(out, key=lambda t: (t[2], t[0], t[1] or ""))
+
+
+def test_parse_sitemap_fuzz_vs_reference(spark):
+    """Seeded fuzz of the sitemap parser: random urlset/sitemapindex
+    mixes with optional lastmod, attributes on <url>, whitespace/case
+    noise, locless blocks, and truncated tails must parse identically
+    to the pure-Python reference."""
+    import random
+
+    rng = random.Random(4321)
+    docs = []
+    for i in range(30):
+        parts = ["<urlset>"]
+        for j in range(rng.randint(0, 8)):
+            tag = rng.choice(["url", "URL", 'url class="x"'])
+            loc = rng.choice(
+                [f"https://s{i}.com/p/{j}", f" https://s{i}.com/q/{j} ", ""])
+            lm = rng.choice([None, "2026-01-05", " 2026-02-01 ", ""])
+            b = f"<{tag}>"
+            if loc or rng.random() < 0.5:
+                b += f"<loc>{loc}</loc>"
+            if lm is not None:
+                b += f"<lastmod>{lm}</lastmod>"
+            b += "</url>"
+            parts.append(b)
+        for j in range(rng.randint(0, 3)):
+            parts.append(f"<sitemap><loc>https://s{i}.com/sm{j}.xml</loc>"
+                         + (f"<lastmod>2025-12-{10+j}</lastmod>"
+                            if rng.random() < 0.5 else "")
+                         + "</sitemap>")
+        parts.append("</urlset>")
+        xml = rng.choice(["", '<?xml version="1.0"?>\n']) + "\n".join(parts)
+        if rng.random() < 0.2:
+            xml = xml[: rng.randint(len(xml) // 2, len(xml))]  # truncation
+        docs.append((f"https://s{i}.com/sitemap.xml", xml))
+    df = spark.createDataFrame(docs, "url string, xml string")
+    got: dict = {u: [] for u, _ in docs}
+    for r in webtext.parse_sitemap(df).collect():
+        got[r["url"]].append((r["loc"], r["lastmod"], r["is_index"]))
+    for u, xml in docs:
+        assert sorted(got[u], key=lambda t: (t[2], t[0], t[1] or "")) == \
+            _sitemap_ref(xml), (u, xml)
