@@ -292,6 +292,59 @@ def parse_sitemap(sitemaps: DataFrame, url_col: str = "url",
         entries(_SITEMAP_INDEX_BLOCK, True))
 
 
+def frontier_schedule(candidates: DataFrame, rules: DataFrame,
+                      host_ranks: DataFrame,
+                      crawl_delays: DataFrame | None = None) -> DataFrame:
+    """The crawl-scheduling pass a frontier runs each cycle, composed
+    from this module's parts: URL-quality gate → robots allow/deny →
+    host-priority assignment → per-host politeness. ``candidates`` is
+    (url) — typically sitemap locs ∪ crawl_diff 'added'/'changed' keys;
+    ``rules`` is parse_robots_txt output; ``host_ranks`` is
+    (host, rank_scaled) from pagerank_fixedpoint (warm-started
+    month-over-month); ``crawl_delays`` is robots_crawl_delay output.
+
+    Returns (url, host, fetch, reason, priority, crawl_delay) where
+    ``fetch`` is the composed verdict, ``reason`` names the FIRST
+    failing gate ('url:<reason>' / 'robots' / 'ok'), and ``priority`` is
+    the host's integer PageRank mass (deterministic: equal-priority urls
+    tie-break by url ASC downstream — no floats anywhere, so schedules
+    are bit-reproducible across reruns, the property a resumable crawl
+    needs). Plan: one narrow gate pass + two broadcast joins
+    (host-cardinality sides) + the robots broadcast-join/window — no
+    frontier-sized shuffle beyond robots_match's keyed window.
+    """
+    gated = url_quality_filter(candidates.select("url").distinct())
+    rm = robots_match(gated, rules, key_col="url", url_col="url")
+    out = (
+        gated.join(rm, "url")
+        .join(F.broadcast(host_ranks.select(
+            F.col("host").alias("url_host"),
+            F.col("rank_scaled").alias("priority"))), "url_host", "left")
+    )
+    if crawl_delays is not None:
+        out = out.join(
+            F.broadcast(crawl_delays.select(
+                F.col("host").alias("url_host"), "crawl_delay")),
+            "url_host", "left")
+    else:
+        out = out.withColumn("crawl_delay", F.lit(None).cast("double"))
+    fetch = F.col("url_ok") & F.col("robots_allowed")
+    reason = (
+        F.when(~F.col("url_ok"), F.concat(F.lit("url:"), F.col("url_reason")))
+        .when(~F.col("robots_allowed"), F.lit("robots"))
+        .otherwise(F.lit("ok"))
+    )
+    return out.select(
+        "url",
+        F.col("url_host").alias("host"),
+        fetch.alias("fetch"),
+        reason.alias("reason"),
+        F.coalesce(F.col("priority"), F.lit(0)).cast("long")
+        .alias("priority"),
+        "crawl_delay",
+    )
+
+
 def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
                content_col: str = "text") -> DataFrame:
     """Crawl-over-crawl delta: compare two crawl tables (typically two

@@ -1053,3 +1053,62 @@ def test_parse_sitemap_fuzz_vs_reference(spark):
     for u, xml in docs:
         assert sorted(got[u], key=lambda t: (t[2], t[0], t[1] or "")) == \
             _sitemap_ref(xml), (u, xml)
+
+
+def test_frontier_schedule_end_to_end(spark, tmp_path):
+    """The whole crawl-scheduling cycle from raw bytes: robots bodies ->
+    rules + sitemap seeds + delays; sitemap XML -> candidate locs;
+    month-over-month crawl tables -> changed/added keys; link graph ->
+    warm-startable priorities; frontier_schedule composes the verdict."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    robots = spark.createDataFrame(
+        [("good.com",
+          "User-agent: *\nDisallow: /private/\nCrawl-delay: 1.5\n"
+          "Sitemap: https://good.com/sitemap.xml\n"),
+         ("spam.com", "User-agent: *\nAllow: /\n")],
+        "host string, body string")
+    rules = webtext.parse_robots_txt(robots, agent="graftbot")
+    delays = webtext.robots_crawl_delay(robots, agent="graftbot")
+    seeds = webtext.robots_sitemaps(robots)
+    assert seeds.collect()[0]["sitemap_url"] == "https://good.com/sitemap.xml"
+    # the sitemap the seed points to (fetched bytes)
+    sm = spark.createDataFrame(
+        [("https://good.com/sitemap.xml",
+          "<urlset>"
+          "<url><loc>https://good.com/new-page</loc></url>"
+          "<url><loc>https://good.com/private/x</loc></url>"
+          "<url><loc>https://spam.com/win-casino-now</loc></url>"
+          "</urlset>")], "url string, xml string")
+    locs = webtext.parse_sitemap(sm).where(~F.col("is_index")) \
+        .select(F.col("loc").alias("url"))
+    # month-over-month: /changed re-crawled with new content
+    t = SnapshotTable(str(tmp_path / "crawl"))
+    snap_a = t.append(spark.createDataFrame(
+        [("https://good.com/changed", "v1"), ("https://good.com/same", "s")],
+        "url string, text string"))
+    t.overwrite(spark.createDataFrame(
+        [("https://good.com/changed", "v2"), ("https://good.com/same", "s")],
+        "url string, text string"))
+    diff = webtext.crawl_diff(t.read_snapshot(spark, snap_a), t.read(spark))
+    refetch = diff.where(F.col("status").isin("added", "changed")) \
+        .select("url")
+    # link graph priorities
+    ranks = spark.createDataFrame(
+        [("good.com", 900), ("spam.com", 100)], "host string, rank_scaled long")
+    sched = {r["url"]: r for r in webtext.frontier_schedule(
+        locs.unionByName(refetch), rules, ranks, delays).collect()}
+    assert set(sched) == {"https://good.com/new-page",
+                          "https://good.com/private/x",
+                          "https://spam.com/win-casino-now",
+                          "https://good.com/changed"}
+    ok = sched["https://good.com/new-page"]
+    assert (ok["fetch"], ok["reason"], ok["priority"],
+            ok["crawl_delay"]) == (True, "ok", 900, 1.5)
+    assert (sched["https://good.com/changed"]["fetch"],
+            sched["https://good.com/changed"]["priority"]) == (True, 900)
+    priv = sched["https://good.com/private/x"]
+    assert (priv["fetch"], priv["reason"]) == (False, "robots")
+    spam = sched["https://spam.com/win-casino-now"]
+    assert spam["fetch"] is False and spam["reason"].startswith("url:")
+    assert spam["priority"] == 100 and spam["crawl_delay"] is None
