@@ -207,6 +207,15 @@ class IcebergTable:
     def drop_column(self, name: str):
         return self._sql(f"ALTER TABLE {self.table} DROP COLUMN {name}")
 
+    def widen_column(self, name: str, to_type: str):
+        # Iceberg type promotion (spec: int->long, float->double) — the
+        # engine validates the promotion; BIGINT spells SnapshotTable's
+        # long/bigint target
+        sql_type = {"long": "BIGINT", "bigint": "BIGINT",
+                    "double": "DOUBLE"}.get(to_type, to_type.upper())
+        return self._sql(
+            f"ALTER TABLE {self.table} ALTER COLUMN {name} TYPE {sql_type}")
+
     def backfill(self, spark: SparkSession, name: str, value_sql: str):
         return self._sql(
             f"UPDATE {self.table} SET {name} = {value_sql} "

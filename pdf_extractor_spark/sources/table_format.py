@@ -271,6 +271,11 @@ class SnapshotTable:
                 elif (op["op"] == "rename" and op["old"] in df.columns
                       and op["new"] not in df.columns):
                     df = df.withColumnRenamed(op["old"], op["new"])
+                elif op["op"] == "widen" and op["name"] in df.columns:
+                    # upward cast on EVERY dir (no-op when already wide;
+                    # also normalizes stale narrow post-widen writers)
+                    df = df.withColumn(
+                        op["name"], F.col(op["name"]).cast(op["to"]))
                 elif op["op"] == "drop" and op["name"] in df.columns:
                     # drop applies to every dir (a stale post-drop writer's
                     # column must not resurrect) — UNLESS a LATER add op
@@ -366,6 +371,8 @@ class SnapshotTable:
                     f"rename_column: {entry['new']!r} was dropped by a live "
                     f"evolution op — run compact() before renaming onto it "
                     f"(or use add_column, which supports drop→re-add)")
+            if entry["op"] == "widen" and entry["name"] not in cols:
+                raise ValueError(f"widen_column: {entry['name']!r} missing")
             if entry["op"] == "add":
                 cols = cols + [entry["name"]]
             elif entry["op"] == "rename":
@@ -407,6 +414,30 @@ class SnapshotTable:
             {"op": "rename", "old": old, "new": new, "name": new},
             "rename_column",
         )
+
+    # Iceberg's safe type promotions (spec §Schema Evolution): int→long,
+    # float→double. The manifest tracks column NAMES only, so the SOURCE
+    # type is validated by the upward cast at read — a non-promotable
+    # on-disk type (e.g. string) fails loudly under ANSI cast, never
+    # silently truncates.
+    _WIDEN_TARGETS = ("long", "bigint", "double")
+
+    def widen_column(self, name: str, to_type: str) -> str | None:
+        """Widen a column's type — metadata-only (Iceberg type promotion:
+        int→long, float→double): files are untouched; every dir's column
+        is cast UP to the target at read (a no-op on dirs already written
+        wide), so old narrow files and new wide files union losslessly.
+        Applies in op order, so widen composes with rename on either side
+        (the adaptation pipeline sees the column under its name at that
+        point in the chain). Time travel to a pre-widen snapshot shows
+        the narrow type; compact() materializes the wide type and clears
+        the op."""
+        if to_type not in self._WIDEN_TARGETS:
+            raise ValueError(
+                f"widen_column: {to_type!r} is not a safe promotion target "
+                f"{self._WIDEN_TARGETS} (Iceberg: int->long, float->double)")
+        return self._evolve_commit(
+            {"op": "widen", "name": name, "to": to_type}, "widen_column")
 
     def drop_column(self, name: str) -> str | None:
         """Drop a column — metadata-only (Iceberg DROP COLUMN): files are

@@ -589,3 +589,65 @@ def test_sort_cluster_single_column_prunes(spark, tmp_path):
         t.current_manifest()["data_dirs"], {"x": (0, 499)})
     assert frac >= 0.8, frac
     assert t.read(spark).count() == 20000
+
+
+def test_schema_evolution_widen_column(spark, tmp_path):
+    """widen_column is metadata-only Iceberg type promotion (int->long):
+    narrow pre-widen files cast UP at read, wide post-widen appends read
+    natively, time travel shows the narrow type, and a stale narrow
+    post-widen writer is normalized to the wide type."""
+    import os
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wd"))
+    s1 = t.append(spark.createDataFrame([(1, 10), (2, 20)], "id long, n int"))
+    data_before = sorted(os.listdir(t.data_dir))
+    t.widen_column("n", "long")
+    assert sorted(os.listdir(t.data_dir)) == data_before  # metadata-only
+    df = t.read(spark)
+    assert dict(df.dtypes)["n"] == "bigint"
+    t.append(spark.createDataFrame(
+        [(3, 2**40)], "id long, n long"))          # needs the wide type
+    t.append(spark.createDataFrame(
+        [(4, 7)], "id long, n int"))               # stale narrow writer
+    got = {r["id"]: r["n"] for r in t.read(spark).collect()}
+    assert got == {1: 10, 2: 20, 3: 2**40, 4: 7}
+    assert dict(t.read(spark).dtypes)["n"] == "bigint"
+    # time travel: pre-widen snapshot keeps the narrow type
+    assert dict(t.read_snapshot(spark, s1).dtypes)["n"] == "int"
+
+
+def test_schema_evolution_widen_composes_with_rename_and_compact(spark, tmp_path):
+    """widen applies in op order so it composes with rename on either
+    side; compact() materializes the wide type and clears the ops."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wr"))
+    t.append(spark.createDataFrame([(1, 1.5)], "id long, score float"))
+    t.rename_column("score", "quality")
+    t.widen_column("quality", "double")
+    got = t.read(spark)
+    assert dict(got.dtypes)["quality"] == "double"
+    t.append(spark.createDataFrame([(2, 2.5)], "id long, quality double"))
+    assert {r["id"]: round(r["quality"], 1)
+            for r in t.read(spark).collect()} == {1: 1.5, 2: 2.5}
+    t.compact(spark)
+    m = t.current_manifest()
+    assert not m.get("schema_ops")           # evolution materialized
+    assert dict(t.read(spark).dtypes)["quality"] == "double"
+    assert {r["id"]: round(r["quality"], 1)
+            for r in t.read(spark).collect()} == {1: 1.5, 2: 2.5}
+
+
+def test_schema_evolution_widen_guards(spark, tmp_path):
+    import pytest
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wg"))
+    t.append(spark.createDataFrame([(1, 2)], "id long, n int"))
+    with pytest.raises(ValueError, match="missing"):
+        t.widen_column("nope", "long")
+    with pytest.raises(ValueError, match="promotion target"):
+        t.widen_column("n", "string")
