@@ -895,9 +895,10 @@ def parse_robots_txt(robots: DataFrame, agent: str = "*",
     (raw fetched bytes in, crawl decisions out). RFC 9309 subset,
     documented: '#' comments, CRLF/LF lines, case-insensitive directive
     keys, consecutive User-agent lines share a group, empty
-    ``Disallow:`` emits no rule (allow-all), percent-decoding and
-    wildcard patterns ('*', '$') are out of the subset (emitted verbatim
-    as prefixes). Only rules from groups applicable to ``agent`` are
+    ``Disallow:`` emits no rule (allow-all), percent-decoding is out of
+    the subset; '*'/'$' wildcard rules pass through verbatim and
+    :func:`robots_match` evaluates them per §2.2.3. Only rules from
+    groups applicable to ``agent`` are
     returned. Narrow until one host-keyed window; output is
     host-cardinality-small — the broadcast side of robots_match."""
     g = _robots_groups(_robots_lines(robots, host_col, body_col), agent)
@@ -949,9 +950,11 @@ def robots_match(urls: DataFrame, rules: DataFrame,
                  key_col: str = "doc_id",
                  url_col: str = "url") -> DataFrame:
     """RFC 9309 robots.txt evaluation: match each URL against its host's
-    allow/disallow path-prefix rules; the LONGEST matching prefix wins and
-    an allow beats a disallow of equal length (the Google tie-break). URLs
-    whose host has no matching rule are allowed.
+    allow/disallow path rules — plain prefixes AND the §2.2.3 special
+    characters ('*' matches any sequence, trailing '$' anchors); the
+    LONGEST matching rule (octets of the rule text) wins and an allow
+    beats a disallow of equal length (the Google tie-break). URLs whose
+    host has no matching rule are allowed.
 
     `rules` is (host, prefix, allow boolean) — the parsed robots table a
     crawler maintains per host. Returns (key_col, robots_allowed,
@@ -979,15 +982,36 @@ def robots_match(urls: DataFrame, rules: DataFrame,
             F.regexp_extract(F.col(url_col), _AUTH_RE + r"([^?#]*)", 2))
         .alias("path"),
     )
-    # the startswith predicate must live INSIDE the left-join condition: a
+    # the match predicate must live INSIDE the left-join condition: a
     # URL whose host has rules but none matching must survive as an
-    # all-NULL match (-> allowed), not be filtered away
+    # all-NULL match (-> allowed), not be filtered away.
+    #
+    # RFC 9309 §2.2.3 special characters: '*' matches any sequence, '$'
+    # at the END of a rule anchors it; everything else is literal.
+    # Wildcard-free rules (the overwhelming majority) keep the
+    # whole-stage-codegen startswith fast path; wildcard rules translate
+    # to an anchored regex (metachars escaped, '*' -> '.*', trailing '$'
+    # kept as the anchor — a mid-rule '$' is literal) and match via
+    # RLIKE with a per-rule pattern. Rule precedence is octet length of
+    # the ORIGINAL rule text (RFC: most specific = longest), allow wins
+    # ties — unchanged by wildcards.
+    anchored = F.col("prefix").endswith("$")
+    body = F.when(
+        anchored, F.expr("substring(prefix, 1, length(prefix) - 1)")
+    ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(body, "([.^$+?(){}\\[\\]|\\\\])", "\\\\$1")
+    pat = F.concat(
+        F.lit("^"), F.regexp_replace(esc, "\\*", ".*"),
+        F.when(anchored, F.lit("$")).otherwise(F.lit("")))
     r = rules.select(
-        F.col("host").alias("r_host"), "prefix", "allow")
+        F.col("host").alias("r_host"), "prefix", "allow",
+        (F.col("prefix").contains("*") | anchored).alias("is_wc"),
+        pat.alias("pat"))
     m = u.join(
         F.broadcast(r),
         (F.col("host") == F.col("r_host"))
-        & F.col("path").startswith(F.col("prefix")),
+        & F.when(F.col("is_wc"), F.expr("rlike(path, pat)"))
+        .otherwise(F.col("path").startswith(F.col("prefix"))),
         "left",
     )
     w = Window.partitionBy(key_col).orderBy(
@@ -1009,7 +1033,11 @@ def robots_match(urls: DataFrame, rules: DataFrame,
 def robots_match_sql(urls_cte: str, rules_cte: str,
                      key_col: str = "doc_id") -> str:
     """DuckDB fragment recomputing robots_match over CTEs `urls_cte`
-    (key, url) and `rules_cte` (host, prefix, allow)."""
+    (key, url) and `rules_cte` (host, prefix, allow) — including the RFC
+    9309 §2.2.3 '*'/'$' wildcard translation (same two-path shape as the
+    Spark side: starts_with for wildcard-free rules, anchored regex for
+    wildcard rules; DuckDB regexp_replace needs the 'g' flag where
+    Spark's is global by default, and backreferences are \\1 not $1)."""
     auth = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
     return f"""
         SELECT {key_col},
@@ -1032,8 +1060,21 @@ def robots_match_sql(urls_cte: str, rules_cte: str,
                             ELSE regexp_extract(url, '{auth}([^?#]*)', 2)
                        END AS path
                 FROM {urls_cte}) u
-          LEFT JOIN {rules_cte} r
-            ON r.host = u.host AND starts_with(u.path, r.prefix)
+          LEFT JOIN (
+            SELECT host, prefix, allow,
+                   (contains(prefix, '*') OR prefix LIKE '%$') AS is_wc,
+                   '^' || regexp_replace(
+                       regexp_replace(
+                           CASE WHEN prefix LIKE '%$'
+                                THEN substring(prefix, 1, length(prefix) - 1)
+                                ELSE prefix END,
+                           '([.^$+?(){{}}[\\]|\\\\])', '\\\\\\1', 'g'),
+                       '\\*', '.*', 'g')
+                   || CASE WHEN prefix LIKE '%$' THEN '$' ELSE '' END AS pat
+            FROM {rules_cte}) r
+            ON r.host = u.host
+            AND CASE WHEN r.is_wc THEN regexp_matches(u.path, r.pat)
+                     ELSE starts_with(u.path, r.prefix) END
         ) WHERE rn = 1
     """
 

@@ -1112,3 +1112,87 @@ def test_frontier_schedule_end_to_end(spark, tmp_path):
     spam = sched["https://spam.com/win-casino-now"]
     assert spam["fetch"] is False and spam["reason"].startswith("url:")
     assert spam["priority"] == 100 and spam["crawl_delay"] is None
+
+
+def test_robots_match_wildcard_rules_and_parity(spark):
+    """RFC 9309 §2.2.3 special characters: '*' matches any sequence,
+    trailing '$' anchors, mid-rule '$' and regex metachars are literal;
+    precedence stays rule-text octet length. Verdicts engine-identical."""
+    rules = [
+        ("h.com", "/*.php$", False),
+        ("h.com", "/p/*/x", False),
+        ("h.com", "/fish*", False),
+        ("h.com", "/fish*.php", True),
+        ("h.com", "/exact$", False),
+        ("h.com", "/lit.dot", False),
+        ("h.com", "/mid$dollar", False),
+        ("h.com", "/a", True),
+    ]
+    cases = {
+        "/index.php": (False, "/*.php$"),
+        "/index.php?x=1": (False, "/*.php$"),   # query is not path
+        "/index.phpx": (True, ""),              # '$' anchors
+        "/p/a/b/x": (False, "/p/*/x"),
+        "/p/x": (True, ""),                     # '*' needs >= 0 chars but
+                                                # the /-structure must fit
+        "/fish": (False, "/fish*"),
+        "/fishing": (False, "/fish*"),
+        "/fish.php": (True, "/fish*.php"),      # longer allow wins
+        "/exact": (False, "/exact$"),
+        "/exactx": (True, ""),
+        "/lit.dot": (False, "/lit.dot"),
+        "/litxdot": (True, ""),                 # '.' is literal
+        "/mid$dollar": (False, "/mid$dollar"),  # mid-'$' is literal
+        "/a/b": (True, "/a"),
+    }
+    urls = [(i, f"https://h.com{p}") for i, p in enumerate(cases)]
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rdf = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    got = {r["doc_id"]: (r["robots_allowed"], r["robots_rule"])
+           for r in webtext.robots_match(udf, rdf).collect()}
+    for i, (p, want) in enumerate(cases.items()):
+        assert got[i] == want, (p, got[i], want)
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["doc_id", "url"]))
+    con.register("r", pd.DataFrame(rules, columns=["host", "prefix", "allow"]))
+    du = {d: (a, p) for d, a, p in con.execute(
+        "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
+        + webtext.robots_match_sql("uu", "rr")).fetchall()}
+    assert du == got
+
+
+def test_robots_wildcard_cross_engine_fuzz(spark):
+    """Seeded fuzz with WILDCARD rules mixed in: random '*'/'$'-bearing
+    patterns over random paths must verdict engine-identically."""
+    import random
+
+    rng = random.Random(991)
+    hosts = [f"w{k}.com" for k in range(5)]
+    segs = ["a", "bb", "php", "x", ".p"]
+    rules = []
+    for _ in range(50):
+        depth = rng.randint(1, 3)
+        parts = [rng.choice(segs + ["*"]) for _ in range(depth)]
+        pat = "/" + "/".join(parts)
+        if rng.random() < 0.3:
+            pat += "$"
+        if rng.random() < 0.2:
+            pat = pat.replace("/", "/", 1) + "*"
+        rules.append((rng.choice(hosts), pat, rng.random() < 0.5))
+    rules = sorted(set(rules))
+    urls = []
+    for i in range(600):
+        depth = rng.randint(0, 4)
+        path = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        urls.append((i, f"https://{rng.choice(hosts)}{path}"))
+    udf = spark.createDataFrame(urls, "doc_id long, url string")
+    rdf = spark.createDataFrame(rules, "host string, prefix string, allow boolean")
+    sp = {r["doc_id"]: (r["robots_allowed"], r["robots_rule"])
+          for r in webtext.robots_match(udf, rdf).collect()}
+    con = duckdb.connect()
+    con.register("u", pd.DataFrame(urls, columns=["doc_id", "url"]))
+    con.register("r", pd.DataFrame(rules, columns=["host", "prefix", "allow"]))
+    du = {d: (a, p) for d, a, p in con.execute(
+        "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
+        + webtext.robots_match_sql("uu", "rr")).fetchall()}
+    assert du == sp
