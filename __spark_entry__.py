@@ -1226,8 +1226,11 @@ _URL_VARIANTS_SQL = """CASE
 def _robots_rules(spark: SparkSession) -> DataFrame:
     """Deterministic robots.txt rule table for the synthesized hosts:
     /casino denied but /casino/p re-allowed (exercises longest-match +
-    allow-on-tie), /a/b denied (catches the deep-path variant), and the
-    ftp 'files.' hosts fully denied."""
+    allow-on-tie), /a/b denied (catches the deep-path variant), the ftp
+    'files.' hosts fully denied, and the RFC 9309 §2.2.3 wildcard pair
+    /p/*7$ denied but /p/*77$ re-allowed (anchored '*' rules with
+    longest-rule precedence through the wildcard path — doc_ids ending
+    in 7 deny except those ending in 77)."""
     k = F.col("id").cast("string")
     www = F.concat(F.lit("www.site"), k, F.lit(".com"))
     fil = F.concat(F.lit("files.site"), k, F.lit(".com"))
@@ -1243,6 +1246,8 @@ def _robots_rules(spark: SparkSession) -> DataFrame:
             rule(www, "/casino", False),
             rule(www, "/casino/p", True),
             rule(www, "/a/b", False),
+            rule(www, "/p/*7$", False),
+            rule(www, "/p/*77$", True),
             rule(fil, "/", False),
         )).alias("r"))
         .select("r.*")
@@ -1256,6 +1261,10 @@ _ROBOTS_RULES_SQL = """(
     SELECT 'www.site' || range || '.com', '/casino/p', TRUE FROM range(50)
     UNION ALL
     SELECT 'www.site' || range || '.com', '/a/b', FALSE FROM range(50)
+    UNION ALL
+    SELECT 'www.site' || range || '.com', '/p/*7$', FALSE FROM range(50)
+    UNION ALL
+    SELECT 'www.site' || range || '.com', '/p/*77$', TRUE FROM range(50)
     UNION ALL
     SELECT 'files.site' || range || '.com', '/', FALSE FROM range(50)
 )"""
