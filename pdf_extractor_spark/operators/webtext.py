@@ -309,11 +309,16 @@ def frontier_schedule(candidates: DataFrame, rules: DataFrame,
     the host's integer PageRank mass (deterministic: equal-priority urls
     tie-break by url ASC downstream — no floats anywhere, so schedules
     are bit-reproducible across reruns, the property a resumable crawl
-    needs). Plan: one narrow gate pass + two broadcast joins
-    (host-cardinality sides) + the robots broadcast-join/window — no
-    frontier-sized shuffle beyond robots_match's keyed window.
+    needs). Plan: one gate pass over the deduped frontier, PERSISTED
+    because it feeds both the robots evaluation and the verdict join
+    (Catalyst does not dedupe common subplans — without the persist the
+    six-regexp gate pass would run twice per cycle); robots_match's
+    keyed window plus one url-keyed join attach the verdict, and the
+    rank/delay sides join broadcast (host-cardinality). The persisted
+    frame is url-cardinality (the frontier itself); callers may
+    unpersist it after the cycle's plan materializes.
     """
-    gated = url_quality_filter(candidates.select("url").distinct())
+    gated = url_quality_filter(candidates.select("url").distinct()).persist()
     rm = robots_match(gated, rules, key_col="url", url_col="url")
     out = (
         gated.join(rm, "url")

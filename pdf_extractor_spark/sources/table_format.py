@@ -102,6 +102,11 @@ def parquet_skip_fraction(dirs: list[str], predicates: dict) -> float:
     return skipped / total if total else 0.0
 
 
+# Iceberg's safe type promotions in Spark dtype terms (int->long,
+# float->double); consulted by the _read_dirs widen adaptation
+_WIDEN_SAFE = {("int", "bigint"), ("float", "double")}
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another commit moved CURRENT between this writer's read and its
     publish — the optimistic-concurrency conflict Iceberg resolves with a
@@ -272,8 +277,34 @@ class SnapshotTable:
                       and op["new"] not in df.columns):
                     df = df.withColumnRenamed(op["old"], op["new"])
                 elif op["op"] == "widen" and op["name"] in df.columns:
-                    # upward cast on EVERY dir (no-op when already wide;
-                    # also normalizes stale narrow post-widen writers)
+                    # skip dirs written after a drop->re-add of the name:
+                    # the re-added column is a DIFFERENT column and must
+                    # not inherit the stale widen (same epoch check as
+                    # the drop arm)
+                    readded_later = any(
+                        o2["op"] == "add" and o2["name"] == op["name"]
+                        and d not in o2.get("before_dirs", [])
+                        for o2 in schema_ops[i + 1:]
+                    )
+                    if readded_later:
+                        continue
+                    # upward cast on EVERY remaining dir (no-op when
+                    # already wide; normalizes stale narrow post-widen
+                    # writers) — but ONLY along a safe promotion: the
+                    # commit-time guard can't see parquet types (no
+                    # session), so the lossless check lives here and a
+                    # narrowing 'widen' (double->long would silently
+                    # drop fractions under ANSI cast) fails LOUDLY
+                    # instead of corrupting reads
+                    src = dict(df.dtypes).get(op["name"])
+                    to = {"long": "bigint"}.get(op["to"], op["to"])
+                    if src == to:
+                        continue
+                    if (src, to) not in _WIDEN_SAFE:
+                        raise ValueError(
+                            f"widen_column: unsafe promotion {src!r} -> "
+                            f"{op['to']!r} on column {op['name']!r} "
+                            f"(safe: int->long/bigint, float->double)")
                     df = df.withColumn(
                         op["name"], F.col(op["name"]).cast(op["to"]))
                 elif op["op"] == "drop" and op["name"] in df.columns:
@@ -417,9 +448,10 @@ class SnapshotTable:
 
     # Iceberg's safe type promotions (spec §Schema Evolution): int→long,
     # float→double. The manifest tracks column NAMES only, so the SOURCE
-    # type is validated by the upward cast at read — a non-promotable
-    # on-disk type (e.g. string) fails loudly under ANSI cast, never
-    # silently truncates.
+    # type is validated at READ against _WIDEN_SAFE — any other (src, to)
+    # pair (double→long would silently drop fractions; string→long would
+    # ANSI-crash row-by-row) raises a named ValueError before a single
+    # cast runs.
     _WIDEN_TARGETS = ("long", "bigint", "double")
 
     def widen_column(self, name: str, to_type: str) -> str | None:

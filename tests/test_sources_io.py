@@ -651,3 +651,36 @@ def test_schema_evolution_widen_guards(spark, tmp_path):
         t.widen_column("nope", "long")
     with pytest.raises(ValueError, match="promotion target"):
         t.widen_column("n", "string")
+
+
+def test_schema_evolution_widen_rejects_narrowing_at_read(spark, tmp_path):
+    """A 'widen' whose source type makes the cast lossy (double->long
+    drops fractions without any ANSI error) must fail LOUDLY at read,
+    never silently corrupt (review-wave regression)."""
+    import pytest
+
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "nw"))
+    t.append(spark.createDataFrame([(1, 1.5), (2, 2.75)],
+                                   "id long, score double"))
+    t.widen_column("score", "long")   # commit-time guard can't see types
+    with pytest.raises(Exception, match="unsafe promotion"):
+        t.read(spark).collect()
+
+
+def test_schema_evolution_widen_skips_readded_column(spark, tmp_path):
+    """drop -> add_column name re-use is supported; a stale widen op from
+    the FIRST life of the name must not fire on the re-added column
+    (review-wave regression — it cast the new string column to BIGINT)."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "ra"))
+    t.append(spark.createDataFrame([(1, 10)], "id long, n int"))
+    t.widen_column("n", "long")
+    t.drop_column("n")
+    t.add_column("n", "string", default="x")
+    t.append(spark.createDataFrame([(2, "y")], "id long, n string"))
+    got = {r["id"]: r["n"] for r in t.read(spark).collect()}
+    assert got == {1: "x", 2: "y"}
+    assert dict(t.read(spark).dtypes)["n"] == "string"

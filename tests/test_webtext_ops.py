@@ -1174,10 +1174,10 @@ def test_robots_wildcard_cross_engine_fuzz(spark):
         depth = rng.randint(1, 3)
         parts = [rng.choice(segs + ["*"]) for _ in range(depth)]
         pat = "/" + "/".join(parts)
-        if rng.random() < 0.3:
-            pat += "$"
         if rng.random() < 0.2:
-            pat = pat.replace("/", "/", 1) + "*"
+            pat = "/*" + pat[1:]     # leading-wildcard rule shape
+        if rng.random() < 0.3:
+            pat += "$"               # anchor LAST so it stays an anchor
         rules.append((rng.choice(hosts), pat, rng.random() < 0.5))
     rules = sorted(set(rules))
     urls = []

@@ -5,8 +5,9 @@ scale:
 
   * broadcast_ranks/broadcast_scores True vs False — the score table is
     host-cardinality; past broadcast size the per-iteration join must
-    become a shuffle hash join. Both paths are bit-identical (asserted
-    here on the 1x graph), so the knob is purely physical.
+    become a shuffle hash join. Both paths are bit-identical for BOTH
+    centralities (asserted on every rung), so the knob is purely
+    physical.
   * PageRank warm start (init_ranks) — the month-over-month crawl shape:
     THIS rung's converged ranks seed a 1-iteration refresh of the SAME
     graph perturbed by ~1% extra edges (what a re-crawl actually looks
@@ -86,10 +87,16 @@ def main() -> None:
                          e, iters=5, broadcast_ranks=False).collect()})
         assert pr_b == pr_s, "broadcast/shuffle paths must be bit-identical"
 
-        ht, rung["hits_bcast_sec"] = timed(
-            lambda: webtext.hits_fixedpoint(
-                e, iters=5, broadcast_scores=True).count())
-        rung["hits_rows"] = ht
+        ht_b, rung["hits_bcast_sec"] = timed(
+            lambda: {r["host"]: (r["hub_scaled"], r["auth_scaled"]) for r in
+                     webtext.hits_fixedpoint(
+                         e, iters=5, broadcast_scores=True).collect()})
+        ht_s, rung["hits_shuffle_sec"] = timed(
+            lambda: {r["host"]: (r["hub_scaled"], r["auth_scaled"]) for r in
+                     webtext.hits_fixedpoint(
+                         e, iters=5, broadcast_scores=False).collect()})
+        assert ht_b == ht_s, "HITS broadcast/shuffle must be bit-identical"
+        rung["hits_rows"] = len(ht_b)
 
         # month-over-month: ~1% of hosts gain one new edge; warm-start the
         # refresh from this rung's converged ranks
