@@ -173,21 +173,75 @@ def host_of_expr(url: Column) -> Column:
     return _ascii_lower(F.regexp_extract(url, _AUTH_RE, 1))
 
 
+_BASE_HREF_PATTERN = r'(?i)<base\s[^>]*?href="([^"]*)"'
+# full <a ...> tag for the per-link rel inspection (group 1 = attrs)
+_A_TAG_PATTERN = r'(?i)<a\s([^>]*?href="[^"]*"[^>]*)>'
+_CANONICAL_PATTERN = (
+    r'(?i)<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"')
+_CANONICAL_PATTERN_HREF_FIRST = (
+    r'(?i)<link\s[^>]*?href="([^"]*)"[^>]*?rel="canonical"')
+
+
+def base_href_expr(html_str: Column, url: Column) -> Column:
+    """The page's effective base URL (HTML ``<base href>``, first
+    occurrence wins per the HTML spec) resolved against the page URL —
+    or the page URL itself when absent. Relative hrefs resolve against
+    THIS, not the page URL (a page at /deep/page with
+    ``<base href="/">`` links 'x' to /x, not /deep/x)."""
+    b = F.regexp_extract(html_str, _BASE_HREF_PATTERN, 1)
+    return F.when(b == "", url).otherwise(resolve_url_expr(url, b))
+
+
 def extract_links(pages: DataFrame, url_col: str = "url",
                   html_col: str = "html") -> DataFrame:
     """``(url, html)`` pages → one row per ``<a href="...">`` occurrence:
-    ``(url, href, link_url)`` with ``link_url`` resolved against the page
-    URL. The whole plan is narrow (regexp_extract_all → explode → resolve):
-    zero shuffles, zero Python — at 10^12 pages this runs entirely inside
-    the scan stage."""
+    ``(url, href, link_url, nofollow)`` with ``link_url`` resolved
+    against the page's effective base (``<base href>`` honored — the
+    HTML mechanism that silently re-points every relative link) and
+    ``nofollow`` true when the anchor's rel attribute carries the
+    nofollow token (rel="nofollow ugc" etc.) — the link-graph edges a
+    PageRank/HITS pass must exclude (that is the entire point of the
+    attribute). The whole plan is narrow (regexp_extract_all → explode →
+    per-tag extracts): zero shuffles, zero Python — at 10^12 pages this
+    runs entirely inside the scan stage."""
     html_str = F.decode(F.col(html_col), "utf-8")
-    hrefs = F.regexp_extract_all(html_str, F.lit(_HREF_PATTERN), 1)
+    tags = F.regexp_extract_all(html_str, F.lit(_A_TAG_PATTERN), 1)
     out = pages.select(
-        F.col(url_col).alias("url"), F.explode(hrefs).alias("href")
+        F.col(url_col).alias("url"),
+        base_href_expr(html_str, F.col(url_col)).alias("base"),
+        F.explode(tags).alias("attrs"),
     )
+    href = F.regexp_extract(F.col("attrs"), r'(?i)href="([^"]*)"', 1)
+    rel = _ascii_lower(
+        F.regexp_extract(F.col("attrs"), r'(?i)\brel="([^"]*)"', 1))
+    nofollow = F.array_contains(F.split(rel, r"\s+"), "nofollow")
     return out.select(
-        "url", "href",
-        resolve_url_expr(F.col("url"), F.col("href")).alias("link_url"),
+        "url",
+        href.alias("href"),
+        resolve_url_expr(F.col("base"), href).alias("link_url"),
+        nofollow.alias("nofollow"),
+    )
+
+
+def extract_canonical_links(pages: DataFrame, url_col: str = "url",
+                            html_col: str = "html") -> DataFrame:
+    """``(url, html)`` pages → ``(url, canonical_url)`` from
+    ``<link rel="canonical" href=...>`` (either attribute order) resolved
+    against the page URL — the in-page dedup signal next to URL
+    canonicalization: a crawl keeps ONE copy per canonical target and
+    the graph credits it. Pages without the tag are absent from the
+    output (join back left to keep them). Narrow, zero-Python."""
+    html_str = F.decode(F.col(html_col), "utf-8")
+    c1 = F.regexp_extract(html_str, _CANONICAL_PATTERN, 1)
+    c2 = F.regexp_extract(html_str, _CANONICAL_PATTERN_HREF_FIRST, 1)
+    c = F.when(c1 != "", c1).otherwise(c2)
+    return (
+        pages.select(
+            F.col(url_col).alias("url"),
+            F.when(c != "",
+                   resolve_url_expr(F.col(url_col), c))
+            .alias("canonical_url"))
+        .where(F.col("canonical_url").isNotNull())
     )
 
 
@@ -388,11 +442,17 @@ def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
     )
 
 
-def host_edges(links: DataFrame) -> DataFrame:
+def host_edges(links: DataFrame,
+               include_nofollow: bool = False) -> DataFrame:
     """Link rows → weighted host-graph edges ``(src, dst, w)``. One shuffle
     (the (src, dst) groupBy, map-side partial). Self-loops are kept — they
     are real edges in the web graph and the fixed-point PageRank handles
-    them like any other."""
+    them like any other. rel=nofollow links (flagged by extract_links)
+    are EXCLUDED by default — honoring the attribute's contract that the
+    linking page vouches nothing — unless ``include_nofollow`` or the
+    input carries no flag column."""
+    if "nofollow" in links.columns and not include_nofollow:
+        links = links.where(~F.col("nofollow"))
     e = links.select(
         host_of_expr(F.col("url")).alias("src"),
         host_of_expr(F.col("link_url")).alias("dst"),

@@ -1196,3 +1196,56 @@ def test_robots_wildcard_cross_engine_fuzz(spark):
         "WITH uu AS (SELECT * FROM u), rr AS (SELECT * FROM r) "
         + webtext.robots_match_sql("uu", "rr")).fetchall()}
     assert du == sp
+
+
+def test_extract_links_base_href_and_nofollow(spark):
+    html = (b'<html><head><base href="/root/"></head><body>'
+            b'<a href="x">rel-to-base</a>'
+            b'<a href="/abs">abs-path</a>'
+            b'<a rel="nofollow ugc" href="https://spam.net/p">paid</a>'
+            b'<a href="y" rel="NOFOLLOW">late-rel</a>'
+            b'<a href="z" rel="noopener">other-rel</a>'
+            b'</body></html>')
+    df = spark.createDataFrame(
+        [("https://ex.com/deep/page", html)], "url string, html binary")
+    got = {r["href"]: (r["link_url"], r["nofollow"])
+           for r in webtext.extract_links(df).collect()}
+    # <base href="/root/"> re-points relative links away from /deep/
+    assert got["x"] == ("https://ex.com/root/x", False)
+    assert got["/abs"] == ("https://ex.com/abs", False)   # root-rel: base too
+    assert got["https://spam.net/p"] == ("https://spam.net/p", True)
+    assert got["y"] == ("https://ex.com/root/y", True)    # rel after href
+    assert got["z"] == ("https://ex.com/root/z", False)   # other rel tokens
+    # without <base>, relative resolves against the page dir as before
+    df2 = spark.createDataFrame(
+        [("https://ex.com/deep/page", b'<a href="x">t</a>')],
+        "url string, html binary")
+    assert webtext.extract_links(df2).collect()[0]["link_url"] == \
+        "https://ex.com/deep/x"
+    # nofollow edges are excluded from the host graph by default
+    edges = {(r["src"], r["dst"]) for r in
+             webtext.host_edges(webtext.extract_links(df)).collect()}
+    assert ("ex.com", "spam.net") not in edges
+    assert ("ex.com", "ex.com") in edges
+    edges_all = {(r["src"], r["dst"]) for r in webtext.host_edges(
+        webtext.extract_links(df), include_nofollow=True).collect()}
+    assert ("ex.com", "spam.net") in edges_all
+
+
+def test_extract_canonical_links(spark):
+    rows = [
+        ("https://ex.com/a?utm=1",
+         b'<link rel="canonical" href="https://ex.com/a">'),
+        ("https://ex.com/b",
+         b'<link href="/b-canon" rel="canonical">'),       # href-first order
+        ("https://ex.com/c", b'<link rel="stylesheet" href="/s.css">'),
+        ("https://ex.com/d", b"<p>no links</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r["canonical_url"]
+           for r in webtext.extract_canonical_links(df).collect()}
+    assert got == {"https://ex.com/a?utm=1": "https://ex.com/a",
+                   "https://ex.com/b": "https://ex.com/b-canon"}
+    plan = webtext.extract_canonical_links(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
