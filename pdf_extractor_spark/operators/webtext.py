@@ -261,8 +261,10 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
     out of the subset and is skipped here while still counted as a link by
     extract_links). Two regexp_extract_all passes over the same pattern
     (group 1 = href, group 2 = anchor) zip positionally — identical match
-    spans by construction. Narrow plan: zero shuffles, zero Python, runs
-    inside the scan stage at 10^12 pages."""
+    spans by construction. Relative hrefs resolve against the page's
+    effective base (``<base href>`` honored, same as extract_links).
+    Narrow plan: zero shuffles, zero Python, runs inside the scan stage
+    at 10^12 pages."""
     html_str = F.decode(F.col(html_col), "utf-8")
     pat = F.lit(_ANCHOR_PATTERN)
     zipped = F.arrays_zip(
@@ -270,12 +272,14 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
         F.regexp_extract_all(html_str, pat, 2).alias("anchor"),
     )
     out = pages.select(
-        F.col(url_col).alias("url"), F.explode(zipped).alias("z")
-    ).select("url", F.col("z.href").alias("href"),
+        F.col(url_col).alias("url"),
+        base_href_expr(html_str, F.col(url_col)).alias("base"),
+        F.explode(zipped).alias("z"),
+    ).select("url", "base", F.col("z.href").alias("href"),
              F.col("z.anchor").alias("anchor"))
     return out.select(
         "url", "href", "anchor",
-        resolve_url_expr(F.col("url"), F.col("href")).alias("link_url"),
+        resolve_url_expr(F.col("base"), F.col("href")).alias("link_url"),
     )
 
 
