@@ -234,14 +234,14 @@ def extract_canonical_links(pages: DataFrame, url_col: str = "url",
     html_str = F.decode(F.col(html_col), "utf-8")
     c1 = F.regexp_extract(html_str, _CANONICAL_PATTERN, 1)
     c2 = F.regexp_extract(html_str, _CANONICAL_PATTERN_HREF_FIRST, 1)
-    c = F.when(c1 != "", c1).otherwise(c2)
     return (
         pages.select(
             F.col(url_col).alias("url"),
-            F.when(c != "",
-                   resolve_url_expr(F.col(url_col), c))
-            .alias("canonical_url"))
-        .where(F.col("canonical_url").isNotNull())
+            F.when(c1 != "", c1).otherwise(c2).alias("c"))
+        .where(F.col("c") != "")
+        .select("url",
+                resolve_url_expr(F.col("url"), F.col("c"))
+                .alias("canonical_url"))
     )
 
 
@@ -467,6 +467,16 @@ def host_edges(links: DataFrame,
 PAGERANK_SCALE = 10**12
 
 
+def _graph_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct hosts on either side of the edge table — the node set
+    both centrality fixed-points iterate over."""
+    return (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+
+
 def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
                         damping_num: int = 85, damping_den: int = 100,
                         broadcast_ranks: bool = True,
@@ -508,11 +518,7 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
     """
     from pyspark.sql.functions import broadcast
 
-    nodes = (
-        edges.select(F.col("src").alias("host"))
-        .union(edges.select(F.col("dst").alias("host")))
-        .distinct()
-    )
+    nodes = _graph_nodes(edges)
     n = nodes.count()
     if n == 0:
         return nodes.select(
@@ -650,12 +656,7 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
 
     if iters < 1:
         raise ValueError("hits_fixedpoint requires iters >= 1")
-    nodes = (
-        edges.select(F.col("src").alias("host"))
-        .union(edges.select(F.col("dst").alias("host")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    nodes = _graph_nodes(edges).localCheckpoint(eager=True)
     e = edges.select("src", "dst", "w").persist()
     hubs = nodes.select(
         "host", F.lit(HITS_SCALE).cast("long").alias("score"))
