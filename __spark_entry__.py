@@ -156,7 +156,15 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
     target hosts chosen by a closed-form sid formula, so the DuckDB
     oracle derives the exact expected edge set WITHOUT parsing html
     (the Spark side genuinely parses: regexp_extract_all over the
-    binary-decoded page)."""
+    binary-decoded page).
+
+    Two fidelity tiers ride along (driver-gated through the q53 value
+    hash): every 5th page carries ``<base href="https://{h1}/b/">`` —
+    its root-relative 's' and path-relative 'q' links must re-point to
+    h1 (ignoring the base tag keeps them on the own host and shifts the
+    edge set) — and EVERY page carries a rel="nofollow" ad link to
+    ``ads.{source}`` which host_edges must exclude (a leaked nofollow
+    edge changes the src's out_degree and every PageRank/HITS value)."""
     from pyspark.sql import Window
 
     sids = docs.select("source").distinct().withColumn(
@@ -177,10 +185,16 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
         F.col("doc_id") % 7 == 0,
         F.lit('<meta name="robots" content="noindex">'),
     ).otherwise(F.lit(""))
+    base_tag = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit('<base href="https://'), F.col("h1"),
+                 F.lit('/b/">')),
+    ).otherwise(F.lit(""))
     html = F.encode(
         F.concat(
             F.lit('<html><head><title>d</title>'),
             noindex_meta,
+            base_tag,
             F.lit('</head><body><nav>'),
             F.lit('<a href="https://'), F.col("h1"), F.lit('/p/'), did,
             F.lit('">r</a>'),
@@ -190,6 +204,8 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") + 2).cast("string"), F.lit('">p</a>'),
             F.lit('<a href="q/'), (F.col("doc_id") + 3).cast("string"),
             F.lit('#f">q</a>'),
+            F.lit('<a rel="nofollow" href="https://ads.'), F.col("source"),
+            F.lit('/z/'), did, F.lit('">n</a>'),
             F.lit('</nav><main><p>'), F.substring(F.col("text"), 1, 40),
             F.lit('</p></main></body></html>'),
         ),
@@ -3043,9 +3059,13 @@ def oracle_sql() -> dict[str, str]:
                JOIN sids t1 ON t1.sid = (d.doc_id * 7 + 1) % (SELECT c FROM ns)
                JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)),
         rawe AS (SELECT src, h1 AS dst, 'r' AS anchor FROM dl
-                 UNION ALL SELECT src, src, 's' FROM dl
+                 UNION ALL SELECT src,
+                        CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
+                        's' FROM dl
                  UNION ALL SELECT src, h3, 'p' FROM dl
-                 UNION ALL SELECT src, src, 'q' FROM dl),
+                 UNION ALL SELECT src,
+                        CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
+                        'q' FROM dl),
         e AS (SELECT src, dst, count(*) AS w FROM rawe GROUP BY src, dst),
         ind AS (SELECT dst, count(*)::BIGINT AS in_degree,
                        count(DISTINCT anchor)::BIGINT AS inbound_anchor_terms
