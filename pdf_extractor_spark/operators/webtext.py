@@ -128,10 +128,6 @@ def extraction_f1(df: DataFrame, pred_col: str, gold_col: str,
 # --------------------------------------------------------------------------
 
 _SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
-# double-quoted href in an <a> tag — the documented extraction subset
-# (single-quoted/unquoted hrefs are out of spec; a production kernel pass
-# would widen this, but the regex keeps extraction whole-stage-codegen'd)
-_HREF_PATTERN = r'(?i)<a\s[^>]*?href="([^"]*)"'
 
 
 def resolve_url_expr(base: Column, href: Column) -> Column:
@@ -174,8 +170,13 @@ def host_of_expr(url: Column) -> Column:
 
 
 _BASE_HREF_PATTERN = r'(?i)<base\s[^>]*?href="([^"]*)"'
-# full <a ...> tag for the per-link rel inspection (group 1 = attrs)
-_A_TAG_PATTERN = r'(?i)<a\s([^>]*?href="[^"]*"[^>]*)>'
+# full <a ...> tag attrs (group 1) for per-link href+rel inspection —
+# the documented extraction subset: double-quoted attributes only
+# (single-quoted/unquoted are out of spec; a production kernel pass would
+# widen this, but the regex keeps extraction whole-stage-codegen'd).
+# (?:>|$) keeps links from WARC-truncated pages whose final tag lost its
+# closing '>' — routine in crawl captures.
+_A_TAG_PATTERN = r'(?i)<a\s([^>]*?href="[^"]*"[^>]*)(?:>|$)'
 _CANONICAL_PATTERN = (
     r'(?i)<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"')
 _CANONICAL_PATTERN_HREF_FIRST = (
@@ -213,7 +214,7 @@ def extract_links(pages: DataFrame, url_col: str = "url",
     )
     href = F.regexp_extract(F.col("attrs"), r'(?i)href="([^"]*)"', 1)
     rel = _ascii_lower(
-        F.regexp_extract(F.col("attrs"), r'(?i)\brel="([^"]*)"', 1))
+        F.regexp_extract(F.col("attrs"), r'(?i)(?:^|\s)rel="([^"]*)"', 1))
     nofollow = F.array_contains(F.split(rel, r"\s+"), "nofollow")
     return out.select(
         "url",
@@ -227,25 +228,30 @@ def extract_canonical_links(pages: DataFrame, url_col: str = "url",
                             html_col: str = "html") -> DataFrame:
     """``(url, html)`` pages → ``(url, canonical_url)`` from
     ``<link rel="canonical" href=...>`` (either attribute order) resolved
-    against the page URL — the in-page dedup signal next to URL
-    canonicalization: a crawl keeps ONE copy per canonical target and
-    the graph credits it. Pages without the tag are absent from the
-    output (join back left to keep them). Narrow, zero-Python."""
+    against the page's effective base (``<base href>`` applies to every
+    URL-bearing attribute per the HTML spec, link@href included) — the
+    in-page dedup signal next to URL canonicalization: a crawl keeps ONE
+    copy per canonical target and the graph credits it. Pages without
+    the tag are absent from the output (join back left to keep them).
+    Narrow, zero-Python."""
     html_str = F.decode(F.col(html_col), "utf-8")
     c1 = F.regexp_extract(html_str, _CANONICAL_PATTERN, 1)
     c2 = F.regexp_extract(html_str, _CANONICAL_PATTERN_HREF_FIRST, 1)
     return (
         pages.select(
             F.col(url_col).alias("url"),
+            base_href_expr(html_str, F.col(url_col)).alias("base"),
             F.when(c1 != "", c1).otherwise(c2).alias("c"))
         .where(F.col("c") != "")
         .select("url",
-                resolve_url_expr(F.col("url"), F.col("c"))
+                resolve_url_expr(F.col("base"), F.col("c"))
                 .alias("canonical_url"))
     )
 
 
-_ANCHOR_PATTERN = (r'(?i)<a\s[^>]*?href="([^"]*)"[^>]*>([^<]*)</a>')
+# attrs (group 1), href (group 2), anchor body (group 3) — three
+# extract_all passes over ONE pattern zip positionally (identical spans)
+_ANCHOR_PATTERN = (r'(?i)<a\s([^>]*?href="([^"]*)"[^>]*)>([^<]*)</a>')
 
 
 def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
@@ -262,35 +268,48 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
     extract_links). Two regexp_extract_all passes over the same pattern
     (group 1 = href, group 2 = anchor) zip positionally — identical match
     spans by construction. Relative hrefs resolve against the page's
-    effective base (``<base href>`` honored, same as extract_links).
-    Narrow plan: zero shuffles, zero Python, runs inside the scan stage
-    at 10^12 pages."""
+    effective base (``<base href>`` honored, same as extract_links), and
+    each row carries the same ``nofollow`` flag extract_links emits so
+    inbound signals can honor the attribute. Narrow plan: zero shuffles,
+    zero Python, runs inside the scan stage at 10^12 pages."""
     html_str = F.decode(F.col(html_col), "utf-8")
     pat = F.lit(_ANCHOR_PATTERN)
     zipped = F.arrays_zip(
-        F.regexp_extract_all(html_str, pat, 1).alias("href"),
-        F.regexp_extract_all(html_str, pat, 2).alias("anchor"),
+        F.regexp_extract_all(html_str, pat, 1).alias("attrs"),
+        F.regexp_extract_all(html_str, pat, 2).alias("href"),
+        F.regexp_extract_all(html_str, pat, 3).alias("anchor"),
     )
     out = pages.select(
         F.col(url_col).alias("url"),
         base_href_expr(html_str, F.col(url_col)).alias("base"),
         F.explode(zipped).alias("z"),
-    ).select("url", "base", F.col("z.href").alias("href"),
+    ).select("url", "base", F.col("z.attrs").alias("attrs"),
+             F.col("z.href").alias("href"),
              F.col("z.anchor").alias("anchor"))
+    rel = _ascii_lower(
+        F.regexp_extract(F.col("attrs"), r'(?i)(?:^|\s)rel="([^"]*)"', 1))
     return out.select(
         "url", "href", "anchor",
         resolve_url_expr(F.col("base"), F.col("href")).alias("link_url"),
+        F.array_contains(F.split(rel, r"\s+"), "nofollow").alias("nofollow"),
     )
 
 
-def inbound_host_signals(anchors: DataFrame) -> DataFrame:
+def inbound_host_signals(anchors: DataFrame,
+                         include_nofollow: bool = False) -> DataFrame:
     """Anchor rows → per-TARGET-host inbound signals: ``(host, in_degree,
     inbound_anchor_terms)``. In-degree is THE classic page/host quality
     prior (a host many others link to is worth keeping at crawl-filter
     time); distinct inbound anchor terms measure description diversity
     (one repeated anchor across thousands of links is the link-farm
     shape). One shuffle — the groupBy on target host with map-side
-    partial aggregation; anchor terms dedup inside the aggregate."""
+    partial aggregation; anchor terms dedup inside the aggregate.
+    rel=nofollow anchors are EXCLUDED by default when the input carries
+    the flag (the attribute exists precisely to keep paid/UGC links out
+    of this quality prior), mirroring host_edges."""
+    if "nofollow" in anchors.columns and not include_nofollow:
+        anchors = anchors.where(
+            ~F.coalesce(F.col("nofollow"), F.lit(False)))
     return (
         anchors.select(
             host_of_expr(F.col("link_url")).alias("host"),
@@ -456,7 +475,9 @@ def host_edges(links: DataFrame,
     linking page vouches nothing — unless ``include_nofollow`` or the
     input carries no flag column."""
     if "nofollow" in links.columns and not include_nofollow:
-        links = links.where(~F.col("nofollow"))
+        # NULL (no verdict, e.g. a unioned legacy 3-column shape) keeps
+        # the edge — only an explicit nofollow drops it
+        links = links.where(~F.coalesce(F.col("nofollow"), F.lit(False)))
     e = links.select(
         host_of_expr(F.col("url")).alias("src"),
         host_of_expr(F.col("link_url")).alias("dst"),

@@ -1249,3 +1249,41 @@ def test_extract_canonical_links(spark):
     plan = webtext.extract_canonical_links(df) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_link_extraction_review_regressions(spark):
+    """Third review wave regressions: data-rel is not rel; truncated
+    final tags still yield links; canonical resolves against <base>;
+    anchors carry nofollow and inbound signals exclude it; a NULL
+    nofollow column keeps the edge."""
+    html = (b'<html><head><base href="https://other.net/b/"></head><body>'
+            b'<a href="/x" data-rel="nofollow">legit</a>'
+            b'<link rel="canonical" href="/c">'
+            b'<a rel="nofollow" href="https://paid.net/y">paid</a>'
+            b'<a href="/trunc"')        # WARC truncation: no closing '>'
+    df = spark.createDataFrame(
+        [("https://ex.com/deep/b", html)], "url string, html binary")
+    links = {r["href"]: (r["link_url"], r["nofollow"])
+             for r in webtext.extract_links(df).collect()}
+    assert links["/x"] == ("https://other.net/x", False)     # data-rel != rel
+    assert links["/trunc"] == ("https://other.net/trunc", False)
+    assert links["https://paid.net/y"][1] is True
+    # canonical: base applies to link@href per the HTML spec
+    canon = webtext.extract_canonical_links(df).collect()[0]
+    assert canon["canonical_url"] == "https://other.net/c"
+    # anchors: nofollow flag present; inbound signals exclude it
+    anch = webtext.extract_anchor_texts(df)
+    got = {r["href"]: r["nofollow"] for r in anch.collect()}
+    assert got == {"/x": False, "https://paid.net/y": True}
+    inb = {r["host"] for r in webtext.inbound_host_signals(anch).collect()}
+    assert "paid.net" not in inb and "other.net" in inb
+    inb_all = {r["host"] for r in webtext.inbound_host_signals(
+        anch, include_nofollow=True).collect()}
+    assert "paid.net" in inb_all
+    # NULL nofollow (legacy 3-column shape unioned in) keeps the edge
+    legacy = spark.createDataFrame(
+        [("https://a.com/p", "h", "https://b.com/q", None)],
+        "url string, href string, link_url string, nofollow boolean")
+    edges = {(r["src"], r["dst"]) for r in
+             webtext.host_edges(legacy).collect()}
+    assert ("a.com", "b.com") in edges
