@@ -334,9 +334,11 @@ from hypothesis import strategies as st
 @given(seed=st.integers(0, 10_000))
 def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, seed):
     """Model-based property test: a random interleaving of append /
-    add_column / rename_column / drop_column / backfill / compact /
-    expire_snapshots must always read back exactly what a trivial
-    in-memory model predicts — the evolution ops compose in ANY order."""
+    add_column / rename_column / drop_column / widen_column / backfill /
+    compact / expire_snapshots must always read back exactly what a
+    trivial in-memory model predicts — the evolution ops compose in ANY
+    order (widen covers int columns promoted to long mid-walk, with
+    narrow appends before and wide appends after)."""
     import random
 
     from pdf_extractor_spark.sources.table_format import SnapshotTable
@@ -360,7 +362,7 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, see
         for _ in range(rng.randint(1, 3)):
             r = {"id": next_id}
             for n, d in schema[1:]:
-                r[n] = (rng.randint(0, 9) if d == "long"
+                r[n] = (rng.randint(0, 9) if d in ("long", "int")
                         else f"v{rng.randint(0, 9)}")
             new.append(r)
             next_id += 1
@@ -372,14 +374,16 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, see
         choices = ["append", "add", "compact", "expire"]
         if len(schema) > 1:
             choices += ["rename", "drop", "backfill"]
+        if any(d == "int" for _, d in schema[1:]):
+            choices.append("widen")
         op = rng.choice(choices)
         if op == "append":
             do_append()
         elif op == "add":
             name = f"c{next_col}"
             next_col += 1
-            dtype = rng.choice(["long", "string"])
-            default = (rng.choice([None, 7]) if dtype == "long"
+            dtype = rng.choice(["long", "string", "int"])
+            default = (rng.choice([None, 7]) if dtype in ("long", "int")
                        else rng.choice([None, "dflt"]))
             t.add_column(name, dtype, default=default)
             schema.append((name, dtype))
@@ -400,12 +404,18 @@ def test_schema_evolution_random_walk_matches_model(spark, tmp_path_factory, see
             t.drop_column(name)
             for r in rows:
                 r.pop(name, None)
+        elif op == "widen":
+            i = rng.choice([j for j in range(1, len(schema))
+                            if schema[j][1] == "int"])
+            name, _ = schema[i]
+            t.widen_column(name, "long")
+            schema[i] = (name, "long")   # values unchanged, type promoted
         elif op == "backfill":
             i = rng.randrange(1, len(schema))
             name, d = schema[i]
-            fill = 42 if d == "long" else "'filled'"
+            fill = 42 if d in ("long", "int") else "'filled'"
             t.backfill(spark, name, str(fill))
-            pyfill = 42 if d == "long" else "filled"
+            pyfill = 42 if d in ("long", "int") else "filled"
             for r in rows:
                 if r[name] is None:
                     r[name] = pyfill
