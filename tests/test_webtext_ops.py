@@ -1287,3 +1287,40 @@ def test_link_extraction_review_regressions(spark):
     edges = {(r["src"], r["dst"]) for r in
              webtext.host_edges(legacy).collect()}
     assert ("a.com", "b.com") in edges
+
+
+def test_centrality_cross_engine_fuzz(spark):
+    """Seeded fuzz of BOTH fixed-point centralities: random weighted
+    graphs (dangling hosts, self-loops, multi-edges collapsed by
+    host_edges' groupBy upstream, isolated-pair components) must be
+    bit-identical between Spark and the unrolled DuckDB twins."""
+    import random
+
+    rng = random.Random(20260819)
+    for trial in range(4):
+        n_hosts = rng.randint(3, 15)
+        hosts = [f"g{trial}h{k}" for k in range(n_hosts)]
+        agg: dict = {}
+        for _ in range(rng.randint(n_hosts, 4 * n_hosts)):
+            s, d = rng.choice(hosts), rng.choice(hosts)
+            agg[(s, d)] = agg.get((s, d), 0) + rng.randint(1, 5)
+        edges = sorted((s, d, w) for (s, d), w in agg.items())
+        df = spark.createDataFrame(edges, "src string, dst string, w long")
+        vals = ", ".join(f"('{s}','{d}',{w})" for s, d, w in edges)
+        pr = sorted(
+            (r["host"], r["rank_scaled"], r["pagerank"])
+            for r in webtext.pagerank_fixedpoint(df, iters=4).collect())
+        want_pr = sorted(map(tuple, duckdb.connect().execute(
+            f"WITH e(src,dst,w) AS (VALUES {vals}),\n"
+            + webtext.pagerank_unrolled_sql("e", iters=4)
+            + "\nSELECT * FROM pr_final ORDER BY host").fetchall()))
+        assert pr == want_pr, (trial, edges)
+        ht = sorted(
+            (r["host"], r["hub_scaled"], r["auth_scaled"])
+            for r in webtext.hits_fixedpoint(df, iters=4).collect())
+        want_ht = sorted(
+            (h, hs, as_) for h, hs, as_, _, _ in duckdb.connect().execute(
+                f"WITH e(src,dst,w) AS (VALUES {vals}),\n"
+                + webtext.hits_unrolled_sql("e", iters=4)
+                + "\nSELECT * FROM hits_final ORDER BY host").fetchall())
+        assert ht == want_ht, (trial, edges)
