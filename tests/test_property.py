@@ -339,3 +339,31 @@ def test_hll_formula_twin_matches_duckdb(keys):
     ).fetchone()
     assert (nz, si) == (nonzero, sum_int)
     assert float(e) == est
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="ab cd\n\t", max_size=200),
+       st.integers(0, 8))
+def test_bpe_segmentation_reconstructs_words(text, n_merges):
+    """BPE invariants (kernel-level, no Spark): segmenting any normalized
+    word under ANY learned merge table reconstructs the word by
+    concatenation up to the Sennrich ``</w>`` end-of-word marker (merges
+    only join, never alter bytes), and the twin's per-word ids map covers
+    every distinct corpus word with one id per segment token."""
+    from collections import Counter
+
+    from pdf_extractor_spark.operators.text_analysis import (
+        _bpe_encode_map_twin,
+    )
+
+    wf = Counter(w for w in textstats.normalize(text).split(" ") if w)
+    merges = [(a, b) for _, a, b, _ in textstats.bpe_learn_from_vocab(
+        sorted(wf.items(), key=lambda kv: (-kv[1], kv[0])), n_merges, 2)]
+    for w in wf:
+        joined = "".join(textstats.bpe_apply_merges(w, merges))
+        assert joined == w + "</w>", (w, joined)
+    bmap = dict(_bpe_encode_map_twin([text], n_merges=n_merges))
+    assert set(bmap) == set(wf)
+    for w, ids in bmap.items():
+        assert len(ids.split(" ")) == len(
+            textstats.bpe_apply_merges(w, merges))
