@@ -390,10 +390,19 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_extractor_spark.operators.multimodal import extract_features, fake_media_table
+    """Image feature extraction over the binary media column: the fake-
+    container arm (schema/batching plumbing at scale) ∪ a REAL-PNG arm
+    (every 4th doc rendered as a scanned-text PNG page at
+    media_id + 100000, decoded by the from-scratch codec in
+    kernels/png_kernel.py — the reference's PNG upload domain,
+    main.py:366-373). Both value-gated via twin-pinned literals."""
+    from pdf_extractor_spark.operators.multimodal import (
+        extract_features, fake_media_table, png_media_table,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    media = fake_media_table(spark, docs)
+    media = fake_media_table(spark, docs).unionByName(
+        png_media_table(spark, docs))
     return (
         extract_features(media)
         .select("media_id", "kind", "width", "height", "channels",
@@ -558,20 +567,52 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference (doc × extractor) fan-out view: explode the single-pass
     kernel's channels. On the wrapped article corpus the non-empty channels
-    are exactly text/combined/markdown, each equal to the normalized doc
-    text — closed-form for the oracle."""
-    from pdf_extractor_spark.operators.extract import fanout_channels, run_extract
+    are text/combined/markdown (each the normalized doc text), plus — for
+    every 3rd doc, whose page carries a display-math paragraph — a LATEX
+    channel row (reference mathpix_extractor.py:133-136; the formula
+    paragraph rides into combined/markdown verbatim, table-style). A
+    second arm exercises the reference consumer's channel-priority read
+    path (content-helpers.ts:50-67) end-to-end: knock out 'combined' for
+    doc_id%4==1 and additionally 'text' for doc_id%8==1 (simulating
+    extractors that produced only a channel subset), then best_content
+    must pick combined > text > markdown per doc — rows tagged
+    'best:<picked>'. All closed-form for the oracle."""
+    from pdf_extractor_spark.operators.extract import (
+        best_content, fanout_channels, run_extract,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    pages = _pages_from_documents(docs)
-    out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=8, salt=4)
+    did = F.col("doc_id").cast("string")
+    formula = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("</p><p>$$x_{"), did, F.lit("} = \\frac{"), did,
+                 F.lit("}{2}$$")),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(F.lit(_HTML_TEMPLATE_PRE), F.col("text"), formula,
+                 F.lit(_HTML_TEMPLATE_POST)),
+        "utf-8",
+    )
+    pages = docs.select(
+        F.concat(F.lit("doc://"), did).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"),
+    )
+    out = run_extract(pages, num_partitions=8, salt=4)
+    fan = fanout_channels(out)
+    doc_of = F.regexp_replace(F.col("url"), "doc://", "").cast("long")
+    knocked = fan.where(
+        ~((F.col("channel") == "combined") & (doc_of % 4 == 1))
+        & ~((F.col("channel") == "text") & (doc_of % 8 == 1))
+    )
+    best = best_content(knocked).select(
+        doc_of.alias("doc_id"),
+        F.concat(F.lit("best:"), F.col("channel")).alias("channel"),
+        "content",
+    )
     return (
-        fanout_channels(out)
-        .select(
-            F.regexp_replace(F.col("url"), "doc://", "").cast("long").alias("doc_id"),
-            "channel",
-            "content",
-        )
+        fan.select(doc_of.alias("doc_id"), "channel", "content")
+        .unionByName(best)
         .orderBy("doc_id", "channel")
     )
 
@@ -677,26 +718,31 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised and DRIVER-GATED: those docs must surface as failures AND as
     quarantine rows with the needs_ocr error — the oracle counts them from
     the documents table. Every doc_id % 50 == 25 page becomes a SCANNED
-    BITMAP page and every doc_id % 50 == 45 page a SCANNED PDF (a page-
+    BITMAP page, every doc_id % 50 == 45 page a SCANNED PDF (a page-
     sized DeviceGray image XObject with no text operators — round 3:
     kernels/ocr_kernel.py; the reference's tesseract tier,
-    tesseract_extractor.py:22-53): each is printed in the fixed-pitch OCR
-    font from a SQL-expressible transform of the doc text
+    tesseract_extractor.py:22-53), and every doc_id % 50 == 35 page a
+    SCANNED PNG (round 4: kernels/png_kernel.py — the reference accepts
+    PNG uploads, main.py:366-373, and OCRs them): each is printed in the
+    fixed-pitch OCR font from a SQL-expressible transform of the doc text
     (ASCII-uppercase, font charset only, first 64 chars), so the oracle
     recomputes the EXACT expected OCR output from `documents` and the
     streamed-text checksum value-gates the whole render→OCR→extract path
-    for both containers. Those docs must extract successfully (not
-    quarantine)."""
+    for all THREE scanned containers. Those docs must extract
+    successfully (not quarantine)."""
     import tempfile
 
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_scanned_pdf,
         render_text_bmp,
     )
+    from pdf_extractor_spark.kernels.png_kernel import render_text_png
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
     pages = _pages_from_documents(docs)
+    # a TRUNCATED png (signature + zeros): the PNG decoder now reads real
+    # pages, so the quarantine arm exercises the malformed-container path
     png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
 
     # the scanned-page text transform, kept to expressions BOTH engines
@@ -733,14 +779,22 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: None if t is None else render_scanned_pdf([t], width=32)),
         "binary",
     )
+    # the PNG scanned tier: same raster, PNG container (zlib + filter 0)
+    _print_page_png = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_png(t, width=32)),
+        "binary",
+    )
     ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
     pdf_gated = F.when(F.col("doc_id") % 50 == 45, ocr_src)
+    png_gated = F.when(F.col("doc_id") % 50 == 35, ocr_src)
 
     pages = pages.select(
         "url", "warc_ts",
         F.when(F.col("doc_id") % 50 == 0, F.lit(png))
         .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated))
         .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated))
+        .when(F.col("doc_id") % 50 == 35, _print_page_png(png_gated))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -2385,13 +2439,29 @@ def oracle_sql() -> dict[str, str]:
             f"({int(did)}, {repr(_mm.round_half_up(_mm.expected_image_feature_row(int(did), int(nc))[2], 4))})"
             for did, nc in zip(_dt["doc_id"].to_pylist(), _dt["n_chars"].to_pylist())
         )
+        # the REAL-PNG arm (every 4th doc, media_id + 100000): the whole
+        # row is twin-pinned — width/height come from the render geometry,
+        # mean from the decoded luminance raster
+        _png_rows = ", ".join(
+            "({}, {}, {}, {})".format(
+                int(did) + 100000, w, h, repr(_mm.round_half_up(mean, 4)))
+            for did in _dt["doc_id"].to_pylist()
+            if int(did) % 4 == 0
+            for w, h, mean in [_mm.expected_png_feature_row(int(did))]
+        )
         o["q27_multimodal_features"] = f"""
-            WITH mi(media_id, mean_intensity) AS (VALUES {_mi_rows})
+            WITH mi(media_id, mean_intensity) AS (VALUES {_mi_rows}),
+            png(media_id, width, height, mean_intensity) AS
+                (VALUES {_png_rows})
             SELECT d.doc_id AS media_id, 'image' AS kind,
                    (8 + d.n_chars % 24)::INT AS width,
                    (8 + (d.n_chars // 7) % 24)::INT AS height,
                    3 AS channels, mi.mean_intensity::DOUBLE AS mean_intensity
             FROM documents d JOIN mi ON mi.media_id = d.doc_id
+            UNION ALL
+            SELECT media_id::BIGINT, 'image', width::INT, height::INT,
+                   1 AS channels, mean_intensity::DOUBLE
+            FROM png
             ORDER BY media_id
         """
     except Exception as _exc:  # pragma: no cover - driver fallback
@@ -2663,10 +2733,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
-               CAST(sum(CASE WHEN doc_id % 50 IN (25, 45) THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN doc_id % 50 IN (25, 35, 45) THEN 1 ELSE 0
+                             END)
                     AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
-                             WHEN doc_id % 50 IN (25, 45)
+                             WHEN doc_id % 50 IN (25, 35, 45)
                              THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
                                   ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))
@@ -2828,10 +2899,40 @@ def oracle_sql() -> dict[str, str]:
 
         print(f"oracle_sql: q47 literal-oracle build skipped: {_exc!r}",
               file=_sys.stderr)
+    # q46: text = normalized doc text; combined/markdown append the
+    # display-math paragraph for every 3rd doc; latex = the formula inner;
+    # 'best:<picked>' rows replay the priority pick over the knocked-out
+    # channel sets (combined absent for doc%4==1, text also for doc%8==1).
     o["q46_channel_fanout"] = f"""
-        SELECT doc_id, unnest(['combined', 'markdown', 'text']) AS channel,
-               {norm} AS content
-        FROM documents ORDER BY doc_id, channel
+        WITH base AS (
+            SELECT doc_id, {norm} AS norm,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'x_{{' || doc_id::VARCHAR || '}} = \\frac{{'
+                             || doc_id::VARCHAR || '}}{{2}}' END AS fx
+            FROM documents),
+        full_ch AS (
+            SELECT doc_id, norm,
+                   norm || CASE WHEN fx IS NULL THEN ''
+                                ELSE chr(10) || chr(10) || '$$' || fx || '$$'
+                           END AS withfx,
+                   fx
+            FROM base)
+        SELECT doc_id, 'text' AS channel, norm AS content FROM full_ch
+        UNION ALL
+        SELECT doc_id, 'combined', withfx FROM full_ch
+        UNION ALL
+        SELECT doc_id, 'markdown', withfx FROM full_ch
+        UNION ALL
+        SELECT doc_id, 'latex', fx FROM full_ch WHERE fx IS NOT NULL
+        UNION ALL
+        SELECT doc_id,
+               'best:' || CASE WHEN doc_id % 8 = 1 THEN 'markdown'
+                               WHEN doc_id % 4 = 1 THEN 'text'
+                               ELSE 'combined' END,
+               CASE WHEN doc_id % 4 = 1 AND doc_id % 8 <> 1 THEN norm
+                    ELSE withfx END
+        FROM full_ch
+        ORDER BY doc_id, channel
     """
     o["q49_sessionize"] = """
         WITH flagged AS (

@@ -741,6 +741,19 @@ def render_table(rows: list[list[str]]) -> str:
     return "\n".join(" | ".join(c for c in row) for row in rows)
 
 
+def _formula_inner(text: str) -> str | None:
+    """The inner LaTeX of a block that IS one display-math formula
+    (``$$...$$`` spanning the whole normalized block), else None. The
+    whole-block rule mirrors the table treatment: a formula paragraph
+    routes to the LATEX channel (+ combined/markdown verbatim) and stays
+    out of the prose TEXT channel; inline math inside prose is prose."""
+    if (len(text) > 4 and text.startswith("$$") and text.endswith("$$")
+            and "$$" not in text[2:-2]):
+        inner = text[2:-2].strip()
+        return inner or None
+    return None
+
+
 def assemble_channels(blocks: list[Block]) -> dict[str, str]:
     """Assemble the reference's content channels from classified blocks.
 
@@ -751,6 +764,10 @@ def assemble_channels(blocks: list[Block]) -> dict[str, str]:
     MARKDOWN — headings '#'-prefixed, list items '- ', tables pipe rows,
                joined "\n\n" (markitdown_extractor.py:40-45 analogue)
     TITLES   — heading blocks joined "\n" (unstructured_extractor.py:92-97)
+    LATEX    — display-math formula blocks (whole-paragraph ``$$...$$``),
+               inner LaTeX joined "\n\n" (mathpix_extractor.py:133-136
+               analogue; like tables, formulas reach COMBINED/MARKDOWN in
+               document order but not the prose TEXT channel)
     """
     content = [b for b in blocks if b.is_content()]
     text_parts: list[str] = []
@@ -758,12 +775,17 @@ def assemble_channels(blocks: list[Block]) -> dict[str, str]:
     combined_parts: list[str] = []
     md_parts: list[str] = []
     titles: list[str] = []
+    latex_parts: list[str] = []
     for b in content:
         if b.kind == "table":
             t = render_table(b.rows)
             table_parts.append(t)
             combined_parts.append(t)
             md_parts.append(t)
+        elif b.kind == "text" and (formula := _formula_inner(b.text)) is not None:
+            latex_parts.append(formula)
+            combined_parts.append(b.text)
+            md_parts.append(b.text)
         else:
             text_parts.append(b.text)
             combined_parts.append(b.text)
@@ -780,6 +802,7 @@ def assemble_channels(blocks: list[Block]) -> dict[str, str]:
         "combined": "\n\n".join(combined_parts),
         "markdown": "\n\n".join(md_parts),
         "titles": "\n".join(titles),
+        "latex": "\n\n".join(latex_parts),
     }
 
 
@@ -837,7 +860,8 @@ def extract_html(payload: bytes) -> dict:
     gate (tasks.py:228-249) is applied by the caller via meta['ok'].
     """
     meta: dict[str, str] = {}
-    empty = {"text": "", "table": "", "combined": "", "markdown": "", "titles": ""}
+    empty = {"text": "", "table": "", "combined": "", "markdown": "",
+             "titles": "", "latex": ""}
     if not payload:
         meta["error"] = "empty payload"
         meta["ok"] = "false"

@@ -29,11 +29,13 @@ from pdf_extractor_spark.kernels.html_kernel import extract_html
 from pdf_extractor_spark.kernels.lang import lang_spans
 from pdf_extractor_spark.kernels.ocr_kernel import (
     OcrUnsupported,
+    decode_bmp_gray,
     lines_to_stream_text,
-    ocr_bmp,
+    ocr_gray_rows,
     ocr_page_plausible,
 )
 from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+from pdf_extractor_spark.kernels.png_kernel import decode_png_gray
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -57,6 +59,7 @@ EXTRACTED_SCHEMA = StructType(
         StructField("table", StringType(), True),
         StructField("markdown", StringType(), True),
         StructField("titles", StringType(), True),
+        StructField("latex", StringType(), True),
         StructField("spans", SPAN_TYPE, True),
         StructField("meta", MapType(StringType(), StringType()), True),
         StructField("payload_bytes", LongType(), True),
@@ -75,6 +78,7 @@ _ARROW_OUT = pa.schema(
         pa.field("table", pa.string()),
         pa.field("markdown", pa.string()),
         pa.field("titles", pa.string()),
+        pa.field("latex", pa.string()),
         pa.field(
             "spans",
             pa.list_(
@@ -119,7 +123,7 @@ def _needs_ocr_row(img: str, why: str) -> dict:
     (reference file_type semantics, enums.py:25-31)."""
     return {
         "page_number": 1, "text": "", "combined": "", "table": "",
-        "markdown": "", "titles": "", "spans": [],
+        "markdown": "", "titles": "", "latex": "", "spans": [],
         "meta": {
             "ok": "false",
             "error": f"needs_ocr: {img} payload{why}",
@@ -129,6 +133,13 @@ def _needs_ocr_row(img: str, why: str) -> dict:
     }
 
 
+# Scanned-page container decoders the OCR tier reads (both produce the
+# shared top-down luminance-row raster consumed by ocr_gray_rows) — the
+# reference's image-capable upload types this sandbox can decode from
+# scratch (enums.py:25-31; PNG added round 4, kernels/png_kernel.py).
+_OCR_DECODERS = {"bmp": decode_bmp_gray, "png": decode_png_gray}
+
+
 def extract_document(payload: bytes | None) -> list[dict]:
     """One document → one output row per page (HTML: single page 1).
 
@@ -136,18 +147,20 @@ def extract_document(payload: bytes | None) -> list[dict]:
     reference per-page result invariants (SURVEY.md §2a): 1-based pages,
     error rows degrade instead of raising (pypdf2_extractor.py:41-48).
     Image payloads (scanned-document tier, reference enums.py:25-31,
-    tesseract_extractor.py:22-53): fixed-pitch bitmap pages (the BMP
-    profile of kernels/ocr_kernel.py) are OCR'd from scratch into the TEXT
-    channel; every other image format — or a BMP variant outside the OCR
-    profile — dispatches to a loud needs-OCR quarantine row (meta
-    ok=false) instead of silently extracting as empty text, preserving the
-    reference's file_type semantics.
+    tesseract_extractor.py:22-53): fixed-pitch bitmap pages (the BMP and
+    PNG profiles of kernels/ocr_kernel.py + kernels/png_kernel.py) are
+    OCR'd from scratch into the TEXT channel; every other image format —
+    or a container variant outside the OCR profile — dispatches to a loud
+    needs-OCR quarantine row (meta ok=false) instead of silently
+    extracting as empty text, preserving the reference's file_type
+    semantics.
     """
     if payload:
         img = detect_image_format(payload)
-        if img == "bmp":
+        decoder = _OCR_DECODERS.get(img)
+        if decoder is not None:
             try:
-                lines = ocr_bmp(payload)
+                lines = ocr_gray_rows(decoder(payload))
             except OcrUnsupported as exc:
                 return [_needs_ocr_row(img, f" ({exc})")]
             if not ocr_page_plausible(lines):
@@ -158,14 +171,14 @@ def extract_document(payload: bytes | None) -> list[dict]:
                     img, " (raster is not fixed-pitch machine print)")]
             text = lines_to_stream_text(lines)
             ok = bool(text)
-            meta = {"ok": "true" if ok else "false", "file_type": "bmp",
+            meta = {"ok": "true" if ok else "false", "file_type": img,
                     "ocr": "true"}
             if not ok:
                 meta["error"] = "no meaningful content"
             return [
                 {
                     "page_number": 1, "text": text, "combined": text,
-                    "table": "", "markdown": "", "titles": "",
+                    "table": "", "markdown": "", "titles": "", "latex": "",
                     "spans": lang_spans(text), "meta": meta,
                 }
             ]
@@ -183,6 +196,9 @@ def extract_document(payload: bytes | None) -> list[dict]:
                     "table": "",
                     "markdown": text,
                     "titles": "",
+                    # PDF pages surface display-math spans as the LATEX
+                    # channel (reference mathpix_extractor.py:133-136)
+                    "latex": latex_of_text(text),
                     "spans": lang_spans(text),
                     "meta": res["meta"],
                 }
@@ -191,7 +207,8 @@ def extract_document(payload: bytes | None) -> list[dict]:
             rows = [
                 {
                     "page_number": 1, "text": "", "combined": "", "table": "",
-                    "markdown": "", "titles": "", "spans": [], "meta": res["meta"],
+                    "markdown": "", "titles": "", "latex": "", "spans": [],
+                    "meta": res["meta"],
                 }
             ]
         return rows
@@ -205,6 +222,7 @@ def extract_document(payload: bytes | None) -> list[dict]:
             "table": ch["table"],
             "markdown": ch["markdown"],
             "titles": ch["titles"],
+            "latex": ch["latex"],
             "spans": lang_spans(ch["text"]),
             "meta": res["meta"],
         }
@@ -240,6 +258,7 @@ def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
                 out["table"].append(row["table"])
                 out["markdown"].append(row["markdown"])
                 out["titles"].append(row["titles"])
+                out["latex"].append(row["latex"])
                 out["spans"].append(
                     [{"start": s, "end": e, "lang": lg} for s, e, lg in row["spans"]]
                 )
@@ -370,7 +389,8 @@ def fanout_channels(extracted: DataFrame) -> DataFrame:
     pairs = F.array(
         *[
             F.struct(F.lit(c).alias("channel"), F.col(c).alias("content"))
-            for c in ("text", "combined", "table", "markdown", "titles")
+            for c in ("text", "combined", "table", "markdown", "titles",
+                      "latex")
         ]
     )
     return (
@@ -378,4 +398,53 @@ def fanout_channels(extracted: DataFrame) -> DataFrame:
         .select("url", "page_number", F.col("x.channel").alias("channel"),
                 F.col("x.content").alias("content"))
         .where(F.col("content") != "")
+    )
+
+
+# Reference consumer display priority (content-helpers.ts:50-67,96-102):
+# the frontend picks ONE content channel per document to show, in this
+# exact order, skipping channels without meaningful content.
+CHANNEL_PRIORITY = ("combined", "text", "markdown", "table", "latex",
+                    "titles")
+
+
+def latex_of_text(text: str) -> str:
+    """Display-math spans (``$$...$$``) of a text stream, joined "\\n\\n"
+    — the LATEX channel for page-stream extractors (reference
+    mathpix_extractor.py:133-136 emits latex alongside text). Pure
+    function shared by the PDF page path and unit tests."""
+    import re
+
+    return "\n\n".join(
+        m.strip() for m in re.findall(r"\$\$(.+?)\$\$", text, re.S)
+        if m.strip())
+
+
+def best_content(channels: DataFrame) -> DataFrame:
+    """Channel-priority selection — the reference consumer's read path
+    (content-helpers.ts:50-67: COMBINED > TEXT > MARKDOWN > ... display
+    pick with the meaningful-content gate): given per-channel rows
+    ``(url, page_number, channel, content)`` (the :func:`fanout_channels`
+    frame — one row per channel an extractor actually produced), return
+    ONE row per (url, page_number) carrying the highest-priority channel
+    with non-blank content.
+
+    Plan: a priority rank joins in as a literal CASE (no lookup table),
+    then one ``min_by`` groupBy — a single map-side-combinable shuffle on
+    the (url, page) key, no window sort, no self-join. Unknown channels
+    rank last (stable: ties inside a rank cannot happen — channel names
+    are unique per row grain).
+    """
+    prio = F.lit(len(CHANNEL_PRIORITY))
+    for i, c in enumerate(reversed(CHANNEL_PRIORITY)):
+        prio = F.when(F.col("channel") == c,
+                      F.lit(len(CHANNEL_PRIORITY) - 1 - i)).otherwise(prio)
+    meaningful = channels.where(F.trim(F.col("content")) != "")
+    return (
+        meaningful.withColumn("_prio", prio)
+        .groupBy("url", "page_number")
+        .agg(
+            F.min_by(F.col("channel"), F.col("_prio")).alias("channel"),
+            F.min_by(F.col("content"), F.col("_prio")).alias("content"),
+        )
     )

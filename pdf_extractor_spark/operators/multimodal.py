@@ -43,21 +43,28 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for uncompressed 8-bpp BMP (the from-scratch
-    container/palette decoder in kernels/ocr_kernel.py — luminance
-    (h, w, 1)), the deterministic fake container for tests, and a loud
-    NotImplementedError for formats that need a codec this container
-    lacks (JPEG/PNG — swap in a PIL-based arm on a real cluster)."""
+    """Image decode: REAL for uncompressed 8-bpp BMP and for PNG (the
+    from-scratch decoders in kernels/ocr_kernel.py and
+    kernels/png_kernel.py — luminance (h, w, 1)), the deterministic fake
+    container for tests, and a loud NotImplementedError for formats that
+    need a codec this container lacks (JPEG — swap in a PIL-based arm on
+    a real cluster)."""
     if payload[:2] == b"BM":
         from pdf_extractor_spark.kernels.ocr_kernel import decode_bmp_gray
 
         rows = decode_bmp_gray(payload)  # raises OcrUnsupported (a ValueError)
         return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
             len(rows), len(rows[0]), 1)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from pdf_extractor_spark.kernels.png_kernel import decode_png_gray
+
+        rows = decode_png_gray(payload)  # raises OcrUnsupported (a ValueError)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
     if payload[:4] != MAGIC:
-        if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[:2] == b"\xff\xd8":
             raise NotImplementedError(
-                "real JPEG/PNG decode requires an image codec (not installed); "
+                "real JPEG decode requires an image codec (not installed); "
                 "swap _decode_image for a PIL-based decoder on a real cluster"
             )
         raise ValueError("unknown media container")
@@ -149,6 +156,49 @@ def expected_image_feature_row(media_id: int, n_chars: int) -> tuple[int, int, f
     arr = _decode_image(encode_fake_image(int(media_id), w, h))
     flat = arr.reshape(-1).astype(np.float64)
     return w, h, float(flat.mean())
+
+
+def png_media_text(doc_id: int) -> str:
+    """The deterministic page text of the q27 PNG media arm — one
+    definition shared by the Spark generator and the oracle twin."""
+    return f"DOC {int(doc_id)} PNG"
+
+
+def expected_png_feature_row(doc_id: int) -> tuple[int, int, float]:
+    """Pure-Python twin of the q27 PNG arm for one document:
+    (width, height, mean_intensity) via the same render→decode→feature
+    path the Spark kernel runs (kernels/png_kernel.py), so the oracle can
+    pin the values as literals."""
+    from pdf_extractor_spark.kernels.png_kernel import render_text_png
+
+    arr = _decode_image(render_text_png(png_media_text(doc_id), width=32))
+    h, w, _ = arr.shape
+    return w, h, float(arr.reshape(-1).astype(np.float64).mean())
+
+
+def png_media_table(spark, documents: DataFrame) -> DataFrame:
+    """REAL-PNG media rows derived from documents (every 4th doc): each
+    becomes a rendered scanned-text PNG page at media_id + 100000 — the
+    reference's PNG upload domain (main.py:366-373) exercised through the
+    from-scratch codec."""
+    from pdf_extractor_spark.kernels.png_kernel import render_text_png
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = [int(d) for d in pdf["doc_id"] if int(d) % 4 == 0]
+            yield pd.DataFrame(
+                {
+                    "media_id": [d + 100000 for d in keep],
+                    "kind": ["image"] * len(keep),
+                    "payload": [
+                        render_text_png(png_media_text(d), width=32)
+                        for d in keep
+                    ],
+                    "meta": [{} for _ in keep],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(gen, MEDIA_DDL)
 
 
 def round_half_up(x: float, scale: int) -> float:

@@ -35,7 +35,7 @@ def test_pdf_kernel_never_raises_on_garbage(payload):
 @given(st.text(max_size=2048))
 def test_html_kernel_never_raises_on_text(html):
     res = extract_html(html.encode("utf-8", "ignore"))
-    assert set(res["channels"]) == {"text", "table", "combined", "markdown", "titles"}
+    assert set(res["channels"]) == {"text", "table", "combined", "markdown", "titles", "latex"}
 
 
 @settings(max_examples=200, deadline=None)
