@@ -284,6 +284,56 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("lastmod").alias("sitemap_latest_lastmod"))
         .withColumnRenamed("url", "source")
     )
+    # WARC tier (round 4): the SAME pages written as real per-record-gzip
+    # WARC/1.0 segment files (one per partition — the Common-Crawl unit of
+    # work), read back through the from-scratch ISO 28500 parser
+    # (sources/warc.py), and rolled up per host as a row count + an
+    # order-free md5-prefix checksum of the round-tripped page bytes. The
+    # oracle rebuilds the page string closed-form from the synth spec, so
+    # a parser that dropped, duplicated, or altered any record breaks the
+    # hash. Aggregated NOW into a literal frame (the q37 streaming-arm
+    # discipline) so the temp segment files can be deleted immediately.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from pdf_extractor_spark.sources.warc import read_warc, write_warc
+
+    wdir = _tempfile.mkdtemp(prefix="pdfx_q53_warc_")
+
+    def _write_seg(it):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = [{"url": u, "body": bytes(b)}
+                    for u, b in zip(pdf["url"], pdf["html"])]
+            write_warc(_os.path.join(
+                wdir, f"seg_{_uuid.uuid4().hex}.warc.gz"), rows)
+            yield _pd.DataFrame({"n": [len(rows)]})
+
+    pages.repartition(4).mapInPandas(_write_seg, "n long").collect()
+    wrows = (
+        read_warc(spark, wdir)
+        .select(
+            webtext.host_of_expr(F.col("url")).alias("source"),
+            F.conv(F.substring(F.md5(F.decode(F.col("html"), "utf-8")),
+                               1, 8), 16, 10).cast("long").alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("warc_docs"),
+             F.sum("h").alias("warc_cksum"))
+        .collect()
+    )
+    _shutil.rmtree(wdir, ignore_errors=True)
+    warc_df = spark.createDataFrame(
+        [(r["source"], int(r["warc_docs"]), int(r["warc_cksum"]))
+         for r in wrows],
+        "source string, warc_docs long, warc_cksum long",
+    )
     return (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(F.broadcast(ht.withColumnRenamed("host", "source")),
@@ -295,6 +345,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(anch.withColumnRenamed("host", "source")),
               "source", "left")
         .join(F.broadcast(smr), "source", "left")
+        .join(F.broadcast(warc_df), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -329,6 +380,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("sitemap_urls"), F.lit(0)).cast("long")
             .alias("sitemap_urls"),
             F.col("sitemap_latest_lastmod"),
+            F.coalesce(F.col("warc_docs"), F.lit(0)).cast("long")
+            .alias("warc_docs"),
+            F.coalesce(F.col("warc_cksum"), F.lit(0)).cast("long")
+            .alias("warc_cksum"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -3155,10 +3210,32 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT DISTINCT source FROM documents)),
         ns AS (SELECT count(*) AS c FROM sids),
         dl AS (SELECT d.doc_id, d.source AS src, t1.source AS h1,
-                      t3.source AS h3
+                      t3.source AS h3, d.text
                FROM documents d
                JOIN sids t1 ON t1.sid = (d.doc_id * 7 + 1) % (SELECT c FROM ns)
                JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)),
+        whtml AS (SELECT src,
+                '<html><head><title>d</title>'
+                || CASE WHEN doc_id % 7 = 0
+                        THEN '<meta name="robots" content="noindex">'
+                        ELSE '' END
+                || CASE WHEN doc_id % 5 = 0
+                        THEN '<base href="https://' || h1 || '/b/">'
+                        ELSE '' END
+                || '</head><body><nav><a href="https://' || h1 || '/p/'
+                || doc_id::VARCHAR || '">r</a><a href="/p/'
+                || (doc_id + 1)::VARCHAR || '">s</a><a href="//' || h3
+                || '/p/' || (doc_id + 2)::VARCHAR || '">p</a><a href="q/'
+                || (doc_id + 3)::VARCHAR || '#f">q</a>'
+                || '<a rel="nofollow" href="https://ads.' || src || '/z/'
+                || doc_id::VARCHAR || '">n</a></nav><main><p>'
+                || substr(text, 1, 40)
+                || '</p></main></body></html>' AS page
+               FROM dl),
+        warc AS (SELECT src AS source, count(*)::BIGINT AS warc_docs,
+                        sum(('0x' || substr(md5(page), 1, 8))::BIGINT)
+                            ::BIGINT AS warc_cksum
+                 FROM whtml GROUP BY src),
         rawe AS (SELECT src, h1 AS dst, 'r' AS anchor FROM dl
                  UNION ALL SELECT src,
                         CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
@@ -3219,6 +3296,8 @@ def oracle_sql() -> dict[str, str]:
                    AS inbound_anchor_terms,
                CAST(coalesce(sm.sitemap_urls, 0) AS BIGINT) AS sitemap_urls,
                sm.sitemap_latest_lastmod AS sitemap_latest_lastmod,
+               CAST(coalesce(warc.warc_docs, 0) AS BIGINT) AS warc_docs,
+               CAST(coalesce(warc.warc_cksum, 0) AS BIGINT) AS warc_cksum,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight
         FROM base
@@ -3230,6 +3309,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ni ON ni.source = base.source
         LEFT JOIN ind ON ind.dst = base.source
         LEFT JOIN sm ON sm.source = base.source
+        LEFT JOIN warc ON warc.source = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

@@ -174,9 +174,13 @@ _BASE_HREF_PATTERN = r'(?i)<base\s[^>]*?href="([^"]*)"'
 # the documented extraction subset: double-quoted attributes only
 # (single-quoted/unquoted are out of spec; a production kernel pass would
 # widen this, but the regex keeps extraction whole-stage-codegen'd).
-# (?:>|$) keeps links from WARC-truncated pages whose final tag lost its
-# closing '>' — routine in crawl captures.
-_A_TAG_PATTERN = r'(?i)<a\s([^>]*?href="[^"]*"[^>]*)(?:>|$)'
+# The attrs body is [^<>] (not [^>]): a mid-document UNCLOSED anchor must
+# stop at the next tag's '<' instead of swallowing the following link —
+# truncated tags are routine in WARC captures, and losing the NEXT link
+# to one is worse than losing an anchor whose quoted attr legitimately
+# contains '<' (vanishingly rare). The tail accepts '>', a lookahead at
+# the next '<' (unclosed tag), or end-of-input.
+_A_TAG_PATTERN = r'(?i)<a\s([^<>]*?href="[^"]*"[^<>]*)(?:>|(?=<)|$)'
 _CANONICAL_PATTERN = (
     r'(?i)<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"')
 _CANONICAL_PATTERN_HREF_FIRST = (
@@ -392,8 +396,11 @@ def frontier_schedule(candidates: DataFrame, rules: DataFrame,
     six-regexp gate pass would run twice per cycle); robots_match's
     keyed window plus one url-keyed join attach the verdict, and the
     rank/delay sides join broadcast (host-cardinality). The persisted
-    frame is url-cardinality (the frontier itself); callers may
-    unpersist it after the cycle's plan materializes.
+    frame is url-cardinality (the frontier itself) and is EXPOSED to the
+    caller as ``result._persisted_gate`` — a long-running crawler must
+    release it after the cycle's plan materializes (one cached
+    url-cardinality frame per cycle otherwise accumulates):
+    ``frontier_release(result)`` or ``result._persisted_gate.unpersist()``.
     """
     gated = url_quality_filter(candidates.select("url").distinct()).persist()
     rm = robots_match(gated, rules, key_col="url", url_col="url")
@@ -416,7 +423,7 @@ def frontier_schedule(candidates: DataFrame, rules: DataFrame,
         .when(~F.col("robots_allowed"), F.lit("robots"))
         .otherwise(F.lit("ok"))
     )
-    return out.select(
+    result = out.select(
         "url",
         F.col("url_host").alias("host"),
         fetch.alias("fetch"),
@@ -425,6 +432,17 @@ def frontier_schedule(candidates: DataFrame, rules: DataFrame,
         .alias("priority"),
         "crawl_delay",
     )
+    result._persisted_gate = gated  # release handle (see docstring)
+    return result
+
+
+def frontier_release(schedule: DataFrame) -> None:
+    """Release the cached gate frame behind a :func:`frontier_schedule`
+    result (call after the cycle's plan has materialized). No-op for
+    frames that don't carry one."""
+    gate = getattr(schedule, "_persisted_gate", None)
+    if gate is not None:
+        gate.unpersist()
 
 
 def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
@@ -498,9 +516,19 @@ def _graph_nodes(edges: DataFrame) -> DataFrame:
     )
 
 
+# Measured physical-plan crossover for the score-side join of both
+# centrality fixed-points (BENCH.md graph ladder, round 3→4): below this
+# many nodes the per-iteration broadcast overhead exceeds the cost of
+# shuffling the tiny score table (shuffle ~2× faster at the 1x rung);
+# above it the broadcast avoids re-shuffling the edge table and wins
+# (10x rung). Results are bit-identical either way — this is a physical
+# knob only.
+GRAPH_BROADCAST_MIN_NODES = 100_000
+
+
 def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
                         damping_num: int = 85, damping_den: int = 100,
-                        broadcast_ranks: bool = True,
+                        broadcast_ranks: bool | None = None,
                         init_ranks: DataFrame | None = None) -> DataFrame:
     """Host-level PageRank over weighted edges ``(src, dst, w)`` in exact
     fixed-point integer arithmetic (ranks scaled by 1e12, truncating
@@ -521,6 +549,10 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
     Scale notes: ranks are host-cardinality (~1e8 rows at web scale ≪
     pages), broadcast to the edge partitions when ``broadcast_ranks``
     (set False past broadcast size → shuffle hash join on ``src``).
+    Default ``None`` AUTO-SELECTS on the node count already computed for
+    the teleport term: broadcast only at ≥ GRAPH_BROADCAST_MIN_NODES
+    (the measured crossover — shuffle wins on small graphs, broadcast on
+    large; bit-identical results either way).
     Overflow bound: rank_s·w < 2^63 requires per-edge weight < 9.2e6 at
     SCALE=1e12 — pre-cap w above that (no real host pair exceeds it).
     The edge table (joined with out-degree once) is persisted and reused
@@ -546,6 +578,8 @@ def pagerank_fixedpoint(edges: DataFrame, iters: int = 5,
             "host", F.lit(0).cast("long").alias("rank_scaled"),
             F.lit(0.0).alias("pagerank"))
     teleport = (damping_den - damping_num) * PAGERANK_SCALE // (damping_den * n)
+    if broadcast_ranks is None:
+        broadcast_ranks = n >= GRAPH_BROADCAST_MIN_NODES
     outdeg = edges.groupBy("src").agg(F.sum("w").alias("od"))
     ew = edges.join(outdeg, "src").persist()
     if init_ranks is not None:
@@ -625,8 +659,21 @@ def pagerank_unrolled_sql(edges_cte: str, iters: int = 5,
 HITS_SCALE = 10**5
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free the block-manager storage behind a ``localCheckpoint`` ed
+    DataFrame. ``DataFrame.unpersist()`` is a no-op for checkpoint blocks
+    (it goes through the SQL cache manager, not the RDD store — verified
+    empirically), so this reaches the LogicalRDD's backing RDD through
+    the analyzed plan. Defensive: a plan shape without ``.rdd()`` just
+    leaves the blocks to the ContextCleaner's GC-driven release."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def hits_fixedpoint(edges: DataFrame, iters: int = 5,
-                    broadcast_scores: bool = True) -> DataFrame:
+                    broadcast_scores: bool | None = None) -> DataFrame:
     """HITS hubs-and-authorities (Kleinberg 1999, public) over weighted
     edges ``(src, dst, w)`` in exact fixed-point integer arithmetic — the
     second classic web-graph centrality next to PageRank: a good HUB links
@@ -651,11 +698,16 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
 
     Scale notes: scores are host-cardinality; broadcast to the edge
     partitions when ``broadcast_scores`` (False past broadcast size →
-    shuffle hash join). Overflow bound: the raw sum Σ w·score ≤
+    shuffle hash join; default None auto-selects on the node count at
+    the measured GRAPH_BROADCAST_MIN_NODES crossover, like
+    pagerank_fixedpoint). Overflow bound: the raw sum Σ w·score ≤
     W_in·SCALE per host and the normalization multiplies by SCALE before
     dividing, so W_in·SCALE² < 2^63 requires total inbound (resp.
-    outbound) weight per host < 9.2e8 at SCALE=1e5 — pre-cap w above
-    that (same discipline as pagerank's per-edge bound). The max() is a
+    outbound) weight per host < 9.2e8 at SCALE=1e5 — ENFORCED by a cheap
+    max-aggregate before iterating (Spark's non-ANSI long arithmetic
+    wraps silently past the bound while DuckDB's sum promotes to
+    HUGEINT, so the twins would silently diverge instead of failing
+    loudly — the widen_column discipline). The max() is a
     2-row-per-partition aggregate, not a driver collect; it joins back as
     a broadcast 1-row frame (crossJoin), so each iteration is two
     join+groupBy rounds over the persisted edge table.
@@ -678,9 +730,25 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
     if iters < 1:
         raise ValueError("hits_fixedpoint requires iters >= 1")
     nodes = _graph_nodes(edges).localCheckpoint(eager=True)
+    if broadcast_scores is None:
+        broadcast_scores = nodes.count() >= GRAPH_BROADCAST_MIN_NODES
     e = edges.select("src", "dst", "w").persist()
+    # overflow precondition (see docstring): loud failure instead of a
+    # silent long wrap that would desync the engines
+    w_cap = (2 ** 63 - 1) // (HITS_SCALE * HITS_SCALE)
+    w_max = e.groupBy("dst").agg(F.sum("w").alias("s")).agg(
+        F.max("s").alias("m")).unionAll(
+        e.groupBy("src").agg(F.sum("w").alias("s")).agg(
+            F.max("s").alias("m"))).agg(F.max("m")).first()[0]
+    if w_max is not None and w_max > w_cap:
+        e.unpersist()
+        raise ValueError(
+            f"hits_fixedpoint: per-host total edge weight {w_max} exceeds "
+            f"the 64-bit fixed-point bound {w_cap} at SCALE={HITS_SCALE}; "
+            "pre-cap w (e.g. least(w, cap)) before calling")
     hubs = nodes.select(
         "host", F.lit(HITS_SCALE).cast("long").alias("score"))
+    released: list[DataFrame] = []  # superseded checkpoints to free
 
     def _norm_join(raw: DataFrame) -> DataFrame:
         # (host, raw) -> (host, (raw*SCALE) div greatest(max(raw),1)) with
@@ -693,7 +761,7 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
         ).localCheckpoint(eager=True)
 
     auths = hubs
-    for _ in range(iters):
+    for it in range(iters):
         h = broadcast(hubs) if broadcast_scores else hubs
         araw = nodes.join(
             e.join(h.withColumnRenamed("host", "src"), "src")
@@ -701,6 +769,8 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
             .withColumnRenamed("dst", "host"),
             "host", "left",
         ).select("host", F.coalesce(F.col("s"), F.lit(0)).alias("raw"))
+        if it > 0:
+            released.append(auths)
         auths = _norm_join(araw)
         a = broadcast(auths) if broadcast_scores else auths
         hraw = nodes.join(
@@ -709,11 +779,21 @@ def hits_fixedpoint(edges: DataFrame, iters: int = 5,
             .withColumnRenamed("src", "host"),
             "host", "left",
         ).select("host", F.coalesce(F.col("s"), F.lit(0)).alias("raw"))
+        if it > 0:
+            released.append(hubs)
         hubs = _norm_join(hraw)
     # e stays persisted until the checkpointed iterations have run (i.e.
     # this point); safe to release here since every downstream reference
-    # is to the truncated score RDDs.
+    # is to the truncated score RDDs. Likewise every SUPERSEDED
+    # half-iteration checkpoint (eager=True means iteration i+1's blocks
+    # are already materialized, so freeing iteration i's cannot trigger
+    # recompute) — only the FINAL hubs/auths stay pinned for the returned
+    # plan, bounding block-manager residency at O(2·|hosts|) instead of
+    # O(2·iters·|hosts|) across repeated plan builds (review finding,
+    # round 3).
     e.unpersist()
+    for df in released:
+        _release_checkpoint(df)
     return (
         hubs.withColumnRenamed("score", "hub_scaled")
         .join(auths.withColumnRenamed("score", "auth_scaled"), "host")

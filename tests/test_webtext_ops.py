@@ -1324,3 +1324,92 @@ def test_centrality_cross_engine_fuzz(spark):
                 + webtext.hits_unrolled_sql("e", iters=4)
                 + "\nSELECT * FROM hits_final ORDER BY host").fetchall())
         assert ht == want_ht, (trial, edges)
+
+
+def test_unclosed_anchor_does_not_swallow_next_link(spark):
+    """ADVICE round 3: a mid-document unclosed <a> must stop at the next
+    tag's '<' instead of absorbing the following anchor — both links
+    survive (the old [^>]* body yielded only the first)."""
+    html = (b'<html><body>'
+            b'<a href="https://a.net/x" '      # unclosed mid-document
+            b'<a href="https://b.net/y">two</a>'
+            b'<a href="https://c.net/z"')      # unclosed at EOF
+    df = spark.createDataFrame(
+        [("https://ex.com/p", html)], "url string, html binary")
+    hrefs = {r["href"] for r in webtext.extract_links(df).collect()}
+    assert hrefs == {"https://a.net/x", "https://b.net/y",
+                     "https://c.net/z"}
+
+
+def test_hits_overflow_precondition_raises(spark):
+    """Per-host total edge weight past the 64-bit fixed-point bound must
+    fail loudly (Spark long arithmetic would wrap silently while the
+    DuckDB twin promotes to HUGEINT — a silent divergence otherwise)."""
+    import pytest
+
+    cap = (2 ** 63 - 1) // (webtext.HITS_SCALE ** 2)
+    ok = spark.createDataFrame(
+        [("a", "b", cap)], "src string, dst string, w long")
+    webtext.hits_fixedpoint(ok, iters=1)  # at the bound: fine
+    bad = spark.createDataFrame(
+        [("a", "b", cap + 1)], "src string, dst string, w long")
+    with pytest.raises(ValueError, match="fixed-point bound"):
+        webtext.hits_fixedpoint(bad, iters=1)
+
+
+def test_hits_releases_intermediate_checkpoints(spark):
+    """Block-manager residency stays O(2 |hosts|): after hits_fixedpoint
+    returns, only the final hubs/auths checkpoints (+ the nodes frame)
+    remain pinned, not 2*iters of superseded half-iterations."""
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1), ("c", "a", 3)],
+        "src string, dst string, w long")
+    jsc = spark._jsparkSession.sparkContext()
+    before = jsc.getPersistentRDDs().size()
+    res = webtext.hits_fixedpoint(edges, iters=5)
+    res.collect()
+    after = jsc.getPersistentRDDs().size()
+    # nodes + final hubs + final auths = 3 new pinned RDDs at most
+    assert after - before <= 3, (before, after)
+
+
+def test_centrality_auto_broadcast_bit_identical(spark):
+    """The auto knob (None) must produce bit-identical results to both
+    explicit physical choices — it is a plan knob only."""
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 2), ("b", "c", 1), ("c", "a", 1)],
+        "src string, dst string, w long")
+
+    def vals(df):
+        return sorted(map(tuple, df.collect()))
+
+    auto_pr = vals(webtext.pagerank_fixedpoint(edges, iters=3))
+    assert auto_pr == vals(webtext.pagerank_fixedpoint(
+        edges, iters=3, broadcast_ranks=True))
+    assert auto_pr == vals(webtext.pagerank_fixedpoint(
+        edges, iters=3, broadcast_ranks=False))
+    auto_ht = vals(webtext.hits_fixedpoint(edges, iters=3))
+    assert auto_ht == vals(webtext.hits_fixedpoint(
+        edges, iters=3, broadcast_scores=True))
+    assert auto_ht == vals(webtext.hits_fixedpoint(
+        edges, iters=3, broadcast_scores=False))
+
+
+def test_frontier_schedule_release_handle(spark):
+    """frontier_schedule exposes its persisted gate frame for release
+    (ADVICE round 3: one cached url-cardinality frame per crawl cycle
+    otherwise leaks in a long-running driver)."""
+    cands = spark.createDataFrame(
+        [("https://ex.com/a",), ("https://ex.com/b.jpg",)], "url string")
+    rules = webtext.parse_robots_txt(spark.createDataFrame(
+        [("ex.com", "User-agent: *\nDisallow: /private")],
+        "host string, body string"))
+    ranks = spark.createDataFrame(
+        [("ex.com", 123)], "host string, rank_scaled long")
+    sched = webtext.frontier_schedule(cands, rules, ranks)
+    sched.collect()
+    gate = getattr(sched, "_persisted_gate", None)
+    assert gate is not None and gate.storageLevel.useMemory
+    webtext.frontier_release(sched)
+    assert not gate.storageLevel.useMemory
+    webtext.frontier_release(sched)  # idempotent / no-op second call
