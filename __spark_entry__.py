@@ -1506,8 +1506,11 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     embs = _t(spark, sf_dir, "embeddings")
     dup = _embs_with_neardups(embs)
+    # band_bits=None = the auto log₂(n) growth rule (recall-monotone +
+    # exact-verified, so results match the manual setting; at sf0.01 the
+    # rule lands exactly on the oracle-pinned 12 bits)
     banded = dedup.embedding_neardup_pairs_lsh(
-        dup, threshold=0.95).withColumn(
+        dup, threshold=0.95, band_bits=None).withColumn(
         "method", F.lit("lsh_banded"))
     buckets = similarity.lsh_neardup_pairs(embs, threshold=0.35).withColumn(
         "method", F.lit("hyperplane_bucket"))

@@ -301,6 +301,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     shingle_store: str | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard (so output is exact given candidate recall).
@@ -320,36 +321,84 @@ def minhash_lsh_pairs(
         shh = shingle_table(docs, n, shingle_store)
     else:
         shh = shingle_hash_arrays(docs, n).persist()
-    return minhash_pairs_from_hashes(shh, num_perm, bands, jaccard_threshold)
+    return minhash_pairs_from_hashes(shh, num_perm, bands, jaccard_threshold,
+                                     bucket_cap)
 
 
-def minhash_pairs_from_hashes(shh: DataFrame, num_perm: int, bands: int,
-                              jaccard_threshold: float) -> DataFrame:
-    """The hash-level core of minhash_lsh_pairs: (doc_id, shh) shingle
-    table → banded candidates → exact-Jaccard-verified (a < b) pairs.
-    Shared by the batch operator and the streaming intra-batch arm."""
-    banded = minhash_banded_from_hashes(shh, num_perm, bands)
-    # bucket → sorted member list → all ordered pairs, JVM-side. Buckets are
-    # tiny (near-dup cliques), so the interpreted pair-comprehension HOF is
-    # negligible next to the shuffle it avoids.
-    ids = F.sort_array(F.collect_list("doc_id"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
+def banded_candidate_pairs(banded: DataFrame, id_col: str = "doc_id",
+                           bucket_cap: int | None = None) -> DataFrame:
+    """(id, band, band_sig) band rows → distinct candidate pairs (a < b)
+    via the bucket groupBy pair-explode — the shared no-self-join core of
+    every banded LSH in this module.
+
+    ``bucket_cap`` is the HOT-BUCKET guard for degenerate signatures: at
+    100 TB, template-heavy corpora routinely put millions of byte-similar
+    pages into ONE (band, band_sig) bucket, and the within-bucket explode
+    is O(k²) — a single such bucket stalls its task forever. With a cap,
+    a bucket with k > cap members emits (a) all pairs among its first
+    ``cap`` sorted members and (b) a STAR from the bucket's first member
+    to every overflow member — O(cap² + k) pairs, deterministic, no
+    sampling RNG. Recall trade (documented, tested): within a capped
+    bucket every member still reaches exact verify via the star, so
+    true-duplicate CLIQUES (the degenerate case that creates hot buckets)
+    stay fully connected for downstream connected-components grouping;
+    what can be lost are pairs between two overflow members that are
+    near-dups of each other but NOT of the representative — a non-clique
+    bucket shape that a capped bucket cannot distinguish without the
+    quadratic work the cap exists to avoid. Default None = exact explode
+    (the oracle-parity configuration).
+    """
+    ids = F.sort_array(F.collect_list(id_col))
+
+    def _pairs_of(col):
+        return F.flatten(
+            F.transform(
+                col,
+                lambda x, i: F.transform(
+                    F.slice(col, i + 2, F.size(col)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
         )
-    )
-    cand = (
+
+    grouped = (
         banded.groupBy("band", "band_sig")
         .agg(ids.alias("ids"))
         .where(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
+    )
+    if bucket_cap is None:
+        pair_expr = _pairs_of(F.col("ids"))
+    else:
+        if bucket_cap < 2:
+            raise ValueError("bucket_cap must be >= 2")
+        kept = F.slice(F.col("ids"), 1, bucket_cap)
+        overflow = F.slice(
+            F.col("ids"), bucket_cap + 1,
+            F.greatest(F.size("ids") - bucket_cap, F.lit(0)))
+        star = F.transform(
+            overflow,
+            lambda y: F.struct(F.element_at(F.col("ids"), 1).alias("a"),
+                               y.alias("b")))
+        pair_expr = F.concat(_pairs_of(kept), star)
+    return (
+        grouped.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
         .distinct()
     )
+
+
+def minhash_pairs_from_hashes(shh: DataFrame, num_perm: int, bands: int,
+                              jaccard_threshold: float,
+                              bucket_cap: int | None = None) -> DataFrame:
+    """The hash-level core of minhash_lsh_pairs: (doc_id, shh) shingle
+    table → banded candidates → exact-Jaccard-verified (a < b) pairs.
+    Shared by the batch operator and the streaming intra-batch arm.
+    Buckets are tiny on organic corpora (near-dup cliques), so the
+    interpreted pair-comprehension HOF is negligible next to the shuffle
+    it avoids; ``bucket_cap`` bounds the degenerate-template case (see
+    banded_candidate_pairs)."""
+    banded = minhash_banded_from_hashes(shh, num_perm, bands)
+    cand = banded_candidate_pairs(banded, "doc_id", bucket_cap)
     return verify_jaccard_hashed(cand, shh, threshold=jaccard_threshold)
 
 
@@ -888,7 +937,8 @@ def embedding_lsh_band_signatures(
 
 def embedding_neardup_pairs_lsh(
     embs: DataFrame, threshold: float = 0.95, n_bands: int = 16,
-    band_bits: int = 12, seed: int = 7
+    band_bits: int | None = 12, seed: int = 7,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: banded hyperplane-LSH
     candidates + exact cosine verify — the q18 MinHash shape transplanted
@@ -907,27 +957,24 @@ def embedding_neardup_pairs_lsh(
     the per-pair miss probability is (1 − 0.984¹²)¹⁶ ≈ 9e-13, while the
     4096-bucket bands keep random-pair candidates ~n²/4096 per band —
     bucket width is the log₂(n)-scaling knob at larger corpora.
+
+    ``band_bits=None`` AUTO-GROWS the bucket width from a cheap corpus
+    count with the documented rule: ``max(12, ceil(log₂(n)))`` — i.e.
+    ≥ n buckets per band, holding expected bucket size at O(1) as the
+    corpus scales (the manually-grown ladder rungs in BENCH.md). Fewer
+    bits only ADD candidates (recall monotone in collision probability)
+    and exact verify filters them, so the knob never changes results —
+    only candidate volume. ``bucket_cap`` bounds the degenerate
+    hot-bucket explode (see banded_candidate_pairs).
     """
+    if band_bits is None:
+        import math
+
+        n_vec = embs.count()
+        band_bits = max(12, math.ceil(math.log2(max(n_vec, 2))))
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     banded = embedding_lsh_band_signatures(embs, n_bands, band_bits, seed)
-    ids = F.sort_array(F.collect_list("vec_id"))
-    pair_expr = F.flatten(
-        F.transform(
-            F.col("ids"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    cand = (
-        banded.groupBy("band", "band_sig")
-        .agg(ids.alias("ids"))
-        .where(F.size("ids") > 1)
-        .select(F.explode(pair_expr).alias("p"))
-        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        .distinct()
-    )
+    cand = banded_candidate_pairs(banded, "vec_id", bucket_cap)
     joined = cand.join(
         e.select(F.col("vec_id").alias("a"), F.col("v").alias("va")), "a"
     ).join(e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb")), "b")

@@ -265,7 +265,19 @@ def semdedup_pairs(embs: DataFrame, k: int | None = None, iters: int = 2,
     )
 
 
-def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8,
+def auto_n_cells(embs: DataFrame) -> int:
+    """The √n coarse-cell rule from a cheap count: ``max(8, round(√n))``
+    cells balances the two IVF cost terms (per-query centroid scan
+    O(n_cells) vs probed-fraction scan O(n·n_probe/n_cells) — minimized
+    at n_cells ≈ √n, the FAISS guidance). Measured in BENCH.md's ANN
+    ladder: the √n-grown rung matches the manually-grown one."""
+    import math
+
+    return max(8, int(round(math.sqrt(max(embs.count(), 1)))))
+
+
+def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5,
+             n_cells: int | None = 8,
              n_probe: int = 2, seed: int = 3) -> DataFrame:
     """IVF-style ANN: assign vectors to their nearest of n_cells seed
     centroids (deterministic pseudo-random), search only the n_probe closest
@@ -274,7 +286,12 @@ def ivf_topk(embs: DataFrame, query_ids: list[int], k: int = 5, n_cells: int = 8
     Approximate by construction; tests assert recall vs brute force rather
     than equality. Scale shape: centroid table is tiny (broadcast); corpus
     partitioned by cell; each query probes n_probe/n_cells of the data.
+    ``n_cells=None`` derives the cell count from the corpus with the √n
+    rule (see auto_n_cells) — the default stays pinned at 8 because the
+    oracle twins pin the seed-centroid geometry as literals.
     """
+    if n_cells is None:
+        n_cells = auto_n_cells(embs)
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     first = e.select(F.size("v").alias("d")).first()
     if first is None:
@@ -547,7 +564,7 @@ def _kmeans_centroids_twin(embedding_rows: list[tuple[int, list[float]]],
 
 
 def ivf_topk_trained(embs: DataFrame, query_ids: list[int], k: int = 5,
-                     n_cells: int = 8, n_probe: int = 2, seed: int = 3,
+                     n_cells: int | None = 8, n_probe: int = 2, seed: int = 3,
                      train_iters: int = 3,
                      cent_store: str | None = None) -> DataFrame:
     """IVF ANN over k-means-trained centroids (vs ivf_topk's seed
@@ -555,7 +572,10 @@ def ivf_topk_trained(embs: DataFrame, query_ids: list[int], k: int = 5,
     equal n_probe. Centroids are tiny and enter the plan as literals
     (broadcast by construction). `cent_store` reuses a committed trained
     index across invocations (kmeans_centroids_stored) — production IVF
-    trains once and serves many queries."""
+    trains once and serves many queries. ``n_cells=None`` applies the √n
+    rule (auto_n_cells)."""
+    if n_cells is None:
+        n_cells = auto_n_cells(embs)
     if cent_store is not None:
         cents = kmeans_centroids_stored(embs, k=n_cells, iters=train_iters,
                                         seed=seed, store_root=cent_store)

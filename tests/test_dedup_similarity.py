@@ -1287,3 +1287,76 @@ def test_hamming_banding_max_hamming_zero_full_width(spark):
     got = {(r["a"], r["b"]): r["cos"]
            for r in hamming_neardup_pairs(df, max_hamming=0, bits=64).collect()}
     assert got == {(1, 2): 1.0, (3, 4): 1.0}
+
+
+def test_hot_bucket_cap_bounds_candidates_preserves_cliques(spark):
+    """Round-4 hot-bucket guard: a degenerate template bucket (60
+    identical docs) explodes to O(cap² + k) candidates instead of O(k²),
+    every member still reaches exact verify via the star (so the clique
+    stays one connected component), and pairs in non-degenerate buckets
+    are untouched."""
+    rows = [(i, "the same template page body repeated verbatim for every "
+                "doc on this host with nothing else") for i in range(60)]
+    rows += [(100, "an organic article about distributed query engines "
+                   "and their shuffle behavior at scale"),
+             (101, "an organic article about distributed query engines "
+                   "and their shuffle behavior at scale yes")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5, bucket_cap=5)
+    got = [(r["a"], r["b"]) for r in capped.collect()]
+    # bounded: C(5,2) pairs among the kept members + a 55-star = 65 for
+    # the clique, +1 organic pair — not C(60,2)=1770
+    clique = [(a, b) for a, b in got if a < 100]
+    assert len(clique) == 10 + 55
+    assert (100, 101) in got  # non-degenerate bucket untouched
+    # the star keeps the clique connected for downstream grouping
+    comp = dedup.connected_components(
+        capped.select("a", "b").where(F.col("a") < 100))
+    groups = {r["group_id"] for r in comp.collect()}
+    assert len(groups) == 1
+    # uncapped equivalence on the organic pair + full clique
+    full = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(
+        docs, jaccard_threshold=0.5).collect()}
+    assert len([p for p in full if p[0] < 100]) == 60 * 59 // 2
+    with pytest.raises(ValueError):
+        dedup.banded_candidate_pairs(
+            spark.createDataFrame([], "doc_id long, band int, band_sig long"),
+            bucket_cap=1)
+
+
+def test_embedding_lsh_auto_band_bits_matches_manual(spark):
+    """band_bits=None derives max(12, ceil(log2 n)) from a cheap count —
+    at small n that IS 12, so verified pairs are identical to the manual
+    setting (and in general the knob is recall-monotone + exact-verified,
+    a physical knob only)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = [(i, rng.normal(0, 1, 16).tolist()) for i in range(40)]
+    near = [(i + 1000, (np.array(v) + 0.01).tolist()) for i, v in base[:6]]
+    embs = spark.createDataFrame(base + near,
+                                 "vec_id long, embedding array<double>")
+    auto = {(r["a"], r["b"]) for r in dedup.embedding_neardup_pairs_lsh(
+        embs, threshold=0.99, band_bits=None).collect()}
+    manual = {(r["a"], r["b"]) for r in dedup.embedding_neardup_pairs_lsh(
+        embs, threshold=0.99, band_bits=12).collect()}
+    assert auto == manual and len(auto) >= 6
+
+
+def test_ivf_auto_n_cells_sqrt_rule(spark):
+    """n_cells=None applies max(8, round(√n)); results equal the explicit
+    setting (the rule only picks the knob value)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    embs = spark.createDataFrame(
+        [(i, rng.normal(0, 1, 8).tolist()) for i in range(150)],
+        "vec_id long, embedding array<double>")
+    want = similarity.auto_n_cells(embs)
+    assert want == max(8, int(round(150 ** 0.5)))
+    auto = [tuple(r) for r in similarity.ivf_topk(
+        embs, [0, 1], k=3, n_cells=None).collect()]
+    manual = [tuple(r) for r in similarity.ivf_topk(
+        embs, [0, 1], k=3, n_cells=want).collect()]
+    assert auto == manual and len(auto) == 6
