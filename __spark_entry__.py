@@ -654,7 +654,11 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         html.alias("html"),
     )
     out = run_extract(pages, num_partitions=8, salt=4)
-    fan = fanout_channels(out)
+    # both output arms consume the fanout frame and Catalyst does not
+    # dedupe common subplans — persist the NARROW channel rows (not the
+    # extraction output) so the Arrow extraction pass runs once, the
+    # shingle-store .persist() discipline
+    fan = fanout_channels(out).persist()
     doc_of = F.regexp_replace(F.col("url"), "doc://", "").cast("long")
     knocked = fan.where(
         ~((F.col("channel") == "combined") & (doc_of % 4 == 1))

@@ -53,6 +53,14 @@ def main() -> None:
     shingle_table(entry._docs_with_dups(
         spark.read.parquet(f"{sf_dir}/documents.parquet")), 3,
         entry._shingle_store_path(sf_dir)).count()
+    # prime the q21/q22 MODEL stores the same way (round-3 verdict item 4):
+    # one untimed pass trains + commits the semdedup/IVF k-means centroids
+    # and PQ codebooks, so the timed reps measure serving, not training —
+    # a production index trains once per corpus version and serves many
+    # queries. (The stores are content-keyed, so a warm warehouse makes
+    # these near-free.)
+    force(qfns["q21_embedding_neardup"](spark, sf_dir))
+    force(qfns["q22_ann_topk"](spark, sf_dir))
 
     # NOTE (round 2): several headline entries became SUITES in the 75→50
     # consolidation, so they do strictly more work than their round-1
@@ -73,6 +81,12 @@ def main() -> None:
         "q22_ann_topk",             # ANN brute + IVF seed + IVF trained
         "q46_channel_fanout",       # HTML kernel through mapInArrow + fanout
         "q26_extract_pdf",          # PDF kernel through mapInArrow
+        # round-4 additions: the heavy non-headline suites the driver bench
+        # previously never timed (graph/tokenizer/dedup-pipeline arms)
+        "q53_source_rollup",        # web-graph rollup: PageRank+HITS+WARC
+        "q39_line_freq_dedup",      # line-freq + ExactSubstr + site-template
+        "q47_chunk_documents",      # chunk + pack + BPE tokenizer encode
+        "q62_training_mix",         # Gopher→sample→perplexity→DSIR→classifier
     ]
     # best-of-2 per query: the metric is STEADY-STATE throughput of a
     # long-running job (BASELINE.md), and the first execution of each plan

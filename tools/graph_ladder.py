@@ -87,6 +87,15 @@ def main() -> None:
                          e, iters=5, broadcast_ranks=False).collect()})
         assert pr_b == pr_s, "broadcast/shuffle paths must be bit-identical"
 
+        # the round-4 AUTO default (broadcast iff hosts >= the measured
+        # ~1e5 crossover): record which physical arm it picked and that
+        # results stay bit-identical
+        rung["auto_is_broadcast"] = n >= webtext.GRAPH_BROADCAST_MIN_NODES
+        pr_a, rung["pagerank_auto_sec"] = timed(
+            lambda: {r["host"]: r["rank_scaled"] for r in
+                     webtext.pagerank_fixedpoint(e, iters=5).collect()})
+        assert pr_a == pr_b, "auto knob must be bit-identical"
+
         ht_b, rung["hits_bcast_sec"] = timed(
             lambda: {r["host"]: (r["hub_scaled"], r["auth_scaled"]) for r in
                      webtext.hits_fixedpoint(
@@ -96,6 +105,10 @@ def main() -> None:
                      webtext.hits_fixedpoint(
                          e, iters=5, broadcast_scores=False).collect()})
         assert ht_b == ht_s, "HITS broadcast/shuffle must be bit-identical"
+        ht_a, rung["hits_auto_sec"] = timed(
+            lambda: {r["host"]: (r["hub_scaled"], r["auth_scaled"]) for r in
+                     webtext.hits_fixedpoint(e, iters=5).collect()})
+        assert ht_a == ht_b, "HITS auto knob must be bit-identical"
         rung["hits_rows"] = len(ht_b)
 
         # month-over-month: ~1% of hosts gain one new edge; warm-start the
