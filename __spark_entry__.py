@@ -780,22 +780,29 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     BITMAP page, every doc_id % 50 == 45 page a SCANNED PDF (a page-
     sized DeviceGray image XObject with no text operators — round 3:
     kernels/ocr_kernel.py; the reference's tesseract tier,
-    tesseract_extractor.py:22-53), and every doc_id % 50 == 35 page a
-    SCANNED PNG (round 4: kernels/png_kernel.py — the reference accepts
-    PNG uploads, main.py:366-373, and OCRs them): each is printed in the
-    fixed-pitch OCR font from a SQL-expressible transform of the doc text
-    (ASCII-uppercase, font charset only, first 64 chars), so the oracle
-    recomputes the EXACT expected OCR output from `documents` and the
-    streamed-text checksum value-gates the whole render→OCR→extract path
-    for all THREE scanned containers. Those docs must extract
-    successfully (not quarantine)."""
+    tesseract_extractor.py:22-53), and — round 4 — every doc_id % 50 ==
+    35 page a SCANNED PNG, == 5 a SCANNED GIF (LZW), == 15 a SCANNED
+    TIFF, == 20 a SCANNED baseline JPEG (the reference accepts
+    png/gif/tiff/jpg uploads, main.py:366-373 + enums.py:25-31, and OCRs
+    them; kernels/{png,gif,tiff,jpeg}_kernel.py — the JPEG tier's
+    all-ones quantization keeps DCT round-trip error ≤ ~2 gray levels,
+    far under the 128 ink threshold, so OCR output is exact): each is
+    printed in the fixed-pitch OCR font from a SQL-expressible transform
+    of the doc text (ASCII-uppercase, font charset only, first 64
+    chars), so the oracle recomputes the EXACT expected OCR output from
+    `documents` and the streamed-text checksum value-gates the whole
+    render→OCR→extract path for all SIX scanned containers. Those docs
+    must extract successfully (not quarantine)."""
     import tempfile
 
+    from pdf_extractor_spark.kernels.gif_kernel import render_text_gif
+    from pdf_extractor_spark.kernels.jpeg_kernel import render_text_jpeg
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_scanned_pdf,
         render_text_bmp,
     )
     from pdf_extractor_spark.kernels.png_kernel import render_text_png
+    from pdf_extractor_spark.kernels.tiff_kernel import render_text_tiff
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
@@ -838,15 +845,34 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: None if t is None else render_scanned_pdf([t], width=32)),
         "binary",
     )
-    # the PNG scanned tier: same raster, PNG container (zlib + filter 0)
+    # the PNG/GIF/TIFF scanned tiers: same raster, different containers
+    # (zlib+filters / LZW / IFD strips)
     _print_page_png = F.pandas_udf(
         lambda texts: texts.map(
             lambda t: None if t is None else render_text_png(t, width=32)),
         "binary",
     )
+    _print_page_gif = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_gif(t, width=32)),
+        "binary",
+    )
+    _print_page_tiff = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_tiff(t, width=32)),
+        "binary",
+    )
+    _print_page_jpeg = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_jpeg(t, width=32)),
+        "binary",
+    )
     ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
     pdf_gated = F.when(F.col("doc_id") % 50 == 45, ocr_src)
     png_gated = F.when(F.col("doc_id") % 50 == 35, ocr_src)
+    gif_gated = F.when(F.col("doc_id") % 50 == 5, ocr_src)
+    tiff_gated = F.when(F.col("doc_id") % 50 == 15, ocr_src)
+    jpeg_gated = F.when(F.col("doc_id") % 50 == 20, ocr_src)
 
     pages = pages.select(
         "url", "warc_ts",
@@ -854,6 +880,9 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated))
         .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated))
         .when(F.col("doc_id") % 50 == 35, _print_page_png(png_gated))
+        .when(F.col("doc_id") % 50 == 5, _print_page_gif(gif_gated))
+        .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated))
+        .when(F.col("doc_id") % 50 == 20, _print_page_jpeg(jpeg_gated))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -2795,11 +2824,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
-               CAST(sum(CASE WHEN doc_id % 50 IN (25, 35, 45) THEN 1 ELSE 0
-                             END)
+               CAST(sum(CASE WHEN doc_id % 50 IN (5, 15, 20, 25, 35, 45)
+                             THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
-                             WHEN doc_id % 50 IN (25, 35, 45)
+                             WHEN doc_id % 50 IN (5, 15, 20, 25, 35, 45)
                              THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
                                   ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))

@@ -34,8 +34,11 @@ from pdf_extractor_spark.kernels.ocr_kernel import (
     ocr_gray_rows,
     ocr_page_plausible,
 )
+from pdf_extractor_spark.kernels.gif_kernel import decode_gif_gray
+from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
 from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 from pdf_extractor_spark.kernels.png_kernel import decode_png_gray
+from pdf_extractor_spark.kernels.tiff_kernel import decode_tiff_gray
 
 SPAN_TYPE = ArrayType(
     StructType(
@@ -133,11 +136,20 @@ def _needs_ocr_row(img: str, why: str) -> dict:
     }
 
 
-# Scanned-page container decoders the OCR tier reads (both produce the
+# Scanned-page container decoders the OCR tier reads (all produce the
 # shared top-down luminance-row raster consumed by ocr_gray_rows) — the
-# reference's image-capable upload types this sandbox can decode from
-# scratch (enums.py:25-31; PNG added round 4, kernels/png_kernel.py).
-_OCR_DECODERS = {"bmp": decode_bmp_gray, "png": decode_png_gray}
+# reference's image-capable upload types (enums.py:25-31), every one of
+# them decoded from scratch in this repo (round 4: kernels/png_kernel.py
+# zlib+filters, gif_kernel.py LZW, tiff_kernel.py IFD strips,
+# jpeg_kernel.py baseline Huffman+IDCT). Only WEBP (VP8 entropy codec)
+# stays on the loud needs-OCR quarantine path.
+_OCR_DECODERS = {
+    "bmp": decode_bmp_gray,
+    "png": decode_png_gray,
+    "gif": decode_gif_gray,
+    "tiff": decode_tiff_gray,
+    "jpeg": decode_jpeg_gray,
+}
 
 
 def extract_document(payload: bytes | None) -> list[dict]:

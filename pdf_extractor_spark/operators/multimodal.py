@@ -61,12 +61,25 @@ def _decode_image(payload: bytes) -> np.ndarray:
         rows = decode_png_gray(payload)  # raises OcrUnsupported (a ValueError)
         return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
             len(rows), len(rows[0]), 1)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from pdf_extractor_spark.kernels.gif_kernel import decode_gif_gray
+
+        rows = decode_gif_gray(payload)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from pdf_extractor_spark.kernels.tiff_kernel import decode_tiff_gray
+
+        rows = decode_tiff_gray(payload)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
+    if payload[:2] == b"\xff\xd8":
+        from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
+
+        rows = decode_jpeg_gray(payload)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
     if payload[:4] != MAGIC:
-        if payload[:2] == b"\xff\xd8":
-            raise NotImplementedError(
-                "real JPEG decode requires an image codec (not installed); "
-                "swap _decode_image for a PIL-based decoder on a real cluster"
-            )
         raise ValueError("unknown media container")
     w, h, c = struct.unpack("<HHB", payload[4:9])
     arr = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)

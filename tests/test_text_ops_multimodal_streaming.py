@@ -69,7 +69,9 @@ def test_multimodal_error_contract(spark):
         rows, "media_id long, kind string, payload binary, meta map<string,string>"
     )
     out = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert "NotImplementedError" in out[1]["error"]  # real JPEG → loud stub
+    # round 4: JPEG has a REAL from-scratch decoder, so a malformed JPEG
+    # surfaces its loud container error instead of a codec stub
+    assert "OcrUnsupported" in out[1]["error"]
     assert "ValueError" in out[2]["error"]
     assert out[1]["width"] is None
 
