@@ -231,7 +231,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     base = text_analysis.source_rollup(docs)
-    pages = _linked_pages_from_documents(docs)
+    # links, anchors, noindex, and the WARC tier all re-derive this frame
+    # (synthesis + regex parse) — persist the small page table so the
+    # eager HITS/WARC jobs and the lazy arms share one materialization
+    pages = _linked_pages_from_documents(docs).persist()
     edges = webtext.host_edges(webtext.extract_links(pages))
     pr = webtext.pagerank_fixedpoint(edges, iters=5)
     # HITS hubs/authorities next to PageRank — the second classic web-graph
@@ -334,7 +337,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in wrows],
         "source string, warc_docs long, warc_cksum long",
     )
-    return (
+    result = (
         base.join(pr.withColumnRenamed("host", "source"), "source", "left")
         .join(F.broadcast(ht.withColumnRenamed("host", "source")),
               "source", "left")
@@ -394,6 +397,8 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    result._persisted_pages = pages  # release handle (frontier_release)
+    return result
 
 
 def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

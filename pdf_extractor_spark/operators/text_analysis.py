@@ -1554,11 +1554,22 @@ def training_mix_pipeline(docs: DataFrame,
     linear model distilled from an expensive quality signal). Catalyst
     pipelines the narrow stages; the shuffles are the LM/DSIR/classifier
     count aggregates + gram joins (broadcast-scale stats) and the final
-    rollups."""
+    rollups.
+
+    The narrow gate∧sample∧perplexity frame is cached (all three stage
+    rollups consume it); the handle rides on the result as
+    ``result._persisted_gate`` — release with
+    :func:`pdf_extractor_spark.operators.webtext.frontier_release` (or
+    ``.unpersist()`` on the handle) once the mixture table has
+    materialized, same contract as ``frontier_schedule``."""
     gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
     ppl = lm_perplexity_buckets(docs).select("doc_id", "bucket")
-    kept = sampled.join(gate, "doc_id").join(ppl, "doc_id")
+    # all three rollup stages consume this narrow (doc_id, lang, n_words,
+    # bucket) frame and Catalyst does not dedupe common subplans — without
+    # the persist the Gopher gate + bigram-LM perplexity pipelines run 3x
+    # in the final plan (the q46 fanout discipline)
+    kept = sampled.join(gate, "doc_id").join(ppl, "doc_id").persist()
 
     def rollup(d: DataFrame, stage: str) -> DataFrame:
         from pyspark.sql.window import Window
@@ -1580,12 +1591,14 @@ def training_mix_pipeline(docs: DataFrame,
     selected = dsir_weights(docs, gram_store=gram_store).where(
         F.col("dsir_weight") > 0).select("doc_id")
     qcsel = quality_classifier(docs).where(F.col("pred")).select("doc_id")
-    return (
+    result = (
         rollup(kept, "ccnet_mix")
         .unionByName(rollup(kept.join(selected, "doc_id"), "dsir_selected"))
         .unionByName(rollup(kept.join(qcsel, "doc_id"), "qcls_selected"))
         .orderBy("stage", "lang", "bucket")
     )
+    result._persisted_gate = kept  # release handle (see docstring)
+    return result
 
 
 def pack_sequences(docs: DataFrame, seq_tokens: int = 128,

@@ -437,12 +437,15 @@ def frontier_schedule(candidates: DataFrame, rules: DataFrame,
 
 
 def frontier_release(schedule: DataFrame) -> None:
-    """Release the cached gate frame behind a :func:`frontier_schedule`
-    result (call after the cycle's plan has materialized). No-op for
-    frames that don't carry one."""
-    gate = getattr(schedule, "_persisted_gate", None)
-    if gate is not None:
-        gate.unpersist()
+    """Release the cached frame(s) riding on an operator result (call
+    after the plan has materialized). Covers every handle name this
+    engine attaches — ``_persisted_gate`` (:func:`frontier_schedule`,
+    ``training_mix_pipeline``) and ``_persisted_pages`` (the q53 page
+    table). No-op for frames that don't carry one."""
+    for attr in ("_persisted_gate", "_persisted_pages"):
+        cached = getattr(schedule, attr, None)
+        if cached is not None:
+            cached.unpersist()
 
 
 def crawl_diff(old: DataFrame, new: DataFrame, key_col: str = "url",
