@@ -1045,7 +1045,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q54_corpus_top_ngrams"] = q_corpus_vocab
     q["q62_training_mix"] = lambda s, d: text_analysis.training_mix_pipeline(
         _t(s, d, "documents"),
-        gram_store=_shingle_store_path(d).replace("q18_shingles", "q62_grams"))
+        gram_store=_shingle_store_path(d).replace("q18_shingles", "q62_grams"),
+        weight_store=_shingle_store_path(d).replace("q18_shingles",
+                                                    "q62_qcls"))
 
     # -- dedup ---------------------------------------------------------------
     q["q17_dup_groups"] = q_dup_groups

@@ -1408,17 +1408,70 @@ def _qcls_score(docs: DataFrame, feats: DataFrame, w: list[float],
 
 
 def quality_classifier(docs: DataFrame, n_buckets: int = 256,
-                       iters: int = 4, lr: float = 1.0) -> DataFrame:
+                       iters: int = 4, lr: float = 1.0,
+                       weight_store: str | None = None) -> DataFrame:
     """Train the hashed quality classifier AND score the corpus from ONE
     shared persisted feature table (one gopher pass + one gram pass
     total): (doc_id, logit, pred). Scoring checkpoints the narrow per-doc
     dot table so the corpus-sized feature cache is released before
-    returning instead of leaking for the session lifetime."""
+    returning instead of leaking for the session lifetime.
+
+    ``weight_store`` routes the trained weights through a committed MODEL
+    STORE (SnapshotTable keyed by corpus checksum + hyperparameters — the
+    kmeans_centroids_stored discipline): training runs once per corpus
+    version and every later invocation scores with the stored B+5 weights
+    (one feature pass + one broadcast join) instead of re-running
+    ``iters`` GD rounds over the corpus. Training is deterministic
+    (exact-decimal sums, libm sigmoid), so stored == retrained
+    bit-for-bit and the literal-weight oracles are unchanged."""
+    if weight_store is not None:
+        w = _qcls_weights_from_store(docs, n_buckets, iters, lr,
+                                     weight_store)
+        if w is not None:
+            return quality_classifier_scores(docs, w, n_buckets)
     feats = _qcls_labeled_features(docs, n_buckets).persist()
     w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
+    if weight_store is not None:
+        _qcls_weights_to_store(docs, n_buckets, iters, lr, weight_store, w)
     out = _qcls_score(docs, feats, w, checkpoint=True)
     feats.unpersist()
     return out
+
+
+def _qcls_store_key(docs: DataFrame, n_buckets: int, iters: int,
+                    lr: float) -> dict:
+    from pdf_extractor_spark.operators.dedup import _corpus_key
+
+    return {"corpus": _corpus_key(docs), "b": n_buckets, "iters": iters,
+            "lr": lr}
+
+
+def _qcls_weights_from_store(docs: DataFrame, n_buckets: int, iters: int,
+                             lr: float, store_root: str) -> list[float] | None:
+    """Stored classifier weights for this exact (corpus, hyperparams), or
+    None on a store miss (first run / corpus changed)."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(store_root)
+    m = t.current_manifest()
+    if m is None or m.get("summary", {}).get("key") != _qcls_store_key(
+            docs, n_buckets, iters, lr):
+        return None
+    w = [0.0] * (n_buckets + 5)
+    for r in t.read(docs.sparkSession).collect():
+        w[r["i"]] = r["val"]
+    return w
+
+
+def _qcls_weights_to_store(docs: DataFrame, n_buckets: int, iters: int,
+                           lr: float, store_root: str,
+                           w: list[float]) -> None:
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    SnapshotTable(store_root).overwrite(
+        docs.sparkSession.createDataFrame(
+            [(i, float(v)) for i, v in enumerate(w)], "i int, val double"),
+        summary={"key": _qcls_store_key(docs, n_buckets, iters, lr)})
 
 
 def quality_classifier_scores(docs: DataFrame, w: list[float],
@@ -1534,12 +1587,16 @@ def temperature_mix_weight_sql(count_sql: str, partition_by: str = "") -> str:
 
 
 def training_mix_pipeline(docs: DataFrame,
-                          gram_store: str | None = None) -> DataFrame:
+                          gram_store: str | None = None,
+                          weight_store: str | None = None) -> DataFrame:
     """End-to-end training-data mixture prep composing this engine's
     hygiene operators. NOTE: not fully lazy — the classifier stage runs
     its distributed Adagrad training (a handful of Spark jobs) at plan-
     BUILD time, like every trained-geometry operator here (k-means IVF,
-    BPE); the gate/sample/perplexity/DSIR stages stay lazy. Reported in
+    BPE); the gate/sample/perplexity/DSIR stages stay lazy. Pass
+    ``weight_store`` (see quality_classifier) to move that training
+    behind a committed model store — train once per corpus version, every
+    later call scores with the stored weights. Reported in
     three stages:
     `ccnet_mix` — Gopher repetition/quality gate → deterministic
     per-language stratified downsampling → CCNet perplexity terciles →
@@ -1590,7 +1647,9 @@ def training_mix_pipeline(docs: DataFrame,
 
     selected = dsir_weights(docs, gram_store=gram_store).where(
         F.col("dsir_weight") > 0).select("doc_id")
-    qcsel = quality_classifier(docs).where(F.col("pred")).select("doc_id")
+    qcsel = quality_classifier(
+        docs, weight_store=weight_store).where(
+        F.col("pred")).select("doc_id")
     result = (
         rollup(kept, "ccnet_mix")
         .unionByName(rollup(kept.join(selected, "doc_id"), "dsir_selected"))

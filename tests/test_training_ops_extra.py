@@ -368,6 +368,43 @@ def test_quality_classifier_shared_feats_path_matches_two_pass(spark, docs):
     assert one == two
 
 
+def test_quality_classifier_weight_store_matches_fresh_and_invalidates(
+        spark, tmp_path):
+    """The classifier weight store must return bit-identical scores to
+    fresh training (training is deterministic), serve the committed
+    weights on a hit instead of retraining, and invalidate on content or
+    id-binding change (the kmeans_centroids_stored discipline)."""
+    d = spark.createDataFrame(
+        [(i, ("good clean prose with varied words number %d. " % i) * 6
+          if i % 2 else "spam spam spam spam " * 20)
+         for i in range(24)],
+        "doc_id long, text string")
+    root = str(tmp_path / "qcls")
+    fresh = {(r["doc_id"], r["logit"], r["pred"])
+             for r in text_analysis.quality_classifier(d, iters=2).collect()}
+    miss = {(r["doc_id"], r["logit"], r["pred"])
+            for r in text_analysis.quality_classifier(
+                d, iters=2, weight_store=root).collect()}
+    hit = {(r["doc_id"], r["logit"], r["pred"])
+           for r in text_analysis.quality_classifier(
+               d, iters=2, weight_store=root).collect()}
+    assert fresh == miss == hit
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    snap = SnapshotTable(root).current_manifest()["snapshot_id"]
+    # hit path must not have recommitted
+    text_analysis.quality_classifier(d, iters=2, weight_store=root).collect()
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] == snap
+    # id rotation with the identical text multiset must retrain (binding key)
+    rot = spark.createDataFrame(
+        [((r["doc_id"] + 1) % 24, r["text"]) for r in d.collect()],
+        "doc_id long, text string")
+    text_analysis.quality_classifier(rot, iters=2, weight_store=root).collect()
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] != snap
+    # hyperparameter change must also miss (key covers iters/lr/buckets)
+    assert text_analysis._qcls_weights_from_store(d, 256, 3, 1.0, root) is None
+
+
 def test_bpe_learn_merges_matches_twin_and_handcheck(spark):
     """The distributed greedy BPE learner must equal the pure-Python twin
     exactly (integer/string work — no tolerance), and on a corpus with an
