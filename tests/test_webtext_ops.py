@@ -244,6 +244,40 @@ def test_pagerank_empty_edges(spark):
     assert webtext.pagerank_fixedpoint(df).collect() == []
 
 
+def test_centrality_store_matches_fresh_and_invalidates(spark, tmp_path):
+    """The committed centrality store must serve bit-identical
+    PageRank+HITS scores to fresh iteration (both fixed-points are exact
+    integer arithmetic), reuse the snapshot on a hit instead of
+    re-iterating, and invalidate when the edge set changes (added,
+    dropped, or reweighted edges all change the checksum key)."""
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "a", 1), ("b", "b", 2),
+             ("c", "d", 5), ("d", "a", 1), ("e", "a", 4)]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    root = str(tmp_path / "cent")
+    fresh_pr = {(r["host"], r["rank_scaled"]) for r in
+                webtext.pagerank_fixedpoint(df, iters=3).collect()}
+    fresh_ht = {(r["host"], r["hub_scaled"], r["auth_scaled"]) for r in
+                webtext.hits_fixedpoint(df, iters=3).collect()}
+    miss = webtext.centrality_stored(df, root, iters=3).collect()
+    assert {(r["host"], r["rank_scaled"]) for r in miss} == fresh_pr
+    assert ({(r["host"], r["hub_scaled"], r["auth_scaled"]) for r in miss}
+            == fresh_ht)
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    snap = SnapshotTable(root).current_manifest()["snapshot_id"]
+    hit = webtext.centrality_stored(df, root, iters=3).collect()
+    assert sorted(map(tuple, hit)) == sorted(map(tuple, miss))
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] == snap
+    # reweighting ONE edge must retrain (key covers the w binding)
+    rew = spark.createDataFrame(
+        [(s, d, w + (1 if (s, d) == ("a", "b") else 0))
+         for s, d, w in edges], "src string, dst string, w long")
+    webtext.centrality_stored(rew, root, iters=3).collect()
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] != snap
+    # iteration-count change must also miss
+    webtext.centrality_stored(rew, root, iters=2).collect()
+
+
 def test_canonical_url_plan_is_codegen_only(spark):
     """The canonicalization must stay inside whole-stage codegen: no
     Python eval nodes, no exchange (narrow projection)."""
