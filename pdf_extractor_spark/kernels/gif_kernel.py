@@ -59,7 +59,9 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
     """Variable-width LZW per the GIF spec: codes start at
     min_code_size+1 bits, CLEAR resets the table, width grows when the
     next code would not fit, capped at 12 bits until the next CLEAR."""
-    if not 2 <= min_code_size <= 11:
+    # spec bound is 8 (palette indices are bytes); anything above is a
+    # corrupt stream and would overflow the bytes-per-entry root table
+    if not 2 <= min_code_size <= 8:
         raise OcrUnsupported(f"gif: bad LZW min code size {min_code_size}")
     clear = 1 << min_code_size
     eoi = clear + 1

@@ -173,7 +173,21 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, qt: np.ndarray,
 def decode_jpeg_gray(payload: bytes) -> list[bytes]:
     """Baseline JPEG → top-down luminance rows (the shared raster every
     scanned-container decoder here emits). Raises ``OcrUnsupported``
-    outside the profile; nothing else."""
+    outside the profile; nothing else — including on arbitrarily
+    truncated or bit-flipped streams (a corrupt crawl payload must land
+    in quarantine, not kill the task), which is why the parse runs behind
+    this boundary that converts low-level decode errors."""
+    try:
+        return _decode_jpeg_gray(payload)
+    except OcrUnsupported:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            struct.error) as exc:
+        raise OcrUnsupported(
+            f"jpeg: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
     if payload[:2] != b"\xff\xd8":
         raise OcrUnsupported("not a JPEG container")
     pos = 2

@@ -367,3 +367,46 @@ def test_bpe_segmentation_reconstructs_words(text, n_merges):
     for w, ids in bmap.items():
         assert len(ids.split(" ")) == len(
             textstats.bpe_apply_merges(w, merges))
+
+
+def test_extract_document_never_raises_on_corrupted_image_payloads():
+    """Structured-corruption fuzz: truncations and byte-flips of VALID
+    rendered image containers (the mutations keep the magic bytes, so
+    they reach deep into the from-scratch PNG/GIF/TIFF/JPEG/BMP parsers
+    — pure-random binary from the hypothesis fuzz above almost never
+    does). The contract is the reference's: degrade to a quarantine row,
+    never raise — at crawl scale truncated and bit-flipped payloads are
+    routine, and an escaped IndexError kills the whole Spark task. This
+    caught two real escapes when added: a raw IndexError out of the JPEG
+    entropy decoder and a ValueError out of the GIF LZW root table for
+    spec-illegal min-code-sizes > 8."""
+    import random
+
+    from pdf_extractor_spark.kernels import (
+        gif_kernel, jpeg_kernel, ocr_kernel, png_kernel, tiff_kernel,
+    )
+
+    base = {
+        "png": png_kernel.render_text_png("HELLO WORLD 123"),
+        "gif": gif_kernel.render_text_gif("HELLO WORLD 123"),
+        "tiff": tiff_kernel.render_text_tiff("HELLO WORLD 123"),
+        "jpeg": jpeg_kernel.render_text_jpeg("HELLO WORLD 123"),
+        "bmp": ocr_kernel.render_text_bmp("HELLO WORLD 123"),
+    }
+    rng = random.Random(7)
+    for fmt, b0 in base.items():
+        for _ in range(400):
+            bb = bytearray(b0)
+            mode = rng.randrange(3)
+            if mode == 0:  # truncate anywhere
+                bb = bb[:rng.randrange(1, len(bb))]
+            elif mode == 1:  # flip 1-8 bytes past the magic
+                for _ in range(rng.randrange(1, 9)):
+                    bb[rng.randrange(8, len(bb))] = rng.randrange(256)
+            else:  # truncate AND flip
+                bb = bb[:rng.randrange(16, len(bb))]
+                for _ in range(rng.randrange(1, 5)):
+                    if len(bb) > 9:
+                        bb[rng.randrange(8, len(bb))] = rng.randrange(256)
+            rows = extract_document(bytes(bb))
+            assert rows and all(r["page_number"] >= 1 for r in rows), fmt
