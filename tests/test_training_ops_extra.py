@@ -295,6 +295,40 @@ def test_lm_perplexity_buckets_ranks_repetitive_text_as_head(spark, docs):
         assert hi_head <= lo_tail
 
 
+def test_lm_perplexity_approx_terciles_agree_with_exact(spark, docs):
+    """The sort-free tercile arm (one percentile_approx aggregate per
+    language, cutpoints broadcast — the 100 TB path the exact arm's
+    docstring promises) must produce VALUE-monotone buckets (every head
+    ppl <= every middle ppl <= every tail ppl, by construction of
+    cutpoint bucketing), identical ppl scores, and near-total agreement
+    with the rank-exact ntile path — only ties and boundary docs may
+    move one bucket."""
+    exact = {r["doc_id"]: r for r in
+             text_analysis.lm_perplexity_buckets(docs).collect()}
+    approx = text_analysis.lm_perplexity_buckets(
+        docs, approx_terciles=True).collect()
+    assert len(approx) == len(exact)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    by_lang: dict[str, list] = {}
+    agree = 0
+    for r in approx:
+        assert r["ppl"] == exact[r["doc_id"]]["ppl"]  # scoring unchanged
+        agree += r["bucket"] == exact[r["doc_id"]]["bucket"]
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert agree / len(approx) >= 0.95
+    for lang, rows in by_lang.items():
+        for b_lo, b_hi in (("head", "middle"), ("middle", "tail")):
+            hi = max((r["ppl"] for r in rows if r["bucket"] == b_lo),
+                     default=float("-inf"))
+            lo = min((r["ppl"] for r in rows if r["bucket"] == b_hi),
+                     default=float("inf"))
+            assert hi <= lo, (lang, b_lo, b_hi)
+        # disagreements vs exact are confined to bucket-adjacent moves
+        for r in rows:
+            assert abs(order[r["bucket"]]
+                       - order[exact[r["doc_id"]]["bucket"]]) <= 1
+
+
 def test_dsir_weights_prefer_target_like_documents(spark):
     # target = en slice; an en-vocab doc must outweigh a disjoint-vocab doc
     docs = spark.createDataFrame(

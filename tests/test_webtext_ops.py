@@ -1146,6 +1146,20 @@ def test_frontier_schedule_end_to_end(spark, tmp_path):
     spam = sched["https://spam.com/win-casino-now"]
     assert spam["fetch"] is False and spam["reason"].startswith("url:")
     assert spam["priority"] == 100 and spam["crawl_delay"] is None
+    # the same cycle with priorities sourced from the committed
+    # per-crawl-snapshot centrality store (the production wiring):
+    # identical fetch verdicts, host-rank order preserved
+    edges = spark.createDataFrame(
+        [("a.com", "good.com", 5), ("b.com", "good.com", 3),
+         ("c.com", "spam.com", 1)], "src string, dst string, w long")
+    cent = webtext.centrality_stored(edges, str(tmp_path / "cent"))
+    sched2 = {r["url"]: r for r in webtext.frontier_schedule(
+        locs.unionByName(refetch), rules,
+        cent.select("host", "rank_scaled"), delays).collect()}
+    assert {u: s["fetch"] for u, s in sched2.items()} == {
+        u: s["fetch"] for u, s in sched.items()}
+    assert (sched2["https://good.com/new-page"]["priority"]
+            > sched2["https://spam.com/win-casino-now"]["priority"])
 
 
 def test_robots_match_wildcard_rules_and_parity(spark):
