@@ -457,14 +457,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 4th doc rendered as a scanned-text PNG page at
     media_id + 100000, decoded by the from-scratch codec in
     kernels/png_kernel.py — the reference's PNG upload domain,
-    main.py:366-373). Both value-gated via twin-pinned literals."""
+    main.py:366-373) ∪ a REAL-WEBP arm (every doc_id % 4 == 1 doc as a
+    lossless VP8L page at media_id + 200000 — the reference's last image
+    upload type, kernels/webp_kernel.py). All value-gated via
+    twin-pinned literals."""
     from pdf_extractor_spark.operators.multimodal import (
         extract_features, fake_media_table, png_media_table,
+        webp_media_table,
     )
 
     docs = _t(spark, sf_dir, "documents")
     media = fake_media_table(spark, docs).unionByName(
-        png_media_table(spark, docs))
+        png_media_table(spark, docs)).unionByName(
+        webp_media_table(spark, docs))
     return (
         extract_features(media)
         .select("media_id", "kind", "width", "height", "channels",
@@ -789,17 +794,18 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels/ocr_kernel.py; the reference's tesseract tier,
     tesseract_extractor.py:22-53), and — round 4 — every doc_id % 50 ==
     35 page a SCANNED PNG, == 5 a SCANNED GIF (LZW), == 15 a SCANNED
-    TIFF, == 20 a SCANNED baseline JPEG (the reference accepts
-    png/gif/tiff/jpg uploads, main.py:366-373 + enums.py:25-31, and OCRs
-    them; kernels/{png,gif,tiff,jpeg}_kernel.py — the JPEG tier's
-    all-ones quantization keeps DCT round-trip error ≤ ~2 gray levels,
-    far under the 128 ink threshold, so OCR output is exact): each is
-    printed in the fixed-pitch OCR font from a SQL-expressible transform
-    of the doc text (ASCII-uppercase, font charset only, first 64
-    chars), so the oracle recomputes the EXACT expected OCR output from
-    `documents` and the streamed-text checksum value-gates the whole
-    render→OCR→extract path for all SIX scanned containers. Those docs
-    must extract successfully (not quarantine)."""
+    TIFF, == 20 a SCANNED baseline JPEG, == 30 a SCANNED lossless WEBP
+    (VP8L prefix codes + subtract-green; the reference accepts
+    png/gif/tiff/jpg/webp uploads, main.py:366-373 + enums.py:25-31, and
+    OCRs them; kernels/{png,gif,tiff,jpeg,webp}_kernel.py — the JPEG
+    tier's all-ones quantization keeps DCT round-trip error ≤ ~2 gray
+    levels, far under the 128 ink threshold, so OCR output is exact):
+    each is printed in the fixed-pitch OCR font from a SQL-expressible
+    transform of the doc text (ASCII-uppercase, font charset only, first
+    64 chars), so the oracle recomputes the EXACT expected OCR output
+    from `documents` and the streamed-text checksum value-gates the
+    whole render→OCR→extract path for all SEVEN scanned containers.
+    Those docs must extract successfully (not quarantine)."""
     import tempfile
 
     from pdf_extractor_spark.kernels.gif_kernel import render_text_gif
@@ -810,6 +816,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pdf_extractor_spark.kernels.png_kernel import render_text_png
     from pdf_extractor_spark.kernels.tiff_kernel import render_text_tiff
+    from pdf_extractor_spark.kernels.webp_kernel import render_text_webp
     from pdf_extractor_spark.pipeline import ExtractionJob
 
     docs = _t(spark, sf_dir, "documents")
@@ -874,12 +881,18 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: None if t is None else render_text_jpeg(t, width=32)),
         "binary",
     )
+    _print_page_webp = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None else render_text_webp(t, width=32)),
+        "binary",
+    )
     ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
     pdf_gated = F.when(F.col("doc_id") % 50 == 45, ocr_src)
     png_gated = F.when(F.col("doc_id") % 50 == 35, ocr_src)
     gif_gated = F.when(F.col("doc_id") % 50 == 5, ocr_src)
     tiff_gated = F.when(F.col("doc_id") % 50 == 15, ocr_src)
     jpeg_gated = F.when(F.col("doc_id") % 50 == 20, ocr_src)
+    webp_gated = F.when(F.col("doc_id") % 50 == 30, ocr_src)
 
     pages = pages.select(
         "url", "warc_ts",
@@ -890,6 +903,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 50 == 5, _print_page_gif(gif_gated))
         .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated))
         .when(F.col("doc_id") % 50 == 20, _print_page_jpeg(jpeg_gated))
+        .when(F.col("doc_id") % 50 == 30, _print_page_webp(webp_gated))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(
@@ -2549,10 +2563,21 @@ def oracle_sql() -> dict[str, str]:
             if int(did) % 4 == 0
             for w, h, mean in [_mm.expected_png_feature_row(int(did))]
         )
+        # the REAL-WEBP arm (doc_id % 4 == 1, media_id + 200000): same
+        # twin-pinned discipline through the VP8L codec
+        _webp_rows = ", ".join(
+            "({}, {}, {}, {})".format(
+                int(did) + 200000, w, h, repr(_mm.round_half_up(mean, 4)))
+            for did in _dt["doc_id"].to_pylist()
+            if int(did) % 4 == 1
+            for w, h, mean in [_mm.expected_webp_feature_row(int(did))]
+        )
         o["q27_multimodal_features"] = f"""
             WITH mi(media_id, mean_intensity) AS (VALUES {_mi_rows}),
             png(media_id, width, height, mean_intensity) AS
-                (VALUES {_png_rows})
+                (VALUES {_png_rows}),
+            webp(media_id, width, height, mean_intensity) AS
+                (VALUES {_webp_rows})
             SELECT d.doc_id AS media_id, 'image' AS kind,
                    (8 + d.n_chars % 24)::INT AS width,
                    (8 + (d.n_chars // 7) % 24)::INT AS height,
@@ -2562,6 +2587,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT media_id::BIGINT, 'image', width::INT, height::INT,
                    1 AS channels, mean_intensity::DOUBLE
             FROM png
+            UNION ALL
+            SELECT media_id::BIGINT, 'image', width::INT, height::INT,
+                   1 AS channels, mean_intensity::DOUBLE
+            FROM webp
             ORDER BY media_id
         """
     except Exception as _exc:  # pragma: no cover - driver fallback
@@ -2833,11 +2862,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
-               CAST(sum(CASE WHEN doc_id % 50 IN (5, 15, 20, 25, 35, 45)
+               CAST(sum(CASE WHEN doc_id % 50 IN (5, 15, 20, 25, 30, 35, 45)
                              THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
-                             WHEN doc_id % 50 IN (5, 15, 20, 25, 35, 45)
+                             WHEN doc_id % 50 IN (5, 15, 20, 25, 30, 35, 45)
                              THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
                                   ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))

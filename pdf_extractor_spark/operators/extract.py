@@ -36,6 +36,7 @@ from pdf_extractor_spark.kernels.ocr_kernel import (
 )
 from pdf_extractor_spark.kernels.gif_kernel import decode_gif_gray
 from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
+from pdf_extractor_spark.kernels.webp_kernel import decode_webp_gray
 from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 from pdf_extractor_spark.kernels.png_kernel import decode_png_gray
 from pdf_extractor_spark.kernels.tiff_kernel import decode_tiff_gray
@@ -137,18 +138,20 @@ def _needs_ocr_row(img: str, why: str) -> dict:
 
 
 # Scanned-page container decoders the OCR tier reads (all produce the
-# shared top-down luminance-row raster consumed by ocr_gray_rows) — the
-# reference's image-capable upload types (enums.py:25-31), every one of
-# them decoded from scratch in this repo (round 4: kernels/png_kernel.py
-# zlib+filters, gif_kernel.py LZW, tiff_kernel.py IFD strips,
-# jpeg_kernel.py baseline Huffman+IDCT). Only WEBP (VP8 entropy codec)
-# stays on the loud needs-OCR quarantine path.
+# shared top-down luminance-row raster consumed by ocr_gray_rows) — ALL
+# of the reference's image-capable upload types (enums.py:25-31,
+# main.py:371), every one decoded from scratch in this repo (round 4:
+# kernels/png_kernel.py zlib+filters, gif_kernel.py LZW, tiff_kernel.py
+# IFD strips, jpeg_kernel.py baseline Huffman+IDCT, webp_kernel.py VP8L
+# prefix codes + transforms; lossy VP8 inside a WEBP container
+# quarantines loudly — a full video intra codec).
 _OCR_DECODERS = {
     "bmp": decode_bmp_gray,
     "png": decode_png_gray,
     "gif": decode_gif_gray,
     "tiff": decode_tiff_gray,
     "jpeg": decode_jpeg_gray,
+    "webp": decode_webp_gray,
 }
 
 

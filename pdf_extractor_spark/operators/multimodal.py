@@ -43,12 +43,12 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: REAL for uncompressed 8-bpp BMP and for PNG (the
-    from-scratch decoders in kernels/ocr_kernel.py and
-    kernels/png_kernel.py — luminance (h, w, 1)), the deterministic fake
-    container for tests, and a loud NotImplementedError for formats that
-    need a codec this container lacks (JPEG — swap in a PIL-based arm on
-    a real cluster)."""
+    """Image decode: REAL for every reference image upload type — BMP,
+    PNG, GIF, TIFF, baseline JPEG, and lossless WEBP, all via the
+    from-scratch decoders in kernels/ (luminance (h, w, 1)) — plus the
+    deterministic fake container for tests. Container variants outside
+    the documented profiles (progressive JPEG, lossy VP8, ...) raise
+    OcrUnsupported (a ValueError) and quarantine at the operator layer."""
     if payload[:2] == b"BM":
         from pdf_extractor_spark.kernels.ocr_kernel import decode_bmp_gray
 
@@ -77,6 +77,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
 
         rows = decode_jpeg_gray(payload)
+        return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
+            len(rows), len(rows[0]), 1)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from pdf_extractor_spark.kernels.webp_kernel import decode_webp_gray
+
+        rows = decode_webp_gray(payload)
         return np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(
             len(rows), len(rows[0]), 1)
     if payload[:4] != MAGIC:
@@ -205,6 +211,51 @@ def png_media_table(spark, documents: DataFrame) -> DataFrame:
                     "kind": ["image"] * len(keep),
                     "payload": [
                         render_text_png(png_media_text(d), width=32)
+                        for d in keep
+                    ],
+                    "meta": [{} for _ in keep],
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(gen, MEDIA_DDL)
+
+
+def webp_media_text(doc_id: int) -> str:
+    """The deterministic page text of the q27 WEBP media arm — one
+    definition shared by the Spark generator and the oracle twin."""
+    return f"DOC {int(doc_id)} WEBP"
+
+
+def expected_webp_feature_row(doc_id: int) -> tuple[int, int, float]:
+    """Pure-Python twin of the q27 WEBP arm for one document:
+    (width, height, mean_intensity) via the same render→decode→feature
+    path the Spark kernel runs (kernels/webp_kernel.py — VP8L prefix
+    codes + subtract-green), so the oracle can pin the values as
+    literals."""
+    from pdf_extractor_spark.kernels.webp_kernel import render_text_webp
+
+    arr = _decode_image(render_text_webp(webp_media_text(doc_id), width=32))
+    h, w, _ = arr.shape
+    return w, h, float(arr.reshape(-1).astype(np.float64).mean())
+
+
+def webp_media_table(spark, documents: DataFrame) -> DataFrame:
+    """REAL-WEBP media rows derived from documents (every doc_id % 4 == 1):
+    each becomes a rendered scanned-text lossless WebP page at
+    media_id + 200000 — the reference's final image upload type
+    (main.py:371 accepts .webp) exercised through the from-scratch VP8L
+    codec."""
+    from pdf_extractor_spark.kernels.webp_kernel import render_text_webp
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            keep = [int(d) for d in pdf["doc_id"] if int(d) % 4 == 1]
+            yield pd.DataFrame(
+                {
+                    "media_id": [d + 200000 for d in keep],
+                    "kind": ["image"] * len(keep),
+                    "payload": [
+                        render_text_webp(webp_media_text(d), width=32)
                         for d in keep
                     ],
                     "meta": [{} for _ in keep],

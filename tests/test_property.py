@@ -384,6 +384,7 @@ def test_extract_document_never_raises_on_corrupted_image_payloads():
 
     from pdf_extractor_spark.kernels import (
         gif_kernel, jpeg_kernel, ocr_kernel, png_kernel, tiff_kernel,
+        webp_kernel,
     )
 
     base = {
@@ -392,6 +393,9 @@ def test_extract_document_never_raises_on_corrupted_image_payloads():
         "tiff": tiff_kernel.render_text_tiff("HELLO WORLD 123"),
         "jpeg": jpeg_kernel.render_text_jpeg("HELLO WORLD 123"),
         "bmp": ocr_kernel.render_text_bmp("HELLO WORLD 123"),
+        "webp": webp_kernel.render_text_webp("HELLO WORLD 123"),
+        "webp_lz_cache": webp_kernel.render_text_webp(
+            "HELLO WORLD 123", use_lz77=True, cache_bits=5),
     }
     rng = random.Random(7)
     for fmt, b0 in base.items():
