@@ -844,7 +844,10 @@ def centrality_stored(edges: DataFrame, store_root: str,
     t = SnapshotTable(store_root)
     key = {"edges": _edges_key(edges), "iters": iters}
     m = t.current_manifest()
-    if m is None or m.get("summary", {}).get("key") != key:
+    # a warm-refreshed snapshot (centrality_refresh) is approximate —
+    # never serve it from this exact, twin-verifiable path
+    if m is None or m.get("summary", {}).get("key") != key \
+            or m["summary"].get("refreshed_from"):
         cent = (
             pagerank_fixedpoint(edges, iters=iters)
             .select("host", "rank_scaled")
@@ -854,6 +857,55 @@ def centrality_stored(edges: DataFrame, store_root: str,
         t.overwrite(cent, summary={"key": key})
     # serve the committed table in both branches (a second lazy
     # materialization of the PageRank plan would re-run its joins)
+    return t.read(spark).select(
+        "host", "rank_scaled", "hub_scaled", "auth_scaled")
+
+
+def centrality_refresh(edges: DataFrame, store_root: str,
+                       iters: int = 5, refresh_iters: int = 1) -> DataFrame:
+    """:func:`centrality_stored` with month-over-month WARM START: when
+    the edge set changed but a PREVIOUS snapshot exists, PageRank is
+    re-initialized from the stored ranks and run for only
+    ``refresh_iters`` power iterations instead of the cold ``iters`` —
+    the crawl-refresh shape: the graph changed at the edges, not
+    wholesale, so last snapshot's converged ranks are already near the
+    new fixed point (BENCH.md graph ladder: a warm single iteration
+    lands 6.2x closer to the cold-5 result than a cold iteration at
+    ~0.36x the cost). HITS scores are re-derived at the same reduced
+    iteration count from a uniform start (HITS converges faster and has
+    no warm-start identity to preserve).
+
+    NOT oracle-gated by design: a refreshed rank differs from the cold
+    fixed point by the unconverged residual (bounded by the ladder
+    measurements), so this is the operational fast path, while
+    :func:`centrality_stored` remains the exact, twin-verifiable one.
+    On a key MATCH the committed table serves as-is (identical to
+    centrality_stored); on a miss with no prior snapshot it falls back
+    to the cold path."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    spark = edges.sparkSession
+    t = SnapshotTable(store_root)
+    key = {"edges": _edges_key(edges), "iters": iters}
+    m = t.current_manifest()
+    if m is not None and m.get("summary", {}).get("key") == key:
+        return t.read(spark).select(
+            "host", "rank_scaled", "hub_scaled", "auth_scaled")
+    if m is None:
+        return centrality_stored(edges, store_root, iters=iters)
+    prev = t.read(spark).select("host", "rank_scaled")
+    cent = (
+        pagerank_fixedpoint(edges, iters=refresh_iters, init_ranks=prev)
+        .select("host", "rank_scaled")
+        .join(hits_fixedpoint(edges, iters=refresh_iters)
+              .select("host", "hub_scaled", "auth_scaled"), "host")
+    )
+    # the refreshed snapshot is a HIT for later same-edge calls of THIS
+    # function, but carries a marker so the exact centrality_stored path
+    # never serves an approximate table
+    t.overwrite(cent, summary={
+        "key": key, "refreshed_from": m["snapshot_id"],
+        "refresh_iters": refresh_iters})
     return t.read(spark).select(
         "host", "rank_scaled", "hub_scaled", "auth_scaled")
 

@@ -278,6 +278,53 @@ def test_centrality_store_matches_fresh_and_invalidates(spark, tmp_path):
     webtext.centrality_stored(rew, root, iters=2).collect()
 
 
+def test_centrality_refresh_warm_starts_from_previous_snapshot(
+        spark, tmp_path):
+    """The month-over-month refresh path: a changed edge set with a prior
+    snapshot warm-starts PageRank from the stored ranks for 1 iteration;
+    the result must equal the explicit warm-started iteration exactly,
+    land closer to the new cold fixed point than a cold single iteration,
+    be served (not recomputed) on a repeat call, and NEVER be served by
+    the exact centrality_stored path."""
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    def edges_df(bump):
+        rows = [(f"h{i % 9}", f"h{(i * 4 + 1) % 9}",
+                 1 + i % 3 + (bump if i == 0 else 0)) for i in range(40)]
+        return spark.createDataFrame(rows, "src string, dst string, w long")
+
+    root = str(tmp_path / "cent")
+    old, new = edges_df(0), edges_df(5)
+    webtext.centrality_stored(old, root, iters=5)
+    prev = {r["host"]: r["rank_scaled"] for r in
+            SnapshotTable(root).read(spark).collect()}
+    got = {r["host"]: r["rank_scaled"] for r in
+           webtext.centrality_refresh(new, root, iters=5,
+                                      refresh_iters=1).collect()}
+    init = spark.createDataFrame(list(prev.items()),
+                                 "host string, rank_scaled long")
+    want = {r["host"]: r["rank_scaled"] for r in
+            webtext.pagerank_fixedpoint(new, iters=1,
+                                        init_ranks=init).collect()}
+    assert got == want  # warm start is deterministic, bit-exact
+    cold5 = {r["host"]: r["rank_scaled"] for r in
+             webtext.pagerank_fixedpoint(new, iters=5).collect()}
+    cold1 = {r["host"]: r["rank_scaled"] for r in
+             webtext.pagerank_fixedpoint(new, iters=1).collect()}
+    warm_dev = max(abs(got[h] - cold5[h]) for h in cold5)
+    cold_dev = max(abs(cold1[h] - cold5[h]) for h in cold5)
+    assert warm_dev < cold_dev  # the ladder property at test scale
+    # repeat call with the same edges serves the committed refresh
+    snap = SnapshotTable(root).current_manifest()["snapshot_id"]
+    webtext.centrality_refresh(new, root, iters=5).collect()
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] == snap
+    # the EXACT path must recompute rather than serve the approximation
+    exact = {r["host"]: r["rank_scaled"] for r in
+             webtext.centrality_stored(new, root, iters=5).collect()}
+    assert exact == cold5
+    assert SnapshotTable(root).current_manifest()["snapshot_id"] != snap
+
+
 def test_canonical_url_plan_is_codegen_only(spark):
     """The canonicalization must stay inside whole-stage codegen: no
     Python eval nodes, no exchange (narrow projection)."""
