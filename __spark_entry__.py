@@ -455,11 +455,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image feature extraction over the binary media column: the fake-
     container arm (schema/batching plumbing at scale) ∪ a REAL-PNG arm
     (every 4th doc rendered as a scanned-text PNG page at
-    media_id + 100000, decoded by the from-scratch codec in
+    media_id -(2*doc_id+1), decoded by the from-scratch codec in
     kernels/png_kernel.py — the reference's PNG upload domain,
     main.py:366-373) ∪ a REAL-WEBP arm (every doc_id % 4 == 1 doc as a
-    lossless VP8L page at media_id + 200000 — the reference's last image
-    upload type, kernels/webp_kernel.py). All value-gated via
+    lossless VP8L page at media_id -(2*doc_id+2) — the reference's last
+    image upload type, kernels/webp_kernel.py). The render arms live in
+    the NEGATIVE id space so they stay disjoint from the fake arm's
+    media_id = doc_id at any corpus size. All value-gated via
     twin-pinned literals."""
     from pdf_extractor_spark.operators.multimodal import (
         extract_features, fake_media_table, png_media_table,
@@ -681,11 +683,13 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("best:"), F.col("channel")).alias("channel"),
         "content",
     )
-    return (
+    result = (
         fan.select(doc_of.alias("doc_id"), "channel", "content")
         .unionByName(best)
         .orderBy("doc_id", "channel")
     )
+    result._persisted_gate = fan  # release handle (frontier_release)
+    return result
 
 
 def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2558,16 +2562,16 @@ def oracle_sql() -> dict[str, str]:
         # mean from the decoded luminance raster
         _png_rows = ", ".join(
             "({}, {}, {}, {})".format(
-                int(did) + 100000, w, h, repr(_mm.round_half_up(mean, 4)))
+                -(2 * int(did) + 1), w, h, repr(_mm.round_half_up(mean, 4)))
             for did in _dt["doc_id"].to_pylist()
             if int(did) % 4 == 0
             for w, h, mean in [_mm.expected_png_feature_row(int(did))]
         )
-        # the REAL-WEBP arm (doc_id % 4 == 1, media_id + 200000): same
-        # twin-pinned discipline through the VP8L codec
+        # the REAL-WEBP arm (doc_id % 4 == 1, media_id -(2*doc_id+2)):
+        # same twin-pinned discipline through the VP8L codec
         _webp_rows = ", ".join(
             "({}, {}, {}, {})".format(
-                int(did) + 200000, w, h, repr(_mm.round_half_up(mean, 4)))
+                -(2 * int(did) + 2), w, h, repr(_mm.round_half_up(mean, 4)))
             for did in _dt["doc_id"].to_pylist()
             if int(did) % 4 == 1
             for w, h, mean in [_mm.expected_webp_feature_row(int(did))]

@@ -115,7 +115,20 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytearray:
 def decode_gif_gray(payload: bytes) -> list[bytes]:
     """Parse a GIF's first image frame into top-down luminance rows (the
     ``decode_bmp_gray``/``decode_png_gray`` output shape). Raises
-    ``OcrUnsupported`` on anything outside the profile; nothing else."""
+    ``OcrUnsupported`` on anything outside the profile; nothing else —
+    corrupted block contents convert at this boundary (the JPEG/WebP
+    discipline) instead of escaping as raw parse errors."""
+    try:
+        return _decode_gif_gray(payload)
+    except OcrUnsupported:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            MemoryError, OverflowError, struct.error) as exc:
+        raise OcrUnsupported(
+            f"gif: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _decode_gif_gray(payload: bytes) -> list[bytes]:
     if payload[:6] not in (b"GIF87a", b"GIF89a") or len(payload) < 13:
         raise OcrUnsupported("not a GIF container")
     sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)

@@ -121,7 +121,20 @@ def decode_png_gray(payload: bytes) -> list[bytes]:
     the ``decode_bmp_gray`` output shape, so PNG pages feed the same OCR
     grid machinery. Raises ``OcrUnsupported`` on any container shape
     outside the profile (signature, bit depth, interlace, codec-less
-    formats); raises nothing else."""
+    formats); raises nothing else — including on arbitrarily corrupted
+    chunk contents (the JPEG/WebP error-boundary discipline; a corrupt
+    crawl payload must quarantine, not kill the task)."""
+    try:
+        return _decode_png_gray(payload)
+    except OcrUnsupported:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            MemoryError, OverflowError, struct.error) as exc:
+        raise OcrUnsupported(
+            f"png: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _decode_png_gray(payload: bytes) -> list[bytes]:
     if not payload.startswith(_PNG_SIG):
         raise OcrUnsupported("not a PNG container")
     width = height = None
@@ -167,9 +180,11 @@ def decode_png_gray(payload: bytes) -> list[bytes]:
         return [bytes(r) for r in rows]
     if color_type == 3:
         # palette index → integer luminance (b+g+r)//3, one C-speed
-        # translate per row — the BMP color-table discipline
+        # translate per row — the BMP color-table discipline; a hostile
+        # PLTE longer than 256 entries is clamped (indices are one byte,
+        # so entries past 256 are unreachable anyway)
         lut = bytearray(range(256))
-        for i in range(len(palette) // 3):
+        for i in range(min(len(palette) // 3, 256)):
             r, g, b = palette[3 * i:3 * i + 3]
             lut[i] = (r + g + b) // 3
         lut_b = bytes(lut)

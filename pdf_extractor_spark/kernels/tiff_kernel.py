@@ -59,7 +59,22 @@ def _read_values(payload: bytes, endian: str, ftype: int, count: int,
 
 def decode_tiff_gray(payload: bytes) -> list[bytes]:
     """Parse an uncompressed baseline TIFF's first IFD into top-down
-    luminance rows. Raises ``OcrUnsupported`` outside the profile."""
+    luminance rows. Raises ``OcrUnsupported`` outside the profile;
+    nothing else — including on arbitrarily corrupted IFDs (e.g. a
+    zero-count entry for a required tag; the JPEG/WebP error-boundary
+    discipline — a corrupt crawl payload must quarantine, not kill the
+    task)."""
+    try:
+        return _decode_tiff_gray(payload)
+    except OcrUnsupported:
+        raise
+    except (IndexError, KeyError, ValueError, ZeroDivisionError,
+            MemoryError, OverflowError, struct.error) as exc:
+        raise OcrUnsupported(
+            f"tiff: corrupt stream ({type(exc).__name__})") from exc
+
+
+def _decode_tiff_gray(payload: bytes) -> list[bytes]:
     if len(payload) < 8:
         raise OcrUnsupported("not a TIFF container")
     if payload[:4] == b"II*\x00":

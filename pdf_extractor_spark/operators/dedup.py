@@ -935,6 +935,26 @@ def embedding_lsh_band_signatures(
     return e.mapInPandas(kernel, "vec_id long, band int, band_sig long")
 
 
+def _auto_lsh_bands(band_bits: int, base_bands: int = 16,
+                    recall_cos: float = 0.99,
+                    base_bits: int = 12) -> int:
+    """Bands needed so the banded hyperplane-LSH per-pair miss
+    probability at cosine ``recall_cos`` is no worse than the
+    ``(base_bits, base_bands)`` operating point:
+    solve (1 − p^bits)^bands ≤ (1 − p^base_bits)^base_bands with
+    p = 1 − acos(recall_cos)/π (the hyperplane collision probability).
+    Monotone: returns ``base_bands`` when bits do not exceed the base.
+    Pure math (no Spark) so the growth rule is unit-testable."""
+    import math
+
+    if band_bits <= base_bits:
+        return base_bands
+    p = 1.0 - math.acos(recall_cos) / math.pi
+    target = base_bands * math.log(1.0 - p ** base_bits)
+    per_band = math.log(max(1.0 - p ** band_bits, 1e-300))
+    return max(base_bands, math.ceil(target / per_band))
+
+
 def embedding_neardup_pairs_lsh(
     embs: DataFrame, threshold: float = 0.95, n_bands: int = 16,
     band_bits: int | None = 12, seed: int = 7,
@@ -961,17 +981,26 @@ def embedding_neardup_pairs_lsh(
     ``band_bits=None`` AUTO-GROWS the bucket width from a cheap corpus
     count with the documented rule: ``max(12, ceil(log₂(n)))`` — i.e.
     ≥ n buckets per band, holding expected bucket size at O(1) as the
-    corpus scales (the manually-grown ladder rungs in BENCH.md). Fewer
-    bits only ADD candidates (recall monotone in collision probability)
-    and exact verify filters them, so the knob never changes results —
-    only candidate volume. ``bucket_cap`` bounds the degenerate
-    hot-bucket explode (see banded_candidate_pairs).
+    corpus scales (the manually-grown ladder rungs in BENCH.md). Wider
+    bands REDUCE per-band collision probability for true pairs (unlike
+    the banded-Hamming arm, hyperplane-LSH recall is probabilistic, not
+    pigeonhole-guaranteed), so the auto mode ALSO grows ``n_bands`` to
+    hold the per-pair miss bound at the 12-bit/16-band operating point:
+    ``(1 − p^bits)^bands ≤ (1 − p^12)^16`` evaluated at p = p_bit(0.99)
+    (see :func:`_auto_lsh_bands`). At the default sf0.01 geometry the
+    rule lands on exactly (12, 16), so the oracle-pinned configuration
+    is unchanged; past it, candidate volume stays O(n) while recall does
+    not degrade with corpus size. Exact verify still filters every
+    candidate, so extra candidates never change results. ``bucket_cap``
+    bounds the degenerate hot-bucket explode (see
+    banded_candidate_pairs).
     """
     if band_bits is None:
         import math
 
         n_vec = embs.count()
         band_bits = max(12, math.ceil(math.log2(max(n_vec, 2))))
+        n_bands = _auto_lsh_bands(band_bits, n_bands)
     e = embs.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     banded = embedding_lsh_band_signatures(embs, n_bands, band_bits, seed)
     cand = banded_candidate_pairs(banded, "vec_id", bucket_cap)

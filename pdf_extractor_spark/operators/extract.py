@@ -445,21 +445,28 @@ def best_content(channels: DataFrame) -> DataFrame:
     with non-blank content.
 
     Plan: a priority rank joins in as a literal CASE (no lookup table),
-    then one ``min_by`` groupBy — a single map-side-combinable shuffle on
-    the (url, page) key, no window sort, no self-join. Unknown channels
-    rank last (stable: ties inside a rank cannot happen — channel names
-    are unique per row grain).
+    then ONE ``min_by`` over a (channel, content) struct keyed by
+    (_prio, channel) — a single map-side-combinable shuffle on the
+    (url, page) key, no window sort, no self-join. The struct keeps the
+    picked channel and its content ATOMIC (two independent min_by calls
+    could pair the channel of one tied row with the content of another),
+    and the channel-name tiebreak makes unknown channels — which all
+    share the last rank — deterministic.
     """
     prio = F.lit(len(CHANNEL_PRIORITY))
     for i, c in enumerate(reversed(CHANNEL_PRIORITY)):
         prio = F.when(F.col("channel") == c,
                       F.lit(len(CHANNEL_PRIORITY) - 1 - i)).otherwise(prio)
     meaningful = channels.where(F.trim(F.col("content")) != "")
+    picked = F.min_by(
+        F.struct(F.col("channel"), F.col("content")),
+        F.struct(F.col("_prio"), F.col("channel")),
+    )
     return (
         meaningful.withColumn("_prio", prio)
         .groupBy("url", "page_number")
-        .agg(
-            F.min_by(F.col("channel"), F.col("_prio")).alias("channel"),
-            F.min_by(F.col("content"), F.col("_prio")).alias("content"),
-        )
+        .agg(picked.alias("_best"))
+        .select("url", "page_number",
+                F.col("_best.channel").alias("channel"),
+                F.col("_best.content").alias("content"))
     )

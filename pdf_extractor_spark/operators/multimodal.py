@@ -197,9 +197,11 @@ def expected_png_feature_row(doc_id: int) -> tuple[int, int, float]:
 
 def png_media_table(spark, documents: DataFrame) -> DataFrame:
     """REAL-PNG media rows derived from documents (every 4th doc): each
-    becomes a rendered scanned-text PNG page at media_id + 100000 — the
-    reference's PNG upload domain (main.py:366-373) exercised through the
-    from-scratch codec."""
+    becomes a rendered scanned-text PNG page at media_id -(2*doc_id+1) —
+    the NEGATIVE odd id space, provably disjoint from the fake arm's
+    media_id = doc_id at ANY corpus size (a fixed offset would collide
+    once doc_ids pass it) — the reference's PNG upload domain
+    (main.py:366-373) exercised through the from-scratch codec."""
     from pdf_extractor_spark.kernels.png_kernel import render_text_png
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -207,7 +209,7 @@ def png_media_table(spark, documents: DataFrame) -> DataFrame:
             keep = [int(d) for d in pdf["doc_id"] if int(d) % 4 == 0]
             yield pd.DataFrame(
                 {
-                    "media_id": [d + 100000 for d in keep],
+                    "media_id": [-(2 * d + 1) for d in keep],
                     "kind": ["image"] * len(keep),
                     "payload": [
                         render_text_png(png_media_text(d), width=32)
@@ -242,7 +244,9 @@ def expected_webp_feature_row(doc_id: int) -> tuple[int, int, float]:
 def webp_media_table(spark, documents: DataFrame) -> DataFrame:
     """REAL-WEBP media rows derived from documents (every doc_id % 4 == 1):
     each becomes a rendered scanned-text lossless WebP page at
-    media_id + 200000 — the reference's final image upload type
+    media_id -(2*doc_id+2) — the NEGATIVE even id space, disjoint from
+    both the fake arm (nonnegative) and the PNG arm (negative odd) at
+    any corpus size — the reference's final image upload type
     (main.py:371 accepts .webp) exercised through the from-scratch VP8L
     codec."""
     from pdf_extractor_spark.kernels.webp_kernel import render_text_webp
@@ -252,7 +256,7 @@ def webp_media_table(spark, documents: DataFrame) -> DataFrame:
             keep = [int(d) for d in pdf["doc_id"] if int(d) % 4 == 1]
             yield pd.DataFrame(
                 {
-                    "media_id": [d + 200000 for d in keep],
+                    "media_id": [-(2 * d + 2) for d in keep],
                     "kind": ["image"] * len(keep),
                     "payload": [
                         render_text_webp(webp_media_text(d), width=32)

@@ -1325,11 +1325,32 @@ def test_hot_bucket_cap_bounds_candidates_preserves_cliques(spark):
             bucket_cap=1)
 
 
+def test_auto_lsh_bands_holds_the_recall_bound():
+    """The auto band-growth rule: past the 12-bit base, n_bands grows so
+    the per-pair miss probability at the recall cosine never exceeds the
+    (12, 16) operating point's — wider bands alone would silently LOWER
+    hyperplane-LSH recall (review finding: the old docstring claimed the
+    opposite direction)."""
+    import math
+
+    assert dedup._auto_lsh_bands(12) == 16  # base geometry untouched
+    assert dedup._auto_lsh_bands(11) == 16  # never shrinks below base
+    p = 1.0 - math.acos(0.99) / math.pi
+    base_miss = (1.0 - p ** 12) ** 16
+    for bits in (13, 16, 20, 26):
+        bands = dedup._auto_lsh_bands(bits)
+        assert bands > 16  # grew
+        assert (1.0 - p ** bits) ** bands <= base_miss * (1 + 1e-12)
+        # and not absurdly over-grown: one fewer band breaks the bound
+        assert (1.0 - p ** bits) ** (bands - 1) > base_miss
+
+
 def test_embedding_lsh_auto_band_bits_matches_manual(spark):
     """band_bits=None derives max(12, ceil(log2 n)) from a cheap count —
-    at small n that IS 12, so verified pairs are identical to the manual
-    setting (and in general the knob is recall-monotone + exact-verified,
-    a physical knob only)."""
+    at small n that IS 12 with the base 16 bands, so verified pairs are
+    identical to the manual setting; past the base, _auto_lsh_bands
+    grows n_bands to hold recall (see
+    test_auto_lsh_bands_holds_the_recall_bound)."""
     import numpy as np
 
     rng = np.random.default_rng(11)
