@@ -1,13 +1,15 @@
 """Multimodal-column plumbing: opaque binary payloads + typed metadata.
 
 The container has no image/audio/video codec libraries, so decode is a
-three-tier story: REAL for uncompressed 8-bpp BMP (the from-scratch
-container/palette decoder shared with the OCR kernel), a deterministic
-fake container for everything the tests exercise at scale, and a loud
-NotImplementedError for codec formats (JPEG/PNG/ffmpeg) — while everything
-Spark-side — schema, Arrow batch shape, partitioning, mapInPandas signature —
-is real and tested. On a cluster with codecs installed, only `_decode_image`
-/ `_sample_frames` grow arms.
+three-tier story: REAL for every reference image upload type —
+BMP/PNG/GIF/TIFF/baseline-JPEG/lossless-WEBP via the from-scratch
+kernels — plus RIFF/WAVE PCM-16 audio and YUV4MPEG2 video, a
+deterministic fake container for everything the tests exercise at
+scale, and a loud failure for codec variants outside the documented
+profiles (progressive JPEG, lossy VP8, MP3/MP4) — while everything
+Spark-side — schema, Arrow batch shape, partitioning, mapInPandas
+signature — is real and tested. On a cluster with ffmpeg-class codecs
+installed, only `_decode_image` / `_sample_frames` grow arms.
 
 Payload container format (deterministic fake, self-describing):
     b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + payload
