@@ -3588,6 +3588,22 @@ def oracle_sql() -> dict[str, str]:
                       ['head','middle','tail'][ntile(3) OVER (
                           PARTITION BY lang ORDER BY ppl, doc_id)] AS bucket
                FROM ppl),
+        pcut AS (SELECT lang,
+                        max(CASE WHEN rk = CAST(ceil((1.0/3) * n) AS BIGINT)
+                                 THEN ppl END) AS c1,
+                        max(CASE WHEN rk = CAST(ceil((2.0/3) * n) AS BIGINT)
+                                 THEN ppl END) AS c2
+                 FROM (SELECT lang, ppl,
+                              row_number() OVER (PARTITION BY lang
+                                                 ORDER BY ppl) AS rk,
+                              count(*) OVER (PARTITION BY lang) AS n
+                       FROM ppl)
+                 GROUP BY lang),
+        pba AS (SELECT p.doc_id,
+                       CASE WHEN p.ppl <= pcut.c1 THEN 'head'
+                            WHEN p.ppl <= pcut.c2 THEN 'middle'
+                            ELSE 'tail' END AS bucket
+                FROM ppl p JOIN pcut USING (lang)),
         ug AS (SELECT doc_id, toks[(i+1)::INT] AS gram
                FROM t, unnest(range(0, len(toks))) AS u3(i)),
         gb AS (SELECT gs.doc_id, d.lang,
@@ -3645,6 +3661,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN g ON s.doc_id = g.doc_id AND g.keep
         JOIN pb ON s.doc_id = pb.doc_id
         GROUP BY s.lang, pb.bucket
+        UNION ALL
+        SELECT s.lang, pba.bucket, count(*) AS survivors,
+               round(avg(g.n_words), 6) AS avg_words,
+               'approx_ccnet_mix' AS stage
+        FROM sampled s
+        JOIN g ON s.doc_id = g.doc_id AND g.keep
+        JOIN pba ON s.doc_id = pba.doc_id
+        GROUP BY s.lang, pba.bucket
         UNION ALL
         SELECT s.lang, pb.bucket, count(*) AS survivors,
                round(avg(g.n_words), 6) AS avg_words, 'dsir_selected' AS stage

@@ -1142,18 +1142,9 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
     if approx_terciles:
         # the 100 TB arm: lang-cardinality cutpoint table via one
         # constant-memory sketch aggregate, broadcast back — no sort
-        cuts = ppl.groupBy("lang").agg(
-            F.percentile_approx(
-                "ppl", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
-                F.lit(100_000)).alias("cuts"))
-        return ppl.join(F.broadcast(cuts), "lang").select(
-            "doc_id",
-            "lang",
-            "ppl",
-            F.when(F.col("ppl") <= F.element_at("cuts", 1), F.lit("head"))
-            .when(F.col("ppl") <= F.element_at("cuts", 2), F.lit("middle"))
-            .otherwise(F.lit("tail")).alias("bucket"),
-        )
+        return ppl.join(F.broadcast(_approx_tercile_cuts(ppl)), "lang") \
+            .select("doc_id", "lang", "ppl",
+                    _approx_tercile_bucket().alias("bucket"))
     w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
     return ppl.select(
         "doc_id",
@@ -1163,6 +1154,31 @@ def lm_perplexity_buckets(docs: DataFrame, model_docs: DataFrame | None = None,
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
             F.ntile(3).over(w),
         ).alias("bucket"),
+    )
+
+
+def _approx_tercile_cuts(ppl: DataFrame) -> DataFrame:
+    """(lang, cuts[2]) tercile cutpoints via ONE percentile_approx
+    aggregate — the sort-free scale path. At accuracy 100k over exact
+    retained samples Spark returns the order statistic at rank
+    ceil(q·n), which DuckDB reproduces with the identical double
+    arithmetic (both 1/3 and 2/3 doubles under-approximate the exact
+    fractions, so the ceil is stable even when n is a multiple of 3) —
+    what lets the q62 approx stage carry a full value-hash oracle."""
+    return ppl.groupBy("lang").agg(
+        F.percentile_approx(
+            "ppl", F.array(F.lit(1.0 / 3), F.lit(2.0 / 3)),
+            F.lit(100_000)).alias("cuts"))
+
+
+def _approx_tercile_bucket():
+    """Bucket expression over a frame joined with _approx_tercile_cuts —
+    ONE definition shared by lm_perplexity_buckets(approx_terciles=True)
+    and training_mix_pipeline's approx stage."""
+    return (
+        F.when(F.col("ppl") <= F.element_at("cuts", 1), F.lit("head"))
+        .when(F.col("ppl") <= F.element_at("cuts", 2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
     )
 
 
@@ -1645,11 +1661,17 @@ def training_mix_pipeline(docs: DataFrame,
     materialized, same contract as ``frontier_schedule``."""
     gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
-    ppl = lm_perplexity_buckets(docs).select("doc_id", "bucket")
-    # all three rollup stages consume this narrow (doc_id, lang, n_words,
-    # bucket) frame and Catalyst does not dedupe common subplans — without
-    # the persist the Gopher gate + bigram-LM perplexity pipelines run 3x
-    # in the final plan (the q46 fanout discipline)
+    pplf = lm_perplexity_buckets(docs)
+    # the approx-tercile bucket rides along in the SAME narrow frame (the
+    # sort-free 100 TB bucketing arm, reported as its own stage) — one
+    # extra broadcast join instead of a second LM pass + per-lang sort
+    ppl = pplf.join(F.broadcast(_approx_tercile_cuts(pplf)), "lang").select(
+        "doc_id", "bucket", _approx_tercile_bucket().alias("bucket_a"))
+    # all four rollup stages consume this narrow (doc_id, lang, n_words,
+    # bucket, bucket_a) frame and Catalyst does not dedupe common
+    # subplans — without the persist the Gopher gate + bigram-LM
+    # perplexity pipelines run 4x in the final plan (the q46 fanout
+    # discipline; the cutpoint aggregate embeds one additional LM pass)
     kept = sampled.join(gate, "doc_id").join(ppl, "doc_id").persist()
 
     def rollup(d: DataFrame, stage: str) -> DataFrame:
@@ -1676,6 +1698,9 @@ def training_mix_pipeline(docs: DataFrame,
         F.col("pred")).select("doc_id")
     result = (
         rollup(kept, "ccnet_mix")
+        .unionByName(rollup(
+            kept.withColumn("bucket", F.col("bucket_a")),
+            "approx_ccnet_mix"))
         .unionByName(rollup(kept.join(selected, "doc_id"), "dsir_selected"))
         .unionByName(rollup(kept.join(qcsel, "doc_id"), "qcls_selected"))
         .orderBy("stage", "lang", "bucket")

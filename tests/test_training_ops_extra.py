@@ -249,12 +249,22 @@ def test_training_mix_pipeline_consistency(spark, docs):
     got: dict[str, list] = {}
     for r in rows:
         assert r["bucket"] in {"head", "middle", "tail"}
-        assert r["stage"] in {"ccnet_mix", "dsir_selected", "qcls_selected"}
+        assert r["stage"] in {"ccnet_mix", "approx_ccnet_mix",
+                              "dsir_selected", "qcls_selected"}
         if r["stage"] == "ccnet_mix":
             got.setdefault(r["lang"], []).append(r)
     # every selection stage is a subset of the ccnet mixture, cell by cell
     base = {(r["lang"], r["bucket"]): r["survivors"] for r in rows
             if r["stage"] == "ccnet_mix"}
+    # the approx-tercile stage re-buckets the SAME survivor set, so its
+    # per-language totals must match the exact stage's exactly
+    for lang in {r["lang"] for r in rows}:
+        exact_n = sum(r["survivors"] for r in rows
+                      if r["stage"] == "ccnet_mix" and r["lang"] == lang)
+        approx_n = sum(r["survivors"] for r in rows
+                       if r["stage"] == "approx_ccnet_mix"
+                       and r["lang"] == lang)
+        assert approx_n == exact_n
     for r in rows:
         if r["stage"] in ("dsir_selected", "qcls_selected"):
             assert r["survivors"] <= base[(r["lang"], r["bucket"])]
