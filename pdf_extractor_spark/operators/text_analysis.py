@@ -1289,8 +1289,31 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
     )
 
 
+def _gram_stream_from_store(docs: DataFrame, n_buckets: int,
+                            gram_store: str) -> DataFrame | None:
+    """Re-bucket the DSIR gram store's (doc_id, lang, bucket) stream to
+    `n_buckets` when the store is fresh for this corpus AND its bucket
+    count is a multiple of ours — md5-mod composes: for B | B_store,
+    h % B == (h % B_store) % B, so the derived stream is bit-identical
+    to hashing the corpus directly at B. Returns None on any miss (the
+    caller computes fresh inline); never writes (read-through only —
+    dsir_weights owns the store's lifecycle)."""
+    from pdf_extractor_spark.operators.dedup import _corpus_key
+    from pdf_extractor_spark.sources.table_format import SnapshotTable
+
+    t = SnapshotTable(gram_store)
+    m = t.current_manifest()
+    key = (m or {}).get("summary", {}).get("key") or {}
+    b_store = key.get("b")
+    if (key.get("n_docs") != _corpus_key(docs) or not b_store
+            or b_store % n_buckets != 0):
+        return None
+    return t.read(docs.sparkSession).select(
+        "doc_id", F.pmod(F.col("bucket"), F.lit(n_buckets)).alias("bucket"))
+
+
 def _qcls_features(docs: DataFrame, n_buckets: int,
-                   gq: DataFrame) -> DataFrame:
+                   gq: DataFrame, stream: DataFrame | None = None) -> DataFrame:
     """(doc_id, bucket, x) feature rows for the quality classifier:
     buckets [0, B) are hashed-gram term frequencies (cnt/n — length-
     invariant vocabulary evidence), buckets B..B+3 are the scaled Gopher
@@ -1299,11 +1322,13 @@ def _qcls_features(docs: DataFrame, n_buckets: int,
     model cannot express the length/repetition part of a quality gate),
     and bucket B+4 is the bias (x = 1). `gq` is a gopher_quality frame
     (its 6dp-rounded columns ARE the features, keeping the oracle twin's
-    replication surface small)."""
-    counts = (
-        _hashed_gram_stream(docs.select("doc_id", "text"), n_buckets, "doc_id")
-        .groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
-    )
+    replication surface small). `stream` optionally substitutes an
+    already-bucketed (doc_id, bucket) gram stream (see
+    _gram_stream_from_store) for the inline tokenize+md5 explode."""
+    if stream is None:
+        stream = _hashed_gram_stream(
+            docs.select("doc_id", "text"), n_buckets, "doc_id")
+    counts = stream.groupBy("doc_id", "bucket").agg(F.count("*").alias("cnt"))
     ndf = counts.groupBy("doc_id").agg(F.sum("cnt").alias("n"))
     grams = counts.join(ndf, "doc_id").select(
         "doc_id", "bucket", (F.col("cnt") / F.col("n")).alias("x"))
@@ -1363,11 +1388,15 @@ def quality_classifier_train(docs: DataFrame, n_buckets: int = 256,
     return w
 
 
-def _qcls_labeled_features(docs: DataFrame, n_buckets: int) -> DataFrame:
+def _qcls_labeled_features(docs: DataFrame, n_buckets: int,
+                           gq: DataFrame | None = None,
+                           stream: DataFrame | None = None) -> DataFrame:
     """(doc_id, bucket, x, y): classifier features joined with the Gopher
-    gate labels."""
-    gq = gopher_quality(docs)
-    return _qcls_features(docs, n_buckets, gq).join(
+    gate labels. `gq`/`stream` share prebuilt inputs (see
+    quality_classifier)."""
+    if gq is None:
+        gq = gopher_quality(docs)
+    return _qcls_features(docs, n_buckets, gq, stream=stream).join(
         gq.select("doc_id", F.col("keep").cast("int").alias("y")), "doc_id")
 
 
@@ -1449,7 +1478,9 @@ def _qcls_score(docs: DataFrame, feats: DataFrame, w: list[float],
 
 def quality_classifier(docs: DataFrame, n_buckets: int = 256,
                        iters: int = 4, lr: float = 1.0,
-                       weight_store: str | None = None) -> DataFrame:
+                       weight_store: str | None = None,
+                       gq: DataFrame | None = None,
+                       gram_store: str | None = None) -> DataFrame:
     """Train the hashed quality classifier AND score the corpus from ONE
     shared persisted feature table (one gopher pass + one gram pass
     total): (doc_id, logit, pred). Scoring checkpoints the narrow per-doc
@@ -1463,13 +1494,26 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 256,
     (one feature pass + one broadcast join) instead of re-running
     ``iters`` GD rounds over the corpus. Training is deterministic
     (exact-decimal sums, libm sigmoid), so stored == retrained
-    bit-for-bit and the literal-weight oracles are unchanged."""
+    bit-for-bit and the literal-weight oracles are unchanged.
+
+    Two optional pass-sharing hooks for composed pipelines (both
+    bit-neutral — they substitute identical inputs, never change
+    values): ``gq`` injects an already-built (typically persisted)
+    gopher_quality frame so the structural features and labels reuse it
+    instead of re-running the Gopher Arrow pass; ``gram_store``
+    read-through-reuses the DSIR gram store's bucketed stream for the
+    tf features when its bucket count is a multiple of ``n_buckets``
+    (md5-mod composes — see _gram_stream_from_store)."""
+    stream = (None if gram_store is None
+              else _gram_stream_from_store(docs, n_buckets, gram_store))
     if weight_store is not None:
         w = _qcls_weights_from_store(docs, n_buckets, iters, lr,
                                      weight_store)
         if w is not None:
-            return quality_classifier_scores(docs, w, n_buckets)
-    feats = _qcls_labeled_features(docs, n_buckets).persist()
+            return quality_classifier_scores(docs, w, n_buckets,
+                                             gq=gq, stream=stream)
+    feats = _qcls_labeled_features(docs, n_buckets, gq=gq,
+                                   stream=stream).persist()
     w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
     if weight_store is not None:
         _qcls_weights_to_store(docs, n_buckets, iters, lr, weight_store, w)
@@ -1515,13 +1559,20 @@ def _qcls_weights_to_store(docs: DataFrame, n_buckets: int, iters: int,
 
 
 def quality_classifier_scores(docs: DataFrame, w: list[float],
-                              n_buckets: int = 256) -> DataFrame:
+                              n_buckets: int = 256,
+                              gq: DataFrame | None = None,
+                              stream: DataFrame | None = None) -> DataFrame:
     """(doc_id, logit, pred): score every document with trained weights —
     one broadcast join of the (B+5)-row weight table onto the feature rows
     and one decimal-exact aggregate; logit snaps to decimal(18,6) for
-    cross-engine hash stability, pred = logit > 0 (σ(logit) > 0.5)."""
+    cross-engine hash stability, pred = logit > 0 (σ(logit) > 0.5).
+    `gq`/`stream` share prebuilt inputs (see quality_classifier)."""
     return _qcls_score(
-        docs, _qcls_features(docs, n_buckets, gopher_quality(docs)), w)
+        docs,
+        _qcls_features(docs, n_buckets,
+                       gopher_quality(docs) if gq is None else gq,
+                       stream=stream),
+        w)
 
 
 def _quality_classifier_twin(doc_rows: list[tuple[int, str | None]],
@@ -1659,19 +1710,26 @@ def training_mix_pipeline(docs: DataFrame,
     :func:`pdf_extractor_spark.operators.webtext.frontier_release` (or
     ``.unpersist()`` on the handle) once the mixture table has
     materialized, same contract as ``frontier_schedule``."""
-    gate = gopher_quality(docs).where(F.col("keep")).select("doc_id", "n_words")
+    # ONE Gopher Arrow pass serves the gate, the classifier's structural
+    # features, and (on a training run) the labels — the frame is narrow
+    # (doc_id + a handful of 6dp doubles), persisted, released via the
+    # result handle
+    gq = gopher_quality(docs).persist()
+    gate = gq.where(F.col("keep")).select("doc_id", "n_words")
     sampled = stratified_sample(docs).select("doc_id", "lang")
-    pplf = lm_perplexity_buckets(docs)
+    # the LM frame is consumed TWICE — by the approx-tercile cutpoint
+    # aggregate and by the per-doc bucket join below — and Catalyst does
+    # not dedupe common subplans, so without this persist the bigram-LM
+    # pipeline (gram joins + count aggregates) runs twice in the final
+    # plan; the cached frame is narrow (doc_id, lang, ppl, bucket)
+    pplf = lm_perplexity_buckets(docs).persist()
     # the approx-tercile bucket rides along in the SAME narrow frame (the
     # sort-free 100 TB bucketing arm, reported as its own stage) — one
     # extra broadcast join instead of a second LM pass + per-lang sort
     ppl = pplf.join(F.broadcast(_approx_tercile_cuts(pplf)), "lang").select(
         "doc_id", "bucket", _approx_tercile_bucket().alias("bucket_a"))
     # all four rollup stages consume this narrow (doc_id, lang, n_words,
-    # bucket, bucket_a) frame and Catalyst does not dedupe common
-    # subplans — without the persist the Gopher gate + bigram-LM
-    # perplexity pipelines run 4x in the final plan (the q46 fanout
-    # discipline; the cutpoint aggregate embeds one additional LM pass)
+    # bucket, bucket_a) frame (the q46 fanout discipline)
     kept = sampled.join(gate, "doc_id").join(ppl, "doc_id").persist()
 
     def rollup(d: DataFrame, stage: str) -> DataFrame:
@@ -1693,8 +1751,12 @@ def training_mix_pipeline(docs: DataFrame,
 
     selected = dsir_weights(docs, gram_store=gram_store).where(
         F.col("dsir_weight") > 0).select("doc_id")
+    # the classifier reuses the persisted Gopher frame AND (via md5-mod
+    # composition, 256 | 1024) the gram stream dsir_weights just wrote to
+    # the store — its scoring branch re-tokenizes nothing
     qcsel = quality_classifier(
-        docs, weight_store=weight_store).where(
+        docs, weight_store=weight_store, gq=gq,
+        gram_store=gram_store).where(
         F.col("pred")).select("doc_id")
     result = (
         rollup(kept, "ccnet_mix")
@@ -1705,7 +1767,9 @@ def training_mix_pipeline(docs: DataFrame,
         .unionByName(rollup(kept.join(qcsel, "doc_id"), "qcls_selected"))
         .orderBy("stage", "lang", "bucket")
     )
-    result._persisted_gate = kept  # release handle (see docstring)
+    result._persisted_gate = kept  # release handles (see docstring)
+    result._persisted_lm = pplf
+    result._persisted_gq = gq
     return result
 
 

@@ -440,9 +440,12 @@ def frontier_release(schedule: DataFrame) -> None:
     """Release the cached frame(s) riding on an operator result (call
     after the plan has materialized). Covers every handle name this
     engine attaches — ``_persisted_gate`` (:func:`frontier_schedule`,
-    ``training_mix_pipeline``) and ``_persisted_pages`` (the q53 page
-    table). No-op for frames that don't carry one."""
-    for attr in ("_persisted_gate", "_persisted_pages"):
+    ``training_mix_pipeline``), ``_persisted_lm``/``_persisted_gq`` (the
+    training mix's shared bigram-LM and Gopher frames) and
+    ``_persisted_pages`` (the q53 page table). No-op for frames that
+    don't carry one."""
+    for attr in ("_persisted_gate", "_persisted_lm", "_persisted_gq",
+                 "_persisted_pages"):
         cached = getattr(schedule, attr, None)
         if cached is not None:
             cached.unpersist()

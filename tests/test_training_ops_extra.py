@@ -758,3 +758,34 @@ def test_bpe_encode_map_twin_covers_beyond_cap_words(spark):
         docs, n_merges=0, vocab_cap=2, seq_tokens=100).collect()
     stream = " ".join(bmap[w] for w in texts[0].split(" "))
     assert out[0]["seq_text"] == stream
+
+
+def test_quality_classifier_gram_store_reuse_bit_exact(spark, docs, tmp_path):
+    """The gram-store reuse path (qcls tf features derived from the DSIR
+    store's mod-1024 stream via md5-mod composition, 256 | 1024) must be
+    bit-identical to the inline tokenize+md5 path, and must fall back to
+    inline on an incompatible or stale store instead of mis-bucketing."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "grams")
+    text_analysis.dsir_weights(docs, gram_store=root).collect()
+    inline = {(r["doc_id"], r["logit"], r["pred"])
+              for r in text_analysis.quality_classifier(
+                  docs, iters=2).collect()}
+    reused = {(r["doc_id"], r["logit"], r["pred"])
+              for r in text_analysis.quality_classifier(
+                  docs, iters=2, gram_store=root).collect()}
+    assert inline == reused
+    # shared-gq injection is likewise bit-neutral
+    gq = text_analysis.gopher_quality(docs)
+    shared = {(r["doc_id"], r["logit"], r["pred"])
+              for r in text_analysis.quality_classifier(
+                  docs, iters=2, gq=gq, gram_store=root).collect()}
+    assert shared == inline
+    # incompatible bucket count (300 does not divide 1024) -> inline path
+    assert text_analysis._gram_stream_from_store(docs, 300, root) is None
+    # stale store (different corpus) -> miss, never a wrong-bucket stream
+    other = docs.withColumn("text", F.concat(F.col("text"), F.lit(" x")))
+    assert text_analysis._gram_stream_from_store(other, 256, root) is None
+    # compatible divisor hits
+    assert text_analysis._gram_stream_from_store(docs, 256, root) is not None
