@@ -797,23 +797,30 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized DeviceGray image XObject with no text operators — round 3:
     kernels/ocr_kernel.py; the reference's tesseract tier,
     tesseract_extractor.py:22-53), and — round 4 — every doc_id % 50 ==
-    35 page a SCANNED PNG, == 5 a SCANNED GIF (LZW), == 15 a SCANNED
-    TIFF, == 20 a SCANNED baseline JPEG, == 30 a SCANNED lossless WEBP
-    (VP8L prefix codes + subtract-green; the reference accepts
-    png/gif/tiff/jpg/webp uploads, main.py:366-373 + enums.py:25-31, and
-    OCRs them; kernels/{png,gif,tiff,jpeg,webp}_kernel.py — the JPEG
-    tier's all-ones quantization keeps DCT round-trip error ≤ ~2 gray
-    levels, far under the 128 ink threshold, so OCR output is exact):
-    each is printed in the fixed-pitch OCR font from a SQL-expressible
-    transform of the doc text (ASCII-uppercase, font charset only, first
-    64 chars), so the oracle recomputes the EXACT expected OCR output
-    from `documents` and the streamed-text checksum value-gates the
-    whole render→OCR→extract path for all SEVEN scanned containers.
+    35 page a SCANNED PNG (Adam7-interlaced since the round-4 late
+    wave), == 5 a SCANNED GIF (LZW), == 15 a SCANNED TIFF (LZW +
+    horizontal-differencing predictor), == 20 a SCANNED baseline JPEG,
+    == 10 a SCANNED PROGRESSIVE JPEG (SOF2 successive approximation
+    with restart markers — the web-CDN default), == 30 a SCANNED
+    lossless WEBP (VP8L prefix codes + subtract-green; the reference
+    accepts png/gif/tiff/jpg/webp uploads, main.py:366-373 +
+    enums.py:25-31, and OCRs them;
+    kernels/{png,gif,tiff,jpeg,webp}_kernel.py — the JPEG tiers'
+    all-ones quantization keeps DCT round-trip error ≤ ~2 gray levels,
+    far under the 128 ink threshold, so OCR output is exact): each is
+    printed in the fixed-pitch OCR font from a SQL-expressible
+    transform of the doc text (ASCII-uppercase, font charset only,
+    first 64 chars), so the oracle recomputes the EXACT expected OCR
+    output from `documents` and the streamed-text checksum value-gates
+    the whole render→OCR→extract path for all EIGHT scanned containers.
     Those docs must extract successfully (not quarantine)."""
     import tempfile
 
     from pdf_extractor_spark.kernels.gif_kernel import render_text_gif
-    from pdf_extractor_spark.kernels.jpeg_kernel import render_text_jpeg
+    from pdf_extractor_spark.kernels.jpeg_kernel import (
+        render_text_jpeg,
+        render_text_jpeg_progressive,
+    )
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_scanned_pdf,
         render_text_bmp,
@@ -864,10 +871,16 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "binary",
     )
     # the PNG/GIF/TIFF scanned tiers: same raster, different containers
-    # (zlib+filters / LZW / IFD strips)
+    # (zlib+filters / LZW / IFD strips). Round 4 late wave: the PNG tier
+    # is ADAM7-INTERLACED and the TIFF tier LZW-compressed with the
+    # horizontal-differencing predictor — the web/scanner layouts those
+    # containers actually arrive in — and slot 10 is a PROGRESSIVE
+    # (SOF2) JPEG with successive approximation + restarts (the CDN
+    # default), so all three new codec paths are driver-value-gated.
     _print_page_png = F.pandas_udf(
         lambda texts: texts.map(
-            lambda t: None if t is None else render_text_png(t, width=32)),
+            lambda t: None if t is None
+            else render_text_png(t, width=32, interlace=True)),
         "binary",
     )
     _print_page_gif = F.pandas_udf(
@@ -877,12 +890,19 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _print_page_tiff = F.pandas_udf(
         lambda texts: texts.map(
-            lambda t: None if t is None else render_text_tiff(t, width=32)),
+            lambda t: None if t is None
+            else render_text_tiff(t, width=32, compression=5, predictor=2)),
         "binary",
     )
     _print_page_jpeg = F.pandas_udf(
         lambda texts: texts.map(
             lambda t: None if t is None else render_text_jpeg(t, width=32)),
+        "binary",
+    )
+    _print_page_pjpeg = F.pandas_udf(
+        lambda texts: texts.map(
+            lambda t: None if t is None
+            else render_text_jpeg_progressive(t, width=32)),
         "binary",
     )
     _print_page_webp = F.pandas_udf(
@@ -896,6 +916,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     gif_gated = F.when(F.col("doc_id") % 50 == 5, ocr_src)
     tiff_gated = F.when(F.col("doc_id") % 50 == 15, ocr_src)
     jpeg_gated = F.when(F.col("doc_id") % 50 == 20, ocr_src)
+    pjpeg_gated = F.when(F.col("doc_id") % 50 == 10, ocr_src)
     webp_gated = F.when(F.col("doc_id") % 50 == 30, ocr_src)
 
     pages = pages.select(
@@ -907,6 +928,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 50 == 5, _print_page_gif(gif_gated))
         .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated))
         .when(F.col("doc_id") % 50 == 20, _print_page_jpeg(jpeg_gated))
+        .when(F.col("doc_id") % 50 == 10, _print_page_pjpeg(pjpeg_gated))
         .when(F.col("doc_id") % 50 == 30, _print_page_webp(webp_gated))
         .otherwise(F.col("html")).alias("html"),
     )
@@ -2866,11 +2888,11 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS stream_rows,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_needs_ocr,
-               CAST(sum(CASE WHEN doc_id % 50 IN (5, 15, 20, 25, 30, 35, 45)
+               CAST(sum(CASE WHEN doc_id % 50 IN (5, 10, 15, 20, 25, 30, 35, 45)
                              THEN 1 ELSE 0 END)
                     AS BIGINT) AS stream_ocr_docs,
                CAST(sum(CASE WHEN doc_id % 50 = 0 THEN 0
-                             WHEN doc_id % 50 IN (5, 15, 20, 25, 30, 35, 45)
+                             WHEN doc_id % 50 IN (5, 10, 15, 20, 25, 30, 35, 45)
                              THEN ('0x' || substr(md5({_q37_ocr}), 1, 8))
                                   ::BIGINT
                              ELSE ('0x' || substr(md5({_q37_norm}), 1, 8))

@@ -10,8 +10,12 @@ product (numpy, deterministic).
 
 Profile (everything else raises ``OcrUnsupported`` → loud quarantine):
 
-- SOF0 baseline sequential DCT, 8-bit samples (SOF2 progressive and
-  arithmetic coding are out of profile)
+- SOF0 baseline sequential DCT and SOF2 progressive DCT (both spectral
+  selection and successive approximation: DC first/refine and AC
+  first/refine scans with EOB runs, per T.81 Annex G.2 — coefficients
+  accumulate in per-component buffers across scans, one IDCT at the
+  end); arithmetic coding (SOF9/SOF10) and the hierarchical modes stay
+  out of profile
 - 1 component (grayscale) or 3 components (YCbCr, any h/v sampling
   factors ≤ 2 — 4:4:4, 4:2:2, 4:2:0); only the LUMINANCE plane is
   reconstructed (the OCR tier reads gray), but chroma blocks are fully
@@ -170,8 +174,213 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, qt: np.ndarray,
     return _DCT_M.T @ block @ _DCT_M, dc
 
 
+def _refine_nonzero(r: _BitReader, coef: np.ndarray, k: int, se: int,
+                    p1: int) -> None:
+    """T.81 G.2 AC-refinement correction walk: every already-nonzero
+    coefficient in [k, se] consumes one bit; a 1-bit grows the magnitude
+    by one quantum (p1 = 1 << Al) unless that quantum is already set."""
+    for i in range(k, se + 1):
+        c = int(coef[i])
+        if c != 0 and r.read_bit() and (c & p1) == 0:
+            coef[i] = c + (p1 if c >= 0 else -p1)
+
+
+def _decode_scan_progressive(payload: bytes, body_at: int, seg: bytes,
+                             frame, huff_dc, huff_ac, coefs,
+                             restart_interval: int) -> int:
+    """One progressive scan (T.81 Annex G.2): decode its entropy data
+    into the per-component zig-zag coefficient buffers and return the
+    payload offset of the next marker. Handles all four scan kinds —
+    DC first (interleaved or single-component), DC refine, AC first and
+    AC refine (single-component by G.1.1.1.1), with EOB runs and
+    restart-interval resync."""
+    h, w, comps = frame
+    ns = seg[0]
+    sel = []
+    for s in range(ns):
+        cs, tdta = struct.unpack_from(">BB", seg, 1 + 2 * s)
+        for ci, (cid, hi, vi, tq) in enumerate(comps):
+            if cid == cs:
+                sel.append((ci, tdta >> 4, tdta & 0x0F))
+                break
+        else:
+            raise OcrUnsupported("jpeg: scan selects unknown component")
+    ss, se, a = struct.unpack_from(">BBB", seg, 1 + 2 * ns)
+    ah, al = a >> 4, a & 0x0F
+    if ss > se or se > 63 or al > 13:
+        raise OcrUnsupported("jpeg: bad spectral selection")
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise OcrUnsupported("jpeg: DC scan with AC band")
+    if not is_dc and ns != 1:
+        raise OcrUnsupported("jpeg: interleaved AC scan (G.1.1.1.1)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    # entropy data starts right after the scan header (body_at is the
+    # segment body start, len(seg) its length)
+    r = _BitReader(payload, body_at + len(seg))
+    preds = [0] * len(comps)
+    eobrun = 0
+
+    def block_dc_first(coef: np.ndarray, ci: int, tab) -> None:
+        t = r.decode_huff(tab)
+        preds[ci] += _extend(r.read_bits(t), t) if t else 0
+        coef[0] = preds[ci] << al
+
+    def block_ac_first(coef: np.ndarray, tab) -> None:
+        nonlocal eobrun
+        if eobrun:
+            eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = r.decode_huff(tab)
+            run, size = rs >> 4, rs & 0x0F
+            if size == 0:
+                if run == 15:
+                    k += 16
+                    continue
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += r.read_bits(run)
+                return
+            k += run
+            if k > se:
+                raise OcrUnsupported("jpeg: AC run past band end")
+            coef[k] = _extend(r.read_bits(size), size) << al
+            k += 1
+
+    def block_ac_refine(coef: np.ndarray, tab) -> None:
+        nonlocal eobrun
+        p1 = 1 << al
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = r.decode_huff(tab)
+                run, size = rs >> 4, rs & 0x0F
+                newval = 0
+                if size == 0:
+                    if run != 15:  # EOB run covers this + `eobrun` blocks
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.read_bits(run)
+                        break
+                    # ZRL: pass over 16 zero-history positions
+                elif size == 1:
+                    newval = p1 if r.read_bit() else -p1
+                else:
+                    raise OcrUnsupported("jpeg: refinement size > 1")
+                # advance over `run` zero-history coefficients, paying a
+                # correction bit at every nonzero-history one en route
+                while k <= se:
+                    c = int(coef[k])
+                    if c != 0:
+                        if r.read_bit() and (c & p1) == 0:
+                            coef[k] = c + (p1 if c >= 0 else -p1)
+                    else:
+                        if run == 0:
+                            break
+                        run -= 1
+                    k += 1
+                if newval and k <= se:
+                    coef[k] = newval
+                k += 1
+        if eobrun:
+            _refine_nonzero(r, coef, k, se, p1)
+            eobrun -= 1
+
+    if ns == 1:
+        # non-interleaved: the scan's MCU is ONE block over the
+        # component's own (unpadded) block grid, T.81 A.2.2
+        ci, td, ta = sel[0]
+        _, hi, vi, _ = comps[ci]
+        bw = -(-(-(-w * hi // hmax)) // 8)
+        bh = -(-(-(-h * vi // vmax)) // 8)
+        units = [(ci, td, ta, by, bx)
+                 for by in range(bh) for bx in range(bw)]
+    else:
+        units = []
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, td, ta in sel:
+                    _, hi, vi, _ = comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            units.append((ci, td, ta,
+                                          my * vi + by, mx * hi + bx))
+        units_per_mcu = sum(hi * vi for _, hi, vi, _ in
+                            (comps[ci] for ci, _, _ in sel))
+    done = 0
+    per_mcu = 1 if ns == 1 else units_per_mcu
+    for ui, (ci, td, ta, by, bx) in enumerate(units):
+        if restart_interval and ui % per_mcu == 0:
+            done = ui // per_mcu
+            if done and done % restart_interval == 0:
+                r.restart()
+                preds = [0] * len(comps)
+                eobrun = 0
+        coef = coefs[ci][by, bx]
+        if is_dc:
+            if ah == 0:
+                tab = huff_dc.get(td)
+                if tab is None:
+                    raise OcrUnsupported("jpeg: missing Huffman table")
+                block_dc_first(coef, ci, tab)
+            elif r.read_bit():  # DC refine: one raw bit per block
+                coef[0] = int(coef[0]) | (1 << al)
+        else:
+            tab = huff_ac.get(ta)
+            if tab is None:
+                raise OcrUnsupported("jpeg: missing Huffman table")
+            if ah == 0:
+                block_ac_first(coef, tab)
+            else:
+                block_ac_refine(coef, tab)
+    # find the next marker after this scan's entropy data
+    pos = r.pos
+    n = len(payload)
+    while pos + 1 < n:
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            if not 0xD0 <= payload[pos + 1] <= 0xD7:
+                return pos
+            pos += 2
+            continue
+        pos += 1
+    raise OcrUnsupported("jpeg: unterminated progressive scan")
+
+
+def _reconstruct_progressive(frame, coefs, qtables) -> list[bytes]:
+    """Final pass after all progressive scans: dequantize the luminance
+    component's accumulated zig-zag coefficients and IDCT every block
+    (one vectorized einsum over all blocks), then upsample/crop exactly
+    like the baseline path."""
+    h, w, comps = frame
+    _, lh, lv, tq = comps[0]
+    qt = qtables.get(tq)
+    if qt is None:
+        raise OcrUnsupported("jpeg: missing quant table")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    by, bx = coefs[0].shape[:2]
+    deq = coefs[0].astype(np.float64) * qt  # (by, bx, 64), zig-zag order
+    blocks = np.zeros((by, bx, 64), dtype=np.float64)
+    blocks[:, :, ZIGZAG] = deq
+    blocks = blocks.reshape(by, bx, 8, 8)
+    # IDCT all blocks at once: M.T @ B @ M
+    spatial = np.einsum("ij,yxjk,kl->yxil", _DCT_M.T, blocks, _DCT_M)
+    ypl = spatial.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    lum = np.clip(np.rint(ypl + 128.0), 0, 255).astype(np.uint8)
+    if lh != hmax or lv != vmax:
+        lum = np.repeat(np.repeat(lum, vmax // lv, axis=0),
+                        hmax // lh, axis=1)
+    lum = lum[:h, :w]
+    return [lum[y].tobytes() for y in range(h)]
+
+
 def decode_jpeg_gray(payload: bytes) -> list[bytes]:
-    """Baseline JPEG → top-down luminance rows (the shared raster every
+    """Baseline or progressive JPEG → top-down luminance rows (the shared raster every
     scanned-container decoder here emits). Raises ``OcrUnsupported``
     outside the profile; nothing else — including on arbitrarily
     truncated or bit-flipped streams (a corrupt crawl payload must land
@@ -197,6 +406,8 @@ def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
     huff_ac: dict[int, dict] = {}
     frame = None  # (h, w, comps) comps = [(cid, hi, vi, tq)]
     restart_interval = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None  # per-comp (by, bx, 64) zig-zag
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise OcrUnsupported("jpeg: marker desync")
@@ -205,6 +416,8 @@ def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
+            if coefs is not None:
+                return _reconstruct_progressive(frame, coefs, qtables)
             raise OcrUnsupported("jpeg: EOI before scan")
         (seglen,) = struct.unpack_from(">H", payload, pos)
         seg = payload[pos + 2:pos + seglen]
@@ -235,7 +448,8 @@ def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _build_huffman(
                     bits, vals)
                 at += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", seg, 0)
             if prec != 8:
                 raise OcrUnsupported(f"jpeg: {prec}-bit samples")
@@ -251,16 +465,32 @@ def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
             if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
                 raise OcrUnsupported(f"jpeg: implausible dimensions {w}x{h}")
             frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise OcrUnsupported(
-                f"jpeg: SOF{marker - 0xC0} outside the baseline profile")
+                f"jpeg: SOF{marker - 0xC0} outside the "
+                "baseline/progressive profile")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack_from(">H", seg, 0)
         elif marker == 0xDA:  # SOS — decode the scan
             if frame is None:
                 raise OcrUnsupported("jpeg: SOS before SOF")
             h, w, comps = frame
+            if progressive:
+                if coefs is None:
+                    hmax = max(c[1] for c in comps)
+                    vmax = max(c[2] for c in comps)
+                    mcus_x = -(-w // (8 * hmax))
+                    mcus_y = -(-h // (8 * vmax))
+                    coefs = [
+                        np.zeros((mcus_y * vi, mcus_x * hi, 64),
+                                 dtype=np.int32)
+                        for _, hi, vi, _ in comps
+                    ]
+                pos = _decode_scan_progressive(
+                    payload, body_at, seg, frame, huff_dc, huff_ac,
+                    coefs, restart_interval)
+                continue
             ns = seg[0]
             if ns != len(comps):
                 raise OcrUnsupported("jpeg: non-interleaved scans")
@@ -312,6 +542,9 @@ def _decode_jpeg_gray(payload: bytes) -> list[bytes]:
             lum = lum[:h, :w]
             return [lum[y].tobytes() for y in range(h)]
         # APPn/COM/others: skipped via seglen
+    if coefs is not None:
+        # EOI sits at the stream tail (or a sloppy writer omitted it)
+        return _reconstruct_progressive(frame, coefs, qtables)
     raise OcrUnsupported("jpeg: no scan data")
 
 
@@ -493,6 +726,225 @@ def pack_jpeg_gray(px: list, components: int = 1,
     return bytes(out)
 
 
+# flat AC table for the progressive twin: every RS byte gets a code
+# (255 at 8 bits, the last at 9), since Annex K's table lacks EOBn
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = bytes(range(256))
+
+
+class _ProgAcState:
+    """Encoder-side EOB-run state for one progressive AC scan: the run
+    counter plus (refinement scans) the correction bits buffered until
+    the run flushes — T.81 G.1.2.2-G.1.2.3 / the libjpeg BE buffer."""
+
+    __slots__ = ("eobrun", "pending")
+
+    def __init__(self) -> None:
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def flush(self, wtr: _BitWriter, ac_codes) -> None:
+        if self.eobrun:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = ac_codes[nbits << 4]
+            wtr.write(code, ln)
+            if nbits:
+                wtr.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            wtr.write(b, 1)
+        self.pending = []
+
+
+def pack_jpeg_gray_progressive(px: list, successive: bool = True,
+                               restart_interval: int = 0) -> bytes:
+    """Pack top-down luminance rows into a PROGRESSIVE (SOF2) grayscale
+    JPEG — same all-ones quantization and Annex-K tables as the baseline
+    twin, so after every scan lands the accumulated coefficients are
+    bit-identical to the baseline encoding's and the two decode to the
+    same raster (pinned by test). ``successive=True`` uses successive
+    approximation (Al=1 first scans + Ah=1 refinement scans — all four
+    progressive block-decode procedures, EOB runs and the buffered
+    correction bits included); False emits spectral selection only
+    (DC scan + two AC band scans). ``restart_interval`` adds DRI/RSTn
+    resync inside every scan."""
+    h, w = len(px), len(px[0])
+    m = np.frombuffer(b"".join(bytes(r) for r in px),
+                      dtype=np.uint8).reshape(h, w).astype(np.float64)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.empty((ph, pw), dtype=np.float64)
+    padded[:h, :w] = m
+    padded[h:, :w] = m[h - 1:h, :]
+    padded[:, w:] = padded[:, w - 1:w]
+    # all blocks' quantized zig-zag coefficients (all-ones quant)
+    bh, bw = ph // 8, pw // 8
+    blocks = []
+    for by in range(bh):
+        for bx in range(bw):
+            blk = padded[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8]
+            coef = _DCT_M @ (blk - 128.0) @ _DCT_M.T
+            blocks.append(np.rint(coef).astype(np.int64).flatten()[ZIGZAG])
+    dc_codes = _encode_codes(_STD_DC_BITS, _STD_DC_VALS)
+    # Annex K's baseline AC table has no EOBn (n>0) symbols, which
+    # progressive EOB runs need — use a flat canonical table covering
+    # every RS byte (255 8-bit codes + one 9-bit, keeping the all-ones
+    # code of each length unassigned per Annex C)
+    ac_codes = _encode_codes(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    def scan_header(ss: int, se: int, ah: int, al: int) -> bytes:
+        body = bytes([1]) + struct.pack(">BB", 1, 0x00) + \
+            bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    def rst(wtr: _BitWriter, i: int) -> None:
+        wtr.marker(0xD0 + i % 8)
+
+    def dc_first(al: int) -> bytes:
+        wtr = _BitWriter()
+        pred = 0
+        for i, q in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                rst(wtr, i // restart_interval - 1)
+                pred = 0
+            d = int(q[0]) >> al  # DC point transform: arithmetic shift
+            t, bits_v = _mag(d - pred)
+            pred = d
+            code, ln = dc_codes[t]
+            wtr.write(code, ln)
+            if t:
+                wtr.write(bits_v, t)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def dc_refine(al: int) -> bytes:
+        wtr = _BitWriter()
+        for i, q in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                rst(wtr, i // restart_interval - 1)
+            wtr.write((int(q[0]) >> al) & 1, 1)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_first(ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        st = _ProgAcState()
+        for i, q in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                st.flush(wtr, ac_codes)
+                rst(wtr, i // restart_interval - 1)
+            # AC point transform: division truncating toward zero
+            vals = [(abs(int(q[k])) >> al) * (1 if q[k] >= 0 else -1)
+                    for k in range(ss, se + 1)]
+            last_nz = -1
+            for j, v in enumerate(vals):
+                if v:
+                    last_nz = j
+            if last_nz < 0:
+                st.eobrun += 1
+                if st.eobrun == 0x7FFF:
+                    st.flush(wtr, ac_codes)
+                continue
+            st.flush(wtr, ac_codes)  # this block has codes: flush first
+            run = 0
+            for j in range(last_nz + 1):
+                v = vals[j]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                t, bits_v = _mag(v)
+                code, ln = ac_codes[(run << 4) | t]
+                wtr.write(code, ln)
+                wtr.write(bits_v, t)
+                run = 0
+            if last_nz < se - ss:  # trailing zeros: this block EOBs
+                st.eobrun += 1
+        st.flush(wtr, ac_codes)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    def ac_refine(ss: int, se: int, al: int) -> bytes:
+        wtr = _BitWriter()
+        st = _ProgAcState()
+        for i, q in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                st.flush(wtr, ac_codes)
+                rst(wtr, i // restart_interval - 1)
+            absv = [abs(int(q[k])) >> al for k in range(ss, se + 1)]
+            eob = -1  # index after which only history coefs remain
+            for j, t in enumerate(absv):
+                if t == 1:
+                    eob = j
+            run = 0
+            bits: list[int] = []
+            for j, t in enumerate(absv):
+                if t == 0:
+                    run += 1
+                    continue
+                while run > 15 and j <= eob:
+                    st.flush(wtr, ac_codes)
+                    code, ln = ac_codes[0xF0]
+                    wtr.write(code, ln)
+                    run -= 16
+                    for b in bits:
+                        wtr.write(b, 1)
+                    bits = []
+                if t > 1:  # history coefficient: buffered correction bit
+                    bits.append(t & 1)
+                    continue
+                st.flush(wtr, ac_codes)
+                code, ln = ac_codes[(run << 4) | 1]
+                wtr.write(code, ln)
+                wtr.write(0 if q[ss + j] < 0 else 1, 1)
+                for b in bits:
+                    wtr.write(b, 1)
+                bits = []
+                run = 0
+            if run > 0 or bits:
+                st.eobrun += 1
+                st.pending.extend(bits)
+                if st.eobrun == 0x7FFF:
+                    st.flush(wtr, ac_codes)
+        st.flush(wtr, ac_codes)
+        wtr.flush()
+        return bytes(wtr.buf)
+
+    if successive:
+        scans = [
+            (scan_header(0, 0, 0, 1), dc_first(1)),
+            (scan_header(1, 5, 0, 1), ac_first(1, 5, 1)),
+            (scan_header(6, 63, 0, 1), ac_first(6, 63, 1)),
+            (scan_header(0, 0, 1, 0), dc_refine(0)),
+            (scan_header(1, 5, 1, 0), ac_refine(1, 5, 0)),
+            (scan_header(6, 63, 1, 0), ac_refine(6, 63, 0)),
+        ]
+    else:
+        scans = [
+            (scan_header(0, 0, 0, 0), dc_first(0)),
+            (scan_header(1, 5, 0, 0), ac_first(1, 5, 0)),
+            (scan_header(6, 63, 0, 0), ac_first(6, 63, 0)),
+        ]
+
+    out = bytearray(b"\xff\xd8")
+    qt = bytes([0]) + bytes([1] * 64)
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(qt)) + qt
+    sof = struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    for tc, bits_t, vals in ((0, _STD_DC_BITS, _STD_DC_VALS),
+                             (1, _FLAT_AC_BITS, _FLAT_AC_VALS)):
+        seg = bytes([tc << 4]) + bytes(bits_t) + vals
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    for header, body in scans:
+        out += header + body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def render_text_jpeg(text: str, width: int = 32) -> bytes:
     """Print ``text`` in the fixed-pitch OCR font onto a baseline JPEG —
     the JPEG twin of ``render_text_bmp``/``render_text_png``."""
@@ -501,3 +953,16 @@ def render_text_jpeg(text: str, width: int = 32) -> bytes:
     )
 
     return pack_jpeg_gray(render_page_gray(wrap_fixed(text, width)))
+
+
+def render_text_jpeg_progressive(text: str, width: int = 32) -> bytes:
+    """Print ``text`` onto a PROGRESSIVE (SOF2) JPEG — successive
+    approximation with restart markers, the web-CDN default encoding the
+    reference's .jpg upload path receives most often in the wild."""
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        render_page_gray, wrap_fixed,
+    )
+
+    return pack_jpeg_gray_progressive(
+        render_page_gray(wrap_fixed(text, width)),
+        successive=True, restart_interval=7)

@@ -10,8 +10,9 @@ struct-level chunk walk, ``zlib`` inflate, and the five scanline filters
 Profile (everything outside it raises ``OcrUnsupported`` so the
 extraction tier quarantines loudly instead of mis-reading):
 
-- bit depth 8, no interlace (Adam7 would need a 7-pass deinterleave;
-  scanned pages are never interlaced)
+- bit depth 8; interlace methods 0 (sequential) and 1 (Adam7 — the
+  7-pass deinterleave below, each pass filtered independently per the
+  spec's "treat each pass as an independent image" rule)
 - color types 0 (grayscale), 2 (truecolor → integer luminance
   ``(r+g+b)//3``, the BMP palette discipline), 3 (palette, mapped
   through PLTE with the same luminance rule), and 4/6 (gray/RGB with
@@ -40,6 +41,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _MAX_RASTER_BYTES = 64 * 1024 * 1024
 # samples per pixel by color type (before the bit-depth multiplier)
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 def _chunks(payload: bytes):
@@ -116,6 +123,31 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> list[bytearray]:
     return rows
 
 
+def _deinterlace_adam7(raw: bytes, width: int, height: int,
+                       bpp: int) -> list[bytearray]:
+    """Reassemble an Adam7 raster: each of the 7 passes is an independent
+    filtered sub-image (its own filter bytes, its own prior-row state —
+    PNG spec §8.2/§12.8), consumed in order from the inflated stream and
+    scattered onto the full-resolution grid."""
+    full = [bytearray(width * bpp) for _ in range(height)]
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = -(-(width - x0) // dx) if width > x0 else 0
+        ph = -(-(height - y0) // dy) if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue  # empty pass contributes zero bytes
+        span = ph * (1 + pw * bpp)
+        sub = _unfilter(raw[pos:pos + span], pw, ph, bpp)
+        pos += span
+        for py, line in enumerate(sub):
+            y = y0 + py * dy
+            row = full[y]
+            for px_i in range(pw):
+                x = (x0 + px_i * dx) * bpp
+                row[x:x + bpp] = line[px_i * bpp:(px_i + 1) * bpp]
+    return full
+
+
 def decode_png_gray(payload: bytes) -> list[bytes]:
     """Parse a PNG into top-down luminance rows (one byte per pixel) —
     the ``decode_bmp_gray`` output shape, so PNG pages feed the same OCR
@@ -157,8 +189,8 @@ def _decode_png_gray(payload: bytes) -> list[bytes]:
         raise OcrUnsupported(f"png: unsupported bit depth {bit_depth}")
     if color_type not in _CHANNELS:
         raise OcrUnsupported(f"png: unsupported color type {color_type}")
-    if interlace != 0:
-        raise OcrUnsupported("png: Adam7 interlace outside this profile")
+    if interlace not in (0, 1):
+        raise OcrUnsupported(f"png: unknown interlace method {interlace}")
     if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
         raise OcrUnsupported(f"png: implausible dimensions {width}x{height}")
     if not idat:
@@ -175,7 +207,10 @@ def _decode_png_gray(payload: bytes) -> list[bytes]:
         raise OcrUnsupported(f"png: inflate failed ({exc})") from None
     if len(raw) > _MAX_RASTER_BYTES:
         raise OcrUnsupported("png: raster exceeds decode cap")
-    rows = _unfilter(raw, width, height, bpp)
+    if interlace == 1:
+        rows = _deinterlace_adam7(raw, width, height, bpp)
+    else:
+        rows = _unfilter(raw, width, height, bpp)
     if color_type == 0:
         return [bytes(r) for r in rows]
     if color_type == 3:
@@ -215,28 +250,43 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data)))
 
 
-def pack_png_gray(px: list) -> bytes:
+def pack_png_gray(px: list, interlace: bool = False) -> bytes:
     """Pack top-down luminance rows into the plainest conforming PNG:
     8-bit grayscale (color type 0), filter 0 per scanline, one IDAT.
-    Encoder twin of ``decode_png_gray`` (round-trip pinned by tests)."""
+    ``interlace=True`` emits Adam7 pass order (each pass an independent
+    filter-0 sub-image — the web-optimized layout browsers render
+    progressively). Encoder twin of ``decode_png_gray`` (round-trips
+    pinned by tests)."""
     height, width = len(px), len(px[0])
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(b"\x00" + bytes(px[y]) for y in range(height))
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            for y in range(y0, height, dy):
+                line = bytes(px[y][x] for x in range(x0, width, dx))
+                if line:
+                    parts.append(b"\x00" + line)
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + bytes(px[y]) for y in range(height))
     return (_PNG_SIG + _chunk(b"IHDR", ihdr)
             + _chunk(b"IDAT", zlib.compress(raw, 6))
             + _chunk(b"IEND", b""))
 
 
-def render_text_png(text: str, width: int = 32) -> bytes:
+def render_text_png(text: str, width: int = 32,
+                    interlace: bool = False) -> bytes:
     """Print ``text`` in the 5x7 fixed-pitch OCR font onto a grayscale
     PNG — the PNG twin of ``render_text_bmp`` (shared raster, different
     container), the scanned-page shape the reference OCRs via Tesseract
-    (tesseract_extractor.py:22-53)."""
+    (tesseract_extractor.py:22-53). ``interlace=True`` emits Adam7."""
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_page_gray, wrap_fixed,
     )
 
-    return pack_png_gray(render_page_gray(wrap_fixed(text, width)))
+    return pack_png_gray(render_page_gray(wrap_fixed(text, width)),
+                         interlace=interlace)
 
 
 def ocr_png(payload: bytes, max_err: int = 6) -> list[str]:

@@ -1,16 +1,24 @@
-"""From-scratch TIFF decoder (uncompressed baseline) + encoder twin.
+"""From-scratch TIFF decoder + encoder twin.
 
 Closes the reference's ``.tiff`` upload slice (models/enums.py:25-31;
 tesseract_extractor.py:22-53 OCRs image uploads): built from the public
-TIFF 6.0 baseline specification — II/MM byte orders, IFD walk, strip
-assembly — for the profile a scanner actually emits uncompressed:
+TIFF 6.0 specification — II/MM byte orders, IFD walk, strip assembly:
 
-- Compression 1 (none); anything else (LZW/PackBits/JPEG-in-TIFF) raises
-  ``OcrUnsupported`` for the loud needs-OCR quarantine
+- Compression 1 (none), 5 (LZW — TIFF's MSB-first variable-width code
+  stream with the spec's "early change": the code width grows when the
+  next free code reaches 2^bits − 1, one code earlier than GIF's LZW;
+  Clear=256/EOI=257, 12-bit cap with in-stream table resets), 8/32946
+  (Deflate — zlib streams per strip), and 32773 (PackBits run-length).
+  JPEG-in-TIFF and the fax codecs raise ``OcrUnsupported`` for the loud
+  needs-OCR quarantine
+- Predictor tag 317: 1 (none) and 2 (horizontal differencing, undone
+  per row after decompression); predictor 3 (floating point) raises
 - 8-bit samples; PhotometricInterpretation 0 (WhiteIsZero → inverted),
   1 (BlackIsZero), 2 (RGB → ``(r+g+b)//3`` luminance), 3 (palette via
   the 16-bit ColorMap, scaled ``>> 8`` then the same luminance rule)
-- multi-strip images assembled in order (RowsPerStrip honored)
+- multi-strip images assembled in order (RowsPerStrip honored); each
+  strip decompresses independently (spec rule — LZW/Deflate state does
+  not cross strip boundaries)
 
 Output is the shared top-down luminance-row raster, so TIFF pages OCR
 through the identical ``ocr_gray_rows`` machinery as BMP/PNG/GIF pages.
@@ -57,8 +65,106 @@ def _read_values(payload: bytes, endian: str, ftype: int, count: int,
     raise OcrUnsupported(f"tiff: unsupported field type {ftype}")
 
 
+def _unpackbits(data: bytes, cap: int) -> bytes:
+    """PackBits run-length decode (TIFF 6.0 §9 / the classic Mac ROM
+    routine): n in [0,127] → copy n+1 literals, n in [-127,-1] → repeat
+    the next byte 1−n times, −128 → no-op. ``cap`` bounds the output (a
+    hostile run table must not balloon past the declared raster)."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        pos += 1
+        if c == 0x80:
+            continue
+        if c < 0x80:
+            if n - pos < c + 1:
+                raise OcrUnsupported("tiff: truncated PackBits literals")
+            out += data[pos:pos + c + 1]
+            pos += c + 1
+        else:
+            if pos >= n:
+                raise OcrUnsupported("tiff: truncated PackBits run")
+            out += bytes([data[pos]]) * (257 - c)
+            pos += 1
+        if len(out) > cap:
+            raise OcrUnsupported("tiff: PackBits output exceeds raster")
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, cap: int) -> bytes:
+    """TIFF-variant LZW decode (TIFF 6.0 §13): MSB-first codes starting
+    at 9 bits, Clear=256, EOI=257, first free code 258, and the spec's
+    EARLY CHANGE — the read width grows when the next free code equals
+    2^bits − 1 (511/1023/2047), one code earlier than GIF's LZW (the
+    gif_kernel decoder switches at 2^bits). 12-bit cap; a Clear anywhere
+    resets the table and the width."""
+    out = bytearray()
+    acc = nbits_in = 0
+    pos = 0
+    n = len(data)
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits_in < width:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate (common in wild)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits_in += 8
+        nbits_in -= width
+        code = (acc >> nbits_in) & ((1 << width) - 1)
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise OcrUnsupported("tiff: LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise OcrUnsupported("tiff: LZW code past table end")
+        out += entry
+        if len(out) > cap:
+            raise OcrUnsupported("tiff: LZW output exceeds raster")
+        prev = entry
+        # early change: grow the READ width when the next code to be
+        # assigned is 2^width − 1 (the table can still grow to 4095)
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def _undo_predictor2(data: bytearray, width: int, height: int,
+                     spp: int) -> None:
+    """Reverse horizontal differencing (Predictor tag 317 = 2) in place:
+    each sample was stored as the delta to the same sample one pixel
+    left; re-accumulate per row."""
+    stride = width * spp
+    for y in range(height):
+        base = y * stride
+        for i in range(base + spp, base + stride):
+            data[i] = (data[i] + data[i - spp]) & 0xFF
+
+
 def decode_tiff_gray(payload: bytes) -> list[bytes]:
-    """Parse an uncompressed baseline TIFF's first IFD into top-down
+    """Parse a TIFF's first IFD into top-down
     luminance rows. Raises ``OcrUnsupported`` outside the profile;
     nothing else — including on arbitrarily corrupted IFDs (e.g. a
     zero-count entry for a required tag; the JPEG/WebP error-boundary
@@ -93,7 +199,7 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
         if at + 12 > len(payload):
             raise OcrUnsupported("tiff: truncated IFD")
         tag, ftype, count = struct.unpack_from(endian + "HHI", payload, at)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 320):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 317, 320):
             tags[tag] = _read_values(
                 payload, endian, ftype, count, payload[at + 8:at + 12])
     try:
@@ -104,10 +210,13 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
     except KeyError as exc:
         raise OcrUnsupported(f"tiff: missing required tag {exc}") from None
     compression = tags.get(259, [1])[0]
-    if compression != 1:
+    if compression not in (1, 5, 8, 32773, 32946):
         raise OcrUnsupported(
             f"tiff: compression {compression} needs a codec outside this "
-            "profile (only uncompressed baseline decodes here)")
+            "profile (none/LZW/Deflate/PackBits decode here)")
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        raise OcrUnsupported(f"tiff: unsupported predictor {predictor}")
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * spp)
@@ -117,13 +226,38 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
         raise OcrUnsupported(f"tiff: implausible dimensions {width}x{height}")
     if len(strip_offsets) != len(strip_counts):
         raise OcrUnsupported("tiff: strip offset/count mismatch")
+    need = width * height * spp
+    rows_per_strip = tags.get(278, [height])[0]
+    stride = width * spp
     data = bytearray()
-    for off, cnt in zip(strip_offsets, strip_counts):
+    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
         chunk = payload[off:off + cnt]
         if len(chunk) < cnt:
             raise OcrUnsupported("tiff: truncated strip data")
-        data += chunk
-    need = width * height * spp
+        if compression == 1:
+            strip = bytes(chunk)
+        elif compression == 5:
+            strip = _lzw_decode(chunk, need)
+        elif compression == 32773:
+            strip = _unpackbits(chunk, need)
+        else:  # 8 / 32946: zlib per strip
+            import zlib
+
+            try:
+                strip = zlib.decompressobj().decompress(chunk, need + 1)
+            except zlib.error as exc:
+                raise OcrUnsupported(
+                    f"tiff: inflate failed ({exc})") from None
+            if len(strip) > need:
+                raise OcrUnsupported("tiff: inflate output exceeds raster")
+        if predictor == 2:
+            n_rows = min(rows_per_strip, max(0, height - si * rows_per_strip))
+            if len(strip) < n_rows * stride:
+                raise OcrUnsupported("tiff: short strip for predictor")
+            buf = bytearray(strip)
+            _undo_predictor2(buf, width, n_rows, spp)
+            strip = bytes(buf)
+        data += strip
     if len(data) < need:
         raise OcrUnsupported("tiff: short pixel data")
     if photometric in (0, 1):
@@ -160,24 +294,128 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
     raise OcrUnsupported(f"tiff: unsupported photometric {photometric}")
 
 
-def pack_tiff_gray(px: list) -> bytes:
-    """Pack top-down luminance rows into the plainest baseline TIFF:
-    little-endian, 8-bit grayscale (BlackIsZero), uncompressed, one
-    strip. Encoder twin of ``decode_tiff_gray``."""
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encode (literal/run alternation, runs ≥ 3 bytes pay)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encode — the exact mirror of ``_lzw_decode``:
+    MSB-first, leading Clear, EOI terminator, EARLY CHANGE (the write
+    width grows when the next free code equals 2^bits − 1), table reset
+    via Clear when code 4094 would be assigned."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # the decoder's table lags this one by exactly one entry (it adds
+        # per code READ, after the first), so its early-change threshold
+        # of 2^w − 1 pairs with 2^w here — both flip before the same code
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt >= 4094:  # 12-bit table nearly full: in-stream reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _apply_predictor2(data: bytes, width: int, height: int,
+                      spp: int) -> bytes:
+    """Forward horizontal differencing — encoder side of tag 317 = 2."""
+    buf = bytearray(data)
+    stride = width * spp
+    for y in range(height):
+        base = y * stride
+        for i in range(base + stride - 1, base + spp - 1, -1):
+            buf[i] = (buf[i] - buf[i - spp]) & 0xFF
+    return bytes(buf)
+
+
+def pack_tiff_gray(px: list, compression: int = 1,
+                   predictor: int = 1) -> bytes:
+    """Pack top-down luminance rows into a conforming little-endian
+    8-bit grayscale (BlackIsZero) one-strip TIFF. ``compression`` picks
+    the strip codec (1 none, 5 LZW, 8 Deflate, 32773 PackBits);
+    ``predictor=2`` stores horizontal deltas (tag 317, only meaningful
+    with a codec). Encoder twin of ``decode_tiff_gray``."""
+    if compression not in (1, 5, 8, 32773):
+        raise ValueError(f"unsupported compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
     height, width = len(px), len(px[0])
     data = b"".join(bytes(px[y]) for y in range(height))
+    if predictor == 2:
+        data = _apply_predictor2(data, width, height, 1)
+    if compression == 5:
+        data = _lzw_encode(data)
+    elif compression == 8:
+        import zlib
+
+        data = zlib.compress(data, 6)
+    elif compression == 32773:
+        data = _packbits_encode(data)
     # layout: header (8) | IFD | pixel data
     entries = [
         (256, 3, 1, width),         # ImageWidth
         (257, 3, 1, height),        # ImageLength
         (258, 3, 1, 8),             # BitsPerSample
-        (259, 3, 1, 1),             # Compression: none
+        (259, 3, 1, compression),   # Compression
         (262, 3, 1, 1),             # Photometric: BlackIsZero
         (273, 4, 1, None),          # StripOffsets (patched)
         (277, 3, 1, 1),             # SamplesPerPixel
         (278, 3, 1, height),        # RowsPerStrip
         (279, 4, 1, len(data)),     # StripByteCounts
     ]
+    if predictor == 2:
+        entries.append((317, 3, 1, 2))  # Predictor: horizontal deltas
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * len(entries) + 4
     out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
@@ -193,11 +431,14 @@ def pack_tiff_gray(px: list) -> bytes:
     return bytes(out)
 
 
-def render_text_tiff(text: str, width: int = 32) -> bytes:
+def render_text_tiff(text: str, width: int = 32, compression: int = 1,
+                     predictor: int = 1) -> bytes:
     """Print ``text`` in the fixed-pitch OCR font onto a TIFF page — the
-    TIFF twin of ``render_text_bmp``/``render_text_png``."""
+    TIFF twin of ``render_text_bmp``/``render_text_png``. ``compression``
+    and ``predictor`` pass through to :func:`pack_tiff_gray`."""
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_page_gray, wrap_fixed,
     )
 
-    return pack_tiff_gray(render_page_gray(wrap_fixed(text, width)))
+    return pack_tiff_gray(render_page_gray(wrap_fixed(text, width)),
+                          compression=compression, predictor=predictor)

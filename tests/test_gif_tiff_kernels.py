@@ -170,14 +170,77 @@ def test_tiff_profile_variants(kwargs):
 
 def test_tiff_compressed_quarantines():
     tif = bytearray(T.render_text_tiff("X", width=8))
-    for i in range(9):  # set Compression (tag 259) to LZW (5)
+    for i in range(9):  # set Compression (tag 259) to CCITT G4 (4)
         at = 8 + 2 + 12 * i
         if struct.unpack_from("<H", tif, at)[0] == 259:
-            struct.pack_into("<HH", tif, at + 8, 5, 0)
+            struct.pack_into("<HH", tif, at + 8, 4, 0)
     with pytest.raises(K.OcrUnsupported, match="compression"):
         T.decode_tiff_gray(bytes(tif))
     with pytest.raises(K.OcrUnsupported):
         T.decode_tiff_gray(b"II*\x00\x00\x00\x00")
+
+
+# --------------------------------------------- TIFF codecs (round 4) --
+
+@pytest.mark.parametrize("comp", [5, 8, 32773])
+@pytest.mark.parametrize("pred", [1, 2])
+def test_tiff_codec_roundtrip_and_ocr(comp, pred):
+    """LZW / Deflate / PackBits strips (± the horizontal-differencing
+    predictor) must reconstruct the exact raster and OCR identically to
+    the uncompressed container."""
+    text = "TIFF CODEC 5 8 32773."
+    rows = T.decode_tiff_gray(
+        T.render_text_tiff(text, width=16, compression=comp, predictor=pred))
+    assert K.lines_to_stream_text(K.ocr_gray_rows(rows)) == text
+    rng = np.random.default_rng(comp + pred)
+    m = rng.integers(0, 256, size=(23, 37), dtype=np.uint8)
+    px = [m[y].tobytes() for y in range(23)]
+    got = T.decode_tiff_gray(
+        T.pack_tiff_gray(px, compression=comp, predictor=pred))
+    assert got == px
+
+
+def test_tiff_lzw_early_change_boundaries():
+    """A low-entropy stream long enough to push the LZW table through the
+    9→10→11→12-bit transitions and the 4094-entry in-stream reset — the
+    encoder's width must flip exactly one entry ahead of the decoder's
+    (the decoder's table lags by one), or pixels shear at 511/1023/2047."""
+    rng = np.random.default_rng(3)
+    m = rng.choice(np.frombuffer(b"AB \x00", dtype=np.uint8),
+                   size=(180, 400)).astype(np.uint8)
+    px = [m[y].tobytes() for y in range(180)]
+    got = T.decode_tiff_gray(T.pack_tiff_gray(px, compression=5))
+    assert got == px
+    # hand vector: 9-bit MSB-first codes [Clear, 'A', 'B', EOI] -> b"AB"
+    bits = "".join(format(c, "09b") for c in (256, 65, 66, 257))
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    raw = bytes(int(bits[i:i + 8], 2) for i in range(0, len(bits), 8))
+    assert T._lzw_decode(raw, 10) == b"AB"
+
+
+def test_tiff_packbits_hand_vectors():
+    # the spec's worked example shapes: literal run, repeat run, noop
+    assert T._unpackbits(bytes([0x02, 1, 2, 3, 0xFE, 9, 0x80, 0x00, 7]),
+                         64) == bytes([1, 2, 3, 9, 9, 9, 7])
+    with pytest.raises(K.OcrUnsupported):
+        T._unpackbits(bytes([0x05, 1, 2]), 64)  # truncated literals
+
+
+def test_tiff_codec_fuzz_quarantines_never_crashes():
+    import random
+
+    rnd = random.Random(77)
+    streams = [T.render_text_tiff("FUZZ", width=8, compression=c, predictor=p)
+               for c, p in ((5, 2), (8, 1), (32773, 2))]
+    for base in streams:
+        for _ in range(400):
+            b = bytearray(base)
+            for _ in range(rnd.randrange(1, 4)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+            try:
+                T.decode_tiff_gray(bytes(b))
+            except K.OcrUnsupported:
+                pass
 
 
 # ----------------------------------------------------- dispatch tier --

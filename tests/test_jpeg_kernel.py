@@ -65,8 +65,11 @@ def test_non_multiple_of_mcu_dimensions():
 def test_out_of_profile_quarantines():
     jp = bytearray(J.render_text_jpeg("X", width=8))
     i = jp.find(b"\xff\xc0")
-    jp[i + 1] = 0xC2  # SOF2 progressive
+    jp[i + 1] = 0xC9  # SOF9 arithmetic sequential: out of profile
     with pytest.raises(K.OcrUnsupported, match="baseline"):
+        J.decode_jpeg_gray(bytes(jp))
+    jp[i + 1] = 0xC2  # SOF2 over a baseline 0..63 scan: bad spectral band
+    with pytest.raises(K.OcrUnsupported, match="DC scan"):
         J.decode_jpeg_gray(bytes(jp))
     with pytest.raises(K.OcrUnsupported):
         J.decode_jpeg_gray(J.render_text_jpeg("X", width=8)[:40])
@@ -92,3 +95,70 @@ def test_multimodal_decode_jpeg():
 
     arr = mm._decode_image(J.render_text_jpeg("DOC 8", width=32))
     assert arr.ndim == 3 and arr.shape[2] == 1
+
+
+# ---------------------------------------------------------------------
+# progressive (SOF2) profile — T.81 Annex G.2
+# ---------------------------------------------------------------------
+
+def test_progressive_equals_baseline_bit_exact():
+    """Progressive transmission is a lossless reordering of the same
+    quantized coefficients, so after all scans land the decoded raster
+    must equal the baseline encoding's byte-for-byte — across spectral
+    selection, successive approximation, and restart intervals."""
+    rng = np.random.default_rng(21)
+    for h, w in [(8, 8), (16, 24), (23, 37), (1, 1), (5, 64)]:
+        m = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        px = [m[y].tobytes() for y in range(h)]
+        base = J.decode_jpeg_gray(J.pack_jpeg_gray(px))
+        for succ in (False, True):
+            for ri in (0, 3):
+                prog = J.decode_jpeg_gray(J.pack_jpeg_gray_progressive(
+                    px, successive=succ, restart_interval=ri))
+                assert prog == base, (h, w, succ, ri)
+
+
+def test_progressive_smooth_page_exercises_eob_runs():
+    """A mostly-flat page makes whole blocks zero in the AC band, so the
+    encoder accumulates multi-block EOB runs (with buffered correction
+    bits in the refinement scan) — the decoder must track them."""
+    px = [[255 if (x // 4 + y // 4) % 7 else 0 for x in range(64)]
+          for y in range(48)]
+    base = J.decode_jpeg_gray(J.pack_jpeg_gray(px))
+    for succ in (False, True):
+        got = J.decode_jpeg_gray(
+            J.pack_jpeg_gray_progressive(px, successive=succ))
+        assert got == base
+
+
+def test_progressive_ocr_exact():
+    rows = J.decode_jpeg_gray(J.render_text_jpeg_progressive(TEXT, width=16))
+    assert K.lines_to_stream_text(K.ocr_gray_rows(rows)) == TEXT
+
+
+def test_progressive_fuzz_quarantines_never_crashes():
+    """Bit-flipped progressive streams must quarantine via OcrUnsupported
+    or decode to something — never escape another exception type (the
+    JPEG/WebP error-boundary discipline)."""
+    import random
+
+    rnd = random.Random(1234)
+    base = J.pack_jpeg_gray_progressive(_page(), successive=True,
+                                        restart_interval=4)
+    for _ in range(800):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 4)):
+            b[rnd.randrange(len(b))] = rnd.randrange(256)
+        try:
+            J.decode_jpeg_gray(bytes(b))
+        except K.OcrUnsupported:
+            pass
+
+
+def test_sof2_no_longer_quarantined_other_sofs_still_do():
+    stream = J.pack_jpeg_gray_progressive(_page())
+    assert J.decode_jpeg_gray(stream)  # decodes
+    # SOF9 (arithmetic sequential) must still raise loudly
+    bad = stream.replace(b"\xff\xc2", b"\xff\xc9", 1)
+    with pytest.raises(K.OcrUnsupported, match="SOF9"):
+        J.decode_jpeg_gray(bad)

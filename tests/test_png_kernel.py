@@ -144,9 +144,9 @@ def test_noise_tolerant_ocr_through_png():
      + P._chunk(b"IDAT", zlib.compress(b"\x00" * 100))
      + P._chunk(b"IEND", b""), "16-bit depth"),
     (P._PNG_SIG + P._chunk(
-        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1))
+        b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2))
      + P._chunk(b"IDAT", zlib.compress(b"\x00" * 100))
-     + P._chunk(b"IEND", b""), "Adam7 interlace"),
+     + P._chunk(b"IEND", b""), "unknown interlace method"),
     (P._PNG_SIG + P._chunk(
         b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0))
      + P._chunk(b"IDAT", zlib.compress(b"\x00" * 20))
@@ -236,3 +236,40 @@ def test_best_content_priority(spark):
            for r in best_content(df).collect()}
     assert got == {("u1", "combined", "c1"), ("u2", "text", "t2"),
                    ("u3", "markdown", "m3"), ("u4", "latex", "x+y")}
+
+
+# ------------------------------------------------ Adam7 (round 4) ----
+
+def test_adam7_roundtrip_matches_sequential():
+    """The 7-pass deinterleave must reassemble the exact raster for any
+    geometry (odd sizes hit passes with empty/partial grids)."""
+    rng = np.random.default_rng(17)
+    for h, w in [(1, 1), (3, 5), (9, 13), (8, 8), (17, 31), (2, 100)]:
+        m = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        px = [m[y].tobytes() for y in range(h)]
+        seq = P.decode_png_gray(P.pack_png_gray(px))
+        adam = P.decode_png_gray(P.pack_png_gray(px, interlace=True))
+        assert seq == adam == px, (h, w)
+
+
+def test_adam7_ocr_exact():
+    text = "ADAM SEVEN PASSES, OK."
+    page = K.render_page_gray(K.wrap_fixed(text, 16))
+    lines = P.ocr_png(P.pack_png_gray(page, interlace=True))
+    assert K.lines_to_stream_text(lines) == text
+
+
+def test_adam7_truncated_pass_quarantines():
+    rng = np.random.default_rng(2)
+    m = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    px = [m[y].tobytes() for y in range(16)]
+    good = P.pack_png_gray(px, interlace=True)
+    # rebuild with the last pass's bytes cut off: raster truncates
+    raw = zlib.decompressobj().decompress(
+        good[good.find(b"IDAT") + 4:], 1 << 20)
+    bad = (P._PNG_SIG
+           + P._chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 16, 8, 0, 0, 0, 1))
+           + P._chunk(b"IDAT", zlib.compress(raw[:len(raw) // 2]))
+           + P._chunk(b"IEND", b""))
+    with pytest.raises(K.OcrUnsupported):
+        P.decode_png_gray(bad)
