@@ -16,7 +16,7 @@ extraction tier quarantines loudly instead of mis-reading):
 
 - lossless ``VP8L`` only — lossy ``VP8 `` is a full video intra codec
   (boolean arithmetic coder, prediction modes, loop filter) and stays on
-  the quarantine path, like progressive JPEG;
+  the quarantine path, like arithmetic-coded JPEG;
 - LZ77 distance codes 1..120 (the near-neighbor map) quarantine: their
   120-entry (dx, dy) offset table cannot be verified in this environment
   (no reference decoder to round-trip against), and a wrongly-recalled

@@ -2,11 +2,12 @@
 
 The container has no image/audio/video codec libraries, so decode is a
 three-tier story: REAL for every reference image upload type —
-BMP/PNG/GIF/TIFF/baseline-JPEG/lossless-WEBP via the from-scratch
-kernels — plus RIFF/WAVE PCM-16 audio and YUV4MPEG2 video, a
-deterministic fake container for everything the tests exercise at
-scale, and a loud failure for codec variants outside the documented
-profiles (progressive JPEG, lossy VP8, MP3/MP4) — while everything
+BMP / PNG (sequential + Adam7) / GIF / TIFF (none/LZW/Deflate/PackBits
+strips ± predictor) / JPEG (baseline + progressive) / lossless-WEBP via
+the from-scratch kernels — plus RIFF/WAVE PCM-16 audio and YUV4MPEG2
+video, a deterministic fake container for everything the tests exercise
+at scale, and a loud failure for codec variants outside the documented
+profiles (arithmetic-coded JPEG, lossy VP8, MP3/MP4) — while everything
 Spark-side — schema, Arrow batch shape, partitioning, mapInPandas
 signature — is real and tested. On a cluster with ffmpeg-class codecs
 installed, only `_decode_image` / `_sample_frames` grow arms.
@@ -46,11 +47,13 @@ def encode_fake_image(media_id: int, width: int, height: int, channels: int = 3)
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image decode: REAL for every reference image upload type — BMP,
-    PNG, GIF, TIFF, baseline JPEG, and lossless WEBP, all via the
+    PNG (incl. Adam7), GIF, TIFF (incl. LZW/Deflate/PackBits),
+    JPEG (baseline + progressive), and lossless WEBP, all via the
     from-scratch decoders in kernels/ (luminance (h, w, 1)) — plus the
     deterministic fake container for tests. Container variants outside
-    the documented profiles (progressive JPEG, lossy VP8, ...) raise
-    OcrUnsupported (a ValueError) and quarantine at the operator layer."""
+    the documented profiles (arithmetic-coded JPEG, lossy VP8, ...)
+    raise OcrUnsupported (a ValueError) and quarantine at the operator
+    layer."""
     if payload[:2] == b"BM":
         from pdf_extractor_spark.kernels.ocr_kernel import decode_bmp_gray
 

@@ -390,6 +390,22 @@ def test_decoder_fuzz_no_unexpected_exceptions():
         rows = extract_document(payload)
         assert rows and isinstance(rows[0]["meta"], dict)
 
+    # the round-4 late-wave codec flavors, through the full extraction
+    # dispatch (the same one-row-quarantine contract)
+    from pdf_extractor_spark.kernels.jpeg_kernel import (
+        render_text_jpeg_progressive,
+    )
+    from pdf_extractor_spark.kernels.png_kernel import render_text_png
+    from pdf_extractor_spark.kernels.tiff_kernel import render_text_tiff
+
+    for base in (render_text_jpeg_progressive("FUZZ PJPEG", width=16),
+                 render_text_png("FUZZ ADAM7", width=16, interlace=True),
+                 render_text_tiff("FUZZ LZW", width=16,
+                                  compression=5, predictor=2)):
+        for payload in mutations(base, 150):
+            rows = extract_document(payload)
+            assert rows and isinstance(rows[0]["meta"], dict)
+
     import numpy as np
 
     wav = encode_wav_pcm16(
