@@ -695,7 +695,11 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed C4-style cleaning pipeline over the dup-injected,
     boilerplate-polluted corpus: line-frequency strip → quality/length gate
-    → exact dedup → per-language survivor counts."""
+    → exact dedup → per-language survivor counts; a second stage
+    additionally applies the C4 §2.2 word-boundary blocklist gate
+    (every doc_id % 11 == 3 doc carries an injected 'free money casino'
+    spam phrase and must drop from the c4_badwords stage — while
+    'freemoney' as a substring of normal text must NOT trip it)."""
     from pdf_extractor_spark.operators.text_analysis import c4_style_pipeline
 
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
@@ -707,10 +711,14 @@ def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("doc_id") % 2 == 0, F.lit(". All rights reserved")).otherwise(
                 F.lit("")
             ),
+            F.when(F.col("doc_id") % 11 == 3,
+                   F.lit(". win free money casino bonus")).otherwise(F.lit("")),
         ).alias("text"),
         "lang",
     )
-    return c4_style_pipeline(polluted, min_tokens=20, min_quality=0.5)
+    return c4_style_pipeline(polluted, min_tokens=20, min_quality=0.5,
+                             badword_terms=("casino", "viagra", "free money",
+                                            "lottery winner"))
 
 
 def q_annotation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3108,6 +3116,13 @@ def oracle_sql() -> dict[str, str]:
     """
     # cleaned text == original (injected boilerplate df 1100/550 > 50 is
     # stripped; every natural sentence has df <= 3 across the dup copies)
+    # the badwords stage: word-boundary hits over the SAME
+    # punctuation-stripped normalized token stream the Spark expression
+    # scans — unigram membership plus the reconstructed bigram stream
+    # for the two-word term
+    _q45_toks = ("string_split(trim(regexp_replace(regexp_replace("
+                 + _NORM_SQL.format(c="text")
+                 + ", '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')), ' ')")
     o["q45_c4_pipeline"] = f"""
         WITH docs_dups AS ({_DOCS_DUPS_SQL}),
         q AS ({_quality_sql("docs_dups")}),
@@ -3117,10 +3132,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE q.ws_tokens >= 20 AND q.quality >= 0.5),
         keep AS (
             SELECT min(doc_id) AS doc_id FROM gated
-            GROUP BY md5({_NORM_SQL.format(c='text')}))
-        SELECT lang, count(*) AS survivors FROM gated
-        WHERE doc_id IN (SELECT doc_id FROM keep)
-        GROUP BY lang ORDER BY lang
+            GROUP BY md5({_NORM_SQL.format(c='text')})),
+        surv AS (
+            SELECT lang, doc_id FROM gated
+            WHERE doc_id IN (SELECT doc_id FROM keep)),
+        pol AS (SELECT doc_id,
+                       text || '. Subscribe to our newsletter today'
+                            || CASE WHEN doc_id % 2 = 0
+                                    THEN '. All rights reserved' ELSE '' END
+                            || CASE WHEN doc_id % 11 = 3
+                                    THEN '. win free money casino bonus'
+                                    ELSE '' END AS text
+                FROM docs_dups),
+        tk AS (SELECT doc_id, {_q45_toks} AS toks FROM pol),
+        hits AS (
+            SELECT doc_id,
+                   len(list_filter(toks, t -> t IN ('casino', 'viagra')))
+                 + len(list_filter([array_to_string(toks[i:i+1], ' ')
+                                    for i in range(1, len(toks))],
+                       g -> g IN ('free money', 'lottery winner')))
+                   AS bad_hits
+            FROM tk)
+        SELECT lang, count(*) AS survivors, 'c4' AS stage
+        FROM surv GROUP BY lang
+        UNION ALL
+        SELECT s.lang, count(*) AS survivors, 'c4_badwords' AS stage
+        FROM surv s JOIN hits h ON s.doc_id = h.doc_id
+        WHERE h.bad_hits = 0
+        GROUP BY s.lang
+        ORDER BY stage, lang
     """
     o["q41_normalize_quantize"] = """
         SELECT vec_id,

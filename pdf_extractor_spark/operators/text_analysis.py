@@ -258,14 +258,71 @@ def stratified_split(docs: DataFrame, train_pct: int = 90) -> DataFrame:
     )
 
 
+# default blocklist for the C4 badwords gate: spam/scam terms in the
+# same family as the URL-quality gate's blocklist (webtext.py); real
+# deployments pass their full curated list
+C4_BADWORD_TERMS = ("casino", "viagra", "free money", "lottery winner")
+
+
+def badwords_hits(docs: DataFrame,
+                  terms: tuple[str, ...] = C4_BADWORD_TERMS) -> DataFrame:
+    """(doc_id, bad_hits): occurrences of blocklist terms over the
+    normalized token stream — WORD-BOUNDARY exact (C4 §2.2 removes any
+    page containing a blocklist word; substring matching would flag
+    'scunthorpe'-style false positives). Tokens are the normalized
+    stream with punctuation stripped (so 'money,' matches 'money' the
+    way a \\b-anchored regex would, while 'freemoney' stays one clean
+    token). Single- and two-word terms match against the unigram and
+    bigram streams respectively.
+
+    Plan shape: a pure-JVM expression — tokens + constructed bigrams
+    filtered against the literal term arrays, zero Python, zero shuffle,
+    zero explode; pipelines into whatever consumes it at any corpus
+    size. The literal-array scan is O(|terms|) per token, the right
+    trade below a few thousand terms; for curated lists beyond that,
+    join the exploded token stream against a broadcast terms table
+    instead (the robots-rules discipline)."""
+    uni = tuple(t for t in terms if " " not in t)
+    bi = tuple(t for t in terms if t.count(" ") == 1)
+    depunct = F.trim(F.regexp_replace(
+        F.regexp_replace(_norm(F.col("text")), "[^a-z0-9 ]", ""),
+        " +", " "))
+    toks = F.split(depunct, " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    uni_lit = F.array(*[F.lit(t) for t in uni]) if uni else None
+    bi_lit = F.array(*[F.lit(t) for t in bi]) if bi else None
+    hits = F.lit(0)
+    if uni:
+        hits = hits + F.size(F.filter(toks, lambda t: F.array_contains(uni_lit, t)))
+    if bi:
+        hits = hits + F.size(F.filter(bigrams,
+                                      lambda g: F.array_contains(bi_lit, g)))
+    return docs.select("doc_id", hits.cast("long").alias("bad_hits"))
+
+
 def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float = 0.5,
-                      boiler_max_df: int = 50) -> DataFrame:
+                      boiler_max_df: int = 50,
+                      badword_terms: tuple[str, ...] | None = None) -> DataFrame:
     """The classic web-corpus cleaning pipeline in one composed plan:
     line-frequency boilerplate removal → quality/length gate → exact dedup
     (keep min doc_id per normalized-text group) → per-language survivor
     counts. Each stage is one of this engine's operators; the composition
     stays lazy so Catalyst pipelines the narrow stages between the three
-    unavoidable shuffles (line-df aggregate, dedup group, final rollup)."""
+    unavoidable shuffles (line-df aggregate, dedup group, final rollup).
+
+    ``badword_terms`` adds the C4 §2.2 blocklist gate (Raffel et al.
+    2020: drop any page with a blocklist term) as a SECOND reported
+    stage: rows tagged ``c4`` are the base pipeline, rows tagged
+    ``c4_badwords`` the survivors after additionally dropping documents
+    with any word-boundary blocklist hit (badwords_hits — a zero-shuffle
+    JVM expression riding the same frame, so the extra stage adds no
+    corpus pass)."""
     from pdf_extractor_spark.operators.dedup import line_frequency_dedup
 
     cleaned = line_frequency_dedup(docs, max_df=boiler_max_df).withColumnRenamed(
@@ -281,11 +338,24 @@ def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float 
     ranked = gated.select("doc_id", fp)
     keep = ranked.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
     survivors = gated.join(keep, "doc_id", "left_semi")
-    return (
-        survivors.groupBy("lang")
-        .agg(F.count("*").alias("survivors"))
-        .orderBy("lang")
-    )
+
+    def rollup(d: DataFrame, stage: str) -> DataFrame:
+        out = d.groupBy("lang").agg(F.count("*").alias("survivors"))
+        if badword_terms is None:
+            return out
+        return out.withColumn("stage", F.lit(stage))
+
+    base = rollup(survivors, "c4")
+    if badword_terms is None:
+        return base.orderBy("lang")
+    # gate on the ORIGINAL text (C4 drops the page wholesale; the
+    # boilerplate strip must not un-flag a page whose bad term sat in a
+    # stripped line)
+    clean_ids = badwords_hits(docs, badword_terms).where(
+        F.col("bad_hits") == 0).select("doc_id")
+    return base.unionByName(
+        rollup(survivors.join(clean_ids, "doc_id"), "c4_badwords")
+    ).orderBy("stage", "lang")
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:

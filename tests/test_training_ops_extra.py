@@ -789,3 +789,42 @@ def test_quality_classifier_gram_store_reuse_bit_exact(spark, docs, tmp_path):
     assert text_analysis._gram_stream_from_store(other, 256, root) is None
     # compatible divisor hits
     assert text_analysis._gram_stream_from_store(docs, 256, root) is not None
+
+
+def test_badwords_hits_word_boundary_semantics(spark):
+    """The C4 blocklist gate must match whole words (uni + bigram) only:
+    substrings inside longer tokens must NOT trip it (the classic
+    scunthorpe false positive), and hits count every occurrence."""
+    d = spark.createDataFrame(
+        [(1, "visit our casino tonight"),          # unigram hit
+         (2, "win FREE   Money, now"),             # bigram across ws/case
+         (3, "scasinos and freemoney are words"),  # substrings: clean
+         (4, "casino casino free money"),          # 3 hits
+         (5, ""),                                  # empty doc
+         (6, "lottery alone and winner alone")],   # split bigram: clean
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["bad_hits"]
+           for r in text_analysis.badwords_hits(d).collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 3, 5: 0, 6: 0}
+
+
+def test_c4_pipeline_badwords_stage_subset(spark, docs):
+    """The badwords stage re-gates the SAME survivor set, so its
+    per-language counts are bounded by the base stage's; docs with an
+    injected blocklist phrase drop from stage 2 only."""
+    from pyspark.sql import functions as F
+
+    polluted = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.col("text"), F.lit(" grab free money here")))
+        .otherwise(F.col("text")).alias("text"),
+        "lang")
+    rows = text_analysis.c4_style_pipeline(
+        polluted, min_tokens=1, min_quality=0.0,
+        badword_terms=("free money",)).collect()
+    base = {r["lang"]: r["survivors"] for r in rows if r["stage"] == "c4"}
+    gated = {r["lang"]: r["survivors"]
+             for r in rows if r["stage"] == "c4_badwords"}
+    assert gated and all(gated[lg] <= base[lg] for lg in gated)
+    assert sum(gated.values()) < sum(base.values())
