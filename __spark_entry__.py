@@ -1313,7 +1313,19 @@ def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq_text").alias("text"),
         F.col("n_tokens"),
     )
+    # the seeded-permutation arm: same corpus, same packing core, but in
+    # deterministic SHUFFLED training order (md5(doc_id||'s1') key) — the
+    # step that kills crawl-order curriculum artifacts
+    shuffled = text_analysis.shuffled_pack_sequences(
+        docs, seq_tokens=128).select(
+        F.lit("shuffle_pack").alias("method"),
+        F.col("seq_id").alias("gid"),
+        F.col("n_docs").alias("sub_id"),
+        F.col("seq_text").alias("text"),
+        F.col("n_tokens"),
+    )
     return (chunks.unionByName(packed).unionByName(bpe)
+            .unionByName(shuffled)
             .orderBy("method", "gid", "sub_id"))
 
 
@@ -3052,9 +3064,33 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)
                        AS text,
                    sum(len(piece))::BIGINT AS n_tokens
-            FROM bp GROUP BY seq_id)
+            FROM bp GROUP BY seq_id),
+        skey AS (SELECT doc_id, toks, len(toks)::BIGINT AS n,
+                        ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 8))
+                            ::BIGINT AS k
+                 FROM t),
+        soff AS (SELECT *, (sum(n) OVER (ORDER BY k, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n)::BIGINT AS s
+                 FROM skey),
+        ssp AS (SELECT *, s + n AS e FROM soff),
+        sx AS (SELECT toks, s, e,
+                      unnest(range(s // 128, (e - 1) // 128 + 1))::BIGINT
+                          AS seq_id
+               FROM ssp WHERE n > 0),
+        spc AS (SELECT seq_id, s,
+                       toks[(greatest(seq_id * 128, s) - s + 1)::INT
+                            : (least((seq_id + 1) * 128, e) - s)::INT] AS piece
+                FROM sx),
+        spacks AS (
+            SELECT 'shuffle_pack' AS method, seq_id AS gid,
+                   count(*)::BIGINT AS sub_id,
+                   string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)
+                       AS text,
+                   sum(len(piece))::BIGINT AS n_tokens
+            FROM spc GROUP BY seq_id)
         SELECT * FROM chunks UNION ALL SELECT * FROM packs
         UNION ALL SELECT * FROM bpacks
+        UNION ALL SELECT * FROM spacks
         ORDER BY method, gid, sub_id
     """
     except Exception as _exc:  # pragma: no cover - driver fallback

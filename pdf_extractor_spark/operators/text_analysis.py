@@ -1881,6 +1881,42 @@ def pack_sequences(docs: DataFrame, seq_tokens: int = 128,
     return _pack_token_stream(t, seq_tokens)
 
 
+def shuffled_pack_sequences(docs: DataFrame, seq_tokens: int = 128,
+                            salt: str = "s1") -> DataFrame:
+    """Sequence packing in DETERMINISTIC SHUFFLED corpus order — the
+    training-prep step after cleaning/dedup: a model must not see the
+    corpus in crawl/doc_id order (per-source runs become curriculum
+    artifacts), and the shuffle must be reproducible from a seed, not a
+    ``rand()``. The global order is (md5(doc_id || salt) 32-bit prefix,
+    doc_id) — a seeded pseudo-random permutation both engines compute
+    identically.
+
+    Plan shape: NO global sort. The order key packs into a composite
+    long (key << 31 | doc_id), and the same two-level distributed prefix
+    sum as :func:`pack_sequences` runs over it — buckets come from the
+    key's high bits, so they are uniform by construction (hash keys are
+    equidistributed; better-balanced than doc_id ranges under sparse or
+    skewed id spaces). Bound: doc_id must fit 31 bits for the composite
+    to stay collision-free in int64; shuffle two id-range shards
+    separately (or widen to decimal) past 2^31 ids."""
+    norm = _norm(F.col("text"))
+    toks = F.when(norm == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(norm, " "))
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
+            1, 8),
+        16, 10).cast("long")
+    synth = key * F.lit(1 << 31) + F.pmod(F.col("doc_id"), F.lit(1 << 31))
+    t = docs.select(
+        synth.alias("doc_id"),
+        toks.alias("toks"),
+        F.size(toks).cast("long").alias("n"),
+        F.shiftright(synth, 53).alias("bkt"),  # key's high bits: ≤1024 buckets
+    )
+    return _pack_token_stream(t, seq_tokens)
+
+
 def _pack_token_stream(t: DataFrame, seq_tokens: int) -> DataFrame:
     """Packing core shared by :func:`pack_sequences` (whitespace tokens)
     and :func:`bpe_encode_pack` (BPE token ids rendered as strings):

@@ -828,3 +828,34 @@ def test_c4_pipeline_badwords_stage_subset(spark, docs):
              for r in rows if r["stage"] == "c4_badwords"}
     assert gated and all(gated[lg] <= base[lg] for lg in gated)
     assert sum(gated.values()) < sum(base.values())
+
+
+def test_shuffled_pack_sequences_permutation_invariants(spark, docs):
+    """The seeded shuffle must preserve the exact corpus token stream as
+    a multiset (packing loses nothing), actually permute the order
+    (some sequence differs from doc_id-order packing), and be
+    reproducible from the salt (same salt = identical rows, different
+    salt = different permutation)."""
+    base = text_analysis.pack_sequences(docs, seq_tokens=128).collect()
+    sh1 = text_analysis.shuffled_pack_sequences(docs, seq_tokens=128).collect()
+    sh2 = text_analysis.shuffled_pack_sequences(docs, seq_tokens=128).collect()
+    other = text_analysis.shuffled_pack_sequences(
+        docs, seq_tokens=128, salt="s2").collect()
+
+    def toks(rows):
+        out = []
+        for r in rows:
+            out.extend(r["seq_text"].split(" ") if r["seq_text"] else [])
+        return out
+
+    def stream(rows):
+        return [t for r in sorted(rows, key=lambda r: r["seq_id"])
+                for t in (r["seq_text"].split(" ") if r["seq_text"] else [])]
+
+    assert Counter(toks(sh1)) == Counter(toks(base))
+    assert sum(r["n_tokens"] for r in sh1) == sum(r["n_tokens"] for r in base)
+    # every sequence but the last is exactly full
+    assert {r["n_tokens"] for r in sh1 if r["seq_id"] < len(sh1) - 1} == {128}
+    assert stream(sh1) != stream(base)          # order actually changed
+    assert sorted(map(tuple, sh1)) == sorted(map(tuple, sh2))  # reproducible
+    assert stream(other) != stream(sh1)         # salt drives the permutation
