@@ -397,6 +397,14 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_analysis.temperature_mix_weight(
                 F.col("docs"), Window.partitionBy()),
         )
+        .withColumn(
+            # LLaMA/Pile-style 'epochs per source' planning: the
+            # repetition factor a 10M-char training budget implies at
+            # this source's mixture share (>1 = the source repeats)
+            "budget_epochs",
+            text_analysis.budget_epochs(
+                F.col("mix_weight"), F.col("total_chars"), 10_000_000),
+        )
         .orderBy("source")
     )
     result._persisted_pages = pages  # release handle (frontier_release)
@@ -3475,7 +3483,11 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(warc.warc_docs, 0) AS BIGINT) AS warc_docs,
                CAST(coalesce(warc.warc_cksum, 0) AS BIGINT) AS warc_cksum,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
-                   AS mix_weight
+                   AS mix_weight,
+               {text_analysis.budget_epochs_sql(
+                   text_analysis.temperature_mix_weight_sql("base.docs"),
+                   "base.total_chars", 10_000_000)}
+                   AS budget_epochs
         FROM base
         LEFT JOIN pr_final pf ON pf.host = base.source
         LEFT JOIN hits_final hf ON hf.host = base.source

@@ -1747,6 +1747,28 @@ def temperature_mix_weight_sql(count_sql: str, partition_by: str = "") -> str:
     )
 
 
+def budget_epochs(weight_col, size_col, budget: int):
+    """Per-source repetition factor to fill a training budget at the
+    mixture weights: epochs_s = budget · w_s / size_s — the LLaMA/Pile
+    'epochs per dataset' table (how many passes over a source its
+    mixture share implies; >1 means the source repeats, the signal
+    curators watch for memorization risk). Pure projection over an
+    already-aggregated (weight, size) row; decimal-snapped via the q16
+    bridge. SQL twin: budget_epochs_sql — keep in lockstep."""
+    return (
+        F.round(F.lit(float(budget)) * weight_col / size_col.cast("double"), 6)
+        .cast("decimal(18,6)").cast("double")
+    )
+
+
+def budget_epochs_sql(weight_sql: str, size_sql: str, budget: int) -> str:
+    """DuckDB expression twin of budget_epochs (no alias)."""
+    return (
+        f"CAST(CAST(round({float(budget)} * ({weight_sql}) / "
+        f"CAST({size_sql} AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+    )
+
+
 def training_mix_pipeline(docs: DataFrame,
                           gram_store: str | None = None,
                           weight_store: str | None = None) -> DataFrame:

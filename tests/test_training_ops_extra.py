@@ -859,3 +859,25 @@ def test_shuffled_pack_sequences_permutation_invariants(spark, docs):
     assert stream(sh1) != stream(base)          # order actually changed
     assert sorted(map(tuple, sh1)) == sorted(map(tuple, sh2))  # reproducible
     assert stream(other) != stream(sh1)         # salt drives the permutation
+
+
+def test_budget_epochs_closed_form(spark):
+    """epochs = budget * weight / size, decimal-snapped — a source whose
+    share exceeds its size repeats (>1), a big source underfills (<1)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [("small", 0.5, 1_000_000), ("big", 0.5, 100_000_000)],
+        "source string, w double, chars long")
+    got = {r["source"]: r["e"] for r in d.select(
+        "source",
+        text_analysis.budget_epochs(
+            F.col("w"), F.col("chars"), 10_000_000).alias("e")).collect()}
+    for src, w, chars in (("small", 0.5, 1_000_000),
+                          ("big", 0.5, 100_000_000)):
+        want = float(Decimal(repr(10_000_000.0 * w / chars)).quantize(
+            Decimal("0.000001"), ROUND_HALF_UP))
+        assert got[src] == want
+    assert got["small"] > 1.0 > got["big"]
