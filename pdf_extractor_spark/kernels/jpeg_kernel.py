@@ -151,6 +151,8 @@ def _decode_block(r: _BitReader, dc_tab, ac_tab, qt: np.ndarray,
     """One 8×8 block: DC diff + AC run-lengths → dequantized spatial
     samples (before level shift)."""
     t = r.decode_huff(dc_tab)
+    if t > 15:  # T.81: DC categories are <= 11
+        raise OcrUnsupported("jpeg: invalid DC category")
     diff = _extend(r.read_bits(t), t) if t else 0
     dc = pred + diff
     coef = np.zeros(64, dtype=np.float64)
@@ -226,7 +228,14 @@ def _decode_scan_progressive(payload: bytes, body_at: int, seg: bytes,
 
     def block_dc_first(coef: np.ndarray, ci: int, tab) -> None:
         t = r.decode_huff(tab)
+        if t > 15:  # T.81: DC categories are <= 11; a bigger VALUE byte
+            raise OcrUnsupported("jpeg: invalid DC category")  # is garbage
         preds[ci] += _extend(r.read_bits(t), t) if t else 0
+        # corrupt streams can random-walk preds past int32 through many
+        # small valid diffs — clamp instead of letting the numpy int32
+        # assignment raise OverflowError past the error boundary
+        if not -(1 << 28) <= preds[ci] <= (1 << 28):
+            raise OcrUnsupported("jpeg: DC prediction out of range")
         coef[0] = preds[ci] << al
 
     def block_ac_first(coef: np.ndarray, tab) -> None:
@@ -391,7 +400,7 @@ def decode_jpeg_gray(payload: bytes) -> list[bytes]:
     except OcrUnsupported:
         raise
     except (IndexError, KeyError, ValueError, ZeroDivisionError,
-            struct.error) as exc:
+            OverflowError, struct.error) as exc:
         raise OcrUnsupported(
             f"jpeg: corrupt stream ({type(exc).__name__})") from exc
 

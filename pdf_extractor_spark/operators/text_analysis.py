@@ -281,7 +281,21 @@ def badwords_hits(docs: DataFrame,
     size. The literal-array scan is O(|terms|) per token, the right
     trade below a few thousand terms; for curated lists beyond that,
     join the exploded token stream against a broadcast terms table
-    instead (the robots-rules discipline)."""
+    instead (the robots-rules discipline).
+
+    Terms must already be in matchable form — lowercase a-z0-9 words,
+    at most two of them (the streams constructed here). Anything else
+    raises ValueError up front: silently dropping a blocklist entry
+    would quietly disable part of a safety gate (real C4 lists carry
+    3+-word phrases; extend to a trigram stream before passing them)."""
+    import re as _re
+
+    bad = [t for t in terms
+           if t.count(" ") > 1 or not _re.fullmatch(r"[a-z0-9]+( [a-z0-9]+)?", t)]
+    if bad:
+        raise ValueError(
+            f"badwords_hits: unsupported terms {bad!r} — only lowercase "
+            "1- or 2-word a-z0-9 terms match the token streams here")
     uni = tuple(t for t in terms if " " not in t)
     bi = tuple(t for t in terms if t.count(" ") == 1)
     depunct = F.trim(F.regexp_replace(
@@ -320,9 +334,13 @@ def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float 
     2020: drop any page with a blocklist term) as a SECOND reported
     stage: rows tagged ``c4`` are the base pipeline, rows tagged
     ``c4_badwords`` the survivors after additionally dropping documents
-    with any word-boundary blocklist hit (badwords_hits — a zero-shuffle
-    JVM expression riding the same frame, so the extra stage adds no
-    corpus pass)."""
+    with any word-boundary blocklist hit. The gate expression itself is
+    zero-shuffle JVM, and because Catalyst does not dedupe common
+    subplans (the q46-fanout / training_mix discipline), the narrow
+    (doc_id, lang) survivor frame is persisted so the two stage rollups
+    share ONE execution of the strip→gate→dedup subtree; the cache
+    handle rides on the result as ``_persisted_gate``
+    (frontier_release)."""
     from pdf_extractor_spark.operators.dedup import line_frequency_dedup
 
     cleaned = line_frequency_dedup(docs, max_df=boiler_max_df).withColumnRenamed(
@@ -345,17 +363,21 @@ def c4_style_pipeline(docs: DataFrame, min_tokens: int = 20, min_quality: float 
             return out
         return out.withColumn("stage", F.lit(stage))
 
-    base = rollup(survivors, "c4")
     if badword_terms is None:
-        return base.orderBy("lang")
+        return rollup(survivors, "c4").orderBy("lang")
+    # both stage rollups consume this narrow frame — persist it or the
+    # whole strip→gate→dedup subtree executes twice in the unioned plan
+    surv = survivors.select("doc_id", "lang").persist()
     # gate on the ORIGINAL text (C4 drops the page wholesale; the
     # boilerplate strip must not un-flag a page whose bad term sat in a
     # stripped line)
     clean_ids = badwords_hits(docs, badword_terms).where(
         F.col("bad_hits") == 0).select("doc_id")
-    return base.unionByName(
-        rollup(survivors.join(clean_ids, "doc_id"), "c4_badwords")
+    result = rollup(surv, "c4").unionByName(
+        rollup(surv.join(clean_ids, "doc_id"), "c4_badwords")
     ).orderBy("stage", "lang")
+    result._persisted_gate = surv  # release handle (frontier_release)
+    return result
 
 
 def chunk_documents(docs: DataFrame, chunk_tokens: int = 128, overlap: int = 16) -> DataFrame:
@@ -1276,7 +1298,8 @@ def _hashed_gram_stream(d: DataFrame, n_buckets: int, *extra: str) -> DataFrame:
 
 def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
                  n_buckets: int = 1024, alpha: float = 1.0,
-                 gram_store: str | None = None) -> DataFrame:
+                 gram_store: str | None = None,
+                 corpus_key: str | None = None) -> DataFrame:
     """DSIR hashed n-gram importance weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): featurize
     each document as hashed word uni+bigram counts, fit bag-of-words
@@ -1318,7 +1341,8 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
         from pdf_extractor_spark.sources.table_format import SnapshotTable
 
         t = SnapshotTable(gram_store)
-        key = {"n_docs": _corpus_key(docs), "b": n_buckets}
+        key = {"n_docs": corpus_key if corpus_key is not None
+               else _corpus_key(docs), "b": n_buckets}
         m = t.current_manifest()
         if m is None or m.get("summary", {}).get("key") != key:
             t.overwrite(gram_stream(docs, "doc_id", "lang"),
@@ -1360,7 +1384,8 @@ def dsir_weights(docs: DataFrame, target_docs: DataFrame | None = None,
 
 
 def _gram_stream_from_store(docs: DataFrame, n_buckets: int,
-                            gram_store: str) -> DataFrame | None:
+                            gram_store: str,
+                            corpus_key: str | None = None) -> DataFrame | None:
     """Re-bucket the DSIR gram store's (doc_id, lang, bucket) stream to
     `n_buckets` when the store is fresh for this corpus AND its bucket
     count is a multiple of ours — md5-mod composes: for B | B_store,
@@ -1375,7 +1400,9 @@ def _gram_stream_from_store(docs: DataFrame, n_buckets: int,
     m = t.current_manifest()
     key = (m or {}).get("summary", {}).get("key") or {}
     b_store = key.get("b")
-    if (key.get("n_docs") != _corpus_key(docs) or not b_store
+    if corpus_key is None:
+        corpus_key = _corpus_key(docs)
+    if (key.get("n_docs") != corpus_key or not b_store
             or b_store % n_buckets != 0):
         return None
     return t.read(docs.sparkSession).select(
@@ -1550,7 +1577,8 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 256,
                        iters: int = 4, lr: float = 1.0,
                        weight_store: str | None = None,
                        gq: DataFrame | None = None,
-                       gram_store: str | None = None) -> DataFrame:
+                       gram_store: str | None = None,
+                       corpus_key: str | None = None) -> DataFrame:
     """Train the hashed quality classifier AND score the corpus from ONE
     shared persisted feature table (one gopher pass + one gram pass
     total): (doc_id, logit, pred). Scoring checkpoints the narrow per-doc
@@ -1575,10 +1603,11 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 256,
     tf features when its bucket count is a multiple of ``n_buckets``
     (md5-mod composes — see _gram_stream_from_store)."""
     stream = (None if gram_store is None
-              else _gram_stream_from_store(docs, n_buckets, gram_store))
+              else _gram_stream_from_store(docs, n_buckets, gram_store,
+                                           corpus_key=corpus_key))
     if weight_store is not None:
         w = _qcls_weights_from_store(docs, n_buckets, iters, lr,
-                                     weight_store)
+                                     weight_store, corpus_key=corpus_key)
         if w is not None:
             return quality_classifier_scores(docs, w, n_buckets,
                                              gq=gq, stream=stream)
@@ -1586,22 +1615,25 @@ def quality_classifier(docs: DataFrame, n_buckets: int = 256,
                                    stream=stream).persist()
     w = _qcls_gd_loop(feats, n_buckets + 5, iters, lr)
     if weight_store is not None:
-        _qcls_weights_to_store(docs, n_buckets, iters, lr, weight_store, w)
+        _qcls_weights_to_store(docs, n_buckets, iters, lr, weight_store, w,
+                               corpus_key=corpus_key)
     out = _qcls_score(docs, feats, w, checkpoint=True)
     feats.unpersist()
     return out
 
 
 def _qcls_store_key(docs: DataFrame, n_buckets: int, iters: int,
-                    lr: float) -> dict:
+                    lr: float, corpus_key: str | None = None) -> dict:
     from pdf_extractor_spark.operators.dedup import _corpus_key
 
-    return {"corpus": _corpus_key(docs), "b": n_buckets, "iters": iters,
-            "lr": lr}
+    return {"corpus": corpus_key if corpus_key is not None
+            else _corpus_key(docs),
+            "b": n_buckets, "iters": iters, "lr": lr}
 
 
 def _qcls_weights_from_store(docs: DataFrame, n_buckets: int, iters: int,
-                             lr: float, store_root: str) -> list[float] | None:
+                             lr: float, store_root: str,
+                             corpus_key: str | None = None) -> list[float] | None:
     """Stored classifier weights for this exact (corpus, hyperparams), or
     None on a store miss (first run / corpus changed)."""
     from pdf_extractor_spark.sources.table_format import SnapshotTable
@@ -1609,7 +1641,7 @@ def _qcls_weights_from_store(docs: DataFrame, n_buckets: int, iters: int,
     t = SnapshotTable(store_root)
     m = t.current_manifest()
     if m is None or m.get("summary", {}).get("key") != _qcls_store_key(
-            docs, n_buckets, iters, lr):
+            docs, n_buckets, iters, lr, corpus_key=corpus_key):
         return None
     w = [0.0] * (n_buckets + 5)
     for r in t.read(docs.sparkSession).collect():
@@ -1618,14 +1650,15 @@ def _qcls_weights_from_store(docs: DataFrame, n_buckets: int, iters: int,
 
 
 def _qcls_weights_to_store(docs: DataFrame, n_buckets: int, iters: int,
-                           lr: float, store_root: str,
-                           w: list[float]) -> None:
+                           lr: float, store_root: str, w: list[float],
+                           corpus_key: str | None = None) -> None:
     from pdf_extractor_spark.sources.table_format import SnapshotTable
 
     SnapshotTable(store_root).overwrite(
         docs.sparkSession.createDataFrame(
             [(i, float(v)) for i, v in enumerate(w)], "i int, val double"),
-        summary={"key": _qcls_store_key(docs, n_buckets, iters, lr)})
+        summary={"key": _qcls_store_key(docs, n_buckets, iters, lr,
+                                        corpus_key=corpus_key)})
 
 
 def quality_classifier_scores(docs: DataFrame, w: list[float],
@@ -1754,18 +1787,22 @@ def budget_epochs(weight_col, size_col, budget: int):
     mixture share implies; >1 means the source repeats, the signal
     curators watch for memorization risk). Pure projection over an
     already-aggregated (weight, size) row; decimal-snapped via the q16
-    bridge. SQL twin: budget_epochs_sql — keep in lockstep."""
-    return (
-        F.round(F.lit(float(budget)) * weight_col / size_col.cast("double"), 6)
-        .cast("decimal(18,6)").cast("double")
-    )
+    bridge. A zero-size source reports 0.0 on BOTH sides (Spark's
+    non-ANSI divide returns NULL there while DuckDB's IEEE double
+    division returns inf and then fails the DECIMAL cast — the guard is
+    what keeps the twins comparable). SQL twin: budget_epochs_sql —
+    keep in lockstep."""
+    raw = F.when(size_col == 0, F.lit(0.0)).otherwise(
+        F.lit(float(budget)) * weight_col / size_col.cast("double"))
+    return F.round(raw, 6).cast("decimal(18,6)").cast("double")
 
 
 def budget_epochs_sql(weight_sql: str, size_sql: str, budget: int) -> str:
     """DuckDB expression twin of budget_epochs (no alias)."""
     return (
-        f"CAST(CAST(round({float(budget)} * ({weight_sql}) / "
-        f"CAST({size_sql} AS DOUBLE), 6) AS DECIMAL(18,6)) AS DOUBLE)"
+        f"CAST(CAST(round(coalesce({float(budget)} * ({weight_sql}) / "
+        f"CAST(nullif({size_sql}, 0) AS DOUBLE), 0.0), 6) "
+        f"AS DECIMAL(18,6)) AS DOUBLE)"
     )
 
 
@@ -1841,14 +1878,23 @@ def training_mix_pipeline(docs: DataFrame,
             )
         )
 
-    selected = dsir_weights(docs, gram_store=gram_store).where(
+    # ONE corpus-key aggregate serves every store lookup below — each
+    # helper would otherwise re-run its own eager count+crc32 corpus scan
+    # at plan-build time (review finding, round 4)
+    ckey = None
+    if gram_store is not None or weight_store is not None:
+        from pdf_extractor_spark.operators.dedup import _corpus_key
+
+        ckey = _corpus_key(docs)
+    selected = dsir_weights(docs, gram_store=gram_store,
+                            corpus_key=ckey).where(
         F.col("dsir_weight") > 0).select("doc_id")
     # the classifier reuses the persisted Gopher frame AND (via md5-mod
     # composition, 256 | 1024) the gram stream dsir_weights just wrote to
     # the store — its scoring branch re-tokenizes nothing
     qcsel = quality_classifier(
         docs, weight_store=weight_store, gq=gq,
-        gram_store=gram_store).where(
+        gram_store=gram_store, corpus_key=ckey).where(
         F.col("pred")).select("doc_id")
     result = (
         rollup(kept, "ccnet_mix")
@@ -1919,8 +1965,10 @@ def shuffled_pack_sequences(docs: DataFrame, seq_tokens: int = 128,
     key's high bits, so they are uniform by construction (hash keys are
     equidistributed; better-balanced than doc_id ranges under sparse or
     skewed id spaces). Bound: doc_id must fit 31 bits for the composite
-    to stay collision-free in int64; shuffle two id-range shards
-    separately (or widen to decimal) past 2^31 ids."""
+    to stay collision-free in int64 — ENFORCED with a per-row
+    raise_error (a silent wrap would reorder colliding ids
+    nondeterministically); shuffle two id-range shards separately (or
+    widen to decimal) past 2^31 ids."""
     norm = _norm(F.col("text"))
     toks = F.when(norm == "", F.array().cast("array<string>")) \
         .otherwise(F.split(norm, " "))
@@ -1929,7 +1977,13 @@ def shuffled_pack_sequences(docs: DataFrame, seq_tokens: int = 128,
             F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))),
             1, 8),
         16, 10).cast("long")
-    synth = key * F.lit(1 << 31) + F.pmod(F.col("doc_id"), F.lit(1 << 31))
+    bounded_id = F.when(
+        (F.col("doc_id") >= 0) & (F.col("doc_id") < (1 << 31)),
+        F.col("doc_id"),
+    ).otherwise(F.raise_error(F.lit(
+        "shuffled_pack_sequences: doc_id outside [0, 2^31) — shard the "
+        "id range or widen the composite key")).cast("long"))
+    synth = key * F.lit(1 << 31) + bounded_id
     t = docs.select(
         synth.alias("doc_id"),
         toks.alias("toks"),

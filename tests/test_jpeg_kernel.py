@@ -162,3 +162,24 @@ def test_sof2_no_longer_quarantined_other_sofs_still_do():
     bad = stream.replace(b"\xff\xc2", b"\xff\xc9", 1)
     with pytest.raises(K.OcrUnsupported, match="SOF9"):
         J.decode_jpeg_gray(bad)
+
+
+def test_progressive_dc_table_corruption_quarantines():
+    """Review finding (round 4): a corrupted DC Huffman VALUE byte can
+    decode to a category >= 64, whose read_bits value overflows the
+    int32 coefficient buffer — that must surface as OcrUnsupported (one
+    quarantined row), never OverflowError (a dead Spark task). Targeted
+    fuzz over the DHT segments."""
+    import random
+
+    base = bytearray(J.pack_jpeg_gray_progressive(_page(), successive=True))
+    i = bytes(base).find(b"\xff\xc4")
+    rnd = random.Random(5)
+    for _ in range(1200):
+        b = bytearray(base)
+        for _ in range(rnd.randrange(1, 3)):
+            b[i + 4 + rnd.randrange(30)] = rnd.randrange(256)
+        try:
+            J.decode_jpeg_gray(bytes(b))
+        except K.OcrUnsupported:
+            pass
