@@ -1577,23 +1577,32 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability), method-tagged — all four equal the exact-Jaccard
     oracle (the incremental arm restricted to base × delta pairs)."""
     docs = _docs_with_dups(_t(spark, sf_dir, "documents"))
+    # ONE corpus-key aggregate serves all four store lookups — each arm
+    # would otherwise re-run its own eager count+crc32 scan of the
+    # dup-injected corpus at plan-build time (the q62 review finding;
+    # this was ~8s of q18's 11s wall at sf0.1)
+    ckey = dedup._corpus_key(docs)
     mh = dedup.minhash_lsh_pairs(docs, num_perm=64, bands=32,
                                  jaccard_threshold=0.5,
-                                 shingle_store=_shingle_store_path(sf_dir)
+                                 shingle_store=_shingle_store_path(sf_dir),
+                                 corpus_key=ckey,
                                  ).withColumn(
         "method", F.lit("minhash_lsh"))
     ng = dedup.ngram_jaccard_pairs(docs, threshold=0.5,
-                                   shingle_store=_shingle_store_path(sf_dir)
+                                   shingle_store=_shingle_store_path(sf_dir),
+                                   corpus_key=ckey,
                                    ).withColumn(
         "method", F.lit("ngram_exact"))
-    shh = dedup.shingle_table(docs, 3, _shingle_store_path(sf_dir))
+    shh = dedup.shingle_table(docs, 3, _shingle_store_path(sf_dir),
+                              corpus_key=ckey)
     inc = dedup.minhash_lsh_pairs_incremental(
         shh.where(F.col("doc_id") >= 100000),
         shh.where(F.col("doc_id") < 100000),
         num_perm=64, bands=32, jaccard_threshold=0.5,
     ).withColumn("method", F.lit("incremental"))
     pf = dedup.prefix_filter_jaccard_pairs(
-        docs, threshold=0.5, shingle_store=_shingle_store_path(sf_dir)
+        docs, threshold=0.5, shingle_store=_shingle_store_path(sf_dir),
+        corpus_key=ckey,
     ).withColumn("method", F.lit("prefix_filter"))
     return (mh.unionByName(ng).unionByName(inc).unionByName(pf)
             .orderBy("method", "a", "b"))

@@ -274,7 +274,8 @@ def _corpus_key(docs) -> str:
     return f"{row['c']}:{row['ck']}"
 
 
-def shingle_table(docs: DataFrame, n: int, store_root: str) -> DataFrame:
+def shingle_table(docs: DataFrame, n: int, store_root: str,
+                  corpus_key: str | None = None) -> DataFrame:
     """Materialized int64 shingle-hash table (SnapshotTable) keyed by
     (corpus count+crc32 checksum, n): reuse the committed snapshot when it matches, else rebuild
     with one md5 Arrow pass and overwrite-commit. Replaces `.persist()` for
@@ -286,7 +287,8 @@ def shingle_table(docs: DataFrame, n: int, store_root: str) -> DataFrame:
     from pdf_extractor_spark.sources.table_format import SnapshotTable
 
     t = SnapshotTable(store_root)
-    key = {"n_docs": _corpus_key(docs), "n": n}
+    key = {"n_docs": corpus_key if corpus_key is not None
+           else _corpus_key(docs), "n": n}
     m = t.current_manifest()
     if m is not None and m.get("summary", {}).get("key") == key:
         return t.read(docs.sparkSession)
@@ -301,6 +303,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     jaccard_threshold: float = 0.5,
     shingle_store: str | None = None,
+    corpus_key: str | None = None,
     bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
@@ -318,7 +321,7 @@ def minhash_lsh_pairs(
     runs (see shingle_table).
     """
     if shingle_store is not None:
-        shh = shingle_table(docs, n, shingle_store)
+        shh = shingle_table(docs, n, shingle_store, corpus_key=corpus_key)
     else:
         shh = shingle_hash_arrays(docs, n).persist()
     return minhash_pairs_from_hashes(shh, num_perm, bands, jaccard_threshold,
@@ -468,7 +471,8 @@ def verify_jaccard_hashed(
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
                         max_df: int | None = None,
-                        shingle_store: str | None = None) -> DataFrame:
+                        shingle_store: str | None = None,
+                        corpus_key: str | None = None) -> DataFrame:
     """All-pairs n-gram Jaccard ≥ threshold via inverted index (explode on
     shingle, pair within posting lists) — NOT a cross join. `max_df` drops
     stop-shingles with document frequency above the cap (the web-scale knob).
@@ -479,7 +483,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
     # shingle_store (when given) reuses the committed shingle table shared
     # with the MinHash arm instead of re-hashing the corpus.
     if shingle_store is not None:
-        sh = shingle_table(docs, n, shingle_store)
+        sh = shingle_table(docs, n, shingle_store, corpus_key=corpus_key)
     else:
         sh = shingle_hash_arrays(docs, n).persist()  # feeds postings AND sizes
     sizes = sh.select("doc_id", F.size("shh").alias("sz"))
@@ -515,7 +519,8 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
 
 def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
                                 threshold: float = 0.5,
-                                shingle_store: str | None = None) -> DataFrame:
+                                shingle_store: str | None = None,
+                                corpus_key: str | None = None) -> DataFrame:
     """EXACT all-pairs n-gram Jaccard ≥ threshold via prefix filtering
     (Chaudhuri et al. SSJoin / Bayardo et al. AllPairs): identical output
     to ngram_jaccard_pairs, but the inverted index holds only each set's
@@ -547,7 +552,7 @@ def prefix_filter_jaccard_pairs(docs: DataFrame, n: int = 3,
     pruning on the full index, prefix filtering is lossless at any skew.
     """
     if shingle_store is not None:
-        sh = shingle_table(docs, n, shingle_store)
+        sh = shingle_table(docs, n, shingle_store, corpus_key=corpus_key)
     else:
         sh = shingle_hash_arrays(docs, n).persist()
     t = float(threshold)
