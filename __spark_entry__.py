@@ -829,8 +829,15 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     first 64 chars), so the oracle recomputes the EXACT expected OCR
     output from `documents` and the streamed-text checksum value-gates
     the whole render→OCR→extract path for all EIGHT scanned containers.
-    Those docs must extract successfully (not quarantine)."""
+    Round-4 late wave: the bitmap tier's container profile rotates per
+    doc over 8-bpp palette / 24-bpp BI_RGB / RLE8-compressed, and the
+    scanned-PDF tier's image embedding over gray-raw / gray-Flate /
+    RGB-Flate / DCTDecode (JPEG-in-PDF, exact-/Length stream slicing) —
+    every widened decode profile is value-gated, container-agnostic to
+    the oracle. Those docs must extract successfully (not quarantine)."""
     import tempfile
+
+    import pandas as pd
 
     from pdf_extractor_spark.kernels.gif_kernel import render_text_gif
     from pdf_extractor_spark.kernels.jpeg_kernel import (
@@ -872,18 +879,32 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage (CaseWhen does not short-circuit UDF branches), so the gate
     # must live in the UDF's INPUT: null for the 98% of rows that keep
     # their html, a rendered page only for the doc_id%50==25 rows.
+    # Round 4 (late): each doc's CONTAINER PROFILE rotates deterministically
+    # on doc_id — 8-bpp palette / 24-bpp BI_RGB / RLE8 for the bitmap tier —
+    # so all widened decode profiles are value-gated end-to-end. The oracle
+    # is container-agnostic (it recomputes the expected OCR text from
+    # `documents`), so the rotation needs no SQL change.
+    _BMP_PROFILES = ("gray8", "rgb24", "rle8")
     _print_page = F.pandas_udf(
-        lambda texts: texts.map(
-            lambda t: None if t is None else render_text_bmp(t, width=32)),
+        lambda texts, ids: pd.Series(
+            None if t is None
+            else render_text_bmp(t, width=32,
+                                 profile=_BMP_PROFILES[int(i) // 50 % 3])
+            for t, i in zip(texts, ids)),
         "binary",
     )
-    # doc_id%50==45 docs are SCANNED PDFs (each page a DeviceGray image
-    # XObject, no text operators) printed from the same transform — the
-    # reference's tesseract tier input shape; the PDF kernel must OCR them
-    # through the same glyph machinery as the BMP tier
+    # doc_id%50==45 docs are SCANNED PDFs (each page one image XObject, no
+    # text operators) printed from the same transform — the reference's
+    # tesseract tier input shape; the PDF kernel must OCR them through the
+    # same glyph machinery as the BMP tier. The embedding profile rotates
+    # over gray-raw / gray-Flate / RGB-Flate / DCTDecode (JPEG-in-PDF).
+    _PDF_PROFILES = ("gray-raw", "gray-flate", "rgb-flate", "dct")
     _print_scan_pdf = F.pandas_udf(
-        lambda texts: texts.map(
-            lambda t: None if t is None else render_scanned_pdf([t], width=32)),
+        lambda texts, ids: pd.Series(
+            None if t is None
+            else render_scanned_pdf([t], width=32,
+                                    profile=_PDF_PROFILES[int(i) // 50 % 4])
+            for t, i in zip(texts, ids)),
         "binary",
     )
     # the PNG/GIF/TIFF scanned tiers: same raster, different containers
@@ -938,8 +959,8 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages.select(
         "url", "warc_ts",
         F.when(F.col("doc_id") % 50 == 0, F.lit(png))
-        .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated))
-        .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated))
+        .when(F.col("doc_id") % 50 == 25, _print_page(ocr_gated, F.col("doc_id")))
+        .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated, F.col("doc_id")))
         .when(F.col("doc_id") % 50 == 35, _print_page_png(png_gated))
         .when(F.col("doc_id") % 50 == 5, _print_page_gif(gif_gated))
         .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated))

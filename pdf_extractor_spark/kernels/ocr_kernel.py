@@ -175,28 +175,95 @@ def pack_bmp_gray(px: list) -> bytes:
     return header + info + palette + body
 
 
-def render_page_bmp(lines: list[str]) -> bytes:
-    """Print ``lines`` in the 5x7 fixed-pitch font onto a grayscale BMP."""
-    return pack_bmp_gray(render_page_gray(lines))
+def pack_bmp_rgb24(px: list) -> bytes:
+    """Pack top-down luminance rows into a 24-bpp BI_RGB BMP (bottom-up,
+    no palette, b=g=r=luminance) — the profile most desktop 'save as BMP'
+    paths emit (round 4: widens the scanned-bitmap tier beyond the 8-bpp
+    palette profile)."""
+    height, width = len(px), len(px[0])
+    stride = (width * 3 + 3) & ~3
+    pad = b"\x00" * (stride - width * 3)
+    body = b"".join(
+        bytes(v for g in px[y] for v in (g, g, g)) + pad
+        for y in range(height - 1, -1, -1))
+    data_offset = 14 + 40
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body),
+        2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
+    return header + info + body
 
 
-def render_text_bmp(text: str, width: int = 32) -> bytes:
+def _rle8_row(row: bytes) -> bytes:
+    """One bottom-up pixel row as BI_RLE8 encoded runs + end-of-line."""
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        v = row[i]
+        j = i + 1
+        while j < n and j - i < 255 and row[j] == v:
+            j += 1
+        out += bytes((j - i, v))
+        i = j
+    out += b"\x00\x00"  # end of line
+    return bytes(out)
+
+
+def pack_bmp_rle8(px: list) -> bytes:
+    """Pack top-down luminance rows into an RLE8-compressed 8-bpp BMP
+    (BI_RLE8, bottom-up, identity grayscale palette). Machine print is
+    long paper runs, so this is the compression scanners/fax paths
+    actually apply to bilevel-ish pages."""
+    height, width = len(px), len(px[0])
+    body = b"".join(_rle8_row(bytes(px[y])) for y in range(height - 1, -1, -1))
+    body = body[:-2] + b"\x00\x01"  # last EOL becomes end-of-bitmap
+    palette = b"".join(struct.pack("<BBBB", g, g, g, 0) for g in range(256))
+    data_offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(body),
+        2835, 2835, 256, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", data_offset + len(body), 0, 0, data_offset)
+    return header + info + palette + body
+
+
+_BMP_PACKERS = {"gray8": pack_bmp_gray, "rgb24": pack_bmp_rgb24,
+                "rle8": pack_bmp_rle8}
+
+
+def render_page_bmp(lines: list[str], profile: str = "gray8") -> bytes:
+    """Print ``lines`` in the 5x7 fixed-pitch font onto a BMP in one of
+    the supported container profiles: 8-bpp palette (``gray8``), 24-bpp
+    BI_RGB (``rgb24``), or RLE8-compressed 8-bpp (``rle8``)."""
+    return _BMP_PACKERS[profile](render_page_gray(lines))
+
+
+def render_text_bmp(text: str, width: int = 32, profile: str = "gray8") -> bytes:
     """Convenience: fixed-pitch wrap then print."""
-    return render_page_bmp(wrap_fixed(text, width))
+    return render_page_bmp(wrap_fixed(text, width), profile=profile)
 
 
-def render_scanned_pdf(page_texts: list[str], width: int = 32) -> bytes:
-    """Build a SCANNED PDF: each page is one full-page grayscale image
-    XObject (8 bits/component, /DeviceGray, uncompressed) printed in the
-    fixed-pitch font — the real-world shape a scanner/copier emits and the
-    input the reference feeds through Tesseract (tesseract_extractor.py:
-    22-53 rasterizes PDF pages back to images before OCR; a scanned PDF is
-    already that raster). The extraction kernel OCRs these pages via the
-    same glyph machinery as BMP files.
+def render_scanned_pdf(page_texts: list[str], width: int = 32,
+                       profile: str = "gray-raw") -> bytes:
+    """Build a SCANNED PDF: each page is one full-page image XObject
+    printed in the fixed-pitch font — the real-world shape a scanner/
+    copier emits and the input the reference feeds through Tesseract
+    (tesseract_extractor.py:22-53 rasterizes PDF pages back to images
+    before OCR; a scanned PDF is already that raster). The extraction
+    kernel OCRs these pages via the same glyph machinery as BMP files.
 
-    Raw (unfiltered) image data is deliberate: the raster holds only
-    INK/PAPER bytes, so the stream can never alias the 'endstream' /
-    'endobj' markers the tolerant object scanner keys on."""
+    ``profile`` picks the embedding (round 4 widened beyond gray-raw to
+    the shapes print-to-PDF/scanner drivers actually write):
+
+    - ``gray-raw``: 8-bit /DeviceGray, unfiltered — the raster holds only
+      INK/PAPER bytes, so the stream can never alias 'endstream';
+    - ``gray-flate``: the same raster behind /FlateDecode;
+    - ``rgb-flate``: 8-bit /DeviceRGB triplets behind /FlateDecode;
+    - ``dct``: a complete baseline-JPEG (JFIF) stream behind /DCTDecode —
+      the scanner-default embedding. Filtered/DCT bytes are arbitrary
+      binary, which is exactly why the reader slices streams by the
+      direct /Length written here instead of scanning for markers."""
     if not page_texts:
         page_texts = [""]
     objs: list[bytes] = []   # bodies; object number = index + 1
@@ -205,16 +272,34 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32) -> bytes:
         objs.append(body)
         return len(objs)
 
+    def _image_obj(px: list) -> bytes:
+        import zlib
+
+        h, w = len(px), len(px[0])
+        gray = b"".join(bytes(r) for r in px)  # top-down, per PDF convention
+        if profile == "gray-raw":
+            space, filt, data = b"/DeviceGray", b"", gray
+        elif profile == "gray-flate":
+            space, filt, data = b"/DeviceGray", b" /Filter /FlateDecode", zlib.compress(gray)
+        elif profile == "rgb-flate":
+            rgb = bytes(v for g in gray for v in (g, g, g))
+            space, filt, data = b"/DeviceRGB", b" /Filter /FlateDecode", zlib.compress(rgb)
+        elif profile == "dct":
+            from pdf_extractor_spark.kernels.jpeg_kernel import pack_jpeg_gray
+
+            space, filt, data = b"/DeviceGray", b" /Filter /DCTDecode", pack_jpeg_gray(px)
+        else:
+            raise ValueError(f"unknown scanned-PDF profile {profile!r}")
+        return (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+                b" /ColorSpace %s /BitsPerComponent 8%s /Length %d >>\n"
+                b"stream\n%s\nendstream" % (w, h, space, filt, len(data), data))
+
     page_ids: list[int] = []
     kids_slot = _add(b"")  # pages node patched once kids are known
     for text in page_texts:
         px = render_page_gray(wrap_fixed(text, width))
         h, w = len(px), len(px[0])
-        data = b"".join(bytes(r) for r in px)  # top-down, per PDF convention
-        img_id = _add(
-            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-            b" /ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
-            b"stream\n%s\nendstream" % (w, h, len(data), data))
+        img_id = _add(_image_obj(px))
         content = b"q %d 0 0 %d 0 0 cm /Im0 Do Q" % (w, h)
         content_id = _add(
             b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content))
@@ -244,18 +329,62 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32) -> bytes:
 # decoder ("the OCR"): BMP -> pixel matrix -> glyph grid -> text lines
 # --------------------------------------------------------------------------
 
-def decode_bmp_gray(payload: bytes) -> list[bytes]:
-    """Parse an uncompressed 8-bpp BMP into a top-down list of pixel rows
-    (one LUMINANCE byte per pixel). Raises OcrUnsupported on any container
-    shape outside this profile; raises nothing else.
+def _palette_lut(payload: bytes, hdr_size: int, data_offset: int) -> bytes:
+    """8-bpp color table → index-to-luminance LUT. Pixel values are palette
+    INDICES, not gray — the table may be inverted grayscale (index 0 =
+    white) or colored, and thresholding raw indices would read such a page
+    as solid ink (review finding, round 3). Each index maps through the
+    color table to integer luminance (b+g+r)//3; a palette-less BMP (data
+    immediately after the DIB header) keeps the identity mapping."""
+    pal_start = 14 + hdr_size
+    n_pal = max(0, min(256, (data_offset - pal_start) // 4))
+    lut = bytearray(range(256))  # identity for palette-less / short tables
+    for i in range(n_pal):
+        b, g, r = payload[pal_start + 4 * i: pal_start + 4 * i + 3]
+        lut[i] = (b + g + r) // 3
+    return bytes(lut)
 
-    Pixel values are palette INDICES, not gray — an 8-bpp BMP's color
-    table may be inverted grayscale (index 0 = white) or colored, and
-    thresholding raw indices would read such a page as solid ink (review
-    finding, round 3). Each index is therefore mapped through the color
-    table to integer luminance (b+g+r)//3 with one C-speed
-    ``bytes.translate`` per row; a palette-less BMP (data immediately
-    after the DIB header) keeps the identity mapping.
+
+def _decode_rle8_indices(data: bytes, width: int, height: int) -> list[bytearray]:
+    """BI_RLE8 pixel data → bottom-up rows of palette indices. Supports
+    encoded runs, absolute mode, end-of-line and end-of-bitmap escapes;
+    the delta escape (0,2) leaves pixels undefined and is out of profile.
+    Pixels an early EOL leaves unwritten read as index 0 (undefined per
+    the format; deterministic here). Runs that would cross a row boundary
+    are malformed and raise."""
+    rows = [bytearray(width) for _ in range(height)]
+    i, x, y = 0, 0, 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            if y >= height or x + n > width:
+                raise OcrUnsupported("RLE8 run crosses row boundary")
+            rows[y][x:x + n] = bytes((v,)) * n
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return rows
+        elif v == 2:
+            raise OcrUnsupported("RLE8 delta escape out of profile")
+        else:  # absolute mode: v literal index bytes, word-aligned
+            if y >= height or x + v > width or i + v > len(data):
+                raise OcrUnsupported("RLE8 absolute run crosses row boundary")
+            rows[y][x:x + v] = data[i:i + v]
+            x += v
+            i += v + (v & 1)
+    raise OcrUnsupported("RLE8 data ends without end-of-bitmap")
+
+
+def decode_bmp_gray(payload: bytes) -> list[bytes]:
+    """Parse a BMP into a top-down list of pixel rows (one LUMINANCE byte
+    per pixel). Supported container profiles (round 4 widened the original
+    8-bpp-uncompressed-only profile to every shape the scanned-page domain
+    actually emits): 8-bpp palette uncompressed, 8-bpp palette RLE8
+    (BI_RLE8 = compression 1), and 24-bpp BI_RGB. Raises OcrUnsupported on
+    anything else (1/4/16/32-bpp, RLE4, BITFIELDS, embedded PNG/JPEG);
+    raises nothing else.
     """
     if len(payload) < 54 or not payload.startswith(b"BM"):
         raise OcrUnsupported("not a BMP container")
@@ -266,7 +395,7 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if planes != 1 or bpp != 8 or compression != 0:
+    if planes != 1 or (bpp, compression) not in ((8, 0), (8, 1), (24, 0)):
         raise OcrUnsupported(
             f"unsupported BMP variant (planes={planes} bpp={bpp} "
             f"compression={compression})")
@@ -274,21 +403,36 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     height = abs(height)
     if width <= 0 or height <= 0 or width > 1 << 16 or height > 1 << 16:
         raise OcrUnsupported(f"implausible dimensions {width}x{height}")
-    stride = (width + 3) & ~3
-    need = data_offset + stride * height
-    if data_offset < 54 or len(payload) < need:
+    if data_offset < 54:
         raise OcrUnsupported("truncated pixel data")
-    pal_start = 14 + hdr_size
-    n_pal = max(0, min(256, (data_offset - pal_start) // 4))
-    lut = bytearray(range(256))  # identity for palette-less / short tables
-    for i in range(n_pal):
-        b, g, r = payload[pal_start + 4 * i: pal_start + 4 * i + 3]
-        lut[i] = (b + g + r) // 3
-    lut_b = bytes(lut)
-    rows = []
-    for y in range(height):
-        off = data_offset + y * stride
-        rows.append(payload[off:off + width].translate(lut_b))
+
+    if compression == 1:  # BI_RLE8 (always bottom-up per the format)
+        if top_down:
+            raise OcrUnsupported("top-down RLE8 is invalid BMP")
+        lut_b = _palette_lut(payload, hdr_size, data_offset)
+        idx = _decode_rle8_indices(payload[data_offset:], width, height)
+        return [bytes(idx[y]).translate(lut_b) for y in range(height - 1, -1, -1)]
+
+    row_bytes = width * (3 if bpp == 24 else 1)
+    stride = (row_bytes + 3) & ~3
+    if len(payload) < data_offset + stride * height:
+        raise OcrUnsupported("truncated pixel data")
+
+    if bpp == 24:  # BI_RGB triplets -> luminance, one vectorized pass
+        import numpy as np
+
+        a = np.frombuffer(payload, np.uint8, count=stride * height,
+                          offset=data_offset)
+        tri = a.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
+        lum = (tri.sum(axis=2, dtype=np.uint16) // 3).astype(np.uint8)
+        rows = [lum[y].tobytes() for y in range(height)]
+    else:  # 8-bpp palette, uncompressed
+        lut_b = _palette_lut(payload, hdr_size, data_offset)
+        rows = [
+            payload[data_offset + y * stride: data_offset + y * stride + width]
+            .translate(lut_b)
+            for y in range(height)
+        ]
     if not top_down:
         rows.reverse()
     return rows

@@ -120,38 +120,69 @@ def _xobject_image_refs(page_body: bytes, objs: dict[int, bytes]) -> list[int]:
 
 def _ocr_image_xobject(body: bytes) -> str | None:
     """OCR one /Subtype /Image XObject if it is in the scanned-page profile
-    (8-bit /DeviceGray, raw or FlateDecode data): returns the printed
-    character stream, or None when the image is outside the profile (other
-    color spaces / JPEG etc. — those pages stay textless and surface
-    through the normal no-content path)."""
+    — round 4 widened from 8-bit /DeviceGray raw/Flate to every shape a
+    scanner/print-to-PDF path actually embeds:
+
+    - /DeviceGray 8-bit, raw or FlateDecode data;
+    - /DeviceRGB 8-bit, raw or FlateDecode (luminance = (r+g+b)//3, the
+      same folding as the BMP/TIFF decoders);
+    - /DCTDecode (a complete JFIF stream per the PDF spec) in either
+      color space, routed through the from-scratch JPEG kernel.
+
+    Returns the printed character stream, or None when the image is
+    outside the profile or corrupt (CCITT/JBIG2/JPX, CMYK, sub-8-bit —
+    those pages stay textless and surface through the no-content path)."""
     d = _dict_of(body)
     if not re.search(rb"/Subtype\s*/Image\b", d):
         return None
-    if not re.search(rb"/ColorSpace\s*/DeviceGray\b", d):
+    gray = re.search(rb"/ColorSpace\s*/DeviceGray\b", d) is not None
+    rgb = re.search(rb"/ColorSpace\s*/DeviceRGB\b", d) is not None
+    if not (gray or rgb):
         return None
     mb = re.search(rb"/BitsPerComponent\s+(\d+)", d)
     if not mb or int(mb.group(1)) != 8:
         return None
     mf = re.search(rb"/Filter\s*/(\w+)", d)
-    if mf and mf.group(1) != b"FlateDecode":
-        return None  # DCTDecode/CCITT etc. — not decodable here
-    mw = re.search(rb"/Width\s+(\d+)", d)
-    mh = re.search(rb"/Height\s+(\d+)", d)
-    if not mw or not mh:
-        return None
-    w, h = int(mw.group(1)), int(mh.group(1))
-    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
-        return None
-    data = _stream_bytes(body)
-    if len(data) < w * h:
-        return None  # truncated raster
+    filt = mf.group(1) if mf else None
+    if filt not in (None, b"FlateDecode", b"DCTDecode"):
+        return None  # CCITTFax/JBIG2/JPX etc. — not decodable here
     from pdf_extractor_spark.kernels.ocr_kernel import (
+        OcrUnsupported,
         lines_to_stream_text,
         ocr_gray_rows,
         ocr_page_plausible,
     )
 
-    rows = [data[y * w:(y + 1) * w] for y in range(h)]
+    if filt == b"DCTDecode":
+        # the embedded stream IS a JPEG file; its own SOF header carries
+        # the geometry and component count, so decode it directly
+        from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
+
+        try:
+            rows = decode_jpeg_gray(_stream_bytes(body))
+        except OcrUnsupported:
+            return None  # corrupt/exotic JPEG: degrade, never raise
+    else:
+        mw = re.search(rb"/Width\s+(\d+)", d)
+        mh = re.search(rb"/Height\s+(\d+)", d)
+        if not mw or not mh:
+            return None
+        w, h = int(mw.group(1)), int(mh.group(1))
+        if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+            return None
+        data = _stream_bytes(body)
+        ncomp = 3 if rgb else 1
+        if len(data) < w * h * ncomp:
+            return None  # truncated raster
+        if rgb:
+            import numpy as np
+
+            tri = np.frombuffer(data, np.uint8, count=w * h * 3)
+            lum = (tri.reshape(h, w, 3).sum(axis=2, dtype=np.uint16)
+                   // 3).astype(np.uint8)
+            rows = [lum[y].tobytes() for y in range(h)]
+        else:
+            rows = [data[y * w:(y + 1) * w] for y in range(h)]
     lines = ocr_gray_rows(rows)
     if not ocr_page_plausible(lines):
         return None  # a real-world raster (photo), not machine print
@@ -169,13 +200,20 @@ def _kids(pages_body: bytes) -> list[int]:
 def _stream_bytes(body: bytes) -> bytes:
     """stream...endstream extraction, linear-time.
 
-    Semantics match the old lazy regex rb'stream\\r?\\n(.*?)\\r?\\nendstream':
-    the first 'stream' token followed by \\r\\n or \\n opens the stream, the
-    first '\\r?\\nendstream' after it closes it. The lazy regex backtracked
-    across every 'stream' candidate when no close exists (quadratic on a
-    truncated object); here a failed close search ends the scan outright —
-    a close missing after candidate k is missing after k+1 too.
+    When the stream dict carries a DIRECT ``/Length`` entry that lands on
+    a well-formed ``endstream``, the data is sliced to exactly that count
+    — required for binary filters (DCTDecode JPEG data may contain the
+    literal bytes ``\\nendstream``, which the marker scan would truncate
+    on). Indirect ``/Length n 0 R`` entries and lengths that do not line
+    up fall back to the marker scan, whose semantics match the old lazy
+    regex rb'stream\\r?\\n(.*?)\\r?\\nendstream': the first 'stream' token
+    followed by \\r\\n or \\n opens the stream, the first '\\r?\\nendstream'
+    after it closes it. The lazy regex backtracked across every 'stream'
+    candidate when no close exists (quadratic on a truncated object);
+    here a failed close search ends the scan outright — a close missing
+    after candidate k is missing after k+1 too.
     """
+    mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", _dict_of(body))
     i = body.find(b"stream")
     raw = None
     while i >= 0:
@@ -187,6 +225,14 @@ def _stream_bytes(body: bytes) -> bytes:
         else:
             i = body.find(b"stream", i + 1)
             continue
+        if mlen:
+            end = start + int(mlen.group(1))
+            tail = body[end:end + 12]
+            if (tail.startswith(b"endstream")
+                    or tail.startswith(b"\nendstream")
+                    or tail.startswith(b"\r\nendstream")):
+                raw = body[start:end]
+                break
         close = body.find(b"\nendstream", start)
         if close < 0:
             break

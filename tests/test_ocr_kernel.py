@@ -142,13 +142,111 @@ def test_unsupported_variants_raise():
     with pytest.raises(K.OcrUnsupported):
         K.ocr_bmp(good[:80])  # truncated pixel data
     bad_bpp = bytearray(good)
-    struct.pack_into("<H", bad_bpp, 28, 24)
+    struct.pack_into("<H", bad_bpp, 28, 16)  # 16-bpp: out of profile
     with pytest.raises(K.OcrUnsupported):
         K.ocr_bmp(bytes(bad_bpp))
-    compressed = bytearray(good)
-    struct.pack_into("<I", compressed, 30, 1)  # BI_RLE8
+    rle4 = bytearray(good)
+    struct.pack_into("<HI", rle4, 28, 4, 2)  # 4-bpp BI_RLE4
     with pytest.raises(K.OcrUnsupported):
-        K.ocr_bmp(bytes(compressed))
+        K.ocr_bmp(bytes(rle4))
+    bitfields = bytearray(K.render_text_bmp("ABC", profile="rgb24"))
+    struct.pack_into("<I", bitfields, 30, 3)  # BI_BITFIELDS
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(bitfields))
+    # a raw 8-bpp file relabeled RLE8: its PAPER runs are longer than a
+    # row, so the RLE interpreter must fail loudly, never emit garbage
+    relabeled = bytearray(good)
+    struct.pack_into("<I", relabeled, 30, 1)
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(relabeled))
+
+
+def test_widened_bmp_profiles_roundtrip_with_noise():
+    """Round 4: the scanned-bitmap tier accepts 24-bpp BI_RGB and
+    RLE8-compressed BMPs — both decode to the same luminance raster and
+    survive per-glyph noise exactly like the 8-bpp profile."""
+    text = "WIDENED PROFILES 0123456789, OK."
+    for profile in ("rgb24", "rle8"):
+        payload = K.render_text_bmp(text, width=16, profile=profile)
+        assert K.ocr_stream_text(payload) == text, profile
+    # one flipped pixel inside a glyph on the 24-bpp page still recovers
+    noisy = bytearray(K.render_text_bmp(text, width=16, profile="rgb24"))
+    (off,) = struct.unpack_from("<I", noisy, 10)
+    width, height = struct.unpack_from("<ii", noisy, 18)
+    stride = (width * 3 + 3) & ~3
+    # flip one in-glyph pixel (margin+1 row/col from the bottom-up end)
+    p = off + (height - 1 - (K.MARGIN + 1)) * stride + (K.MARGIN + 1) * 3
+    for c in range(3):
+        noisy[p + c] ^= 0xFF
+    assert K.ocr_stream_text(bytes(noisy)) == text
+
+
+def test_rle8_absolute_mode_and_escapes():
+    """The RLE8 interpreter handles absolute-mode packets (with word
+    padding) and early end-of-line; the delta escape and top-down RLE are
+    out of profile and raise."""
+    text = "RLE"
+    good = bytearray(K.render_text_bmp(text, profile="rle8"))
+    (off,) = struct.unpack_from("<I", good, 10)
+    width, height = struct.unpack_from("<ii", good, 18)
+    # rewrite the pixel data: first stored row as one absolute packet
+    # (width is even → no pad byte ambiguity), remaining rows as runs
+    rows = K.render_page_gray(K.wrap_fixed(text, 32))
+    stored = list(reversed(rows))  # bottom-up
+    body = bytearray()
+    first = bytes(stored[0])
+    assert 3 <= len(first) <= 255
+    body += bytes((0, len(first))) + first + (b"\x00" if len(first) & 1 else b"")
+    body += b"\x00\x00"
+    for r in stored[1:]:
+        body += K._rle8_row(bytes(r))
+    body = body[:-2] + b"\x00\x01"
+    rebuilt = bytes(good[:off]) + bytes(body)
+    assert K.ocr_stream_text(rebuilt) == text
+
+    delta = bytes(good[:off]) + b"\x00\x02\x01\x01" + bytes(good[off:])
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(delta)
+
+    topdown = bytearray(good)
+    struct.pack_into("<i", topdown, 22, -height)
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(topdown))
+
+
+def test_scanned_pdf_profiles_roundtrip():
+    """Round 4: scanned PDFs embed their page raster as gray-raw,
+    gray-Flate, RGB-Flate, or DCTDecode (JPEG) image XObjects — all four
+    OCR byte-identically through the same glyph machinery, including
+    multi-page documents."""
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    t1, t2 = "SCANNED PAGE ONE 42.", "PAGE TWO, MIXED 7."
+    for profile in ("gray-raw", "gray-flate", "rgb-flate", "dct"):
+        pdf = K.render_scanned_pdf([t1, t2], width=16, profile=profile)
+        res = extract_pdf(pdf)
+        assert res["pages"] == [(1, t1), (2, t2)], profile
+        assert res["meta"]["ok"] == "true", profile
+        assert res["meta"]["ocr_pages"] == "2", profile
+
+
+def test_stream_bytes_length_fastpath_protects_binary_data():
+    """A DCT/Flate stream is arbitrary binary and may contain the literal
+    bytes '\\nendstream'; the reader must slice by the direct /Length and
+    return the full data, not truncate at the embedded marker. Indirect
+    /Length refs still fall back to the marker scan."""
+    from pdf_extractor_spark.kernels.pdf_kernel import _stream_bytes
+
+    data = b"A" * 10 + b"\nendstream" + b"B" * 10
+    body = (b"<< /Length %d >>\nstream\n" % len(data)) + data + b"\nendstream"
+    assert _stream_bytes(body) == data
+    # indirect length: marker scan semantics (truncates at the embedded
+    # marker — the pre-round-4 behavior, kept for refs we can't resolve)
+    body_ind = b"<< /Length 5 0 R >>\nstream\n" + data + b"\nendstream"
+    assert _stream_bytes(body_ind) == b"A" * 10
+    # a WRONG direct length that doesn't land on 'endstream' falls back
+    body_bad = (b"<< /Length 7 >>\nstream\n") + data + b"\nendstream"
+    assert _stream_bytes(body_bad) == b"A" * 10
 
 
 def test_top_down_bmp_decodes():
@@ -259,20 +357,29 @@ def test_mixed_text_and_scanned_pdf_pages():
 
 
 def test_out_of_profile_pdf_images_stay_textless():
-    """JPEG-compressed or RGB image XObjects are outside the OCR profile:
-    the page stays empty and the document degrades to the no-content error
-    row — never a crash, never garbage text."""
+    """Corrupt or out-of-profile image XObjects: the page stays empty and
+    the document degrades to the no-content error row — never a crash,
+    never garbage text. Round 4 widened the profile to DeviceRGB and
+    DCTDecode, so the relabeled variants below now exercise the CORRUPT
+    in-profile paths (RGB dict over gray-sized data; DCT dict over
+    non-JPEG bytes); CCITTFax stays genuinely out of profile."""
     from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
     pdf = bytearray(K.render_scanned_pdf(["UNREADABLE"]))
-    jpeg = bytes(pdf).replace(b"/ColorSpace /DeviceGray", b"/ColorSpace /DeviceRGB")
-    res = extract_pdf(jpeg)
+    rgb_short = bytes(pdf).replace(b"/ColorSpace /DeviceGray",
+                                   b"/ColorSpace /DeviceRGB")
+    res = extract_pdf(rgb_short)  # promises 3x the data it holds
     assert res["pages"] == [(1, "")]
     assert res["meta"]["ok"] == "false" and "ocr" not in res["meta"]
 
     dct = bytes(pdf).replace(b"/BitsPerComponent 8",
                              b"/Filter /DCTDecode /BitsPerComponent 8")
-    res = extract_pdf(dct)
+    res = extract_pdf(dct)  # DCT dict, but the stream is a raw raster
+    assert res["pages"] == [(1, "")] and res["meta"]["ok"] == "false"
+
+    ccitt = bytes(pdf).replace(b"/BitsPerComponent 8",
+                               b"/Filter /CCITTFaxDecode /BitsPerComponent 8")
+    res = extract_pdf(ccitt)  # genuinely outside the widened profile
     assert res["pages"] == [(1, "")] and res["meta"]["ok"] == "false"
 
     # truncated raster: header promises more pixels than the stream holds
