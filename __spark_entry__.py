@@ -428,17 +428,31 @@ def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build a 1-page PDF per document (first 80 chars as the single text
     run) with the corpus PDF builder, then parse it back with the from-scratch
-    PDF kernel through the full Spark path."""
+    PDF kernel through the full Spark path. Round-4 late wave: the WRITER
+    rotates per doc over the real-world layouts — classic xref / PDF 1.5
+    object-stream + xref-stream / subset Type0 font with /ToUnicode CMap
+    (2-byte glyph codes) / simple font with /Encoding /Differences remap —
+    so the kernel's ObjStm expansion and both font-decoding mechanisms are
+    value-gated end-to-end (the oracle recomputes the expected text from
+    `documents` and is layout-agnostic)."""
     import pandas as pd
 
-    from pdf_extractor_spark.corpus import build_pdf
+    from pdf_extractor_spark.corpus import (
+        build_pdf,
+        build_pdf_differences,
+        build_pdf_objstm,
+        build_pdf_type0,
+    )
 
+    builders = (build_pdf, build_pdf_objstm, build_pdf_type0,
+                build_pdf_differences)
     docs = _t(spark, sf_dir, "documents")
 
     def make_pdf(it):
         for pdf in it:
             payloads = [
-                build_pdf([[(72.0, 720.0, str(t)[:80])]]) for t in pdf["text"]
+                builders[int(d) % 4]([[(72.0, 720.0, str(t)[:80])]])
+                for d, t in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(
                 {

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import datetime as dt
 import random
+import struct
 import zlib
 from dataclasses import dataclass, field
 
@@ -263,6 +264,224 @@ def build_pdf(page_runs: list[list[tuple[float, float, str]]], compress: bool = 
     out += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def build_pdf_objstm(page_runs: list[list[tuple[float, float, str]]]) -> bytes:
+    """The PDF 1.5 layout of ``build_pdf``: every NON-stream object
+    (catalog, pages node, page dicts) packed into one Flate-compressed
+    /Type /ObjStm container, content streams top-level, and a cross-
+    reference STREAM (/Type /XRef, W [1 2 2]: type-1 offsets for
+    top-level objects, type-2 (container, index) entries for members) in
+    place of the classic xref table + trailer — the layout pdf writers
+    default to since 1.5. Same text, same reading order."""
+    n_pages = len(page_runs)
+    streams: list[bytes] = []
+    for runs in page_runs:
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_pdf_escape(text)}) Tj")
+        ops.append("ET")
+        s = "\n".join(ops).encode("latin-1")
+        streams.append(
+            b"<< /Length " + str(len(s)).encode() + b" >>\nstream\n"
+            + s + b"\nendstream")
+    # numbering: content streams 1..P; ObjStm P+1; xref stream P+2;
+    # members (inside the ObjStm): catalog P+3, pages node P+4,
+    # page dicts P+5..P+4+P
+    objstm_num = n_pages + 1
+    xref_num = n_pages + 2
+    cat_num = n_pages + 3
+    pages_num = n_pages + 4
+    page_nums = [pages_num + 1 + i for i in range(n_pages)]
+    members: list[tuple[int, bytes]] = [
+        (cat_num, f"<< /Type /Catalog /Pages {pages_num} 0 R >>".encode()),
+        (pages_num, ("<< /Type /Pages /Kids ["
+                     + " ".join(f"{p} 0 R" for p in page_nums)
+                     + f"] /Count {n_pages} >>").encode()),
+    ]
+    for i, pnum in enumerate(page_nums):
+        members.append((pnum, (
+            f"<< /Type /Page /Parent {pages_num} 0 R"
+            f" /MediaBox [0 0 612 792] /Contents {i + 1} 0 R >>").encode()))
+    bodies = b" ".join(b for _, b in members)
+    offsets, pos = [], 0
+    for _, b in members:
+        offsets.append(pos)
+        pos += len(b) + 1
+    header = " ".join(f"{num} {off}"
+                      for (num, _), off in zip(members, offsets)).encode() + b"\n"
+    stm_data = zlib.compress(header + bodies)
+    objstm = (b"<< /Type /ObjStm /N " + str(len(members)).encode()
+              + b" /First " + str(len(header)).encode()
+              + b" /Filter /FlateDecode /Length "
+              + str(len(stm_data)).encode() + b" >>\nstream\n"
+              + stm_data + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.5\n")
+    top_offsets: dict[int, int] = {}
+    for num, body in list(enumerate(streams, start=1)) + [(objstm_num, objstm)]:
+        top_offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    size = page_nums[-1] + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0:
+            rows += struct.pack(">BIH", 0, 0, 65535)
+        elif num in top_offsets:
+            rows += struct.pack(">BIH", 1, top_offsets[num], 0)
+        elif num == xref_num:
+            rows += struct.pack(">BIH", 1, 0, 0)  # patched below
+        else:  # an ObjStm member: (container, index-in-container)
+            idx = next(i for i, (m, _) in enumerate(members) if m == num)
+            rows += struct.pack(">BIH", 2, objstm_num, idx)
+    xref_at = len(out)
+    struct.pack_into(">I", rows, xref_num * 7 + 1, xref_at)
+    xref_data = zlib.compress(bytes(rows))
+    out += (f"{xref_num} 0 obj\n".encode()
+            + (b"<< /Type /XRef /Size " + str(size).encode()
+               + b" /W [1 4 2] /Root " + str(cat_num).encode()
+               + b" 0 R /Filter /FlateDecode /Length "
+               + str(len(xref_data)).encode() + b" >>\nstream\n"
+               + xref_data + b"\nendstream")
+            + b"\nendobj\n")
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def _cmap_stream(codes: list[tuple[int, str]]) -> bytes:
+    """A /ToUnicode CMap body mapping 2-byte codes to UTF-16BE chars."""
+    ents = "\n".join(
+        "<%04X> <%s>" % (code, ch.encode("utf-16-be").hex().upper())
+        for code, ch in codes)
+    return ("/CIDInit /ProcSet findresource begin\n"
+            "12 dict begin begincmap\n"
+            "1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            f"{len(codes)} beginbfchar\n{ents}\nendbfchar\n"
+            "endcmap CMapName currentdict /CMap defineresource pop "
+            "end end").encode("latin-1")
+
+
+def build_pdf_type0(page_runs: list[list[tuple[float, float, str]]]) -> bytes:
+    """``build_pdf`` with a SUBSET Type0 font: show strings are 2-byte
+    glyph codes assigned in first-appearance order (the shape every
+    embedded-subset-font PDF has — the bytes mean nothing without the
+    font's /ToUnicode CMap, which this builder embeds). Exercises the
+    kernel's CMap path end-to-end; same text, same reading order."""
+    code_of: dict[str, int] = {}
+    for runs in page_runs:
+        for _, _, text in runs:
+            for ch in text:
+                code_of.setdefault(ch, len(code_of) + 1)
+    objs: list[bytes] = []
+    n_pages = len(page_runs)
+    # 1 catalog, 2 pages, per page (page, content) -> 3+2i / 4+2i,
+    # then font / descendant / tounicode
+    font_num = 3 + 2 * n_pages
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, runs in enumerate(page_runs):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+            f" /Contents {4 + 2 * i} 0 R >>").encode())
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            hexcodes = "".join("%04X" % code_of[ch] for ch in text)
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"<{hexcodes}> Tj")
+        ops.append("ET")
+        s = "\n".join(ops).encode("latin-1")
+        objs.append(b"<< /Length " + str(len(s)).encode()
+                    + b" >>\nstream\n" + s + b"\nendstream")
+    objs.append((
+        f"<< /Type /Font /Subtype /Type0 /BaseFont /AAAAAA+Synth"
+        f" /Encoding /Identity-H /DescendantFonts [{font_num + 1} 0 R]"
+        f" /ToUnicode {font_num + 2} 0 R >>").encode())
+    objs.append(b"<< /Type /Font /Subtype /CIDFontType2"
+                b" /BaseFont /AAAAAA+Synth >>")
+    cmap = _cmap_stream(sorted((c, ch) for ch, c in code_of.items()))
+    objs.append(b"<< /Length " + str(len(cmap)).encode()
+                + b" >>\nstream\n" + cmap + b"\nendstream")
+    return _assemble_classic(objs)
+
+
+# reverse AGL for the Differences builder: char -> glyph name (letters and
+# digits use their conventional names; anything absent keeps its latin-1
+# byte and needs no Differences entry)
+_AGL_NAME_OF = {
+    " ": "space", ".": "period", ",": "comma", "-": "hyphen",
+    "'": "quotesingle", "?": "question", "!": "exclam", ":": "colon",
+    ";": "semicolon", "(": "parenleft", ")": "parenright",
+    **{d: n for d, n in zip("0123456789",
+                            ["zero", "one", "two", "three", "four", "five",
+                             "six", "seven", "eight", "nine"])},
+    **{c: c for c in "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"},
+}
+
+
+def build_pdf_differences(
+    page_runs: list[list[tuple[float, float, str]]],
+) -> bytes:
+    """``build_pdf`` with a simple font whose /Encoding /Differences array
+    REMAPS every nameable character to a high byte (128+k in appearance
+    order): the show-string bytes are wrong under latin-1 and only the
+    Differences table recovers the text — the non-standard-encoding shape
+    the reference's PyPDF2 tier resolves. Same text, same reading order."""
+    code_of: dict[str, int] = {}
+    for runs in page_runs:
+        for _, _, text in runs:
+            for ch in text:
+                if ch in _AGL_NAME_OF and ch not in code_of \
+                        and len(code_of) < 127:
+                    code_of[ch] = 128 + len(code_of)
+    objs: list[bytes] = []
+    n_pages = len(page_runs)
+    font_num = 3 + 2 * n_pages
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, runs in enumerate(page_runs):
+        objs.append((
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+            f" /Contents {4 + 2 * i} 0 R >>").encode())
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            enc = "".join(chr(code_of.get(ch, ord(ch))) for ch in text)
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_pdf_escape(enc)}) Tj")
+        ops.append("ET")
+        s = "\n".join(ops).encode("latin-1")
+        objs.append(b"<< /Length " + str(len(s)).encode()
+                    + b" >>\nstream\n" + s + b"\nendstream")
+    diffs = " ".join(
+        f"{code} /{_AGL_NAME_OF[ch]}"
+        for ch, code in sorted(code_of.items(), key=lambda kv: kv[1]))
+    objs.append((
+        f"<< /Type /Font /Subtype /Type1 /BaseFont /Synth"
+        f" /Encoding << /Type /Encoding /Differences [{diffs}] >> >>"
+    ).encode())
+    return _assemble_classic(objs)
+
+
+def _assemble_classic(objs: list[bytes]) -> bytes:
+    """Classic xref-table assembly shared by the font-variant builders
+    (same trailer shape as ``build_pdf``; /Root is always object 1)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+            f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
 
 

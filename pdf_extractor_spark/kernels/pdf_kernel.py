@@ -1,8 +1,13 @@
 """From-scratch minimal PDF text-extraction kernel.
 
-Parses PDF object structure (obj/endobj scan — tolerant of broken xref),
-FlateDecode via stdlib zlib, and the text-showing subset of the content
-stream operator language: BT/ET, Tf, Td/TD/TL/Tm/T*, Tj/TJ/'/".
+Parses PDF object structure (obj/endobj scan — tolerant of broken xref;
+PDF 1.5 /ObjStm object streams expanded), FlateDecode via stdlib zlib,
+and the text-showing subset of the content stream operator language:
+BT/ET, Tf, Td/TD/TL/Tm/T*, Tj/TJ/'/". Show strings decode through the
+current font's /ToUnicode CMap (bfchar/bfrange, 1- and 2-byte codes) or
+/Encoding /Differences array (AGL glyph names) when present — the two
+mechanisms real subset-font PDFs need for text parity — and keep the
+lossless latin-1 identity otherwise.
 
 Reading order is reconstructed by coordinate-sorted line merging: text runs
 grouped into lines by y (descending — PDF origin is bottom-left), runs within
@@ -100,17 +105,7 @@ def _content_refs(page_body: bytes) -> list[int]:
 def _xobject_image_refs(page_body: bytes, objs: dict[int, bytes]) -> list[int]:
     """Image XObject refs reachable from a page's /Resources (inline dict or
     indirect ref), in declaration order."""
-    d = _dict_of(page_body)
-    m = re.search(rb"/Resources\s*(<<|(\d+)\s+\d+\s+R)", d)
-    if not m:
-        return []
-    if m.group(2) is not None:
-        ref = int(m.group(2))
-        if ref not in objs:
-            return []
-        res = _dict_of(objs[ref])
-    else:
-        res = _dict_of(d[m.start(1):])
+    res = _resources_of(page_body, objs)
     mx = re.search(rb"/XObject\s*<<", res)
     if not mx:
         return []
@@ -187,6 +182,45 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     if not ocr_page_plausible(lines):
         return None  # a real-world raster (photo), not machine print
     return lines_to_stream_text(lines)
+
+
+def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """PDF 1.5 object streams: a /Type /ObjStm object is a Flate container
+    of NON-stream objects (the layout pdf writers default to since 1.5 —
+    catalog/pages/font dicts move inside, content streams stay top-level).
+    Expand every member into the object map so the page walk sees them.
+
+    The stream begins with /N pairs of integers 'objnum offset' (offsets
+    relative to /First); member bodies are dict/array/scalar text, so the
+    existing _dict_of/_kids/regex machinery applies unchanged. Top-level
+    objects WIN over ObjStm members with the same number: an incremental
+    update appends a replacement object at top level, and honoring it
+    matches the duplicate-id policy of _parse_objects (last wins)."""
+    extra: dict[int, bytes] = {}
+    for body in list(objs.values()):
+        d = _dict_of(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        mn = re.search(rb"/N\s+(\d+)", d)
+        mf = re.search(rb"/First\s+(\d+)", d)
+        if not mn or not mf:
+            continue
+        n, first = int(mn.group(1)), int(mf.group(1))
+        if n <= 0 or n > 1 << 16 or first <= 0:
+            continue  # implausible header — skip the container, keep the doc
+        data = _stream_bytes(body)
+        if first > len(data):
+            continue
+        header = [int(t) for t in re.findall(rb"\d+", data[:first])]
+        pairs = list(zip(header[0::2], header[1::2]))[:n]
+        for k, (num, off) in enumerate(pairs):
+            end = pairs[k + 1][1] if k + 1 < len(pairs) else len(data) - first
+            if not 0 <= off <= end:
+                continue  # malformed offsets: skip the member, keep the rest
+            extra[num] = data[first + off:first + end]
+    for num, member in extra.items():
+        objs.setdefault(num, member)
+    return objs
 
 
 def _kids(pages_body: bytes) -> list[int]:
@@ -329,6 +363,8 @@ def _tokenize(stream: bytes, _depth: int = 0):
                 yield ("num", float(m.group()))
             elif g == "op":
                 yield ("op", m.group().decode("latin-1", "replace"))
+            elif g == "name":
+                yield ("name", m.group()[1:].decode("latin-1", "replace"))
             i = m.end()
         elif c == b"(":
             # fast path: escape-free, non-nested literal (the common case) —
@@ -435,15 +471,247 @@ def _tokenize(stream: bytes, _depth: int = 0):
             i = j
 
 
-def _runs_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
-    """Execute the text-positioning subset; return (x, y, text) runs."""
+# ---------------------------------------------------------------------------
+# Font decoding: /ToUnicode CMaps and /Encoding /Differences (round 4).
+# Real-world born-digital PDFs embed SUBSET fonts whose show-string bytes
+# are arbitrary glyph codes, not latin-1 — the reference's PyPDF2/PyMuPDF
+# tiers resolve them through exactly these two mechanisms, so text parity
+# on such documents requires them here (pypdf2_extractor.py:21-50).
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset: every name the Differences path resolves. A
+# single-char name maps to itself and uniXXXX/uXXXXXX forms are computed,
+# so this table only needs the multi-char conventional names.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ",
+    "germandbls": "ß", "eacute": "é", "egrave": "è",
+    "agrave": "à", "ccedilla": "ç", "adieresis": "ä",
+    "odieresis": "ö", "udieresis": "ü", "ntilde": "ñ",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "degree": "°", "copyright": "©", "registered": "®",
+    "trademark": "™", "euro": "€", "sterling": "£",
+    "yen": "¥", "cent": "¢", "section": "§",
+    "paragraph": "¶", "dagger": "†", "daggerdbl": "‡",
+    "minus": "−", "multiply": "×", "divide": "÷",
+    "alpha": "α", "beta": "β", "gamma": "γ",
+    "delta": "δ", "epsilon": "ε", "lambda": "λ",
+    "mu": "μ", "pi": "π", "sigma": "σ", "omega": "ω",
+}
+
+_UNI_NAME_RE = re.compile(r"uni([0-9A-Fa-f]{4})\Z|u([0-9A-Fa-f]{4,6})\Z")
+
+
+def _glyph_char(name: str) -> str | None:
+    """Glyph name -> character (AGL convention), or None if unknown."""
+    if len(name) == 1:
+        return name
+    hit = _AGL.get(name)
+    if hit is not None:
+        return hit
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1) or m.group(2), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return None
+
+
+_HEX_PAIR_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>")
+_BFRANGE_RE = re.compile(
+    rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(<[0-9A-Fa-f]+>|\[[^\]]*\])")
+_HEX_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+# mapping-size backstop: a crafted CMap full of maximal bfranges must not
+# materialize millions of dict entries per document
+_MAX_CMAP_ENTRIES = 1 << 17
+
+
+def _utf16_hex(h: bytes) -> str:
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> tuple[int, dict[int, str]]:
+    """A /ToUnicode CMap stream -> (code byte-width, {code -> unicode}).
+
+    Handles begincodespacerange (width from the first range's hex digit
+    count), beginbfchar pairs, and beginbfrange in both destination forms
+    (<dstStart> increment and [ <dst> ... ] array). Anything else in the
+    CMap (usecmap, cid ops) is ignored — ToUnicode CMaps in the wild are
+    exactly these three sections."""
+    width = 2  # the overwhelming default (Identity-H subset fonts)
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = _HEX_TOK_RE.search(m.group(1))
+        if h:
+            width = max(1, min(2, len(h.group(1)) // 2))
+    mapping: dict[int, str] = {}
+    for seg in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        for pair in _HEX_PAIR_RE.finditer(seg.group(1)):
+            if len(mapping) >= _MAX_CMAP_ENTRIES:
+                return width, mapping
+            mapping[int(pair.group(1), 16)] = _utf16_hex(pair.group(2))
+    for seg in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for ent in _BFRANGE_RE.finditer(seg.group(1)):
+            lo, hi = int(ent.group(1), 16), int(ent.group(2), 16)
+            if hi < lo:
+                continue
+            hi = min(hi, lo + _MAX_CMAP_ENTRIES)  # span backstop
+            dst = ent.group(3)
+            if dst.startswith(b"["):
+                dsts = _HEX_TOK_RE.findall(dst)
+                for k, h in enumerate(dsts[:hi - lo + 1]):
+                    if len(mapping) >= _MAX_CMAP_ENTRIES:
+                        return width, mapping
+                    mapping[lo + k] = _utf16_hex(h)
+            else:
+                base = int(dst[1:-1], 16)
+                nyb = len(dst) - 2
+                for k in range(hi - lo + 1):
+                    if len(mapping) >= _MAX_CMAP_ENTRIES:
+                        return width, mapping
+                    mapping[lo + k] = _utf16_hex(
+                        b"%0*X" % (nyb, base + k))
+    return width, mapping
+
+
+def _encoding_differences(enc_body: bytes) -> dict[int, str]:
+    """An /Encoding dict's /Differences array -> {byte code -> char}.
+
+    The array alternates integers (set the current code) and glyph names
+    (assign, then increment); names outside the AGL subset are skipped so
+    those codes keep their base-encoding (latin-1 here) meaning."""
+    m = re.search(rb"/Differences\s*\[([^\]]*)\]", enc_body)
+    if not m:
+        return {}
+    table: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"/([^ \t\r\n()<>\[\]/%]+)|(\d+)", m.group(1)):
+        if tok.group(2) is not None:
+            code = int(tok.group(2))
+        else:
+            ch = _glyph_char(tok.group(1).decode("latin-1", "replace"))
+            if ch is not None and code < 256:
+                table[code] = ch
+            code += 1
+    return table
+
+
+def _make_cmap_decoder(width: int, mapping: dict[int, str]):
+    if width == 2:
+        def dec(s: str) -> str:
+            bs = s.encode("latin-1")
+            out = [mapping.get((bs[i] << 8) | bs[i + 1],
+                               chr((bs[i] << 8) | bs[i + 1]))
+                   for i in range(0, len(bs) - 1, 2)]
+            if len(bs) % 2:  # malformed odd tail: keep the byte
+                out.append(chr(bs[-1]))
+            return "".join(out)
+    else:
+        def dec(s: str) -> str:
+            return "".join(mapping.get(b, chr(b))
+                           for b in s.encode("latin-1"))
+    return dec
+
+
+def _make_diff_decoder(table: dict[int, str]):
+    def dec(s: str) -> str:
+        return "".join(table.get(b, chr(b)) for b in s.encode("latin-1"))
+    return dec
+
+
+def _resources_of(page_body: bytes, objs: dict[int, bytes]) -> bytes:
+    """A page's /Resources dict bytes (inline or via indirect ref)."""
+    d = _dict_of(page_body)
+    m = re.search(rb"/Resources\s*(<<|(\d+)\s+\d+\s+R)", d)
+    if not m:
+        return b""
+    if m.group(2) is not None:
+        ref = int(m.group(2))
+        return _dict_of(objs[ref]) if ref in objs else b""
+    return _dict_of(d[m.start(1):])
+
+
+def _page_fonts(page_body: bytes, objs: dict[int, bytes]) -> dict:
+    """Resource name -> show-string decoder for one page's /Font entries.
+
+    Only fonts that carry a /ToUnicode CMap or an /Encoding /Differences
+    array get a decoder; everything else (standard-encoded simple fonts)
+    keeps the latin-1 identity, which is exact for them."""
+    res = _resources_of(page_body, objs)
+    mf = re.search(rb"/Font\s*(<<|(\d+)\s+\d+\s+R)", res)
+    if not mf:
+        return {}
+    if mf.group(2) is not None:
+        ref = int(mf.group(2))
+        fdict = _dict_of(objs[ref]) if ref in objs else b""
+    else:
+        fdict = _dict_of(res[mf.start(1):])
+    fonts: dict = {}
+    for ent in re.finditer(rb"/([^ \t\r\n()<>\[\]/%]+)\s+(\d+)\s+\d+\s+R",
+                           fdict):
+        name = ent.group(1).decode("latin-1", "replace")
+        fnum = int(ent.group(2))
+        if fnum not in objs:
+            continue
+        fb = _dict_of(objs[fnum])
+        m2u = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fb)
+        if m2u and int(m2u.group(1)) in objs:
+            data = _stream_bytes(objs[int(m2u.group(1))])
+            if data:
+                fonts[name] = _make_cmap_decoder(*_parse_tounicode(data))
+                continue
+        menc = re.search(rb"/Encoding\s*(<<|(\d+)\s+\d+\s+R)", fb)
+        if menc:
+            if menc.group(2) is not None:
+                ref = int(menc.group(2))
+                enc = _dict_of(objs[ref]) if ref in objs else b""
+            else:
+                enc = _dict_of(fb[menc.start(1):])
+            table = _encoding_differences(enc)
+            if table:
+                fonts[name] = _make_diff_decoder(table)
+    return fonts
+
+
+def _runs_from_stream(
+    stream: bytes, fonts: dict | None = None,
+) -> list[tuple[float, float, str]]:
+    """Execute the text-positioning subset; return (x, y, text) runs.
+
+    ``fonts`` maps resource names (e.g. 'F1') to decoder callables that
+    turn a show-string's raw bytes (carried losslessly as latin-1 text)
+    into Unicode — built by ``_page_fonts`` from /ToUnicode CMaps and
+    /Encoding /Differences. Strings shown under fonts without a decoder
+    keep the latin-1 identity (the pre-round-4 behavior)."""
     runs: list[tuple[float, float, str]] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (Td/TD/Tm set; T* and '/" return here)
     leading = 0.0
     stack: list = []
+    decode = None  # current font's decoder (Tf selects; None = identity)
+
+    def _dec(s: str) -> str:
+        return decode(s) if decode is not None else s
+
     for kind, val in _tokenize(stream):
-        if kind in ("str", "num", "arr"):
+        if kind in ("str", "num", "arr", "name"):
             stack.append((kind, val))
             continue
         op = val
@@ -451,6 +719,10 @@ def _runs_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
             x = y = lx = ly = 0.0
             stack.clear()
         elif op == "ET":
+            stack.clear()
+        elif op == "Tf" and fonts and len(stack) >= 2 \
+                and stack[-2][0] == "name":
+            decode = fonts.get(stack[-2][1])
             stack.clear()
         elif op == "Td" and len(stack) >= 2:
             ty = stack[-1][1]
@@ -479,17 +751,17 @@ def _runs_from_stream(stream: bytes) -> list[tuple[float, float, str]]:
             x, y = lx, ly
             stack.clear()
         elif op == "Tj" and stack and stack[-1][0] == "str":
-            runs.append((x, y, stack[-1][1]))
+            runs.append((x, y, _dec(stack[-1][1])))
             stack.clear()
         elif op in ("'", '"'):
             ly -= leading
             x, y = lx, ly
             s = next((v for k, v in reversed(stack) if k == "str"), None)
             if s is not None:
-                runs.append((x, y, s))
+                runs.append((x, y, _dec(s)))
             stack.clear()
         elif op == "TJ" and stack and stack[-1][0] == "arr":
-            text = "".join(v for k, v in stack[-1][1] if k == "str")
+            text = "".join(_dec(v) for k, v in stack[-1][1] if k == "str")
             if text:
                 runs.append((x, y, text))
             stack.clear()
@@ -536,7 +808,7 @@ def extract_pdf(payload: bytes) -> dict:
         meta["ok"] = "false"
         return {"pages": [], "meta": meta}
     try:
-        objs = _parse_objects(payload)
+        objs = _expand_object_streams(_parse_objects(payload))
         page_ids = [num for num, body in sorted(objs.items())
                     if re.search(rb"/Type\s*/Page\b", _dict_of(body))]
         # honor /Kids ordering if a /Type /Pages node exists
@@ -550,9 +822,11 @@ def extract_pdf(payload: bytes) -> dict:
         ocr_pages = 0
         for i, pid in enumerate(page_ids, start=1):
             text_parts = []
+            fonts = _page_fonts(objs[pid], objs)
             for cref in _content_refs(objs[pid]):
                 if cref in objs:
-                    text_parts.append(merge_lines(_runs_from_stream(_stream_bytes(objs[cref]))))
+                    text_parts.append(merge_lines(
+                        _runs_from_stream(_stream_bytes(objs[cref]), fonts)))
             text = "\n".join(p for p in text_parts if p)
             if not text:
                 # scanned page: no text operators — OCR any in-profile image

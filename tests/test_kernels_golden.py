@@ -471,3 +471,148 @@ def test_detect_lang_accuracy_on_generated_paragraphs():
     # paragraph drawing ZERO fr-exclusive stopwords — remains theoretically
     # possible but was not observed in 20k generator paragraphs.
     assert per == {lang: 0 for lang in per}, (per, wrong[:5])
+
+
+# ---------------------------------------------------------------------------
+# Round 4: PDF 1.5 object streams + subset-font decoding (ToUnicode CMaps,
+# /Encoding /Differences) — the two real-world mechanisms PyPDF2/PyMuPDF
+# resolve that the kernel must match (pypdf2_extractor.py:21-50).
+# ---------------------------------------------------------------------------
+
+def test_pdf_objstm_layout_roundtrip():
+    """A PDF 1.5 document (catalog/pages/page dicts inside a /Type /ObjStm,
+    xref stream, no classic trailer) extracts the same text in the same
+    reading order as the classic layout."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    runs1 = [(72.0, 720.0, "Object stream page one."),
+             (72.0, 706.0, "Second line 12,34.")]
+    runs2 = [(72.0, 720.0, "Page two content 99.")]
+    classic = extract_pdf(corpus.build_pdf([runs1, runs2]))
+    modern = extract_pdf(corpus.build_pdf_objstm([runs1, runs2]))
+    assert modern["pages"] == classic["pages"]
+    assert modern["meta"]["ok"] == "true"
+    assert modern["meta"]["page_count"] == "2"
+
+
+def test_pdf_objstm_top_level_object_wins():
+    """An incremental update appends a replacement object at top level;
+    it must shadow the stale ObjStm member with the same number."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import (
+        _expand_object_streams, _parse_objects)
+
+    pdf = corpus.build_pdf_objstm([[(72.0, 720.0, "Original")]])
+    objs = _parse_objects(pdf)
+    member_num = max(_expand_object_streams(dict(objs)))  # a page dict
+    patched = pdf + (
+        b"%d 0 obj\n<< /Type /Page /Parent 0 0 R >>\nendobj\n" % member_num)
+    expanded = _expand_object_streams(_parse_objects(patched))
+    assert b"/Parent 0 0 R" in expanded[member_num]
+
+
+def test_pdf_objstm_malformed_degrades():
+    """Garbage ObjStm headers/offsets skip the container (or member), never
+    raise, and never disturb top-level objects."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    pdf = bytearray(corpus.build_pdf_objstm([[(72.0, 720.0, "Fragile")]]))
+    # corrupt the ObjStm's Flate data: members vanish, pages unreachable,
+    # document degrades to the no-content row
+    at = pdf.find(b"/Type /ObjStm")
+    s = pdf.find(b"stream\n", at) + 7
+    pdf[s:s + 4] = b"\x00\x00\x00\x00"
+    res = extract_pdf(bytes(pdf))
+    assert res["meta"]["ok"] == "false"
+    assert res["pages"] == []
+
+
+def test_tounicode_cmap_parser_forms():
+    """bfchar, bfrange-with-increment, and bfrange-with-array all map;
+    1-byte codespaces narrow the code width; surrogate-pair destinations
+    decode to non-BMP chars."""
+    from pdf_extractor_spark.kernels.pdf_kernel import _parse_tounicode
+
+    cmap = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+            b"2 beginbfchar\n<0001> <0041>\n<0002> <D83DDE00>\nendbfchar\n"
+            b"2 beginbfrange\n<0010> <0012> <0061>\n"
+            b"<0020> <0021> [<0058> <0059>]\nendbfrange\n")
+    width, m = _parse_tounicode(cmap)
+    assert width == 2
+    assert m[1] == "A" and m[2] == "\U0001F600"
+    assert (m[0x10], m[0x11], m[0x12]) == ("a", "b", "c")
+    assert (m[0x20], m[0x21]) == ("X", "Y")
+
+    one_byte = (b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+                b"1 beginbfchar\n<41> <00E9>\nendbfchar\n")
+    width, m = _parse_tounicode(one_byte)
+    assert width == 1 and m[0x41] == "é"
+
+
+def test_tounicode_cmap_entry_cap():
+    """A crafted CMap whose bfrange spans millions of codes is bounded by
+    the entry cap instead of materializing an unbounded dict."""
+    from pdf_extractor_spark.kernels.pdf_kernel import (
+        _MAX_CMAP_ENTRIES, _parse_tounicode)
+
+    cmap = (b"1 beginbfrange\n<0000> <FFFF> <0041>\nendbfrange\n"
+            b"1 beginbfrange\n<0000> <FFFF> <0042>\nendbfrange\n")
+    _, m = _parse_tounicode(cmap)
+    assert len(m) <= _MAX_CMAP_ENTRIES + 1
+
+
+def test_encoding_differences_parser():
+    """Integers set the code, names assign-and-increment; AGL names,
+    single-char names, uniXXXX forms resolve; unknown names are skipped
+    (keep base encoding)."""
+    from pdf_extractor_spark.kernels.pdf_kernel import _encoding_differences
+
+    enc = (b"<< /Type /Encoding /Differences "
+           b"[ 128 /A /space /uni20AC 200 /nosuchglyph /eacute ] >>")
+    t = _encoding_differences(enc)
+    assert t[128] == "A" and t[129] == " " and t[130] == "€"
+    assert 200 not in t  # unknown name skipped, code still advanced
+    assert t[201] == "é"
+
+
+def test_pdf_type0_tounicode_roundtrip():
+    """A subset Type0 font (2-byte glyph codes + embedded ToUnicode CMap):
+    the show strings are meaningless without the CMap, and the kernel
+    recovers the exact text — including non-latin-1 characters."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    text = "Grüße – 東京 café ﬁn £5"
+    pdf = corpus.build_pdf_type0([[(72.0, 720.0, text)]])
+    res = extract_pdf(pdf)
+    assert res["pages"] == [(1, text)]
+    assert res["meta"]["ok"] == "true"
+
+
+def test_pdf_differences_roundtrip_and_remap_is_real():
+    """A simple font whose /Differences remaps every nameable char to a
+    high byte: raw latin-1 reading of the content stream is garbage, the
+    kernel's Differences table recovers the text."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    text = "Remapped bytes, page 7."
+    pdf = corpus.build_pdf_differences([[(72.0, 720.0, text)]])
+    body = pdf[pdf.find(b"stream"):pdf.find(b"endstream")]
+    assert b"Remapped" not in body  # the bytes really are remapped
+    res = extract_pdf(pdf)
+    assert res["pages"] == [(1, text)]
+
+
+def test_pdf_font_without_tounicode_keeps_latin1_identity():
+    """Fonts with neither /ToUnicode nor /Differences leave show strings
+    byte-identical under latin-1 — the pre-round-4 behavior, exact for
+    standard-encoded fonts."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    text = "Plain latin-1 text stays as-is."
+    res = extract_pdf(corpus.build_pdf([[(72.0, 720.0, text)]]))
+    assert res["pages"] == [(1, text)]
