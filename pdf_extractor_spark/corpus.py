@@ -468,9 +468,9 @@ def build_pdf_differences(
     return _assemble_classic(objs)
 
 
-def _assemble_classic(objs: list[bytes]) -> bytes:
-    """Classic xref-table assembly shared by the font-variant builders
-    (same trailer shape as ``build_pdf``; /Root is always object 1)."""
+def _assemble_classic(objs: list[bytes], root_num: int = 1) -> bytes:
+    """Classic xref-table assembly shared by the variant builders
+    (same trailer shape as ``build_pdf``)."""
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for num, body in enumerate(objs, start=1):
@@ -480,9 +480,58 @@ def _assemble_classic(objs: list[bytes]) -> bytes:
     out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
     for off in offsets:
         out += f"{off:010d} 00000 n \n".encode()
-    out += (f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+    out += (f"trailer\n<< /Size {len(objs) + 1} /Root {root_num} 0 R >>\n"
             f"startxref\n{xref_at}\n%%EOF\n").encode()
     return bytes(out)
+
+
+def build_pdf_nested(
+    page_runs: list[list[tuple[float, float, str]]], fanout: int = 2,
+) -> bytes:
+    """``build_pdf`` with a BALANCED page tree: pages grouped under
+    nested intermediate /Pages nodes ``fanout`` at a time up to a single
+    root — the layout real writers emit for long documents (a flat
+    1000-kid /Kids array is the exception). Exercises the kernel's
+    recursive page-tree walk; same text, same page order."""
+    objs: list[bytes] = []
+
+    def add(body: bytes) -> int:
+        objs.append(body)
+        return len(objs)
+
+    page_nums: list[int] = []
+    for runs in page_runs:
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_pdf_escape(text)}) Tj")
+        ops.append("ET")
+        s = "\n".join(ops).encode("latin-1")
+        c = add(b"<< /Length " + str(len(s)).encode()
+                + b" >>\nstream\n" + s + b"\nendstream")
+        page_nums.append(add((
+            f"<< /Type /Page /Parent 0 0 R"  # patched once parents exist
+            f" /MediaBox [0 0 612 792] /Contents {c} 0 R >>").encode()))
+
+    level = page_nums
+    first = True
+    while first or len(level) > 1:
+        first = False
+        nxt: list[int] = []
+        for at in range(0, len(level), fanout):
+            chunk = level[at:at + fanout]
+            kids = " ".join(f"{k} 0 R" for k in chunk)
+            n = add((f"<< /Type /Pages /Parent 0 0 R /Kids [{kids}]"
+                     f" /Count {len(chunk)} >>").encode())
+            for k in chunk:  # patch the children's /Parent
+                objs[k - 1] = objs[k - 1].replace(
+                    b"/Parent 0 0 R", b"/Parent %d 0 R" % n)
+            nxt.append(n)
+        level = nxt
+    root = level[0]
+    objs[root - 1] = objs[root - 1].replace(b" /Parent 0 0 R", b"")
+    cat = add(f"<< /Type /Catalog /Pages {root} 0 R >>".encode())
+    return _assemble_classic(objs, root_num=cat)
 
 
 def _pdf_lines(rng: random.Random, n_lines: int) -> list[str]:

@@ -137,9 +137,12 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     mb = re.search(rb"/BitsPerComponent\s+(\d+)", d)
     if not mb or int(mb.group(1)) != 8:
         return None
-    mf = re.search(rb"/Filter\s*/(\w+)", d)
-    filt = mf.group(1) if mf else None
-    if filt not in (None, b"FlateDecode", b"DCTDecode"):
+    # the effective filter AFTER the text filters _stream_bytes applies
+    # (ASCIIHex/ASCII85/Flate pipelines): None = raw raster remains
+    filt = next((n for n in _filter_names(d)
+                 if n not in (b"FlateDecode", b"ASCIIHexDecode",
+                              b"ASCII85Decode")), None)
+    if filt not in (None, b"DCTDecode"):
         return None  # CCITTFax/JBIG2/JPX etc. — not decodable here
     from pdf_extractor_spark.kernels.ocr_kernel import (
         OcrUnsupported,
@@ -231,6 +234,29 @@ def _kids(pages_body: bytes) -> list[int]:
     return [int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
 
 
+def _walk_page_tree(root: int, objs: dict[int, bytes]) -> list[int]:
+    """Depth-first /Pages-tree walk from ``root``, returning /Type /Page
+    leaves in document order. Real writers BALANCE the page tree into
+    nested intermediate /Pages nodes (a flat 1000-kid node is the
+    exception, not the rule), so a flat read of the first node's /Kids
+    drops every page under an intermediate node. Cycle-safe (a visited
+    set) and bounded (visits each object at most once)."""
+    order: list[int] = []
+    seen: set[int] = set()
+    stack = [root]
+    while stack:
+        num = stack.pop()
+        if num in seen or num not in objs:
+            continue
+        seen.add(num)
+        d = _dict_of(objs[num])
+        if re.search(rb"/Type\s*/Pages\b", d):
+            stack.extend(reversed(_kids(objs[num])))
+        elif re.search(rb"/Type\s*/Page\b", d):
+            order.append(num)
+    return order
+
+
 def _stream_bytes(body: bytes) -> bytes:
     """stream...endstream extraction, linear-time.
 
@@ -274,17 +300,70 @@ def _stream_bytes(body: bytes) -> bytes:
         break
     if raw is None:
         return b""
-    if b"/FlateDecode" in _dict_of(body):
-        try:
-            d = zlib.decompressobj()
-            raw = d.decompress(raw, _MAX_STREAM_BYTES + 1)
-            if len(raw) > _MAX_STREAM_BYTES:
-                return b""  # decompression bomb — degrade, don't OOM
-            if not d.eof:
-                return b""  # truncated stream: zlib.decompress raised here
-        except zlib.error:
-            return b""
+    for name in _filter_names(_dict_of(body)):
+        if name == b"FlateDecode":
+            try:
+                d = zlib.decompressobj()
+                raw = d.decompress(raw, _MAX_STREAM_BYTES + 1)
+                if len(raw) > _MAX_STREAM_BYTES:
+                    return b""  # decompression bomb — degrade, don't OOM
+                if not d.eof:
+                    return b""  # truncated stream: zlib.decompress raised
+            except zlib.error:
+                return b""
+        elif name == b"ASCIIHexDecode":
+            raw = _asciihex_decode(raw)
+            if raw is None:
+                return b""
+        elif name == b"ASCII85Decode":
+            raw = _ascii85_decode(raw)
+            if raw is None:
+                return b""
+        else:
+            # an opaque filter (DCTDecode, CCITT, ...): hand the caller the
+            # bytes with every preceding text filter already applied — the
+            # image path dispatches on this remaining filter
+            break
     return raw
+
+
+def _filter_names(d: bytes) -> list[bytes]:
+    """The /Filter entry as an ordered name list — a bare name or an
+    array pipeline ('/Filter [/ASCII85Decode /FlateDecode]', the shape
+    mail-gatewayed and ascii-armored PDFs carry)."""
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", d)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _asciihex_decode(raw: bytes) -> bytes | None:
+    """ASCIIHexDecode: hex pairs, whitespace ignored, '>' EOD, odd final
+    digit padded with 0. None on non-hex garbage (degrade, don't raise)."""
+    body = raw.split(b">", 1)[0]
+    h = re.sub(rb"\s+", b"", body)
+    if len(h) % 2:
+        h += b"0"
+    try:
+        return bytes.fromhex(h.decode("ascii"))
+    except (ValueError, UnicodeDecodeError):
+        return None
+
+
+def _ascii85_decode(raw: bytes) -> bytes | None:
+    """ASCII85Decode per the PDF flavor: 'z' shorthand for four zero
+    bytes, '~>' EOD, whitespace ignored; stdlib a85decode implements
+    exactly this. None on malformed input (degrade, don't raise)."""
+    import base64
+
+    body = raw.split(b"~>", 1)[0]
+    if body.startswith(b"<~"):  # optional Adobe opener
+        body = body[2:]
+    try:
+        out = base64.a85decode(re.sub(rb"\s+", b"", body))
+    except ValueError:
+        return None
+    return out if len(out) <= _MAX_STREAM_BYTES else None
 
 
 def _unescape_literal(s: bytes) -> str:
@@ -339,6 +418,10 @@ _SIMPLE_TOK_RE = re.compile(
 _ARR_DELIM_RE = re.compile(rb"[\[\]\\(]")
 _STR_DELIM_RE = re.compile(rb"[()\\]")
 
+# inline-image terminator: EI bounded by whitespace on both sides (or
+# end-of-stream) — binary data is skipped, not tokenized
+_INLINE_EI_RE = re.compile(rb"[ \t\r\n\x00]EI(?=[ \t\r\n\x00]|\Z)")
+
 
 def _tokenize(stream: bytes, _depth: int = 0):
     """Yield ('str', text) | ('num', float) | ('op', name) | ('arr', list).
@@ -362,6 +445,20 @@ def _tokenize(stream: bytes, _depth: int = 0):
             if g == "num":
                 yield ("num", float(m.group()))
             elif g == "op":
+                if m.group() == b"BI":
+                    # inline image: its binary data is NOT operator syntax
+                    # and would flood the stream with junk tokens — skip
+                    # the whole BI .. ID <data> EI span (EI located at the
+                    # first delimiter-bounded occurrence, the standard
+                    # heuristic for /L-less inline images)
+                    idp = stream.find(b"ID", m.end())
+                    if idp < 0:
+                        break  # truncated inline image ends the stream
+                    mei = _INLINE_EI_RE.search(stream, idp + 2)
+                    if mei is None:
+                        break
+                    i = mei.end()
+                    continue
                 yield ("op", m.group().decode("latin-1", "replace"))
             elif g == "name":
                 yield ("name", m.group()[1:].decode("latin-1", "replace"))
@@ -811,13 +908,26 @@ def extract_pdf(payload: bytes) -> dict:
         objs = _expand_object_streams(_parse_objects(payload))
         page_ids = [num for num, body in sorted(objs.items())
                     if re.search(rb"/Type\s*/Page\b", _dict_of(body))]
-        # honor /Kids ordering if a /Type /Pages node exists
+        # honor the page TREE when a /Type /Pages node exists: root at the
+        # catalog's /Pages if present, else the first /Pages object, and
+        # walk nested intermediate nodes depth-first (document order)
+        root = None
         for num, body in sorted(objs.items()):
-            if re.search(rb"/Type\s*/Pages\b", _dict_of(body)):
-                kids = [k for k in _kids(body) if k in objs]
-                if kids:
-                    page_ids = kids
-                break
+            d = _dict_of(body)
+            if root is None and re.search(rb"/Type\s*/Catalog\b", d):
+                m = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", d)
+                if m and int(m.group(1)) in objs:
+                    root = int(m.group(1))
+                    break
+        if root is None:
+            for num, body in sorted(objs.items()):
+                if re.search(rb"/Type\s*/Pages\b", _dict_of(body)):
+                    root = num
+                    break
+        if root is not None:
+            walked = _walk_page_tree(root, objs)
+            if walked:
+                page_ids = walked
         pages: list[tuple[int, str]] = []
         ocr_pages = 0
         for i, pid in enumerate(page_ids, start=1):

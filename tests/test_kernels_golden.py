@@ -329,13 +329,17 @@ def test_pdf_flate_bomb_degrades_not_ooms():
     from pdf_extractor_spark.kernels import pdf_kernel as pk
 
     bomb = zlib.compress(b"\x00" * 200_000_000, 9)
-    body = b"<< /FlateDecode >>\nstream\n" + bomb + b"\nendstream"
+    body = b"<< /Filter /FlateDecode >>\nstream\n" + bomb + b"\nendstream"
     assert pk._stream_bytes(body) == b""
     good = zlib.compress(b"BT (ok) Tj ET")
-    body = b"<< /FlateDecode >>\nstream\n" + good + b"\nendstream"
+    body = b"<< /Filter /FlateDecode >>\nstream\n" + good + b"\nendstream"
     assert pk._stream_bytes(body) == b"BT (ok) Tj ET"
-    trunc = b"<< /FlateDecode >>\nstream\n" + good[:-4] + b"\nendstream"
+    trunc = b"<< /Filter /FlateDecode >>\nstream\n" + good[:-4] + b"\nendstream"
     assert pk._stream_bytes(trunc) == b""
+    # a dict with a bare /FlateDecode name but NO /Filter key is not
+    # filtered (round 4: filter parsing keys on the actual /Filter entry)
+    body = b"<< /FlateDecode >>\nstream\n" + good + b"\nendstream"
+    assert pk._stream_bytes(body) == good
 
 
 def test_fast_tokenizer_quote_position_parity():
@@ -616,3 +620,105 @@ def test_pdf_font_without_tounicode_keeps_latin1_identity():
     text = "Plain latin-1 text stays as-is."
     res = extract_pdf(corpus.build_pdf([[(72.0, 720.0, text)]]))
     assert res["pages"] == [(1, text)]
+
+
+def test_pdf_nested_page_tree_walk():
+    """Writers balance long documents into nested intermediate /Pages
+    nodes; the kernel must walk the tree recursively in document order,
+    not read one flat /Kids array."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    runs = [[(72.0, 720.0, f"Nested tree page {i}.")] for i in range(1, 10)]
+    for fanout in (2, 3):
+        res = extract_pdf(corpus.build_pdf_nested(runs, fanout=fanout))
+        assert res["pages"] == [
+            (i, f"Nested tree page {i}.") for i in range(1, 10)], fanout
+        assert res["meta"]["page_count"] == "9"
+
+
+def test_pdf_page_tree_cycle_is_safe():
+    """A malformed self-referencing /Pages node must terminate (visited
+    set), not loop."""
+    from pdf_extractor_spark import corpus
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    import re as _re
+
+    pdf = corpus.build_pdf_nested(
+        [[(72.0, 720.0, "Cycle survivor.")]], fanout=2)
+    # append the root /Pages node's OWN number to its /Kids array
+    root_num = None
+    for m in _re.finditer(rb"(\d+) 0 obj\n<< /Type /Pages", pdf):
+        root_num = int(m.group(1))
+    assert root_num is not None
+    kids_at = pdf.find(b"/Kids [")
+    end = pdf.find(b"]", kids_at)
+    patched = (pdf[:end] + b" %d 0 R" % root_num + pdf[end:])
+    res = extract_pdf(patched)
+    assert res["pages"] == [(1, "Cycle survivor.")]
+
+
+def test_pdf_stream_filter_chains():
+    """/Filter pipelines ([/ASCII85Decode /FlateDecode], ASCIIHex) decode
+    in array order; garbage in a text filter degrades to empty, never
+    raises."""
+    import base64
+    import zlib as _zlib
+
+    from pdf_extractor_spark.kernels.pdf_kernel import _stream_bytes
+
+    data = b"Chained filter payload bytes."
+    comp = _zlib.compress(data)
+    a85 = base64.a85encode(comp) + b"~>"
+    body = (b"<< /Filter [/ASCII85Decode /FlateDecode] /Length %d >>"
+            b"\nstream\n" % len(a85)) + a85 + b"\nendstream"
+    assert _stream_bytes(body) == data
+    hexed = comp.hex().encode() + b">"
+    body2 = (b"<< /Filter [/ASCIIHexDecode /FlateDecode] /Length %d >>"
+             b"\nstream\n" % len(hexed)) + hexed + b"\nendstream"
+    assert _stream_bytes(body2) == data
+    bad = (b"<< /Filter /ASCII85Decode /Length 9 >>"
+           b"\nstream\nv\xff\xfe bad~>\nendstream")
+    assert _stream_bytes(bad) == b""
+
+
+def test_pdf_ascii85_armored_scanned_image_ocrs():
+    """An image XObject behind [/ASCII85Decode /FlateDecode] — the
+    ascii-armored shape mail-gatewayed PDFs carry — still OCRs through
+    the widened scanned profile."""
+    import base64
+    import zlib as _zlib
+
+    from pdf_extractor_spark.kernels.ocr_kernel import (
+        render_page_gray, wrap_fixed)
+    from pdf_extractor_spark.kernels.pdf_kernel import _ocr_image_xobject
+
+    text = "ARMORED SCAN 55."
+    px = render_page_gray(wrap_fixed(text, 32))
+    h, w = len(px), len(px[0])
+    data = base64.a85encode(_zlib.compress(
+        b"".join(bytes(r) for r in px))) + b"~>"
+    body = (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+            b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+            b" /Filter [/ASCII85Decode /FlateDecode] /Length %d >>"
+            b"\nstream\n" % (w, h, len(data))) + data + b"\nendstream"
+    assert _ocr_image_xobject(body) == text
+
+
+def test_pdf_inline_image_data_is_skipped():
+    """BI/ID/EI inline-image binary data is not operator syntax: the
+    tokenizer must skip the span (delimiter-bounded EI), keeping the
+    surrounding text runs intact — including when the data contains
+    bytes that look like text operators."""
+    from pdf_extractor_spark.kernels.pdf_kernel import (
+        _runs_from_stream, merge_lines)
+
+    stream = (b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (Before) Tj ET\n"
+              b"BI /W 2 /H 2 /BPC 8 ID \x00\xffBT(gar)Tj\x01\x02 EI\n"
+              b"BT 1 0 0 1 72 700 Tm (After) Tj ET")
+    assert merge_lines(_runs_from_stream(stream)) == "Before\nAfter"
+    # truncated inline image (no EI): the stream ends there, no garbage
+    trunc = (b"BT 1 0 0 1 72 720 Tm (Kept) Tj ET\n"
+             b"BI /W 2 /H 2 ID \x00\x01\x02")
+    assert merge_lines(_runs_from_stream(trunc)) == "Kept"
