@@ -414,3 +414,86 @@ def test_extract_document_never_raises_on_corrupted_image_payloads():
                         bb[rng.randrange(8, len(bb))] = rng.randrange(256)
             rows = extract_document(bytes(bb))
             assert rows and all(r["page_number"] >= 1 for r in rows), fmt
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.floats(min_value=10, max_value=500, allow_nan=False),
+                st.floats(min_value=10, max_value=700, allow_nan=False),
+                st.text(
+                    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                    max_size=30,
+                ),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    st.integers(min_value=0, max_value=4),
+)
+def test_pdf_all_layouts_roundtrip_fuzz(pages, which):
+    """Round 4: every writer layout — classic, PDF 1.5 ObjStm, Type0 +
+    ToUnicode CMap, Differences-remapped simple font, nested page tree —
+    round-trips arbitrary printable runs through extract_pdf with the
+    same containment/1-based-page contract as the classic fuzz."""
+    from pdf_extractor_spark.corpus import (
+        build_pdf,
+        build_pdf_differences,
+        build_pdf_nested,
+        build_pdf_objstm,
+        build_pdf_type0,
+    )
+
+    builder = (build_pdf, build_pdf_objstm, build_pdf_type0,
+               build_pdf_differences, build_pdf_nested)[which]
+    res = extract_pdf(builder(pages))
+    got = dict(res["pages"])
+    assert sorted(got) == list(range(1, len(pages) + 1))
+    for pno, runs in enumerate(pages, start=1):
+        text = " ".join(got[pno].split())
+        for _x, _y, run in runs:
+            norm = " ".join(run.split())
+            if norm:
+                assert norm in text, (pno, run, text)
+
+
+def test_pdf_mutation_fuzz_never_raises():
+    """Seeded byte-flip/truncation fuzz over every writer layout
+    (including the ascii-armored and scanned profiles): extract_pdf must
+    always return the degrade contract — a dict with meta.ok in
+    {'true','false'} — never raise, whatever the corruption hits (xref
+    stream, ObjStm header, CMap, filter pipeline, glyph raster)."""
+    import random as _random
+
+    from pdf_extractor_spark.corpus import (
+        build_pdf,
+        build_pdf_differences,
+        build_pdf_nested,
+        build_pdf_objstm,
+        build_pdf_type0,
+    )
+    from pdf_extractor_spark.kernels.ocr_kernel import render_scanned_pdf
+
+    runs = [[(72.0, 720.0, "Mutation fuzz target, page one 42.")],
+            [(72.0, 700.0, "And a second page.")]]
+    texts = ["MUTATION FUZZ SCAN 7.", "SECOND SCANNED PAGE."]
+    payloads = [
+        build_pdf(runs), build_pdf_objstm(runs), build_pdf_type0(runs),
+        build_pdf_differences(runs), build_pdf_nested(runs, fanout=2),
+    ] + [render_scanned_pdf(texts, profile=p)
+         for p in ("gray-raw", "gray-flate", "rgb-flate", "dct")]
+    rng = _random.Random(20260819)
+    for payload in payloads:
+        for _ in range(40):
+            mutated = bytearray(payload)
+            for _k in range(rng.randint(1, 8)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+            if rng.random() < 0.3:
+                mutated = mutated[:rng.randrange(1, len(mutated))]
+            res = extract_pdf(bytes(mutated))
+            assert res["meta"].get("ok") in ("true", "false")
