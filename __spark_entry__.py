@@ -431,27 +431,34 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     PDF kernel through the full Spark path. Round-4 late wave: the WRITER
     rotates per doc over the real-world layouts — classic xref / PDF 1.5
     object-stream + xref-stream / subset Type0 font with /ToUnicode CMap
-    (2-byte glyph codes) / simple font with /Encoding /Differences remap —
-    so the kernel's ObjStm expansion and both font-decoding mechanisms are
-    value-gated end-to-end (the oracle recomputes the expected text from
-    `documents` and is layout-agnostic)."""
+    (2-byte glyph codes) / simple font with /Encoding /Differences remap /
+    LZW-compressed content streams / RunLength-compressed content streams /
+    RC4-encrypted (Standard security handler R3, empty user password,
+    Flate under the cipher) — so the kernel's ObjStm expansion, both
+    font-decoding mechanisms, the full lossless filter set, and the
+    decrypt path are value-gated end-to-end (the oracle recomputes the
+    expected text from `documents` and is layout-agnostic)."""
     import pandas as pd
 
     from pdf_extractor_spark.corpus import (
         build_pdf,
         build_pdf_differences,
+        build_pdf_encrypted,
         build_pdf_objstm,
         build_pdf_type0,
     )
 
     builders = (build_pdf, build_pdf_objstm, build_pdf_type0,
-                build_pdf_differences)
+                build_pdf_differences,
+                lambda r: build_pdf(r, compress="lzw"),
+                lambda r: build_pdf(r, compress="rle"),
+                lambda r: build_pdf_encrypted(r, compress=True))
     docs = _t(spark, sf_dir, "documents")
 
     def make_pdf(it):
         for pdf in it:
             payloads = [
-                builders[int(d) % 4]([[(72.0, 720.0, str(t)[:80])]])
+                builders[int(d) % 7]([[(72.0, 720.0, str(t)[:80])]])
                 for d, t in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(
@@ -846,9 +853,11 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round-4 late wave: the bitmap tier's container profile rotates per
     doc over 8-bpp palette / 24-bpp BI_RGB / RLE8-compressed, and the
     scanned-PDF tier's image embedding over gray-raw / gray-Flate /
-    RGB-Flate / DCTDecode (JPEG-in-PDF, exact-/Length stream slicing) —
-    every widened decode profile is value-gated, container-agnostic to
-    the oracle. Those docs must extract successfully (not quarantine)."""
+    RGB-Flate / DCTDecode (JPEG-in-PDF, exact-/Length stream slicing) /
+    PNG-predictored Flate / LZW / TIFF-predictored LZW (the PDF spec's
+    full lossless filter+predictor set) — every widened decode profile
+    is value-gated, container-agnostic to the oracle. Those docs must
+    extract successfully (not quarantine)."""
     import tempfile
 
     import pandas as pd
@@ -911,13 +920,16 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text operators) printed from the same transform — the reference's
     # tesseract tier input shape; the PDF kernel must OCR them through the
     # same glyph machinery as the BMP tier. The embedding profile rotates
-    # over gray-raw / gray-Flate / RGB-Flate / DCTDecode (JPEG-in-PDF).
-    _PDF_PROFILES = ("gray-raw", "gray-flate", "rgb-flate", "dct")
+    # over gray-raw / gray-Flate / RGB-Flate / DCTDecode (JPEG-in-PDF) /
+    # PNG-predictored Flate / LZW / TIFF-predictored LZW — the full
+    # lossless-filter set scanner drivers emit (PDF 2.0 §7.4.4/§7.4.5).
+    _PDF_PROFILES = ("gray-raw", "gray-flate", "rgb-flate", "dct",
+                     "gray-flate-pred", "gray-lzw", "gray-lzw-pred2")
     _print_scan_pdf = F.pandas_udf(
         lambda texts, ids: pd.Series(
             None if t is None
             else render_scanned_pdf([t], width=32,
-                                    profile=_PDF_PROFILES[int(i) // 50 % 4])
+                                    profile=_PDF_PROFILES[int(i) // 50 % 7])
             for t, i in zip(texts, ids)),
         "binary",
     )

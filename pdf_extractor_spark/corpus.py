@@ -219,11 +219,95 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def build_pdf(page_runs: list[list[tuple[float, float, str]]], compress: bool = False) -> bytes:
+def _lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode encoder twin (PDF 2.0 §7.4.4 bit layout = TIFF 6.0
+    §13): MSB-first, leading Clear (256), EOD (257), 12-bit table cap with
+    in-stream reset. ``early_change=1`` (the PDF default) grows the WRITE
+    width when the next free code equals 2^width — the decoder's table
+    lags this one by exactly one entry, so its threshold of 2^w − 1 pairs
+    with 2^w here (the same lag documented in the TIFF/JPEG kernels);
+    ``early_change=0`` pairs encoder 2^w + 1 with decoder 2^w."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        if nxt == (1 << width) + (1 - early_change) and width < 12:
+            width += 1
+        elif nxt >= 4094:  # 12-bit table nearly full: in-stream reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """RunLengthDecode encoder twin (PDF 2.0 §7.4.5): literal/run
+    alternation (the PackBits shape — runs ≥ 3 bytes pay) terminated by
+    the 128 EOD byte the PDF flavor requires."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    out.append(128)  # EOD
+    return bytes(out)
+
+
+def build_pdf(page_runs: list[list[tuple[float, float, str]]],
+              compress: bool | str = False) -> bytes:
     """Minimal single-font PDF with one content stream per page.
 
     page_runs: per page, list of (x, y, text) runs emitted in the given
     order (callers may scramble the order; coordinates define reading order).
+
+    ``compress`` picks the content-stream filter: False = none, True or
+    ``"flate"`` = /FlateDecode, ``"lzw"`` = /LZWDecode (EarlyChange 1, the
+    spec default — no DecodeParms written), ``"lzw0"`` = /LZWDecode with
+    an explicit ``/DecodeParms << /EarlyChange 0 >>``, ``"rle"`` =
+    /RunLengthDecode — the lossless filter set pre-1.2 writers and
+    scan-to-PDF paths actually emit.
     """
     objs: list[bytes] = []
     n_pages = len(page_runs)
@@ -242,10 +326,21 @@ def build_pdf(page_runs: list[list[tuple[float, float, str]]], compress: bool = 
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1")
         if compress:
-            comp = zlib.compress(stream)
+            if compress in (True, "flate"):
+                comp, filt = zlib.compress(stream), b" /Filter /FlateDecode"
+            elif compress == "lzw":
+                comp, filt = _lzw_encode(stream), b" /Filter /LZWDecode"
+            elif compress == "lzw0":
+                comp = _lzw_encode(stream, early_change=0)
+                filt = (b" /Filter /LZWDecode"
+                        b" /DecodeParms << /EarlyChange 0 >>")
+            elif compress == "rle":
+                comp, filt = _rle_encode(stream), b" /Filter /RunLengthDecode"
+            else:
+                raise ValueError(f"unknown compress flavor {compress!r}")
             objs.append(
-                b"<< /Length " + str(len(comp)).encode() + b" /Filter /FlateDecode >>\nstream\n"
-                + comp + b"\nendstream"
+                b"<< /Length " + str(len(comp)).encode() + filt
+                + b" >>\nstream\n" + comp + b"\nendstream"
             )
         else:
             objs.append(
@@ -264,6 +359,83 @@ def build_pdf(page_runs: list[list[tuple[float, float, str]]], compress: bool = 
     out += (
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
+                        r: int = 3, owner_pw: bytes = b"owner",
+                        user_pw: bytes = b"",
+                        compress: bool = False) -> bytes:
+    """The classic ``build_pdf`` layout under the Standard security
+    handler (ISO 32000-1 §7.6.3): R2/V1 (40-bit) or R3/V2 (128-bit) RC4,
+    owner password set, user password EMPTY by default — the legacy
+    "protected but readable" shape a web corpus carries in volume and the
+    reference's PyPDF2 path opens via decrypt(''). Every content stream
+    is RC4-encrypted with its per-object key (Algorithm 1); the layout
+    has no top-level strings, so stream encryption alone is fully
+    spec-compliant. A non-empty ``user_pw`` produces a genuinely locked
+    file (the reader must quarantine it as password-required)."""
+    import hashlib
+
+    from pdf_extractor_spark.kernels.pdf_kernel import (
+        _obj_key,
+        _rc4,
+        _std_file_key,
+        _std_owner_entry,
+        _std_user_entry,
+    )
+
+    if r not in (2, 3):
+        raise ValueError(f"unsupported revision {r}")
+    v, length = (1, 40) if r == 2 else (2, 128)
+    p = -4  # all permissions granted (the common all-bits value)
+    id0 = hashlib.md5(
+        repr(page_runs).encode() + bytes([r])).digest()  # deterministic
+    o_entry = _std_owner_entry(owner_pw, user_pw, r, length // 8)
+    key = _std_file_key(user_pw, o_entry, p, id0, r, length // 8)
+    u_entry = _std_user_entry(key, id0, r)
+
+    objs: list[bytes] = []
+    n_pages = len(page_runs)
+    kids = " ".join(f"{3 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode())
+    for i, runs in enumerate(page_runs):
+        content_ref = 4 + 2 * i
+        objs.append(
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f" /Contents {content_ref} 0 R >>".encode())
+        ops = ["BT", "/F1 12 Tf"]
+        for x, y, text in runs:
+            ops.append(f"1 0 0 1 {x:g} {y:g} Tm")
+            ops.append(f"({_pdf_escape(text)}) Tj")
+        ops.append("ET")
+        stream = "\n".join(ops).encode("latin-1")
+        filt = b""
+        if compress:
+            stream, filt = zlib.compress(stream), b" /Filter /FlateDecode"
+        enc = _rc4(_obj_key(key, content_ref, 0), stream)
+        objs.append(b"<< /Length " + str(len(enc)).encode() + filt
+                    + b" >>\nstream\n" + enc + b"\nendstream")
+    enc_num = len(objs) + 1
+    objs.append(
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
+        % (v, r, length, p, o_entry.hex().encode().upper(),
+           u_entry.hex().encode().upper()))
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for num, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n0000000000 65535 f \n".encode()
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R /Encrypt %d 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, enc_num, id0.hex().encode().upper(),
+           id0.hex().encode().upper(), xref_at))
     return bytes(out)
 
 

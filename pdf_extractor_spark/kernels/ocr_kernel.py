@@ -244,6 +244,39 @@ def render_text_bmp(text: str, width: int = 32, profile: str = "gray8") -> bytes
     return render_page_bmp(wrap_fixed(text, width), profile=profile)
 
 
+def _png_filter_rows(px: list) -> bytes:
+    """Forward PNG row filtering for the predictored scanned profile:
+    each row gets (1 filter byte + filtered samples), cycling the filter
+    type 0..4 per row so one page exercises None/Sub/Up/Average/Paeth —
+    the decoder must honor the per-row byte, not the declared 1x value.
+    bpp = 1 (8-bit gray)."""
+    from pdf_extractor_spark.kernels.png_kernel import _paeth
+
+    out = bytearray()
+    prior = bytes(len(px[0]))
+    for y, row in enumerate(px):
+        raw = bytes(row)
+        f = y % 5
+        out.append(f)
+        if f == 0:
+            out += raw
+        elif f == 1:  # Sub
+            out += bytes((raw[i] - (raw[i - 1] if i else 0)) & 0xFF
+                         for i in range(len(raw)))
+        elif f == 2:  # Up
+            out += bytes((raw[i] - prior[i]) & 0xFF for i in range(len(raw)))
+        elif f == 3:  # Average
+            out += bytes((raw[i] - (((raw[i - 1] if i else 0)
+                                     + prior[i]) >> 1)) & 0xFF
+                         for i in range(len(raw)))
+        else:  # Paeth
+            out += bytes((raw[i] - _paeth(raw[i - 1] if i else 0, prior[i],
+                                          prior[i - 1] if i else 0)) & 0xFF
+                         for i in range(len(raw)))
+        prior = raw
+    return bytes(out)
+
+
 def render_scanned_pdf(page_texts: list[str], width: int = 32,
                        profile: str = "gray-raw") -> bytes:
     """Build a SCANNED PDF: each page is one full-page image XObject
@@ -263,7 +296,12 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32,
     - ``dct``: a complete baseline-JPEG (JFIF) stream behind /DCTDecode —
       the scanner-default embedding. Filtered/DCT bytes are arbitrary
       binary, which is exactly why the reader slices streams by the
-      direct /Length written here instead of scanning for markers."""
+      direct /Length written here instead of scanning for markers;
+    - ``gray-flate-pred``: Flate with /Predictor 15 — PNG row filters
+      (varying per row) under the deflate, the scanner-driver default;
+    - ``gray-lzw``: /LZWDecode (EarlyChange 1, the spec default);
+    - ``gray-lzw-pred2``: /LZWDecode with /Predictor 2 (TIFF horizontal
+      differencing) — the TIFF-in-PDF shape fax pipelines emit."""
     if not page_texts:
         page_texts = [""]
     objs: list[bytes] = []   # bodies; object number = index + 1
@@ -288,6 +326,31 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32,
             from pdf_extractor_spark.kernels.jpeg_kernel import pack_jpeg_gray
 
             space, filt, data = b"/DeviceGray", b" /Filter /DCTDecode", pack_jpeg_gray(px)
+        elif profile == "gray-flate-pred":
+            # PNG-predictored Flate — the shape scanner drivers default
+            # to; the row filter VARIES per row (spec-legal under any
+            # 10..15 declaration, and what optimizing encoders do)
+            space = b"/DeviceGray"
+            filt = (b" /Filter /FlateDecode /DecodeParms"
+                    b" << /Predictor 15 /Columns %d >>" % w)
+            data = zlib.compress(_png_filter_rows(px))
+        elif profile == "gray-lzw":
+            from pdf_extractor_spark.kernels.tiff_kernel import _lzw_encode
+
+            space, filt = b"/DeviceGray", b" /Filter /LZWDecode"
+            data = _lzw_encode(gray)
+        elif profile == "gray-lzw-pred2":
+            # TIFF horizontal differencing under LZW — the TIFF-in-PDF
+            # shape fax/scan pipelines emit
+            from pdf_extractor_spark.kernels.tiff_kernel import (
+                _apply_predictor2,
+                _lzw_encode,
+            )
+
+            space = b"/DeviceGray"
+            filt = (b" /Filter /LZWDecode /DecodeParms"
+                    b" << /Predictor 2 /Columns %d >>" % w)
+            data = _lzw_encode(_apply_predictor2(gray, w, h, 1))
         else:
             raise ValueError(f"unknown scanned-PDF profile {profile!r}")
         return (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"

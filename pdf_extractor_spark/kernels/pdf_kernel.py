@@ -1,8 +1,11 @@
 """From-scratch minimal PDF text-extraction kernel.
 
 Parses PDF object structure (obj/endobj scan — tolerant of broken xref;
-PDF 1.5 /ObjStm object streams expanded), FlateDecode via stdlib zlib,
-and the text-showing subset of the content stream operator language:
+PDF 1.5 /ObjStm object streams expanded), the spec's lossless stream
+filters (FlateDecode via stdlib zlib, LZWDecode, RunLengthDecode,
+ASCIIHex/ASCII85 armor, with /DecodeParms EarlyChange and the TIFF/PNG
+/Predictor family), and the text-showing subset of the content stream
+operator language:
 BT/ET, Tf, Td/TD/TL/Tm/T*, Tj/TJ/'/". Show strings decode through the
 current font's /ToUnicode CMap (bfchar/bfrange, 1- and 2-byte codes) or
 /Encoding /Differences array (AGL glyph names) when present — the two
@@ -118,8 +121,10 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     — round 4 widened from 8-bit /DeviceGray raw/Flate to every shape a
     scanner/print-to-PDF path actually embeds:
 
-    - /DeviceGray 8-bit, raw or FlateDecode data;
-    - /DeviceRGB 8-bit, raw or FlateDecode (luminance = (r+g+b)//3, the
+    - /DeviceGray 8-bit, raw or FlateDecode/LZWDecode/RunLengthDecode
+      data (PNG and TIFF /Predictor variants included — the shape
+      scanner drivers and print-to-PDF paths write);
+    - /DeviceRGB 8-bit, same filters (luminance = (r+g+b)//3, the
       same folding as the BMP/TIFF decoders);
     - /DCTDecode (a complete JFIF stream per the PDF spec) in either
       color space, routed through the from-scratch JPEG kernel.
@@ -138,10 +143,12 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     if not mb or int(mb.group(1)) != 8:
         return None
     # the effective filter AFTER the text filters _stream_bytes applies
-    # (ASCIIHex/ASCII85/Flate pipelines): None = raw raster remains
+    # (ASCIIHex/ASCII85/Flate/LZW/RunLength pipelines, predictors
+    # included): None = raw raster remains
     filt = next((n for n in _filter_names(d)
                  if n not in (b"FlateDecode", b"ASCIIHexDecode",
-                              b"ASCII85Decode")), None)
+                              b"ASCII85Decode", b"LZWDecode",
+                              b"RunLengthDecode")), None)
     if filt not in (None, b"DCTDecode"):
         return None  # CCITTFax/JBIG2/JPX etc. — not decodable here
     from pdf_extractor_spark.kernels.ocr_kernel import (
@@ -273,34 +280,14 @@ def _stream_bytes(body: bytes) -> bytes:
     here a failed close search ends the scan outright — a close missing
     after candidate k is missing after k+1 too.
     """
-    mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", _dict_of(body))
-    i = body.find(b"stream")
-    raw = None
-    while i >= 0:
-        j = i + 6
-        if body[j:j + 2] == b"\r\n":
-            start = j + 2
-        elif body[j:j + 1] == b"\n":
-            start = j + 1
-        else:
-            i = body.find(b"stream", i + 1)
-            continue
-        if mlen:
-            end = start + int(mlen.group(1))
-            tail = body[end:end + 12]
-            if (tail.startswith(b"endstream")
-                    or tail.startswith(b"\nendstream")
-                    or tail.startswith(b"\r\nendstream")):
-                raw = body[start:end]
-                break
-        close = body.find(b"\nendstream", start)
-        if close < 0:
-            break
-        raw = body[start:close - 1 if body[close - 1:close] == b"\r" else close]
-        break
-    if raw is None:
+    span = _raw_stream_span(body)
+    if span is None:
         return b""
-    for name in _filter_names(_dict_of(body)):
+    raw = body[span[0]:span[1]]
+    sdict = _dict_of(body)
+    parms = _decode_parms(sdict)
+    for k, name in enumerate(_filter_names(sdict)):
+        parm = parms[k] if k < len(parms) else b""
         if name == b"FlateDecode":
             try:
                 d = zlib.decompressobj()
@@ -310,6 +297,22 @@ def _stream_bytes(body: bytes) -> bytes:
                 if not d.eof:
                     return b""  # truncated stream: zlib.decompress raised
             except zlib.error:
+                return b""
+            raw = _undo_predictor(raw, parm)
+            if raw is None:
+                return b""
+        elif name == b"LZWDecode":
+            raw = _lzw_decode(
+                raw, _MAX_STREAM_BYTES,
+                early_change=_parm_int(parm, b"EarlyChange", 1))
+            if raw is None:
+                return b""
+            raw = _undo_predictor(raw, parm)
+            if raw is None:
+                return b""
+        elif name == b"RunLengthDecode":
+            raw = _runlength_decode(raw, _MAX_STREAM_BYTES)
+            if raw is None:
                 return b""
         elif name == b"ASCIIHexDecode":
             raw = _asciihex_decode(raw)
@@ -335,6 +338,449 @@ def _filter_names(d: bytes) -> list[bytes]:
     if not m:
         return []
     return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 §7.6.3): RC4 / V1-V2 / R2-R3 with
+# the EMPTY user password — the "protected but readable" legacy shape
+# (owner-password-only files) that PyPDF2's decrypt('') path opens and a
+# real web corpus carries in volume. AES (V4/AESV2+) and non-Standard
+# handlers quarantine loudly; a real (non-empty) user password cannot be
+# guessed and quarantines as password-required.
+# ---------------------------------------------------------------------------
+
+# The spec's 32-byte password pad (ISO 32000-1 §7.6.3.3, Algorithm 2 step a
+# — the constant every implementation embeds verbatim).
+_PW_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+
+
+class PdfEncryptionUnsupported(Exception):
+    """Raised (and caught in extract_pdf) when a payload's encryption is
+    outside the supported profile — the loud-quarantine contract the other
+    kernels use for out-of-profile containers."""
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric — the same routine encrypts and decrypts)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
+                  r: int, keylen: int) -> bytes:
+    """Algorithm 2: the file encryption key from a (user) password."""
+    import hashlib
+    import struct
+
+    padded = (password + _PW_PAD)[:32]
+    h = hashlib.md5(
+        padded + o_entry[:32] + struct.pack("<i", p) + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    return h[:keylen]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
+                     keylen: int) -> bytes:
+    """Algorithm 3: the /O entry (used by the writer twin; the reader
+    consumes /O as opaque input to Algorithm 2)."""
+    import hashlib
+
+    h = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    rc4_key = h[:keylen]
+    o = _rc4(rc4_key, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4_key), o)
+    return o
+
+
+def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry from the file key — the
+    value the reader recomputes to VALIDATE the empty-password key."""
+    import hashlib
+
+    if r == 2:
+        return _rc4(file_key, _PW_PAD)
+    u = _rc4(file_key, hashlib.md5(_PW_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # R3: 16 arbitrary pad bytes
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key — MD5(file key + 3 low bytes of
+    the object number + 2 low bytes of the generation), truncated to
+    min(len(key)+5, 16)."""
+    import hashlib
+
+    h = hashlib.md5(
+        file_key
+        + bytes((num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF))
+        + bytes((gen & 0xFF, (gen >> 8) & 0xFF))).digest()
+    return h[:min(len(file_key) + 5, 16)]
+
+
+def _pdf_string_bytes(d: bytes, name: bytes) -> bytes | None:
+    """A dict entry's string value as raw bytes — hex ``<…>`` or literal
+    ``(…)`` with PDF escapes (the two shapes /O and /U arrive in)."""
+    m = re.search(rb"/" + name + rb"\s*(<[0-9A-Fa-f\s]*>|\()", d)
+    if not m:
+        return None
+    if m.group(1).startswith(b"<"):
+        h = re.sub(rb"\s+", b"", m.group(1)[1:-1])
+        if len(h) % 2:
+            h += b"0"
+        try:
+            return bytes.fromhex(h.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            return None
+    # literal string: scan to the balanced unescaped ')'
+    i = m.end(1)
+    depth = 1
+    start = i
+    while i < len(d):
+        c = d[i:i + 1]
+        if c == b"\\":
+            i += 2
+            continue
+        if c == b"(":
+            depth += 1
+        elif c == b")":
+            depth -= 1
+            if depth == 0:
+                return _unescape_literal(d[start:i]).encode("latin-1")
+        i += 1
+    return None
+
+
+def _apply_encryption(payload: bytes, objs: dict[int, bytes]) -> bool:
+    """If the trailer names an /Encrypt dictionary, derive the file key
+    with the EMPTY user password, validate it against /U, and decrypt
+    every object's raw stream span IN PLACE (RC4 is length-preserving, so
+    /Length entries and all downstream filter/OCR machinery stay valid).
+    Returns True when decryption ran. Raises PdfEncryptionUnsupported for
+    out-of-profile encryption (AES, non-Standard handler, real user
+    password) — extract_pdf turns that into the error-row degrade path.
+
+    Scope notes: generation numbers are taken from the object headers;
+    /Type /XRef streams are never encrypted (spec) and ObjStm MEMBERS are
+    not separately encrypted — only the container stream is, which this
+    pass decrypts before _expand_object_streams runs. Top-level literal
+    strings are left as-is: text extraction reads show-strings from
+    inside (decrypted) content streams, and no dict string feeds the
+    extraction output."""
+    menc = None
+    for menc_it in re.finditer(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", payload):
+        menc = menc_it  # last occurrence wins (incremental updates)
+    if menc is None:
+        return False
+    enc_num = int(menc.group(1))
+    if enc_num not in objs:
+        raise PdfEncryptionUnsupported("encrypted: /Encrypt object missing")
+    d = _dict_of(objs[enc_num])
+    if not re.search(rb"/Filter\s*/Standard\b", d):
+        raise PdfEncryptionUnsupported("encrypted: non-Standard handler")
+    v = _parm_int(d, b"V", 0)
+    r = _parm_int(d, b"R", 0)
+    if v not in (1, 2) or r not in (2, 3):
+        raise PdfEncryptionUnsupported(
+            f"encrypted: unsupported V={v} R={r} (AES/crypt-filter profile)")
+    length = _parm_int(d, b"Length", 40)
+    if r == 2:
+        length = 40
+    if not 40 <= length <= 128 or length % 8:
+        raise PdfEncryptionUnsupported(f"encrypted: bad key length {length}")
+    o_entry = _pdf_string_bytes(d, b"O")
+    u_entry = _pdf_string_bytes(d, b"U")
+    mp = re.search(rb"/P\s+(-?\d+)", d)
+    if o_entry is None or u_entry is None or mp is None:
+        raise PdfEncryptionUnsupported("encrypted: malformed /Encrypt dict")
+    mid = None
+    for mid_it in re.finditer(
+            rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", payload):
+        mid = mid_it
+    id0 = b""
+    if mid:
+        h = re.sub(rb"\s+", b"", mid.group(1))
+        try:
+            id0 = bytes.fromhex(h.decode("ascii"))
+        except (ValueError, UnicodeDecodeError):
+            id0 = b""
+    key = _std_file_key(b"", o_entry, int(mp.group(1)), id0, r, length // 8)
+    want_u = _std_user_entry(key, id0, r)
+    got = u_entry[:16] if r >= 3 else u_entry[:32]
+    if got != (want_u[:16] if r >= 3 else want_u[:32]):
+        raise PdfEncryptionUnsupported(
+            "encrypted: password required (empty user password rejected)")
+    # in-place stream decryption, generation numbers from the headers
+    gens: dict[int, int] = {}
+    pos = 0
+    while True:
+        m = _OBJ_HDR_RE.search(payload, pos)
+        if m is None:
+            break
+        end = payload.find(b"endobj", m.end())
+        if end < 0:
+            break
+        gens[int(m.group(1))] = int(m.group(2))
+        pos = end + 6
+    for num, body in list(objs.items()):
+        if num == enc_num or b"stream" not in body:
+            continue
+        if re.search(rb"/Type\s*/XRef\b", _dict_of(body)):
+            continue  # xref streams are never encrypted
+        span = _raw_stream_span(body)
+        if span is None:
+            continue
+        objs[num] = (body[:span[0]]
+                     + _rc4(_obj_key(key, num, gens.get(num, 0)),
+                            body[span[0]:span[1]])
+                     + body[span[1]:])
+    return True
+
+
+def _raw_stream_span(body: bytes) -> tuple[int, int] | None:
+    """Locate the raw ``stream``…``endstream`` data span inside an object
+    body — the slice-by-direct-/Length-then-marker-scan logic shared by
+    the filter pipeline (``_stream_bytes``) and the in-place stream
+    decryptor (``_apply_encryption``), which must agree byte-for-byte on
+    what the stream data IS."""
+    mlen = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", _dict_of(body))
+    i = body.find(b"stream")
+    while i >= 0:
+        j = i + 6
+        if body[j:j + 2] == b"\r\n":
+            start = j + 2
+        elif body[j:j + 1] == b"\n":
+            start = j + 1
+        else:
+            i = body.find(b"stream", i + 1)
+            continue
+        if mlen:
+            end = start + int(mlen.group(1))
+            tail = body[end:end + 12]
+            if (tail.startswith(b"endstream")
+                    or tail.startswith(b"\nendstream")
+                    or tail.startswith(b"\r\nendstream")):
+                return (start, end)
+        close = body.find(b"\nendstream", start)
+        if close < 0:
+            return None
+        return (start, close - 1 if body[close - 1:close] == b"\r" else close)
+    return None
+
+
+def _decode_parms(d: bytes) -> list[bytes]:
+    """The /DecodeParms (or abbreviated /DP) entry as a list of parameter
+    dicts aligned with ``_filter_names``: a bare ``<< .. >>`` applies to
+    the single filter; an array pairs parms[i] with filter[i], with
+    ``null`` holes for filters that take none (PDF 2.0 §7.4.1)."""
+    m = re.search(rb"/(?:DecodeParms|DP)\s*(<<|\[)", d)
+    if not m:
+        return []
+    if m.group(1) == b"<<":
+        return [_dict_of(d[m.start(1):])]
+    out: list[bytes] = []
+    i = m.end(1)
+    while i < len(d):
+        while i < len(d) and d[i:i + 1] in b" \t\r\n\x00":
+            i += 1
+        if d[i:i + 1] == b"]" or i >= len(d):
+            break
+        if d[i:i + 2] == b"<<":
+            parm = _dict_of(d[i:])
+            out.append(parm)
+            i += len(parm)
+        elif d[i:i + 4] == b"null":
+            out.append(b"")
+            i += 4
+        else:
+            break  # malformed entry: stop aligning, keep what parsed
+    return out
+
+
+def _parm_int(parm: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(\d+)", parm)
+    return int(m.group(1)) if m else default
+
+
+def _runlength_decode(raw: bytes, cap: int) -> bytes | None:
+    """RunLengthDecode (PDF 2.0 §7.4.5): length byte L — 0..127 copies the
+    next L+1 bytes literally, 129..255 repeats the next byte 257−L times,
+    128 is EOD. A missing EOD is tolerated (wild-file policy, the same
+    tolerance as LZW's missing EOI); a TRUNCATED literal or repeat is
+    malformed and degrades to None."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        length = raw[i]
+        if length == 128:
+            break  # EOD
+        if length < 128:
+            chunk = raw[i + 1:i + 2 + length]
+            if len(chunk) < length + 1:
+                return None
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                return None
+            out += raw[i + 1:i + 2] * (257 - length)
+            i += 2
+        if len(out) > cap:
+            return None  # expansion bomb (max 128:2 per token, but capped)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, cap: int, early_change: int = 1) -> bytes | None:
+    """LZWDecode (PDF 2.0 §7.4.4, the TIFF 6.0 §13 bit layout): MSB-first
+    codes starting at 9 bits, Clear=256, EOD=257, first table entry 258.
+    /EarlyChange 1 (the default) grows the read width when the NEXT code
+    to be assigned is 2^width − 1; /EarlyChange 0 grows at 2^width.
+    Malformed codes degrade to None (the kernel's never-raise contract);
+    a missing EOD is tolerated like the TIFF twin."""
+    out = bytearray()
+    acc = nbits_in = 0
+    pos, n = 0, len(data)
+    width = 9
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits_in < width:
+            if pos >= n:
+                return bytes(out)  # missing EOD: tolerate
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits_in += 8
+        nbits_in -= width
+        code = (acc >> nbits_in) & ((1 << width) - 1)
+        if code == 256:
+            reset()
+            continue
+        if code == 257:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                return None  # code before any literal
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None  # code past table end
+        out += entry
+        if len(out) > cap:
+            return None  # decompression bomb
+        prev = entry
+        if len(table) == (1 << width) - early_change and width < 12:
+            width += 1
+
+
+def _undo_predictor(raw: bytes, parm: bytes) -> bytes | None:
+    """Reverse the /Predictor a Flate/LZW stream declares (PDF 2.0
+    §7.4.4.4): 1 = none, 2 = TIFF horizontal differencing (8-bit
+    components only — sub-byte differencing is out of profile), 10–15 =
+    the five PNG row filters with a per-row filter byte (the writer may
+    vary the filter per row regardless of which 1x value was declared).
+    Geometry from /Columns /Colors /BitsPerComponent; misaligned data or
+    an unknown row filter degrades to None."""
+    pred = _parm_int(parm, b"Predictor", 1)
+    if pred <= 1:
+        return raw
+    colors = _parm_int(parm, b"Colors", 1)
+    bpc = _parm_int(parm, b"BitsPerComponent", 8)
+    columns = _parm_int(parm, b"Columns", 1)
+    if not (1 <= colors <= 4) or bpc not in (1, 2, 4, 8) or columns <= 0:
+        return None
+    row_bytes = (colors * bpc * columns + 7) // 8
+    if pred == 2:
+        if bpc != 8:
+            return None
+        if row_bytes == 0 or len(raw) % row_bytes:
+            return None
+        buf = bytearray(raw)
+        for base in range(0, len(buf), row_bytes):
+            for i in range(base + colors, base + row_bytes):
+                buf[i] = (buf[i] + buf[i - colors]) & 0xFF
+        return bytes(buf)
+    if not 10 <= pred <= 15:
+        return None
+    span = row_bytes + 1
+    if span == 1 or len(raw) % span:
+        return None
+    bpp = max(1, (colors * bpc) // 8)
+    out = bytearray()
+    prior = bytes(row_bytes)
+    for base in range(0, len(raw), span):
+        ftype = raw[base]
+        line = bytearray(raw[base + 1:base + span])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(bpp, row_bytes):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row_bytes):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prior[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row_bytes):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prior[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prior[i], ul)) & 0xFF
+        else:
+            return None
+        out += line
+        prior = bytes(line)
+    return bytes(out)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6) — same routine as the PNG
+    kernel's; duplicated 6-liner to keep the PDF kernel import-free."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
 
 
 def _asciihex_decode(raw: bytes) -> bytes | None:
@@ -905,7 +1351,16 @@ def extract_pdf(payload: bytes) -> dict:
         meta["ok"] = "false"
         return {"pages": [], "meta": meta}
     try:
-        objs = _expand_object_streams(_parse_objects(payload))
+        objs = _parse_objects(payload)
+        try:
+            if _apply_encryption(payload, objs):
+                meta["decrypted"] = "true"
+        except PdfEncryptionUnsupported as exc:
+            meta["error"] = str(exc)
+            meta["encrypted"] = "true"
+            meta["ok"] = "false"
+            return {"pages": [], "meta": meta}
+        objs = _expand_object_streams(objs)
         page_ids = [num for num, body in sorted(objs.items())
                     if re.search(rb"/Type\s*/Page\b", _dict_of(body))]
         # honor the page TREE when a /Type /Pages node exists: root at the

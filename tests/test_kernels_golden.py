@@ -683,6 +683,142 @@ def test_pdf_stream_filter_chains():
     assert _stream_bytes(bad) == b""
 
 
+def test_pdf_lzw_rle_content_streams_roundtrip():
+    """/LZWDecode (both /EarlyChange flavors) and /RunLengthDecode
+    content streams extract byte-identically to the uncompressed layout —
+    the lossless filter set pre-1.2 writers emit (PDF 2.0 §7.4.4/§7.4.5)."""
+    from pdf_extractor_spark.corpus import build_pdf
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    runs = [[(72.0, 720.0, "LZW content stream, page one 42."),
+             (72.0, 700.0, "Second (escaped) line.")],
+            [(72.0, 720.0, "Page two, short.")]]
+    want = extract_pdf(build_pdf(runs))["pages"]
+    for flavor in ("lzw", "lzw0", "rle"):
+        res = extract_pdf(build_pdf(runs, compress=flavor))
+        assert res["meta"]["ok"] == "true", flavor
+        assert res["pages"] == want, flavor
+
+
+def test_pdf_lzw_rle_malformed_streams_degrade():
+    """Malformed LZW/RLE payloads degrade to the empty-stream path (an
+    error/no-content row), never raise: truncated repeat token, LZW code
+    past the table end, and a decompression bomb against the cap."""
+    from pdf_extractor_spark.kernels.pdf_kernel import (
+        _lzw_decode,
+        _runlength_decode,
+        _stream_bytes,
+        extract_pdf,
+    )
+
+    # RLE: repeat token with no byte to repeat
+    assert _runlength_decode(b"\x04hello\xfe", 1 << 20) is None
+    # RLE: truncated literal
+    assert _runlength_decode(b"\x7fshort", 1 << 20) is None
+    # RLE: missing EOD tolerated (wild-file policy)
+    assert _runlength_decode(b"\x04hello", 1 << 20) == b"hello"
+    # LZW: first code past the initial table
+    assert _lzw_decode(b"\xff\xff\xff", 1 << 20) is None
+    # LZW: output cap enforced (repeat-heavy stream vs tiny cap)
+    from pdf_extractor_spark.corpus import _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(b"A" * 4096), 16) is None
+    # end-to-end: a stream declaring /LZWDecode over garbage degrades to
+    # b"" (the no-content path), never raises
+    body = (b"<< /Filter /LZWDecode /Length 3 >>\nstream\n\xff\xff\xff"
+            b"\nendstream")
+    assert _stream_bytes(body) == b""
+    from pdf_extractor_spark.corpus import build_pdf
+
+    pdf = bytearray(build_pdf([[(72.0, 720.0, "Corrupt me.")]],
+                              compress="lzw"))
+    at = bytes(pdf).find(b"stream\n") + 7
+    for k in range(8):
+        pdf[at + k] = 0xFF
+    res = extract_pdf(bytes(pdf))
+    assert res["meta"].get("ok") in ("true", "false")
+
+
+def test_pdf_predictor_undo_profile():
+    """/Predictor reversal: PNG per-row filters honor the ROW byte (not
+    the declared 1x value), TIFF predictor 2 undoes horizontal
+    differencing, and out-of-profile geometry degrades to None."""
+    from pdf_extractor_spark.kernels.ocr_kernel import _png_filter_rows
+    from pdf_extractor_spark.kernels.pdf_kernel import _undo_predictor
+
+    px = [bytes((x * 7 + y * 13) & 0xFF for x in range(17))
+          for y in range(9)]
+    flat = b"".join(px)
+    parm = b"<< /Predictor 15 /Columns 17 >>"
+    assert _undo_predictor(_png_filter_rows(px), parm) == flat
+    # TIFF horizontal differencing, stride 1
+    from pdf_extractor_spark.kernels.tiff_kernel import _apply_predictor2
+
+    parm2 = b"<< /Predictor 2 /Columns 17 >>"
+    assert _undo_predictor(_apply_predictor2(flat, 17, 9, 1), parm2) == flat
+    # misaligned data / unknown row filter / bad geometry → None
+    assert _undo_predictor(b"\x00" * 10, parm) is None  # not row-aligned
+    assert _undo_predictor(b"\x09" + b"\x00" * 17, parm) is None  # filter 9
+    assert _undo_predictor(flat, b"<< /Predictor 2 /Columns 17"
+                           b" /BitsPerComponent 4 >>") is None
+    # Predictor 1 / absent parms: identity
+    assert _undo_predictor(flat, b"") == flat
+
+
+def test_pdf_rc4_encrypted_roundtrip():
+    """Standard-security-handler PDFs (ISO 32000-1 §7.6.3) with an EMPTY
+    user password — R2/V1 40-bit and R3/V2 128-bit RC4, plain and Flate —
+    decrypt and extract byte-identically to the plaintext layout (the
+    'protected but readable' legacy shape PyPDF2 opens via decrypt(''))."""
+    from pdf_extractor_spark.corpus import build_pdf, build_pdf_encrypted
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    runs = [[(72.0, 720.0, "Encrypted page one 42."),
+             (72.0, 700.0, "Line (two) here.")],
+            [(72.0, 720.0, "Second page.")]]
+    want = extract_pdf(build_pdf(runs))["pages"]
+    for r in (2, 3):
+        for compress in (False, True):
+            res = extract_pdf(build_pdf_encrypted(runs, r=r,
+                                                  compress=compress))
+            assert res["meta"]["ok"] == "true", (r, compress)
+            assert res["meta"].get("decrypted") == "true", (r, compress)
+            assert res["pages"] == want, (r, compress)
+
+
+def test_pdf_encryption_quarantines():
+    """Out-of-profile encryption degrades loudly, never raises: a REAL
+    user password (empty-password key rejected against /U), AES/V4, a
+    non-Standard handler, and a dangling /Encrypt ref all surface as
+    error rows with meta.encrypted=true."""
+    from pdf_extractor_spark.corpus import build_pdf_encrypted
+    from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
+
+    import re as _re
+
+    runs = [[(72.0, 720.0, "Locked content.")]]
+    res = extract_pdf(build_pdf_encrypted(runs, user_pw=b"secret"))
+    assert res["meta"]["ok"] == "false"
+    assert "password required" in res["meta"]["error"]
+    assert res["meta"]["encrypted"] == "true"
+    assert res["pages"] == []
+    pdf = build_pdf_encrypted(runs)
+    for mutate, expect in (
+        (lambda p: p.replace(b"/V 2 /R 3", b"/V 4 /R 4"), "unsupported"),
+        (lambda p: p.replace(b"/Filter /Standard", b"/Filter /Custommm"),
+         "non-Standard"),
+        (lambda p: _re.sub(rb"/Encrypt \d+ 0 R", b"/Encrypt 99 0 R", p),
+         "missing"),
+    ):
+        res = extract_pdf(mutate(pdf))
+        assert res["meta"]["ok"] == "false", expect
+        assert expect in res["meta"]["error"], res["meta"]["error"]
+    # corrupted /O entry → wrong derived key → password-required path
+    broken = _re.sub(rb"/O <..", b"/O <00", pdf, count=1)
+    res = extract_pdf(broken)
+    assert res["meta"]["ok"] == "false"
+
+
 def test_pdf_ascii85_armored_scanned_image_ocrs():
     """An image XObject behind [/ASCII85Decode /FlateDecode] — the
     ascii-armored shape mail-gatewayed PDFs carry — still OCRs through

@@ -434,13 +434,15 @@ def test_extract_document_never_raises_on_corrupted_image_payloads():
         min_size=1,
         max_size=3,
     ),
-    st.integers(min_value=0, max_value=4),
+    st.integers(min_value=0, max_value=7),
 )
 def test_pdf_all_layouts_roundtrip_fuzz(pages, which):
     """Round 4: every writer layout — classic, PDF 1.5 ObjStm, Type0 +
-    ToUnicode CMap, Differences-remapped simple font, nested page tree —
-    round-trips arbitrary printable runs through extract_pdf with the
-    same containment/1-based-page contract as the classic fuzz."""
+    ToUnicode CMap, Differences-remapped simple font, nested page tree,
+    and the LZW (both /EarlyChange flavors) / RunLength compressed
+    content streams — round-trips arbitrary printable runs through
+    extract_pdf with the same containment/1-based-page contract as the
+    classic fuzz."""
     from pdf_extractor_spark.corpus import (
         build_pdf,
         build_pdf_differences,
@@ -450,7 +452,10 @@ def test_pdf_all_layouts_roundtrip_fuzz(pages, which):
     )
 
     builder = (build_pdf, build_pdf_objstm, build_pdf_type0,
-               build_pdf_differences, build_pdf_nested)[which]
+               build_pdf_differences, build_pdf_nested,
+               lambda p: build_pdf(p, compress="lzw"),
+               lambda p: build_pdf(p, compress="lzw0"),
+               lambda p: build_pdf(p, compress="rle"))[which]
     res = extract_pdf(builder(pages))
     got = dict(res["pages"])
     assert sorted(got) == list(range(1, len(pages) + 1))
@@ -482,11 +487,18 @@ def test_pdf_mutation_fuzz_never_raises():
     runs = [[(72.0, 720.0, "Mutation fuzz target, page one 42.")],
             [(72.0, 700.0, "And a second page.")]]
     texts = ["MUTATION FUZZ SCAN 7.", "SECOND SCANNED PAGE."]
+    from pdf_extractor_spark.corpus import build_pdf_encrypted
+
     payloads = [
         build_pdf(runs), build_pdf_objstm(runs), build_pdf_type0(runs),
         build_pdf_differences(runs), build_pdf_nested(runs, fanout=2),
+        build_pdf(runs, compress="lzw"), build_pdf(runs, compress="lzw0"),
+        build_pdf(runs, compress="rle"),
+        build_pdf_encrypted(runs, r=2), build_pdf_encrypted(runs, r=3),
+        build_pdf_encrypted(runs, user_pw=b"locked"),
     ] + [render_scanned_pdf(texts, profile=p)
-         for p in ("gray-raw", "gray-flate", "rgb-flate", "dct")]
+         for p in ("gray-raw", "gray-flate", "rgb-flate", "dct",
+                   "gray-flate-pred", "gray-lzw", "gray-lzw-pred2")]
     rng = _random.Random(20260819)
     for payload in payloads:
         for _ in range(40):
