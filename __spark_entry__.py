@@ -434,10 +434,12 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (2-byte glyph codes) / simple font with /Encoding /Differences remap /
     LZW-compressed content streams / RunLength-compressed content streams /
     RC4-encrypted (Standard security handler R3, empty user password,
-    Flate under the cipher) — so the kernel's ObjStm expansion, both
-    font-decoding mechanisms, the full lossless filter set, and the
-    decrypt path are value-gated end-to-end (the oracle recomputes the
-    expected text from `documents` and is layout-agnostic)."""
+    Flate under the cipher) / AESV2-encrypted (V4 crypt filter,
+    AES-128-CBC) / AESV3-encrypted (V5 R6, AES-256, SHA-2 Algorithm 2.B
+    validation + /UE key unwrap) — so the kernel's ObjStm expansion, both
+    font-decoding mechanisms, the full lossless filter set, and all three
+    decrypt families are value-gated end-to-end (the oracle recomputes
+    the expected text from `documents` and is layout-agnostic)."""
     import pandas as pd
 
     from pdf_extractor_spark.corpus import (
@@ -452,13 +454,16 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 build_pdf_differences,
                 lambda r: build_pdf(r, compress="lzw"),
                 lambda r: build_pdf(r, compress="rle"),
-                lambda r: build_pdf_encrypted(r, compress=True))
+                lambda pr: build_pdf_encrypted(pr, compress=True),
+                lambda pr: build_pdf_encrypted(pr, r=4, compress=True),
+                lambda pr: build_pdf_encrypted(pr, r=6, compress=True))
     docs = _t(spark, sf_dir, "documents")
 
     def make_pdf(it):
         for pdf in it:
             payloads = [
-                builders[int(d) % 7]([[(72.0, 720.0, str(t)[:80])]])
+                builders[int(d) % len(builders)](
+                    [[(72.0, 720.0, str(t)[:80])]])
                 for d, t in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(

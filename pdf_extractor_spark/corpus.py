@@ -367,16 +367,28 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
                         user_pw: bytes = b"",
                         compress: bool = False) -> bytes:
     """The classic ``build_pdf`` layout under the Standard security
-    handler (ISO 32000-1 §7.6.3): R2/V1 (40-bit) or R3/V2 (128-bit) RC4,
-    owner password set, user password EMPTY by default — the legacy
+    handler, owner password set, user password EMPTY by default — the
     "protected but readable" shape a web corpus carries in volume and the
-    reference's PyPDF2 path opens via decrypt(''). Every content stream
-    is RC4-encrypted with its per-object key (Algorithm 1); the layout
-    has no top-level strings, so stream encryption alone is fully
-    spec-compliant. A non-empty ``user_pw`` produces a genuinely locked
-    file (the reader must quarantine it as password-required)."""
-    import hashlib
+    reference's PyPDF2 path opens via decrypt(''). Revisions:
 
+      * ``r=2`` / ``r=3`` — legacy RC4 V1 (40-bit) / V2 (128-bit),
+        ISO 32000-1 §7.6.3
+      * ``r=4`` — V4 crypt filters with /CFM /AESV2 (AES-128-CBC, IV
+        prefix + PKCS#7), ISO 32000-1 §7.6.5
+      * ``r=5`` / ``r=6`` — V5 /AESV3 (AES-256; SHA-2 password hash —
+        single SHA-256 for R5, Algorithm 2.B for R6 — /UE key wrap,
+        /Perms), ISO 32000-2 §7.6.4
+
+    Every content stream is encrypted with its per-object (RC4/AESV2) or
+    file-wide (AESV3) key; the layout has no top-level strings, so stream
+    encryption alone is fully spec-compliant. IVs and salts are derived
+    deterministically from the content so the corpus is reproducible.
+    A non-empty ``user_pw`` produces a genuinely locked file (the reader
+    must quarantine it as password-required)."""
+    import hashlib
+    import struct
+
+    from pdf_extractor_spark.kernels import aes as _aes
     from pdf_extractor_spark.kernels.pdf_kernel import (
         _obj_key,
         _rc4,
@@ -385,15 +397,66 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
         _std_user_entry,
     )
 
-    if r not in (2, 3):
+    if r not in (2, 3, 4, 5, 6):
         raise ValueError(f"unsupported revision {r}")
-    v, length = (1, 40) if r == 2 else (2, 128)
     p = -4  # all permissions granted (the common all-bits value)
     id0 = hashlib.md5(
         repr(page_runs).encode() + bytes([r])).digest()  # deterministic
-    o_entry = _std_owner_entry(owner_pw, user_pw, r, length // 8)
-    key = _std_file_key(user_pw, o_entry, p, id0, r, length // 8)
-    u_entry = _std_user_entry(key, id0, r)
+
+    extra_entries = b""
+    if r in (2, 3, 4):
+        v, length = {2: (1, 40), 3: (2, 128), 4: (4, 128)}[r]
+        o_entry = _std_owner_entry(owner_pw, user_pw, r, length // 8)
+        key = _std_file_key(user_pw, o_entry, p, id0, r, length // 8)
+        u_entry = _std_user_entry(key, id0, r)
+        if r == 4:
+            extra_entries = (
+                b" /CF << /StdCF << /CFM /AESV2 /Length 16"
+                b" /AuthEvent /DocOpen >> >>"
+                b" /StmF /StdCF /StrF /StdCF")
+
+            def enc_stream(num: int, stream: bytes) -> bytes:
+                iv = hashlib.md5(stream + str(num).encode()).digest()
+                return iv + _aes.cbc_encrypt(
+                    _obj_key(key, num, 0, aes=True), iv,
+                    _aes.pkcs7_pad(stream))
+        else:
+            def enc_stream(num: int, stream: bytes) -> bytes:
+                return _rc4(_obj_key(key, num, 0), stream)
+    else:
+        v, length = 5, 256
+        seed = hashlib.sha256(repr(page_runs).encode() + bytes([r]))
+        file_key = seed.digest()
+        salts = hashlib.sha256(b"salts" + seed.digest()).digest()
+        vs_u, ks_u, vs_o, ks_o = (salts[0:8], salts[8:16],
+                                  salts[16:24], salts[24:32])
+
+        def _pw_hash(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+            if r == 5:
+                return hashlib.sha256(pw + salt + udata).digest()
+            return _aes.hash_2b(pw, salt, udata)
+
+        u_entry = _pw_hash(user_pw, vs_u) + vs_u + ks_u
+        ue = _aes.cbc_encrypt(_pw_hash(user_pw, ks_u), b"\x00" * 16,
+                              file_key)
+        o_entry = _pw_hash(owner_pw, vs_o, u_entry) + vs_o + ks_o
+        oe = _aes.cbc_encrypt(_pw_hash(owner_pw, ks_o, u_entry),
+                              b"\x00" * 16, file_key)
+        perms_plain = (struct.pack("<i", p) + b"\xff\xff\xff\xff"
+                       + b"Tadb" + salts[:4])
+        perms = _aes.encrypt_block(file_key, perms_plain)
+        extra_entries = (
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32"
+            b" /AuthEvent /DocOpen >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            b" /OE <" + oe.hex().encode().upper() + b">"
+            b" /UE <" + ue.hex().encode().upper() + b">"
+            b" /Perms <" + perms.hex().encode().upper() + b">")
+
+        def enc_stream(num: int, stream: bytes) -> bytes:
+            iv = hashlib.md5(stream + str(num).encode()).digest()
+            return iv + _aes.cbc_encrypt(file_key, iv,
+                                         _aes.pkcs7_pad(stream))
 
     objs: list[bytes] = []
     n_pages = len(page_runs)
@@ -414,14 +477,14 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
         filt = b""
         if compress:
             stream, filt = zlib.compress(stream), b" /Filter /FlateDecode"
-        enc = _rc4(_obj_key(key, content_ref, 0), stream)
+        enc = enc_stream(content_ref, stream)
         objs.append(b"<< /Length " + str(len(enc)).encode() + filt
                     + b" >>\nstream\n" + enc + b"\nendstream")
     enc_num = len(objs) + 1
     objs.append(
-        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s> >>"
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d /O <%s> /U <%s>%s >>"
         % (v, r, length, p, o_entry.hex().encode().upper(),
-           u_entry.hex().encode().upper()))
+           u_entry.hex().encode().upper(), extra_entries))
     out = bytearray(b"%PDF-1.4\n")
     offsets = []
     for num, body in enumerate(objs, start=1):

@@ -341,12 +341,18 @@ def _filter_names(d: bytes) -> list[bytes]:
 
 
 # ---------------------------------------------------------------------------
-# Standard security handler (ISO 32000-1 §7.6.3): RC4 / V1-V2 / R2-R3 with
-# the EMPTY user password — the "protected but readable" legacy shape
-# (owner-password-only files) that PyPDF2's decrypt('') path opens and a
-# real web corpus carries in volume. AES (V4/AESV2+) and non-Standard
-# handlers quarantine loudly; a real (non-empty) user password cannot be
-# guessed and quarantines as password-required.
+# Standard security handler with the EMPTY user password — the "protected
+# but readable" shape (owner-password-only files) that PyPDF2's decrypt('')
+# path opens and a real web corpus carries in volume. Three families:
+#   * V1/V2 R2/R3 — legacy RC4 (ISO 32000-1 §7.6.3)
+#   * V4 R4       — crypt filters: /CFM /V2 (RC4) or /AESV2 (AES-128-CBC,
+#                   IV prefix + PKCS#7; ISO 32000-1 §7.6.5)
+#   * V5 R5/R6    — /AESV3 (AES-256; SHA-2 validation + /UE key unwrap;
+#                   ISO 32000-2 §7.6.4, R5 = Adobe's pre-ISO extension)
+# AES itself is the from-scratch FIPS-197 kernel in kernels/aes.py,
+# verified against the published FIPS/NIST vectors. Non-Standard handlers
+# and unknown crypt filters quarantine loudly; a real (non-empty) user
+# password cannot be guessed and quarantines as password-required.
 # ---------------------------------------------------------------------------
 
 # The spec's 32-byte password pad (ISO 32000-1 §7.6.3.3, Algorithm 2 step a
@@ -384,14 +390,18 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
-                  r: int, keylen: int) -> bytes:
-    """Algorithm 2: the file encryption key from a (user) password."""
+                  r: int, keylen: int,
+                  encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2: the file encryption key from a (user) password. For
+    R4 files with /EncryptMetadata false the spec appends 0xFFFFFFFF to
+    the first MD5 input (ISO 32000-1 §7.6.3.3 step f)."""
     import hashlib
     import struct
 
     padded = (password + _PW_PAD)[:32]
+    tail = b"" if (encrypt_metadata or r < 4) else b"\xff\xff\xff\xff"
     h = hashlib.md5(
-        padded + o_entry[:32] + struct.pack("<i", p) + id0).digest()
+        padded + o_entry[:32] + struct.pack("<i", p) + id0 + tail).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:keylen]).digest()
@@ -429,16 +439,19 @@ def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16  # R3: 16 arbitrary pad bytes
 
 
-def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: the per-object RC4 key — MD5(file key + 3 low bytes of
+def _obj_key(file_key: bytes, num: int, gen: int,
+             aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key — MD5(file key + 3 low bytes of
     the object number + 2 low bytes of the generation), truncated to
-    min(len(key)+5, 16)."""
+    min(len(key)+5, 16). For AESV2 the spec additionally salts the MD5
+    input with the 4 bytes ``sAlT`` (ISO 32000-1 §7.6.2 step b)."""
     import hashlib
 
     h = hashlib.md5(
         file_key
         + bytes((num & 0xFF, (num >> 8) & 0xFF, (num >> 16) & 0xFF))
-        + bytes((gen & 0xFF, (gen >> 8) & 0xFF))).digest()
+        + bytes((gen & 0xFF, (gen >> 8) & 0xFF))
+        + (b"sAlT" if aes else b"")).digest()
     return h[:min(len(file_key) + 5, 16)]
 
 
@@ -504,14 +517,10 @@ def _apply_encryption(payload: bytes, objs: dict[int, bytes]) -> bool:
         raise PdfEncryptionUnsupported("encrypted: non-Standard handler")
     v = _parm_int(d, b"V", 0)
     r = _parm_int(d, b"R", 0)
-    if v not in (1, 2) or r not in (2, 3):
+    if not ((v in (1, 2) and r in (2, 3)) or (v == 4 and r == 4)
+            or (v == 5 and r in (5, 6))):
         raise PdfEncryptionUnsupported(
-            f"encrypted: unsupported V={v} R={r} (AES/crypt-filter profile)")
-    length = _parm_int(d, b"Length", 40)
-    if r == 2:
-        length = 40
-    if not 40 <= length <= 128 or length % 8:
-        raise PdfEncryptionUnsupported(f"encrypted: bad key length {length}")
+            f"encrypted: unsupported V={v} R={r}")
     o_entry = _pdf_string_bytes(d, b"O")
     u_entry = _pdf_string_bytes(d, b"U")
     mp = re.search(rb"/P\s+(-?\d+)", d)
@@ -528,13 +537,99 @@ def _apply_encryption(payload: bytes, objs: dict[int, bytes]) -> bool:
             id0 = bytes.fromhex(h.decode("ascii"))
         except (ValueError, UnicodeDecodeError):
             id0 = b""
-    key = _std_file_key(b"", o_entry, int(mp.group(1)), id0, r, length // 8)
-    want_u = _std_user_entry(key, id0, r)
-    got = u_entry[:16] if r >= 3 else u_entry[:32]
-    if got != (want_u[:16] if r >= 3 else want_u[:32]):
-        raise PdfEncryptionUnsupported(
-            "encrypted: password required (empty user password rejected)")
-    # in-place stream decryption, generation numbers from the headers
+
+    from pdf_extractor_spark.kernels import aes as _aes
+
+    # dec(num, gen, data) -> plaintext; AES paths are NOT length-
+    # preserving, so the rewrite loop below patches /Length when needed
+    if v == 5:
+        # AESV3 (ISO 32000-2 §7.6.4): SHA-2 password validation against
+        # /U, file key unwrapped from /UE with AES-256-CBC (zero IV)
+        import hashlib
+
+        ue_entry = _pdf_string_bytes(d, b"UE")
+        if len(u_entry) < 48 or ue_entry is None or len(ue_entry) < 32:
+            raise PdfEncryptionUnsupported(
+                "encrypted: malformed V5 /U or /UE")
+        vsalt, ksalt = u_entry[32:40], u_entry[40:48]
+        if r == 5:
+            want = hashlib.sha256(b"" + vsalt).digest()
+            inter = hashlib.sha256(b"" + ksalt).digest()
+        else:
+            want = _aes.hash_2b(b"", vsalt)
+            inter = _aes.hash_2b(b"", ksalt)
+        if want != u_entry[:32]:
+            raise PdfEncryptionUnsupported(
+                "encrypted: password required (empty user password "
+                "rejected)")
+        file_key = _aes.cbc_decrypt(inter, b"\x00" * 16, ue_entry[:32])
+        cfm = _cf_stream_method(d, default=b"AESV3")
+        if cfm == b"Identity":
+            return True
+        if cfm != b"AESV3":
+            raise PdfEncryptionUnsupported(
+                f"encrypted: unsupported V5 crypt filter {cfm!r}")
+
+        def dec(num: int, gen: int, data: bytes) -> bytes:
+            return _aes_stream_decrypt(_aes, file_key, data)
+
+        length_preserving = False
+    elif v == 4:
+        length = _parm_int(d, b"Length", 128)
+        if not 40 <= length <= 128 or length % 8:
+            raise PdfEncryptionUnsupported(
+                f"encrypted: bad key length {length}")
+        enc_meta = not re.search(rb"/EncryptMetadata\s+false\b", d)
+        cfm = _cf_stream_method(d, default=None)
+        if cfm is None:
+            raise PdfEncryptionUnsupported(
+                "encrypted: unsupported/missing V4 crypt filter")
+        key = _std_file_key(b"", o_entry, int(mp.group(1)), id0, r,
+                            length // 8, encrypt_metadata=enc_meta)
+        want_u = _std_user_entry(key, id0, r)
+        if u_entry[:16] != want_u[:16]:
+            raise PdfEncryptionUnsupported(
+                "encrypted: password required (empty user password "
+                "rejected)")
+        if cfm == b"Identity":
+            return True
+        if cfm == b"V2":
+            def dec(num: int, gen: int, data: bytes) -> bytes:
+                return _rc4(_obj_key(key, num, gen), data)
+
+            length_preserving = True
+        elif cfm == b"AESV2":
+            def dec(num: int, gen: int, data: bytes) -> bytes:
+                return _aes_stream_decrypt(
+                    _aes, _obj_key(key, num, gen, aes=True), data)
+
+            length_preserving = False
+        else:
+            raise PdfEncryptionUnsupported(
+                f"encrypted: unsupported V4 crypt filter {cfm!r}")
+    else:
+        length = _parm_int(d, b"Length", 40)
+        if r == 2:
+            length = 40
+        if not 40 <= length <= 128 or length % 8:
+            raise PdfEncryptionUnsupported(
+                f"encrypted: bad key length {length}")
+        key = _std_file_key(b"", o_entry, int(mp.group(1)), id0, r,
+                            length // 8)
+        want_u = _std_user_entry(key, id0, r)
+        got = u_entry[:16] if r >= 3 else u_entry[:32]
+        if got != (want_u[:16] if r >= 3 else want_u[:32]):
+            raise PdfEncryptionUnsupported(
+                "encrypted: password required (empty user password "
+                "rejected)")
+
+        def dec(num: int, gen: int, data: bytes) -> bytes:
+            return _rc4(_obj_key(key, num, gen), data)
+
+        length_preserving = True
+    # stream decryption, generation numbers from the headers; RC4 is
+    # length-preserving (decrypt in place), AES-CBC shrinks the stream
+    # (IV prefix + PKCS#7 pad) so the direct /Length is patched to match
     gens: dict[int, int] = {}
     pos = 0
     while True:
@@ -554,11 +649,58 @@ def _apply_encryption(payload: bytes, objs: dict[int, bytes]) -> bool:
         span = _raw_stream_span(body)
         if span is None:
             continue
-        objs[num] = (body[:span[0]]
-                     + _rc4(_obj_key(key, num, gens.get(num, 0)),
-                            body[span[0]:span[1]])
-                     + body[span[1]:])
+        plain = dec(num, gens.get(num, 0), body[span[0]:span[1]])
+        head = body[:span[0]]
+        if not length_preserving:
+            head = re.sub(rb"(/Length\s+)\d+(?!\s+\d+\s+R)",
+                          lambda mm: mm.group(1) + str(len(plain)).encode(),
+                          head, count=1)
+        objs[num] = head + plain + body[span[1]:]
     return True
+
+
+def _cf_stream_method(d: bytes, default: bytes | None) -> bytes | None:
+    """The stream crypt-filter method for a V4/V5 /Encrypt dict: resolve
+    /StmF (absent → /Identity, the spec default — streams unencrypted),
+    then look up that named filter's /CFM inside /CF. A named filter
+    MISSING from /CF returns None so the caller quarantines loudly
+    instead of silently mis-reading ciphertext as plaintext."""
+    mf = re.search(rb"/StmF\s*/([A-Za-z0-9]+)", d)
+    name = mf.group(1) if mf else b"Identity"
+    if name == b"Identity":
+        return b"Identity"
+    mcf = re.search(rb"/" + re.escape(name) + rb"\s*<<", d)
+    if mcf is None:
+        return None
+    # balanced << >> scan for the named filter's sub-dict
+    i = mcf.end()
+    depth = 1
+    start = i
+    while i < len(d) - 1 and depth:
+        if d[i:i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif d[i:i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    sub = d[start:i]
+    mm = re.search(rb"/CFM\s*/([A-Za-z0-9]+)", sub)
+    return mm.group(1) if mm else default
+
+
+def _aes_stream_decrypt(_aes, key: bytes, data: bytes) -> bytes:
+    """ISO 32000 §7.6.5 AES stream shape: 16-byte IV prefix, CBC body,
+    PKCS#7 padding. Malformed shapes quarantine loudly."""
+    if len(data) < 32 or (len(data) - 16) % 16:
+        raise PdfEncryptionUnsupported(
+            "encrypted: malformed AES stream length")
+    try:
+        return _aes.pkcs7_unpad(_aes.cbc_decrypt(key, data[:16], data[16:]))
+    except ValueError as exc:
+        raise PdfEncryptionUnsupported(
+            f"encrypted: bad AES stream ({exc})")
 
 
 def _raw_stream_span(body: bytes) -> tuple[int, int] | None:

@@ -766,10 +766,12 @@ def test_pdf_predictor_undo_profile():
 
 
 def test_pdf_rc4_encrypted_roundtrip():
-    """Standard-security-handler PDFs (ISO 32000-1 §7.6.3) with an EMPTY
-    user password — R2/V1 40-bit and R3/V2 128-bit RC4, plain and Flate —
-    decrypt and extract byte-identically to the plaintext layout (the
-    'protected but readable' legacy shape PyPDF2 opens via decrypt(''))."""
+    """Standard-security-handler PDFs with an EMPTY user password across
+    every supported revision — R2/V1 40-bit RC4, R3/V2 128-bit RC4,
+    R4/V4 AESV2 (AES-128-CBC crypt filter), R5 and R6 V5 AESV3
+    (AES-256), plain and Flate — decrypt and extract byte-identically to
+    the plaintext layout (the 'protected but readable' shape PyPDF2
+    opens via decrypt(''))."""
     from pdf_extractor_spark.corpus import build_pdf, build_pdf_encrypted
     from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
@@ -777,7 +779,7 @@ def test_pdf_rc4_encrypted_roundtrip():
              (72.0, 700.0, "Line (two) here.")],
             [(72.0, 720.0, "Second page.")]]
     want = extract_pdf(build_pdf(runs))["pages"]
-    for r in (2, 3):
+    for r in (2, 3, 4, 5, 6):
         for compress in (False, True):
             res = extract_pdf(build_pdf_encrypted(runs, r=r,
                                                   compress=compress))
@@ -786,25 +788,81 @@ def test_pdf_rc4_encrypted_roundtrip():
             assert res["pages"] == want, (r, compress)
 
 
+def test_aes_fips_197_vectors():
+    """The from-scratch AES kernel against PUBLISHED known-answer
+    vectors: FIPS-197 Appendix C (AES-128/192/256 Cipher and Inverse
+    Cipher) and NIST SP 800-38A §F.2.1/F.2.2 (CBC-AES128) — external
+    verification, not writer/reader self-consistency."""
+    from pdf_extractor_spark.kernels.aes import (
+        cbc_decrypt,
+        cbc_encrypt,
+        decrypt_block,
+        encrypt_block,
+        pkcs7_pad,
+        pkcs7_unpad,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = {
+        "000102030405060708090a0b0c0d0e0f":
+            "69c4e0d86a7b0430d8cdb78070b4c55a",
+        "000102030405060708090a0b0c0d0e0f1011121314151617":
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f":
+            "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for key_hex, ct_hex in vectors.items():
+        key = bytes.fromhex(key_hex)
+        assert encrypt_block(key, pt).hex() == ct_hex
+        assert decrypt_block(key, bytes.fromhex(ct_hex)) == pt
+
+    # SP 800-38A F.2.1 CBC-AES128.Encrypt, first two blocks
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    p = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a"
+                      "ae2d8a571e03ac9c9eb76fac45af8e51")
+    c = cbc_encrypt(k, iv, p)
+    assert c.hex() == ("7649abac8119b246cee98e9b12e9197d"
+                       "5086cb9b507219ee95db113a917678b2")
+    assert cbc_decrypt(k, iv, c) == p
+
+    # PKCS#7 round-trip at every residue + malformed-padding rejection
+    for n in (0, 1, 15, 16, 17, 257):
+        d = (bytes(range(256)) * 2)[:n]
+        assert pkcs7_unpad(cbc_decrypt(k, iv,
+                                       cbc_encrypt(k, iv,
+                                                   pkcs7_pad(d)))) == d
+    import pytest
+
+    with pytest.raises(ValueError):
+        pkcs7_unpad(b"\x00" * 15 + b"\x11")  # pad byte 17 > block
+
+
 def test_pdf_encryption_quarantines():
     """Out-of-profile encryption degrades loudly, never raises: a REAL
-    user password (empty-password key rejected against /U), AES/V4, a
-    non-Standard handler, and a dangling /Encrypt ref all surface as
-    error rows with meta.encrypted=true."""
+    user password (empty-password key rejected against /U) at both the
+    RC4 and AES-256 revisions, an unknown V/R pair, a V4 crypt filter
+    missing from /CF, a non-Standard handler, and a dangling /Encrypt
+    ref all surface as error rows with meta.encrypted=true."""
     from pdf_extractor_spark.corpus import build_pdf_encrypted
     from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
     import re as _re
 
     runs = [[(72.0, 720.0, "Locked content.")]]
-    res = extract_pdf(build_pdf_encrypted(runs, user_pw=b"secret"))
-    assert res["meta"]["ok"] == "false"
-    assert "password required" in res["meta"]["error"]
-    assert res["meta"]["encrypted"] == "true"
-    assert res["pages"] == []
+    for locked_r in (3, 4, 6):
+        res = extract_pdf(build_pdf_encrypted(runs, r=locked_r,
+                                              user_pw=b"secret"))
+        assert res["meta"]["ok"] == "false", locked_r
+        assert "password required" in res["meta"]["error"], locked_r
+        assert res["meta"]["encrypted"] == "true", locked_r
+        assert res["pages"] == []
     pdf = build_pdf_encrypted(runs)
     for mutate, expect in (
-        (lambda p: p.replace(b"/V 2 /R 3", b"/V 4 /R 4"), "unsupported"),
+        (lambda p: p.replace(b"/V 2 /R 3", b"/V 9 /R 9"), "unsupported"),
+        (lambda p: p.replace(b"/V 2 /R 3",
+                             b"/V 4 /R 4 /StmF /StdCF"), "unsupported"),
         (lambda p: p.replace(b"/Filter /Standard", b"/Filter /Custommm"),
          "non-Standard"),
         (lambda p: _re.sub(rb"/Encrypt \d+ 0 R", b"/Encrypt 99 0 R", p),

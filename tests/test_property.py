@@ -495,7 +495,10 @@ def test_pdf_mutation_fuzz_never_raises():
         build_pdf(runs, compress="lzw"), build_pdf(runs, compress="lzw0"),
         build_pdf(runs, compress="rle"),
         build_pdf_encrypted(runs, r=2), build_pdf_encrypted(runs, r=3),
+        build_pdf_encrypted(runs, r=4), build_pdf_encrypted(runs, r=5),
+        build_pdf_encrypted(runs, r=6),
         build_pdf_encrypted(runs, user_pw=b"locked"),
+        build_pdf_encrypted(runs, r=6, user_pw=b"locked"),
     ] + [render_scanned_pdf(texts, profile=p)
          for p in ("gray-raw", "gray-flate", "rgb-flate", "dct",
                    "gray-flate-pred", "gray-lzw", "gray-lzw-pred2")]
