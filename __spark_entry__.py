@@ -164,19 +164,31 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
     h1 (ignoring the base tag keeps them on the own host and shifts the
     edge set) — and EVERY page carries a rel="nofollow" ad link to
     ``ads.{source}`` which host_edges must exclude (a leaked nofollow
-    edge changes the src's out_degree and every PageRank/HITS value)."""
+    edge changes the src's out_degree and every PageRank/HITS value).
+
+    A third tier gates the attribute-quoting grammar (WHATWG
+    §13.1.2.3): every page also carries a SINGLE-QUOTED absolute link
+    to h2 and an UNQUOTED absolute link to h4 (closed-form sid
+    formulas) — a parser stuck on double-quoted attributes drops both
+    edges and every downstream centrality/in-degree value shifts."""
     from pyspark.sql import Window
 
     sids = docs.select("source").distinct().withColumn(
         "sid", F.dense_rank().over(Window.orderBy("source")) - 1)
     n_src = sids.count()
     t1 = sids.select(F.col("sid").alias("sid1"), F.col("source").alias("h1"))
+    t2 = sids.select(F.col("sid").alias("sid2"), F.col("source").alias("h2"))
     t3 = sids.select(F.col("sid").alias("sid3"), F.col("source").alias("h3"))
+    t4 = sids.select(F.col("sid").alias("sid4"), F.col("source").alias("h4"))
     d = (
         docs.withColumn("sid1", (F.col("doc_id") * 7 + 1) % n_src)
+        .withColumn("sid2", (F.col("doc_id") * 13 + 3) % n_src)
         .withColumn("sid3", (F.col("doc_id") * 11 + 5) % n_src)
+        .withColumn("sid4", (F.col("doc_id") * 17 + 7) % n_src)
         .join(F.broadcast(t1), "sid1")
+        .join(F.broadcast(t2), "sid2")
         .join(F.broadcast(t3), "sid3")
+        .join(F.broadcast(t4), "sid4")
     )
     did = F.col("doc_id").cast("string")
     # every 7th doc is marked noindex — exercises the meta-robots detector
@@ -204,6 +216,10 @@ def _linked_pages_from_documents(docs: DataFrame) -> DataFrame:
             (F.col("doc_id") + 2).cast("string"), F.lit('">p</a>'),
             F.lit('<a href="q/'), (F.col("doc_id") + 3).cast("string"),
             F.lit('#f">q</a>'),
+            F.lit("<a href='https://"), F.col("h2"), F.lit("/s2/"), did,
+            F.lit("'>t</a>"),
+            F.lit("<a href=https://"), F.col("h4"), F.lit("/u2/"), did,
+            F.lit(">u</a>"),
             F.lit('<a rel="nofollow" href="https://ads.'), F.col("source"),
             F.lit('/z/'), did, F.lit('">n</a>'),
             F.lit('</nav><main><p>'), F.substring(F.col("text"), 1, 40),
@@ -3455,10 +3471,13 @@ def oracle_sql() -> dict[str, str]:
                       FROM (SELECT DISTINCT source FROM documents)),
         ns AS (SELECT count(*) AS c FROM sids),
         dl AS (SELECT d.doc_id, d.source AS src, t1.source AS h1,
-                      t3.source AS h3, d.text
+                      t2.source AS h2, t3.source AS h3, t4.source AS h4,
+                      d.text
                FROM documents d
                JOIN sids t1 ON t1.sid = (d.doc_id * 7 + 1) % (SELECT c FROM ns)
-               JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)),
+               JOIN sids t2 ON t2.sid = (d.doc_id * 13 + 3) % (SELECT c FROM ns)
+               JOIN sids t3 ON t3.sid = (d.doc_id * 11 + 5) % (SELECT c FROM ns)
+               JOIN sids t4 ON t4.sid = (d.doc_id * 17 + 7) % (SELECT c FROM ns)),
         whtml AS (SELECT src,
                 '<html><head><title>d</title>'
                 || CASE WHEN doc_id % 7 = 0
@@ -3472,6 +3491,9 @@ def oracle_sql() -> dict[str, str]:
                 || (doc_id + 1)::VARCHAR || '">s</a><a href="//' || h3
                 || '/p/' || (doc_id + 2)::VARCHAR || '">p</a><a href="q/'
                 || (doc_id + 3)::VARCHAR || '#f">q</a>'
+                || '<a href=''https://' || h2 || '/s2/'
+                || doc_id::VARCHAR || '''>t</a><a href=https://' || h4
+                || '/u2/' || doc_id::VARCHAR || '>u</a>'
                 || '<a rel="nofollow" href="https://ads.' || src || '/z/'
                 || doc_id::VARCHAR || '">n</a></nav><main><p>'
                 || substr(text, 1, 40)
@@ -3488,7 +3510,9 @@ def oracle_sql() -> dict[str, str]:
                  UNION ALL SELECT src, h3, 'p' FROM dl
                  UNION ALL SELECT src,
                         CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
-                        'q' FROM dl),
+                        'q' FROM dl
+                 UNION ALL SELECT src, h2, 't' FROM dl
+                 UNION ALL SELECT src, h4, 'u' FROM dl),
         e AS (SELECT src, dst, count(*) AS w FROM rawe GROUP BY src, dst),
         ind AS (SELECT dst, count(*)::BIGINT AS in_degree,
                        count(DISTINCT anchor)::BIGINT AS inbound_anchor_terms

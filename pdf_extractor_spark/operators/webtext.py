@@ -169,22 +169,47 @@ def host_of_expr(url: Column) -> Column:
     return _ascii_lower(F.regexp_extract(url, _AUTH_RE, 1))
 
 
-_BASE_HREF_PATTERN = r'(?i)<base\s[^>]*?href="([^"]*)"'
-# full <a ...> tag attrs (group 1) for per-link href+rel inspection —
-# the documented extraction subset: double-quoted attributes only
-# (single-quoted/unquoted are out of spec; a production kernel pass would
-# widen this, but the regex keeps extraction whole-stage-codegen'd).
+# HTML attribute VALUE in any of the spec's three quoting forms
+# (WHATWG HTML §13.1.2.3): double-quoted / single-quoted / unquoted
+# token (unquoted excludes the spec's forbidden set: whitespace and
+# "'=<>`). One regex group cannot coalesce three alternatives, so the
+# capture INCLUDES the quotes and consumers strip one layer with
+# _unquote_attr (a quote char cannot appear at either end of a legal
+# unquoted value, so the strip is unambiguous).
+_ATTR_VAL = "\"[^\"]*\"|'[^']*'|[^\\s\"'<>=`]+"
+# 'href'/'rel' must START the attribute name — data-href / xhref are
+# different attributes (lookbehind is Java-regex-only, which is fine:
+# these patterns run Spark-side only; every oracle twin derives its
+# expected link set closed-form, never by regex).
+_HREF_EQ = r'(?<![\w-])href\s*=\s*'
+_REL_EQ = r'(?<![\w-])rel\s*=\s*'
+# rel=canonical as the WHOLE rel value, any quoting (unquoted terminated
+# by a delimiter lookahead so rel=canonical-ish does not match)
+_REL_CANONICAL = (r"(?:\"canonical\"|'canonical'"
+                  r"|canonical(?=[\s/>]|$))")
+_BASE_HREF_PATTERN = rf'(?i)<base\s[^>]*?{_HREF_EQ}({_ATTR_VAL})'
+# full <a ...> tag attrs (group 1) for per-link href+rel inspection.
 # The attrs body is [^<>] (not [^>]): a mid-document UNCLOSED anchor must
 # stop at the next tag's '<' instead of swallowing the following link —
 # truncated tags are routine in WARC captures, and losing the NEXT link
 # to one is worse than losing an anchor whose quoted attr legitimately
 # contains '<' (vanishingly rare). The tail accepts '>', a lookahead at
 # the next '<' (unclosed tag), or end-of-input.
-_A_TAG_PATTERN = r'(?i)<a\s([^<>]*?href="[^"]*"[^<>]*)(?:>|(?=<)|$)'
+_A_TAG_PATTERN = (rf'(?i)<a\s([^<>]*?{_HREF_EQ}(?:{_ATTR_VAL})[^<>]*)'
+                  r'(?:>|(?=<)|$)')
 _CANONICAL_PATTERN = (
-    r'(?i)<link\s[^>]*?rel="canonical"[^>]*?href="([^"]*)"')
+    rf'(?i)<link\s[^>]*?{_REL_EQ}{_REL_CANONICAL}'
+    rf'[^>]*?{_HREF_EQ}({_ATTR_VAL})')
 _CANONICAL_PATTERN_HREF_FIRST = (
-    r'(?i)<link\s[^>]*?href="([^"]*)"[^>]*?rel="canonical"')
+    rf'(?i)<link\s[^>]*?{_HREF_EQ}({_ATTR_VAL})'
+    rf'[^>]*?{_REL_EQ}{_REL_CANONICAL}')
+
+
+def _unquote_attr(v: Column) -> Column:
+    """Strip one layer of surrounding quotes from an ``_ATTR_VAL``
+    capture (quoted forms carry them; unquoted values cannot start or
+    end with a quote char, so at most the genuine delimiters match)."""
+    return F.regexp_replace(v, "^[\"']|[\"']$", "")
 
 
 def base_href_expr(html_str: Column, url: Column) -> Column:
@@ -193,7 +218,7 @@ def base_href_expr(html_str: Column, url: Column) -> Column:
     or the page URL itself when absent. Relative hrefs resolve against
     THIS, not the page URL (a page at /deep/page with
     ``<base href="/">`` links 'x' to /x, not /deep/x)."""
-    b = F.regexp_extract(html_str, _BASE_HREF_PATTERN, 1)
+    b = _unquote_attr(F.regexp_extract(html_str, _BASE_HREF_PATTERN, 1))
     return F.when(b == "", url).otherwise(resolve_url_expr(url, b))
 
 
@@ -216,9 +241,10 @@ def extract_links(pages: DataFrame, url_col: str = "url",
         base_href_expr(html_str, F.col(url_col)).alias("base"),
         F.explode(tags).alias("attrs"),
     )
-    href = F.regexp_extract(F.col("attrs"), r'(?i)href="([^"]*)"', 1)
-    rel = _ascii_lower(
-        F.regexp_extract(F.col("attrs"), r'(?i)(?:^|\s)rel="([^"]*)"', 1))
+    href = _unquote_attr(F.regexp_extract(
+        F.col("attrs"), rf'(?i){_HREF_EQ}({_ATTR_VAL})', 1))
+    rel = _ascii_lower(_unquote_attr(F.regexp_extract(
+        F.col("attrs"), rf'(?i){_REL_EQ}({_ATTR_VAL})', 1)))
     nofollow = F.array_contains(F.split(rel, r"\s+"), "nofollow")
     return out.select(
         "url",
@@ -239,8 +265,9 @@ def extract_canonical_links(pages: DataFrame, url_col: str = "url",
     the tag are absent from the output (join back left to keep them).
     Narrow, zero-Python."""
     html_str = F.decode(F.col(html_col), "utf-8")
-    c1 = F.regexp_extract(html_str, _CANONICAL_PATTERN, 1)
-    c2 = F.regexp_extract(html_str, _CANONICAL_PATTERN_HREF_FIRST, 1)
+    c1 = _unquote_attr(F.regexp_extract(html_str, _CANONICAL_PATTERN, 1))
+    c2 = _unquote_attr(
+        F.regexp_extract(html_str, _CANONICAL_PATTERN_HREF_FIRST, 1))
     return (
         pages.select(
             F.col(url_col).alias("url"),
@@ -253,9 +280,12 @@ def extract_canonical_links(pages: DataFrame, url_col: str = "url",
     )
 
 
-# attrs (group 1), href (group 2), anchor body (group 3) — three
-# extract_all passes over ONE pattern zip positionally (identical spans)
-_ANCHOR_PATTERN = (r'(?i)<a\s([^>]*?href="([^"]*)"[^>]*)>([^<]*)</a>')
+# attrs (group 1), href-with-quotes (group 2), anchor body (group 3) —
+# three extract_all passes over ONE pattern zip positionally (identical
+# spans); the href capture carries its quotes (_ATTR_VAL) and is
+# stripped with _unquote_attr downstream
+_ANCHOR_PATTERN = (rf'(?i)<a\s([^>]*?{_HREF_EQ}({_ATTR_VAL})[^>]*)'
+                   r'>([^<]*)</a>')
 
 
 def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
@@ -266,12 +296,13 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
     stronger description than the target's own markup) and of link-spam
     gates.
 
-    Same extraction subset as ``extract_links`` (double-quoted hrefs) plus
-    a plain-text anchor body (``[^<]*`` — an anchor with nested markup is
-    out of the subset and is skipped here while still counted as a link by
-    extract_links). Two regexp_extract_all passes over the same pattern
-    (group 1 = href, group 2 = anchor) zip positionally — identical match
-    spans by construction. Relative hrefs resolve against the page's
+    Same extraction subset as ``extract_links`` (hrefs in any of the
+    spec's three quoting forms) plus a plain-text anchor body (``[^<]*``
+    — an anchor with nested markup is out of the subset and is skipped
+    here while still counted as a link by extract_links). Three
+    regexp_extract_all passes over the same pattern (group 2 = href,
+    group 3 = anchor) zip positionally — identical match spans by
+    construction. Relative hrefs resolve against the page's
     effective base (``<base href>`` honored, same as extract_links), and
     each row carries the same ``nofollow`` flag extract_links emits so
     inbound signals can honor the attribute. Narrow plan: zero shuffles,
@@ -288,10 +319,10 @@ def extract_anchor_texts(pages: DataFrame, url_col: str = "url",
         base_href_expr(html_str, F.col(url_col)).alias("base"),
         F.explode(zipped).alias("z"),
     ).select("url", "base", F.col("z.attrs").alias("attrs"),
-             F.col("z.href").alias("href"),
+             _unquote_attr(F.col("z.href")).alias("href"),
              F.col("z.anchor").alias("anchor"))
-    rel = _ascii_lower(
-        F.regexp_extract(F.col("attrs"), r'(?i)(?:^|\s)rel="([^"]*)"', 1))
+    rel = _ascii_lower(_unquote_attr(F.regexp_extract(
+        F.col("attrs"), rf'(?i){_REL_EQ}({_ATTR_VAL})', 1)))
     return out.select(
         "url", "href", "anchor",
         resolve_url_expr(F.col("base"), F.col("href")).alias("link_url"),

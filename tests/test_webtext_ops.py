@@ -1508,3 +1508,49 @@ def test_frontier_schedule_release_handle(spark):
     webtext.frontier_release(sched)
     assert not gate.storageLevel.useMemory
     webtext.frontier_release(sched)  # idempotent / no-op second call
+
+
+def test_link_extraction_attribute_quoting_forms(spark):
+    """All three WHATWG attribute quoting forms (double- / single-quoted
+    and unquoted, §13.1.2.3) extract identically across links, anchors,
+    canonical and <base>, with spaced '=' accepted — real Common-Crawl
+    markup mixes them freely, and the reference's DOM parser (lxml/
+    HTMLParser semantics, mirrored by kernels/html_kernel.py) reads them
+    all; data-href / data-rel remain different attributes and never
+    match (left-boundary lookbehind)."""
+    html = (b"<html><head><base href='/b/'>"
+            b"<link rel=canonical href='/c'></head><body>"
+            b"<a href=x1>u</a>"
+            b"<a href='x2'>s</a>"
+            b'<a href = "x3">d</a>'
+            b'<a data-href="no">skip</a>'
+            b"<a href=y rel=nofollow>n</a>"
+            b"<a href='z' rel='NOFOLLOW ugc'>n2</a>"
+            b"<a href=https://q.net/p>abs</a>"
+            b"</body></html>")
+    df = spark.createDataFrame(
+        [("https://ex.com/deep/page", html)], "url string, html binary")
+    got = {r["href"]: (r["link_url"], r["nofollow"])
+           for r in webtext.extract_links(df).collect()}
+    assert got == {
+        "x1": ("https://ex.com/b/x1", False),
+        "x2": ("https://ex.com/b/x2", False),
+        "x3": ("https://ex.com/b/x3", False),
+        "y": ("https://ex.com/b/y", True),
+        "z": ("https://ex.com/b/z", True),
+        "https://q.net/p": ("https://q.net/p", False),
+    }
+    anch = {r["href"]: (r["anchor"], r["nofollow"])
+            for r in webtext.extract_anchor_texts(df).collect()}
+    assert anch == {
+        "x1": ("u", False), "x2": ("s", False), "x3": ("d", False),
+        "y": ("n", True), "z": ("n2", True),
+        "https://q.net/p": ("abs", False),
+    }
+    canon = webtext.extract_canonical_links(df).collect()
+    assert [(r["url"], r["canonical_url"]) for r in canon] == [
+        ("https://ex.com/deep/page", "https://ex.com/c")]
+    # the widened grammar stays whole-stage-codegen'd: narrow, no Python
+    plan = webtext.extract_links(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
