@@ -943,14 +943,17 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same glyph machinery as the BMP tier. The embedding profile rotates
     # over gray-raw / gray-Flate / RGB-Flate / DCTDecode (JPEG-in-PDF) /
     # PNG-predictored Flate / LZW / TIFF-predictored LZW — the full
-    # lossless-filter set scanner drivers emit (PDF 2.0 §7.4.4/§7.4.5).
+    # lossless-filter set scanner drivers emit (PDF 2.0 §7.4.4/§7.4.5) —
+    # plus CCITT Group 4 and Group 3 fax embeddings (§7.4.6, the
+    # fax/scanner default, with both sample-polarity knobs exercised).
     _PDF_PROFILES = ("gray-raw", "gray-flate", "rgb-flate", "dct",
-                     "gray-flate-pred", "gray-lzw", "gray-lzw-pred2")
+                     "gray-flate-pred", "gray-lzw", "gray-lzw-pred2",
+                     "ccitt-g4", "ccitt-g3")
     _print_scan_pdf = F.pandas_udf(
         lambda texts, ids: pd.Series(
             None if t is None
             else render_scanned_pdf([t], width=32,
-                                    profile=_PDF_PROFILES[int(i) // 50 % 7])
+                                    profile=_PDF_PROFILES[int(i) // 50 % 9])
             for t, i in zip(texts, ids)),
         "binary",
     )
@@ -972,10 +975,18 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: None if t is None else render_text_gif(t, width=32)),
         "binary",
     )
+    # the TIFF tier's compression rotates over LZW+predictor-2 and the
+    # three CCITT fax schemes (compression 2 MH / 3 G3-2D / 4 G4 MMR) —
+    # the layouts fax pipelines and scanner drivers actually write
+    _TIFF_PROFILES = ((5, 2), (4, 1), (3, 1), (2, 1))
     _print_page_tiff = F.pandas_udf(
-        lambda texts: texts.map(
-            lambda t: None if t is None
-            else render_text_tiff(t, width=32, compression=5, predictor=2)),
+        lambda texts, ids: pd.Series(
+            None if t is None
+            else render_text_tiff(
+                t, width=32,
+                compression=_TIFF_PROFILES[int(i) // 50 % 4][0],
+                predictor=_TIFF_PROFILES[int(i) // 50 % 4][1])
+            for t, i in zip(texts, ids)),
         "binary",
     )
     _print_page_jpeg = F.pandas_udf(
@@ -1010,7 +1021,7 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 50 == 45, _print_scan_pdf(pdf_gated, F.col("doc_id")))
         .when(F.col("doc_id") % 50 == 35, _print_page_png(png_gated))
         .when(F.col("doc_id") % 50 == 5, _print_page_gif(gif_gated))
-        .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated))
+        .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated, F.col("doc_id")))
         .when(F.col("doc_id") % 50 == 20, _print_page_jpeg(jpeg_gated))
         .when(F.col("doc_id") % 50 == 10, _print_page_pjpeg(pjpeg_gated))
         .when(F.col("doc_id") % 50 == 30, _print_page_webp(webp_gated))

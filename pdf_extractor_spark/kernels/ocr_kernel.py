@@ -301,7 +301,14 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32,
       (varying per row) under the deflate, the scanner-driver default;
     - ``gray-lzw``: /LZWDecode (EarlyChange 1, the spec default);
     - ``gray-lzw-pred2``: /LZWDecode with /Predictor 2 (TIFF horizontal
-      differencing) — the TIFF-in-PDF shape fax pipelines emit."""
+      differencing) — the TIFF-in-PDF shape fax pipelines emit;
+    - ``ccitt-g4``: 1-bit /CCITTFaxDecode, K=-1 (Group 4 MMR) with the
+      default sample polarity (BlackIs1 false: 0 = black) — THE fax/
+      scanner embedding (PDF 2.0 §7.4.6);
+    - ``ccitt-g3``: 1-bit /CCITTFaxDecode, K=4 mixed 1D/2D with EOL
+      framing, /BlackIs1 true plus a /Decode [1 0] inversion — the
+      other polarity knob pair, exercised together so a reader that
+      honors only one of them misrenders and fails the value gate."""
     if not page_texts:
         page_texts = [""]
     objs: list[bytes] = []   # bodies; object number = index + 1
@@ -314,8 +321,30 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32,
         import zlib
 
         h, w = len(px), len(px[0])
+        bpc = 8
+        extra = b""
         gray = b"".join(bytes(r) for r in px)  # top-down, per PDF convention
-        if profile == "gray-raw":
+        if profile == "ccitt-g4":
+            from pdf_extractor_spark.kernels.ccitt_kernel import (
+                encode_gray_rows,
+            )
+
+            space, bpc = b"/DeviceGray", 1
+            filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
+                    b" << /K -1 /Columns %d /Rows %d >>" % (w, h))
+            data = encode_gray_rows([bytes(r) for r in px], k=-1)
+        elif profile == "ccitt-g3":
+            from pdf_extractor_spark.kernels.ccitt_kernel import (
+                encode_gray_rows,
+            )
+
+            space, bpc = b"/DeviceGray", 1
+            filt = (b" /Filter /CCITTFaxDecode /DecodeParms"
+                    b" << /K 4 /Columns %d /Rows %d /EndOfLine true"
+                    b" /BlackIs1 true >>" % (w, h))
+            extra = b" /Decode [1 0]"
+            data = encode_gray_rows([bytes(r) for r in px], k=4, eol=True)
+        elif profile == "gray-raw":
             space, filt, data = b"/DeviceGray", b"", gray
         elif profile == "gray-flate":
             space, filt, data = b"/DeviceGray", b" /Filter /FlateDecode", zlib.compress(gray)
@@ -354,8 +383,9 @@ def render_scanned_pdf(page_texts: list[str], width: int = 32,
         else:
             raise ValueError(f"unknown scanned-PDF profile {profile!r}")
         return (b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
-                b" /ColorSpace %s /BitsPerComponent 8%s /Length %d >>\n"
-                b"stream\n%s\nendstream" % (w, h, space, filt, len(data), data))
+                b" /ColorSpace %s /BitsPerComponent %d%s%s /Length %d >>\n"
+                b"stream\n%s\nendstream"
+                % (w, h, space, bpc, extra, filt, len(data), data))
 
     page_ids: list[int] = []
     kids_slot = _add(b"")  # pages node patched once kids are known

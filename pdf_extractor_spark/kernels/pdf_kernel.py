@@ -127,10 +127,13 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     - /DeviceRGB 8-bit, same filters (luminance = (r+g+b)//3, the
       same folding as the BMP/TIFF decoders);
     - /DCTDecode (a complete JFIF stream per the PDF spec) in either
-      color space, routed through the from-scratch JPEG kernel.
+      color space, routed through the from-scratch JPEG kernel;
+    - /CCITTFaxDecode 1-bit /DeviceGray (Group 3 and Group 4), routed
+      through the from-scratch T.4/T.6 fax codec — the fax/scanner
+      embedding (see ``_ccitt_image_rows``).
 
     Returns the printed character stream, or None when the image is
-    outside the profile or corrupt (CCITT/JBIG2/JPX, CMYK, sub-8-bit —
+    outside the profile or corrupt (JBIG2/JPX, CMYK, other bit depths —
     those pages stay textless and surface through the no-content path)."""
     d = _dict_of(body)
     if not re.search(rb"/Subtype\s*/Image\b", d):
@@ -140,17 +143,21 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     if not (gray or rgb):
         return None
     mb = re.search(rb"/BitsPerComponent\s+(\d+)", d)
-    if not mb or int(mb.group(1)) != 8:
+    if not mb:
         return None
+    bpc = int(mb.group(1))
     # the effective filter AFTER the text filters _stream_bytes applies
     # (ASCIIHex/ASCII85/Flate/LZW/RunLength pipelines, predictors
     # included): None = raw raster remains
-    filt = next((n for n in _filter_names(d)
+    filters = _filter_names(d)
+    filt = next((n for n in filters
                  if n not in (b"FlateDecode", b"ASCIIHexDecode",
                               b"ASCII85Decode", b"LZWDecode",
                               b"RunLengthDecode")), None)
-    if filt not in (None, b"DCTDecode"):
-        return None  # CCITTFax/JBIG2/JPX etc. — not decodable here
+    if filt not in (None, b"DCTDecode", b"CCITTFaxDecode"):
+        return None  # JBIG2/JPX etc. — not decodable here
+    if bpc != (1 if filt == b"CCITTFaxDecode" else 8):
+        return None
     from pdf_extractor_spark.kernels.ocr_kernel import (
         OcrUnsupported,
         lines_to_stream_text,
@@ -158,7 +165,11 @@ def _ocr_image_xobject(body: bytes) -> str | None:
         ocr_page_plausible,
     )
 
-    if filt == b"DCTDecode":
+    if filt == b"CCITTFaxDecode":
+        rows = _ccitt_image_rows(body, d, filters)
+        if rows is None:
+            return None
+    elif filt == b"DCTDecode":
         # the embedded stream IS a JPEG file; its own SOF header carries
         # the geometry and component count, so decode it directly
         from pdf_extractor_spark.kernels.jpeg_kernel import decode_jpeg_gray
@@ -192,6 +203,55 @@ def _ocr_image_xobject(body: bytes) -> str | None:
     if not ocr_page_plausible(lines):
         return None  # a real-world raster (photo), not machine print
     return lines_to_stream_text(lines)
+
+
+def _ccitt_image_rows(body: bytes, d: bytes,
+                      filters: list[bytes]) -> list[bytes] | None:
+    """Decode a /CCITTFaxDecode image XObject to ink/paper luminance rows
+    via the from-scratch T.4/T.6 codec (PDF 2.0 §7.4.6) — the fax/
+    scanner embedding the reference's Tesseract tier receives. Honors
+    /K (scheme select), /Columns, /Rows, /EndOfLine, /EncodedByteAlign,
+    and the sample-polarity pair /BlackIs1 + /Decode [1 0]: the codec's
+    black runs render dark only when the two agree (both default or
+    both inverted); a half-inverted image renders white-on-black and is
+    handed to the plausibility gate like any other photo-like raster.
+    Returns None outside the profile (degrade, never raise)."""
+    from pdf_extractor_spark.kernels.ccitt_kernel import (
+        CcittError,
+        decode_to_gray_rows,
+    )
+
+    mw = re.search(rb"/Width\s+(\d+)", d)
+    mh = re.search(rb"/Height\s+(\d+)", d)
+    if not mw or not mh:
+        return None
+    w, h = int(mw.group(1)), int(mh.group(1))
+    if w <= 0 or h <= 0 or w > 1 << 16 or h > 1 << 16:
+        return None
+    parms = _decode_parms(d)
+    idx = filters.index(b"CCITTFaxDecode")
+    parm = parms[idx] if idx < len(parms) else b""
+    k = _parm_int(parm, b"K", 0)
+    if _parm_int(parm, b"Columns", 1728) != w:
+        return None  # raster/stream geometry disagree: out of profile
+    rows_declared = _parm_int(parm, b"Rows", h)
+    if rows_declared != h:
+        return None
+    eol = bool(re.search(rb"/EndOfLine\s+true", parm)) or k > 0
+    byte_align = bool(re.search(rb"/EncodedByteAlign\s+true", parm))
+    black_is_1 = bool(re.search(rb"/BlackIs1\s+true", parm))
+    try:
+        rows = decode_to_gray_rows(_stream_bytes(body), w, h,
+                                   k=(-1 if k < 0 else k), eol=eol,
+                                   byte_align=byte_align)
+    except CcittError:
+        return None  # corrupt/truncated fax data: quarantine path
+    decode_inverted = bool(re.search(
+        rb"/Decode\s*\[\s*1(?:\.0+)?\s+0(?:\.0+)?\s*\]", d))
+    if black_is_1 != decode_inverted:
+        inv = bytes(255 - v for v in range(256))
+        rows = [r.translate(inv) for r in rows]
+    return rows
 
 
 def _expand_object_streams(objs: dict[int, bytes]) -> dict[int, bytes]:
@@ -764,7 +824,7 @@ def _decode_parms(d: bytes) -> list[bytes]:
 
 
 def _parm_int(parm: bytes, name: bytes, default: int) -> int:
-    m = re.search(rb"/" + name + rb"\s+(\d+)", parm)
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", parm)
     return int(m.group(1)) if m else default
 
 

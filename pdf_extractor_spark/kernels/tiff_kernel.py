@@ -8,9 +8,13 @@ TIFF 6.0 specification — II/MM byte orders, IFD walk, strip assembly:
   stream with the spec's "early change": the code width grows when the
   next free code reaches 2^bits − 1, one code earlier than GIF's LZW;
   Clear=256/EOI=257, 12-bit cap with in-stream table resets), 8/32946
-  (Deflate — zlib streams per strip), and 32773 (PackBits run-length).
-  JPEG-in-TIFF and the fax codecs raise ``OcrUnsupported`` for the loud
-  needs-OCR quarantine
+  (Deflate — zlib streams per strip), 32773 (PackBits run-length), and
+  the CCITT fax family — 2 (Modified Huffman, byte-aligned rows), 3
+  (Group 3, T4Options-driven 1D/2D with EOL framing) and 4 (Group 4
+  MMR) — decoded by the from-scratch T.4/T.6 codec in
+  ``ccitt_kernel.py`` (TIFF 6.0 §10/§11 + Section 2 of each Rec.), the
+  shape real fax/scanner pipelines deliver. JPEG-in-TIFF raises
+  ``OcrUnsupported`` for the loud needs-OCR quarantine
 - Predictor tag 317: 1 (none) and 2 (horizontal differencing, undone
   per row after decompression); predictor 3 (floating point) raises
 - 8-bit samples; PhotometricInterpretation 0 (WhiteIsZero → inverted),
@@ -199,7 +203,8 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
         if at + 12 > len(payload):
             raise OcrUnsupported("tiff: truncated IFD")
         tag, ftype, count = struct.unpack_from(endian + "HHI", payload, at)
-        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 317, 320):
+        if tag in (256, 257, 258, 259, 262, 273, 277, 278, 279, 292, 293,
+                   317, 320):
             tags[tag] = _read_values(
                 payload, endian, ftype, count, payload[at + 8:at + 12])
     try:
@@ -210,22 +215,25 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
     except KeyError as exc:
         raise OcrUnsupported(f"tiff: missing required tag {exc}") from None
     compression = tags.get(259, [1])[0]
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 8, 32773, 32946):
         raise OcrUnsupported(
             f"tiff: compression {compression} needs a codec outside this "
-            "profile (none/LZW/Deflate/PackBits decode here)")
+            "profile (none/CCITT/LZW/Deflate/PackBits decode here)")
     predictor = tags.get(317, [1])[0]
     if predictor not in (1, 2):
         raise OcrUnsupported(f"tiff: unsupported predictor {predictor}")
     photometric = tags.get(262, [1])[0]
     spp = tags.get(277, [1])[0]
-    bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise OcrUnsupported(f"tiff: unsupported bits-per-sample {bits}")
     if width <= 0 or height <= 0 or width * height > _MAX_PIXELS:
         raise OcrUnsupported(f"tiff: implausible dimensions {width}x{height}")
     if len(strip_offsets) != len(strip_counts):
         raise OcrUnsupported("tiff: strip offset/count mismatch")
+    if compression in (2, 3, 4):
+        return _decode_fax_strips(payload, tags, width, height,
+                                  strip_offsets, strip_counts)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise OcrUnsupported(f"tiff: unsupported bits-per-sample {bits}")
     need = width * height * spp
     rows_per_strip = tags.get(278, [height])[0]
     stride = width * spp
@@ -292,6 +300,66 @@ def _decode_tiff_gray(payload: bytes) -> list[bytes]:
         return [bytes(data[y * width:(y + 1) * width]).translate(lut)
                 for y in range(height)]
     raise OcrUnsupported(f"tiff: unsupported photometric {photometric}")
+
+
+def _decode_fax_strips(payload: bytes, tags: dict[int, list[int]],
+                       width: int, height: int, strip_offsets: list[int],
+                       strip_counts: list[int]) -> list[bytes]:
+    """CCITT compressions 2/3/4 (TIFF 6.0 §10, Section 11): each strip
+    is an independent fax stream (reference line resets — spec rule, the
+    same independence LZW/Deflate strips have). BitsPerSample defaults
+    to 1 for bilevel data and is required to BE 1 here; photometric 0
+    (WhiteIsZero, the fax convention) maps CCITT black runs to ink,
+    photometric 1 inverts."""
+    from pdf_extractor_spark.kernels.ccitt_kernel import (
+        CcittError,
+        decode_to_gray_rows,
+    )
+
+    compression = tags[259][0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [1] * spp)
+    if spp != 1 or any(b != 1 for b in bits):
+        raise OcrUnsupported(
+            f"tiff: fax compression needs 1-bit samples, got {bits}")
+    photometric = tags.get(262, [0])[0]
+    if photometric not in (0, 1):
+        raise OcrUnsupported(
+            f"tiff: photometric {photometric} invalid for fax data")
+    if tags.get(317, [1])[0] != 1:
+        raise OcrUnsupported("tiff: predictor invalid for fax data")
+    if compression == 2:
+        k, eol, byte_align = 0, False, True  # MH: aligned rows, no EOLs
+    elif compression == 3:
+        t4 = tags.get(292, [0])[0]
+        if t4 & 2:
+            raise OcrUnsupported("tiff: T4 uncompressed mode out of profile")
+        # bit 0: 2D lines present (tag bit after each EOL); fill bits
+        # (bit 2) are transparent to the EOL scanner
+        k, eol, byte_align = (4 if t4 & 1 else 0), True, False
+    else:
+        t6 = tags.get(293, [0])[0]
+        if t6 & 2:
+            raise OcrUnsupported("tiff: T6 uncompressed mode out of profile")
+        k, eol, byte_align = -1, False, False
+    rows_per_strip = tags.get(278, [height])[0]
+    rows: list[bytes] = []
+    for si, (off, cnt) in enumerate(zip(strip_offsets, strip_counts)):
+        chunk = payload[off:off + cnt]
+        if len(chunk) < cnt:
+            raise OcrUnsupported("tiff: truncated strip data")
+        n_rows = min(rows_per_strip, height - si * rows_per_strip)
+        if n_rows <= 0:
+            raise OcrUnsupported("tiff: excess fax strips")
+        try:
+            rows += decode_to_gray_rows(chunk, width, n_rows, k=k,
+                                        eol=eol, byte_align=byte_align)
+        except CcittError as exc:
+            raise OcrUnsupported(f"tiff: {exc}") from None
+    if photometric == 1:  # BlackIsZero: the codec's white runs are ink
+        inv = bytes(255 - v for v in range(256))
+        rows = [r.translate(inv) for r in rows]
+    return rows
 
 
 def _packbits_encode(data: bytes) -> bytes:
@@ -431,14 +499,65 @@ def pack_tiff_gray(px: list, compression: int = 1,
     return bytes(out)
 
 
+def pack_tiff_bilevel(px: list, compression: int = 4) -> bytes:
+    """Pack top-down luminance rows into a conforming little-endian
+    1-bit WhiteIsZero (fax-convention) one-strip TIFF — the encoder twin
+    of the CCITT arm of ``decode_tiff_gray``. ``compression`` 2 emits
+    byte-aligned Modified Huffman rows, 3 a Group 3 2D stream
+    (T4Options bit 0 set, EOL+tag framing), 4 a Group 4 MMR stream with
+    EOFB. Ink is luminance < 128, matching the OCR threshold."""
+    if compression not in (2, 3, 4):
+        raise ValueError(f"unsupported fax compression {compression}")
+    from pdf_extractor_spark.kernels.ccitt_kernel import encode_gray_rows
+
+    height, width = len(px), len(px[0])
+    if compression == 2:
+        data = encode_gray_rows([bytes(r) for r in px], k=0, eol=False,
+                                byte_align=True, eofb=False)
+    elif compression == 3:
+        data = encode_gray_rows([bytes(r) for r in px], k=4, eol=True)
+    else:
+        data = encode_gray_rows([bytes(r) for r in px], k=-1)
+    entries = [
+        (256, 3, 1, width),         # ImageWidth
+        (257, 3, 1, height),        # ImageLength
+        (258, 3, 1, 1),             # BitsPerSample
+        (259, 3, 1, compression),   # Compression
+        (262, 3, 1, 0),             # Photometric: WhiteIsZero (fax)
+        (273, 4, 1, None),          # StripOffsets (patched)
+        (277, 3, 1, 1),             # SamplesPerPixel
+        (278, 3, 1, height),        # RowsPerStrip
+        (279, 4, 1, len(data)),     # StripByteCounts
+    ]
+    if compression == 3:
+        entries.append((292, 4, 1, 1))  # T4Options: 2D coding
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * len(entries) + 4
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    out += struct.pack("<H", len(entries))
+    for tag, ftype, count, value in entries:
+        if value is None:
+            value = data_off
+        out += struct.pack("<HHI", tag, ftype, count)
+        out += struct.pack("<I", value) if ftype == 4 else \
+            struct.pack("<HH", value, 0)
+    out += struct.pack("<I", 0)  # next-IFD terminator
+    out += data
+    return bytes(out)
+
+
 def render_text_tiff(text: str, width: int = 32, compression: int = 1,
                      predictor: int = 1) -> bytes:
     """Print ``text`` in the fixed-pitch OCR font onto a TIFF page — the
     TIFF twin of ``render_text_bmp``/``render_text_png``. ``compression``
-    and ``predictor`` pass through to :func:`pack_tiff_gray`."""
+    and ``predictor`` pass through to :func:`pack_tiff_gray`; fax
+    compressions 2/3/4 route to :func:`pack_tiff_bilevel` (the page
+    raster is bilevel ink/paper, so the 1-bit container is lossless)."""
     from pdf_extractor_spark.kernels.ocr_kernel import (
         render_page_gray, wrap_fixed,
     )
 
-    return pack_tiff_gray(render_page_gray(wrap_fixed(text, width)),
-                          compression=compression, predictor=predictor)
+    px = render_page_gray(wrap_fixed(text, width))
+    if compression in (2, 3, 4):
+        return pack_tiff_bilevel(px, compression=compression)
+    return pack_tiff_gray(px, compression=compression, predictor=predictor)

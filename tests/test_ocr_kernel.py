@@ -217,14 +217,15 @@ def test_rle8_absolute_mode_and_escapes():
 def test_scanned_pdf_profiles_roundtrip():
     """Round 4: scanned PDFs embed their page raster as gray-raw,
     gray-Flate, RGB-Flate, DCTDecode (JPEG), PNG-predictored Flate,
-    LZW, or TIFF-predictored LZW image XObjects — all seven OCR
-    byte-identically through the same glyph machinery, including
-    multi-page documents."""
+    LZW, TIFF-predictored LZW, or CCITT Group 4 / Group 3 fax image
+    XObjects — all nine OCR byte-identically through the same glyph
+    machinery, including multi-page documents."""
     from pdf_extractor_spark.kernels.pdf_kernel import extract_pdf
 
     t1, t2 = "SCANNED PAGE ONE 42.", "PAGE TWO, MIXED 7."
     for profile in ("gray-raw", "gray-flate", "rgb-flate", "dct",
-                    "gray-flate-pred", "gray-lzw", "gray-lzw-pred2"):
+                    "gray-flate-pred", "gray-lzw", "gray-lzw-pred2",
+                    "ccitt-g4", "ccitt-g3"):
         pdf = K.render_scanned_pdf([t1, t2], width=16, profile=profile)
         res = extract_pdf(pdf)
         assert res["pages"] == [(1, t1), (2, t2)], profile
