@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.kernels.lang import PUNCT_STRIP as _PUNCT_STRIP
@@ -707,11 +707,21 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("</p><p>$$x_{"), did, F.lit("} = \\frac{"), did,
                  F.lit("}{2}$$")),
     ).otherwise(F.lit(""))
-    html = F.encode(
-        F.concat(F.lit(_HTML_TEMPLATE_PRE), F.col("text"), formula,
-                 F.lit(_HTML_TEMPLATE_POST)),
-        "utf-8",
-    )
+    page_str = F.concat(F.lit(_HTML_TEMPLATE_PRE), F.col("text"), formula,
+                        F.lit(_HTML_TEMPLATE_POST))
+    # final wave: the page ENCODING rotates — utf-8, BOM + UTF-16LE,
+    # BOM + UTF-16BE (the other byte shapes real WARC captures carry) —
+    # so the kernel's charset sniff (html_kernel.sniff_decode) is
+    # value-gated end-to-end: the oracle recomputes expected channels
+    # from `documents.text` and is byte-agnostic, so any sniff/decode
+    # miss hash-fails q46.
+    html = (F.when(F.col("doc_id") % 5 == 1,
+                   F.concat(F.lit(b"\xff\xfe"),
+                            F.encode(page_str, "utf-16le")))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.concat(F.lit(b"\xfe\xff"),
+                           F.encode(page_str, "utf-16be")))
+            .otherwise(F.encode(page_str, "utf-8")))
     pages = docs.select(
         F.concat(F.lit("doc://"), did).alias("url"),
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
@@ -740,6 +750,73 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result._persisted_gate = fan  # release handle (frontier_release)
     return result
+
+
+def _page_metadata_frame(docs: DataFrame) -> DataFrame:
+    """Head-metadata harvest (webtext.page_metadata) over closed-form
+    synthesized pages — the q12 suite's crawl-metadata arm: <title> on
+    every doc, meta description on evens, OpenGraph tags on doc_id%3==0
+    rotating all three WHATWG quoting forms (doc_id%9 ∈ {0: double,
+    3: single + content-first attribute order, 6: unquoted}), a JSON-LD
+    NewsArticle block on %4==0 (fields read via real JVM JSON parsing,
+    not regex), a <time datetime> on %5==0, and a /YYYY/MM/DD/ url path
+    on %7==0 — so the htmldate-style publish-date precedence chain
+    (og > ld > time > url) is exercised on every overlap class (%12
+    og∩ld, %20 ld∩time, %28 ld∩url, %35 time∩url). The oracle twin
+    recomputes every field closed-form from doc_id/text."""
+    from pdf_extractor_spark.operators.webtext import page_metadata
+
+    did = F.col("doc_id")
+    ds = did.cast("string")
+
+    def _d(base: str, mod: int, fmt: str = "yyyy-MM-dd") -> Column:
+        return F.date_format(
+            F.date_add(F.to_date(F.lit(base)), (did % mod).cast("int")), fmt)
+
+    url = F.when(
+        did % 7 == 0,
+        F.concat(F.lit("http://ex.com/"), _d("2020-01-01", 300, "yyyy/MM/dd"),
+                 F.lit("/post-"), ds),
+    ).otherwise(F.concat(F.lit("http://ex.com/page-"), ds))
+    desc = F.when(did % 2 == 0, F.concat(
+        F.lit('<meta name="description" content="Summary of document '), ds,
+        F.lit(" with "), F.length("text").cast("string"),
+        F.lit(' chars.">'))).otherwise(F.lit(""))
+    og = (F.when(did % 9 == 0, F.concat(
+              F.lit('<meta property="og:title" content="OG Doc '), ds,
+              F.lit('"><meta property="og:type" content="article">')))
+          .when(did % 9 == 3, F.concat(
+              F.lit("<meta content='OG Doc "), ds,
+              F.lit("' property='og:title'>"
+                    "<meta content='article' property='og:type'>")))
+          .when(did % 9 == 6, F.concat(
+              F.lit("<meta property=og:title content=OGDoc"), ds,
+              F.lit("><meta property=og:type content=article>")))
+          .otherwise(F.lit("")))
+    ogdate = F.when(did % 6 == 0, F.concat(
+        F.lit('<meta property="article:published_time" content="'),
+        _d("2024-01-01", 365), F.lit(' 10:30:00">'))).otherwise(F.lit(""))
+    ld = F.when(did % 4 == 0, F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"NewsArticle",'
+              '"headline":"Headline '), ds,
+        F.lit('","datePublished":"'), _d("2023-01-01", 365),
+        F.lit('"}</script>'))).otherwise(F.lit(""))
+    timetag = F.when(did % 5 == 0, F.concat(
+        F.lit('<time datetime="'), _d("2022-01-01", 365),
+        F.lit(' 12:00:00">then</time>'))).otherwise(F.lit(""))
+    html = F.encode(F.concat(
+        F.lit("<!DOCTYPE html><html><head><title>Doc "), ds,
+        F.lit("</title>"), desc, og, ogdate, ld,
+        F.lit("</head><body><p>"), F.col("text"), timetag,
+        F.lit("</p></body></html>")), "utf-8")
+    pages = docs.select(url.alias("url"), html.alias("html"))
+    meta = page_metadata(pages)
+    doc_of = F.regexp_extract(
+        F.col("url"), r"(?:page-|post-)(\d+)$", 1).cast("long")
+    return meta.select(doc_of.alias("doc_id"),
+                       F.col("url").alias("meta_url"),
+                       *[c for c in meta.columns if c != "url"])
 
 
 def q_c4_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -924,16 +1001,20 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must live in the UDF's INPUT: null for the 98% of rows that keep
     # their html, a rendered page only for the doc_id%50==25 rows.
     # Round 4 (late): each doc's CONTAINER PROFILE rotates deterministically
-    # on doc_id — 8-bpp palette / 24-bpp BI_RGB / RLE8 for the bitmap tier —
-    # so all widened decode profiles are value-gated end-to-end. The oracle
-    # is container-agnostic (it recomputes the expected OCR text from
-    # `documents`), so the rotation needs no SQL change.
-    _BMP_PROFILES = ("gray8", "rgb24", "rle8")
+    # on doc_id — the bitmap tier covers every BMP shape the decoder
+    # accepts (8-bpp palette / 24-bpp BI_RGB / RLE8, and the final wave's
+    # 1-bpp mono / 4-bpp palette / RLE4 / 16-bpp RGB565 BITFIELDS /
+    # 32-bpp BI_RGB) — so all widened decode profiles are value-gated
+    # end-to-end. The oracle is container-agnostic (it recomputes the
+    # expected OCR text from `documents`), so the rotation needs no SQL
+    # change.
+    _BMP_PROFILES = ("gray8", "rgb24", "rle8", "mono1", "gray4", "rle4",
+                     "bf16", "rgb32")
     _print_page = F.pandas_udf(
         lambda texts, ids: pd.Series(
             None if t is None
             else render_text_bmp(t, width=32,
-                                 profile=_BMP_PROFILES[int(i) // 50 % 3])
+                                 profile=_BMP_PROFILES[int(i) // 50 % 8])
             for t, i in zip(texts, ids)),
         "binary",
     )
@@ -1597,7 +1678,9 @@ def q_doc_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     uf = webtext.url_quality_filter(urls).select(
         "doc_id", "url_host", "url_ok", "url_reason")
     rb = webtext.robots_match(urls, _robots_rules(spark))
-    return base.join(uf, "doc_id").join(rb, "doc_id").orderBy("doc_id")
+    pm = _page_metadata_frame(docs)
+    return (base.join(uf, "doc_id").join(rb, "doc_id").join(pm, "doc_id")
+            .orderBy("doc_id"))
 
 
 def q_order_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3384,7 +3467,49 @@ def oracle_sql() -> dict[str, str]:
         uurl AS (SELECT doc_id, {_URL_VARIANTS_SQL} AS url FROM documents),
         uf AS (SELECT doc_id, {webtext.url_filter_sql("url")} FROM uurl),
         robr AS {_ROBOTS_RULES_SQL},
-        rb AS ({webtext.robots_match_sql("uurl", "robr")})
+        rb AS ({webtext.robots_match_sql("uurl", "robr")}),
+        pm AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'http://ex.com/'
+                             || strftime(DATE '2020-01-01'
+                                         + INTERVAL (doc_id % 300) DAY,
+                                         '%Y/%m/%d')
+                             || '/post-' || doc_id::VARCHAR
+                        ELSE 'http://ex.com/page-' || doc_id::VARCHAR
+                   END AS meta_url,
+                   'Doc ' || doc_id::VARCHAR AS title,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Summary of document ' || doc_id::VARCHAR
+                             || ' with ' || length(text)::VARCHAR || ' chars.'
+                   END AS meta_description,
+                   CASE WHEN doc_id % 9 = 6 THEN 'OGDoc' || doc_id::VARCHAR
+                        WHEN doc_id % 3 = 0 THEN 'OG Doc ' || doc_id::VARCHAR
+                   END AS og_title,
+                   CASE WHEN doc_id % 3 = 0 THEN 'article' END AS og_type,
+                   CASE WHEN doc_id % 4 = 0 THEN 'NewsArticle' END AS ld_type,
+                   CASE WHEN doc_id % 4 = 0
+                        THEN 'Headline ' || doc_id::VARCHAR
+                   END AS ld_headline,
+                   CASE WHEN doc_id % 6 = 0
+                        THEN TIMESTAMP '2024-01-01 10:30:00'
+                             + INTERVAL (doc_id % 365) DAY
+                        WHEN doc_id % 4 = 0
+                        THEN TIMESTAMP '2023-01-01 00:00:00'
+                             + INTERVAL (doc_id % 365) DAY
+                        WHEN doc_id % 5 = 0
+                        THEN TIMESTAMP '2022-01-01 12:00:00'
+                             + INTERVAL (doc_id % 365) DAY
+                        WHEN doc_id % 7 = 0
+                        THEN TIMESTAMP '2020-01-01 00:00:00'
+                             + INTERVAL (doc_id % 300) DAY
+                   END AS published_ts,
+                   CASE WHEN doc_id % 6 = 0 THEN 'og'
+                        WHEN doc_id % 4 = 0 THEN 'ld'
+                        WHEN doc_id % 5 = 0 THEN 'time'
+                        WHEN doc_id % 7 = 0 THEN 'url'
+                   END AS date_source
+            FROM documents)
         SELECT tc.doc_id, tc.ws_tokens, tc.bpe_tokens, tc.chars,
                q.punct_ratio, q.stop_ratio, q.quality,
                lid.lang, lid.detected_lang,
@@ -3392,7 +3517,10 @@ def oracle_sql() -> dict[str, str]:
                spl.split, samp.bucket, samp.rate,
                samp.rate IS NOT NULL AS sampled,
                uf.url_host, uf.url_ok, uf.url_reason,
-               rb.robots_allowed, rb.robots_rule
+               rb.robots_allowed, rb.robots_rule,
+               pm.meta_url, pm.title, pm.meta_description,
+               pm.og_title, pm.og_type, pm.ld_type, pm.ld_headline,
+               pm.published_ts, pm.date_source
         FROM tc
         JOIN q USING (doc_id)
         JOIN lid USING (doc_id)
@@ -3401,6 +3529,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN samp USING (doc_id)
         JOIN uf USING (doc_id)
         JOIN rb USING (doc_id)
+        JOIN pm USING (doc_id)
         ORDER BY tc.doc_id
     """
     _pii_aug = (

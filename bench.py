@@ -78,7 +78,8 @@ def main() -> None:
     # NOTE (round 2): several headline entries became SUITES in the 75→50
     # consolidation, so they do strictly more work than their round-1
     # namesakes — q01 adds stddev/var/corr, q03 bundles the old q03+q04+q10,
-    # q12 bundles q12/q13/q15/q50/q44/q57, q17 bundles q17+q20, q18 bundles
+    # q12 bundles q12/q13/q15/q50/q44/q57 (+ the round-4 page-metadata
+    # harvest arm), q17 bundles q17+q20, q18 bundles
     # q18+q19, q21 bundles q21+q24, q22 bundles q22+q23+q43, q46 carries the
     # old q25 extraction inside it. Compare per-query times across rounds
     # with that mapping in mind (BENCH.md).

@@ -228,14 +228,127 @@ def pack_bmp_rle8(px: list) -> bytes:
     return header + info + palette + body
 
 
+def _bmp_headers(width: int, height: int, bpp: int, compression: int,
+                 palette: bytes, body_len: int,
+                 masks: bytes = b"") -> bytes:
+    """File header + BITMAPINFOHEADER + optional BITFIELDS masks +
+    palette, shared by every packer."""
+    data_offset = 14 + 40 + len(masks) + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, bpp, compression, body_len,
+        2835, 2835, len(palette) // 4, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", data_offset + body_len, 0, 0,
+                         data_offset)
+    return header + info + masks + palette
+
+
+def pack_bmp_mono(px: list) -> bytes:
+    """1-bpp monochrome BMP (bottom-up, MSB-first bits, palette
+    0=white/1=black, ink threshold <128) — the classic bilevel scan
+    container (round-4 final wave widens the bitmap tier to it)."""
+    height, width = len(px), len(px[0])
+    row_bytes = (width + 7) // 8
+    stride = (row_bytes + 3) & ~3
+    rows = []
+    for y in range(height - 1, -1, -1):
+        bits = bytearray(stride)
+        for x in range(width):
+            if px[y][x] < 128:
+                bits[x >> 3] |= 0x80 >> (x & 7)
+        rows.append(bytes(bits))
+    body = b"".join(rows)
+    palette = b"\xff\xff\xff\x00" + b"\x00\x00\x00\x00"
+    return _bmp_headers(width, height, 1, 0, palette, len(body)) + body
+
+
+_GRAY4_PALETTE = b"".join(
+    struct.pack("<BBBB", g * 17, g * 17, g * 17, 0) for g in range(16))
+
+
+def _gray4_rows(px: list) -> list[bytes]:
+    """Bottom-up rows of packed 4-bpp nibbles (high nibble first),
+    luminance quantized to 16 gray levels (index = g >> 4)."""
+    height, width = len(px), len(px[0])
+    out = []
+    for y in range(height - 1, -1, -1):
+        nib = bytearray((width + 1) // 2)
+        for x in range(width):
+            v = px[y][x] >> 4
+            nib[x >> 1] |= v << (4 if x % 2 == 0 else 0)
+        out.append(bytes(nib))
+    return out
+
+
+def pack_bmp_gray4(px: list) -> bytes:
+    """4-bpp uncompressed BMP with a 16-step grayscale palette."""
+    height, width = len(px), len(px[0])
+    stride = (((width + 1) // 2) + 3) & ~3
+    rows = _gray4_rows(px)
+    body = b"".join(r + b"\x00" * (stride - len(r)) for r in rows)
+    return (_bmp_headers(width, height, 4, 0, _GRAY4_PALETTE, len(body))
+            + body)
+
+
+def pack_bmp_rle4(px: list) -> bytes:
+    """BI_RLE4-compressed 4-bpp BMP (compression 2): encoded runs carry
+    the run nibble in BOTH halves of the value byte (a solid run per the
+    format's alternating-nibble rule), one EOL per row, final EOB."""
+    height, width = len(px), len(px[0])
+    body = bytearray()
+    for y in range(height - 1, -1, -1):
+        x = 0
+        while x < width:
+            v = px[y][x] >> 4
+            n = 1
+            while x + n < width and n < 254 and (px[y][x + n] >> 4) == v:
+                n += 1
+            body += bytes((n, (v << 4) | v))
+            x += n
+        body += b"\x00\x00"
+    body[-2:] = b"\x00\x01"  # last EOL becomes end-of-bitmap
+    return (_bmp_headers(width, height, 4, 2, _GRAY4_PALETTE, len(body))
+            + bytes(body))
+
+
+def pack_bmp_bitfields16(px: list) -> bytes:
+    """16-bpp BITFIELDS BMP with the ubiquitous RGB565 masks (the shape
+    framebuffer dumps and old capture tools emit)."""
+    height, width = len(px), len(px[0])
+    stride = (width * 2 + 3) & ~3
+    pad = b"\x00" * (stride - width * 2)
+    body = b"".join(
+        b"".join(struct.pack(
+            "<H", ((g >> 3) << 11) | ((g >> 2) << 5) | (g >> 3))
+            for g in px[y]) + pad
+        for y in range(height - 1, -1, -1))
+    masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+    return (_bmp_headers(width, height, 16, 3, b"", len(body), masks)
+            + body)
+
+
+def pack_bmp_rgb32(px: list) -> bytes:
+    """32-bpp BI_RGB BMP (BGRx quads, the other common desktop profile)."""
+    height, width = len(px), len(px[0])
+    body = b"".join(
+        b"".join(struct.pack("<BBBB", g, g, g, 0) for g in px[y])
+        for y in range(height - 1, -1, -1))
+    return _bmp_headers(width, height, 32, 0, b"", len(body)) + body
+
+
 _BMP_PACKERS = {"gray8": pack_bmp_gray, "rgb24": pack_bmp_rgb24,
-                "rle8": pack_bmp_rle8}
+                "rle8": pack_bmp_rle8, "mono1": pack_bmp_mono,
+                "gray4": pack_bmp_gray4, "rle4": pack_bmp_rle4,
+                "bf16": pack_bmp_bitfields16, "rgb32": pack_bmp_rgb32}
 
 
 def render_page_bmp(lines: list[str], profile: str = "gray8") -> bytes:
     """Print ``lines`` in the 5x7 fixed-pitch font onto a BMP in one of
     the supported container profiles: 8-bpp palette (``gray8``), 24-bpp
-    BI_RGB (``rgb24``), or RLE8-compressed 8-bpp (``rle8``)."""
+    BI_RGB (``rgb24``), RLE8-compressed 8-bpp (``rle8``), 1-bpp
+    monochrome (``mono1``), 4-bpp palette (``gray4``), RLE4-compressed
+    4-bpp (``rle4``), 16-bpp RGB565 BITFIELDS (``bf16``), or 32-bpp
+    BI_RGB (``rgb32``)."""
     return _BMP_PACKERS[profile](render_page_gray(lines))
 
 
@@ -470,13 +583,110 @@ def _decode_rle8_indices(data: bytes, width: int, height: int) -> list[bytearray
     raise OcrUnsupported("RLE8 data ends without end-of-bitmap")
 
 
+def _decode_rle4_indices(data: bytes, width: int, height: int) -> list[bytearray]:
+    """BI_RLE4 pixel data → bottom-up rows of palette indices. Encoded
+    runs alternate the value byte's high/low nibbles across the run;
+    absolute mode carries packed nibbles padded to a word boundary.
+    Same escape/boundary contract as ``_decode_rle8_indices``."""
+    rows = [bytearray(width) for _ in range(height)]
+    i, x, y = 0, 0, 0
+    while i + 1 < len(data):
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run, nibbles alternate hi/lo
+            if y >= height or x + n > width:
+                raise OcrUnsupported("RLE4 run crosses row boundary")
+            hi, lo = v >> 4, v & 0x0F
+            for k in range(n):
+                rows[y][x + k] = hi if k % 2 == 0 else lo
+            x += n
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            return rows
+        elif v == 2:
+            raise OcrUnsupported("RLE4 delta escape out of profile")
+        else:  # absolute mode: v packed nibbles, word-aligned
+            nbytes = (v + 1) // 2
+            if y >= height or x + v > width or i + nbytes > len(data):
+                raise OcrUnsupported("RLE4 absolute run crosses row boundary")
+            for k in range(v):
+                b = data[i + (k >> 1)]
+                rows[y][x + k] = (b >> 4) if k % 2 == 0 else (b & 0x0F)
+            x += v
+            i += (nbytes + 1) & ~1
+    raise OcrUnsupported("RLE4 data ends without end-of-bitmap")
+
+
+def _mask_shift_max(mask: int) -> tuple[int, int]:
+    """(shift, max value) of a contiguous channel mask; zero mask → a
+    channel that always reads 0 (max 1 avoids division by zero)."""
+    if mask == 0:
+        return 0, 1
+    shift = (mask & -mask).bit_length() - 1
+    return shift, mask >> shift
+
+
+def _decode_bmp_masked(payload: bytes, data_offset: int, width: int,
+                       height: int, bpp: int,
+                       masks: tuple[int, int, int]) -> list[bytes]:
+    """16/32-bpp pixel words → top-down luminance rows via the RGB
+    channel masks (BITFIELDS, or the format's fixed BI_RGB defaults),
+    one vectorized numpy pass."""
+    import numpy as np
+
+    word = bpp // 8
+    stride = (width * word + 3) & ~3
+    if len(payload) < data_offset + stride * height:
+        raise OcrUnsupported("truncated pixel data")
+    a = np.frombuffer(payload, np.uint8, count=stride * height,
+                      offset=data_offset).reshape(height, stride)
+    px = a[:, :width * word].reshape(height, width, word)
+    vals = px.astype(np.uint32)
+    words = vals[:, :, 0]
+    for k in range(1, word):
+        words = words | (vals[:, :, k] << (8 * k))
+    lum = np.zeros((height, width), np.uint32)
+    for mask in masks:
+        shift, mx = _mask_shift_max(mask)
+        lum += ((words & mask) >> shift) * 255 // mx
+    lum = (lum // 3).astype(np.uint8)
+    return [lum[y].tobytes() for y in range(height)]
+
+
+def _unpack_subbyte_rows(payload: bytes, data_offset: int, width: int,
+                         height: int, bpp: int) -> list[bytes]:
+    """1/4-bpp packed pixel data → bottom-up rows of palette indices
+    (MSB-first bit order per the format)."""
+    row_bytes = (width * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3
+    if len(payload) < data_offset + stride * height:
+        raise OcrUnsupported("truncated pixel data")
+    rows = []
+    for y in range(height):
+        raw = payload[data_offset + y * stride:
+                      data_offset + y * stride + row_bytes]
+        out = bytearray(width)
+        if bpp == 1:
+            for x in range(width):
+                out[x] = (raw[x >> 3] >> (7 - (x & 7))) & 1
+        else:
+            for x in range(width):
+                b = raw[x >> 1]
+                out[x] = (b >> 4) if x % 2 == 0 else (b & 0x0F)
+        rows.append(bytes(out))
+    return rows
+
+
 def decode_bmp_gray(payload: bytes) -> list[bytes]:
     """Parse a BMP into a top-down list of pixel rows (one LUMINANCE byte
     per pixel). Supported container profiles (round 4 widened the original
     8-bpp-uncompressed-only profile to every shape the scanned-page domain
-    actually emits): 8-bpp palette uncompressed, 8-bpp palette RLE8
-    (BI_RLE8 = compression 1), and 24-bpp BI_RGB. Raises OcrUnsupported on
-    anything else (1/4/16/32-bpp, RLE4, BITFIELDS, embedded PNG/JPEG);
+    actually emits; the final wave added the sub-byte, RLE4 and masked
+    word profiles): 1/4/8-bpp palette uncompressed, 4-bpp RLE4, 8-bpp
+    RLE8, 16-bpp BI_RGB (the format's fixed 555 masks) and BITFIELDS,
+    24-bpp BI_RGB, 32-bpp BI_RGB and BITFIELDS. Raises OcrUnsupported on
+    anything else (embedded PNG/JPEG compressions, alpha-only masks);
     raises nothing else.
     """
     if len(payload) < 54 or not payload.startswith(b"BM"):
@@ -488,7 +698,9 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     width, height = struct.unpack_from("<ii", payload, 18)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
-    if planes != 1 or (bpp, compression) not in ((8, 0), (8, 1), (24, 0)):
+    profiles = ((1, 0), (4, 0), (4, 2), (8, 0), (8, 1), (16, 0), (16, 3),
+                (24, 0), (32, 0), (32, 3))
+    if planes != 1 or (bpp, compression) not in profiles:
         raise OcrUnsupported(
             f"unsupported BMP variant (planes={planes} bpp={bpp} "
             f"compression={compression})")
@@ -499,27 +711,46 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     if data_offset < 54:
         raise OcrUnsupported("truncated pixel data")
 
-    if compression == 1:  # BI_RLE8 (always bottom-up per the format)
+    if compression in (1, 2):  # BI_RLE8 / BI_RLE4 (bottom-up per format)
         if top_down:
-            raise OcrUnsupported("top-down RLE8 is invalid BMP")
+            raise OcrUnsupported("top-down RLE is invalid BMP")
         lut_b = _palette_lut(payload, hdr_size, data_offset)
-        idx = _decode_rle8_indices(payload[data_offset:], width, height)
-        return [bytes(idx[y]).translate(lut_b) for y in range(height - 1, -1, -1)]
+        dec = _decode_rle8_indices if compression == 1 else _decode_rle4_indices
+        idx = dec(payload[data_offset:], width, height)
+        return [bytes(idx[y]).translate(lut_b)
+                for y in range(height - 1, -1, -1)]
 
-    row_bytes = width * (3 if bpp == 24 else 1)
-    stride = (row_bytes + 3) & ~3
-    if len(payload) < data_offset + stride * height:
-        raise OcrUnsupported("truncated pixel data")
-
-    if bpp == 24:  # BI_RGB triplets -> luminance, one vectorized pass
+    if bpp in (16, 32):  # masked words: BITFIELDS or the BI_RGB defaults
+        if compression == 3:
+            if len(payload) < 66:
+                raise OcrUnsupported("truncated BITFIELDS masks")
+            masks = struct.unpack_from("<III", payload, 54)
+        elif bpp == 16:
+            masks = (0x7C00, 0x03E0, 0x001F)
+        else:
+            masks = (0x00FF0000, 0x0000FF00, 0x000000FF)
+        rows = _decode_bmp_masked(payload, data_offset, width, height,
+                                  bpp, masks)
+    elif bpp in (1, 4):  # sub-byte palette indices
+        lut_b = _palette_lut(payload, hdr_size, data_offset)
+        rows = [r.translate(lut_b) for r in _unpack_subbyte_rows(
+            payload, data_offset, width, height, bpp)]
+    elif bpp == 24:  # BI_RGB triplets -> luminance, one vectorized pass
         import numpy as np
 
+        row_bytes = width * 3
+        stride = (row_bytes + 3) & ~3
+        if len(payload) < data_offset + stride * height:
+            raise OcrUnsupported("truncated pixel data")
         a = np.frombuffer(payload, np.uint8, count=stride * height,
                           offset=data_offset)
         tri = a.reshape(height, stride)[:, :row_bytes].reshape(height, width, 3)
         lum = (tri.sum(axis=2, dtype=np.uint16) // 3).astype(np.uint8)
         rows = [lum[y].tobytes() for y in range(height)]
     else:  # 8-bpp palette, uncompressed
+        stride = (width + 3) & ~3
+        if len(payload) < data_offset + stride * height:
+            raise OcrUnsupported("truncated pixel data")
         lut_b = _palette_lut(payload, hdr_size, data_offset)
         rows = [
             payload[data_offset + y * stride: data_offset + y * stride + width]

@@ -20,6 +20,8 @@ paths, drop empty query components and sort the rest byte-wise.
 """
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -356,6 +358,109 @@ def inbound_host_signals(anchors: DataFrame,
             F.count("*").alias("in_degree"),
             F.countDistinct("term").alias("inbound_anchor_terms"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Page metadata harvest: <title>, meta/OpenGraph tags, JSON-LD, publish date.
+# The curation-side twin of extract_links: a Common-Crawl training pipeline
+# routes pages on og:type / JSON-LD @type (news vs recipe vs product sets)
+# and date-filters on the published timestamp, and the reference's consumer
+# shows title+metadata next to extracted content. All patterns follow the
+# href-parser discipline: first occurrence wins, the three WHATWG quoting
+# forms accepted, attribute order independent, zero Python.
+
+_TITLE_PATTERN = r"(?is)<title[^>]*>\s*([^<]*?)\s*</title>"
+_TIME_DATETIME_PATTERN = rf"(?i)<time\s[^<>]*?datetime\s*=\s*({_ATTR_VAL})"
+# /YYYY/MM/DD/ in the url path — htmldate's last-resort signal
+_URL_DATE_PATTERN = r"^[a-z]+://[^/]+/.*?(\d{4})/(\d{2})/(\d{2})(?:/|$)"
+_LD_JSON_PATTERN = (
+    r"(?is)<script\s[^>]*?type\s*=\s*"
+    r"(?:\"application/ld\+json\"|'application/ld\+json'"
+    r"|application/ld\+json(?=[\s>]))"
+    r"[^>]*>\s*(.*?)\s*</script>")
+
+
+def _meta_content_patterns(name_attr: str, value: str) -> tuple[str, str]:
+    """Patterns for ``<meta {name_attr}={value} content=...>`` in both
+    attribute orders; ``value`` matched in any of the three quoting forms
+    (regex-escaped — og: names carry ':')."""
+    v = re.escape(value)
+    val = rf"(?:\"{v}\"|'{v}'|{v}(?=[\s/>]|$))"
+    name = rf"(?<![\w-]){name_attr}\s*=\s*{val}"
+    content = rf"(?<![\w-])content\s*=\s*({_ATTR_VAL})"
+    return (rf"(?i)<meta\s[^<>]*?{name}[^<>]*?{content}",
+            rf"(?i)<meta\s[^<>]*?{content}[^<>]*?{name}")
+
+
+def _meta_content(html_str: Column, name_attr: str, value: str) -> Column:
+    """First ``<meta>`` content for the given name/property, either
+    attribute order, one unquoting layer stripped; empty string → NULL."""
+    p1, p2 = _meta_content_patterns(name_attr, value)
+    c1 = _unquote_attr(F.regexp_extract(html_str, p1, 1))
+    c2 = _unquote_attr(F.regexp_extract(html_str, p2, 1))
+    out = F.when(c1 != "", c1).otherwise(c2)
+    return F.when(out != "", out)
+
+
+def page_metadata(pages: DataFrame, url_col: str = "url",
+                  html_col: str = "html") -> DataFrame:
+    """``(url, html)`` pages → one row per page with the harvested head
+    metadata: ``(url, title, meta_description, og_title, og_type,
+    ld_type, ld_headline, published_ts, date_source)``.
+
+    - ``title``: first ``<title>`` body (plain-text subset, trimmed).
+    - ``meta_description``: ``<meta name=description content=...>``.
+    - ``og_title`` / ``og_type``: OpenGraph ``<meta property=og:*>``.
+    - ``ld_type`` / ``ld_headline``: first ``<script type=
+      "application/ld+json">`` block, fields read with JVM-side
+      ``get_json_object`` (``$['@type']`` / ``$['headline']``) — real
+      JSON parsing, not regex, so escaped strings and reordered keys
+      parse correctly.
+    - ``published_ts`` + ``date_source``: the htmldate-style precedence
+      chain — ``article:published_time`` meta (source ``og``) >
+      JSON-LD ``datePublished`` (``ld``) > ``<time datetime=...>``
+      (``time``) > a ``/YYYY/MM/DD/`` url-path date (``url``) — NULL
+      when no signal exists. Timestamps parse via cast (ISO date or
+      date-time forms).
+
+    Reference parity: the consumer surfaces document title/metadata next
+    to extracted channels (content-helpers.ts); at Common-Crawl scale
+    this is the routing/date-filter stage of corpus curation. Narrow
+    plan: per-row expressions only — zero shuffles, zero Python, runs
+    inside the scan stage at 10^12 pages like extract_links."""
+    html_str = F.decode(F.col(html_col), "utf-8")
+    url = F.col(url_col)
+
+    title = F.regexp_extract(html_str, _TITLE_PATTERN, 1)
+    ld_body = F.regexp_extract(html_str, _LD_JSON_PATTERN, 1)
+    og_date = _meta_content(html_str, "property", "article:published_time")
+    ld_date = F.get_json_object(ld_body, "$['datePublished']")
+    time_raw = _unquote_attr(
+        F.regexp_extract(html_str, _TIME_DATETIME_PATTERN, 1))
+    time_date = F.when(time_raw != "", time_raw)
+    url_date = F.when(
+        F.regexp_extract(url, _URL_DATE_PATTERN, 1) != "",
+        F.concat_ws("-",
+                    F.regexp_extract(url, _URL_DATE_PATTERN, 1),
+                    F.regexp_extract(url, _URL_DATE_PATTERN, 2),
+                    F.regexp_extract(url, _URL_DATE_PATTERN, 3)))
+    published = F.coalesce(og_date, ld_date, time_date, url_date)
+    source = (F.when(og_date.isNotNull(), "og")
+              .when(ld_date.isNotNull(), "ld")
+              .when(time_date.isNotNull(), "time")
+              .when(url_date.isNotNull(), "url"))
+    return pages.select(
+        url.alias("url"),
+        F.when(title != "", title).alias("title"),
+        _meta_content(html_str, "name", "description")
+        .alias("meta_description"),
+        _meta_content(html_str, "property", "og:title").alias("og_title"),
+        _meta_content(html_str, "property", "og:type").alias("og_type"),
+        F.get_json_object(ld_body, "$['@type']").alias("ld_type"),
+        F.get_json_object(ld_body, "$['headline']").alias("ld_headline"),
+        published.cast("timestamp").alias("published_ts"),
+        source.alias("date_source"),
     )
 
 

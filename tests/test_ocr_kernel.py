@@ -142,17 +142,27 @@ def test_unsupported_variants_raise():
     with pytest.raises(K.OcrUnsupported):
         K.ocr_bmp(good[:80])  # truncated pixel data
     bad_bpp = bytearray(good)
-    struct.pack_into("<H", bad_bpp, 28, 16)  # 16-bpp: out of profile
+    struct.pack_into("<H", bad_bpp, 28, 2)  # 2-bpp: no such profile
     with pytest.raises(K.OcrUnsupported):
         K.ocr_bmp(bytes(bad_bpp))
-    rle4 = bytearray(good)
-    struct.pack_into("<HI", rle4, 28, 4, 2)  # 4-bpp BI_RLE4
+    # an 8-bpp file relabeled 16-bpp: the masked-word profile is real
+    # (final wave) but the pixel data is now half-length — loud failure
+    relabel16 = bytearray(good)
+    struct.pack_into("<H", relabel16, 28, 16)
     with pytest.raises(K.OcrUnsupported):
-        K.ocr_bmp(bytes(rle4))
-    bitfields = bytearray(K.render_text_bmp("ABC", profile="rgb24"))
-    struct.pack_into("<I", bitfields, 30, 3)  # BI_BITFIELDS
+        K.ocr_bmp(bytes(relabel16))
+    jpeg_in_bmp = bytearray(good)
+    struct.pack_into("<I", jpeg_in_bmp, 30, 4)  # BI_JPEG: out of profile
     with pytest.raises(K.OcrUnsupported):
-        K.ocr_bmp(bytes(bitfields))
+        K.ocr_bmp(bytes(jpeg_in_bmp))
+    bitfields24 = bytearray(K.render_text_bmp("ABC", profile="rgb24"))
+    struct.pack_into("<I", bitfields24, 30, 3)  # 24-bpp BITFIELDS: invalid
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(bitfields24))
+    # BITFIELDS with the mask words themselves truncated away
+    bf = bytearray(K.render_text_bmp("ABC", profile="bf16"))
+    with pytest.raises(K.OcrUnsupported):
+        K.ocr_bmp(bytes(bf[:60]))
     # a raw 8-bpp file relabeled RLE8: its PAPER runs are longer than a
     # row, so the RLE interpreter must fail loudly, never emit garbage
     relabeled = bytearray(good)
@@ -212,6 +222,50 @@ def test_rle8_absolute_mode_and_escapes():
     struct.pack_into("<i", topdown, 22, -height)
     with pytest.raises(K.OcrUnsupported):
         K.ocr_bmp(bytes(topdown))
+
+
+def test_final_wave_bmp_profiles_roundtrip():
+    """Final wave: 1-bpp mono, 4-bpp palette, RLE4, 16-bpp RGB565
+    BITFIELDS and 32-bpp BI_RGB all decode to the same luminance raster
+    and OCR exactly; 16-bpp BI_RGB (no masks → the format's fixed 555
+    defaults) decodes through the same masked-word path."""
+    text = "MASKED WORDS AND NIBBLES 0123456789."
+    for profile in ("mono1", "gray4", "rle4", "bf16", "rgb32"):
+        payload = K.render_text_bmp(text, width=16, profile=profile)
+        assert K.ocr_stream_text(payload) == text, profile
+    # relabel the 565 BITFIELDS file as plain BI_RGB 16-bpp (masks stay
+    # in the gap before the pixel data): 555 defaults misread 565 words,
+    # but ink (0x0000) and paper (0xFFFF) survive ANY sane mask set —
+    # the page still OCRs
+    bf = bytearray(K.render_text_bmp(text, width=16, profile="bf16"))
+    struct.pack_into("<I", bf, 30, 0)
+    assert K.ocr_stream_text(bytes(bf)) == text
+
+
+def test_rle4_absolute_mode_and_escapes():
+    """The RLE4 interpreter: absolute-mode packets carry PACKED nibbles
+    padded to a word boundary; encoded runs alternate the value byte's
+    nibbles; the delta escape raises."""
+    # handcrafted 6x2 bottom-up image, palette = identity-16 grayscale:
+    # stored row 0 via absolute mode (6 nibbles F,0,F,0,F,F = 3 bytes +
+    # 1 pad), stored row 1 via two runs (3x0xF, 3x0x0 -> alternating
+    # nibble rule makes a solid run need v=(n<<4)|n)
+    data = bytes((0, 6, 0xF0, 0xF0, 0xFF, 0x00,   # absolute, padded
+                  0, 0,                            # EOL
+                  3, 0xFF, 3, 0x00,                # runs
+                  0, 1))                           # EOB
+    idx = K._decode_rle4_indices(data, 6, 2)
+    assert bytes(idx[0]) == bytes((0xF, 0, 0xF, 0, 0xF, 0xF))
+    assert bytes(idx[1]) == bytes((0xF, 0xF, 0xF, 0, 0, 0))
+    # alternating-nibble run: 5 pixels of 0xA0 -> A,0,A,0,A
+    idx = K._decode_rle4_indices(bytes((5, 0xA0, 0, 1)), 5, 1)
+    assert bytes(idx[0]) == bytes((0xA, 0, 0xA, 0, 0xA))
+    with pytest.raises(K.OcrUnsupported):
+        K._decode_rle4_indices(bytes((0, 2, 1, 1, 0, 1)), 6, 2)  # delta
+    with pytest.raises(K.OcrUnsupported):
+        K._decode_rle4_indices(bytes((7, 0xFF, 0, 1)), 6, 1)  # run > row
+    with pytest.raises(K.OcrUnsupported):
+        K._decode_rle4_indices(bytes((3, 0xFF,)), 6, 1)  # no EOB
 
 
 def test_scanned_pdf_profiles_roundtrip():

@@ -1554,3 +1554,101 @@ def test_link_extraction_attribute_quoting_forms(spark):
     plan = webtext.extract_links(df) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_page_metadata_known_answers(spark):
+    """page_metadata: every field on a fully-tagged page (all three
+    quoting forms across tags), the publish-date precedence chain
+    og > ld > time > url exercised pairwise, real JSON unescaping in
+    the JSON-LD fields, and all-NULL output on a bare page."""
+    full = ("<html><head><title> My Page </title>"
+            "<meta name='description' content='A desc'>"
+            "<meta content=OGT property=og:title>"
+            '<meta property="og:type" content="article">'
+            '<meta property="article:published_time" '
+            'content="2024-02-07 10:30:00">'
+            '<script type="application/ld+json">{"@context":"s",'
+            '"@type":"NewsArticle","headline":"HL \\"q\\"",'
+            '"datePublished":"2024-03-05"}</script></head>'
+            '<body><time datetime="2024-04-01">x</time></body></html>')
+    rows = [
+        ("http://ex.com/2023/07/09/post", full.encode()),
+        # no og meta -> JSON-LD wins over <time> and the url date
+        ("http://ex.com/2022/01/02/a",
+         b'<html><script type=application/ld+json>'
+         b'{"datePublished":"2021-06-01","@type":"Article"}</script>'
+         b'<time datetime="2020-01-01">t</time></html>'),
+        # only a <time> tag (single-quoted, date-time form)
+        ("http://ex.com/b",
+         b"<html><time datetime='2021-12-31 23:00:00'>y</time></html>"),
+        # url-path date only
+        ("http://ex.com/2022/01/03/", b"<html></html>"),
+        ("http://ex.com/none", b"<html><body>bare</body></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in webtext.page_metadata(df).collect()}
+
+    r = got["http://ex.com/2023/07/09/post"]
+    assert r["title"] == "My Page"
+    assert r["meta_description"] == "A desc"
+    assert r["og_title"] == "OGT" and r["og_type"] == "article"
+    assert r["ld_type"] == "NewsArticle" and r["ld_headline"] == 'HL "q"'
+    assert str(r["published_ts"]) == "2024-02-07 10:30:00"
+    assert r["date_source"] == "og"
+
+    r = got["http://ex.com/2022/01/02/a"]
+    assert r["ld_type"] == "Article" and r["ld_headline"] is None
+    assert str(r["published_ts"]) == "2021-06-01 00:00:00"
+    assert r["date_source"] == "ld"
+
+    r = got["http://ex.com/b"]
+    assert str(r["published_ts"]) == "2021-12-31 23:00:00"
+    assert r["date_source"] == "time"
+
+    r = got["http://ex.com/2022/01/03/"]
+    assert str(r["published_ts"]) == "2022-01-03 00:00:00"
+    assert r["date_source"] == "url"
+
+    r = got["http://ex.com/none"]
+    assert all(r[c] is None for c in r if c != "url")
+
+    # narrow plan: zero shuffles, zero Python — scan-stage work only
+    plan = webtext.page_metadata(df) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_page_metadata_malformed_inputs(spark):
+    """Degraded markup must degrade field-local, never corrupt siblings:
+    unclosed meta tags, a truncated JSON-LD block (NULL fields, no
+    crash), a second <title>/<meta> ignored (first occurrence wins),
+    and a non-ld script type never matching."""
+    rows = [
+        ("http://ex.com/m1",
+         b"<html><title>A</title><title>B</title>"
+         b"<meta name=description content=first>"
+         b"<meta name='description' content='second'></html>"),
+        # truncated JSON-LD: get_json_object returns NULL, no error
+        ("http://ex.com/m2",
+         b'<html><script type="application/ld+json">{"@type":"X",'
+         b'</script><time datetime=2020-05-05>t</time></html>'),
+        # unclosed meta: attrs bounded at the next '<', og:title survives
+        ("http://ex.com/m3",
+         b"<html><meta property=og:title content=kept"
+         b"<meta property='og:type' content='article'></html>"),
+        # script of another type is not JSON-LD
+        ("http://ex.com/m4",
+         b'<html><script type="text/javascript">'
+         b'{"@type":"Nope"}</script></html>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in webtext.page_metadata(df).collect()}
+    assert got["http://ex.com/m1"]["title"] == "A"
+    assert got["http://ex.com/m1"]["meta_description"] == "first"
+    r = got["http://ex.com/m2"]
+    assert r["ld_type"] is None and r["ld_headline"] is None
+    assert r["date_source"] == "time"
+    assert str(r["published_ts"]) == "2020-05-05 00:00:00"
+    r = got["http://ex.com/m3"]
+    assert r["og_title"] == "kept" and r["og_type"] == "article"
+    assert got["http://ex.com/m4"]["ld_type"] is None

@@ -37,8 +37,11 @@ PICKS = {
     "q12_doc_metrics": (
         "ONE fused Arrow kernel emits every per-doc text metric from a single "
         "normalize/tokenize pass; split/sample assignment are JVM projections "
-        "on the same rows — one scan, zero joins (the naive 6-way join "
-        "composition measured 2.3× slower)."
+        "on the same rows — one scan, zero joins inside the metrics core "
+        "(the naive 6-way join composition measured 2.3× slower). The "
+        "url-gate, robots and page-metadata arms are narrow per-doc "
+        "projections (the metadata harvest is pure scan-stage regexp/JSON "
+        "expressions, zero Python) equi-joined back on doc_id."
     ),
     "q22_ann_topk": (
         "Four ANN variants share one embeddings scan pattern: assignment is "
