@@ -427,7 +427,17 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
         v, length = 5, 256
         seed = hashlib.sha256(repr(page_runs).encode() + bytes([r]))
         file_key = seed.digest()
-        salts = hashlib.sha256(b"salts" + seed.digest()).digest()
+        # Salt CLASS is bounded (4 classes), not per-file: Algorithm 2.B
+        # is deliberately slow (~0.2 s per derivation in the from-scratch
+        # kernel), and content-derived per-file salts made a synthetic
+        # corpus pay the full KDF per FILE on both write and read (q26 at
+        # sf0.1 regressed 2 s → 949 s). Real files carry random salts, but
+        # salt reuse is spec-valid; bounding the classes keeps hash_2b's
+        # lru_cache effective corpus-wide while still exercising several
+        # distinct derivations. The FILE key stays content-derived (it is
+        # wrapped, not KDF'd — per-file diversity where it matters).
+        salt_class = seed.digest()[0] % 4
+        salts = hashlib.sha256(b"salts" + bytes([r, salt_class])).digest()
         vs_u, ks_u, vs_o, ks_o = (salts[0:8], salts[8:16],
                                   salts[16:24], salts[24:32])
 

@@ -290,8 +290,14 @@ def pkcs7_unpad(data: bytes) -> bytes:
 import functools
 
 
-@functools.lru_cache(maxsize=64)
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    # canonicalize to three positional args so every call shape shares
+    # one lru key (f(a, b) and f(a, b, b"") cache separately otherwise)
+    return _hash_2b(password, salt, udata)
+
+
+@functools.lru_cache(maxsize=256)
+def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     """ISO 32000-2 §7.6.4.3.4 Algorithm 2.B — the R6 password hash: an
     iterated SHA-256/384/512 schedule keyed by AES-128-CBC of the 64×
     repeated (password ‖ K ‖ udata) block, terminating once round ≥ 64
