@@ -427,7 +427,7 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
         v, length = 5, 256
         seed = hashlib.sha256(repr(page_runs).encode() + bytes([r]))
         file_key = seed.digest()
-        # Salt CLASS is bounded (4 classes), not per-file: Algorithm 2.B
+        # Salt CLASS is bounded (2 classes), not per-file: Algorithm 2.B
         # is deliberately slow (~0.2 s per derivation in the from-scratch
         # kernel), and content-derived per-file salts made a synthetic
         # corpus pay the full KDF per FILE on both write and read (q26 at
@@ -436,7 +436,9 @@ def build_pdf_encrypted(page_runs: list[list[tuple[float, float, str]]],
         # lru_cache effective corpus-wide while still exercising several
         # distinct derivations. The FILE key stays content-derived (it is
         # wrapped, not KDF'd — per-file diversity where it matters).
-        salt_class = seed.digest()[0] % 4
+        # (2 classes × 2 salts × 2 passwords = 8 cold derivations ≈ 1.8 s
+        # per fresh Python worker — the bench-visible warmup floor)
+        salt_class = seed.digest()[0] % 2
         salts = hashlib.sha256(b"salts" + bytes([r, salt_class])).digest()
         vs_u, ks_u, vs_o, ks_o = (salts[0:8], salts[8:16],
                                   salts[16:24], salts[24:32])
