@@ -421,8 +421,11 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
       chain — ``article:published_time`` meta (source ``og``) >
       JSON-LD ``datePublished`` (``ld``) > ``<time datetime=...>``
       (``time``) > a ``/YYYY/MM/DD/`` url-path date (``url``) — NULL
-      when no signal exists. Timestamps parse via cast (ISO date or
-      date-time forms).
+      when no signal exists. Each candidate parses via timestamp cast
+      (ISO date or date-time forms) BEFORE precedence, so a malformed
+      higher-precedence value (``datetime="soon"``, a bogus url date
+      like 2408-15-01 from a longer digit run) falls through to the
+      next parseable signal instead of shadowing it.
 
     Reference parity: the consumer surfaces document title/metadata next
     to extracted channels (content-helpers.ts); at Common-Crawl scale
@@ -434,22 +437,25 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
 
     title = F.regexp_extract(html_str, _TITLE_PATTERN, 1)
     ld_body = F.regexp_extract(html_str, _LD_JSON_PATTERN, 1)
-    og_date = _meta_content(html_str, "property", "article:published_time")
-    ld_date = F.get_json_object(ld_body, "$['datePublished']")
+    og_ts = _meta_content(
+        html_str, "property", "article:published_time").try_cast("timestamp")
+    ld_ts = F.get_json_object(
+        ld_body, "$['datePublished']").try_cast("timestamp")
     time_raw = _unquote_attr(
         F.regexp_extract(html_str, _TIME_DATETIME_PATTERN, 1))
-    time_date = F.when(time_raw != "", time_raw)
-    url_date = F.when(
+    time_ts = F.when(time_raw != "", time_raw).try_cast("timestamp")
+    url_ts = F.when(
         F.regexp_extract(url, _URL_DATE_PATTERN, 1) != "",
         F.concat_ws("-",
                     F.regexp_extract(url, _URL_DATE_PATTERN, 1),
                     F.regexp_extract(url, _URL_DATE_PATTERN, 2),
-                    F.regexp_extract(url, _URL_DATE_PATTERN, 3)))
-    published = F.coalesce(og_date, ld_date, time_date, url_date)
-    source = (F.when(og_date.isNotNull(), "og")
-              .when(ld_date.isNotNull(), "ld")
-              .when(time_date.isNotNull(), "time")
-              .when(url_date.isNotNull(), "url"))
+                    F.regexp_extract(url, _URL_DATE_PATTERN, 3)),
+    ).try_cast("timestamp")
+    published = F.coalesce(og_ts, ld_ts, time_ts, url_ts)
+    source = (F.when(og_ts.isNotNull(), "og")
+              .when(ld_ts.isNotNull(), "ld")
+              .when(time_ts.isNotNull(), "time")
+              .when(url_ts.isNotNull(), "url"))
     return pages.select(
         url.alias("url"),
         F.when(title != "", title).alias("title"),
@@ -459,7 +465,7 @@ def page_metadata(pages: DataFrame, url_col: str = "url",
         _meta_content(html_str, "property", "og:type").alias("og_type"),
         F.get_json_object(ld_body, "$['@type']").alias("ld_type"),
         F.get_json_object(ld_body, "$['headline']").alias("ld_headline"),
-        published.cast("timestamp").alias("published_ts"),
+        published.alias("published_ts"),
         source.alias("date_source"),
     )
 

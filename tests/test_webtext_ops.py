@@ -1640,6 +1640,14 @@ def test_page_metadata_malformed_inputs(spark):
         ("http://ex.com/m4",
          b'<html><script type="text/javascript">'
          b'{"@type":"Nope"}</script></html>'),
+        # UNPARSEABLE dates fall through the precedence chain (ANSI-safe
+        # try_cast, never a cast error): og garbage -> the <time> wins
+        ("http://ex.com/m5",
+         b'<html><meta property="article:published_time" content="soon">'
+         b'<time datetime="2024-06-01">t</time></html>'),
+        # every signal malformed -> NULL ts, NULL source, no crash
+        ("http://ex.com/9999/99/99/m6",
+         b'<html><time datetime="tomorrow">t</time></html>'),
     ]
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {r["url"]: r.asDict() for r in webtext.page_metadata(df).collect()}
@@ -1652,3 +1660,8 @@ def test_page_metadata_malformed_inputs(spark):
     r = got["http://ex.com/m3"]
     assert r["og_title"] == "kept" and r["og_type"] == "article"
     assert got["http://ex.com/m4"]["ld_type"] is None
+    r = got["http://ex.com/m5"]
+    assert str(r["published_ts"]) == "2024-06-01 00:00:00"
+    assert r["date_source"] == "time"
+    r = got["http://ex.com/9999/99/99/m6"]
+    assert r["published_ts"] is None and r["date_source"] is None
