@@ -543,7 +543,10 @@ def _palette_lut(payload: bytes, hdr_size: int, data_offset: int) -> bytes:
     color table to integer luminance (b+g+r)//3; a palette-less BMP (data
     immediately after the DIB header) keeps the identity mapping."""
     pal_start = 14 + hdr_size
-    n_pal = max(0, min(256, (data_offset - pal_start) // 4))
+    # bound by the PAYLOAD too: a corrupt data_offset past EOF must not
+    # read a short slice (fuzz finding — ValueError escaped the contract)
+    n_pal = max(0, min(256, (data_offset - pal_start) // 4,
+                       (len(payload) - pal_start) // 4))
     lut = bytearray(range(256))  # identity for palette-less / short tables
     for i in range(n_pal):
         b, g, r = payload[pal_start + 4 * i: pal_start + 4 * i + 3]

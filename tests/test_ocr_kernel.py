@@ -549,6 +549,15 @@ def test_decoder_fuzz_no_unexpected_exceptions():
         rows = extract_document(payload)  # must never raise
         assert rows and isinstance(rows[0]["text"], str)
 
+    # the final-wave BMP profiles exercise their own parse paths (RLE4
+    # nibble interpreter, sub-byte unpack, BITFIELDS masked words) —
+    # same one-row-quarantine contract under mutation
+    for profile in ("mono1", "gray4", "rle4", "bf16", "rgb32"):
+        base = K.render_text_bmp("FUZZ PROFILE", width=16, profile=profile)
+        for payload in mutations(base, 120):
+            rows = extract_document(payload)
+            assert rows and isinstance(rows[0]["text"], str), profile
+
     pdf = K.render_scanned_pdf(["FUZZ PDF PAGE"])
     for payload in mutations(pdf, 200):
         rows = extract_document(payload)
