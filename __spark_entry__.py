@@ -1435,14 +1435,35 @@ def q_decontaminate_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination suite, method-tagged: exact benchmark n-gram set
     intersection (old q55) ∪ the constant-memory Bloom-filter variant
     (m=2^18 bits, k=4 md5 positions — false positives deterministic and
-    oracle-replicated)."""
+    oracle-replicated) ∪ the NEAR-DUP arm (fuzzy_decontaminate, final
+    wave): the corpus is augmented closed-form with two perturbed twins
+    of every benchmark doc — an appended-watermark copy (Jaccard ≈ 0.9,
+    must flag at the 1/2 threshold) and a first-half truncation (≈ 0.45,
+    threshold-proximal, flagged only when its exact integer ratio crosses
+    1/2) — so the fuzzy gate is exercised on both sides of the boundary
+    and the oracle recomputes every pairwise intersection/union exactly."""
     docs = _t(spark, sf_dir, "documents")
     bench = docs.where(F.col("doc_id") % 97 == 0)
     exact = dedup.decontaminate(docs, bench, n=8, min_overlap=1).withColumn(
         "method", F.lit("exact_set"))
     bloom = dedup.bloom_decontaminate(docs, bench, n=8).withColumn(
         "method", F.lit("bloom"))
-    return exact.unionByName(bloom).orderBy("method", "doc_id")
+    did = F.col("doc_id")
+    toks = F.split("text", " ", -1)
+    near = bench.select(
+        (did + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq"), did.cast("string"),
+                 F.lit(" contamination watermark zz")).alias("text"))
+    half = bench.select(
+        (did + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.floor(F.size(toks) / 2).cast("int")),
+            " ").alias("text"))
+    aug = docs.select("doc_id", "text").unionByName(near).unionByName(half)
+    fuzzy = dedup.fuzzy_decontaminate(aug, bench, n=8).withColumn(
+        "method", F.lit("fuzzy_jaccard"))
+    return (exact.unionByName(bloom).unionByName(fuzzy)
+            .orderBy("method", "doc_id"))
 
 
 def q_chunk_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3813,9 +3834,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, coalesce(bov.overlap_ngrams, 0) AS overlap_ngrams,
                    coalesce(bov.overlap_ngrams, 0) >= 1 AS contaminated,
                    'bloom' AS method
-            FROM documents d LEFT JOIN bov USING (doc_id))
+            FROM documents d LEFT JOIN bov USING (doc_id)),
+        aug AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000,
+                   text || ' zq' || doc_id::VARCHAR
+                        || ' contamination watermark zz'
+            FROM documents WHERE doc_id % 97 = 0
+            UNION ALL
+            SELECT doc_id + 2000000,
+                   array_to_string(
+                       (string_split(text, ' '))
+                           [1:len(string_split(text, ' ')) // 2], ' ')
+            FROM documents WHERE doc_id % 97 = 0),
+        fsh AS (SELECT doc_id,
+                       CASE WHEN len(toks) < 8
+                            THEN [array_to_string(toks, ' ')]
+                            ELSE list_distinct(
+                                [array_to_string(toks[i:i+7], ' ')
+                                 for i in range(1, len(toks) - 6)])
+                       END AS sh
+                FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM aug)),
+        fdg AS (SELECT doc_id, len(sh) AS n_d, unnest(sh) AS g FROM fsh),
+        fbg AS (SELECT doc_id AS bid, len(sh) AS n_b, unnest(sh) AS g
+                FROM fsh WHERE doc_id % 97 = 0 AND doc_id < 1000000),
+        fpair AS (SELECT fdg.doc_id, bid, n_d, n_b, count(*) AS inter
+                  FROM fdg JOIN fbg USING (g)
+                  GROUP BY fdg.doc_id, bid, n_d, n_b),
+        fper AS (SELECT doc_id, max(inter) AS overlap_ngrams,
+                        bool_or(2 * inter >= (n_d + n_b - inter))
+                            AS contaminated
+                 FROM fpair GROUP BY doc_id),
+        fuzzy_arm AS (
+            SELECT a.doc_id, coalesce(f.overlap_ngrams, 0) AS overlap_ngrams,
+                   coalesce(f.contaminated, false) AS contaminated,
+                   'fuzzy_jaccard' AS method
+            FROM aug a LEFT JOIN fper f USING (doc_id))
         SELECT * FROM exact_arm
         UNION ALL SELECT * FROM bloom_arm
+        UNION ALL SELECT * FROM fuzzy_arm
         ORDER BY method, doc_id
     """
     o["q56_sentence_self_dedup"] = r"""

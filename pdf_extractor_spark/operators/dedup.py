@@ -1235,6 +1235,55 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
     )
 
 
+def fuzzy_decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                        threshold_num: int = 1,
+                        threshold_den: int = 2) -> DataFrame:
+    """Near-duplicate decontamination: flag training documents whose
+    word-n-gram Jaccard similarity with ANY benchmark document reaches
+    ``threshold_num/threshold_den`` — the fuzzy companion of
+    ``decontaminate`` (an eval answer paraphrased or truncated into a
+    training page shares most but not all n-grams, so set-intersection
+    alone under-flags; near-dup decontamination is the FineWeb/Llama
+    practice, public reports).
+
+    The threshold compares as INTEGERS (``den*inter >= num*union``) so
+    the SQL twin agrees bit-for-bit — no float rounding seam.
+
+    Plan: the benchmark side is eval-suite-sized at any corpus scale, so
+    its exploded distinct grams (with per-doc sizes) BROADCAST and exact
+    per-pair intersection is one gram join + one (doc_id, bid) count —
+    full recall with no LSH probability knob (banding pays off only when
+    BOTH sides are large; here it would add a miss probability for
+    nothing). One shuffle (the pair aggregation, keyed by doc), output
+    total over input docs: (doc_id, overlap_ngrams = max intersection
+    with any benchmark doc, contaminated)."""
+    doc_g = shingle_arrays(docs, n).select(
+        "doc_id", F.size("sh").alias("n_d"), F.explode("sh").alias("g"))
+    bench_g = shingle_arrays(benchmark, n).select(
+        F.col("doc_id").alias("bid"), F.size("sh").alias("n_b"),
+        F.explode("sh").alias("g"))
+    pairs = (
+        doc_g.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id", "bid", "n_d", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn("uni", F.col("n_d") + F.col("n_b") - F.col("inter"))
+    )
+    per_doc = pairs.groupBy("doc_id").agg(
+        F.max("inter").alias("overlap_ngrams"),
+        F.max(F.lit(threshold_den) * F.col("inter")
+              >= F.lit(threshold_num) * F.col("uni")).alias("contaminated"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("overlap_ngrams", F.lit(0)).alias("overlap_ngrams"),
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # within-document sentence self-dedup (repetition removal)
 # ---------------------------------------------------------------------------

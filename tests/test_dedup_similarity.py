@@ -1381,3 +1381,36 @@ def test_ivf_auto_n_cells_sqrt_rule(spark):
     manual = [tuple(r) for r in similarity.ivf_topk(
         embs, [0, 1], k=3, n_cells=want).collect()]
     assert auto == manual and len(auto) == 6
+
+
+def test_fuzzy_decontaminate_known_answers(spark):
+    """Near-dup decontamination: the integer-rational threshold flags a
+    pair at EXACTLY Jaccard 1/2 (2*inter == union), flags high-overlap
+    perturbations, passes disjoint docs, and reports the max benchmark
+    intersection per doc. n=1 grams make set sizes hand-computable."""
+    bench = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),            # identical: j=1, inter 6
+            (2, "a b c d e f g h"),        # superset: inter 6, union 8
+            (3, "a b c x y z"),            # inter 3, union 9 -> j=1/3
+            (4, "a b c d x y"),            # inter 4, union 8 -> j=1/2 EXACT
+            (5, "q r s"),                  # disjoint
+        ],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["overlap_ngrams"], r["contaminated"])
+           for r in dedup.fuzzy_decontaminate(docs, bench, n=1).collect()}
+    assert got == {
+        1: (6, True),
+        2: (6, True),   # 2*6 >= 8
+        3: (3, False),  # 2*3 < 9
+        4: (4, True),   # 2*4 == 8: boundary INCLUDES the threshold
+        5: (0, False),
+    }
+    # tighter threshold 2/3: the exact-1/2 pair drops out
+    strict = {r["doc_id"]: r["contaminated"]
+              for r in dedup.fuzzy_decontaminate(
+                  docs, bench, n=1,
+                  threshold_num=2, threshold_den=3).collect()}
+    assert strict == {1: True, 2: True, 3: False, 4: False, 5: False}
