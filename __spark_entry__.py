@@ -356,6 +356,53 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in wrows],
         "source string, warc_docs long, warc_cksum long",
     )
+    # WET tier (round-4 final wave): the docs' EXTRACTED TEXT written as
+    # real *.warc.wet.gz conversion records (the Common-Crawl layout this
+    # engine's extraction output ships in), read back through the WET
+    # parser, per-host count + order-free md5-prefix checksum of the
+    # round-tripped text — same contract as the WARC tier, gating the
+    # conversion-record grammar end-to-end.
+    from pdf_extractor_spark.sources.warc import read_wet, write_wet
+
+    wetdir = _tempfile.mkdtemp(prefix="pdfx_q53_wet_")
+    wet_src = docs.select(
+        F.concat(F.lit("https://"), F.col("source"), F.lit("/doc/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        "text")
+
+    def _write_wet_seg(it):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = [{"url": u, "text": t}
+                    for u, t in zip(pdf["url"], pdf["text"])]
+            write_wet(_os.path.join(
+                wetdir, f"seg_{_uuid.uuid4().hex}.warc.wet.gz"), rows)
+            yield _pd.DataFrame({"n": [len(rows)]})
+
+    wet_src.repartition(4).mapInPandas(_write_wet_seg, "n long").collect()
+    wtrows = (
+        read_wet(spark, wetdir)
+        .select(
+            webtext.host_of_expr(F.col("url")).alias("source"),
+            F.conv(F.substring(F.md5(F.col("text")), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("wet_docs"), F.sum("h").alias("wet_cksum"))
+        .collect()
+    )
+    _shutil.rmtree(wetdir, ignore_errors=True)
+    wet_df = spark.createDataFrame(
+        [(r["source"], int(r["wet_docs"]), int(r["wet_cksum"]))
+         for r in wtrows],
+        "source string, wet_docs long, wet_cksum long",
+    )
     result = (
         base.join(F.broadcast(cent.withColumnRenamed("host", "source")),
                   "source", "left")
@@ -367,6 +414,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
               "source", "left")
         .join(F.broadcast(smr), "source", "left")
         .join(F.broadcast(warc_df), "source", "left")
+        .join(F.broadcast(wet_df), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -405,6 +453,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("warc_docs"),
             F.coalesce(F.col("warc_cksum"), F.lit(0)).cast("long")
             .alias("warc_cksum"),
+            F.coalesce(F.col("wet_docs"), F.lit(0)).cast("long")
+            .alias("wet_docs"),
+            F.coalesce(F.col("wet_cksum"), F.lit(0)).cast("long")
+            .alias("wet_cksum"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -3664,6 +3716,10 @@ def oracle_sql() -> dict[str, str]:
                         sum(('0x' || substr(md5(page), 1, 8))::BIGINT)
                             ::BIGINT AS warc_cksum
                  FROM whtml GROUP BY src),
+        wet AS (SELECT source, count(*)::BIGINT AS wet_docs,
+                       sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
+                           ::BIGINT AS wet_cksum
+                FROM documents GROUP BY source),
         rawe AS (SELECT src, h1 AS dst, 'r' AS anchor FROM dl
                  UNION ALL SELECT src,
                         CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
@@ -3728,6 +3784,8 @@ def oracle_sql() -> dict[str, str]:
                sm.sitemap_latest_lastmod AS sitemap_latest_lastmod,
                CAST(coalesce(warc.warc_docs, 0) AS BIGINT) AS warc_docs,
                CAST(coalesce(warc.warc_cksum, 0) AS BIGINT) AS warc_cksum,
+               CAST(coalesce(wet.wet_docs, 0) AS BIGINT) AS wet_docs,
+               CAST(coalesce(wet.wet_cksum, 0) AS BIGINT) AS wet_cksum,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight,
                {text_analysis.budget_epochs_sql(
@@ -3744,6 +3802,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ind ON ind.dst = base.source
         LEFT JOIN sm ON sm.source = base.source
         LEFT JOIN warc ON warc.source = base.source
+        LEFT JOIN wet ON wet.source = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

@@ -182,29 +182,25 @@ def _record_to_page(headers: dict[str, str],
     )
 
 
-def parse_warc(data: bytes) -> tuple[list[dict], int]:
-    """One WARC file's bytes (plain or per-record-gzip) → (pages, n_bad).
-
-    Each page dict: url, warc_ts (naive-UTC datetime|None), http_status
-    (int|None), mime (str|None), charset (str|None), body (bytes).
-    Only ``WARC-Type: response`` records with an HTTP block become pages;
-    warcinfo/request/metadata records are structural and skipped.
+def _parse_records(data: bytes, to_row) -> tuple[list[dict], int]:
+    """Shared record walk for WARC/WET files (plain or per-record-gzip):
+    apply ``to_row(headers, block) -> (row | None, bad)`` to every record.
 
     Records are processed PER gzip MEMBER — materializing every member's
     records before building pages held the whole decompressed segment
     (multiple GB for a real Common-Crawl file) in memory at once; streaming
     bounds intermediate residency at one member (_MAX_MEMBER_BYTES).
     """
-    pages: list[dict] = []
+    rows: list[dict] = []
     n_bad = 0
 
     def handle(recs: list[tuple[dict[str, str], bytes]]) -> None:
         nonlocal n_bad
         for headers, block in recs:
-            page, bad = _record_to_page(headers, block)
+            row, bad = to_row(headers, block)
             n_bad += bad
-            if page is not None:
-                pages.append(page)
+            if row is not None:
+                rows.append(row)
 
     try:
         if data[:2] == _GZIP_MAGIC:
@@ -217,8 +213,80 @@ def parse_warc(data: bytes) -> tuple[list[dict], int]:
             n_bad += bad
             handle(recs)
     except (zlib.error, ValueError, EOFError):
-        return pages, n_bad + 1
-    return pages, n_bad
+        return rows, n_bad + 1
+    return rows, n_bad
+
+
+def parse_warc(data: bytes) -> tuple[list[dict], int]:
+    """One WARC file's bytes (plain or per-record-gzip) → (pages, n_bad).
+
+    Each page dict: url, warc_ts (naive-UTC datetime|None), http_status
+    (int|None), mime (str|None), charset (str|None), body (bytes).
+    Only ``WARC-Type: response`` records with an HTTP block become pages;
+    warcinfo/request/metadata records are structural and skipped.
+    """
+    return _parse_records(data, _record_to_page)
+
+
+def _record_to_wet_row(headers: dict[str, str],
+                       block: bytes) -> tuple[dict | None, int]:
+    """One WET record → (row | None, bad). WET files carry the EXTRACTED
+    text of each page as ``WARC-Type: conversion`` records with a
+    text/plain body (the Common-Crawl *.warc.wet.gz layout); everything
+    else in the file is structural and skipped."""
+    if headers.get("warc-type") != "conversion":
+        return None, 0
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None, 1
+    return (
+        {
+            "url": url,
+            "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+            "text": block.decode("utf-8", errors="replace"),
+        },
+        0,
+    )
+
+
+def parse_wet(data: bytes) -> tuple[list[dict], int]:
+    """One WET file's bytes → (rows, n_bad); each row: url, warc_ts,
+    text (the page's extracted text)."""
+    return _parse_records(data, _record_to_wet_row)
+
+
+def _warc_record(headers: list[tuple[str, str]], block: bytes) -> bytes:
+    # UTF-8 per ISO 28500 — latin-1 raised UnicodeEncodeError on any
+    # non-latin-1 URL (CJK paths exist in real WARC-Target-URIs) and
+    # aborted the whole file write
+    head = b"WARC/1.0\r\n" + b"".join(
+        f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
+    ) + f"Content-Length: {len(block)}\r\n\r\n".encode()
+    return head + block + b"\r\n\r\n"
+
+
+def write_wet(path: str, rows: list[dict],
+              gzip_per_record: bool = True) -> None:
+    """Write extracted text as a WET file (Common-Crawl *.warc.wet
+    layout): a warcinfo header then one ``WARC-Type: conversion``
+    record per row with a text/plain UTF-8 body — the twin of
+    parse_wet. Each row dict needs url + text; optional warc_ts."""
+    out: list[bytes] = [_warc_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", "2024-01-01T00:00:00Z"),
+         ("Content-Type", "application/warc-fields")],
+        b"software: pyspark-webtext-extractor\r\n")]
+    for r in rows:
+        ts = r.get("warc_ts") or dt.datetime(2024, 1, 1)
+        out.append(_warc_record(
+            [("WARC-Type", "conversion"),
+             ("WARC-Target-URI", r["url"]),
+             ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ")),
+             ("Content-Type", "text/plain")],
+            (r["text"] or "").encode("utf-8")))
+    with open(path, "wb") as f:
+        for rec in out:
+            f.write(gzip.compress(rec) if gzip_per_record else rec)
 
 
 def write_warc(path: str, pages: list[dict], gzip_per_record: bool = True,
@@ -229,15 +297,7 @@ def write_warc(path: str, pages: list[dict], gzip_per_record: bool = True,
     Each page dict needs url + body (bytes); optional warc_ts (datetime),
     http_status (default 200), mime (default text/html), charset.
     """
-    def record(headers: list[tuple[str, str]], block: bytes) -> bytes:
-        # UTF-8 per ISO 28500 — latin-1 raised UnicodeEncodeError on any
-        # non-latin-1 URL (CJK paths exist in real WARC-Target-URIs) and
-        # aborted the whole file write
-        head = b"WARC/1.0\r\n" + b"".join(
-            f"{k}: {v}\r\n".encode("utf-8") for k, v in headers
-        ) + f"Content-Length: {len(block)}\r\n\r\n".encode()
-        return head + block + b"\r\n\r\n"
-
+    record = _warc_record
     out: list[bytes] = []
     info_block = (warcinfo + "\r\n").encode()
     out.append(record(
@@ -298,3 +358,26 @@ def read_warc(spark, path: str):
         kernel,
         "url string, warc_ts timestamp, html binary, text string, lang string",
     )
+
+
+def read_wet(spark, path: str):
+    """WET segment files → (url, warc_ts, text) DataFrame — the
+    extracted-text side of the Common-Crawl triple (WARC holds the raw
+    responses, WET the conversion records this engine's extraction
+    emits). Same execution shape as read_warc: one file = one input
+    task, narrow Arrow parse, zero shuffle."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                recs, _bad = parse_wet(bytes(content))
+                for r in recs:
+                    rows.append((r["url"], r["warc_ts"], r["text"]))
+            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
+
+    return files.mapInPandas(
+        kernel, "url string, warc_ts timestamp, text string")

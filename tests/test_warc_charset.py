@@ -176,3 +176,46 @@ def test_warc_unicode_url_roundtrip(tmp_path):
     assert n_bad == 0 and len(pages) == 1
     assert pages[0]["url"] == url
     assert pages[0]["body"] == b"<html>x</html>"
+
+
+def test_wet_roundtrip_and_type_filtering(tmp_path, spark):
+    """WET (Common-Crawl conversion records): write_wet -> parse_wet is
+    an exact text round-trip (UTF-8, per-record gzip), the warcinfo
+    header and any response records in the same file are skipped, a
+    conversion record without a target URI counts bad, and read_wet
+    surfaces the rows through Spark."""
+    import datetime as dt
+
+    from pdf_extractor_spark.sources.warc import (
+        _warc_record, parse_wet, read_wet, write_wet,
+    )
+
+    rows = [
+        {"url": "https://a.example/x", "text": "hello wet world"},
+        {"url": "https://b.example/y", "text": "päge twö 中文",
+         "warc_ts": dt.datetime(2025, 6, 1, 12, 30)},
+        {"url": "https://a.example/z", "text": ""},
+    ]
+    p = str(tmp_path / "seg.warc.wet.gz")
+    write_wet(p, rows)
+    got, n_bad = parse_wet(open(p, "rb").read())
+    assert n_bad == 0
+    assert [(r["url"], r["text"]) for r in got] == [
+        (r["url"], r["text"]) for r in rows]
+    assert got[1]["warc_ts"] == dt.datetime(2025, 6, 1, 12, 30)
+
+    # a response record in the same bytes is structural for WET purposes;
+    # a conversion record without a URI counts bad
+    extra = (_warc_record(
+        [("WARC-Type", "response"),
+         ("WARC-Target-URI", "https://a.example/r"),
+         ("Content-Type", "application/http; msgtype=response")],
+        b"HTTP/1.1 200 OK\r\n\r\nhtml") + _warc_record(
+        [("WARC-Type", "conversion"), ("Content-Type", "text/plain")],
+        b"orphan text"))
+    got2, n_bad2 = parse_wet(extra)
+    assert got2 == [] and n_bad2 == 1
+
+    sdf = read_wet(spark, str(tmp_path)).orderBy("url").collect()
+    assert [(r["url"], r["text"]) for r in sdf] == sorted(
+        (r["url"], r["text"]) for r in rows)
