@@ -403,6 +403,68 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          for r in wtrows],
         "source string, wet_docs long, wet_cksum long",
     )
+    # WAT tier (round-4 final wave, completing the Common-Crawl triple):
+    # per-page metadata GENUINELY PARSED from the page bytes — the sorted
+    # outlink URLs (extract_links, all 7 per page incl. the nofollow ad
+    # link; WAT records keep it, only the edge builder excludes it) and
+    # the page <title> (page_metadata) — written as *.warc.wat.gz
+    # metadata records (JSON subset {links, title, url}), read back
+    # through the WAT parser, and checksummed per host over
+    # title + '|' + sorted links. The oracle rebuilds that exact string
+    # closed-form from the synth spec (every resolution branch: absolute,
+    # root-relative + <base>, protocol-relative, path-relative, the two
+    # non-double-quoted forms, the ads link), so a WAT round-trip that
+    # drops/reorders/alters any link or the title hash-fails.
+    from pdf_extractor_spark.sources.warc import read_wat, write_wat
+
+    watdir = _tempfile.mkdtemp(prefix="pdfx_q53_wat_")
+    page_links = (
+        webtext.extract_links(pages)
+        .groupBy("url")
+        .agg(F.array_sort(F.collect_list("link_url")).alias("links"))
+    )
+    wat_src = (
+        webtext.page_metadata(pages).select("url", "title")
+        .join(page_links, "url", "left")
+    )
+
+    def _write_wat_seg(it):
+        import os as _os
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            rows = [{"url": u, "title": t,
+                     "links": list(ln) if ln is not None else []}
+                    for u, t, ln in zip(pdf["url"], pdf["title"],
+                                        pdf["links"])]
+            write_wat(_os.path.join(
+                watdir, f"seg_{_uuid.uuid4().hex}.warc.wat.gz"), rows)
+            yield _pd.DataFrame({"n": [len(rows)]})
+
+    wat_src.repartition(4).mapInPandas(_write_wat_seg, "n long").collect()
+    watrows = (
+        read_wat(spark, watdir)
+        .select(
+            webtext.host_of_expr(F.col("url")).alias("source"),
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.coalesce(F.col("title"), F.lit("")),
+                F.concat_ws("|", F.col("links")))), 1, 8), 16, 10)
+            .cast("long").alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("wat_docs"), F.sum("h").alias("wat_cksum"))
+        .collect()
+    )
+    _shutil.rmtree(watdir, ignore_errors=True)
+    wat_df = spark.createDataFrame(
+        [(r["source"], int(r["wat_docs"]), int(r["wat_cksum"]))
+         for r in watrows],
+        "source string, wat_docs long, wat_cksum long",
+    )
     result = (
         base.join(F.broadcast(cent.withColumnRenamed("host", "source")),
                   "source", "left")
@@ -415,6 +477,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(smr), "source", "left")
         .join(F.broadcast(warc_df), "source", "left")
         .join(F.broadcast(wet_df), "source", "left")
+        .join(F.broadcast(wat_df), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -457,6 +520,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wet_docs"),
             F.coalesce(F.col("wet_cksum"), F.lit(0)).cast("long")
             .alias("wet_cksum"),
+            F.coalesce(F.col("wat_docs"), F.lit(0)).cast("long")
+            .alias("wat_docs"),
+            F.coalesce(F.col("wat_cksum"), F.lit(0)).cast("long")
+            .alias("wat_cksum"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -3720,6 +3787,29 @@ def oracle_sql() -> dict[str, str]:
                        sum(('0x' || substr(md5(text), 1, 8))::BIGINT)
                            ::BIGINT AS wet_cksum
                 FROM documents GROUP BY source),
+        watl AS (SELECT src, doc_id,
+                        'd|' || array_to_string(list_sort([
+                            'https://' || h1 || '/p/' || doc_id::VARCHAR,
+                            'https://' || (CASE WHEN doc_id % 5 = 0
+                                                THEN h1 ELSE src END)
+                                || '/p/' || (doc_id + 1)::VARCHAR,
+                            'https://' || h3 || '/p/'
+                                || (doc_id + 2)::VARCHAR,
+                            CASE WHEN doc_id % 5 = 0
+                                 THEN 'https://' || h1 || '/b/q/'
+                                      || (doc_id + 3)::VARCHAR
+                                 ELSE 'https://' || src || '/doc/q/'
+                                      || (doc_id + 3)::VARCHAR END,
+                            'https://' || h2 || '/s2/' || doc_id::VARCHAR,
+                            'https://' || h4 || '/u2/' || doc_id::VARCHAR,
+                            'https://ads.' || src || '/z/'
+                                || doc_id::VARCHAR
+                        ]), '|') AS watstr
+                 FROM dl),
+        wat AS (SELECT src AS source, count(*)::BIGINT AS wat_docs,
+                       sum(('0x' || substr(md5(watstr), 1, 8))::BIGINT)
+                           ::BIGINT AS wat_cksum
+                FROM watl GROUP BY src),
         rawe AS (SELECT src, h1 AS dst, 'r' AS anchor FROM dl
                  UNION ALL SELECT src,
                         CASE WHEN doc_id % 5 = 0 THEN h1 ELSE src END,
@@ -3786,6 +3876,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(warc.warc_cksum, 0) AS BIGINT) AS warc_cksum,
                CAST(coalesce(wet.wet_docs, 0) AS BIGINT) AS wet_docs,
                CAST(coalesce(wet.wet_cksum, 0) AS BIGINT) AS wet_cksum,
+               CAST(coalesce(wat.wat_docs, 0) AS BIGINT) AS wat_docs,
+               CAST(coalesce(wat.wat_cksum, 0) AS BIGINT) AS wat_cksum,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight,
                {text_analysis.budget_epochs_sql(
@@ -3803,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN sm ON sm.source = base.source
         LEFT JOIN warc ON warc.source = base.source
         LEFT JOIN wet ON wet.source = base.source
+        LEFT JOIN wat ON wat.source = base.source
         ORDER BY base.source
     """
     # q54's BPE arms: greedy merge learning is iterative (not SQL-

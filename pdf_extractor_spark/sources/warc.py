@@ -381,3 +381,100 @@ def read_wet(spark, path: str):
 
     return files.mapInPandas(
         kernel, "url string, warc_ts timestamp, text string")
+
+
+def _record_to_wat_row(headers: dict[str, str],
+                       block: bytes) -> tuple[dict | None, int]:
+    """One WAT record → (row | None, bad). WAT files carry per-page
+    METADATA as ``WARC-Type: metadata`` records with a JSON body (the
+    Common-Crawl *.warc.wat.gz layout; this engine writes the documented
+    flat subset {links, title, url})."""
+    if headers.get("warc-type") != "metadata":
+        return None, 0
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None, 1
+    import json
+
+    try:
+        meta = json.loads(block.decode("utf-8", errors="replace"))
+        if not isinstance(meta, dict):
+            raise ValueError("WAT body is not a JSON object")
+    except ValueError:
+        return None, 1
+    links = meta.get("links")
+    if not (isinstance(links, list)
+            and all(isinstance(x, str) for x in links)):
+        links = []
+    title = meta.get("title")
+    return (
+        {
+            "url": url,
+            "warc_ts": _parse_warc_ts(headers.get("warc-date", "")),
+            "title": title if isinstance(title, str) else None,
+            "links": links,
+        },
+        0,
+    )
+
+
+def parse_wat(data: bytes) -> tuple[list[dict], int]:
+    """One WAT file's bytes → (rows, n_bad); each row: url, warc_ts,
+    title (str|None), links (list[str] — the page's outlink URLs)."""
+    return _parse_records(data, _record_to_wat_row)
+
+
+def write_wat(path: str, rows: list[dict],
+              gzip_per_record: bool = True) -> None:
+    """Write per-page metadata as a WAT file (Common-Crawl *.warc.wat
+    layout): a warcinfo header then one ``WARC-Type: metadata`` record
+    per row with an ``application/json`` body — the twin of parse_wat.
+    Each row dict needs url; optional title, links (list of outlink
+    URLs), warc_ts. The JSON subset is flat {links, title, url} with
+    sorted keys, deterministic byte-for-byte."""
+    import json
+
+    out: list[bytes] = [_warc_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", "2024-01-01T00:00:00Z"),
+         ("Content-Type", "application/warc-fields")],
+        b"software: pyspark-webtext-extractor\r\n")]
+    for r in rows:
+        ts = r.get("warc_ts") or dt.datetime(2024, 1, 1)
+        body = json.dumps(
+            {"links": list(r.get("links") or []),
+             "title": r.get("title"), "url": r["url"]},
+            sort_keys=True, ensure_ascii=False).encode("utf-8")
+        out.append(_warc_record(
+            [("WARC-Type", "metadata"),
+             ("WARC-Target-URI", r["url"]),
+             ("WARC-Date", ts.strftime("%Y-%m-%dT%H:%M:%SZ")),
+             ("Content-Type", "application/json")], body))
+    with open(path, "wb") as f:
+        for rec in out:
+            f.write(gzip.compress(rec) if gzip_per_record else rec)
+
+
+def read_wat(spark, path: str):
+    """WAT segment files → (url, warc_ts, title, links) DataFrame — the
+    metadata side of the Common-Crawl triple. Same execution shape as
+    read_warc/read_wet: one file = one input task, narrow Arrow parse,
+    zero shuffle."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                recs, _bad = parse_wat(bytes(content))
+                for r in recs:
+                    rows.append((r["url"], r["warc_ts"], r["title"],
+                                 r["links"]))
+            yield pd.DataFrame(
+                rows, columns=["url", "warc_ts", "title", "links"])
+
+    return files.mapInPandas(
+        kernel,
+        "url string, warc_ts timestamp, title string, links array<string>")

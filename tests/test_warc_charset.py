@@ -219,3 +219,49 @@ def test_wet_roundtrip_and_type_filtering(tmp_path, spark):
     sdf = read_wet(spark, str(tmp_path)).orderBy("url").collect()
     assert [(r["url"], r["text"]) for r in sdf] == sorted(
         (r["url"], r["text"]) for r in rows)
+
+
+def test_wat_roundtrip_and_malformed_json(tmp_path, spark):
+    """WAT (Common-Crawl metadata records): write_wat -> parse_wat
+    round-trips {links, title, url} byte-deterministically, malformed
+    JSON bodies and wrong-shape fields degrade per record (bad count /
+    field reset, never a raise), and read_wat surfaces typed rows."""
+    from pdf_extractor_spark.sources.warc import (
+        _warc_record, parse_wat, read_wat, write_wat,
+    )
+
+    rows = [
+        {"url": "https://a.example/x", "title": "Tïtle",
+         "links": ["https://c.example/1", "https://b.example/2"]},
+        {"url": "https://a.example/y", "links": []},  # no title
+    ]
+    p = str(tmp_path / "seg.warc.wat.gz")
+    write_wat(p, rows)
+    got, n_bad = parse_wat(open(p, "rb").read())
+    assert n_bad == 0
+    assert [(r["url"], r["title"], r["links"]) for r in got] == [
+        ("https://a.example/x", "Tïtle",
+         ["https://c.example/1", "https://b.example/2"]),
+        ("https://a.example/y", None, []),
+    ]
+
+    # malformed JSON -> bad; non-list links / non-string title -> reset
+    bad = (_warc_record(
+        [("WARC-Type", "metadata"),
+         ("WARC-Target-URI", "https://m/1"),
+         ("Content-Type", "application/json")], b"{not json") + _warc_record(
+        [("WARC-Type", "metadata"),
+         ("WARC-Target-URI", "https://m/2"),
+         ("Content-Type", "application/json")],
+        b'{"links": "nope", "title": 7, "url": "https://m/2"}'))
+    got2, n_bad2 = parse_wat(bad)
+    assert n_bad2 == 1
+    assert [(r["url"], r["title"], r["links"]) for r in got2] == [
+        ("https://m/2", None, [])]
+
+    sdf = read_wat(spark, str(tmp_path)).orderBy("url").collect()
+    assert [(r["url"], r["title"], list(r["links"])) for r in sdf] == [
+        ("https://a.example/x", "Tïtle",
+         ["https://c.example/1", "https://b.example/2"]),
+        ("https://a.example/y", None, []),
+    ]
