@@ -852,12 +852,16 @@ def sniff_decode(payload: bytes, transport_charset: str | None = None
     return payload.decode(enc, errors="replace"), enc
 
 
-def extract_html(payload: bytes) -> dict:
+def extract_html(payload: bytes,
+                 transport_charset: str | None = None) -> dict:
     """Extract main content from one HTML payload.
 
     Returns {'channels': {...}, 'meta': {...}}; never raises (reference
     error contract pypdf2_extractor.py:41-48). The 'meaningful content'
     gate (tasks.py:228-249) is applied by the caller via meta['ok'].
+    ``transport_charset`` is the HTTP Content-Type charset label when the
+    caller has one (the WARC ingest path) — WHATWG precedence slots it
+    between BOM and the in-page meta tag.
     """
     meta: dict[str, str] = {}
     empty = {"text": "", "table": "", "combined": "", "markdown": "",
@@ -867,7 +871,7 @@ def extract_html(payload: bytes) -> dict:
         meta["ok"] = "false"
         return {"channels": empty, "meta": meta}
     try:
-        html, enc = sniff_decode(payload)
+        html, enc = sniff_decode(payload, transport_charset)
         if enc != "utf-8":  # key only when the sniff changed the decode —
             # the utf-8 default leaves existing outputs byte-identical
             meta["encoding"] = enc

@@ -155,8 +155,12 @@ _OCR_DECODERS = {
 }
 
 
-def extract_document(payload: bytes | None) -> list[dict]:
+def extract_document(payload: bytes | None,
+                     transport_charset: str | None = None) -> list[dict]:
     """One document → one output row per page (HTML: single page 1).
+    ``transport_charset`` is the HTTP Content-Type charset label when the
+    ingest layer carries one (read_warc) — it only affects the HTML
+    branch, where WHATWG precedence slots it between BOM and meta.
 
     Pure Python, shared by the Arrow batch path and unit tests. Follows the
     reference per-page result invariants (SURVEY.md §2a): 1-based pages,
@@ -227,7 +231,7 @@ def extract_document(payload: bytes | None) -> list[dict]:
                 }
             ]
         return rows
-    res = extract_html(payload or b"")
+    res = extract_html(payload or b"", transport_charset)
     ch = res["channels"]
     return [
         {
@@ -256,6 +260,11 @@ def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
 
     for batch in batches:
         payloads = batch.column("html").to_pylist()
+        # optional transport-charset column (WARC ingest): absent on the
+        # plain pages-table path, so the fast path allocates nothing
+        charsets = (batch.column("charset").to_pylist()
+                    if "charset" in batch.schema.names
+                    else [None] * len(payloads))
         idx: list[int] = []
         out: dict[str, list] = {
             name: []
@@ -265,7 +274,7 @@ def _extract_arrow_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.Rec
         for i, payload in enumerate(payloads):
             nbytes = len(payload) if payload else 0
             d0 = time.perf_counter_ns()
-            for row in extract_document(payload):
+            for row in extract_document(payload, charsets[i]):
                 idx.append(i)
                 out["page_number"].append(row["page_number"])
                 out["text"].append(row["text"])
@@ -315,10 +324,14 @@ SIZE_CAP_BYTES = 20 * 1024 * 1024
 
 def eligible_pages(pages: DataFrame,
                    size_cap_bytes: int = SIZE_CAP_BYTES) -> DataFrame:
-    """The shared extraction prologue: prune to (url, warc_ts, html) and
-    drop payloads over the size cap (the pipeline layer quarantines
-    them)."""
-    return pages.select("url", "warc_ts", "html").where(
+    """The shared extraction prologue: prune to (url, warc_ts, html) —
+    plus the transport ``charset`` column when the ingest layer carries
+    one (read_warc; WHATWG precedence inside sniff_decode) — and drop
+    payloads over the size cap (the pipeline layer quarantines them)."""
+    cols = ["url", "warc_ts", "html"]
+    if "charset" in pages.columns:
+        cols.append("charset")
+    return pages.select(*cols).where(
         F.col("html").isNull() | (F.length("html") <= size_cap_bytes)
     )
 

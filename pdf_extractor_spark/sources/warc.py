@@ -338,7 +338,11 @@ def read_warc(spark, path: str):
     downstream extraction adds its own salted repartition, which also
     defuses segment-size skew here. Non-HTML responses are kept (the
     extraction kernel dispatches on magic bytes); text/lang are null until
-    extraction/lang-ID fill them.
+    extraction/lang-ID fill them. The HTTP envelope rides along as typed
+    columns — ``http_status``/``mime`` for fetch-status filtering and
+    ``charset`` (the transport Content-Type label), which run_extract
+    threads into the HTML kernel's sniff_decode transport slot (WHATWG
+    precedence: BOM > transport > meta > UTF-8).
     """
     import pandas as pd
 
@@ -350,13 +354,17 @@ def read_warc(spark, path: str):
             for content in pdf["content"]:
                 pages, _bad = parse_warc(bytes(content))
                 for p in pages:
-                    rows.append((p["url"], p["warc_ts"], p["body"], None, None))
+                    rows.append((p["url"], p["warc_ts"], p["body"], None,
+                                 None, p["http_status"], p["mime"],
+                                 p["charset"]))
             yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang"])
+                rows, columns=["url", "warc_ts", "html", "text", "lang",
+                               "http_status", "mime", "charset"])
 
     return files.mapInPandas(
         kernel,
-        "url string, warc_ts timestamp, html binary, text string, lang string",
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, http_status int, mime string, charset string",
     )
 
 

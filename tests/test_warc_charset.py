@@ -111,7 +111,8 @@ def test_read_warc_spark_matches_parse_and_extracts(spark, tmp_path):
     p = str(tmp_path / "seg.warc.gz")
     warc.write_warc(p, _pages(), gzip_per_record=True)
     df = warc.read_warc(spark, p)
-    assert df.columns == ["url", "warc_ts", "html", "text", "lang"]
+    assert df.columns == ["url", "warc_ts", "html", "text", "lang",
+                          "http_status", "mime", "charset"]
     rows = {r["url"]: r for r in df.collect()}
     assert set(rows) == {p_["url"] for p_ in _pages()}
     assert bytes(rows["https://a.example/x"]["html"]) == _pages()[0]["body"]
@@ -265,3 +266,33 @@ def test_wat_roundtrip_and_malformed_json(tmp_path, spark):
          ["https://c.example/1", "https://b.example/2"]),
         ("https://a.example/y", None, []),
     ]
+
+
+def test_transport_charset_threads_from_warc_to_extraction(tmp_path, spark):
+    """End-to-end WHATWG transport precedence: a WARC response declaring
+    charset=iso-8859-1 ONLY in the HTTP Content-Type header (no BOM, no
+    meta tag) must decode its latin-1 bytes correctly through
+    read_warc -> run_extract; the same bytes WITHOUT the transport label
+    mojibake under the utf-8 fallback — proving the column is load-
+    bearing, not decorative."""
+    from pdf_extractor_spark.operators.extract import run_extract
+
+    body = "<html><body><p>café crème naïveté über</p></body></html>".encode(
+        "iso-8859-1")
+    p = str(tmp_path / "seg.warc.gz")
+    warc.write_warc(p, [{
+        "url": "https://l1.example/x", "body": body,
+        "mime": "text/html", "charset": "iso-8859-1",
+    }])
+    df = warc.read_warc(spark, p)
+    row = df.collect()[0]
+    assert row["charset"] == "iso-8859-1"
+    assert row["mime"] == "text/html" and row["http_status"] == 200
+
+    out = run_extract(df, num_partitions=2).collect()[0]
+    assert "café crème naïveté über" in out["text"]
+    # the envelope column is what carried the label: same frame without
+    # it falls back to utf-8 replacement decoding
+    bad = run_extract(df.select("url", "warc_ts", "html"),
+                      num_partitions=2).collect()[0]
+    assert "café" not in bad["text"] and "caf" in bad["text"]
