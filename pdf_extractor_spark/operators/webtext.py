@@ -373,7 +373,8 @@ def inbound_host_signals(anchors: DataFrame,
 _TITLE_PATTERN = r"(?is)<title[^>]*>\s*([^<]*?)\s*</title>"
 _TIME_DATETIME_PATTERN = rf"(?i)<time\s[^<>]*?datetime\s*=\s*({_ATTR_VAL})"
 # /YYYY/MM/DD/ in the url path — htmldate's last-resort signal
-_URL_DATE_PATTERN = r"^[a-z]+://[^/]+/.*?(\d{4})/(\d{2})/(\d{2})(?:/|$)"
+# ((?i): scheme case is insignificant per RFC 3986 §3.1)
+_URL_DATE_PATTERN = r"(?i)^[a-z]+://[^/]+/.*?(\d{4})/(\d{2})/(\d{2})(?:/|$)"
 _LD_JSON_PATTERN = (
     r"(?is)<script\s[^>]*?type\s*=\s*"
     r"(?:\"application/ld\+json\"|'application/ld\+json'"
