@@ -371,12 +371,19 @@ def inbound_host_signals(anchors: DataFrame,
 # forms accepted, attribute order independent, zero Python.
 
 _TITLE_PATTERN = r"(?is)<title[^>]*>\s*([^<]*?)\s*</title>"
-_TIME_DATETIME_PATTERN = rf"(?i)<time\s[^<>]*?datetime\s*=\s*({_ATTR_VAL})"
-# /YYYY/MM/DD/ in the url path — htmldate's last-resort signal
-# ((?i): scheme case is insignificant per RFC 3986 §3.1)
-_URL_DATE_PATTERN = r"(?i)^[a-z]+://[^/]+/.*?(\d{4})/(\d{2})/(\d{2})(?:/|$)"
+# (?<![\w-]) on the attribute name, like _HREF_EQ: data-datetime is a
+# different attribute and must not match (review finding)
+_TIME_DATETIME_PATTERN = (
+    rf"(?i)<time\s[^<>]*?(?<![\w-])datetime\s*=\s*({_ATTR_VAL})")
+# /YYYY/MM/DD/ in the url path — htmldate's last-resort signal.
+# ((?i): scheme case is insignificant per RFC 3986 §3.1.) The year must
+# START a path segment ((?:.*?/)? always ends at '/'), so an ID segment
+# like /item2024/11/05 cannot shed its prefix and parse as a date
+# (review finding — try_cast only filters IMPLAUSIBLE dates).
+_URL_DATE_PATTERN = (
+    r"(?i)^[a-z]+://[^/]+/(?:.*?/)?(\d{4})/(\d{2})/(\d{2})(?:/|$)")
 _LD_JSON_PATTERN = (
-    r"(?is)<script\s[^>]*?type\s*=\s*"
+    r"(?is)<script\s[^>]*?(?<![\w-])type\s*=\s*"
     r"(?:\"application/ld\+json\"|'application/ld\+json'"
     r"|application/ld\+json(?=[\s>]))"
     r"[^>]*>\s*(.*?)\s*</script>")
@@ -396,11 +403,18 @@ def _meta_content_patterns(name_attr: str, value: str) -> tuple[str, str]:
 
 def _meta_content(html_str: Column, name_attr: str, value: str) -> Column:
     """First ``<meta>`` content for the given name/property, either
-    attribute order, one unquoting layer stripped; empty string → NULL."""
+    attribute order, one unquoting layer stripped; empty string → NULL.
+    First occurrence wins ACROSS the two attribute-order patterns too
+    (review finding): the document-position of each pattern's first
+    match (regexp_instr) decides, not a fixed pattern preference — a
+    content-first tag earlier in the page beats a name-first tag later."""
     p1, p2 = _meta_content_patterns(name_attr, value)
     c1 = _unquote_attr(F.regexp_extract(html_str, p1, 1))
     c2 = _unquote_attr(F.regexp_extract(html_str, p2, 1))
-    out = F.when(c1 != "", c1).otherwise(c2)
+    pos1 = F.regexp_instr(html_str, F.lit(p1))
+    pos2 = F.regexp_instr(html_str, F.lit(p2))
+    out = (F.when((c1 != "") & ((c2 == "") | (pos1 <= pos2)), c1)
+           .when(c2 != "", c2))
     return F.when(out != "", out)
 
 

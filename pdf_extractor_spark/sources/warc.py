@@ -344,28 +344,35 @@ def read_warc(spark, path: str):
     threads into the HTML kernel's sniff_decode transport slot (WHATWG
     precedence: BOM > transport > meta > UTF-8).
     """
+    return _read_records_df(
+        spark, path, parse_warc,
+        ["url", "warc_ts", "html", "text", "lang",
+         "http_status", "mime", "charset"],
+        lambda p: (p["url"], p["warc_ts"], p["body"], None, None,
+                   p["http_status"], p["mime"], p["charset"]),
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, http_status int, mime string, charset string")
+
+
+def _read_records_df(spark, path: str, parser, columns: list[str],
+                     to_tuple, ddl: str):
+    """Shared binaryFile → mapInPandas scaffold for the three segment
+    readers (review finding — they were hand-copied clones): one file =
+    one input task (binaryFile does not split, the Common-Crawl unit of
+    work), the parse a narrow Arrow stage with zero shuffle, per-file
+    degradation via each parser's bad counter."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = spark.read.format("binaryFile").load(path).select("content")
 
     def kernel(batches):
         for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                pages, _bad = parse_warc(bytes(content))
-                for p in pages:
-                    rows.append((p["url"], p["warc_ts"], p["body"], None,
-                                 None, p["http_status"], p["mime"],
-                                 p["charset"]))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "html", "text", "lang",
-                               "http_status", "mime", "charset"])
+            rows = [to_tuple(r)
+                    for content in pdf["content"]
+                    for r in parser(bytes(content))[0]]
+            yield pd.DataFrame(rows, columns=columns)
 
-    return files.mapInPandas(
-        kernel,
-        "url string, warc_ts timestamp, html binary, text string, "
-        "lang string, http_status int, mime string, charset string",
-    )
+    return files.mapInPandas(kernel, ddl)
 
 
 def read_wet(spark, path: str):
@@ -374,21 +381,10 @@ def read_wet(spark, path: str):
     responses, WET the conversion records this engine's extraction
     emits). Same execution shape as read_warc: one file = one input
     task, narrow Arrow parse, zero shuffle."""
-    import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("content")
-
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                recs, _bad = parse_wet(bytes(content))
-                for r in recs:
-                    rows.append((r["url"], r["warc_ts"], r["text"]))
-            yield pd.DataFrame(rows, columns=["url", "warc_ts", "text"])
-
-    return files.mapInPandas(
-        kernel, "url string, warc_ts timestamp, text string")
+    return _read_records_df(
+        spark, path, parse_wet, ["url", "warc_ts", "text"],
+        lambda r: (r["url"], r["warc_ts"], r["text"]),
+        "url string, warc_ts timestamp, text string")
 
 
 def _record_to_wat_row(headers: dict[str, str],
@@ -408,7 +404,10 @@ def _record_to_wat_row(headers: dict[str, str],
         meta = json.loads(block.decode("utf-8", errors="replace"))
         if not isinstance(meta, dict):
             raise ValueError("WAT body is not a JSON object")
-    except ValueError:
+    # RecursionError: a deeply nested body (50k of '[') blows the parser
+    # stack — without this it would escape the per-record degrade
+    # contract and kill the whole Spark task (review finding)
+    except (ValueError, RecursionError):
         return None, 1
     links = meta.get("links")
     if not (isinstance(links, list)
@@ -468,21 +467,7 @@ def read_wat(spark, path: str):
     metadata side of the Common-Crawl triple. Same execution shape as
     read_warc/read_wet: one file = one input task, narrow Arrow parse,
     zero shuffle."""
-    import pandas as pd
-
-    files = spark.read.format("binaryFile").load(path).select("content")
-
-    def kernel(batches):
-        for pdf in batches:
-            rows = []
-            for content in pdf["content"]:
-                recs, _bad = parse_wat(bytes(content))
-                for r in recs:
-                    rows.append((r["url"], r["warc_ts"], r["title"],
-                                 r["links"]))
-            yield pd.DataFrame(
-                rows, columns=["url", "warc_ts", "title", "links"])
-
-    return files.mapInPandas(
-        kernel,
+    return _read_records_df(
+        spark, path, parse_wat, ["url", "warc_ts", "title", "links"],
+        lambda r: (r["url"], r["warc_ts"], r["title"], r["links"]),
         "url string, warc_ts timestamp, title string, links array<string>")

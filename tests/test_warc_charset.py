@@ -296,3 +296,23 @@ def test_transport_charset_threads_from_warc_to_extraction(tmp_path, spark):
     bad = run_extract(df.select("url", "warc_ts", "html"),
                       num_partitions=2).collect()[0]
     assert "café" not in bad["text"] and "caf" in bad["text"]
+
+
+def test_wat_deeply_nested_json_degrades_per_record():
+    """A 50k-deep nested JSON body must count as ONE bad record (the
+    parser's RecursionError is part of the degrade contract), not kill
+    the whole parse."""
+    from pdf_extractor_spark.sources.warc import _warc_record, parse_wat
+
+    bomb = _warc_record(
+        [("WARC-Type", "metadata"),
+         ("WARC-Target-URI", "https://deep/1"),
+         ("Content-Type", "application/json")], b"[" * 50000)
+    good = _warc_record(
+        [("WARC-Type", "metadata"),
+         ("WARC-Target-URI", "https://ok/2"),
+         ("Content-Type", "application/json")],
+        b'{"links": [], "title": "t", "url": "https://ok/2"}')
+    rows, n_bad = parse_wat(bomb + good)
+    assert n_bad == 1
+    assert [(r["url"], r["title"]) for r in rows] == [("https://ok/2", "t")]

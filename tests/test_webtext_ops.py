@@ -1665,3 +1665,48 @@ def test_page_metadata_malformed_inputs(spark):
     assert r["date_source"] == "time"
     r = got["http://ex.com/9999/99/99/m6"]
     assert r["published_ts"] is None and r["date_source"] is None
+
+
+def test_page_metadata_review_regressions(spark):
+    """Round-4 review findings, pinned: (1) data-type/data-datetime are
+    different attributes and must not select a script/time tag; (2) the
+    url date's year must START a path segment (an ID like /item2024/...
+    is not a date); (3) first-occurrence-wins holds ACROSS the two meta
+    attribute orders (document position decides, not pattern order)."""
+    rows = [
+        # data-type script shadows nothing: the real ld+json block wins
+        ("http://ex.com/r1",
+         b'<html><script data-type="application/ld+json">var x=1</script>'
+         b'<script type="application/ld+json">{"@type":"Article",'
+         b'"datePublished":"2024-03-05"}</script></html>'),
+        # data-datetime is not datetime
+        ("http://ex.com/r2",
+         b'<html><time data-datetime="2010-01-01" datetime="2024-06-01">'
+         b"t</time></html>"),
+        # ID segment /item2024/11/05 is NOT a url date
+        ("http://ex.com/item2024/11/05/page", b"<html></html>"),
+        # a real /2024/11/05 segment still is
+        ("http://ex.com/blog/2024/11/05/page", b"<html></html>"),
+        # content-first tag occurs FIRST in the document and must win
+        ("http://ex.com/r5",
+         b"<html><meta content='First' property='og:title'>"
+         b'<meta property="og:title" content="Second"></html>'),
+        # name-first tag first: unchanged behavior
+        ("http://ex.com/r6",
+         b'<html><meta property="og:title" content="Early">'
+         b"<meta content='Late' property='og:title'></html>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {r["url"]: r.asDict() for r in webtext.page_metadata(df).collect()}
+    r = got["http://ex.com/r1"]
+    assert r["ld_type"] == "Article"
+    assert str(r["published_ts"]) == "2024-03-05 00:00:00"
+    assert r["date_source"] == "ld"
+    r = got["http://ex.com/r2"]
+    assert str(r["published_ts"]) == "2024-06-01 00:00:00"
+    assert got["http://ex.com/item2024/11/05/page"]["published_ts"] is None
+    r = got["http://ex.com/blog/2024/11/05/page"]
+    assert str(r["published_ts"]) == "2024-11-05 00:00:00"
+    assert r["date_source"] == "url"
+    assert got["http://ex.com/r5"]["og_title"] == "First"
+    assert got["http://ex.com/r6"]["og_title"] == "Early"
