@@ -359,11 +359,37 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("h").alias("warc_cksum"))
         .collect()
     )
+    # CDX tier (round-4 closing, the fourth Common-Crawl artifact): build
+    # the CDXJ-style random-access index over the SAME segment files —
+    # per-member (offset, length) plus an md5 payload digest. The digest
+    # is md5 of the exact record payload, so per host cdx_docs/cdx_cksum
+    # must EQUAL the WARC tier's count/checksum (the oracle reuses that
+    # CTE): an index that missed, duplicated, or mis-sliced any member
+    # diverges. Offset correctness (a slice parses back to its record)
+    # is pinned by unit test.
+    from pdf_extractor_spark.sources.warc import index_warc_files
+
+    cdxrows = (
+        index_warc_files(spark, wdir)
+        .select(
+            webtext.host_of_expr(F.col("url")).alias("source"),
+            F.conv(F.substring("digest", 1, 8), 16, 10).cast("long")
+            .alias("h"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("cdx_docs"), F.sum("h").alias("cdx_cksum"))
+        .collect()
+    )
     _shutil.rmtree(wdir, ignore_errors=True)
     warc_df = spark.createDataFrame(
         [(r["source"], int(r["warc_docs"]), int(r["warc_cksum"]))
          for r in wrows],
         "source string, warc_docs long, warc_cksum long",
+    )
+    cdx_df = spark.createDataFrame(
+        [(r["source"], int(r["cdx_docs"]), int(r["cdx_cksum"]))
+         for r in cdxrows],
+        "source string, cdx_docs long, cdx_cksum long",
     )
     # WET tier (round-4 final wave): the docs' EXTRACTED TEXT written as
     # real *.warc.wet.gz conversion records (the Common-Crawl layout this
@@ -466,6 +492,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(warc_df), "source", "left")
         .join(F.broadcast(wet_df), "source", "left")
         .join(F.broadcast(wat_df), "source", "left")
+        .join(F.broadcast(cdx_df), "source", "left")
         .select(
             "source", "docs", "total_chars", "avg_chars", "n_langs",
             "top_lang", "lang_entropy",
@@ -512,6 +539,10 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wat_docs"),
             F.coalesce(F.col("wat_cksum"), F.lit(0)).cast("long")
             .alias("wat_cksum"),
+            F.coalesce(F.col("cdx_docs"), F.lit(0)).cast("long")
+            .alias("cdx_docs"),
+            F.coalesce(F.col("cdx_cksum"), F.lit(0)).cast("long")
+            .alias("cdx_cksum"),
         )
         .withColumn(
             # RedPajama/Pile-style temperature-scaled source mixing weight
@@ -3866,6 +3897,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(wet.wet_cksum, 0) AS BIGINT) AS wet_cksum,
                CAST(coalesce(wat.wat_docs, 0) AS BIGINT) AS wat_docs,
                CAST(coalesce(wat.wat_cksum, 0) AS BIGINT) AS wat_cksum,
+               CAST(coalesce(warc.warc_docs, 0) AS BIGINT) AS cdx_docs,
+               CAST(coalesce(warc.warc_cksum, 0) AS BIGINT) AS cdx_cksum,
                {text_analysis.temperature_mix_weight_sql("base.docs")}
                    AS mix_weight,
                {text_analysis.budget_epochs_sql(

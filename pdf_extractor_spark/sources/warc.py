@@ -471,3 +471,143 @@ def read_wat(spark, path: str):
         spark, path, parse_wat, ["url", "warc_ts", "title", "links"],
         lambda r: (r["url"], r["warc_ts"], r["title"], r["links"]),
         "url string, warc_ts timestamp, title string, links array<string>")
+
+
+def surt_key(url: str) -> str:
+    """SURT-style canonical index key (the CDX sort key): lower-cased
+    host with 'www.' stripped and labels REVERSED comma-joined, then
+    ')' + path ('/' when empty) + ('?' + query when present). Subset of
+    the public SURT spec (no per-scheme rules, query kept verbatim) —
+    documented like the url-canonicalizer's subset."""
+    import re as _re
+
+    m = _re.match(r"(?i)^[a-z][a-z0-9+.-]*://([^/?#]+)([^?#]*)(?:\?([^#]*))?",
+                  url.strip())
+    if not m:
+        return url.strip().lower()
+    host = m.group(1).lower()
+    if host.startswith("www."):
+        host = host[4:]
+    path = m.group(2) or "/"
+    q = m.group(3)
+    return (",".join(reversed(host.split("."))) + ")" + path
+            + (f"?{q}" if q else ""))
+
+
+def index_warc(data: bytes) -> tuple[list[dict], int]:
+    """CDXJ-style index of one WARC segment: one entry per ``response``
+    record with (surt, url, warc_ts, offset, length, digest) — the
+    fourth Common-Crawl artifact, enabling random access into segments.
+
+    For the per-record-gzip layout, offset/length address the COMPRESSED
+    gzip member (the real CDX contract: a range request for
+    [offset, offset+length) returns one independently decompressable
+    member). For a plain segment they address the raw record bytes —
+    ``read_warc_record`` accepts either. digest = md5 hex of the
+    unwrapped HTTP payload body (Common Crawl uses base32-SHA-1; md5
+    here so the DuckDB oracle twin can recompute it — documented
+    deviation, same role)."""
+    import hashlib
+
+    entries: list[dict] = []
+    n_bad = 0
+
+    def add(headers, block, offset: int, length: int) -> None:
+        nonlocal n_bad
+        page, bad = _record_to_page(headers, block)
+        n_bad += bad
+        if page is not None:
+            entries.append({
+                "surt": surt_key(page["url"]),
+                "url": page["url"],
+                "warc_ts": page["warc_ts"],
+                "offset": offset,
+                "length": length,
+                "digest": hashlib.md5(page["body"]).hexdigest(),
+            })
+
+    try:
+        if data[:2] == _GZIP_MAGIC:
+            pos, n = 0, len(data)
+            while pos < n:
+                d = zlib.decompressobj(wbits=zlib.MAX_WBITS | 16)
+                member = d.decompress(data[pos:], _MAX_MEMBER_BYTES)
+                if d.unconsumed_tail:
+                    raise ValueError("gzip member exceeds decompression cap")
+                rest = d.unused_data
+                next_pos = n - len(rest) if rest else n
+                recs, bad = _split_records(member)
+                n_bad += bad
+                for headers, block in recs:
+                    add(headers, block, pos, next_pos - pos)
+                if next_pos <= pos:
+                    break
+                pos = next_pos
+        else:
+            pos, n = 0, len(data)
+            while pos < n:
+                while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
+                    pos += 1
+                if pos >= n:
+                    break
+                m = _VERSION_RE.match(data, pos)
+                if m is None:
+                    n_bad += 1
+                    break
+                head_end = data.find(b"\r\n\r\n", m.end())
+                if head_end < 0:
+                    n_bad += 1
+                    break
+                headers = _parse_headers(data[m.end():head_end])
+                try:
+                    length = int(headers.get("content-length", ""))
+                except ValueError:
+                    n_bad += 1
+                    break
+                body_start = head_end + 4
+                if body_start + length > n:
+                    n_bad += 1
+                    break
+                rec_end = body_start + length
+                add(headers, data[body_start:rec_end], pos, rec_end - pos)
+                pos = rec_end
+    except (zlib.error, ValueError, EOFError):
+        return entries, n_bad + 1
+    return entries, n_bad
+
+
+def read_warc_record(data: bytes, offset: int, length: int) -> dict | None:
+    """Random access: parse the single record addressed by a CDX entry's
+    (offset, length) — a gzip member or a raw record slice — and return
+    its page dict (None when the slice does not parse to a response)."""
+    pages, _bad = parse_warc(data[offset:offset + length])
+    return pages[0] if pages else None
+
+
+def index_warc_files(spark, path: str):
+    """WARC segment files → CDXJ index DataFrame (file, surt, url,
+    warc_ts, offset, length, digest). Same execution shape as the
+    readers: one file = one input task, narrow Arrow parse, zero
+    shuffle — at Common-Crawl scale this job IS how the public cluster
+    index gets built."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path) \
+        .select("path", "content")
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                entries, _bad = index_warc(bytes(content))
+                rows.extend(
+                    (fpath, e["surt"], e["url"], e["warc_ts"], e["offset"],
+                     e["length"], e["digest"]) for e in entries)
+            yield pd.DataFrame(rows, columns=[
+                "file", "surt", "url", "warc_ts", "offset", "length",
+                "digest"])
+
+    return files.mapInPandas(
+        kernel,
+        "file string, surt string, url string, warc_ts timestamp, "
+        "offset long, length long, digest string")

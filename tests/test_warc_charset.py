@@ -316,3 +316,47 @@ def test_wat_deeply_nested_json_degrades_per_record():
     rows, n_bad = parse_wat(bomb + good)
     assert n_bad == 1
     assert [(r["url"], r["title"]) for r in rows] == [("https://ok/2", "t")]
+
+
+def test_cdx_index_random_access_and_surt(tmp_path, spark):
+    """CDXJ index (the fourth Common-Crawl artifact): every entry's
+    (offset, length) slices back to exactly its record — gzip members
+    AND plain record byte-ranges — the digest matches the payload, the
+    SURT key reverses host labels with www stripped, and the Spark
+    index job surfaces typed rows."""
+    import hashlib
+
+    pages = [
+        {"url": "https://www.Example.com/a/b?x=1",
+         "body": b"<html>one</html>"},
+        {"url": "https://sub.site.org/p", "body": b"<html>two</html>"},
+        {"url": "https://site.org/q", "body": b"<html>three</html>"},
+    ]
+    for gz in (True, False):
+        p = str(tmp_path / ("seg-%s.warc%s" % (gz, ".gz" if gz else "")))
+        warc.write_warc(p, pages, gzip_per_record=gz)
+        data = open(p, "rb").read()
+        idx, n_bad = warc.index_warc(data)
+        assert n_bad == 0 and [e["url"] for e in idx] == [
+            p_["url"] for p_ in pages]
+        for e, want in zip(idx, pages):
+            rec = warc.read_warc_record(data, e["offset"], e["length"])
+            assert rec is not None and rec["url"] == e["url"]
+            assert rec["body"] == want["body"]
+            assert e["digest"] == hashlib.md5(want["body"]).hexdigest()
+    assert [e["surt"] for e in idx] == [
+        "com,example)/a/b?x=1", "org,site,sub)/p", "org,site)/q"]
+    assert warc.surt_key("not a url") == "not a url"
+
+    # truncated tail: the good prefix indexes, one bad counted
+    cut = data[: idx[-1]["offset"] + 10]
+    idx2, n_bad2 = warc.index_warc(cut)
+    assert [e["url"] for e in idx2] == [p_["url"] for p_ in pages[:2]]
+    assert n_bad2 == 1
+
+    sdf = warc.index_warc_files(spark, str(tmp_path)).orderBy(
+        "file", "offset").collect()
+    assert len(sdf) == 6  # both files indexed
+    assert {r["surt"] for r in sdf} == {
+        "com,example)/a/b?x=1", "org,site,sub)/p", "org,site)/q"}
+    assert all(r["length"] > 0 and r["offset"] >= 0 for r in sdf)
