@@ -79,14 +79,18 @@ def _parse_warc_ts(value: str) -> dt.datetime | None:
         return None
 
 
-def _split_records(data: bytes) -> tuple[list[tuple[dict[str, str], bytes]], int]:
-    """Raw (already-decompressed) WARC bytes → [(headers, block)], n_bad.
+def _split_records_spans(
+        data: bytes) -> tuple[list[tuple[dict[str, str], bytes, int, int]], int]:
+    """Raw (already-decompressed) WARC bytes →
+    [(headers, block, record_start, record_end)], n_bad — the single
+    record-grammar walk shared by the parsers AND the CDX indexer (which
+    needs the byte spans).
 
     Malformed data stops the scan of the remaining bytes (one bad count) —
     record boundaries are length-prefixed, so a corrupt length makes
     everything after it unrecoverable by design of the format.
     """
-    records: list[tuple[dict[str, str], bytes]] = []
+    records: list[tuple[dict[str, str], bytes, int, int]] = []
     pos = 0
     n = len(data)
     while pos < n:
@@ -108,9 +112,16 @@ def _split_records(data: bytes) -> tuple[list[tuple[dict[str, str], bytes]], int
         body_start = head_end + 4
         if body_start + length > n:
             return records, 1
-        records.append((headers, data[body_start:body_start + length]))
+        records.append((headers, data[body_start:body_start + length],
+                        pos, body_start + length))
         pos = body_start + length
     return records, 0
+
+
+def _split_records(data: bytes) -> tuple[list[tuple[dict[str, str], bytes]], int]:
+    """Span-free view of ``_split_records_spans`` for the parsers."""
+    recs, bad = _split_records_spans(data)
+    return [(h, b) for h, b, _s, _e in recs], bad
 
 
 def _gunzip_members(data: bytes):
@@ -544,33 +555,10 @@ def index_warc(data: bytes) -> tuple[list[dict], int]:
                     break
                 pos = next_pos
         else:
-            pos, n = 0, len(data)
-            while pos < n:
-                while pos < n and data[pos:pos + 1] in (b"\r", b"\n"):
-                    pos += 1
-                if pos >= n:
-                    break
-                m = _VERSION_RE.match(data, pos)
-                if m is None:
-                    n_bad += 1
-                    break
-                head_end = data.find(b"\r\n\r\n", m.end())
-                if head_end < 0:
-                    n_bad += 1
-                    break
-                headers = _parse_headers(data[m.end():head_end])
-                try:
-                    length = int(headers.get("content-length", ""))
-                except ValueError:
-                    n_bad += 1
-                    break
-                body_start = head_end + 4
-                if body_start + length > n:
-                    n_bad += 1
-                    break
-                rec_end = body_start + length
-                add(headers, data[body_start:rec_end], pos, rec_end - pos)
-                pos = rec_end
+            recs, bad = _split_records_spans(data)
+            n_bad += bad
+            for headers, block, start, end in recs:
+                add(headers, block, start, end - start)
     except (zlib.error, ValueError, EOFError):
         return entries, n_bad + 1
     return entries, n_bad
