@@ -599,3 +599,47 @@ def index_warc_files(spark, path: str):
         kernel,
         "file string, surt string, url string, warc_ts timestamp, "
         "offset long, length long, digest string")
+
+
+def fetch_by_urls(spark, path: str, urls):
+    """Point reads through the CDX index: fetch ONLY the requested urls'
+    records from the WARC segments under ``path`` → pages DataFrame
+    (same envelope columns as read_warc).
+
+    The consumer half of the CDX story: build/filter the index (narrow,
+    per-file tasks), then open each touched segment ONCE and slice just
+    its matching members — at Common-Crawl scale this touches
+    len(urls)/~50k of the segment files and reads only the addressed
+    byte ranges instead of streaming 100 TB. The url set broadcasts (a
+    point-read workload is small by definition; a corpus-sized "set"
+    belongs in read_warc + a join instead)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    want = spark.createDataFrame([(u,) for u in urls], "url string")
+    hits = (index_warc_files(spark, path)
+            .join(F.broadcast(want), "url")
+            .select("file", "url", "offset", "length"))
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for fpath, group in pdf.groupby("file"):
+                with open(fpath.replace("file:", ""), "rb") as f:
+                    data = f.read()
+                for _, r in group.iterrows():
+                    page = read_warc_record(
+                        data, int(r["offset"]), int(r["length"]))
+                    if page is not None:
+                        rows.append((
+                            page["url"], page["warc_ts"], page["body"],
+                            None, None, page["http_status"], page["mime"],
+                            page["charset"]))
+            yield pd.DataFrame(rows, columns=[
+                "url", "warc_ts", "html", "text", "lang",
+                "http_status", "mime", "charset"])
+
+    return hits.repartition("file").mapInPandas(
+        kernel,
+        "url string, warc_ts timestamp, html binary, text string, "
+        "lang string, http_status int, mime string, charset string")

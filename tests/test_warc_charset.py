@@ -360,3 +360,28 @@ def test_cdx_index_random_access_and_surt(tmp_path, spark):
     assert {r["surt"] for r in sdf} == {
         "com,example)/a/b?x=1", "org,site,sub)/p", "org,site)/q"}
     assert all(r["length"] > 0 and r["offset"] >= 0 for r in sdf)
+
+
+def test_cdx_fetch_by_urls_point_reads(tmp_path, spark):
+    """The CDX consumer: fetch_by_urls returns exactly the requested
+    records (bodies byte-identical, envelope columns intact) by slicing
+    the addressed members — across multiple segment files — and an
+    unknown url simply returns nothing."""
+    a = [{"url": f"https://a.example/{i}",
+          "body": f"<html>a{i}</html>".encode()} for i in range(5)]
+    b = [{"url": f"https://b.example/{i}", "charset": "utf-8",
+          "body": f"<html>b{i}</html>".encode()} for i in range(5)]
+    warc.write_warc(str(tmp_path / "s1.warc.gz"), a)
+    warc.write_warc(str(tmp_path / "s2.warc.gz"), b)
+
+    got = warc.fetch_by_urls(
+        spark, str(tmp_path),
+        ["https://a.example/3", "https://b.example/0",
+         "https://b.example/4", "https://nowhere.example/x"]).collect()
+    rows = {r["url"]: r for r in got}
+    assert set(rows) == {"https://a.example/3", "https://b.example/0",
+                         "https://b.example/4"}
+    assert bytes(rows["https://a.example/3"]["html"]) == b"<html>a3</html>"
+    assert bytes(rows["https://b.example/4"]["html"]) == b"<html>b4</html>"
+    assert rows["https://b.example/0"]["charset"] == "utf-8"
+    assert rows["https://a.example/3"]["http_status"] == 200
