@@ -42,6 +42,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _xpar(spark: SparkSession) -> int:
+    """Extraction fan-out width = the session's core count. The roundtrip
+    queries used a fixed 8 (sf0.01 sizing); at sf0.1 on local[32] that
+    idled 3/4 of the machine on the heaviest mapInArrow stages, and on a
+    real cluster the right width is executors × cores, which is exactly
+    defaultParallelism."""
+    return spark.sparkContext.defaultParallelism
+
+
 # ---------------------------------------------------------------------------
 # deterministic dup-injected documents table (same construction in SQL twin)
 # ---------------------------------------------------------------------------
@@ -568,7 +577,7 @@ def q_source_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_extract_html_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     pages = _pages_from_documents(docs)
-    out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=8, salt=1)
+    out = run_extract(pages.select("url", "warc_ts", "html"), num_partitions=_xpar(spark), salt=1)
     return (
         out.where(F.col("page_number") == 1)
         .select(
@@ -631,7 +640,7 @@ def q_extract_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = docs.select("doc_id", "text").mapInPandas(
         make_pdf, "url string, warc_ts timestamp, html binary"
     )
-    out = run_extract(pages, num_partitions=8, salt=2)
+    out = run_extract(pages, num_partitions=_xpar(spark), salt=2)
     return out.select(
         F.regexp_replace(F.col("url"), "doc://", "").cast("long").alias("doc_id"),
         F.col("page_number"),
@@ -865,7 +874,7 @@ def q_channel_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         html.alias("html"),
     )
-    out = run_extract(pages, num_partitions=8, salt=4)
+    out = run_extract(pages, num_partitions=_xpar(spark), salt=4)
     # both output arms consume the fanout frame and Catalyst does not
     # dedupe common subplans — persist the NARROW channel rows (not the
     # extraction output) so the Arrow extraction pass runs once, the
@@ -1010,7 +1019,7 @@ def q_annotation_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
         html.alias("html"),
     )
-    out = run_extract(pages, num_partitions=8, salt=5)
+    out = run_extract(pages, num_partitions=_xpar(spark), salt=5)
     ann = docs.select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.col("doc_id").alias("ann_id"),

@@ -148,6 +148,36 @@ def main() -> None:
     times["extract_corpus"] = round(ext_s, 3)
 
     total = round(sum(times.values()), 3)
+
+    # Round-over-round comparability (round-4 verdict item 3): the headline
+    # set grows across rounds, so the total alone is not comparable. Emit
+    # the subtotal over the intersection with the LATEST recorded
+    # BENCH_r{N}.json's query set, so the driver's diff is mechanical.
+    shared_with_prev = None
+    try:
+        import glob
+        import re as _re
+
+        prevs = sorted(
+            glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_r*.json")),
+            key=lambda p: int(_re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        if prevs:
+            with open(prevs[-1]) as fh:
+                prev = json.load(fh)
+            prev_qs = set(prev.get("queries", {}))
+            inter = sorted(prev_qs & set(times))
+            shared_with_prev = {
+                "vs": os.path.basename(prevs[-1]),
+                "queries": inter,
+                "subtotal_sec": round(sum(times[q] for q in inter), 3),
+                "prev_subtotal_sec": round(
+                    sum(prev["queries"][q] for q in inter), 3),
+            }
+    except (OSError, ValueError, KeyError, AttributeError):
+        shared_with_prev = None  # bench must never fail on a malformed record
+
     print(
         json.dumps(
             {
@@ -156,6 +186,7 @@ def main() -> None:
                 "unit": "sec",
                 "protocol": f"best_of_{reps}",
                 "queries": times,
+                "shared_with_prev": shared_with_prev,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "calibration": {

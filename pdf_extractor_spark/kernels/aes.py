@@ -26,6 +26,8 @@ arm delegates to this same FIPS-197 cipher.
 """
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 _POLY = 0x11B  # x^8 + x^4 + x^3 + x + 1, the AES field polynomial
@@ -76,9 +78,14 @@ _INV_SBOX: np.ndarray = _T["inv_sbox"]
 _MUL: dict[int, np.ndarray] = _T["mul"]
 
 
+@functools.lru_cache(maxsize=4096)
 def _expand_key(key: bytes) -> np.ndarray:
     """FIPS-197 §5.2 key expansion → (Nr+1, 4, 4) round-key array in
-    COLUMN-major state layout (state[r][c] = byte 4*c + r, §3.4)."""
+    COLUMN-major state layout (state[r][c] = byte 4*c + r, §3.4).
+
+    Memoized (read-only result): a PDF's object streams all share per-object
+    keys drawn from a tiny set, so the pure-Python schedule ran hundreds of
+    times per task for a handful of distinct keys (q26 profile)."""
     nk = len(key) // 4
     if nk not in (4, 6, 8):
         raise ValueError(f"bad AES key length {len(key)}")
@@ -96,13 +103,21 @@ def _expand_key(key: bytes) -> np.ndarray:
             temp = [int(_SBOX[b]) for b in temp]
         words.append([a ^ b for a, b in zip(words[i - nk], temp)])
     flat = np.array(words, dtype=np.uint8).reshape(nr + 1, 4, 4)
-    return flat.transpose(0, 2, 1)  # word c -> state column c
+    rk = np.ascontiguousarray(flat.transpose(0, 2, 1))  # word c -> col c
+    rk.setflags(write=False)  # cached + shared: callers must not mutate
+    return rk
 
 
 # ShiftRows: row r rotates LEFT by r; as a gather over columns per row
 _SHIFT_COLS = np.array([[(c + r) % 4 for c in range(4)] for r in range(4)])
 _INV_SHIFT_COLS = np.array([[(c - r) % 4 for c in range(4)] for r in range(4)])
 _ROWS = np.arange(4)[:, None]
+# MixColumns row rotations as precomputed gathers (np.roll spends most of
+# its time in argument normalization at these tiny shapes — measured in
+# the q26 profile)
+_ROLL1 = np.array([1, 2, 3, 0])
+_ROLL2 = np.array([2, 3, 0, 1])
+_ROLL3 = np.array([3, 0, 1, 2])
 
 
 def _ecb_encrypt_blocks(states: np.ndarray, rk: np.ndarray) -> np.ndarray:
@@ -115,9 +130,9 @@ def _ecb_encrypt_blocks(states: np.ndarray, rk: np.ndarray) -> np.ndarray:
         # MixColumns: out_r = 2*s_r ^ 3*s_{r+1} ^ s_{r+2} ^ s_{r+3}
         m2, m3 = _MUL[2][s], _MUL[3][s]
         s = (m2
-             ^ np.roll(m3, -1, axis=1)
-             ^ np.roll(s, -2, axis=1)
-             ^ np.roll(s, -3, axis=1))
+             ^ m3[:, _ROLL1]
+             ^ s[:, _ROLL2]
+             ^ s[:, _ROLL3])
         s ^= rk[rnd]
     s = _SBOX[s]
     s = s[:, _ROWS, _SHIFT_COLS]
@@ -134,9 +149,9 @@ def _ecb_decrypt_blocks(states: np.ndarray, rk: np.ndarray) -> np.ndarray:
         s = s ^ rk[rnd]
         # InvMixColumns: out_r = 14*s_r ^ 11*s_{r+1} ^ 13*s_{r+2} ^ 9*s_{r+3}
         s = (_MUL[14][s]
-             ^ np.roll(_MUL[11][s], -1, axis=1)
-             ^ np.roll(_MUL[13][s], -2, axis=1)
-             ^ np.roll(_MUL[9][s], -3, axis=1))
+             ^ _MUL[11][s][:, _ROLL1]
+             ^ _MUL[13][s][:, _ROLL2]
+             ^ _MUL[9][s][:, _ROLL3])
     s = s[:, _ROWS, _INV_SHIFT_COLS]
     s = _INV_SBOX[s]
     return s ^ rk[0]
@@ -285,9 +300,6 @@ def pkcs7_unpad(data: bytes) -> bytes:
     if not 1 <= n <= 16 or data[-n:] != bytes([n]) * n:
         raise ValueError("bad PKCS#7 padding")
     return data[:-n]
-
-
-import functools
 
 
 def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:

@@ -26,6 +26,7 @@ each with a TEXT channel; failures degrade to an error row instead of raising
 """
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 
@@ -452,9 +453,26 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
                   r: int, keylen: int,
                   encrypt_metadata: bool = True) -> bytes:
+    # canonicalize the keyword default into the positional cache key so
+    # f(..., True) and f(...) share one memo entry (the _hash_2b shape)
+    return _std_file_key_memo(password, o_entry, p, id0, r, keylen,
+                              encrypt_metadata)
+
+
+@functools.lru_cache(maxsize=4096)
+def _std_file_key_memo(password: bytes, o_entry: bytes, p: int, id0: bytes,
+                       r: int, keylen: int,
+                       encrypt_metadata: bool) -> bytes:
     """Algorithm 2: the file encryption key from a (user) password. For
     R4 files with /EncryptMetadata false the spec appends 0xFFFFFFFF to
-    the first MD5 input (ISO 32000-1 §7.6.3.3 step f)."""
+    the first MD5 input (ISO 32000-1 §7.6.3.3 step f).
+
+    Memoized (with `_std_owner_entry` / `_std_user_entry`): the three
+    derivation chains are pure functions of their inputs, and a dedup-heavy
+    corpus repeats (O, P, ID) tuples constantly — the q26 profile showed
+    the 20-round RC4 validation chains at 41% of warm kernel CPU, nearly
+    all of it on repeated keys. Cache misses cost exactly what the uncached
+    path did; the lru bound keeps worker memory O(4096 × 32 B)."""
     import hashlib
     import struct
 
@@ -468,10 +486,12 @@ def _std_file_key(password: bytes, o_entry: bytes, p: int, id0: bytes,
     return h[:keylen]
 
 
+@functools.lru_cache(maxsize=4096)
 def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
                      keylen: int) -> bytes:
     """Algorithm 3: the /O entry (used by the writer twin; the reader
-    consumes /O as opaque input to Algorithm 2)."""
+    consumes /O as opaque input to Algorithm 2). Memoized — see
+    `_std_file_key_memo`."""
     import hashlib
 
     h = hashlib.md5((owner_pw + _PW_PAD)[:32]).digest()
@@ -486,9 +506,11 @@ def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
     return o
 
 
+@functools.lru_cache(maxsize=4096)
 def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
     """Algorithms 4 (R2) / 5 (R3): the /U entry from the file key — the
-    value the reader recomputes to VALIDATE the empty-password key."""
+    value the reader recomputes to VALIDATE the empty-password key.
+    Memoized — see `_std_file_key_memo`."""
     import hashlib
 
     if r == 2:

@@ -102,6 +102,40 @@ PICKS = {
         "BROADCAST per-host doc counts, template set broadcasts into the "
         "anti-join — plan-audited 3 BroadcastHashJoin / 0 SortMergeJoin."
     ),
+    "q26_extract_pdf": (
+        "Writer stage is a narrow mapInPandas over the documents scan (one "
+        "builder per row, layout picked by doc_id%9); then the mandated "
+        "salted hash-repartition on url is the ONLY exchange before the "
+        "mapInArrow kernel pass; the final orderBy is the output sort. "
+        "Kernel CPU is bounded per doc: the RC4/AES key-derivation chains "
+        "(Algorithms 2/3/5, the 20-round RC4 validation) and the FIPS-197 "
+        "key schedule are memoized per worker — a dedup-heavy corpus "
+        "repeats (O, P, ID) tuples constantly, so warm per-doc cost is "
+        "~0.5 ms across the 9-layout rotation (was 2.3 ms; 41% of it was "
+        "repeated derivation RC4). AES-CBC decrypt itself is the "
+        "numpy-vectorized block-parallel path (P_i = D(C_i) XOR C_{i-1})."
+    ),
+    "q53_source_rollup": (
+        "Four Common-Crawl artifact round-trips (WARC segments written "
+        "per-partition then re-read one-file-one-task; WET; WAT; CDXJ "
+        "index + fetch_by_urls point reads) feed per-host rollups whose "
+        "checksums aggregate at plan-build into literal frames, so the "
+        "temp segments free immediately. PageRank AND HITS run as "
+        "integer fixed-points with localCheckpoint per half-iteration "
+        "(a lazily composed plan grows ~4^iters); no scan in the "
+        "iterative parts is wider than (url, md5/host). Sitemap/robots "
+        "joins broadcast (per-host rule tables are tiny); HLL "
+        "distinct-per-host keeps register state bounded at 256 ints/host."
+    ),
+    "q47_chunk_documents": (
+        "Chunking is a narrow per-doc explode; packing's global token "
+        "offset is a bucketed two-level prefix sum — per-bucket subtotals, "
+        "cumulative offsets over the tiny subtotal table broadcast back, "
+        "in-bucket window — so the plan's only SinglePartition exchange "
+        "holds corpus/1024 rows. BPE arm: capped-vocab learn collects the "
+        "top-N vocabulary ONCE (vocab-bounded, not corpus-bounded); encode "
+        "is one Arrow pass with the word→ids map in the closure."
+    ),
     "q62_training_mix": (
         "Perplexity branch: bigram/context LM counts are two hash "
         "aggregates; doc-gram scoring joins them on the gram key (broadcast "
@@ -128,8 +162,39 @@ are what make these plans survive a 100× scale-up.
 """
 
 
+def _check_bench_coverage(threshold_sec: float = 3.0) -> None:
+    """Fail if any driver-contract query at or above `threshold_sec` in the
+    LATEST recorded BENCH_r{N}.json lacks a PLANS.md section (round-4
+    verdict item 2: the plan audit must cover the top of the bench table).
+    `extract_corpus` is bench-internal (not a queries() entry) and exempt."""
+    import glob
+    import json
+    import re
+
+    prevs = sorted(
+        glob.glob("/root/repo/BENCH_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+    )
+    if not prevs:
+        return
+    with open(prevs[-1]) as fh:
+        bench = json.load(fh)
+    slow = {
+        q for q, sec in bench.get("queries", {}).items()
+        if sec >= threshold_sec and q != "extract_corpus"
+    }
+    missing = sorted(slow - set(PICKS))
+    if missing:
+        raise SystemExit(
+            f"PLANS.md coverage gap: queries >= {threshold_sec}s in "
+            f"{prevs[-1]} without a PICKS section: {missing}"
+        )
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
+
+    _check_bench_coverage()
 
     spark = (
         SparkSession.builder.master("local[8]")
