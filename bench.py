@@ -166,6 +166,7 @@ def main() -> None:
         if prevs:
             with open(prevs[-1]) as fh:
                 prev = json.load(fh)
+            prev = prev.get("parsed", prev)  # driver wraps under "parsed"
             prev_qs = set(prev.get("queries", {}))
             inter = sorted(prev_qs & set(times))
             shared_with_prev = {

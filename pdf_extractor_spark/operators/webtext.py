@@ -411,10 +411,15 @@ def _meta_content(html_str: Column, name_attr: str, value: str) -> Column:
     p1, p2 = _meta_content_patterns(name_attr, value)
     c1 = _unquote_attr(F.regexp_extract(html_str, p1, 1))
     c2 = _unquote_attr(F.regexp_extract(html_str, p2, 1))
+    # the regexp_instr position probes only run in the both-matched branch
+    # (CaseWhen evaluates branch values lazily) — the common one-order page
+    # pays 2 full-document regex passes per field instead of 4
     pos1 = F.regexp_instr(html_str, F.lit(p1))
     pos2 = F.regexp_instr(html_str, F.lit(p2))
-    out = (F.when((c1 != "") & ((c2 == "") | (pos1 <= pos2)), c1)
-           .when(c2 != "", c2))
+    out = (F.when(c1 == "", F.when(c2 != "", c2))
+           .when(c2 == "", c1)
+           .when(pos1 <= pos2, c1)
+           .otherwise(c2))
     return F.when(out != "", out)
 
 

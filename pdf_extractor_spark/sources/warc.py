@@ -549,8 +549,16 @@ def index_warc(data: bytes) -> tuple[list[dict], int]:
                 next_pos = n - len(rest) if rest else n
                 recs, bad = _split_records(member)
                 n_bad += bad
+                before = len(entries)
                 for headers, block in recs:
                     add(headers, block, pos, next_pos - pos)
+                if len(entries) - before > 1:
+                    # a member with >1 response record (whole-file gzip, not
+                    # the per-record CDX layout): every entry shares the
+                    # member-wide span, so only the FIRST is random-access
+                    # recoverable. Flag the degradation instead of silently
+                    # half-indexing (fetch_by_urls also verifies per-record).
+                    n_bad += 1
                 if next_pos <= pos:
                     break
                 pos = next_pos
@@ -622,15 +630,29 @@ def fetch_by_urls(spark, path: str, urls):
             .select("file", "url", "offset", "length"))
 
     def kernel(batches):
+        from urllib.parse import unquote, urlparse
+
         for pdf in batches:
             rows = []
             for fpath, group in pdf.groupby("file"):
-                with open(fpath.replace("file:", ""), "rb") as f:
+                # binaryFile paths are URIs: strip only a leading file:
+                # scheme and percent-decode (a bare .replace() corrupted
+                # paths containing %20 or a literal 'file:' segment)
+                parsed = urlparse(fpath)
+                local = unquote(parsed.path) if parsed.scheme == "file" \
+                    else fpath
+                with open(local, "rb") as f:
                     data = f.read()
                 for _, r in group.iterrows():
                     page = read_warc_record(
                         data, int(r["offset"]), int(r["length"]))
-                    if page is not None:
+                    # verify the fetched record IS the requested one: in a
+                    # whole-file-gzip segment every CDX entry shares the
+                    # member-wide span, so the slice parses to the member's
+                    # FIRST response — emitting it for every hit would
+                    # silently mislabel pages. Mismatches drop (fail empty,
+                    # not wrong); index_warc flags such members as bad.
+                    if page is not None and page["url"] == r["url"]:
                         rows.append((
                             page["url"], page["warc_ts"], page["body"],
                             None, None, page["http_status"], page["mime"],

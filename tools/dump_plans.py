@@ -179,6 +179,7 @@ def _check_bench_coverage(threshold_sec: float = 3.0) -> None:
         return
     with open(prevs[-1]) as fh:
         bench = json.load(fh)
+    bench = bench.get("parsed", bench)  # driver wraps under "parsed"
     slow = {
         q for q, sec in bench.get("queries", {}).items()
         if sec >= threshold_sec and q != "extract_corpus"
