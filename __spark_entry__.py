@@ -729,6 +729,10 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ES_PASSAGE = (
     " the quick brown fox jumps over the lazy dog again and again"
 )
+# 60-char single-token blob: long in CHARS, one token after normalization —
+# the shape the token-level ExactSubstr window provably misses and the
+# character-level rule catches (q39 exact_substr_chars arm)
+_ES_BLOB = "zq" * 30
 
 
 def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -739,6 +743,15 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     `exact_substr` — append a shared 12-token passage to every 7th doc;
     ExactSubstr (Lee et al. 2021) must remove every token span covered by a
     corpus-duplicated 8-token window.
+    `exact_substr_chars` — append a shared 60-char SINGLE-TOKEN blob to
+    every doc_id%9==1 doc: the adversarial shape the token-level window
+    provably misses (1 token < k=8, so no duplicated token window exists)
+    and the paper's character-level rule catches. The char arm runs the
+    real Lee-et-al rule (every position covered by a corpus-duplicated
+    ≥50-char substring is removed — including the shared preceding space)
+    and the oracle recomputes the full char-window rule independently, so
+    accidental corpus-native ≥50-char duplicates are gated too, not just
+    the planted blob.
     `site_template` — prepend a per-source nav sentence to every doc of
     that source; per-host template suppression must strip exactly it."""
     docs = _t(spark, sf_dir, "documents")
@@ -767,6 +780,19 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "clean_text")
         .withColumn("method", F.lit("exact_substr"))
     )
+    pol4 = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 9 == 1,
+                   F.lit(" " + _ES_BLOB)).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    esc = (
+        dedup.exact_substring_dedup_chars(pol4, min_len=50)
+        .select("doc_id", "clean_text")
+        .withColumn("method", F.lit("exact_substr_chars"))
+    )
     # `site_template` — prepend the SAME nav sentence to every document of
     # a source; per-host template suppression (dedup.site_template_dedup)
     # must strip exactly that sentence on every host and nothing else,
@@ -781,7 +807,8 @@ def q_line_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.site_template_dedup(pol3, host_col="host")
         .withColumn("method", F.lit("site_template"))
     )
-    return lf.unionByName(es).unionByName(st).orderBy("method", "doc_id")
+    return (lf.unionByName(es).unionByName(esc).unionByName(st)
+            .orderBy("method", "doc_id"))
 
 
 def q_page_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3318,6 +3345,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT t.doc_id, coalesce(reb.clean_text, '') AS clean_text,
                'exact_substr' AS method
         FROM t LEFT JOIN reb USING (doc_id)
+        UNION ALL
+        SELECT doc_id, clean_text, 'exact_substr_chars' AS method
+        FROM (
+            WITH pol4 AS (
+                SELECT doc_id,
+                       text || CASE WHEN doc_id % 9 = 1
+                                    THEN ' {_ES_BLOB}' ELSE '' END AS text
+                FROM documents),
+            ct AS (SELECT doc_id, {es_norm} AS t FROM pol4),
+            cw AS (SELECT doc_id, i::INT AS p, md5(substr(t, i::INT, 50)) AS h
+                   FROM ct, unnest(range(1, greatest(len(t) - 48, 1)))
+                        AS u(i)),
+            cdup AS (SELECT h FROM cw GROUP BY h HAVING count(*) > 1),
+            ccov AS (SELECT DISTINCT cw.doc_id, (cw.p + j)::INT AS cpos
+                     FROM cw JOIN cdup USING (h), unnest(range(0, 50))
+                          AS v(j)),
+            cch AS (SELECT doc_id, i::INT AS cpos,
+                           substr(t, i::INT, 1) AS ch
+                    FROM ct, unnest(range(1, len(t) + 1)) AS u2(i)),
+            ckept AS (SELECT cch.doc_id, cch.cpos, cch.ch
+                      FROM cch ANTI JOIN ccov USING (doc_id, cpos)),
+            creb AS (SELECT doc_id,
+                            string_agg(ch, '' ORDER BY cpos) AS clean_text
+                     FROM ckept GROUP BY doc_id)
+            SELECT ct.doc_id, coalesce(creb.clean_text, '') AS clean_text
+            FROM ct LEFT JOIN creb USING (doc_id))
         UNION ALL
         SELECT doc_id, text AS clean_text, 'line_freq' AS method
         FROM documents

@@ -1193,6 +1193,101 @@ def exact_substring_dedup(docs: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def exact_substring_dedup_chars(docs: DataFrame,
+                                min_len: int = 50) -> DataFrame:
+    """CHARACTER-level ExactSubstr — the exact rule of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better", §4.1:
+    remove every substring of ≥ 50 BYTES that occurs more than once in
+    the corpus), which `exact_substring_dedup` approximates at token
+    granularity. The token path MISSES spans long in characters but
+    short in tokens (a duplicated 60-char blob that normalizes to one
+    token contains no duplicated 8-token window — the adversarial
+    fixture pinned in tests and gated in q39's `exact_substr_chars`
+    arm); this path closes that gap.
+
+    The paper's suffix array is a single-node design. The Spark-native
+    equivalent hashes every length-L character window: a position is
+    covered by a duplicated substring of length ≥ L **iff** it is
+    covered by a duplicated length-L window (every length-L substring
+    of a duplicated span is itself duplicated, and a duplicated window
+    IS a duplicated length-L substring) — so windowed hashing computes
+    the suffix array's exact coverage set, not an approximation of it.
+
+      windows  : narrow transform(sequence) pass — md5 of each length-L
+                 char slice of the normalized text (~n_chars rows/doc).
+      dup set  : ONE shuffle on the window hash; count(*) > 1.
+      intervals: duplicated windows per doc become [s, s+L-1] intervals,
+                 merged with a gaps-and-islands window over (doc_id, s)
+                 — the shuffle carries DUPLICATED windows only
+                 (heavy-tail-small at web scale), never one row per
+                 character, so the rebuild cost is O(dup spans), not
+                 O(corpus chars) — the property that survives a 100×
+                 scale-up where a per-char explode would not.
+      rebuild  : per-doc aggregate() over the few merged intervals
+                 stitches the kept slices (interpreted HOF over a small
+                 array — fine; the per-char work stays in the scan).
+
+    Output is total over input: (doc_id, clean_text, n_removed_chars);
+    docs shorter than min_len pass through untouched. Like the token
+    path, frequency counts OCCURRENCES, matching the paper.
+    """
+    from pyspark.sql import Window
+
+    t = docs.select("doc_id", _norm(F.col("text")).alias("t"))
+    n = F.length("t")
+    wins = (
+        t.where(n >= min_len)
+        .select(
+            "doc_id", "t",
+            F.posexplode(F.expr(
+                f"transform(sequence(1, length(t) - {min_len} + 1), "
+                f"i -> md5(substring(t, i, {min_len})))"
+            )).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("s"), "h")
+    )
+    dup = wins.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
+    iv = (
+        wins.join(dup.select("h"), "h", "left_semi")
+        .select("doc_id", "s", (F.col("s") + (min_len - 1)).alias("e"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("s")
+    iv = iv.withColumn(
+        "pe", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    iv = iv.withColumn(
+        "isl",
+        F.sum(
+            (F.col("pe").isNull() | (F.col("s") > F.col("pe") + 1))
+            .cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = (
+        iv.groupBy("doc_id", "isl")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("s", "e"))).alias("ivs"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+        )
+    )
+    # stitch kept slices: fold over merged intervals, carrying (acc, pos)
+    stitched = F.expr(
+        "aggregate(ivs, struct(cast('' as string) as acc, 1L as pos), "
+        "(a, iv) -> struct(concat(a.acc, substring(t, a.pos, iv.s - a.pos)), "
+        "cast(iv.e + 1 as bigint)), "
+        "a -> concat(a.acc, substring(t, a.pos, length(t) - a.pos + 1)))"
+    )
+    return (
+        t.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ivs").isNull(), F.col("t"))
+            .otherwise(stitched).alias("clean_text"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed_chars"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # benchmark decontamination (training-data hygiene)
 # ---------------------------------------------------------------------------
