@@ -226,11 +226,34 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
     t.add_column("score", "double", default=0.5)
     t.rename_column("v", "val")
     t.drop_column("obsolete")
+    t.widen_column("id", "long")
     t.backfill(spark, "score", "length(val)")
     t.compact(spark)
     t.compact(spark, cluster_by=["ts", "user_id"])
     t.expire_snapshots(keep_last=3)
     t.expire_orphans()
+
+    # CI-style surface guard (round-4 verdict item 6): every public
+    # SnapshotTable op that maps to engine work must be EXERCISED above,
+    # so adding a new SnapshotTable op without extending this parity test
+    # (and the Iceberg twin) fails here — not silently months later on a
+    # real cluster. Pure-metadata READS of the local manifest chain have
+    # no Iceberg call to record and are the only exemptions.
+    metadata_only_reads = {
+        "snapshots", "chain_max_summary", "logical_columns",
+        "current_manifest",
+    }
+    exercised = {
+        "append", "overwrite", "overwrite_partitions", "read",
+        "read_snapshot", "read_incremental", "soft_delete", "undelete",
+        "add_column", "rename_column", "drop_column", "widen_column",
+        "backfill", "compact", "expire_snapshots", "expire_orphans",
+    }
+    unexercised = snap_methods - exercised - metadata_only_reads
+    assert not unexercised, (
+        f"SnapshotTable ops without an exercised Iceberg-twin call: "
+        f"{sorted(unexercised)} — extend this test AND IcebergTable")
+
     assert t.calls == [
         "writeTo(local.db.extracted).append()",
         "writeTo(local.db.extracted).createOrReplace()",
@@ -246,6 +269,7 @@ def test_iceberg_binding_interface_parity_dry_run(spark):
         "ALTER TABLE local.db.extracted ADD COLUMN score double DEFAULT 0.5",
         "ALTER TABLE local.db.extracted RENAME COLUMN v TO val",
         "ALTER TABLE local.db.extracted DROP COLUMN obsolete",
+        "ALTER TABLE local.db.extracted ALTER COLUMN id TYPE BIGINT",
         "UPDATE local.db.extracted SET score = length(val) "
         "WHERE score IS NULL",
         "CALL local.system.rewrite_data_files(table => 'local.db.extracted')",
