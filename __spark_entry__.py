@@ -1259,9 +1259,19 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             else render_text_jpeg_progressive(t, width=32)),
         "binary",
     )
+    # the WEBP tier's VP8L flavor rotates over literal / distance-1 LZ77 /
+    # NEAR-NEIGHBOR distance codes (previous-row copies through the
+    # generated RFC 9649 §4.2.2 offset map — round-4 verdict item 8, the
+    # quarantine lifted) / all-paths-combined — value-gated end-to-end via
+    # the container-agnostic oracle.
+    _WEBP_PROFILES = ({}, {"use_lz77": True}, {"use_near": True},
+                      {"use_near": True, "use_lz77": True, "cache_bits": 4})
     _print_page_webp = F.pandas_udf(
-        lambda texts: texts.map(
-            lambda t: None if t is None else render_text_webp(t, width=32)),
+        lambda texts, ids: pd.Series(
+            None if t is None
+            else render_text_webp(t, width=32,
+                                  **_WEBP_PROFILES[int(i) // 50 % 4])
+            for t, i in zip(texts, ids)),
         "binary",
     )
     ocr_gated = F.when(F.col("doc_id") % 50 == 25, ocr_src)
@@ -1283,7 +1293,8 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 50 == 15, _print_page_tiff(tiff_gated, F.col("doc_id")))
         .when(F.col("doc_id") % 50 == 20, _print_page_jpeg(jpeg_gated))
         .when(F.col("doc_id") % 50 == 10, _print_page_pjpeg(pjpeg_gated))
-        .when(F.col("doc_id") % 50 == 30, _print_page_webp(webp_gated))
+        .when(F.col("doc_id") % 50 == 30,
+              _print_page_webp(webp_gated, F.col("doc_id")))
         .otherwise(F.col("html")).alias("html"),
     )
     job = ExtractionJob(

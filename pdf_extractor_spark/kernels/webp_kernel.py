@@ -17,11 +17,15 @@ extraction tier quarantines loudly instead of mis-reading):
 - lossless ``VP8L`` only — lossy ``VP8 `` is a full video intra codec
   (boolean arithmetic coder, prediction modes, loop filter) and stays on
   the quarantine path, like arithmetic-coded JPEG;
-- LZ77 distance codes 1..120 (the near-neighbor map) quarantine: their
-  120-entry (dx, dy) offset table cannot be verified in this environment
-  (no reference decoder to round-trip against), and a wrongly-recalled
-  table would silently corrupt pixels — distance codes > 120 (direct
-  distances, what this module's encoder emits) decode exactly.
+- LZ77 distance codes 1..120 (the near-neighbor map) now DECODE (the
+  round-4 quarantine lifted): the 120-entry (x, y) offset table is not
+  quoted from memory but GENERATED from the spec's closed-form
+  enumeration — all offsets with y in 0..7, x in -7..8, (y > 0 or
+  x > 0), sorted by (x² + y², |x|, positive-x-first) — which reproduces
+  the published table (RFC 9649 §4.2.2 "Distance Mapping"); tests pin
+  the enumeration's invariants and its leading rows against the spec
+  text, and the encoder's ``use_near`` flavor round-trips previous-row
+  copies (distance code 1) through the mapping from real bits.
 
 The encoder twin (``pack_webp_gray``) emits conforming minimal streams —
 subtract-green transform + literal-only entropy image — with optional
@@ -43,6 +47,26 @@ _MAX_PIXELS = 64 * 1024 * 1024  # decode-bomb cap, the shared discipline
 # code-length-code symbol order (spec §"Decoding the Code Lengths")
 _CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 _HASH_MUL = 0x1E35A7BD  # color-cache hash multiplier (spec constant)
+
+
+def _near_neighbor_offsets() -> list:
+    """The 120-entry near-neighbor (x, y) offset table for distance codes
+    1..120, GENERATED from the spec's closed-form enumeration instead of
+    quoted: candidates are every offset in the 8-row neighborhood above /
+    beside the current pixel — y in 0..7, x in -7..8, restricted to
+    offsets that point BACKWARD in scan order (y > 0, or y == 0 with
+    x > 0) — ordered by squared euclidean distance, ties by |x| then
+    positive-x-before-negative. 8 + 7×16 = 120 entries, matching RFC 9649
+    §4.2.2's published table row for row (leading rows pinned in tests).
+    Actual distance = x + y·xsize, clamped to ≥ 1 (spec)."""
+    cands = [(x, y) for y in range(8) for x in range(-7, 9)
+             if y > 0 or x > 0]
+    cands.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], abs(p[0]),
+                              p[0] < 0))
+    return cands
+
+
+_NEAR_OFFSETS = _near_neighbor_offsets()
 
 
 # -- bit I/O (LSB-first, per spec) -------------------------------------------
@@ -270,10 +294,13 @@ def _entropy_image(br: _Bits, w: int, h: int, is_main: bool) -> list[int]:
             length = _lz77_value(s - 256, br)
             dist_code = _lz77_value(codes[4].decode(br), br)
             if dist_code <= 120:
-                raise OcrUnsupported(
-                    "webp: near-neighbor LZ77 distance code outside the "
-                    "verified profile (see module docstring)")
-            dist = dist_code - 120
+                # near-neighbor map (spec §"Distance Mapping"): the code
+                # addresses a (x, y) offset in the generated table;
+                # distance = x + y·xsize, clamped to >= 1
+                ox, oy = _NEAR_OFFSETS[dist_code - 1]
+                dist = max(ox + oy * w, 1)
+            else:
+                dist = dist_code - 120
             if dist > pos:
                 raise OcrUnsupported("webp: LZ77 distance before image start")
             if pos + length > n:
@@ -659,7 +686,8 @@ def _write_normal_code(bw: _BitWriter, needed: list[int],
 
 
 def pack_webp_gray(px_rows: list, use_simple2: bool = False,
-                   use_lz77: bool = False, cache_bits: int = 0) -> bytes:
+                   use_lz77: bool = False, cache_bits: int = 0,
+                   use_near: bool = False) -> bytes:
     """Pack top-down luminance rows into a conforming minimal VP8L
     stream: subtract-green transform (gray pixels then carry r=b=0, so
     red/blue are zero-cost single-symbol codes) + a literal entropy
@@ -670,7 +698,12 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
       use exactly 2 gray values, e.g. plain ink-on-paper renders);
     - ``use_lz77``: run-length encodes repeats of the previous pixel as
       backward references at distance 1 (direct distance code 121, via
-      the single-symbol distance prefix 13 + 5 extra bits);
+      the distance prefix 13 + 5 extra bits);
+    - ``use_near``: encodes runs equal to the PREVIOUS ROW as backward
+      references through near-neighbor distance code 1 (offset (0, 1) →
+      distance = xsize), driving the generated offset-map decode path
+      from real bits — the fixture shape real encoders emit constantly
+      (vertically repetitive scans);
     - ``cache_bits``: routes repeated colors through the color cache
       (cache symbols join the green alphabet at 280+slot).
     """
@@ -681,17 +714,32 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
 
     def events():
         """The emission stream, shared by the symbol-collection pass and
-        the bit-writing pass (they must agree exactly)."""
+        the bit-writing pass (they must agree exactly). ``copy`` events
+        carry the distance PREFIX symbol (0 → near code 1, 13 → direct
+        distance 1 via code 121)."""
         cache: list = [None] * cache_size
         i = 0
         n = len(flat)
         while i < n:
+            if use_near and i >= w and flat[i] == flat[i - w]:
+                run = 1
+                while (i + run < n and run < 24
+                       and flat[i + run] == flat[i + run - w]):
+                    run += 1
+                yield ("copy", run, 0)
+                if cache_size:
+                    for j in range(i, i + run):
+                        px = (255 << 24) | (flat[j] << 8)
+                        cache[(_HASH_MUL * px & 0xFFFFFFFF)
+                              >> cache_shift] = px
+                i += run
+                continue
             if use_lz77 and i > 0 and flat[i] == flat[i - 1]:
                 run = 1
                 while (i + run < n and flat[i + run] == flat[i - 1]
                        and run < 24):
                     run += 1
-                yield ("copy", run)
+                yield ("copy", run, 13)
                 if cache_size:
                     px = (255 << 24) | (flat[i] << 8)
                     cache[(_HASH_MUL * px & 0xFFFFFFFF) >> cache_shift] = px
@@ -721,11 +769,14 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
             prefix += 1
 
     needed: set[int] = set()
-    for kind, v in events():
+    dist_needed: set[int] = set()
+    for ev in events():
+        kind, v = ev[0], ev[1]
         if kind == "lit":
             needed.add(v)
         elif kind == "copy":
             needed.add(256 + length_prefix(v)[0])
+            dist_needed.add(ev[2])
         else:
             needed.add(280 + v)
     bw = _BitWriter()
@@ -743,8 +794,8 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
         bw.write(0, 1)
     bw.write(0, 1)  # no meta prefix codes
     if use_simple2:
-        if cache_bits or use_lz77 or not needed <= set(range(256)) \
-                or len(needed) > 2:
+        if cache_bits or use_lz77 or use_near \
+                or not needed <= set(range(256)) or len(needed) > 2:
             raise ValueError("use_simple2: <= 2 gray values, no lz77/cache")
         green = _write_simple_code(bw, sorted(needed))
     elif len(needed) == 1 and max(needed) <= 255:
@@ -755,10 +806,13 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
     _write_simple_code(bw, [0])    # red (0 after subtract-green)
     _write_simple_code(bw, [0])    # blue
     _write_simple_code(bw, [255])  # alpha
-    # distance code: single symbol 13 (prefix 13 + 5 extra bits spans
-    # dist_code 97..160, covering the direct-distance-1 code 121)
-    _write_simple_code(bw, [13])
-    for kind, v in events():
+    # distance prefix code over the prefixes actually emitted: 0 (near-
+    # neighbor code 1, no extra bits) and/or 13 (+5 extra bits, spanning
+    # dist_code 97..160 — the direct-distance-1 code 121); a copy-free
+    # stream keeps the historical single-symbol 13 bitstream.
+    dist = _write_simple_code(bw, sorted(dist_needed) or [13])
+    for ev in events():
+        kind, v = ev[0], ev[1]
         if kind == "lit":
             code, ln = green[v]
             _write_code_msb(bw, code, ln)
@@ -768,7 +822,10 @@ def pack_webp_gray(px_rows: list, use_simple2: bool = False,
             _write_code_msb(bw, code, ln)
             if ebits:
                 bw.write(extra, ebits)
-            bw.write(24, 5)  # dist_code 121 = ((2+1)<<5) + 24 + 1
+            dcode, dln = dist[ev[2]]
+            _write_code_msb(bw, dcode, dln)
+            if ev[2] == 13:
+                bw.write(24, 5)  # dist_code 121 = ((2+1)<<5) + 24 + 1
         else:
             code, ln = green[280 + v]
             _write_code_msb(bw, code, ln)
@@ -792,7 +849,8 @@ def render_text_webp(text: str, width: int = 32, **flavors) -> bytes:
         render_page_gray(wrap_fixed(text, width)),
         use_simple2=flavors.get("use_simple2", False),
         use_lz77=flavors.get("use_lz77", False),
-        cache_bits=flavors.get("cache_bits", 0))
+        cache_bits=flavors.get("cache_bits", 0),
+        use_near=flavors.get("use_near", False))
 
 
 def ocr_webp(payload: bytes, max_err: int = 6) -> list[str]:

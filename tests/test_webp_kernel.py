@@ -28,6 +28,9 @@ def _gray(rows):
     {"use_lz77": True},                    # distance-1 backrefs
     {"cache_bits": 6},                     # color cache hits
     {"use_lz77": True, "cache_bits": 4},   # both
+    {"use_near": True},                    # near-neighbor code 1 (prev row)
+    {"use_near": True, "use_lz77": True},  # mixed distance prefixes
+    {"use_near": True, "use_lz77": True, "cache_bits": 4},  # all paths
 ])
 def test_roundtrip_ocr_exact(flavors):
     payload = W.render_text_webp(TEXT, width=16, **flavors)
@@ -36,6 +39,44 @@ def test_roundtrip_ocr_exact(flavors):
     # the decode is LOSSLESS: byte-identical to the BMP raster
     bmp = K.decode_bmp_gray(K.render_text_bmp(TEXT, width=16))
     assert _gray(rows) == _gray(bmp)
+
+
+def test_near_neighbor_offset_table_generation():
+    """The 120-entry distance map is GENERATED from the spec's closed-form
+    enumeration; pin the enumeration's invariants and its leading rows
+    against the published table text (RFC 9649 §4.2.2)."""
+    t = W._NEAR_OFFSETS
+    assert len(t) == 120 and len(set(t)) == 120
+    # candidate domain: y 0..7; y==0 -> x 1..8 (8 codes), else x -7..8
+    assert all(0 <= y <= 7 and -7 <= x <= 8 and (y > 0 or x > 0)
+               for x, y in t)
+    assert sum(1 for x, y in t if y == 0) == 8
+    # ordering: non-decreasing squared distance; within a distance class
+    # |x| ascends and +x precedes -x
+    d2 = [x * x + y * y for x, y in t]
+    assert d2 == sorted(d2)
+    # the spec table's first two rows and its tail, verbatim
+    assert t[:16] == [(0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+                      (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+                      (0, 3), (3, 0), (1, 3), (-1, 3)]
+    assert t[-6:] == [(-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7)]
+    # code 1 = offset (0, 1): distance == xsize — the previous-row copy
+    # the use_near encoder emits
+    assert t[0] == (0, 1)
+
+
+def test_near_neighbor_distance_clamp():
+    """Offsets with x + y*xsize < 1 clamp to distance 1 (spec). Build a
+    3-wide image whose LZ77 reference uses code 4 = offset (-1, 1):
+    distance = 3 - 1 = 2 on a 3-wide image — and verify against the
+    direct-distance equivalent; then check the clamp arithmetic on the
+    narrowest image where the offset would go negative."""
+    ox, oy = W._NEAR_OFFSETS[3]           # code 4
+    assert (ox, oy) == (-1, 1)
+    assert max(ox + oy * 3, 1) == 2       # 3-wide: one-left-one-up
+    assert max(ox + oy * 1, 1) == 1       # 1-wide degenerate: clamps ON 0
+    ox, oy = W._NEAR_OFFSETS[119]         # code 120 = (8, 7)
+    assert max(ox + oy * 2, 1) == 22
 
 
 # -- hand-built streams driving each decoder path from real bits -------------
@@ -265,9 +306,62 @@ def test_quarantines():
         W.decode_webp_gray(bytes(bad))
 
 
-def test_near_distance_codes_quarantine():
-    # one literal then a backref with dist_code 1 (the unverifiable
-    # near-neighbor map) -> loud OcrUnsupported, not silent pixels
+def test_near_distance_code_decodes_previous_row():
+    # hand-built stream: two literal pixels then a run-of-2 backref with
+    # dist_code 1 = offset (0, 1) -> distance = xsize: the second row
+    # must copy the first (the round-4 quarantine lifted; the offset map
+    # is generated from the spec's closed-form enumeration)
+    w, h = 2, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    green = W._write_normal_code(bw, [7, 9, 257], 280)
+    W._write_simple_code(bw, [0])   # red
+    W._write_simple_code(bw, [0])   # blue
+    W._write_simple_code(bw, [255])  # alpha
+    W._write_simple_code(bw, [0])   # distance: prefix 0 -> dist_code 1
+    for sym in (7, 9):
+        code, ln = green[sym]
+        W._write_code_msb(bw, code, ln)
+    code, ln = green[257]           # length prefix 1 -> run of 2
+    W._write_code_msb(bw, code, ln)
+    rows = W.decode_webp_gray(_wrap(bw.finish()))
+    # no transform in the hand-built header: gray = mean(0, g, 0) = g // 3
+    assert [list(r) for r in rows] == [[2, 3], [2, 3]]
+
+
+def test_near_distance_code_clamps_to_one():
+    # offset (-2, 1) (dist_code 10) on a 2-wide image: -2 + 1*2 = 0 ->
+    # the spec clamps the distance to 1, so the run repeats the previous
+    # pixel; dist_code 10 encodes as distance prefix 6 + 2 extra bits = 1
+    w, h = 2, 2
+    bw = W._BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    green = W._write_normal_code(bw, [7, 9, 257], 280)
+    W._write_simple_code(bw, [0])   # red
+    W._write_simple_code(bw, [0])   # blue
+    W._write_simple_code(bw, [255])  # alpha
+    W._write_simple_code(bw, [6])   # distance prefix 6 (+2 extra bits)
+    for sym in (7, 9):
+        code, ln = green[sym]
+        W._write_code_msb(bw, code, ln)
+    code, ln = green[257]           # run of 2
+    W._write_code_msb(bw, code, ln)
+    bw.write(1, 2)                  # extra bits: dist_code = 8 + 1 + 1 = 10
+    assert W._NEAR_OFFSETS[9] == (-2, 1)
+    rows = W.decode_webp_gray(_wrap(bw.finish()))
+    # gray = g // 3 (no transform): greens [7,9],[9,9] -> [2,3],[3,3]
+    assert [list(r) for r in rows] == [[2, 3], [3, 3]]
+
+
+def test_near_distance_before_image_start_still_quarantines():
+    # dist_code 1 referencing above the first row is a corrupt stream ->
+    # loud OcrUnsupported, not silent pixels
     w, h = 4, 2
     bw = W._BitWriter()
     _header(bw, w, h)
@@ -283,7 +377,7 @@ def test_near_distance_codes_quarantine():
     W._write_code_msb(bw, code, ln)
     code, ln = green[256]           # length prefix 0 -> run of 1
     W._write_code_msb(bw, code, ln)
-    with pytest.raises(K.OcrUnsupported, match="near-neighbor"):
+    with pytest.raises(K.OcrUnsupported, match="before image start"):
         W.decode_webp_gray(_wrap(bw.finish()))
 
 
