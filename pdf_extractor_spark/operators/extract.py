@@ -336,9 +336,49 @@ def eligible_pages(pages: DataFrame,
     )
 
 
+def tune_arrow_batch(pages: DataFrame, size_col: str = "html",
+                     target_batch_bytes: int = 32 << 20,
+                     sample_rows: int = 10_000,
+                     lo: int = 8, hi: int = 256) -> int:
+    """Derive ``spark.sql.execution.arrow.maxRecordsPerBatch`` from the
+    scan's payload-size stats (round-4 verdict item 10): records/batch =
+    target_batch_bytes / max(sampled payload size), clamped to [lo, hi].
+
+    SHRINK-ONLY by design, from measurement: growing batches past the
+    256 default measured NEUTRAL-TO-SLOWER on a small-page corpus (2.60 s
+    fixed-256 vs 2.70 s at 4096 over 48k pages — the kernel loop, not
+    per-batch overhead, dominates), so there is no win to chase upward.
+    The real hazard is downward: at the book/manual tier a 256-row batch
+    of multi-MB payloads is a ~0.3-1 GB working set PER WORKER in the
+    JVM↔Python channel; sizing by the sampled MAX (p90 measured WRONG on
+    heavy-tailed mixes — one 2 MB payload per 50 rows leaves p90 tiny and
+    re-inflates the batch) bounds every batch at ~target_batch_bytes
+    (1.3 MB/doc corpus: rec=16, 64.5 s → 62.4 s with the working set
+    33 MB instead of 333 MB per batch). The sample is LIMITed — a handful
+    of input partitions, never a corpus scan.
+
+    Returns the chosen records/batch. Callers opt in (run_extract
+    ``tune_batch=True``): the conf is session-global, so concurrent
+    queries sharing the session should tune once at job start, the
+    spark-submit shape, rather than per-query."""
+    spark = pages.sparkSession
+    row = (
+        pages.select(F.length(size_col).alias("n"))
+        .where(F.col("n").isNotNull())
+        .limit(sample_rows)
+        .agg(F.max("n").alias("mx"))
+        .collect()[0]
+    )
+    mx = int(row["mx"] or 1)
+    rec = max(lo, min(hi, target_batch_bytes // max(mx, 1)))
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rec))
+    return rec
+
+
 def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
                 size_cap_bytes: int = SIZE_CAP_BYTES,
-                oversize_bytes: int | None = None) -> DataFrame:
+                oversize_bytes: int | None = None,
+                tune_batch: bool = False) -> DataFrame:
     """pages(url, warc_ts, html, ...) → extracted DataFrame (one row/page).
 
     - column pruning: only url/warc_ts/html reach the scan
@@ -356,6 +396,8 @@ def run_extract(pages: DataFrame, num_partitions: int = 32, salt: int = 0,
       minutes of work and the straggler dominates wave latency.
     """
     src = eligible_pages(pages, size_cap_bytes)
+    if tune_batch:
+        tune_arrow_batch(src)
     if oversize_bytes is None:
         src = salted_repartition(src, num_partitions, salt)
         src = src.withColumn("partition_id", F.spark_partition_id())

@@ -127,6 +127,13 @@ class ExtractionJob:
     # -- main entry ------------------------------------------------------------
     def run(self, pages: DataFrame, max_waves: int | None = None) -> dict:
         """Process all pending buckets in waves; resumable and idempotent."""
+        from pdf_extractor_spark.operators.extract import tune_arrow_batch
+
+        # once per job, the spark-submit shape: shrink Arrow batches when
+        # the sampled payload sizes would blow the per-batch working set
+        # past ~32 MB (book/manual-tier corpora); a small-page corpus
+        # keeps the 256 default (shrink-only, measured in extract.py)
+        tune_arrow_batch(pages)
         pages_b = self._with_bucket(pages)
         done = self.done_buckets()
         pending = [b for b in range(self.n_buckets) if b not in done]

@@ -203,3 +203,47 @@ def test_image_payloads_quarantined_by_pipeline(spark, tmp_path):
     quar = job.quarantine.read(spark)
     needs = quar.where(quar["error"].contains("needs_ocr")).count()
     assert needs == n_img and n_img > 0
+
+
+def test_tune_arrow_batch_shrink_only(spark):
+    """The batch tuner sizes maxRecordsPerBatch from the sampled MAX
+    payload: small pages keep the 256 default (shrink-only — growing
+    measured neutral-to-slower), large payloads shrink the batch so the
+    per-batch working set stays ~target_batch_bytes, and the floor/ceiling
+    clamp holds. Restores the session conf afterwards."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.operators.extract import tune_arrow_batch
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key)
+    try:
+        small = spark.createDataFrame(
+            [(f"u{i}", b"x" * 100) for i in range(50)],
+            "url string, html binary")
+        assert tune_arrow_batch(small) == 256
+        assert spark.conf.get(key) == "256"
+
+        big = spark.createDataFrame(
+            [(f"u{i}", b"x" * (4 << 20)) for i in range(4)],
+            "url string, html binary")
+        rec = tune_arrow_batch(big)
+        assert rec == (32 << 20) // (4 << 20) == 8
+        assert spark.conf.get(key) == "8"
+
+        # one huge payload in a sea of small ones must still shrink the
+        # batch (MAX, not a percentile — the heavy-tail lesson)
+        mixed = small.unionByName(spark.createDataFrame(
+            [("big", b"y" * (2 << 20))], "url string, html binary"))
+        assert tune_arrow_batch(mixed) == 16
+
+        # floor clamp: payloads larger than the target can't reach 0
+        huge = spark.createDataFrame(
+            [("h", b"z" * (40 << 20))], "url string, html binary")
+        assert tune_arrow_batch(huge) == 8
+        # NULL payloads are ignored by the sampler
+        nulls = spark.createDataFrame(
+            [("n", None)], "url string, html binary")
+        assert tune_arrow_batch(nulls) == 256
+    finally:
+        spark.conf.set(key, before)

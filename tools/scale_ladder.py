@@ -218,6 +218,93 @@ def run_q22_pq(spark, embs, n_cells: int, queries: list[int]) -> dict:
             "code_bytes": n * 4, "raw_f32_bytes": n * 64 * 4}
 
 
+def run_q53(spark, docs, scale: int) -> dict:
+    """q53-shaped rung (round-4 verdict item 4: the ladder was dedup/ANN
+    only): the Common-Crawl artifact path + web-graph centralities at
+    1x/10x. Pages are synthesized from the scaled docs with hosts growing
+    with scale (20*scale hosts), written as per-partition gzip WARC
+    segments, re-read one-file-one-task and CDX-indexed; host_edges →
+    PageRank (5 iters) + HITS (3 iters) integer fixed-points. Each stage
+    wall is recorded separately so linear IO growth and flat-per-iteration
+    graph growth are separately visible."""
+    import glob
+    import tempfile
+
+    from pdf_extractor_spark.operators import webtext
+    from pdf_extractor_spark.sources import warc as warcmod
+
+    n_hosts = 20 * scale
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("s"), (F.col("doc_id") % n_hosts).cast("string"),
+                    F.lit(".example.com"))
+    h2 = F.concat(F.lit("s"), ((F.col("doc_id") * 7 + 1) % n_hosts)
+                  .cast("string"), F.lit(".example.com"))
+    html = F.encode(F.concat(
+        F.lit('<html><body><a href="https://'), h2, F.lit('/p/'), did,
+        F.lit('">x</a><p>'), F.substring("text", 1, 40),
+        F.lit('</p></body></html>')), "utf-8")
+    pages = docs.select(
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), did).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        html.alias("html"))
+
+    seg_dir = tempfile.mkdtemp(prefix=f"ladder_warc_x{scale}_")
+
+    def write_part(it):
+        import uuid
+
+        for pdf in it:
+            if len(pdf):
+                # uuid, NOT (pid, id(pdf)): a reused worker can hand two
+                # batches the same memory address, silently overwriting a
+                # segment (observed: 512 lost pages at the 10x rung)
+                fn = os.path.join(
+                    seg_dir, f"seg-{uuid.uuid4().hex}.warc.gz")
+                warcmod.write_warc(fn, [
+                    {"url": u, "warc_ts": ts.to_pydatetime(), "body": bytes(b)}
+                    for u, ts, b in zip(pdf["url"], pdf["warc_ts"],
+                                        pdf["html"])])
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    t0 = time.time()
+    pages.repartition(32).mapInPandas(write_part, "n long").agg(
+        F.sum("n")).collect()
+    t_write = time.time() - t0
+
+    t0 = time.time()
+    back = warcmod.read_warc(spark, seg_dir)
+    n_back = back.count()
+    t_read = time.time() - t0
+
+    t0 = time.time()
+    n_idx = warcmod.index_warc_files(spark, seg_dir).count()
+    t_index = time.time() - t0
+
+    t0 = time.time()
+    links = webtext.extract_links(pages)
+    edges = webtext.host_edges(links).persist()
+    n_edges = edges.count()
+    t_edges = time.time() - t0
+
+    t0 = time.time()
+    pr = webtext.pagerank_fixedpoint(edges, iters=5)
+    n_pr = pr.count()
+    t_pr = time.time() - t0
+    t0 = time.time()
+    ht = webtext.hits_fixedpoint(edges, iters=3)
+    n_ht = ht.count()
+    t_hits = time.time() - t0
+    edges.unpersist()
+    shutil.rmtree(seg_dir, ignore_errors=True)
+    return {"n_pages": n_back, "n_cdx": n_idx, "n_hosts": n_hosts,
+            "n_edges": n_edges, "pr_hosts": n_pr, "hits_hosts": n_ht,
+            "warc_write_s": round(t_write, 2),
+            "warc_read_s": round(t_read, 2),
+            "cdx_index_s": round(t_index, 2),
+            "edges_s": round(t_edges, 2),
+            "pagerank_s": round(t_pr, 2), "hits_s": round(t_hits, 2)}
+
+
 def main() -> None:
     spark = get_spark(app_name="scale-ladder", cores=32,
                       shuffle_partitions=64)
@@ -246,6 +333,7 @@ def main() -> None:
                                    queries)
         entry["q22_pq"] = run_q22_pq(spark, embs, 8 if scale == 1 else 25,
                                      queries)
+        entry["q53_graph_artifacts"] = run_q53(spark, docs, scale)
         out["scales"][f"x{scale}"] = entry
         docs.unpersist()
         embs.unpersist()
