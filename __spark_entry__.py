@@ -1186,13 +1186,16 @@ def q_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end. The oracle is container-agnostic (it recomputes the
     # expected OCR text from `documents`), so the rotation needs no SQL
     # change.
+    # round 5: + the BI_JPEG/BI_PNG embedded-codec profiles (compression
+    # 4/5, biBitCount 0 — the printer-driver pass-through layout), now
+    # that both codecs exist in-repo; the round-4 quarantine lifted
     _BMP_PROFILES = ("gray8", "rgb24", "rle8", "mono1", "gray4", "rle4",
-                     "bf16", "rgb32")
+                     "bf16", "rgb32", "jpeg_embed", "png_embed")
     _print_page = F.pandas_udf(
         lambda texts, ids: pd.Series(
             None if t is None
             else render_text_bmp(t, width=32,
-                                 profile=_BMP_PROFILES[int(i) // 50 % 8])
+                                 profile=_BMP_PROFILES[int(i) // 50 % 10])
             for t, i in zip(texts, ids)),
         "binary",
     )

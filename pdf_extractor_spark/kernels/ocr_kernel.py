@@ -336,10 +336,32 @@ def pack_bmp_rgb32(px: list) -> bytes:
     return _bmp_headers(width, height, 32, 0, b"", len(body)) + body
 
 
+def pack_bmp_jpeg(px: list) -> bytes:
+    """BI_JPEG (compression 4, biBitCount 0): a complete JPEG stream as
+    the pixel data — the printer-driver pass-through profile. The
+    embedded stream is the all-ones-quant baseline JPEG (round-trip
+    error <= ~2 gray levels, far under the ink threshold, so OCR output
+    stays EXACT and the q37 oracle can value-gate the tier)."""
+    from pdf_extractor_spark.kernels.jpeg_kernel import pack_jpeg_gray
+
+    body = pack_jpeg_gray(px)
+    return _bmp_headers(len(px[0]), -len(px), 0, 4, b"", len(body)) + body
+
+
+def pack_bmp_png(px: list) -> bytes:
+    """BI_PNG (compression 5, biBitCount 0): a complete PNG stream as
+    the pixel data (lossless — byte-exact round trip)."""
+    from pdf_extractor_spark.kernels.png_kernel import pack_png_gray
+
+    body = pack_png_gray(px)
+    return _bmp_headers(len(px[0]), -len(px), 0, 5, b"", len(body)) + body
+
+
 _BMP_PACKERS = {"gray8": pack_bmp_gray, "rgb24": pack_bmp_rgb24,
                 "rle8": pack_bmp_rle8, "mono1": pack_bmp_mono,
                 "gray4": pack_bmp_gray4, "rle4": pack_bmp_rle4,
-                "bf16": pack_bmp_bitfields16, "rgb32": pack_bmp_rgb32}
+                "bf16": pack_bmp_bitfields16, "rgb32": pack_bmp_rgb32,
+                "jpeg_embed": pack_bmp_jpeg, "png_embed": pack_bmp_png}
 
 
 def render_page_bmp(lines: list[str], profile: str = "gray8") -> bytes:
@@ -702,7 +724,7 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     (compression,) = struct.unpack_from("<I", payload, 30)
     profiles = ((1, 0), (4, 0), (4, 2), (8, 0), (8, 1), (16, 0), (16, 3),
-                (24, 0), (32, 0), (32, 3))
+                (24, 0), (32, 0), (32, 3), (0, 4), (0, 5))
     if planes != 1 or (bpp, compression) not in profiles:
         raise OcrUnsupported(
             f"unsupported BMP variant (planes={planes} bpp={bpp} "
@@ -713,6 +735,29 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
         raise OcrUnsupported(f"implausible dimensions {width}x{height}")
     if data_offset < 54:
         raise OcrUnsupported("truncated pixel data")
+
+    if compression in (4, 5):  # BI_JPEG / BI_PNG (biBitCount = 0 per spec):
+        # the "pixel data" is a complete embedded JPEG/PNG stream — the
+        # printer-driver pass-through layout. Delegate to the from-scratch
+        # codecs (lazy imports: those kernels import from this module);
+        # their own errors are already OcrUnsupported subclasses' siblings.
+        stream = payload[data_offset:]
+        if compression == 4:
+            from pdf_extractor_spark.kernels.jpeg_kernel import (
+                decode_jpeg_gray,
+            )
+            rows = decode_jpeg_gray(stream)
+        else:
+            from pdf_extractor_spark.kernels.png_kernel import (
+                decode_png_gray,
+            )
+            rows = decode_png_gray(stream)
+        # the embedded stream owns orientation; the header dims must agree
+        # with it or the container is lying — quarantine, don't guess
+        if len(rows) != height or (rows and len(rows[0]) != width):
+            raise OcrUnsupported(
+                "BMP embedded stream dimensions disagree with header")
+        return rows
 
     if compression in (1, 2):  # BI_RLE8 / BI_RLE4 (bottom-up per format)
         if top_down:

@@ -242,6 +242,31 @@ def test_final_wave_bmp_profiles_roundtrip():
     assert K.ocr_stream_text(bytes(bf)) == text
 
 
+def test_embedded_codec_bmp_profiles_roundtrip():
+    """Round 5: BI_JPEG/BI_PNG (compression 4/5, biBitCount 0 — the
+    printer-driver pass-through layout) delegate to the from-scratch
+    JPEG/PNG codecs. The PNG arm is byte-lossless vs the gray8 raster;
+    the JPEG arm rides the all-ones-quant trick so OCR stays exact; a
+    header whose dims disagree with the embedded stream quarantines."""
+    text = "EMBEDDED CODEC PASSTHROUGH 42."
+    ref = K.decode_bmp_gray(K.render_text_bmp(text, width=16,
+                                              profile="gray8"))
+    for profile in ("jpeg_embed", "png_embed"):
+        payload = K.render_text_bmp(text, width=16, profile=profile)
+        assert K.ocr_stream_text(payload) == text, profile
+    png_rows = K.decode_bmp_gray(
+        K.render_text_bmp(text, width=16, profile="png_embed"))
+    assert [bytes(r) for r in png_rows] == [bytes(r) for r in ref]
+    bad = bytearray(K.render_text_bmp(text, width=16, profile="png_embed"))
+    struct.pack_into("<i", bad, 18, 999)  # lie about the width
+    with pytest.raises(K.OcrUnsupported, match="disagree"):
+        K.decode_bmp_gray(bytes(bad))
+    # a truncated embedded stream is a corrupt container, not a crash
+    trunc = K.render_text_bmp(text, width=16, profile="jpeg_embed")[:80]
+    with pytest.raises(K.OcrUnsupported):
+        K.decode_bmp_gray(trunc)
+
+
 def test_rle4_absolute_mode_and_escapes():
     """The RLE4 interpreter: absolute-mode packets carry PACKED nibbles
     padded to a word boundary; encoded runs alternate the value byte's
@@ -552,7 +577,8 @@ def test_decoder_fuzz_no_unexpected_exceptions():
     # the final-wave BMP profiles exercise their own parse paths (RLE4
     # nibble interpreter, sub-byte unpack, BITFIELDS masked words) —
     # same one-row-quarantine contract under mutation
-    for profile in ("mono1", "gray4", "rle4", "bf16", "rgb32"):
+    for profile in ("mono1", "gray4", "rle4", "bf16", "rgb32",
+                    "jpeg_embed", "png_embed"):
         base = K.render_text_bmp("FUZZ PROFILE", width=16, profile=profile)
         for payload in mutations(base, 120):
             rows = extract_document(payload)
