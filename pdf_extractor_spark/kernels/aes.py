@@ -316,11 +316,33 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     and the last byte of E is ≤ round − 32. (R5, Adobe's pre-ISO
     extension, is the degenerate single SHA-256 — handled by callers.)
 
-    Memoized: a slow KDF is the POINT of Algorithm 2.B, but a corpus of
-    owner-locked files shares the empty user password, and per-file salt
-    diversity is bounded in practice — the cache turns repeat
-    derivations into lookups without weakening first-sight cost."""
+    Memoized TWICE: the in-process lru turns repeat derivations into
+    lookups, and a NODE-LOCAL disk memo (content-keyed, 32-byte values)
+    survives Python-worker churn — Spark respawns workers between
+    stages, and every respawn otherwise re-pays ~0.25 s per distinct
+    (password, salt, udata) tuple; with 32 workers × bounded salt
+    classes that is seconds of pure re-derivation per wave. On a real
+    cluster the memo amortizes per NODE instead of per worker process.
+    Neither layer weakens first-sight cost for genuinely new inputs.
+    Set SPARK_GRAFT_KDF_CACHE="" to disable the disk layer."""
     import hashlib
+    import os
+
+    cache_dir = os.environ.get("SPARK_GRAFT_KDF_CACHE",
+                               "/tmp/pdfx_kdf_cache")
+    path = None
+    if cache_dir:
+        digest = hashlib.sha256(
+            b"2b|%d|" % len(password) + password + b"|%d|" % len(salt)
+            + salt + b"|" + udata).hexdigest()
+        path = os.path.join(cache_dir, digest)
+        try:
+            with open(path, "rb") as fh:
+                v = fh.read()
+            if len(v) == 32:
+                return v
+        except OSError:
+            pass
 
     k = hashlib.sha256(password + salt + udata).digest()
     i = 0
@@ -336,4 +358,16 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             k = hashlib.sha512(e).digest()
         i += 1
         if i >= 64 and e[-1] <= i - 32:
-            return k[:32]
+            out = k[:32]
+            if path is not None:
+                # atomic publish: concurrent workers may race to the same
+                # key; both compute the same value, last rename wins
+                try:
+                    os.makedirs(cache_dir, exist_ok=True)
+                    tmp = f"{path}.{os.getpid()}"
+                    with open(tmp, "wb") as fh:
+                        fh.write(out)
+                    os.replace(tmp, path)
+                except OSError:
+                    pass
+            return out
