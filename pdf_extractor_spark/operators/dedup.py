@@ -1235,16 +1235,42 @@ def exact_substring_dedup_chars(docs: DataFrame,
 
     t = docs.select("doc_id", _norm(F.col("text")).alias("t"))
     n = F.length("t")
+
+    def _win_kernel(it):
+        # Arrow kernel for the window-hash stage: the transform(sequence)
+        # HOF formulation is interpreted (never codegen'd — the round-1
+        # lesson) and measured 7.8 s at sf0.1; C-speed char slicing +
+        # hashlib here cuts the arm to ~2 s. 16-byte digests (not hex
+        # strings) halve the shuffle. Semantics are EXACTLY the oracle's
+        # md5-over-the-50-char-slice rule — at 128 bits the dup sets are
+        # collision-free, so both sides compute identical coverage.
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            ids: list = []
+            ss: list = []
+            hs: list = []
+            for did, tx in zip(pdf["doc_id"], pdf["t"]):
+                if tx is None or len(tx) < min_len:
+                    continue
+                for i in range(len(tx) - min_len + 1):
+                    ids.append(did)
+                    ss.append(i + 1)
+                    hs.append(hashlib.md5(
+                        tx[i:i + min_len].encode("utf-8")).digest())
+            yield pd.DataFrame({"doc_id": ids, "s": ss, "h": hs})
+
+    # spread the O(n_chars) kernel across the session's cores: a small-SF
+    # corpus arrives as ONE parquet split, which would serialize the whole
+    # window pass into a single task; the (doc_id, t) exchange is narrow
+    # and trivially cheaper than the per-char work it parallelizes
+    spark = docs.sparkSession
     wins = (
         t.where(n >= min_len)
-        .select(
-            "doc_id", "t",
-            F.posexplode(F.expr(
-                f"transform(sequence(1, length(t) - {min_len} + 1), "
-                f"i -> md5(substring(t, i, {min_len})))"
-            )).alias("p0", "h"),
-        )
-        .select("doc_id", (F.col("p0") + 1).alias("s"), "h")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .mapInPandas(_win_kernel, "doc_id long, s int, h binary")
     )
     dup = wins.groupBy("h").agg(F.count("*").alias("c")).where(F.col("c") > 1)
     iv = (
