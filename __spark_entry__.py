@@ -2160,33 +2160,40 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     six oracle-gated (the approximate variants via literal geometry)."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = [0, 1, 2, 3, 4]
-    brute = similarity.brute_force_topk(embs, qids, k=5).withColumn(
-        "method", F.lit("brute"))
-    ivf = similarity.ivf_topk(embs, qids, k=5).withColumn(
-        "method", F.lit("ivf_seed"))
-    trained = similarity.ivf_topk_trained(
-        embs, qids, k=5, train_iters=2,
-        cent_store=_shingle_store_path(sf_dir).replace(
-            "q18_shingles", "q22_ivfcents")).withColumn(
-        "method", F.lit("ivf_trained"))
-    knn = similarity.knn_graph_lsh(embs, k=3, dim=64).withColumn(
-        "method", F.lit("knn_graph"))
-    pq = similarity.pq_adc_topk(
-        embs, qids, k=5, m_sub=4, ksub=16, train_iters=2,
-        book_store=_shingle_store_path(sf_dir).replace(
-            "q18_shingles", "q22_pqbooks")).withColumn(
-        "method", F.lit("pq_adc"))
-    ivfpq = similarity.ivfpq_adc_topk(
-        embs, qids, k=5, n_cells=8, n_probe=4, m_sub=4, ksub=16,
-        coarse_iters=2, train_iters=2,
-        cent_store=_shingle_store_path(sf_dir).replace(
-            "q18_shingles", "q22_ivfpq")).withColumn(
-        "method", F.lit("ivfpq_adc"))
-    return _ordered(
-        brute.unionByName(ivf).unionByName(trained).unionByName(knn)
-        .unionByName(pq).unionByName(ivfpq),
-        "method", "query_id", "rank",
-    )
+
+    # each arm's CONSTRUCTION is eager work (query-vector collects, model
+    # store reads for centroids/codebooks) with fixed job latency;
+    # the six constructors are independent, so build them concurrently
+    # (the q53 tier pattern) — the returned plans are identical
+    builders = {
+        "brute": lambda: similarity.brute_force_topk(embs, qids, k=5),
+        "ivf_seed": lambda: similarity.ivf_topk(embs, qids, k=5),
+        "ivf_trained": lambda: similarity.ivf_topk_trained(
+            embs, qids, k=5, train_iters=2,
+            cent_store=_shingle_store_path(sf_dir).replace(
+                "q18_shingles", "q22_ivfcents")),
+        "knn_graph": lambda: similarity.knn_graph_lsh(embs, k=3, dim=64),
+        "pq_adc": lambda: similarity.pq_adc_topk(
+            embs, qids, k=5, m_sub=4, ksub=16, train_iters=2,
+            book_store=_shingle_store_path(sf_dir).replace(
+                "q18_shingles", "q22_pqbooks")),
+        "ivfpq_adc": lambda: similarity.ivfpq_adc_topk(
+            embs, qids, k=5, n_cells=8, n_probe=4, m_sub=4, ksub=16,
+            coarse_iters=2, train_iters=2,
+            cent_store=_shingle_store_path(sf_dir).replace(
+                "q18_shingles", "q22_ivfpq")),
+    }
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(6) as _pool:
+        futs = {m: _pool.submit(b) for m, b in builders.items()}
+        arms = [futs[m].result().withColumn("method", F.lit(m))
+                for m in ("brute", "ivf_seed", "ivf_trained", "knn_graph",
+                          "pq_adc", "ivfpq_adc")]
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return _ordered(out, "method", "query_id", "rank")
 
 
 def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
