@@ -176,7 +176,7 @@ def main() -> None:
                 "prev_subtotal_sec": round(
                     sum(prev["queries"][q] for q in inter), 3),
             }
-    except (OSError, ValueError, KeyError, AttributeError):
+    except (OSError, ValueError, KeyError, AttributeError, TypeError):
         shared_with_prev = None  # bench must never fail on a malformed record
 
     print(

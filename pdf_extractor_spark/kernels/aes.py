@@ -324,25 +324,40 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     classes that is seconds of pure re-derivation per wave. On a real
     cluster the memo amortizes per NODE instead of per worker process.
     Neither layer weakens first-sight cost for genuinely new inputs.
-    Set SPARK_GRAFT_KDF_CACHE="" to disable the disk layer."""
+    Set SPARK_GRAFT_KDF_CACHE="" to disable the disk layer.
+
+    Trust boundary (review finding): /tmp is shared and a KDF output IS
+    key material, so the memo is only honored when the cache directory
+    is OWNED by this uid and not group/world-writable — a foreign or
+    pre-planted directory is ignored (derive fresh, write nothing)
+    rather than trusted; entries are written 0o600 under a 0o700 dir."""
     import hashlib
     import os
+    import stat
 
     cache_dir = os.environ.get("SPARK_GRAFT_KDF_CACHE",
                                "/tmp/pdfx_kdf_cache")
     path = None
     if cache_dir:
-        digest = hashlib.sha256(
-            b"2b|%d|" % len(password) + password + b"|%d|" % len(salt)
-            + salt + b"|" + udata).hexdigest()
-        path = os.path.join(cache_dir, digest)
         try:
-            with open(path, "rb") as fh:
-                v = fh.read()
-            if len(v) == 32:
-                return v
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
+            st = os.stat(cache_dir)
+            dir_ok = (st.st_uid == os.getuid()
+                      and not st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
         except OSError:
-            pass
+            dir_ok = False
+        if dir_ok:
+            digest = hashlib.sha256(
+                b"2b|%d|" % len(password) + password + b"|%d|" % len(salt)
+                + salt + b"|" + udata).hexdigest()
+            path = os.path.join(cache_dir, digest)
+            try:
+                with open(path, "rb") as fh:
+                    v = fh.read()
+                if len(v) == 32:
+                    return v
+            except OSError:
+                pass
 
     k = hashlib.sha256(password + salt + udata).digest()
     i = 0
@@ -361,11 +376,13 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
             out = k[:32]
             if path is not None:
                 # atomic publish: concurrent workers may race to the same
-                # key; both compute the same value, last rename wins
+                # key; both compute the same value, last rename wins.
+                # 0o600 — derived keys are secrets, not shared state
                 try:
-                    os.makedirs(cache_dir, exist_ok=True)
                     tmp = f"{path}.{os.getpid()}"
-                    with open(tmp, "wb") as fh:
+                    fd = os.open(tmp, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                                 0o600)
+                    with os.fdopen(fd, "wb") as fh:
                         fh.write(out)
                     os.replace(tmp, path)
                 except OSError:

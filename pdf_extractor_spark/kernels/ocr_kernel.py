@@ -710,9 +710,12 @@ def decode_bmp_gray(payload: bytes) -> list[bytes]:
     actually emits; the final wave added the sub-byte, RLE4 and masked
     word profiles): 1/4/8-bpp palette uncompressed, 4-bpp RLE4, 8-bpp
     RLE8, 16-bpp BI_RGB (the format's fixed 555 masks) and BITFIELDS,
-    24-bpp BI_RGB, 32-bpp BI_RGB and BITFIELDS. Raises OcrUnsupported on
-    anything else (embedded PNG/JPEG compressions, alpha-only masks);
-    raises nothing else.
+    24-bpp BI_RGB, 32-bpp BI_RGB and BITFIELDS, and (round 5) the
+    BI_JPEG/BI_PNG embedded-codec profiles (compression 4/5,
+    biBitCount 0 — the pixel data is a complete JPEG/PNG stream,
+    delegated to the in-repo codecs; header dims must agree with the
+    stream). Raises OcrUnsupported on anything else (alpha-only masks,
+    unknown compressions); raises nothing else.
     """
     if len(payload) < 54 or not payload.startswith(b"BM"):
         raise OcrUnsupported("not a BMP container")

@@ -1248,10 +1248,14 @@ def exact_substring_dedup_chars(docs: DataFrame,
 
         import pandas as pd
 
+        # yield in bounded chunks, not one frame per Arrow batch: peak
+        # memory would otherwise be O(batch_chars) boxed rows — a batch
+        # of large docs is millions of windows (review finding)
+        chunk = 1 << 16
+        ids: list = []
+        ss: list = []
+        hs: list = []
         for pdf in it:
-            ids: list = []
-            ss: list = []
-            hs: list = []
             for did, tx in zip(pdf["doc_id"], pdf["t"]):
                 if tx is None or len(tx) < min_len:
                     continue
@@ -1260,6 +1264,10 @@ def exact_substring_dedup_chars(docs: DataFrame,
                     ss.append(i + 1)
                     hs.append(hashlib.md5(
                         tx[i:i + min_len].encode("utf-8")).digest())
+                if len(ids) >= chunk:
+                    yield pd.DataFrame({"doc_id": ids, "s": ss, "h": hs})
+                    ids, ss, hs = [], [], []
+        if ids:
             yield pd.DataFrame({"doc_id": ids, "s": ss, "h": hs})
 
     # spread the O(n_chars) kernel across the session's cores: a small-SF

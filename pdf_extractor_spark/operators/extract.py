@@ -357,15 +357,31 @@ def tune_arrow_batch(pages: DataFrame, size_col: str = "html",
     33 MB instead of 333 MB per batch). The sample is LIMITed — a handful
     of input partitions, never a corpus scan.
 
+    Sampling is PER-PARTITION (review finding): a bare limit(N) reads
+    only the first input partitions, so a heavy tier concentrated in
+    later files would never be seen — exactly the heavy-tail blindness
+    this function exists to prevent, reintroduced at file granularity.
+    Instead every partition contributes its first Arrow batch's sizes
+    (the task stops after one batch), so layout order cannot hide a
+    tier; cost is one small read per partition, once per job.
+
     Returns the chosen records/batch. Callers opt in (run_extract
     ``tune_batch=True``): the conf is session-global, so concurrent
     queries sharing the session should tune once at job start, the
     spark-submit shape, rather than per-query."""
+    import pandas as pd
+
     spark = pages.sparkSession
+
+    def _first_batch_sizes(it):
+        for pdf in it:
+            yield pd.DataFrame(
+                {"n": pdf["n"].dropna().head(sample_rows)})
+            break  # one Arrow batch per partition — then stop reading
+
     row = (
         pages.select(F.length(size_col).alias("n"))
-        .where(F.col("n").isNotNull())
-        .limit(sample_rows)
+        .mapInPandas(_first_batch_sizes, "n long")
         .agg(F.max("n").alias("mx"))
         .collect()[0]
     )

@@ -74,6 +74,7 @@ class ExtractionJob:
         salt: int = 0,
         wave_size: int = 8,
         failure_rate_abort: float = 0.5,
+        tune_batch: bool = True,
     ) -> None:
         self.spark = spark
         self.out_root = out_root
@@ -82,6 +83,7 @@ class ExtractionJob:
         self.salt = salt
         self.wave_size = wave_size
         self.failure_rate_abort = failure_rate_abort
+        self.tune_batch = tune_batch
         self.extracted = SnapshotTable(os.path.join(out_root, "extracted"))
         self.lineage = SnapshotTable(os.path.join(out_root, "lineage"))
         self.metrics = SnapshotTable(os.path.join(out_root, "metrics"))
@@ -127,13 +129,30 @@ class ExtractionJob:
     # -- main entry ------------------------------------------------------------
     def run(self, pages: DataFrame, max_waves: int | None = None) -> dict:
         """Process all pending buckets in waves; resumable and idempotent."""
-        from pdf_extractor_spark.operators.extract import tune_arrow_batch
-
         # once per job, the spark-submit shape: shrink Arrow batches when
         # the sampled payload sizes would blow the per-batch working set
         # past ~32 MB (book/manual-tier corpora); a small-page corpus
-        # keeps the 256 default (shrink-only, measured in extract.py)
-        tune_arrow_batch(pages)
+        # keeps the 256 default (shrink-only, measured in extract.py).
+        # The conf is SESSION-GLOBAL, so it is restored after the waves
+        # finish and `tune_batch=False` opts a shared-session caller out
+        # entirely (review finding: an unconditional permanent mutation
+        # shrank every later query's Arrow batches in shared sessions)
+        _batch_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+        _batch_before = self.spark.conf.get(_batch_key, None)
+        if self.tune_batch:
+            from pdf_extractor_spark.operators.extract import (
+                tune_arrow_batch,
+            )
+
+            tune_arrow_batch(pages)
+        try:
+            return self._run_waves(pages, max_waves)
+        finally:
+            if self.tune_batch and _batch_before is not None:
+                self.spark.conf.set(_batch_key, _batch_before)
+
+    def _run_waves(self, pages: DataFrame,
+                   max_waves: int | None = None) -> dict:
         pages_b = self._with_bucket(pages)
         done = self.done_buckets()
         pending = [b for b in range(self.n_buckets) if b not in done]

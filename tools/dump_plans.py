@@ -92,7 +92,7 @@ PICKS = {
         "O(d²)/O(d) in shuffle volume at any corpus size."
     ),
     "q39_line_freq_dedup": (
-        "ExactSubstr arm: k-token window hashes are a narrow "
+        "ExactSubstr token arm: k-token window hashes are a narrow "
         "transform(sequence) explode (no suffix array, no cross join); ONE "
         "exchange aggregates corpus window frequency on the 16-byte hash; "
         "the duplicated-window set is heavy-tail-small so the semi-join "
@@ -100,13 +100,18 @@ PICKS = {
         "as the line-frequency arm it unions with. Site-template arm "
         "(round 3): per-(host, line-hash) df aggregate joined to "
         "BROADCAST per-host doc counts, template set broadcasts into the "
-        "anti-join — plan-audited 3 BroadcastHashJoin / 0 SortMergeJoin."
+        "anti-join — plan-audited 3 BroadcastHashJoin / 0 SortMergeJoin. "
+        "Char-level arm (round 5): window hashing is an Arrow kernel "
+        "(chunk-bounded yields); the shuffle carries DUPLICATED windows "
+        "only, merged to removal intervals via gaps-and-islands, rebuild "
+        "is a per-doc fold — never one row per character."
     ),
     "q26_extract_pdf": (
         "Writer stage is a narrow mapInPandas over the documents scan (one "
         "builder per row, layout picked by doc_id%9); then the mandated "
         "salted hash-repartition on url is the ONLY exchange before the "
-        "mapInArrow kernel pass; the final orderBy is the output sort. "
+        "mapInArrow kernel pass (round 5: the trailing cosmetic sort is "
+        "opt-in — the range-sampler re-ran the whole pipeline). "
         "Kernel CPU is bounded per doc: the RC4/AES key-derivation chains "
         "(Algorithms 2/3/5, the 20-round RC4 validation) and the FIPS-197 "
         "key schedule are memoized per worker — a dedup-heavy corpus "
@@ -118,7 +123,7 @@ PICKS = {
     "q53_source_rollup": (
         "Four Common-Crawl artifact round-trips (WARC segments written "
         "per-partition then re-read one-file-one-task; WET; WAT; CDXJ "
-        "index + fetch_by_urls point reads) feed per-host rollups whose "
+        "index over the same segments) feed per-host rollups whose "
         "checksums aggregate at plan-build into literal frames, so the "
         "temp segments free immediately. PageRank AND HITS run as "
         "integer fixed-points with localCheckpoint per half-iteration "
@@ -169,10 +174,12 @@ def _check_bench_coverage(threshold_sec: float = 3.0) -> None:
     `extract_corpus` is bench-internal (not a queries() entry) and exempt."""
     import glob
     import json
+    import os
     import re
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prevs = sorted(
-        glob.glob("/root/repo/BENCH_r*.json"),
+        glob.glob(os.path.join(repo, "BENCH_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
     )
     if not prevs:
