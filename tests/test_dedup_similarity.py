@@ -1468,3 +1468,57 @@ def test_fuzzy_decontaminate_known_answers(spark):
                   docs, bench, n=1,
                   threshold_num=2, threshold_den=3).collect()}
     assert strict == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
+def test_exact_substring_chars_matches_brute_reference(spark):
+    """Property check on seeded random corpora: the operator's coverage
+    equals a brute-force reference that enumerates EVERY length-L window,
+    counts corpus-wide occurrences (occurrences, not distinct docs), and
+    removes the union of duplicated windows — the literal Lee-et-al rule
+    with no interval/merge/fold machinery shared with the operator."""
+    import random
+
+    L = 12  # small threshold so tiny corpora exercise dup geometry
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    def brute(texts):
+        from collections import Counter
+
+        counts = Counter()
+        for t in texts.values():
+            n = norm(t)
+            for i in range(len(n) - L + 1):
+                counts[n[i:i + L]] += 1
+        out = {}
+        for did, t in texts.items():
+            n = norm(t)
+            covered = set()
+            for i in range(len(n) - L + 1):
+                if counts[n[i:i + L]] > 1:
+                    covered.update(range(i, i + L))
+            out[did] = ("".join(c for j, c in enumerate(n)
+                                if j not in covered),
+                        len(covered))
+        return out
+
+    rng = random.Random(4242)
+    words = ["alpha", "beta", "gamma", "delta", "zz", "qq", "mnop"]
+    shared = "thequickbrownfoxrepeats"   # > L chars, planted in some docs
+    for trial in range(3):
+        texts = {}
+        for did in range(12):
+            body = " ".join(rng.choice(words)
+                            for _ in range(rng.randrange(3, 12)))
+            if rng.random() < 0.5:
+                body += " " + shared
+            if rng.random() < 0.2:
+                body += " " + shared  # intra-doc repeat
+            texts[did] = body
+        docs = spark.createDataFrame(
+            sorted(texts.items()), DOCS_DDL)
+        got = {r["doc_id"]: (r["clean_text"], r["n_removed_chars"])
+               for r in dedup.exact_substring_dedup_chars(
+                   docs, min_len=L).collect()}
+        assert got == brute(texts), f"trial {trial} diverged"

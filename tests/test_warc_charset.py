@@ -385,3 +385,50 @@ def test_cdx_fetch_by_urls_point_reads(tmp_path, spark):
     assert bytes(rows["https://b.example/4"]["html"]) == b"<html>b4</html>"
     assert rows["https://b.example/0"]["charset"] == "utf-8"
     assert rows["https://a.example/3"]["http_status"] == 200
+
+
+def test_fetch_by_urls_whole_file_gzip_fails_empty_not_wrong(tmp_path,
+                                                            spark):
+    """The round-5 advice fix: a valid WARC compressed as ONE whole-file
+    gzip stream (not per-record members) gives every index entry the
+    member-wide (offset, length), so each slice parses to the member's
+    FIRST response. fetch_by_urls must DROP the mislabeled records (fail
+    empty, not wrong) — only the first response, whose URL matches its
+    own slice, survives — and index_warc must flag the multi-response
+    member as degraded (n_bad > 0)."""
+    import gzip as _gzip
+
+    pages = [{"url": f"https://w.example/{i}",
+              "body": f"<html>w{i}</html>".encode()} for i in range(4)]
+    raw = tmp_path / "raw.warc"
+    warc.write_warc(str(raw), pages, gzip_per_record=False)
+    whole = tmp_path / "whole.warc.gz"
+    whole.write_bytes(_gzip.compress(raw.read_bytes()))
+    raw.unlink()  # only the degraded layout remains under tmp_path
+
+    entries, n_bad = warc.index_warc(whole.read_bytes())
+    assert len(entries) == 4          # all responses indexed...
+    assert n_bad >= 1                 # ...but the layout is flagged
+    assert len({(e["offset"], e["length"]) for e in entries}) == 1
+
+    got = warc.fetch_by_urls(
+        spark, str(tmp_path),
+        [f"https://w.example/{i}" for i in range(4)]).collect()
+    urls = {r["url"] for r in got}
+    # before the fix this returned w0's page FOUR TIMES under four urls;
+    # now only the self-consistent first record survives
+    assert urls == {"https://w.example/0"}
+    assert all(bytes(r["html"]) == b"<html>w0</html>" for r in got)
+
+
+def test_fetch_by_urls_percent_encoded_path(tmp_path, spark):
+    """binaryFile paths are URIs: a segment file whose name contains a
+    space arrives as %20 and must still open (the bare
+    replace('file:','') conversion corrupted it)."""
+    seg = tmp_path / "seg one.warc.gz"
+    warc.write_warc(str(seg), [{"url": "https://p.example/1",
+                                "body": b"<html>p1</html>"}])
+    got = warc.fetch_by_urls(
+        spark, str(tmp_path), ["https://p.example/1"]).collect()
+    assert len(got) == 1
+    assert bytes(got[0]["html"]) == b"<html>p1</html>"
