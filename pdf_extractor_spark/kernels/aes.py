@@ -341,8 +341,14 @@ def _hash_2b(password: bytes, salt: bytes, udata: bytes) -> bytes:
     if cache_dir:
         try:
             os.makedirs(cache_dir, mode=0o700, exist_ok=True)
-            st = os.stat(cache_dir)
-            dir_ok = (st.st_uid == os.getuid()
+            # lstat + S_ISDIR: os.stat follows symlinks, so a pre-planted
+            # link at the cache path pointing into a victim-owned 0700
+            # directory would pass an os.stat ownership check while
+            # redirecting key-cache reads/writes wherever the attacker
+            # chose (second review wave)
+            st = os.lstat(cache_dir)
+            dir_ok = (stat.S_ISDIR(st.st_mode)
+                      and st.st_uid == os.getuid()
                       and not st.st_mode & (stat.S_IWGRP | stat.S_IWOTH))
         except OSError:
             dir_ok = False

@@ -1259,14 +1259,19 @@ def exact_substring_dedup_chars(docs: DataFrame,
             for did, tx in zip(pdf["doc_id"], pdf["t"]):
                 if tx is None or len(tx) < min_len:
                     continue
+                # flush MID-DOC too (second review wave): one multi-MB
+                # doc is millions of windows, so a per-doc check would
+                # re-gate peak memory on doc size; window rows are
+                # independent, so splitting inside a doc is safe
                 for i in range(len(tx) - min_len + 1):
                     ids.append(did)
                     ss.append(i + 1)
                     hs.append(hashlib.md5(
                         tx[i:i + min_len].encode("utf-8")).digest())
-                if len(ids) >= chunk:
-                    yield pd.DataFrame({"doc_id": ids, "s": ss, "h": hs})
-                    ids, ss, hs = [], [], []
+                    if len(ids) >= chunk:
+                        yield pd.DataFrame(
+                            {"doc_id": ids, "s": ss, "h": hs})
+                        ids, ss, hs = [], [], []
         if ids:
             yield pd.DataFrame({"doc_id": ids, "s": ss, "h": hs})
 

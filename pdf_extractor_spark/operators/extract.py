@@ -366,9 +366,13 @@ def tune_arrow_batch(pages: DataFrame, size_col: str = "html",
     tier; cost is one small read per partition, once per job.
 
     Returns the chosen records/batch. Callers opt in (run_extract
-    ``tune_batch=True``): the conf is session-global, so concurrent
-    queries sharing the session should tune once at job start, the
-    spark-submit shape, rather than per-query."""
+    ``tune_batch=True``): the conf is session-global and STAYS SET —
+    it must, because the returned plan is lazy and the conf is read at
+    execution time, so an automatic restore here would undo the tuning
+    before the job ever runs. An eager caller that owns the whole
+    lifecycle (ExtractionJob.run) saves the prior value and restores —
+    or unsets — it after its jobs finish; a shared-session caller using
+    run_extract directly owns that restore itself."""
     import pandas as pd
 
     spark = pages.sparkSession

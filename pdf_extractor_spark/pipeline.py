@@ -148,8 +148,14 @@ class ExtractionJob:
         try:
             return self._run_waves(pages, max_waves)
         finally:
-            if self.tune_batch and _batch_before is not None:
-                self.spark.conf.set(_batch_key, _batch_before)
+            if self.tune_batch:
+                # conf.get(key, None) is None when the key was UNSET (an
+                # external session that never configured it) — restore
+                # means unset there, not skip (second review wave)
+                if _batch_before is not None:
+                    self.spark.conf.set(_batch_key, _batch_before)
+                else:
+                    self.spark.conf.unset(_batch_key)
 
     def _run_waves(self, pages: DataFrame,
                    max_waves: int | None = None) -> dict:

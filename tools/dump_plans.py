@@ -6,7 +6,10 @@ import contextlib
 import io
 import sys
 
-sys.path.insert(0, "/root/repo")
+import os as _os
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 PICKS = {
     "q01_pricing_summary": (
@@ -180,7 +183,10 @@ def _check_bench_coverage(threshold_sec: float = 3.0) -> None:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     prevs = sorted(
         glob.glob(os.path.join(repo, "BENCH_r*.json")),
-        key=lambda p: int(re.search(r"r(\d+)", p).group(1)),
+        # basename, NOT the full path: a checkout under a directory whose
+        # name contains r<digit> would otherwise poison every sort key
+        key=lambda p: int(
+            re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     )
     if not prevs:
         return
@@ -215,7 +221,7 @@ def main() -> None:
     import __spark_entry__ as entry
 
     qs = entry.queries()
-    with open("/root/repo/PLANS.md", "w") as out:
+    with open(_os.path.join(_REPO, "PLANS.md"), "w") as out:
         out.write(HEADER)
         for name, note in PICKS.items():
             df = qs[name](spark, "/root/testdata/sf0.01")
